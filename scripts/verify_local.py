@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate:
+runs each oracle SQL in DuckDB over the sf parquet tables and compares
+(column-name-sorted, row-sorted) with the engine's parquet output."""
+import sys, json, glob, duckdb, pandas as pd, numpy as np
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}"); fails.append(name); continue
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no engine output"); fails.append(name); continue
+    got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+        fails.append(name); continue
+    if len(exp) != len(got):
+        print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+        fails.append(name); continue
+    exp = exp.sort_values(list(exp.columns), ignore_index=True)
+    got = got.sort_values(list(got.columns), ignore_index=True)
+    ok = True
+    for c in exp.columns:
+        e, g = exp[c], got[c]
+        # normalize timestamp-like dtypes for compare
+        if str(e.dtype).startswith("datetime") or str(g.dtype).startswith("datetime"):
+            e = pd.to_datetime(e); g = pd.to_datetime(g)
+            if getattr(e.dtype, "tz", None) is not None: e = e.dt.tz_localize(None)
+            if getattr(g.dtype, "tz", None) is not None: g = g.dt.tz_localize(None)
+            e = e.astype("datetime64[ns]"); g = g.astype("datetime64[ns]")
+            same = e.equals(g)
+        elif e.dtype.kind == "f" or g.dtype.kind == "f":
+            same = np.allclose(e.astype(float), g.astype(float), rtol=0, atol=0, equal_nan=True)
+        else:
+            same = e.astype(object).where(pd.notna(e), None).equals(
+                   g.astype(object).where(pd.notna(g), None))
+        if not same:
+            mism = None
+            try:
+                neq = ~(e.astype(object).where(pd.notna(e), None) ==
+                        g.astype(object).where(pd.notna(g), None))
+                idx = np.where(neq)[0][:3]
+                mism = [(int(i), e.iloc[i], g.iloc[i]) for i in idx]
+            except Exception: pass
+            print(f"FAIL {name}: col {c} differs (exp_dtype={e.dtype} got_dtype={g.dtype}) sample={mism}")
+            ok = False
+    if ok: print(f"PASS {name} ({len(exp)} rows)")
+    else: fails.append(name)
+
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} pass")
+sys.exit(1 if fails else 0)

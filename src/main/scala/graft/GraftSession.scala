@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory — every entrypoint (Verify, Bench, tests)
+  * builds its session here so configs stay consistent.
+  *
+  * Scale-relevant settings:
+  *  - shuffle.partitions sized to local cores (the 100 TB deployment
+  *    overrides this; AQE coalescing handles the variance);
+  *  - AQE on: runtime partition coalescing + skew-join splitting;
+  *  - nanosAsLong: the driver testdata's `events.ts` is parquet
+  *    TIMESTAMP(NANOS), which Spark's vectorized reader refuses —
+  *    read as long, converted in [[Tables.activities]].
+  */
+object GraftSession {
+  def build(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+            shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,66 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Parity, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 (and the training-data
+  * extensions) appears here as a named query; `oracleSql` carries the
+  * DuckDB twin the driver hash-compares against.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Parity.aggHourly(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // —— parity: CDC / enrichment / windowed aggs / sinks (SURVEY §2) ——
+    "q_cdc_parse" -> (Parity.cdcParse _),
+    "q_enrich_activity" -> (Parity.enrichActivity _),
+    "q_enrich_employee" -> (Parity.enrichEmployee _),
+    "q_agg_hourly" -> (Parity.aggHourly _),
+    "q_agg_daily" -> (Parity.aggDaily _),
+    "q_join_activity_employee" -> (Parity.joinActivityEmployee _),
+    "q_union_sources" -> (Parity.unionSources _),
+    "q_upsert_precombine" -> (Parity.upsertPrecombine _),
+    "q_kafka_roundtrip" -> (Parity.kafkaRoundtrip _),
+    // —— general relational capability ——
+    "q1_pricing_summary" -> (Relational.pricingSummary _),
+    "q3_top_revenue" -> (Relational.topRevenue _),
+    "q5_supplier_volume" -> (Relational.supplierVolumeByNation _),
+    "q_window_topn" -> (Relational.topOrdersPerCustomer _),
+    "q_window_running" -> (Relational.runningSupplierRevenue _),
+    "q_semi_join" -> (Relational.semiJoinCustomers _),
+    "q_anti_join" -> (Relational.antiJoinCustomers _),
+    "q_rollup" -> (Relational.rollupOrders _),
+    "q_above_avg" -> (Relational.aboveNationAvgCustomers _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_cdc_parse" -> Parity.cdcParseSql,
+    "q_enrich_activity" -> Parity.enrichActivitySql,
+    "q_enrich_employee" -> Parity.enrichEmployeeSql,
+    "q_agg_hourly" -> Parity.aggHourlySql,
+    "q_agg_daily" -> Parity.aggDailySql,
+    "q_join_activity_employee" -> Parity.joinActivityEmployeeSql,
+    "q_union_sources" -> Parity.unionSourcesSql,
+    "q_upsert_precombine" -> Parity.upsertPrecombineSql,
+    "q_kafka_roundtrip" -> Parity.kafkaRoundtripSql,
+    "q1_pricing_summary" -> Relational.pricingSummarySql,
+    "q3_top_revenue" -> Relational.topRevenueSql,
+    "q5_supplier_volume" -> Relational.supplierVolumeByNationSql,
+    "q_window_topn" -> Relational.topOrdersPerCustomerSql,
+    "q_window_running" -> Relational.runningSupplierRevenueSql,
+    "q_semi_join" -> Relational.semiJoinCustomersSql,
+    "q_anti_join" -> Relational.antiJoinCustomersSql,
+    "q_rollup" -> Relational.rollupOrdersSql,
+    "q_above_avg" -> Relational.aboveNationAvgCustomersSql
+  )
 }

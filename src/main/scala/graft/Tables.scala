@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders mapping the driver testdata (TESTDATA.md) onto the engine's
+  * data model (SURVEY §1): `events` → activity stream, `customer` →
+  * employee dimension. Every derived column here is mirrored verbatim in
+  * the DuckDB oracle CTEs (see [[Oracles.activitiesCte]] /
+  * [[Oracles.employeesCte]]) — keep the two in lockstep.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events with `ts` as a usable µs timestamp. The file stores
+    * TIMESTAMP(NANOS) which Spark reads as long (nanosAsLong config, see
+    * [[GraftSession]]); integer-divide to µs — same floor-truncation
+    * DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** events → activity rows (FIXTURES.md §5 mapping).
+    * Deterministic derivations only (no rand/current_*), so the DuckDB
+    * twin produces identical rows.
+    */
+  def activities(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("event_id").cast("string").as("id"),
+      col("user_id").as("employee_id"),
+      col("event_type").as("activity_type"),
+      concat(lit("/page/"), get_json_object(col("props"), "$.k")).as("page_url"),
+      floor(col("value")).cast("int").as("duration_seconds"),
+      concat(lit("10.0."), col("user_id") % 256, lit("."), col("event_id") % 256)
+        .as("ip_address"),
+      lit("Mozilla/5.0").as("user_agent"),
+      col("ts").as("activity_timestamp"),
+      concat(col("user_id"), lit("-"), to_date(col("ts")).cast("string")).as("session_id"),
+      when(col("user_id") % 3 === 0, "mobile")
+        .when(col("user_id") % 3 === 1, "tablet")
+        .otherwise("desktop").as("device_type"),
+      when(col("event_id") % 3 === 0, "Chrome")
+        .when(col("event_id") % 3 === 1, "Firefox")
+        .otherwise("Safari").as("browser"),
+      col("ts").as("created_at"))
+
+  /** customer → employee rows. Department from market segment; seniority
+    * markers injected into the email deterministically by key.
+    */
+  def employees(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "customer").select(
+      col("c_custkey").as("id"),
+      col("c_name").as("name"),
+      concat(
+        lower(col("c_name")),
+        when(col("c_custkey") % 7 === 0, ".senior")
+          .when(col("c_custkey") % 7 === 1, ".lead")
+          .otherwise(""),
+        lit("@corp.com")).as("email"),
+      when(col("c_mktsegment") === "BUILDING", "Engineering")
+        .when(col("c_mktsegment") === "AUTOMOBILE", "IT")
+        .when(col("c_mktsegment") === "MACHINERY", "Sales")
+        .when(col("c_mktsegment") === "HOUSEHOLD", "Marketing")
+        .otherwise("HR").as("department"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("created_at"))
+}

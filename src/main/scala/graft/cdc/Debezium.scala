@@ -1,0 +1,86 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.model.Schemas
+
+/** Debezium CDC envelope ingestion.
+  *
+  * Semantics from the reference (spark-streaming/
+  * multi_source_streaming_processor.py:98-171): a Kafka-shaped input with
+  * binary `key`/`value` columns is parsed in two phases —
+  *
+  *   1. `value` (JSON string) → envelope struct `payload{after, op, ts_ms}`
+  *      where `after` stays a STRING;
+  *   2. ops filtered to inserts+updates (`op ∈ {c, u}`) — deletes (`d`) and
+  *      snapshot reads (`r`) are dropped (py:119, :166);
+  *   3. `after` re-parsed against the declared row schema and flattened to
+  *      top level, with `ts_ms` lifted to `event_timestamp` and the Kafka
+  *      ingest `timestamp` to `processing_timestamp` (py:120-124).
+  *
+  * Everything here is pure Column expressions — identical code path in
+  * batch and streaming, fully whole-stage-codegen'd, no UDFs. At 100 TB
+  * this stage is a narrow projection+filter that pipelines inside the scan
+  * stage with zero shuffles.
+  */
+object Debezium {
+
+  /** Ops the engine keeps. Deletes are unrepresentable downstream (the
+    * envelope drops `before`), matching the reference's insert/update-only
+    * design (PROJECT_DOCUMENTATION.md:668).
+    */
+  val keptOps: Seq[String] = Seq("c", "u")
+
+  /** Phase-1 parse of a Kafka-shaped frame: requires `value` (string or
+    * binary) and optionally `topic`, `key`, `timestamp`.
+    */
+  def parseEnvelope(raw: DataFrame): DataFrame = {
+    val base = raw
+      .withColumn("value", col("value").cast("string"))
+      .withColumn("parsed_value", from_json(col("value"), Schemas.cdcEnvelope))
+    base
+  }
+
+  /** Filter to kept CDC operations (reference py:119). */
+  def filterOps(parsed: DataFrame): DataFrame =
+    parsed.filter(col("parsed_value.payload.op").isin(keptOps: _*))
+
+  /** JSON options that keep timestamps lossless through a to_json /
+    * from_json round trip (default JSON format drops sub-millisecond
+    * precision).
+    */
+  val microsJsonOptions: Map[String, String] =
+    Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+  /** Phase-2 parse + flatten against a declared row schema.
+    *
+    * Emits `rowSchema.*` + `event_timestamp` (epoch millis from the
+    * envelope) + `processing_timestamp` (Kafka ingest time if present,
+    * else current_timestamp).
+    */
+  def extractRows(
+      filtered: DataFrame,
+      rowSchema: StructType,
+      structAlias: String,
+      jsonOptions: Map[String, String] = Map.empty): DataFrame = {
+    val procTs: Column =
+      if (filtered.columns.contains("timestamp")) col("timestamp")
+      else current_timestamp()
+    filtered
+      .select(
+        from_json(col("parsed_value.payload.after"), rowSchema, jsonOptions).as(structAlias),
+        col("parsed_value.payload.ts_ms").as("event_timestamp"),
+        procTs.as("processing_timestamp"))
+      .select(col(s"$structAlias.*"), col("event_timestamp"), col("processing_timestamp"))
+  }
+
+  /** Full pipeline: envelope parse → op filter → row extraction. */
+  def parse(
+      raw: DataFrame,
+      rowSchema: StructType,
+      structAlias: String = "row",
+      jsonOptions: Map[String, String] = Map.empty): DataFrame =
+    extractRows(filterOps(parseEnvelope(raw)), rowSchema, structAlias, jsonOptions)
+}

@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.cdc.Debezium
+import graft.enrich.Enrichments
+import graft.agg.ActivityAggs
+import graft.model.Schemas
+
+/** Capability-parity queries (SURVEY §2), expressed as batch twins over
+  * the driver testdata so the DuckDB oracle can check them. The same
+  * building blocks (Debezium, Enrichments, ActivityAggs) power the
+  * streaming pipeline in graft.streaming.
+  */
+object Parity {
+
+  /** Fixed clock for processing-time columns — keeps golden/oracle tests
+    * deterministic (SURVEY §7.4 risk 5).
+    */
+  val fixedNow: Column = lit("2024-02-01").cast("date")
+
+  private def enrichedActivities(spark: SparkSession, sfDir: String): DataFrame =
+    Enrichments.enrichActivities(Tables.activities(spark, sfDir), fixedNow)
+
+  /** S1/S2 + P1-P3 + F2: wrap each activity row in a Debezium envelope
+    * (op assigned deterministically by key: 0→delete, 1→snapshot-read,
+    * 2→update, else insert), then run the engine's two-phase CDC parse.
+    * Round-trip must reproduce exactly the op∈{c,u} subset.
+    */
+  def cdcParse(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = Tables.activities(spark, sfDir)
+    val dataCols = Schemas.activity.fieldNames.map(col).toSeq
+    val opCol = {
+      val m = col("id").cast("long") % 10
+      when(m === 0, "d").when(m === 1, "r").when(m === 2, "u").otherwise("c")
+    }
+    val envelope = act.select(
+      to_json(
+        struct(
+          struct(
+            to_json(struct(dataCols: _*), Debezium.microsJsonOptions).as("after"),
+            opCol.as("op"),
+            unix_millis(col("activity_timestamp")).as("ts_ms")
+          ).as("payload"))).as("value"))
+    Debezium
+      .parse(envelope, Schemas.activity, jsonOptions = Debezium.microsJsonOptions)
+      .drop("processing_timestamp") // wall-clock; excluded from oracle compare
+      .orderBy(col("id").cast("long"))
+  }
+
+  val cdcParseSql: String = graft.Oracles.withActivities(
+    """SELECT id, employee_id, activity_type, page_url, duration_seconds,
+      |       ip_address, user_agent, activity_timestamp, session_id,
+      |       device_type, browser, created_at,
+      |       epoch_ms(activity_timestamp) AS event_timestamp
+      |FROM activities
+      |WHERE event_id % 10 >= 2
+      |ORDER BY event_id""".stripMargin)
+
+  /** F6-F8, F10-F13: full activity enrichment. */
+  def enrichActivity(spark: SparkSession, sfDir: String): DataFrame =
+    enrichedActivities(spark, sfDir).orderBy(col("id").cast("long"))
+
+  val enrichActivitySql: String = graft.Oracles.withEnriched(
+    """SELECT id, employee_id, activity_type, page_url, duration_seconds,
+      |       ip_address, user_agent, activity_timestamp, session_id,
+      |       device_type, browser, created_at,
+      |       activity_hour, activity_date, session_duration_category,
+      |       is_business_hours, device_category, data_source, processing_date
+      |FROM enriched
+      |ORDER BY event_id""".stripMargin)
+
+  /** F4-F5, F10-F11: employee enrichment. */
+  def enrichEmployee(spark: SparkSession, sfDir: String): DataFrame =
+    Enrichments.enrichEmployees(Tables.employees(spark, sfDir), fixedNow)
+      .orderBy(col("id"))
+
+  val enrichEmployeeSql: String = graft.Oracles.withEmployees(
+    """SELECT id, name, email, department, created_at,
+      |       CASE WHEN department IN ('Engineering', 'IT') THEN 'Technical'
+      |            WHEN department IN ('Sales', 'Marketing') THEN 'Business'
+      |            ELSE 'Support' END AS department_category,
+      |       CASE WHEN email LIKE '%senior%' THEN 'Senior'
+      |            WHEN email LIKE '%lead%' THEN 'Lead'
+      |            ELSE 'Regular' END AS employee_level,
+      |       'postgresql' AS data_source,
+      |       DATE '2024-02-01' AS processing_date
+      |FROM employees
+      |ORDER BY id""".stripMargin)
+
+  /** A1-A5, A7-A9: hourly windowed aggregation (batch twin). The page
+    * set is emitted as a sorted comma-joined string so the compare is
+    * order-stable; `primary_device` (`first()` in the reference) is
+    * deterministic here because device is a function of the grouping key.
+    */
+  def aggHourly(spark: SparkSession, sfDir: String): DataFrame =
+    ActivityAggs.hourly(enrichedActivities(spark, sfDir))
+      .select(
+        col("window_start"), col("window_end"),
+        col("employee_id"), col("activity_type"),
+        col("activity_count"), col("total_duration"),
+        round(col("avg_duration"), 4).as("avg_duration"),
+        array_join(col("unique_pages"), ",").as("unique_pages"),
+        col("primary_device"), col("aggregation_type"))
+      .orderBy(col("window_start"), col("employee_id"), col("activity_type"))
+
+  val aggHourlySql: String = graft.Oracles.withEnriched(
+    """SELECT date_trunc('hour', activity_timestamp) AS window_start,
+      |       date_trunc('hour', activity_timestamp) + INTERVAL 1 HOUR AS window_end,
+      |       employee_id, activity_type,
+      |       count(*) AS activity_count,
+      |       CAST(sum(duration_seconds) AS BIGINT) AS total_duration,
+      |       round(avg(duration_seconds), 4) AS avg_duration,
+      |       string_agg(DISTINCT page_url, ',' ORDER BY page_url) AS unique_pages,
+      |       min(device_category) AS primary_device,
+      |       'hourly' AS aggregation_type
+      |FROM enriched
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY 1, 3, 4""".stripMargin)
+
+  /** A1, A3, A6-A9: daily windowed aggregation (batch twin: exact
+    * countDistinct; streaming path uses HLL++ — SURVEY B3).
+    */
+  def aggDaily(spark: SparkSession, sfDir: String): DataFrame =
+    ActivityAggs.daily(enrichedActivities(spark, sfDir))
+      .select(
+        col("window_start"), col("window_end"),
+        col("activity_type"), col("device_category"),
+        col("activity_count"), col("unique_employees"),
+        round(col("avg_duration"), 4).as("avg_duration"),
+        col("aggregation_type"))
+      .orderBy(col("window_start"), col("activity_type"), col("device_category"))
+
+  val aggDailySql: String = graft.Oracles.withEnriched(
+    """SELECT date_trunc('day', activity_timestamp) AS window_start,
+      |       date_trunc('day', activity_timestamp) + INTERVAL 1 DAY AS window_end,
+      |       activity_type, device_category,
+      |       count(*) AS activity_count,
+      |       count(DISTINCT employee_id) AS unique_employees,
+      |       round(avg(duration_seconds), 4) AS avg_duration,
+      |       'daily_device' AS aggregation_type
+      |FROM enriched
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY 1, 3, 4""".stripMargin)
+
+  /** §2.4 parity-extension join: activity ⟕ employee on the FK. The
+    * employee side is small (dimension) → broadcast, no shuffle of the
+    * activity stream — the shape that survives 100 TB.
+    */
+  def joinActivityEmployee(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = enrichedActivities(spark, sfDir)
+    val emp = Enrichments.enrichEmployees(Tables.employees(spark, sfDir), fixedNow)
+      .select(
+        col("id").as("employee_id"), col("name"), col("department"),
+        col("department_category"), col("employee_level"))
+    act
+      .select(
+        col("id"), col("employee_id"), col("activity_type"),
+        col("device_category"), col("duration_seconds"))
+      .join(broadcast(emp), Seq("employee_id"), "left")
+      .orderBy(col("id").cast("long"))
+  }
+
+  // NOTE: concatenation, not interpolation+stripMargin — the CTE bodies
+  // contain `||` at line starts, which stripMargin would mangle.
+  val joinActivityEmployeeSql: String =
+    "WITH " + graft.Oracles.activitiesCte + ",\n" +
+      graft.Oracles.enrichedCte + ",\n" +
+      graft.Oracles.employeesCte + "\n" +
+      """SELECT e2.employee_id, e2.id, e2.activity_type, e2.device_category,
+        |       e2.duration_seconds,
+        |       emp.name, emp.department,
+        |       CASE WHEN emp.department IN ('Engineering', 'IT') THEN 'Technical'
+        |            WHEN emp.department IN ('Sales', 'Marketing') THEN 'Business'
+        |            ELSE 'Support' END AS department_category,
+        |       CASE WHEN emp.email LIKE '%senior%' THEN 'Senior'
+        |            WHEN emp.email LIKE '%lead%' THEN 'Lead'
+        |            ELSE 'Regular' END AS employee_level
+        |FROM enriched e2 LEFT JOIN employees emp ON e2.employee_id = emp.id
+        |ORDER BY e2.event_id""".stripMargin
+
+  /** §2.7 extension: the two same-schema activity sources the reference
+    * never unions (Postgres topic + Cassandra topic) — here simulated by
+    * an even/odd key split, tagged by source, unionByName'd, then
+    * aggregated per source.
+    */
+  def unionSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = Tables.activities(spark, sfDir)
+    val pg = act.filter(col("id").cast("long") % 2 === 0)
+      .withColumn("data_source", lit("postgresql"))
+    val cass = act.filter(col("id").cast("long") % 2 === 1)
+      .withColumn("data_source", lit("cassandra"))
+    pg.unionByName(cass)
+      .groupBy(col("data_source"), col("activity_type"))
+      .agg(
+        count(lit(1)).as("activity_count"),
+        sum(col("duration_seconds")).as("total_duration"))
+      .orderBy(col("data_source"), col("activity_type"))
+  }
+
+  val unionSourcesSql: String = graft.Oracles.withActivities(
+    """SELECT data_source, activity_type,
+      |       count(*) AS activity_count,
+      |       CAST(sum(duration_seconds) AS BIGINT) AS total_duration
+      |FROM (
+      |  SELECT a.*, 'postgresql' AS data_source FROM activities a WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT a.*, 'cassandra' AS data_source FROM activities a WHERE event_id % 2 = 1)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin)
+
+  /** K2 Hudi-sink semantics as a query: upsert-by-record-key with
+    * precombine-by-latest — keep the newest row per (employee_id,
+    * activity_type), ties broken by highest id. This is exactly the
+    * row_number shape our ParquetUpsertSink applies per micro-batch.
+    */
+  def upsertPrecombine(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = Tables.activities(spark, sfDir)
+    val w = Window
+      .partitionBy(col("employee_id"), col("activity_type"))
+      .orderBy(col("activity_timestamp").desc, col("id").cast("long").desc)
+    act
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("employee_id"), col("activity_type"), col("id"),
+        col("activity_timestamp"), col("duration_seconds"))
+      .orderBy(col("employee_id"), col("activity_type"))
+  }
+
+  val upsertPrecombineSql: String = graft.Oracles.withActivities(
+    """SELECT employee_id, activity_type, id, activity_timestamp, duration_seconds
+      |FROM activities
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY employee_id, activity_type
+      |  ORDER BY activity_timestamp DESC, event_id DESC) = 1
+      |ORDER BY employee_id, activity_type""".stripMargin)
+
+  /** K1 Kafka-sink semantics as a query: key = coalesce(employee id, row
+    * id) as string (the reference's B1 intent), value = to_json of the
+    * full row; then parsed back and verified against the oracle.
+    */
+  def kafkaRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = Tables.activities(spark, sfDir)
+    val allCols = act.columns.map(col).toSeq
+    val wire = act.select(
+      coalesce(col("employee_id").cast("string"), col("id")).as("key"),
+      to_json(struct(allCols: _*), Debezium.microsJsonOptions).as("value"))
+    wire
+      .select(
+        col("key"),
+        from_json(col("value"), Schemas.activity, Debezium.microsJsonOptions).as("row"))
+      .select(col("key"), col("row.id").as("id"), col("row.activity_type").as("activity_type"),
+        col("row.duration_seconds").as("duration_seconds"),
+        col("row.activity_timestamp").as("activity_timestamp"))
+      .orderBy(col("id").cast("long"))
+  }
+
+  val kafkaRoundtripSql: String = graft.Oracles.withActivities(
+    """SELECT CAST(employee_id AS VARCHAR) AS key, id, activity_type,
+      |       duration_seconds, activity_timestamp
+      |FROM activities
+      |ORDER BY event_id""".stripMargin)
+}
