@@ -37,7 +37,24 @@ object SparkEntry {
     "q_semi_join" -> (Relational.semiJoinCustomers _),
     "q_anti_join" -> (Relational.antiJoinCustomers _),
     "q_rollup" -> (Relational.rollupOrders _),
-    "q_above_avg" -> (Relational.aboveNationAvgCustomers _)
+    "q_above_avg" -> (Relational.aboveNationAvgCustomers _),
+    // —— training-data extensions: text analysis ——
+    "x_token_stats" -> (ext.Text.tokenStats _),
+    "x_lang_id" -> (ext.Text.langId _),
+    "x_quality" -> (ext.Text.quality _),
+    "x_fingerprint" -> (ext.Text.fingerprint _),
+    // —— training-data extensions: dedup ——
+    "x_dedup_exact" -> (ext.Dedup.exact _),
+    "x_dedup_bow" -> (ext.Dedup.bagOfWords _),
+    "x_dedup_ngram_jaccard" -> (ext.Dedup.ngramJaccard _),
+    "x_dedup_minhash_lsh" -> (ext.Dedup.minhashLsh _),
+    "x_dedup_simhash" -> (ext.Dedup.simhashPairs _),
+    // —— training-data extensions: similarity search ——
+    "x_ann_bruteforce" -> (ext.Similarity.annBruteForce _),
+    "x_embedding_pairs" -> (ext.Similarity.embeddingPairs _),
+    "x_ann_lsh" -> (ext.Similarity.annLsh _),
+    // —— training-data extensions: multimodal ——
+    "x_media_features" -> (ext.Multimodal.mediaFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -61,6 +78,19 @@ object SparkEntry {
     "q_semi_join" -> Relational.semiJoinCustomersSql,
     "q_anti_join" -> Relational.antiJoinCustomersSql,
     "q_rollup" -> Relational.rollupOrdersSql,
-    "q_above_avg" -> Relational.aboveNationAvgCustomersSql
+    "q_above_avg" -> Relational.aboveNationAvgCustomersSql,
+    "x_token_stats" -> ext.Text.tokenStatsSql,
+    "x_lang_id" -> ext.Text.langIdSql,
+    "x_quality" -> ext.Text.qualitySql,
+    "x_fingerprint" -> ext.Text.fingerprintSql,
+    "x_dedup_exact" -> ext.Dedup.exactSql,
+    "x_dedup_bow" -> ext.Dedup.bagOfWordsSql,
+    "x_dedup_ngram_jaccard" -> ext.Dedup.ngramJaccardSql,
+    "x_dedup_minhash_lsh" -> ext.Dedup.minhashLshSql,
+    "x_dedup_simhash" -> ext.Dedup.simhashPairsSql,
+    "x_ann_bruteforce" -> ext.Similarity.annBruteForceSql,
+    "x_embedding_pairs" -> ext.Similarity.embeddingPairsSql,
+    "x_ann_lsh" -> ext.Similarity.annLshSql,
+    "x_media_features" -> ext.Multimodal.mediaFeaturesSql
   )
 }

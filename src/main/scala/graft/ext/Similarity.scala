@@ -1,0 +1,181 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions.{vec_cosine, vec_dot}
+
+/** Similarity search over an embedding column (Array[Float], dim 64).
+  *
+  *  - brute-force cosine top-k: the exact baseline. Queries are
+  *    broadcast; the corpus side streams — one pass, no shuffle of the
+  *    big side. At 100 TB the corpus scan is embarrassingly parallel and
+  *    top-k per query aggregates via partial TakeOrdered.
+  *  - random-hyperplane LSH buckets: the approximate scale path. Each
+  *    vector maps to an 8-bit bucket (sign pattern against 8 fixed
+  *    hyperplanes); search touches only the query's bucket — candidate
+  *    set shrinks ~256× at constant recall for high-similarity pairs.
+  *
+  * Hyperplanes are deterministic (md5-derived ±1 components) so the
+  * DuckDB oracle reproduces them bit-for-bit from the same literals.
+  */
+object Similarity {
+
+  val dim = 64
+  val numPlanes = 8
+
+  /** md5-hex of a string — matches DuckDB's md5(). */
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** ±1 hyperplane components, derived exactly like the SQL twin:
+    * ('0x' || substr(md5(p || ':' || i), 1, 8))::BIGINT % 2.
+    */
+  val planeSigns: IndexedSeq[IndexedSeq[Double]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        val v = java.lang.Long.parseLong(md5Hex(s"$p:$i").take(8), 16)
+        if (v % 2 == 1) 1.0 else -1.0
+      }
+    }
+
+  /** Native codegen'd dot / cosine (graft.functions.FloatVecDot) —
+    * identical IEEE op order to the oracle's list_inner_product on
+    * DOUBLE[] casts.
+    */
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
+
+  def cosine(a: Column, b: Column): Column = vec_cosine(a, b)
+
+  /** SQL twin of [[cosine]] — same formula shape (dot / (sqrt·sqrt)),
+    * computed on DOUBLE[] casts.
+    */
+  def cosineSql(a: String, b: String): String =
+    s"(list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
+      s" / (sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))" +
+      s" * sqrt(list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))))"
+
+  // ——— brute-force top-k ———
+
+  /** Exact cosine top-5 neighbors for every 100th vector. */
+  def annBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 4))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annBruteForceSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |           WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         round(${cosineSql("q.qv", "e.embedding")}, 4) AS sim
+       |  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ——— near-duplicate pairs by cosine ———
+
+  /** All vector pairs with cosine ≥ 0.4 (corpus max is ~0.51 — these
+    * are the planted near-dups). Brute force here; the LSH variant
+    * below is the scale path.
+    */
+  def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // norms computed once per vector (not per pair): sim = dot/(na*nb)
+    // is bit-identical to dot/(sqrt(daa)*sqrt(dbb)) — same op order.
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embeddingPairsSql: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim
+       |FROM embeddings a, embeddings b
+       |WHERE a.vec_id < b.vec_id
+       |  AND round(${cosineSql("a.embedding", "b.embedding")}, 4) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ——— LSH-bucketed ANN ———
+
+  /** Literal ±1 array column for plane p. */
+  private def planeCol(p: Int): Column =
+    array(planeSigns(p).map(v => lit(v.toFloat)): _*)
+
+  /** 8-bit sign bucket of an embedding against the fixed hyperplanes. */
+  def bucket(v: Column): Column =
+    (0 until numPlanes).map { p =>
+      when(dot(v, planeCol(p)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN restricted to the query's LSH bucket: top-5 by cosine among
+    * same-bucket vectors. Bucket assignment is one corpus pass; the
+    * join is a hash join on bucket id.
+    */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bkt"))
+    val scored = emb.join(broadcast(queries), Seq("bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("embedding")), 4))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SQL literal for plane p's sign array. */
+  private def planeSqlLit(p: Int): String =
+    planeSigns(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  val annLshSql: String = {
+    val bucketExpr = (0 until numPlanes).map { p =>
+      s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), ${planeSqlLit(p)}) > 0" +
+        s" THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, $bucketExpr AS bkt FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM bucketed
+       |      WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         round(${cosineSql("q.qv", "e.embedding")}, 4) AS sim
+       |  FROM q JOIN bucketed e USING (bkt) WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}

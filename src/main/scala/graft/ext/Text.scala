@@ -1,0 +1,172 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text analysis for training-data pipelines: tokenization, language ID,
+  * quality scoring, fingerprinting — all pure Column expressions
+  * (codegen'd, shuffle-free per-row transforms that pipeline with the
+  * parquet scan; at 100 TB this stage is embarrassingly parallel).
+  *
+  * Cross-engine determinism rule: anything hashed goes through
+  * md5-hex → first-8-hex-digits → BIGINT, which DuckDB reproduces as
+  * `('0x' || substr(md5(x),1,8))::BIGINT` — see the paired oracle SQL.
+  */
+object Text {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** First 8 hex digits of md5 as an unsigned 32-bit value in a long. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Per-language stopword marker lists (tiny n-gram-free heuristic). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "is", "of", "to", "and", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "un"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est"))
+
+  /** Count of tokens contained in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t)))
+  }
+
+  // ——— queries ———
+
+  /** Token counting: whitespace tokens, regex word tokens, distinct
+    * tokens, chars.
+    */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).as("n_re_tokens"),
+        size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_ws_tokens,
+      |       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+      |       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      |       length(text) AS n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language ID: stopword-hit scores per language, argmax with fixed
+    * priority order (en > de > es > fr), 'und' when nothing matched.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val hits = Seq("en", "de", "es", "fr").map(l => stopwordHits(t, stopwords(l)).as(s"${l}_hits"))
+    val base = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id") +: col("lang").as("labeled_lang") +: hits: _*)
+    base.withColumn("predicted_lang",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
+          col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+          .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits") &&
+            col("de_hits") > 0, "de")
+          .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
+          .when(col("fr_hits") > 0, "fr")
+          .otherwise("und"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def sqlHits(lang: String): String = {
+    val words = stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split(text, ' '), w -> list_contains($words, w)))"
+  }
+
+  val langIdSql: String =
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |       ${sqlHits("en")} AS en_hits,
+       |       ${sqlHits("de")} AS de_hits,
+       |       ${sqlHits("es")} AS es_hits,
+       |       ${sqlHits("fr")} AS fr_hits,
+       |       CASE WHEN ${sqlHits("en")} >= ${sqlHits("de")}
+       |             AND ${sqlHits("en")} >= ${sqlHits("es")}
+       |             AND ${sqlHits("en")} >= ${sqlHits("fr")}
+       |             AND ${sqlHits("en")} > 0 THEN 'en'
+       |            WHEN ${sqlHits("de")} >= ${sqlHits("es")}
+       |             AND ${sqlHits("de")} >= ${sqlHits("fr")}
+       |             AND ${sqlHits("de")} > 0 THEN 'de'
+       |            WHEN ${sqlHits("es")} >= ${sqlHits("fr")}
+       |             AND ${sqlHits("es")} > 0 THEN 'es'
+       |            WHEN ${sqlHits("fr")} > 0 THEN 'fr'
+       |            ELSE 'und' END AS predicted_lang
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length/diversity/stopword-ratio features and a
+    * composite score — the filter stage of a pretraining pipeline.
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nWords = size(t).cast("double")
+    val nDistinct = size(array_distinct(t)).cast("double")
+    val stopHits = stopwordHits(t, stopwords("en")).cast("double")
+    val avgWordLen = (length(col("text")).cast("double") - (nWords - 1)) / nWords
+    val ttr = nDistinct / nWords
+    val stopRatio = stopHits / nWords
+    Tables.table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(t).as("n_words"),
+        round(avgWordLen, 4).as("avg_word_len"),
+        round(ttr, 4).as("type_token_ratio"),
+        round(stopRatio, 4).as("stopword_ratio"),
+        round(least(nWords / 100.0, lit(1.0)) * 0.5 + ttr * 0.5, 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualitySql: String =
+    s"""SELECT doc_id,
+       |       length(text) AS n_chars,
+       |       len(string_split(text, ' ')) AS n_words,
+       |       round((length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
+       |             / len(string_split(text, ' ')), 4) AS avg_word_len,
+       |       round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+       |             / len(string_split(text, ' ')), 4) AS type_token_ratio,
+       |       round(${sqlHits("en")}::DOUBLE
+       |             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       |       round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+       |             + (len(list_distinct(string_split(text, ' ')))::DOUBLE
+       |                / len(string_split(text, ' '))) * 0.5, 4) AS quality_score
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: content hash (md5) + order-sensitive
+    * rolling hash (Rabin-Karp-style fold over token hashes, mod 1e9+7 to
+    * stay overflow-safe in both engines).
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val tokenVals = transform(t, tok => md5Long(tok))
+    val fp = aggregate(tokenVals, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+    Tables.table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        fp.as("rolling_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |       md5(text) AS content_md5,
+      |       list_reduce(
+      |         list_prepend(0::BIGINT,
+      |           list_transform(string_split(text, ' '),
+      |             t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |         (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}

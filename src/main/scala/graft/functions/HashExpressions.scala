@@ -1,0 +1,140 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom expressions for the dedup operators — each replaces an
+  * explode/shuffle pyramid or an allocating built-in with a single
+  * per-row pass, which is what keeps these operators linear-cost at
+  * 100 TB.
+  */
+
+/** |a ∩ b| for two SORTED long arrays via merge scan — no per-row set
+  * allocation (array_intersect builds a hash set per invocation, which
+  * dominates pairwise-Jaccard cost).
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** k MinHash values of a string array in one pass (xxhash64 with seed =
+  * hash index). Replaces explode(shingles × seeds) → min-agg — i.e.
+  * two shuffles and a k×|shingles| row blowup — with a projection.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      val len = s.numBytes()
+      var seed = 0
+      while (seed < k) {
+        val h = XXH64.hashUnsafeBytes(base, off, len, seed.toLong)
+        if (h < sig(seed)) sig(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash of a (distinct) token array, md5-derived per token so
+  * the DuckDB oracle reproduces it: token value =
+  * first-15-hex-digits(md5(token)) as a long, bit votes ±1, majority
+  * sign packs the bit. One pass per row — replaces the
+  * explode(token × bit) double-aggregation.
+  */
+case class SimHashMd5(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](bits)
+    val digest = md.get()
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      val hex = digest.digest(arr.getUTF8String(i).getBytes)
+        .take(8).map("%02x".format(_)).mkString // 16 hex chars; use 15
+      val v = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      var b = 0
+      while (b < bits) {
+        if (((v >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    GraftBridge.column(
+      SortedLongIntersectCount(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def minhash_signature(shingles: Column, k: Int): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), k))
+
+  def simhash_md5(tokens: Column, bits: Int = 60): Column =
+    GraftBridge.column(SimHashMd5(GraftBridge.expression(tokens), bits))
+}

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product over float-array columns.
+  *
+  * Why a custom Catalyst Expression: the composable alternative
+  * (`aggregate(zip_with(a, b, _*_), 0d, _+_)`) runs the higher-order
+  * lambda interpreter per element — ~50× slower and allocating per row.
+  * This expression generates a tight fused loop inside whole-stage
+  * codegen, keeping 100 TB ANN scans compute-bound instead of
+  * interpreter-bound.
+  *
+  * Semantics: Σ (double)a(i)·(double)b(i), sequential fold in element
+  * order — bit-identical to the interpreted formulation and to DuckDB's
+  * list_inner_product on DOUBLE[] casts (same IEEE op order), which the
+  * oracle queries rely on.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level helpers for the native vector ops. */
+object VectorFunctions {
+
+  /** Native codegen'd float-array dot product. */
+  def vec_dot(a: Column, b: Column): Column =
+    GraftBridge.column(
+      FloatVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Cosine from the native dot (same formula shape as the oracle:
+    * dot / (sqrt(na) · sqrt(nb))).
+    */
+  def vec_cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
+  }
+}
