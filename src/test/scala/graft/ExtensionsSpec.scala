@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-cutting invariants of the dedup / similarity / text /
+  * multimodal extensions on the sf0.001 corpus.
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH finds exactly the ground-truth near-dup pairs (recall check)") {
+    val naive = ext.Dedup.ngramJaccard(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = ext.Dedup.minhashLsh(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty) // corpus has planted near-dups
+    assert(lsh == naive) // full recall + verification removes false positives
+  }
+
+  test("jaccard values are within [0,1] and symmetric formulation holds") {
+    val rows = ext.Dedup.ngramJaccard(spark, sf0001).collect()
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("exact dedup keeps every row when all texts are unique") {
+    val n = Tables.table(spark, sf0001, "documents").count()
+    val d = ext.Dedup.exact(spark, sf0001)
+    assert(d.count() == n)
+    assert(d.agg(sum("n_copies")).collect()(0).getLong(0) == n)
+  }
+
+  test("bag-of-words dedup collapses shuffled-word copies") {
+    val n = Tables.table(spark, sf0001, "documents").count()
+    val d = ext.Dedup.bagOfWords(spark, sf0001)
+    assert(d.count() < n) // corpus plants shuffled copies
+    assert(d.agg(sum("n_copies")).collect()(0).getLong(0) == n) // partition of the corpus
+  }
+
+  test("ANN brute force: top-1 neighbor has the max cosine; ranks are 1..5") {
+    val out = ext.Similarity.annBruteForce(spark, sf0001)
+    val byQuery = out.collect().groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { rows =>
+      val ranked = rows.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq == (1 to ranked.length))
+      val sims = ranked.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ANN LSH results are a subset of brute-force candidates with same scores") {
+    val bf = ext.Similarity.annBruteForce(spark, sf0001)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = ext.Similarity.annLsh(spark, sf0001)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    lsh.foreach { case (q, n, s) =>
+      bf.get((q, n)).foreach(bfSim => assert(bfSim == s)) // same score where overlapping
+    }
+    assert(lsh.nonEmpty)
+  }
+
+  test("self-cosine is 1.0 for every embedding") {
+    import graft.functions.VectorFunctions.vec_cosine
+    val bad = Tables.table(spark, sf0001, "embeddings")
+      .select(abs(vec_cosine(col("embedding"), col("embedding")) - 1.0).as("err"))
+      .filter(col("err") > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("quality scores are in (0,1]; token stats consistent") {
+    val q = ext.Text.quality(spark, sf0001).collect()
+    q.foreach { r =>
+      assert(r.getAs[Double]("quality_score") > 0 && r.getAs[Double]("quality_score") <= 1)
+      assert(r.getAs[Double]("type_token_ratio") <= 1.0)
+      assert(r.getAs[Int]("n_words") > 0)
+    }
+    val t = ext.Text.tokenStats(spark, sf0001).collect()
+    t.foreach { r =>
+      assert(r.getAs[Int]("n_distinct_tokens") <= r.getAs[Int]("n_ws_tokens"))
+    }
+  }
+
+  test("multimodal mapPartitions features agree with the expression path") {
+    val viaMap = ext.Multimodal.extractFeatures(spark, sf0001)
+      .select("doc_id", "byte_len", "frame_count").as[(Long, Long, Int)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val viaExpr = ext.Multimodal.mediaFeatures(spark, sf0001)
+      .select("doc_id", "byte_len", "frame_count").as[(Long, Long, Int)].collect()
+    viaExpr.foreach { case (id, len, fc) =>
+      assert(viaMap(id) == ((len, fc)))
+    }
+  }
+
+  test("fingerprint: rolling hash is order-sensitive, content hash stable") {
+    val fp = ext.Text.fingerprint(spark, sf0001).limit(5).collect()
+    fp.foreach { r =>
+      assert(r.getAs[String]("content_md5").length == 32)
+      val v = r.getAs[Long]("rolling_fp")
+      assert(v >= 0 && v < 1000000007L)
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.ParquetUpsertSink
+
+/** Hudi-semantics upsert: record key + precombine-latest + partition
+  * overwrite isolation (K2, SURVEY §2.2).
+  */
+case class Rec(id: Int, v: String, precombine: Long, processing_date: String)
+
+class ParquetUpsertSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("latest precombine wins within and across batches; untouched partitions survive") {
+    val dir = Files.createTempDirectory("upsert").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+
+    // batch 0: two versions of id=1 in one batch + id=2 in another partition
+    sink.upsert(Seq(
+      Rec(1, "old", 10, "2024-01-01"),
+      Rec(1, "new", 20, "2024-01-01"),
+      Rec(2, "keep", 5, "2024-01-02")).toDF(), 0)
+    val after0 = spark.read.parquet(dir).orderBy($"id").collect()
+    assert(after0.length == 2)
+    assert(after0(0).getAs[String]("v") == "new")
+
+    // batch 1: update id=1 (higher precombine), touch only 2024-01-01
+    sink.upsert(Seq(Rec(1, "newer", 30, "2024-01-01")).toDF(), 1)
+    val after1 = spark.read.parquet(dir).orderBy($"id").collect()
+    assert(after1.length == 2)
+    assert(after1(0).getAs[String]("v") == "newer")
+    assert(after1(1).getAs[String]("v") == "keep") // other partition untouched
+
+    // batch 2: stale update (lower precombine) must NOT win — idempotent replay safety
+    sink.upsert(Seq(Rec(1, "stale", 15, "2024-01-01")).toDF(), 2)
+    val after2 = spark.read.parquet(dir).filter($"id" === 1).collect()
+    assert(after2(0).getAs[String]("v") == "newer")
+  }
+
+  test("one file per partition dir (small-file mitigation)") {
+    val dir = Files.createTempDirectory("upsert2").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    sink.upsert((1 to 100).map(i => Rec(i, s"v$i", i, s"2024-01-0${i % 3 + 1}")).toDF(), 0)
+    val dirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("processing_date="))
+    assert(dirs.length == 3)
+    dirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    }
+  }
+}

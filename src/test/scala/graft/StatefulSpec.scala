@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Stateful
+import graft.streaming.Stateful.ActivityEvent
+
+/** Stateful streaming extensions: session windows,
+  * flatMapGroupsWithState sessionization, watermarked dedup.
+  */
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("session_window groups events within the gap, splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ActivityEvent]
+    val q = Stateful.sessionWindowAgg(mem.toDS(), "5 minutes")
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        ActivityEvent(1, "a", ts("2025-01-02 10:00:00"), 10),
+        ActivityEvent(1, "b", ts("2025-01-02 10:03:00"), 20), // same session
+        ActivityEvent(1, "c", ts("2025-01-02 10:20:00"), 30)) // new session
+      q.processAllAvailable()
+      val rows = spark.table("sess_win").orderBy($"session_window.start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n_events") == 2)
+      assert(rows(0).getAs[Long]("total_duration") == 30)
+      assert(rows(1).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionize closes a session when the gap is exceeded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ActivityEvent]
+    val q = Stateful.sessionize(spark, mem.toDS(), withTimeout = false)
+      .writeStream.format("memory").queryName("sessionize")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ActivityEvent(7, "a", ts("2025-01-02 10:00:00"), 10),
+        ActivityEvent(7, "b", ts("2025-01-02 10:02:00"), 20),
+        ActivityEvent(7, "c", ts("2025-01-02 10:30:00"), 5)) // >5 min gap → closes first
+      q.processAllAvailable()
+      val rows = spark.table("sessionize").collect()
+      assert(rows.length == 1) // first session closed; second still open in state
+      assert(rows(0).getAs[Int]("n_events") == 2)
+      assert(rows(0).getAs[Long]("total_duration") == 30)
+      assert(rows(0).getAs[Timestamp]("session_end") == ts("2025-01-02 10:02:00"))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes repeats of the same record key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ActivityEvent]
+    val q = Stateful.dedupWithinWatermark(mem.toDS())
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      val e = ActivityEvent(3, "login", ts("2025-01-02 10:00:00"), 10)
+      mem.addData(e, e, e.copy(duration_seconds = 99)) // same dedup key 3×
+      q.processAllAvailable()
+      mem.addData(e) // replay in a later batch, still within watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm").count() == 1)
+    } finally q.stop()
+  }
+}
