@@ -38,6 +38,10 @@ object SparkEntry {
     "q_anti_join" -> (Relational.antiJoinCustomers _),
     "q_rollup" -> (Relational.rollupOrders _),
     "q_above_avg" -> (Relational.aboveNationAvgCustomers _),
+    "q_intersect" -> (Relational.intersectCustomers _),
+    "q_except" -> (Relational.exceptCustomers _),
+    "q_sql_q6" -> (Relational.sqlRevenueForecast _),
+    "q_cube" -> (Relational.cubeOrders _),
     // —— training-data extensions: text analysis ——
     "x_token_stats" -> (ext.Text.tokenStats _),
     "x_lang_id" -> (ext.Text.langId _),
@@ -79,6 +83,10 @@ object SparkEntry {
     "q_anti_join" -> Relational.antiJoinCustomersSql,
     "q_rollup" -> Relational.rollupOrdersSql,
     "q_above_avg" -> Relational.aboveNationAvgCustomersSql,
+    "q_intersect" -> Relational.intersectCustomersSql,
+    "q_except" -> Relational.exceptCustomersSql,
+    "q_sql_q6" -> Relational.sqlRevenueForecastSql,
+    "q_cube" -> Relational.cubeOrdersSql,
     "x_token_stats" -> ext.Text.tokenStatsSql,
     "x_lang_id" -> ext.Text.langIdSql,
     "x_quality" -> ext.Text.qualitySql,

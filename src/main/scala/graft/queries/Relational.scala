@@ -258,4 +258,88 @@ object Relational {
       |      FROM customer GROUP BY 1) ON c_nationkey = nk
       |WHERE c_acctbal > nation_avg
       |ORDER BY c_custkey""".stripMargin
+
+  /** Set operation: INTERSECT (distinct) — building-segment customers
+    * that also have a high-value order. Spark plans this as an
+    * aggregate-wrapped semi join.
+    */
+  def intersectCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val building = Tables.table(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val highValue = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 250000)
+      .select(col("o_custkey").as("c_custkey"))
+    building.intersect(highValue).orderBy(col("c_custkey"))
+  }
+
+  val intersectCustomersSql: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Set operation: EXCEPT (distinct) — building-segment customers with
+    * no high-value order (anti-join plan).
+    */
+  def exceptCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val building = Tables.table(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val highValue = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 250000)
+      .select(col("o_custkey").as("c_custkey"))
+    building.except(highValue).orderBy(col("c_custkey"))
+  }
+
+  val exceptCustomersSql: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+      |ORDER BY c_custkey""".stripMargin
+
+  /** SQL entry surface: the same engine drives ANSI SQL over registered
+    * views (TPC-H Q6 shape — scan + tight filter + one aggregate; the
+    * filters must reach the parquet reader as PushedFilters).
+    */
+  def sqlRevenueForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.table(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem_v
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.09
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  val sqlRevenueForecastSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.09
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Cube: the full grouping-sets family (rollup above, cube here) —
+    * totals over every subset of (status, priority).
+    */
+  def cubeOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"), col("o_orderstatus"),
+        col("o_orderpriority"))
+
+  val cubeOrdersSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       count(*) AS n_orders,
+      |       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+      |       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin
 }
