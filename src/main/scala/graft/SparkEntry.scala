@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Parity, Relational}
+import graft.queries.{Advanced, Parity, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,10 @@ object SparkEntry {
     "q_except" -> (Relational.exceptCustomers _),
     "q_sql_q6" -> (Relational.sqlRevenueForecast _),
     "q_cube" -> (Relational.cubeOrders _),
+    "q_skew_salted" -> (Advanced.saltedJoin _),
+    "x_exact_distinct" -> (Advanced.exactDistinct _),
+    "x_bounded_pages" -> (Advanced.boundedPages _),
+    "x_token_freq" -> (Advanced.tokenFreq _),
     // —— training-data extensions: text analysis ——
     "x_token_stats" -> (ext.Text.tokenStats _),
     "x_lang_id" -> (ext.Text.langId _),
@@ -87,6 +91,10 @@ object SparkEntry {
     "q_except" -> Relational.exceptCustomersSql,
     "q_sql_q6" -> Relational.sqlRevenueForecastSql,
     "q_cube" -> Relational.cubeOrdersSql,
+    "q_skew_salted" -> Advanced.saltedJoinSql,
+    "x_exact_distinct" -> Advanced.exactDistinctSql,
+    "x_bounded_pages" -> Advanced.boundedPagesSql,
+    "x_token_freq" -> Advanced.tokenFreqSql,
     "x_token_stats" -> ext.Text.tokenStatsSql,
     "x_lang_id" -> ext.Text.langIdSql,
     "x_quality" -> ext.Text.qualitySql,

@@ -1,0 +1,151 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom typed-imperative aggregates.
+  *
+  * Why custom: Structured Streaming rejects exact `countDistinct`
+  * (SURVEY B3) and `collect_set` state is unbounded per group (SURVEY
+  * §7.4 risk 2). These two aggregates are the engine's answers — an
+  * exact distinct that works anywhere, and a collect_set with a hard
+  * per-group cap that keeps the deterministic subset (the N smallest
+  * elements), so memory is bounded at any scale.
+  */
+
+/** Exact distinct count of a long column via an open hash set buffer.
+  * Partial aggregation merges sets map-side, so the exchange carries
+  * one set per group per partition, not raw rows.
+  */
+case class ExactCountDistinctLong(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashSet[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): mutable.HashSet[Long] = mutable.HashSet.empty
+
+  override def update(buf: mutable.HashSet[Long], input: InternalRow): mutable.HashSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) buf += v.asInstanceOf[Long]
+    buf
+  }
+
+  override def merge(buf: mutable.HashSet[Long], other: mutable.HashSet[Long]): mutable.HashSet[Long] =
+    buf ++= other
+
+  override def eval(buf: mutable.HashSet[Long]): Any = buf.size.toLong
+
+  override def serialize(buf: mutable.HashSet[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashSet[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashSet.empty[Long]
+    var i = 0
+    while (i < n) { buf += in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ExactCountDistinctLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ExactCountDistinctLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** collect_set with a hard cap: keeps the `cap` SMALLEST distinct
+  * strings (deterministic — independent of encounter order), emitted
+  * sorted. Buffer is a bounded TreeSet, so per-group state never
+  * exceeds `cap` elements on any executor.
+  */
+case class BoundedCollectSet(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.TreeSet[String]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def createAggregationBuffer(): mutable.TreeSet[String] = mutable.TreeSet.empty
+
+  private def add(buf: mutable.TreeSet[String], s: String): Unit = {
+    if (buf.size < cap) buf += s
+    else if (s < buf.last) { buf += s; if (buf.size > cap) buf -= buf.last }
+  }
+
+  override def update(buf: mutable.TreeSet[String], input: InternalRow): mutable.TreeSet[String] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.toString)
+    buf
+  }
+
+  override def merge(buf: mutable.TreeSet[String], other: mutable.TreeSet[String]): mutable.TreeSet[String] = {
+    other.foreach(add(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.TreeSet[String]): Any =
+    new GenericArrayData(buf.toSeq.map(s => UTF8String.fromString(s): Any).toArray)
+
+  override def serialize(buf: mutable.TreeSet[String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach(out.writeUTF)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[String] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.TreeSet.empty[String]
+    var i = 0
+    while (i < n) { buf += in.readUTF(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedCollectSet =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedCollectSet =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object AggregateFunctions {
+  def exact_count_distinct(c: Column): Column =
+    GraftBridge.column(
+      ExactCountDistinctLong(GraftBridge.expression(c)).toAggregateExpression())
+
+  def bounded_collect_set(c: Column, cap: Int): Column =
+    GraftBridge.column(
+      BoundedCollectSet(GraftBridge.expression(c), cap).toAggregateExpression())
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Oracles, Tables}
+import graft.functions.AggregateFunctions.{bounded_collect_set, exact_count_distinct}
+
+/** Advanced operators: custom typed aggregates, corpus-level token
+  * frequency, and skew-mitigated (salted) joins.
+  */
+object Advanced {
+
+  /** Daily distinct employees via the custom ExactCountDistinctLong
+    * typed-imperative aggregate (the exact fix for SURVEY B3 — works in
+    * batch and in foreachBatch streaming where countDistinct is
+    * rejected). Oracle: plain COUNT(DISTINCT).
+    */
+  def exactDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.activities(spark, sfDir)
+      .groupBy(to_date(col("activity_timestamp")).as("activity_date"), col("activity_type"))
+      .agg(exact_count_distinct(col("employee_id")).as("unique_employees"),
+        count(lit(1)).as("n"))
+      .orderBy(col("activity_date"), col("activity_type"))
+
+  val exactDistinctSql: String = Oracles.withActivities(
+    """SELECT CAST(activity_timestamp AS DATE) AS activity_date, activity_type,
+      |       count(DISTINCT employee_id) AS unique_employees,
+      |       count(*) AS n
+      |FROM activities
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin)
+
+  /** Hourly page sets via BoundedCollectSet(cap=3): per-group state is
+    * hard-capped on every executor — the scale-safe replacement for the
+    * reference's unbounded collect_set (A4). Keeps the 3 smallest
+    * (deterministic) and emits them sorted.
+    */
+  def boundedPages(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.activities(spark, sfDir)
+      .groupBy(date_trunc("hour", col("activity_timestamp")).as("hour"), col("employee_id"))
+      .agg(array_join(bounded_collect_set(col("page_url"), 3), ",").as("top_pages"),
+        count(lit(1)).as("n"))
+      .orderBy(col("hour"), col("employee_id"))
+
+  val boundedPagesSql: String = Oracles.withActivities(
+    """SELECT date_trunc('hour', activity_timestamp) AS hour, employee_id,
+      |       array_to_string(list_sort(list_distinct(list(page_url)))[1:3], ',')
+      |         AS top_pages,
+      |       count(*) AS n
+      |FROM activities
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin)
+
+  /** Corpus token frequency (explode → count → top 100): the word-count
+    * shape every text pipeline needs; partial aggregation collapses the
+    * exploded rows map-side before the exchange.
+    */
+  def tokenFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)
+
+  val tokenFreqSql: String =
+    """SELECT token, count(*) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY 1
+      |ORDER BY freq DESC, token
+      |LIMIT 100""".stripMargin
+
+  /** Skew-mitigated join: the fact side's hot keys are spread over
+    * `saltFactor` sub-keys; the dimension side is exploded ×saltFactor
+    * so every sub-key still matches. Same result as the unsalted join —
+    * which is exactly what the oracle checks — but no single reducer
+    * receives a hot key's entire volume. (AQE skew-join splitting is the
+    * automatic variant; salting is the portable/deterministic one.)
+    */
+  def saltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val saltFactor = 8
+    val facts = Tables.table(spark, sfDir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(saltFactor)).cast("int"))
+    val dim = Tables.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    facts
+      .hint("shuffle_hash") // force a shuffle join so the salting is load-bearing
+      .join(dim, facts("user_id") === dim("c_custkey") && facts("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val saltedJoinSql: String =
+    """SELECT c_mktsegment,
+      |       count(*) AS n_events,
+      |       round(sum("value"), 2) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.functions.AggregateFunctions._
+
+/** Custom typed-imperative aggregates: batch equivalence and the
+  * streaming-legality claim (exact distinct works where countDistinct
+  * is rejected — SURVEY B3).
+  */
+class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact_count_distinct equals countDistinct in batch") {
+    val df = Seq((1, 10L), (1, 10L), (1, 11L), (2, 10L), (2, 12L), (1, 12L))
+      .toDF("g", "v")
+    val rows = df.groupBy($"g")
+      .agg(exact_count_distinct($"v").as("custom"),
+        countDistinct($"v").as("builtin"))
+      .collect()
+    rows.foreach(r => assert(r.getAs[Long]("custom") == r.getAs[Long]("builtin")))
+  }
+
+  test("bounded_collect_set keeps the N smallest distinct elements, sorted") {
+    val df = Seq((1, "d"), (1, "b"), (1, "e"), (1, "b"), (1, "a"), (1, "c")).toDF("g", "s")
+    val out = df.groupBy($"g").agg(bounded_collect_set($"s", 3).as("set"))
+      .collect()(0).getAs[scala.collection.Seq[String]]("set")
+    assert(out.toSeq == Seq("a", "b", "c")) // smallest 3, deterministic
+  }
+
+  test("bounded_collect_set cap bounds state even with many distinct values") {
+    val df = (1 to 10000).map(i => (i % 4, f"v$i%05d")).toDF("g", "s")
+    val out = df.groupBy($"g").agg(bounded_collect_set($"s", 5).as("set")).collect()
+    out.foreach { r =>
+      val set = r.getAs[scala.collection.Seq[String]]("set")
+      assert(set.length == 5)
+      assert(set.toSeq == set.toSeq.sorted)
+    }
+  }
+
+  test("exact_count_distinct works in a streaming aggregation (countDistinct is rejected)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Act]
+    // the built-in would throw: distinct aggregates unsupported on streams
+    val streaming = mem.toDF()
+      .withWatermark("activity_timestamp", "2 hours")
+      .groupBy(window($"activity_timestamp", "1 hour"), $"activity_type")
+      .agg(exact_count_distinct($"employee_id".cast("long")).as("uniq"))
+    val q = streaming.writeStream.format("memory").queryName("exact_distinct_stream")
+      .outputMode("update").start()
+    try {
+      def act(id: String, emp: Int, t: String) =
+        Act(id, emp, "login", "/x", 1, Timestamp.valueOf(t), "mobile")
+      mem.addData(act("1", 1, "2025-01-02 10:05:00"), act("2", 2, "2025-01-02 10:10:00"),
+        act("3", 1, "2025-01-02 10:15:00"))
+      q.processAllAvailable()
+      mem.addData(act("4", 3, "2025-01-02 10:20:00")) // new distinct in same window
+      q.processAllAvailable()
+      val last = spark.table("exact_distinct_stream")
+        .orderBy($"uniq".desc).collect()(0)
+      assert(last.getAs[Long]("uniq") == 3)
+    } finally q.stop()
+  }
+}
