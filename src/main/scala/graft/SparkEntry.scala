@@ -43,6 +43,7 @@ object SparkEntry {
     "q_sql_q6" -> (Relational.sqlRevenueForecast _),
     "q_cube" -> (Relational.cubeOrders _),
     "q_skew_salted" -> (Advanced.saltedJoin _),
+    "q_scalar_funcs" -> (Advanced.scalarFuncs _),
     "x_exact_distinct" -> (Advanced.exactDistinct _),
     "x_bounded_pages" -> (Advanced.boundedPages _),
     "x_token_freq" -> (Advanced.tokenFreq _),
@@ -61,6 +62,7 @@ object SparkEntry {
     "x_ann_bruteforce" -> (ext.Similarity.annBruteForce _),
     "x_embedding_pairs" -> (ext.Similarity.embeddingPairs _),
     "x_ann_lsh" -> (ext.Similarity.annLsh _),
+    "x_ann_ivf" -> (ext.Similarity.annIvf _),
     // —— training-data extensions: multimodal ——
     "x_media_features" -> (ext.Multimodal.mediaFeatures _)
   )
@@ -92,6 +94,7 @@ object SparkEntry {
     "q_sql_q6" -> Relational.sqlRevenueForecastSql,
     "q_cube" -> Relational.cubeOrdersSql,
     "q_skew_salted" -> Advanced.saltedJoinSql,
+    "q_scalar_funcs" -> Advanced.scalarFuncsSql,
     "x_exact_distinct" -> Advanced.exactDistinctSql,
     "x_bounded_pages" -> Advanced.boundedPagesSql,
     "x_token_freq" -> Advanced.tokenFreqSql,
@@ -107,6 +110,7 @@ object SparkEntry {
     "x_ann_bruteforce" -> ext.Similarity.annBruteForceSql,
     "x_embedding_pairs" -> ext.Similarity.embeddingPairsSql,
     "x_ann_lsh" -> ext.Similarity.annLshSql,
+    "x_ann_ivf" -> ext.Similarity.annIvfSql,
     "x_media_features" -> ext.Multimodal.mediaFeaturesSql
   )
 }

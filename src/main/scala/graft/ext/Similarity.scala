@@ -178,4 +178,60 @@ object Similarity {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  // ——— IVF-style ANN ———
+
+  /** IVF coarse quantization with deterministic "centroids" (every 25th
+    * vector serves as a cell seed — in production these come from a
+    * KMeans fit; deterministic seeds keep the DuckDB oracle exact).
+    * One pass assigns each vector to its nearest centroid (argmax
+    * cosine, 20 broadcast centroids); search then touches only the
+    * query's cell. nprobe=1 here; raising nprobe = union more cells.
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(cosine(col("embedding"), col("cv")).desc, col("cent_id"))
+    val cells = emb.join(broadcast(centroids))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val queries = cells.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
+    val scored = cells.join(broadcast(queries), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("embedding")), 4))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annIvfSql: String =
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |              WHERE vec_id % 25 = 0),
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC,
+       |                                     c.cent_id) AS rn
+       |  FROM embeddings e, cent c),
+       |cells AS (SELECT vec_id, embedding, cent_id FROM assigned WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, cent_id FROM cells
+       |      WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         round(${cosineSql("q.qv", "e.embedding")}, 4) AS sim
+       |  FROM q JOIN cells e USING (cent_id) WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 }

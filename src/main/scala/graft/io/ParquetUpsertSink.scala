@@ -29,7 +29,11 @@ final case class ParquetUpsertSink(
     recordKeys: Seq[String],
     precombine: String,
     partitionCol: String,
-    filesPerPartition: Int = 1) {
+    filesPerPartition: Int = 1,
+    // optional boolean tombstone column: when the LATEST version of a key
+    // is a delete, the key disappears from the table (the reference drops
+    // CDC deletes entirely — SURVEY P2; this closes that gap)
+    deleteCol: Option[String] = None) {
 
   private def precombined(df: DataFrame): DataFrame = {
     val w = Window
@@ -53,9 +57,13 @@ final case class ParquetUpsertSink(
               // partition pruning: only the touched partitions are read
               .filter(col(partitionCol).isin(parts: _*)))
           catch { case _: Exception => None } // first batch: no table yet
-        val merged = existing match {
+        val mergedAll = existing match {
           case Some(old) => precombined(old.unionByName(deduped))
           case None => deduped
+        }
+        val merged = deleteCol match {
+          case Some(d) => mergedAll.filter(!coalesce(col(d), lit(false)))
+          case None => mergedAll
         }
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

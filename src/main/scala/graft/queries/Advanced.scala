@@ -101,4 +101,41 @@ object Advanced {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  /** Scalar-function breadth: date/time arithmetic, regex extraction,
+    * string manipulation, math, and hashing in one oracle-checked
+    * projection (all codegen'd built-ins — SURVEY §2.8 F1-F16 and
+    * beyond).
+    */
+  def scalarFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        weekday(col("ts")).as("weekday_idx"),
+        date_add(to_date(col("ts")), 7).as("next_week"),
+        datediff(lit("2024-02-01").cast("date"), to_date(col("ts"))).as("days_to_feb"),
+        regexp_extract(get_json_object(col("props"), "$.k"), "([0-9]+)", 1).as("k_digits"),
+        upper(col("event_type")).as("typ_u"),
+        lpad(col("user_id").cast("string"), 6, "0").as("uid_pad"),
+        round(sqrt(col("value")), 4).as("sqrt_v"),
+        round(log(col("value") + 1), 4).as("ln_v"),
+        greatest(col("value"), lit(100.0)).as("g"),
+        sha2(col("event_type"), 256).as("sha"))
+      .orderBy(col("event_id"))
+
+  val scalarFuncsSql: String =
+    """SELECT event_id,
+      |       CAST(isodow(ts) - 1 AS INTEGER) AS weekday_idx,
+      |       CAST(ts AS DATE) + 7 AS next_week,
+      |       CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') AS INTEGER)
+      |         AS days_to_feb,
+      |       regexp_extract(json_extract_string(props, '$.k'), '([0-9]+)', 1) AS k_digits,
+      |       upper(event_type) AS typ_u,
+      |       lpad(CAST(user_id AS VARCHAR), 6, '0') AS uid_pad,
+      |       round(sqrt("value"), 4) AS sqrt_v,
+      |       round(ln("value" + 1), 4) AS ln_v,
+      |       greatest("value", 100.0) AS g,
+      |       sha256(event_type) AS sha
+      |FROM events
+      |ORDER BY event_id""".stripMargin
 }
