@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.HashFunctions.{minhash_signature, simhash_md5, sorted_intersect_count}
+import graft.functions.HashFunctions.{hashed_shingle_set, minhash_signature, simhash_md5, sorted_intersect_count, word_shingles}
 
 /** Deduplication for training-data pipelines.
   *
@@ -24,12 +24,11 @@ import graft.functions.HashFunctions.{minhash_signature, simhash_md5, sorted_int
   */
 object Dedup {
 
-  /** Distinct n-word shingles of a token array (1-based element_at). */
-  def shingles(t: Column, n: Int = 3): Column =
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k))): _*))))
-      .otherwise(array(concat_ws(" ", t)))
+  /** Distinct n-word shingles of a token array (native one-pass
+    * WordShingles expression; the composable HOF formulation costs
+    * ~40µs per shingle in the lambda interpreter).
+    */
+  def shingles(t: Column, n: Int = 3): Column = word_shingles(t, n)
 
   /** DuckDB twin of [[shingles]] for oracle CTEs. */
   val shinglesSqlCte: String =
@@ -104,8 +103,7 @@ object Dedup {
     val docs = Tables.table(spark, sfDir, "documents")
       .filter(col("doc_id") < 1000)
       .select(col("doc_id"),
-        array_sort(array_distinct(transform(
-          shingles(Text.tokens(col("text"))), x => xxhash64(x)))).as("hs"))
+        hashed_shingle_set(Text.tokens(col("text"))).as("hs"))
       .withColumn("n", size(col("hs")))
     val a = docs.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na"))
     val b = docs.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n").as("nb"))
@@ -150,15 +148,13 @@ object Dedup {
     // min-agg shuffles); only 8 band rows per doc ever shuffle. Exact
     // verification reuses the hashed-sorted-shingle merge scan.
     val docs = Tables.table(spark, sfDir, "documents")
-      .select(col("doc_id"), shingles(Text.tokens(col("text"))).as("s"))
-      .withColumn("sig", minhash_signature(col("s"), numHashes))
-      .withColumn("hs",
-        array_sort(array_distinct(transform(col("s"), x => xxhash64(x)))))
+      .select(col("doc_id"),
+        minhash_signature(shingles(Text.tokens(col("text"))), numHashes).as("sig"),
+        hashed_shingle_set(Text.tokens(col("text"))).as("hs"))
       .withColumn("n", size(col("hs")))
-      // persist: the signature/hashed-shingle projection is referenced by
-      // the band explode AND both verify joins — without a
-      // materialization boundary CollapseProject would recompute the
-      // (CodegenFallback) signature per reference.
+      // persist: the signature projection is referenced by the band
+      // explode AND both verify joins — a materialization boundary stops
+      // CollapseProject from recomputing it per reference.
       .persist()
     val numBands = numHashes / bandSize
     val bands = docs.select(
