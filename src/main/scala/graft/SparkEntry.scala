@@ -44,6 +44,7 @@ object SparkEntry {
     "q_cube" -> (Relational.cubeOrders _),
     "q_skew_salted" -> (Advanced.saltedJoin _),
     "q_scalar_funcs" -> (Advanced.scalarFuncs _),
+    "q_topk_native" -> (Advanced.topKNative _),
     "x_exact_distinct" -> (Advanced.exactDistinct _),
     "x_bounded_pages" -> (Advanced.boundedPages _),
     "x_token_freq" -> (Advanced.tokenFreq _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "q_cube" -> Relational.cubeOrdersSql,
     "q_skew_salted" -> Advanced.saltedJoinSql,
     "q_scalar_funcs" -> Advanced.scalarFuncsSql,
+    "q_topk_native" -> Advanced.topKNativeSql,
     "x_exact_distinct" -> Advanced.exactDistinctSql,
     "x_bounded_pages" -> Advanced.boundedPagesSql,
     "x_token_freq" -> Advanced.tokenFreqSql,

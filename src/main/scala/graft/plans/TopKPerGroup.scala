@@ -1,0 +1,124 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.GraftBridge
+
+/** Whole-operator custom plan: top-k rows per group.
+  *
+  * The built-in formulation — `row_number().over(partitionBy(g).orderBy(o))
+  * <= k` — shuffles EVERY input row to the group's reducer and sorts
+  * whole partitions. This operator plans like a partial aggregation
+  * instead:
+  *
+  *   TopKPerGroupExec(partial=true)   — bounded heap per group per input
+  *                                      partition; emits ≤ k rows/group
+  *   → Exchange(hash by group)        — inserted by Spark because the
+  *                                      final node requires clustering
+  *   → TopKPerGroupExec(partial=false)— merge heaps, emit final top-k
+  *
+  * At 100 TB the exchange carries k·|groups| rows instead of the whole
+  * fact table — the same reduction partial aggregation gives sums.
+  *
+  * Demonstrates the full custom-operator stack (SURVEY §7.3's option c):
+  * LogicalPlan node + Strategy + SparkPlan pair + SparkSessionExtensions
+  * injection.
+  */
+case class TopKPerGroup(
+    grouping: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(grouping, order, k, child) =>
+      TopKPerGroupExec(grouping, order, k, partial = false,
+        TopKPerGroupExec(grouping, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(
+    grouping: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(grouping))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupingLocal = grouping
+    val orderLocal = order
+    val kLocal = k
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val groupProj = UnsafeProjection.create(groupingLocal, childOutput)
+      val ordering = GenerateOrdering.generate(orderLocal, childOutput)
+      // PriorityQueue.head is the LARGEST by its Ordering; by the sort
+      // ordering, "largest" compare value = sorts LAST = worst of the
+      // kept k — exactly what eviction needs. (reverse() here would make
+      // head the BEST and evict it — keeping bottom-k.)
+      val heapOrd: Ordering[InternalRow] = (a: InternalRow, b: InternalRow) => ordering.compare(a, b)
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      iter.foreach { row =>
+        val key = groupProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[UnsafeRow](heapOrd.on[UnsafeRow](identity))
+            heaps.put(key.copy(), h)
+            h
+        }
+        if (heap.size < kLocal) {
+          heap += row.asInstanceOf[UnsafeRow].copy()
+        } else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap += row.asInstanceOf[UnsafeRow].copy()
+        }
+      }
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** SparkSessionExtensions entry point — inject via
+  * `.withExtensions(new GraftExtensions)` (GraftSession does) or the
+  * `spark.sql.extensions` config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+}
+
+object TopKPerGroup {
+  /** Dataset-level helper: top-k rows per group by the given orderings. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+    val plan = TopKPerGroup(
+      groupCols.map(GraftBridge.resolvedExpression(df, _)),
+      orderCols.map(GraftBridge.resolvedSortOrder(df, _)),
+      k,
+      GraftBridge.logicalPlan(df))
+    GraftBridge.ofRows(df.sparkSession, plan)
+  }
+}

@@ -138,4 +138,28 @@ object Advanced {
       |       sha256(event_type) AS sha
       |FROM events
       |ORDER BY event_id""".stripMargin
+
+  /** Native TopKPerGroup operator (custom LogicalPlan + Strategy +
+    * physical partial/final pair): top-3 orders per customer WITHOUT
+    * shuffling every row — the exchange carries at most 3 rows per
+    * customer per input partition, where the window formulation ships
+    * the whole table.
+    */
+  def topKNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.table(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.TopKPerGroup.topKPerGroup(
+      orders,
+      Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val topKNativeSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 }

@@ -10,4 +10,50 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Fully-resolved catalyst expression for `c` bound to `df`'s analyzed
+    * plan attributes. `expression()` alone returns a lazy
+    * ColumnNodeExpression wrapper that custom logical nodes never get
+    * converted/resolved (the Dataset API converts nodes per-operation,
+    * not via an analyzer rule) — so a custom plan must resolve its
+    * expressions itself, by round-tripping through a select.
+    */
+  def resolvedExpression(df: DataFrame, c: Column): catalyst.expressions.Expression =
+    df.select(c).queryExecution.analyzed match {
+      case p: catalyst.plans.logical.Project => p.projectList.head match {
+        case a: catalyst.expressions.Alias => a.child
+        case e => e
+      }
+      case other => throw new IllegalArgumentException(s"unexpected plan: $other")
+    }
+
+  /** Resolved catalyst SortOrder from a Column (handles `.desc`/`.asc`;
+    * rebuilt with catalyst enums — the internal ColumnNode sort enums
+    * are not Serializable and must not leak into SparkPlan closures).
+    */
+  def resolvedSortOrder(df: DataFrame, c: Column): catalyst.expressions.SortOrder = c.node match {
+    case so: internal.SortOrder =>
+      val dir = so.sortDirection match {
+        case internal.SortOrder.Descending => catalyst.expressions.Descending
+        case _ => catalyst.expressions.Ascending
+      }
+      val no = so.nullOrdering match {
+        case internal.SortOrder.NullsFirst => catalyst.expressions.NullsFirst
+        case _ => catalyst.expressions.NullsLast
+      }
+      catalyst.expressions.SortOrder(
+        resolvedExpression(df, new Column(so.child)), dir, no, Seq.empty)
+    case _ =>
+      catalyst.expressions.SortOrder(
+        resolvedExpression(df, c), catalyst.expressions.Ascending)
+  }
+
+  /** The ANALYZED plan — custom nodes built on this have stable
+    * attribute ids matching expressions from [[resolvedExpression]].
+    */
+  def logicalPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
