@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.agg.ActivityAggs
+import graft.enrich.Enrichments
+
+/** Property tests (SURVEY §5 plan item 5): CASE-branch totality, window
+  * containment, aggregation invariants over scalacheck-generated data —
+  * batched into single DataFrames so each property is one Spark job.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("session_duration_category is total: every int maps to its threshold bucket") {
+    val ds = samples(Gen.chooseNum(Int.MinValue, Int.MaxValue), 300) ++
+      Seq(29, 30, 299, 300, 0, -1, Int.MinValue, Int.MaxValue)
+    val out = ds.toDF("duration_seconds")
+      .select(col("duration_seconds"),
+        Enrichments.sessionDurationCategory(col("duration_seconds")).as("c"))
+      .as[(Int, String)].collect()
+    out.foreach { case (d, c) =>
+      val expected = if (d < 30) "short" else if (d < 300) "medium" else "long"
+      assert(c == expected, s"d=$d")
+    }
+  }
+
+  test("device_category is total over arbitrary strings") {
+    val ds = (samples(Gen.alphaStr, 200) ++ Seq("mobile", "tablet", "desktop", "")).distinct
+    val out = ds.toDF("device_type")
+      .select(Enrichments.deviceCategory(col("device_type")).as("c"))
+      .as[String].collect()
+    out.foreach(c => assert(Set("Mobile", "Tablet", "Desktop").contains(c)))
+  }
+
+  test("window containment + agg invariants: partition of input, sum/avg consistency") {
+    val gen = for {
+      emp <- Gen.chooseNum(1, 4)
+      typ <- Gen.oneOf("a", "b")
+      dur <- Gen.chooseNum(0, 500)
+      minute <- Gen.chooseNum(0, 179) // spans 3 hours
+    } yield (emp, typ, dur, minute)
+    val acts = samples(gen, 400).zipWithIndex.map { case ((emp, typ, dur, minute), i) =>
+      Act(s"id-$i", emp, typ, s"/p/$dur", dur,
+        new Timestamp(Timestamp.valueOf("2025-01-02 10:00:00").getTime + minute * 60000L),
+        "mobile")
+    }
+    val enriched = Enrichments.enrichActivities(acts.toDF())
+    val hourly = ActivityAggs.hourly(enriched).collect()
+    assert(hourly.map(_.getAs[Long]("activity_count")).sum == acts.length)
+    hourly.foreach { r =>
+      val start = r.getAs[Timestamp]("window_start")
+      val end = r.getAs[Timestamp]("window_end")
+      assert(end.getTime - start.getTime == 3600 * 1000L)
+      val cnt = r.getAs[Long]("activity_count")
+      val sum = r.getAs[Long]("total_duration")
+      val avg = r.getAs[Double]("avg_duration")
+      assert(math.abs(avg * cnt - sum) < 1e-6)
+      val inWindow = acts.filter(a =>
+        a.employee_id == r.getAs[Int]("employee_id") &&
+          a.activity_type == r.getAs[String]("activity_type") &&
+          !a.activity_timestamp.before(start) && a.activity_timestamp.before(end))
+      assert(inWindow.length == cnt)
+      assert(inWindow.map(_.duration_seconds.toLong).sum == sum)
+    }
+  }
+
+  test("jaccard primitives: J(x,x)=1 and 0 ≤ |∩| ≤ min(|x|,|y|) on generated token lists") {
+    import graft.functions.HashFunctions.{hashed_shingle_set, sorted_intersect_count}
+    val tokenGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+    val pairs = samples(Gen.zip(tokenGen, tokenGen), 100)
+      .collect { case (t1, t2) if t1.nonEmpty && t2.nonEmpty =>
+        (t1.mkString(" "), t2.mkString(" "))
+      }
+    val out = pairs.toDF("x", "y")
+      .select(
+        hashed_shingle_set(split(col("x"), " ")).as("hx"),
+        hashed_shingle_set(split(col("y"), " ")).as("hy"))
+      .select(
+        sorted_intersect_count(col("hx"), col("hx")).as("self"),
+        size(col("hx")).as("nx"),
+        sorted_intersect_count(col("hx"), col("hy")).as("xy"),
+        size(col("hy")).as("ny"))
+      .as[(Int, Int, Int, Int)].collect()
+    out.foreach { case (self, nx, xy, ny) =>
+      assert(self == nx) // J(x,x) = 1
+      assert(xy >= 0 && xy <= math.min(nx, ny))
+    }
+  }
+}
