@@ -127,4 +127,31 @@ object Pipeline {
         .trigger(Trigger.ProcessingTime("30 seconds"))
         .start())
   }
+
+  /** Stream-stream equi-join (SURVEY §2.4's natural extension): enriched
+    * activities joined to the employee CDC stream on the FK, both sides
+    * watermarked, with a time-range constraint bounding the join state
+    * (events only match employee versions from the preceding 24 h).
+    * Inner join — Spark requires the range condition to purge state on
+    * both sides.
+    */
+  def streamStreamJoin(
+      employees: DataFrame,
+      activities: DataFrame): DataFrame = {
+    // rename BEFORE watermarking — an alias after withWatermark can drop
+    // the event-time tag from the attribute
+    val emp = employees
+      .select(
+        col("id").as("emp_id"), col("name"), col("department"),
+        col("department_category"), col("created_at").as("emp_created_at"))
+      .withWatermark("emp_created_at", "1 hour")
+    val act = activities
+      .withWatermark("activity_timestamp", "1 hour")
+    act.join(
+      emp,
+      act("employee_id") === emp("emp_id") &&
+        emp("emp_created_at") <= act("activity_timestamp") &&
+        emp("emp_created_at") >= act("activity_timestamp") - expr("INTERVAL 24 HOURS"),
+      "inner")
+  }
 }
