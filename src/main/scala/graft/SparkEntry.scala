@@ -45,6 +45,7 @@ object SparkEntry {
     "q_skew_salted" -> (Advanced.saltedJoin _),
     "q_scalar_funcs" -> (Advanced.scalarFuncs _),
     "q_topk_native" -> (Advanced.topKNative _),
+    "q_asof_join" -> (Advanced.asofJoin _),
     "x_exact_distinct" -> (Advanced.exactDistinct _),
     "x_bounded_pages" -> (Advanced.boundedPages _),
     "x_token_freq" -> (Advanced.tokenFreq _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "q_skew_salted" -> Advanced.saltedJoinSql,
     "q_scalar_funcs" -> Advanced.scalarFuncsSql,
     "q_topk_native" -> Advanced.topKNativeSql,
+    "q_asof_join" -> Advanced.asofJoinSql,
     "x_exact_distinct" -> Advanced.exactDistinctSql,
     "x_bounded_pages" -> Advanced.boundedPagesSql,
     "x_token_freq" -> Advanced.tokenFreqSql,

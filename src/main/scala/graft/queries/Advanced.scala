@@ -162,4 +162,48 @@ object Advanced {
       |QUALIFY row_number() OVER (PARTITION BY o_custkey
       |                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
       |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** As-of join (the canonical operator Spark lacks natively): for every
+    * event, the user's most recent order at-or-before the event time.
+    *
+    * Scale path — merge-asof via union: tag both sides, union, one
+    * shuffle+sort per user, then last_value(ignoreNulls) carries the
+    * latest order key forward onto event rows. No per-event range probe,
+    * no row_number over an exploded join — cost is one sort-merge pass.
+    * Ties (same order date) resolve to the highest orderkey (the union
+    * sorts orders by (time, orderkey) before events at equal time).
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.table(spark, sfDir, "orders").select(
+      col("o_custkey").as("uid"),
+      col("o_orderdate").as("t"),
+      lit(0).as("is_event"), // orders sort before events on time ties
+      col("o_orderkey").as("okey"),
+      lit(null).cast("long").as("event_id"))
+    val events = Tables.events(spark, sfDir).select(
+      col("user_id").as("uid"),
+      col("ts").as("t"),
+      lit(1).as("is_event"),
+      lit(null).cast("long").as("okey"),
+      col("event_id"))
+    val w = Window.partitionBy(col("uid"))
+      .orderBy(col("t"), col("is_event"), col("okey").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .withColumn("asof_orderkey", last(col("okey"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("uid").as("user_id"), col("t").as("ts"),
+        col("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS asof_orderkey
+      |FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id
+      |                               AND o.o_orderdate <= e.ts
+      |QUALIFY row_number() OVER (PARTITION BY e.event_id
+      |                           ORDER BY o.o_orderdate DESC NULLS LAST,
+      |                                    o.o_orderkey DESC NULLS LAST) = 1
+      |ORDER BY event_id""".stripMargin
 }
