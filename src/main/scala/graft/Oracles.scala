@@ -41,7 +41,7 @@ object Oracles {
   val enrichedCte: String =
     """enriched AS (
       |  SELECT a.*,
-      |         hour(activity_timestamp) AS activity_hour,
+      |         CAST(hour(activity_timestamp) AS INTEGER) AS activity_hour,
       |         CAST(activity_timestamp AS DATE) AS activity_date,
       |         CASE WHEN duration_seconds < 30 THEN 'short'
       |              WHEN duration_seconds < 300 THEN 'medium'

@@ -259,7 +259,7 @@ object Dedup {
        |           AS simhash
        |  FROM bits GROUP BY 1)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |FROM shs a, shs b
        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= $hammingMax
        |ORDER BY doc_a, doc_b""".stripMargin

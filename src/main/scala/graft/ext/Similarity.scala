@@ -85,7 +85,7 @@ object Similarity {
        |  SELECT q.query_id, e.vec_id AS neighbor_id,
        |         round(${cosineSql("q.qv", "e.embedding")}, 4) AS sim
        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
-       |SELECT query_id, neighbor_id, sim, rank FROM (
+       |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM scored)
@@ -171,7 +171,7 @@ object Similarity {
        |  SELECT q.query_id, e.vec_id AS neighbor_id,
        |         round(${cosineSql("q.qv", "e.embedding")}, 4) AS sim
        |  FROM q JOIN bucketed e USING (bkt) WHERE e.vec_id <> q.query_id)
-       |SELECT query_id, neighbor_id, sim, rank FROM (
+       |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM scored)
@@ -228,7 +228,7 @@ object Similarity {
        |  SELECT q.query_id, e.vec_id AS neighbor_id,
        |         round(${cosineSql("q.qv", "e.embedding")}, 4) AS sim
        |  FROM q JOIN cells e USING (cent_id) WHERE e.vec_id <> q.query_id)
-       |SELECT query_id, neighbor_id, sim, rank FROM (
+       |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM scored)

@@ -53,10 +53,10 @@ object Text {
 
   val tokenStatsSql: String =
     """SELECT doc_id,
-      |       len(string_split(text, ' ')) AS n_ws_tokens,
-      |       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
-      |       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
-      |       length(text) AS n_chars
+      |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_re_tokens,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+      |       CAST(length(text) AS INTEGER) AS n_chars
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -86,10 +86,10 @@ object Text {
 
   val langIdSql: String =
     s"""SELECT doc_id, lang AS labeled_lang,
-       |       ${sqlHits("en")} AS en_hits,
-       |       ${sqlHits("de")} AS de_hits,
-       |       ${sqlHits("es")} AS es_hits,
-       |       ${sqlHits("fr")} AS fr_hits,
+       |       CAST(${sqlHits("en")} AS INTEGER) AS en_hits,
+       |       CAST(${sqlHits("de")} AS INTEGER) AS de_hits,
+       |       CAST(${sqlHits("es")} AS INTEGER) AS es_hits,
+       |       CAST(${sqlHits("fr")} AS INTEGER) AS fr_hits,
        |       CASE WHEN ${sqlHits("en")} >= ${sqlHits("de")}
        |             AND ${sqlHits("en")} >= ${sqlHits("es")}
        |             AND ${sqlHits("en")} >= ${sqlHits("fr")}
@@ -129,8 +129,8 @@ object Text {
 
   val qualitySql: String =
     s"""SELECT doc_id,
-       |       length(text) AS n_chars,
-       |       len(string_split(text, ' ')) AS n_words,
+       |       CAST(length(text) AS INTEGER) AS n_chars,
+       |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
        |       round((length(text)::DOUBLE - (len(string_split(text, ' ')) - 1))
        |             / len(string_split(text, ' ')), 4) AS avg_word_len,
        |       round(len(list_distinct(string_split(text, ' ')))::DOUBLE

@@ -138,7 +138,7 @@ object Relational {
   }
 
   val topOrdersPerCustomerSql: String =
-    """SELECT o_custkey, o_orderkey, o_totalprice, rn
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
       |FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |         row_number() OVER (PARTITION BY o_custkey
