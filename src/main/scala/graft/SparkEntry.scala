@@ -46,6 +46,8 @@ object SparkEntry {
     "q_scalar_funcs" -> (Advanced.scalarFuncs _),
     "q_topk_native" -> (Advanced.topKNative _),
     "q_asof_join" -> (Advanced.asofJoin _),
+    "q_percentiles" -> (Advanced.percentiles _),
+    "q_pivot" -> (Advanced.pivotEvents _),
     "x_exact_distinct" -> (Advanced.exactDistinct _),
     "x_bounded_pages" -> (Advanced.boundedPages _),
     "x_token_freq" -> (Advanced.tokenFreq _),
@@ -99,6 +101,8 @@ object SparkEntry {
     "q_scalar_funcs" -> Advanced.scalarFuncsSql,
     "q_topk_native" -> Advanced.topKNativeSql,
     "q_asof_join" -> Advanced.asofJoinSql,
+    "q_percentiles" -> Advanced.percentilesSql,
+    "q_pivot" -> Advanced.pivotEventsSql,
     "x_exact_distinct" -> Advanced.exactDistinctSql,
     "x_bounded_pages" -> Advanced.boundedPagesSql,
     "x_token_freq" -> Advanced.tokenFreqSql,

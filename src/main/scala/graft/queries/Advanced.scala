@@ -206,4 +206,51 @@ object Advanced {
       |                           ORDER BY o.o_orderdate DESC NULLS LAST,
       |                                    o.o_orderkey DESC NULLS LAST) = 1
       |ORDER BY event_id""".stripMargin
+
+  /** Exact percentiles (median/p90/p99) per group — linear-interpolation
+    * semantics matching DuckDB's quantile_cont. At scale swap for
+    * approx_percentile (t-digest) — same API shape, bounded memory.
+    */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("o_totalprice"), lit(0.99)), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  val percentilesSql: String =
+    """SELECT o_orderstatus,
+      |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+      |       count(*) AS n
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** Pivot (wide aggregation): per-user event counts by type + purchase
+    * value — groupBy().pivot().agg() compiles to one pass with CASE
+    * aggregates, one exchange.
+    */
+  def pivotEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      |       count(*) FILTER (event_type = 'click') AS click,
+      |       count(*) FILTER (event_type = 'error') AS error,
+      |       count(*) FILTER (event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (event_type = 'signup') AS signup,
+      |       count(*) FILTER (event_type = 'view') AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 }
