@@ -56,6 +56,7 @@ object SparkEntry {
     "x_lang_id" -> (ext.Text.langId _),
     "x_quality" -> (ext.Text.quality _),
     "x_fingerprint" -> (ext.Text.fingerprint _),
+    "x_pipeline_sample" -> (ext.Text.pipelineSample _),
     // —— training-data extensions: dedup ——
     "x_dedup_exact" -> (ext.Dedup.exact _),
     "x_dedup_bow" -> (ext.Dedup.bagOfWords _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "x_lang_id" -> ext.Text.langIdSql,
     "x_quality" -> ext.Text.qualitySql,
     "x_fingerprint" -> ext.Text.fingerprintSql,
+    "x_pipeline_sample" -> ext.Text.pipelineSampleSql,
     "x_dedup_exact" -> ext.Dedup.exactSql,
     "x_dedup_bow" -> ext.Dedup.bagOfWordsSql,
     "x_dedup_ngram_jaccard" -> ext.Dedup.ngramJaccardSql,

@@ -169,4 +169,58 @@ object Text {
       |         (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** Composed training-data pipeline: quality filter → bag-of-words
+    * dedup (keep min doc_id per token-set) → deterministic 30% hash
+    * sample → per-language corpus stats. One declarative plan: Catalyst
+    * fuses the filters into the scan, the dedup is one hash shuffle,
+    * the sample is a pushed-down predicate (md5-hash mod — stable across
+    * runs and engines, unlike rand()).
+    */
+  def pipelineSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val ttr = size(array_distinct(t)).cast("double") / size(t)
+    val quality = round(least(size(t) / 100.0, lit(1.0)) * 0.5 + ttr * 0.5, 4)
+    val bowKey = md5(concat_ws(" ", sort_array(array_distinct(t))).cast("binary"))
+    val docs = Tables.table(spark, sfDir, "documents")
+      .withColumn("quality_score", quality)
+      .filter(col("quality_score") >= 0.5)
+      .withColumn("bow_key", bowKey)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bow_key")).orderBy(col("doc_id"))
+    docs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // dedup: keeper = min doc_id
+      .filter(md5Long(col("doc_id").cast("string")) % 100 < 30) // deterministic 30% sample
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("quality_score")), 4).as("avg_quality"),
+        round(avg(length(col("text"))), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val pipelineSampleSql: String =
+    """WITH scored AS (
+      |  SELECT *,
+      |         round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+      |               + (len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |                  / len(string_split(text, ' '))) * 0.5, 4) AS quality_score,
+      |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |           AS bow_key
+      |  FROM documents),
+      |kept AS (
+      |  SELECT * FROM scored
+      |  WHERE quality_score >= 0.5
+      |  QUALIFY row_number() OVER (PARTITION BY bow_key ORDER BY doc_id) = 1),
+      |sampled AS (
+      |  SELECT * FROM kept
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 30)
+      |SELECT lang,
+      |       count(*) AS n_docs,
+      |       round(avg(quality_score), 4) AS avg_quality,
+      |       round(avg(length(text)), 4) AS avg_chars
+      |FROM sampled
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 }
