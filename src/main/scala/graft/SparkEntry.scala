@@ -48,6 +48,7 @@ object SparkEntry {
     "q_asof_join" -> (Advanced.asofJoin _),
     "q_percentiles" -> (Advanced.percentiles _),
     "q_pivot" -> (Advanced.pivotEvents _),
+    "q_sessionize" -> (Advanced.sessionize _),
     "x_exact_distinct" -> (Advanced.exactDistinct _),
     "x_bounded_pages" -> (Advanced.boundedPages _),
     "x_token_freq" -> (Advanced.tokenFreq _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "q_asof_join" -> Advanced.asofJoinSql,
     "q_percentiles" -> Advanced.percentilesSql,
     "q_pivot" -> Advanced.pivotEventsSql,
+    "q_sessionize" -> Advanced.sessionizeSql,
     "x_exact_distinct" -> Advanced.exactDistinctSql,
     "x_bounded_pages" -> Advanced.boundedPagesSql,
     "x_token_freq" -> Advanced.tokenFreqSql,

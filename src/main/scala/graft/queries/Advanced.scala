@@ -253,4 +253,51 @@ object Advanced {
       |FROM events
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  /** Batch sessionization (gaps-and-islands): sessions split on >30 min
+    * inactivity per user — lag + cumulative sum over one partitioned
+    * sort, then a per-session rollup. The batch twin of
+    * streaming/Stateful.sessionize; identical session boundaries.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH marked AS (
+      |  SELECT *,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *,
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id,
+      |       count(*) AS n_events,
+      |       min(ts) AS session_start,
+      |       max(ts) AS session_end,
+      |       round(sum("value"), 2) AS session_value
+      |FROM sessions
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 }
