@@ -107,8 +107,11 @@ case class TopKPerGroupExec(
   * `spark.sql.extensions` config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    // analyzer rewrite: exact countDistinct becomes legal on streams
+    ext.injectResolutionRule(_ => RewriteStreamingExactDistinct)
+  }
 }
 
 object TopKPerGroup {
