@@ -70,7 +70,8 @@ object SparkEntry {
     "x_ann_lsh" -> (ext.Similarity.annLsh _),
     "x_ann_ivf" -> (ext.Similarity.annIvf _),
     // —— training-data extensions: multimodal ——
-    "x_media_features" -> (ext.Multimodal.mediaFeatures _)
+    "x_media_features" -> (ext.Multimodal.mediaFeatures _),
+    "x_media_frames" -> (ext.Multimodal.frameFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -123,6 +124,7 @@ object SparkEntry {
     "x_embedding_pairs" -> ext.Similarity.embeddingPairsSql,
     "x_ann_lsh" -> ext.Similarity.annLshSql,
     "x_ann_ivf" -> ext.Similarity.annIvfSql,
-    "x_media_features" -> ext.Multimodal.mediaFeaturesSql
+    "x_media_features" -> ext.Multimodal.mediaFeaturesSql,
+    "x_media_frames" -> ext.Multimodal.frameFeaturesSql
   )
 }

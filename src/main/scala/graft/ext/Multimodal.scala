@@ -106,4 +106,60 @@ object Multimodal {
       |            ELSE CAST(octet_length(encode(text)) // 256 AS INTEGER) + 1 END AS frame_count
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** Frame-sampling shape: explode each media payload into its (stub)
+    * frames, compute a per-frame feature (deterministic md5-derived
+    * stand-in for a decoded-frame embedding), roll back up per media.
+    * The explode→feature→agg pipeline is the real Spark plumbing a
+    * video pipeline needs; only the pixel decode is faked. Frames are
+    * capped (frame skip) so row blowup is bounded at any payload size.
+    */
+  def frameFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxFrames = 8
+    val media = mediaTable(spark, sfDir).toDF()
+      .withColumn("n_frames",
+        when(col("media_type") === "image", 1)
+          .when(col("media_type") === "audio", (col("byte_len") / 64).cast("int") + 1)
+          .otherwise((col("byte_len") / 256).cast("int") + 1))
+      .withColumn("sampled_frames", least(col("n_frames"), lit(maxFrames)))
+    media
+      .select(col("doc_id"), col("media_type"), col("n_frames"),
+        explode(sequence(lit(0), col("sampled_frames") - 1)).as("frame_idx"))
+      .withColumn("frame_feature",
+        conv(substring(md5(concat(col("doc_id"), lit(":"), col("frame_idx")).cast("binary")),
+          1, 8), 16, 10).cast("long"))
+      .groupBy(col("doc_id"), col("media_type"), col("n_frames"))
+      .agg(
+        count(lit(1)).as("frames_sampled"),
+        sum(col("frame_feature")).as("feature_sum"),
+        min(col("frame_feature")).as("feature_min"))
+      .orderBy(col("doc_id"))
+  }
+
+  val frameFeaturesSql: String =
+    """WITH media AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS media_type,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      |  FROM documents),
+      |framed AS (
+      |  SELECT doc_id, media_type,
+      |         CASE WHEN media_type = 'image' THEN 1
+      |              WHEN media_type = 'audio' THEN CAST(byte_len // 64 AS INTEGER) + 1
+      |              ELSE CAST(byte_len // 256 AS INTEGER) + 1 END AS n_frames
+      |  FROM media),
+      |frames AS (
+      |  SELECT doc_id, media_type, n_frames, unnest(range(least(n_frames, 8))) AS frame_idx
+      |  FROM framed)
+      |SELECT doc_id, media_type, n_frames,
+      |       count(*) AS frames_sampled,
+      |       CAST(sum(('0x' || substr(md5(doc_id || ':' || frame_idx), 1, 8))::BIGINT) AS BIGINT)
+      |         AS feature_sum,
+      |       min(('0x' || substr(md5(doc_id || ':' || frame_idx), 1, 8))::BIGINT)
+      |         AS feature_min
+      |FROM frames
+      |GROUP BY 1, 2, 3
+      |ORDER BY doc_id""".stripMargin
 }
