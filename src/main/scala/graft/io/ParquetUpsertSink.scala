@@ -61,10 +61,14 @@ final case class ParquetUpsertSink(
           case Some(old) => precombined(old.unionByName(deduped))
           case None => deduped
         }
-        val merged = deleteCol match {
+        val merged0 = deleteCol match {
           case Some(d) => mergedAll.filter(!coalesce(col(d), lit(false)))
           case None => mergedAll
         }
+        // materialize BEFORE overwriting: the merged plan lazily reads
+        // the very files the dynamic overwrite is about to replace —
+        // localCheckpoint severs that lineage (self-overwrite hazard)
+        val merged = if (existing.isDefined) merged0.localCheckpoint(true) else merged0
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try
