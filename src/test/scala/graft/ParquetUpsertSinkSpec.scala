@@ -74,4 +74,35 @@ class ParquetUpsertSinkSpec extends SparkSpec {
     assert(after2.map(_.getAs[Int]("id")).toSeq == Seq(1, 2))
     assert(after2(0).getAs[String]("v") == "back")
   }
+
+  test("tombstoning every key of a partition removes the partition directory") {
+    val dir = Files.createTempDirectory("upsert4").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
+      deleteCol = Some("is_delete"))
+    import spark.implicits._
+    sink.upsert(Seq(
+      RecD(1, "only", 10, "2024-01-05", false),
+      RecD(2, "other", 10, "2024-01-06", false)).toDF(), 0)
+    // delete the sole key of partition 2024-01-05
+    sink.upsert(Seq(RecD(1, "gone", 20, "2024-01-05", true)).toDF(), 1)
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("processing_date=")).map(_.getName).sorted
+    assert(partDirs.toSeq == Seq("processing_date=2024-01-06"))
+    assert(spark.read.parquet(dir).select("id").as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("equal-precombine ties resolve deterministically across replay order") {
+    val dir1 = Files.createTempDirectory("upsert5a").toString + "/t"
+    val dir2 = Files.createTempDirectory("upsert5b").toString + "/t"
+    import spark.implicits._
+    val a = Rec(1, "alpha", 20, "2024-01-01")
+    val b = Rec(1, "beta", 20, "2024-01-01")
+    val s1 = ParquetUpsertSink(dir1, Seq("id"), "precombine", "processing_date")
+    val s2 = ParquetUpsertSink(dir2, Seq("id"), "precombine", "processing_date")
+    s1.upsert(Seq(a).toDF(), 0); s1.upsert(Seq(b).toDF(), 1)
+    s2.upsert(Seq(b).toDF(), 0); s2.upsert(Seq(a).toDF(), 1)
+    val v1 = spark.read.parquet(dir1).select("v").as[String].collect()(0)
+    val v2 = spark.read.parquet(dir2).select("v").as[String].collect()(0)
+    assert(v1 == v2) // same winner regardless of arrival order
+  }
 }
