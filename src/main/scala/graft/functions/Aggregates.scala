@@ -88,6 +88,8 @@ case class BoundedCollectSet(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.TreeSet[String]] {
 
+  require(cap > 0, s"BoundedCollectSet cap must be positive, got $cap")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType)
@@ -113,11 +115,17 @@ case class BoundedCollectSet(
   override def eval(buf: mutable.TreeSet[String]): Any =
     new GenericArrayData(buf.toSeq.map(s => UTF8String.fromString(s): Any).toArray)
 
+  // length-prefixed raw UTF-8 (writeUTF dies past 64 KB — document
+  // strings routinely exceed that)
   override def serialize(buf: mutable.TreeSet[String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach(out.writeUTF)
+    buf.foreach { s =>
+      val b = s.getBytes("UTF-8")
+      out.writeInt(b.length)
+      out.write(b)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -127,7 +135,13 @@ case class BoundedCollectSet(
     val n = in.readInt()
     val buf = mutable.TreeSet.empty[String]
     var i = 0
-    while (i < n) { buf += in.readUTF(); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf += new String(b, "UTF-8")
+      i += 1
+    }
     buf
   }
 
@@ -141,11 +155,18 @@ case class BoundedCollectSet(
 }
 
 object AggregateFunctions {
+  /** Input is cast to long up front — the buffer update unboxes Long,
+    * so an un-cast IntegerType column would ClassCastException at
+    * runtime.
+    */
   def exact_count_distinct(c: Column): Column =
     GraftBridge.column(
-      ExactCountDistinctLong(GraftBridge.expression(c)).toAggregateExpression())
+      ExactCountDistinctLong(GraftBridge.expression(c.cast("long")))
+        .toAggregateExpression())
 
+  /** Input cast to string for the same reason. */
   def bounded_collect_set(c: Column, cap: Int): Column =
     GraftBridge.column(
-      BoundedCollectSet(GraftBridge.expression(c), cap).toAggregateExpression())
+      BoundedCollectSet(GraftBridge.expression(c.cast("string")), cap)
+        .toAggregateExpression())
 }

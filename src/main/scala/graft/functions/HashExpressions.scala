@@ -6,7 +6,8 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom expressions for the dedup operators — each replaces an
@@ -24,6 +25,14 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires two array<bigint> inputs, got $l and $r")
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -33,11 +42,15 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     var j = 0
     var c = 0
     while (i < nx && j < ny) {
+      if (x.isNullAt(i)) { i += 1 }
+      else if (y.isNullAt(j)) { j += 1 }
+      else {
       val xv = x.getLong(i)
       val yv = y.getLong(j)
       if (xv == yv) { c += 1; i += 1; j += 1 }
       else if (xv < yv) i += 1
       else j += 1
+      }
     }
     c
   }
@@ -54,7 +67,15 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
+  require(k > 0, s"MinHashSignature k must be positive, got $k")
+
   override def dataType: DataType = ArrayType(LongType)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires array<string> input, got $t")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -63,6 +84,7 @@ case class MinHashSignature(child: Expression, k: Int)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
+      if (s == null) { i += 1 } else {
       val base = s.getBaseObject
       val off = s.getBaseOffset
       val len = s.numBytes()
@@ -73,6 +95,7 @@ case class MinHashSignature(child: Expression, k: Int)
         seed += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(sig)
   }
@@ -90,7 +113,17 @@ case class MinHashSignature(child: Expression, k: Int)
 case class SimHashMd5(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // token values carry 15 hex digits = 60 bits; more would silently
+  // produce constant-zero high bits
+  require(bits > 0 && bits <= 60, s"SimHashMd5 bits must be in [1,60], got $bits")
+
   override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash_md5 requires array<string> input, got $t")
+  }
 
   @transient private lazy val md = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
@@ -103,6 +136,7 @@ case class SimHashMd5(child: Expression, bits: Int)
     val digest = md.get()
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) { i += 1 } else {
       digest.reset()
       val hex = digest.digest(arr.getUTF8String(i).getBytes)
         .take(8).map("%02x".format(_)).mkString // 16 hex chars; use 15
@@ -113,6 +147,7 @@ case class SimHashMd5(child: Expression, bits: Int)
         b += 1
       }
       i += 1
+      }
     }
     var out = 0L
     var b = 0
@@ -154,18 +189,32 @@ object HashFunctions {
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType)
+  require(n > 0, s"WordShingles n must be positive, got $n")
+
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires array<string> input, got $t")
+  }
+
+  private def tok(arr: ArrayData, i: Int): String = {
+    val u = arr.getUTF8String(i)
+    if (u == null) "" else u.toString
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val len = arr.numElements()
     val out = new java.util.LinkedHashSet[UTF8String]()
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
     if (len < n) {
       val sb = new StringBuilder
       var i = 0
       while (i < len) {
         if (i > 0) sb.append(' ')
-        sb.append(arr.getUTF8String(i).toString)
+        sb.append(tok(arr, i))
         i += 1
       }
       out.add(UTF8String.fromString(sb.toString))
@@ -176,7 +225,7 @@ case class WordShingles(child: Expression, n: Int)
         var k = 0
         while (k < n) {
           if (k > 0) sb.append(' ')
-          sb.append(arr.getUTF8String(i + k).toString)
+          sb.append(tok(arr, i + k))
           k += 1
         }
         out.add(UTF8String.fromString(sb.toString))
@@ -201,7 +250,15 @@ case class WordShingles(child: Expression, n: Int)
 case class HashedShingleSet(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
 
+  require(n > 0, s"HashedShingleSet n must be positive, got $n")
+
   override def dataType: DataType = ArrayType(LongType)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingle_set requires array<string> input, got $t")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -212,7 +269,8 @@ case class HashedShingleSet(child: Expression, n: Int)
       var k = 0
       while (k < width) {
         if (k > 0) sb.append(' ')
-        sb.append(arr.getUTF8String(start + k).toString)
+        val u = arr.getUTF8String(start + k)
+        sb.append(if (u == null) "" else u.toString)
         k += 1
       }
       val u = UTF8String.fromString(sb.toString)

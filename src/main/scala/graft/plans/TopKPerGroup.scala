@@ -37,6 +37,7 @@ case class TopKPerGroup(
     order: Seq[SortOrder],
     k: Int,
     child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"TopKPerGroup k must be positive, got $k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
@@ -64,10 +65,21 @@ case class TopKPerGroupExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(grouping))
 
+  /** Partial-stage group cap: beyond this many groups in one partition
+    * the operator stops filtering and passes rows through (correct —
+    * the final stage still selects the true top-k; only the shuffle
+    * reduction is lost). Spark's partial aggregates make the same
+    * memory-vs-reduction tradeoff by spilling; pass-through is the
+    * spill-free equivalent for a bounded-k operator.
+    */
+  private val maxPartialGroups = 1 << 20
+
   override protected def doExecute(): RDD[InternalRow] = {
     val groupingLocal = grouping
     val orderLocal = order
     val kLocal = k
+    val partialLocal = partial
+    val maxGroups = maxPartialGroups
     val childOutput = child.output
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(groupingLocal, childOutput)
@@ -78,23 +90,31 @@ case class TopKPerGroupExec(
       // head the BEST and evict it — keeping bottom-k.)
       val heapOrd: Ordering[InternalRow] = (a: InternalRow, b: InternalRow) => ordering.compare(a, b)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      iter.foreach { row =>
+      // overflow rows stream straight through (no buffering): the heap
+      // drain on the right of ++ is by-name, built only after the input
+      // is exhausted
+      iter.flatMap { row =>
         val key = groupProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < kLocal) {
+              heap += row.asInstanceOf[UnsafeRow].copy()
+            } else if (ordering.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap += row.asInstanceOf[UnsafeRow].copy()
+            }
+            None
+          case None if partialLocal && heaps.size >= maxGroups =>
+            // group-cardinality guard: stop growing state, forward the
+            // row — the final stage finishes the job
+            Some(row)
           case None =>
             val h = mutable.PriorityQueue.empty[UnsafeRow](heapOrd.on[UnsafeRow](identity))
+            h += row.asInstanceOf[UnsafeRow].copy()
             heaps.put(key.copy(), h)
-            h
+            None
         }
-        if (heap.size < kLocal) {
-          heap += row.asInstanceOf[UnsafeRow].copy()
-        } else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap += row.asInstanceOf[UnsafeRow].copy()
-        }
-      }
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      } ++ heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
     }
   }
 
