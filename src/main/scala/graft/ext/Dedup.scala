@@ -40,12 +40,6 @@ object Dedup {
       |              ELSE [array_to_string(t, ' ')] END AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
 
-  /** Jaccard of two pre-distinct arrays via |∩| / (|a|+|b|-|∩|). */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
-  }
-
   // ——— exact dedup ———
 
   /** Exact dedup by full-content hash: group key → keeper (min id) +
@@ -72,14 +66,12 @@ object Dedup {
     */
   def bagOfWords(spark: SparkSession, sfDir: String): DataFrame =
     Tables.table(spark, sfDir, "documents")
-      .groupBy(md5(concat_ws(" ",
-        sort_array(array_distinct(Text.tokens(col("text"))))).cast("binary"))
-        .as("bow_key"))
+      .groupBy(Text.bowKey(Text.tokens(col("text"))).as("bow_key"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keeper_doc_id"))
 
   val bagOfWordsSql: String =
-    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    s"""SELECT ${Text.bowKeySql}
       |         AS bow_key,
       |       min(doc_id) AS keeper_doc_id,
       |       count(*) AS n_copies

@@ -199,6 +199,10 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
+      // referenced by both the query side and the probe side — persist
+      // so the quadratic assignment runs once (Bench/Verify clearCache
+      // between queries; library callers own the unpersist)
+      .persist()
     val queries = cells.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
     val scored = cells.join(broadcast(queries), Seq("cent_id"))

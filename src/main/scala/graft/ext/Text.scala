@@ -36,6 +36,32 @@ object Text {
     size(filter(toks, t => array_contains(arr, t)))
   }
 
+  /** Composite quality score — SINGLE definition shared by quality()
+    * and pipelineSample() (and mirrored once in SQL): length
+    * saturation × 0.5 + type-token ratio × 0.5.
+    */
+  def qualityScore(t: Column): Column = {
+    val nWords = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nWords
+    round(least(nWords / 100.0, lit(1.0)) * 0.5 + ttr * 0.5, 4)
+  }
+
+  /** SQL twin of [[qualityScore]]. */
+  val qualityScoreSql: String =
+    "round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5" +
+      " + (len(list_distinct(string_split(text, ' ')))::DOUBLE" +
+      " / len(string_split(text, ' '))) * 0.5, 4)"
+
+  /** Order-insensitive content key (sorted distinct token set, md5) —
+    * shared by Dedup.bagOfWords and pipelineSample.
+    */
+  def bowKey(t: Column): Column =
+    md5(concat_ws(" ", sort_array(array_distinct(t))).cast("binary"))
+
+  /** SQL twin of [[bowKey]]. */
+  val bowKeySql: String =
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+
   // ——— queries ———
 
   /** Token counting: whitespace tokens, regex word tokens, distinct
@@ -123,7 +149,7 @@ object Text {
         round(avgWordLen, 4).as("avg_word_len"),
         round(ttr, 4).as("type_token_ratio"),
         round(stopRatio, 4).as("stopword_ratio"),
-        round(least(nWords / 100.0, lit(1.0)) * 0.5 + ttr * 0.5, 4).as("quality_score"))
+        qualityScore(t).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -137,9 +163,7 @@ object Text {
        |             / len(string_split(text, ' ')), 4) AS type_token_ratio,
        |       round(${sqlHits("en")}::DOUBLE
        |             / len(string_split(text, ' ')), 4) AS stopword_ratio,
-       |       round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
-       |             + (len(list_distinct(string_split(text, ' ')))::DOUBLE
-       |                / len(string_split(text, ' '))) * 0.5, 4) AS quality_score
+       |       $qualityScoreSql AS quality_score
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
@@ -179,13 +203,10 @@ object Text {
     */
   def pipelineSample(spark: SparkSession, sfDir: String): DataFrame = {
     val t = tokens(col("text"))
-    val ttr = size(array_distinct(t)).cast("double") / size(t)
-    val quality = round(least(size(t) / 100.0, lit(1.0)) * 0.5 + ttr * 0.5, 4)
-    val bowKey = md5(concat_ws(" ", sort_array(array_distinct(t))).cast("binary"))
     val docs = Tables.table(spark, sfDir, "documents")
-      .withColumn("quality_score", quality)
+      .withColumn("quality_score", qualityScore(t))
       .filter(col("quality_score") >= 0.5)
-      .withColumn("bow_key", bowKey)
+      .withColumn("bow_key", bowKey(t))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("bow_key")).orderBy(col("doc_id"))
     docs
@@ -201,13 +222,10 @@ object Text {
   }
 
   val pipelineSampleSql: String =
-    """WITH scored AS (
+    s"""WITH scored AS (
       |  SELECT *,
-      |         round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
-      |               + (len(list_distinct(string_split(text, ' ')))::DOUBLE
-      |                  / len(string_split(text, ' '))) * 0.5, 4) AS quality_score,
-      |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
-      |           AS bow_key
+      |         $qualityScoreSql AS quality_score,
+      |         $bowKeySql AS bow_key
       |  FROM documents),
       |kept AS (
       |  SELECT * FROM scored

@@ -114,7 +114,8 @@ object Parity {
       |       count(*) AS activity_count,
       |       CAST(sum(duration_seconds) AS BIGINT) AS total_duration,
       |       round(avg(duration_seconds), 4) AS avg_duration,
-      |       string_agg(DISTINCT page_url, ',' ORDER BY page_url) AS unique_pages,
+      |       array_to_string(list_sort(list(DISTINCT page_url))[1:1000], ',')
+      |         AS unique_pages,
       |       min(device_category) AS primary_device,
       |       'hourly' AS aggregation_type
       |FROM enriched
@@ -260,7 +261,7 @@ object Parity {
   }
 
   val kafkaRoundtripSql: String = graft.Oracles.withActivities(
-    """SELECT CAST(employee_id AS VARCHAR) AS key, id, activity_type,
+    """SELECT COALESCE(CAST(employee_id AS VARCHAR), id) AS key, id, activity_type,
       |       duration_seconds, activity_timestamp
       |FROM activities
       |ORDER BY event_id""".stripMargin)

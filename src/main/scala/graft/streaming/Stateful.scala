@@ -83,7 +83,13 @@ object Stateful {
               val t = e.activity_timestamp.getTime
               cur match {
                 case Some(s) if t - s.lastSeen <= gapMillis =>
-                  cur = Some(s.copy(lastSeen = t, events = s.events + 1,
+                  // late (out-of-order) events merge WITHOUT regressing
+                  // the session frontier: start/lastSeen only widen —
+                  // a backwards lastSeen would corrupt later gap checks
+                  cur = Some(s.copy(
+                    start = math.min(s.start, t),
+                    lastSeen = math.max(s.lastSeen, t),
+                    events = s.events + 1,
                     totalDuration = s.totalDuration + e.duration_seconds))
                 case Some(s) =>
                   closed ::= SessionResult(employeeId,
