@@ -56,6 +56,35 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: late cross-batch event widens the session without regressing its frontier") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ActivityEvent]
+    val q = Stateful.sessionize(spark, mem.toDS(), withTimeout = false)
+      .writeStream.format("memory").queryName("sessionize_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ActivityEvent(9, "a", ts("2025-01-02 10:01:40"), 10), // t=100s
+        ActivityEvent(9, "b", ts("2025-01-02 10:03:20"), 20)) // t=200s
+      q.processAllAvailable()
+      mem.addData(ActivityEvent(9, "late", ts("2025-01-02 10:00:50"), 5)) // t=50s, late
+      q.processAllAvailable()
+      // frontier stayed at 200s: an event 200s later is still in-gap,
+      // so NO session closes
+      mem.addData(ActivityEvent(9, "c", ts("2025-01-02 10:06:40"), 7)) // t=400s
+      q.processAllAvailable()
+      assert(spark.table("sessionize_late").count() == 0)
+      // far-future event closes one session spanning 50s..400s, 4 events
+      mem.addData(ActivityEvent(9, "d", ts("2025-01-02 11:00:00"), 1))
+      q.processAllAvailable()
+      val rows = spark.table("sessionize_late").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Int]("n_events") == 4)
+      assert(rows(0).getAs[java.sql.Timestamp]("session_start") == ts("2025-01-02 10:00:50"))
+      assert(rows(0).getAs[java.sql.Timestamp]("session_end") == ts("2025-01-02 10:06:40"))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes repeats of the same record key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ActivityEvent]
