@@ -14,10 +14,17 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // execute the query's OWN physical plan (toRdd) — a count() on top
+      // would let the optimizer prune every projection expression and
+      // time a bare scan instead of the query
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // drop per-query persists between timings
-      name -> dt
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

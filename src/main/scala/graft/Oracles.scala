@@ -46,7 +46,8 @@ object Oracles {
       |         CASE WHEN duration_seconds < 30 THEN 'short'
       |              WHEN duration_seconds < 300 THEN 'medium'
       |              ELSE 'long' END AS session_duration_category,
-      |         hour(activity_timestamp) >= 9 AND hour(activity_timestamp) <= 17
+      |         COALESCE(hour(activity_timestamp) >= 9
+      |                  AND hour(activity_timestamp) <= 17, false)
       |           AS is_business_hours,
       |         CASE WHEN device_type = 'mobile' THEN 'Mobile'
       |              WHEN device_type = 'tablet' THEN 'Tablet'

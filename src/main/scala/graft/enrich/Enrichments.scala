@@ -39,9 +39,12 @@ object Enrichments {
       .when(durationSeconds < 300, "medium")
       .otherwise("long")
 
-  /** F7 (py:183-187): hour ∈ [9, 17]. */
+  /** F7 (py:183-187): hour ∈ [9, 17]; null timestamp → false (the
+    * reference's when(...).otherwise(False) shape, which never yields
+    * null).
+    */
   def isBusinessHours(ts: Column): Column =
-    hour(ts) >= 9 && hour(ts) <= 17
+    coalesce(hour(ts) >= 9 && hour(ts) <= 17, lit(false))
 
   /** F8 (py:188-192): device_type → category; anything unknown is Desktop. */
   def deviceCategory(deviceType: Column): Column =

@@ -22,18 +22,12 @@ final case class CassandraSink(
     precombine: String) {
 
   /** foreachBatch body: dedup the batch by record key (latest
-    * precombine wins) and append — Cassandra's PK upsert does the rest.
+    * precombine wins, content-hash tie-break — shared [[Precombine]]
+    * logic, same idempotent-replay property as the parquet sink) and
+    * append — Cassandra's PK upsert does the rest.
     */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
-    val w = Window
-      .partitionBy(recordKeys.map(col): _*)
-      .orderBy(col(precombine).desc +: recordKeys.map(col(_).asc): _*)
-    batch
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    Precombine.latest(batch, recordKeys, precombine)
       .write
       .format("org.apache.spark.sql.cassandra")
       .options(Map("keyspace" -> keyspace, "table" -> table))

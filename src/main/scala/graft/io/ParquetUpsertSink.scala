@@ -3,7 +3,7 @@ package graft.io
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /** Hudi-semantics upsert sink over plain parquet, for streaming
@@ -13,79 +13,90 @@ import org.apache.spark.sql.functions._
   * `processing_date`).
   *
   * Per micro-batch:
-  *  1. dedup the batch by record key, highest precombine wins; ties
-  *     break on a content hash so replays resolve deterministically;
+  *  1. dedup the batch by record key ([[Precombine.latest]]: highest
+  *     precombine wins, content-hash tie-break → deterministic replays);
   *  2. read ONLY the partitions the batch touches (partition pruning —
   *     at 100 TB reading the whole table per batch is a non-starter);
-  *     table existence is checked explicitly — read errors propagate
-  *     rather than masquerading as "first batch" and dropping history;
+  *     "table exists" means partition directories exist, not just the
+  *     root (a fully-tombstoned table must act like a fresh one), and
+  *     read errors propagate rather than masquerading as "first batch"
+  *     and dropping history;
   *  3. merge old+new, precombine again, apply delete tombstones;
   *  4. stage the merged rows to a sibling temp dir (bounded footprint,
-  *     no lineage back to the files about to be replaced — safer than
-  *     caching/localCheckpoint on long-running streams), then rewrite
+  *     no lineage back to the files about to be replaced), then rewrite
   *     just the touched partitions via the per-writer dynamic-overwrite
   *     option (no session-conf mutation — concurrent upsert streams in
   *     one session must not race each other's conf);
   *  5. partitions whose keys were ALL tombstoned get their directories
   *     deleted explicitly (dynamic overwrite never rewrites a partition
-  *     absent from the written data).
+  *     absent from the written data), using Hive-escaped dir names.
   *
-  * Exactly-once degrades to at-least-once + idempotent rewrite (same
-  * key + precombine + content always resolves the same way), the
-  * documented divergence from Hudi (SURVEY §7.4 risk 3). Small-file
-  * mitigation: rows are repartitioned by the partition column, one file
-  * per partition dir.
+  * Null partition values map to Hive's default-partition directory and
+  * merge correctly. Exactly-once degrades to at-least-once +
+  * idempotent rewrite, the documented divergence from Hudi (SURVEY
+  * §7.4 risk 3).
   */
 final case class ParquetUpsertSink(
     path: String,
     recordKeys: Seq[String],
     precombine: String,
     partitionCol: String,
+    // >1 spreads each partition's rows over N writer tasks/files (for
+    // partitions too large for one task); 1 = best file compaction
     filesPerPartition: Int = 1,
     // optional boolean tombstone column: when the LATEST version of a key
     // is a delete, the key disappears from the table (the reference drops
     // CDC deletes entirely — SURVEY P2; this closes that gap)
     deleteCol: Option[String] = None) {
 
-  private def precombined(df: DataFrame): DataFrame = {
-    // ties at equal precombine break on a full-row hash: deterministic
-    // across executions/replays (record keys are constant within the
-    // window partition, so they cannot break ties)
-    val contentHash = xxhash64(df.columns.sorted.map(col): _*)
-    val w = Window
-      .partitionBy(recordKeys.map(col): _*)
-      .orderBy(col(precombine).desc, contentHash.asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+  require(filesPerPartition >= 1, s"filesPerPartition must be >= 1, got $filesPerPartition")
+
+  private val nullDir = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+
+  /** Directory-name form of a partition value (Hive escaping — the same
+    * encoding Spark uses when writing, so deletes target real dirs).
+    */
+  private def dirName(v: String): String =
+    if (v == null) nullDir else ExternalCatalogUtils.escapePathName(v)
 
   /** foreachBatch body. */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val deduped = precombined(batch)
-    // partition identity is the STRING form everywhere (it IS the dir
-    // name); the read-back table infers the partition column's type
-    // (e.g. DATE where the batch carries STRING) — value-typed set
-    // compares would silently never match
+    val deduped = Precombine.latest(batch, recordKeys, precombine)
+    // partition identity is the STRING form (basis of the dir name); the
+    // read-back table infers the partition column's type (e.g. DATE
+    // where the batch carries STRING) — value-typed set compares would
+    // silently never match
     val parts = deduped.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0))
     if (parts.isEmpty) return
+    val hasNullPart = parts.contains(null)
+    val nonNullParts = parts.filter(_ != null)
 
-    val tableExists = fs.exists(new Path(path))
-    // transient read failures below PROPAGATE (streaming retry handles
-    // them); only genuine first-batch absence skips the merge
+    // a root with no partition dirs (fresh, or fully tombstoned away) is
+    // an empty table; transient READ failures below propagate (streaming
+    // retry), they must not masquerade as first-batch
+    val tableExists = fs.exists(new Path(path)) &&
+      fs.listStatus(new Path(path))
+        .exists(_.getPath.getName.startsWith(s"$partitionCol="))
     val existing =
-      if (tableExists)
+      if (tableExists) {
+        val touched = {
+          val inNonNull =
+            if (nonNullParts.nonEmpty)
+              col(partitionCol).cast("string").isin(nonNullParts: _*)
+            else lit(false)
+          if (hasNullPart) inNonNull || col(partitionCol).isNull else inNonNull
+        }
         Some(spark.read.parquet(path)
-          .filter(col(partitionCol).cast("string").isin(parts: _*))
+          .filter(touched)
           // align the inferred partition-column type back to the batch's
           .withColumn(partitionCol,
             col(partitionCol).cast(batch.schema(partitionCol).dataType)))
-      else None
+      } else None
     val mergedAll = existing match {
-      case Some(old) => precombined(old.unionByName(deduped))
+      case Some(old) => Precombine.latest(old.unionByName(deduped), recordKeys, precombine)
       case None => deduped
     }
     val merged = deleteCol match {
@@ -93,13 +104,23 @@ final case class ParquetUpsertSink(
       case None => mergedAll
     }
 
-    def writeFinal(df: DataFrame): Unit =
-      df.repartition(col(partitionCol))
+    def writeFinal(df: DataFrame): Unit = {
+      val distributed =
+        if (filesPerPartition == 1) df.repartition(col(partitionCol))
+        else df.repartition(col(partitionCol),
+          pmod(xxhash64(recordKeys.map(col): _*), lit(filesPerPartition)))
+      distributed
         .write
         .mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic") // per-writer, race-free
         .partitionBy(partitionCol)
         .parquet(path)
+    }
+
+    def deleteDirs(values: Iterable[String]): Unit =
+      values.foreach { v =>
+        fs.delete(new Path(s"$path/$partitionCol=${dirName(v)}"), true)
+      }
 
     if (existing.isDefined) {
       // stage to a sibling dir: severs lineage from the files the
@@ -120,9 +141,7 @@ final case class ParquetUpsertSink(
           } else Set.empty
         // tombstoned-empty partitions: dynamic overwrite left their old
         // files in place — remove the directories explicitly
-        parts.filterNot(surviving.contains).foreach { v =>
-          fs.delete(new Path(s"$path/$partitionCol=$v"), true)
-        }
+        deleteDirs(parts.filterNot(surviving.contains))
       } finally fs.delete(new Path(staging), true)
     } else {
       writeFinal(merged)

@@ -19,13 +19,16 @@ class EnrichmentsSpec extends SparkSpec {
     assert(out.toSeq == Seq("short", "medium", "medium", "long", "long"))
   }
 
-  test("is_business_hours boundaries 8/9/17/18") {
+  test("is_business_hours boundaries 8/9/17/18; null timestamp -> false") {
     val out = Seq(8, 9, 17, 18)
       .map(h => Timestamp.valueOf(f"2025-01-02 $h%02d:30:00"))
       .toDF("ts")
       .select(Enrichments.isBusinessHours(col("ts")).as("b"))
       .as[Boolean].collect()
     assert(out.toSeq == Seq(false, true, true, false))
+    val nullOut = Seq(Option.empty[Timestamp]).toDF("ts")
+      .select(Enrichments.isBusinessHours(col("ts")).as("b")).collect()(0)
+    assert(!nullOut.isNullAt(0) && !nullOut.getBoolean(0)) // false, not null
   }
 
   test("device_category mapping incl. unknown and null → Desktop") {

@@ -105,4 +105,31 @@ class ParquetUpsertSinkSpec extends SparkSpec {
     val v2 = spark.read.parquet(dir2).select("v").as[String].collect()(0)
     assert(v1 == v2) // same winner regardless of arrival order
   }
+
+  test("a fully-tombstoned table accepts new batches (acts like a fresh table)") {
+    val dir = Files.createTempDirectory("upsert6").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
+      deleteCol = Some("is_delete"))
+    import spark.implicits._
+    sink.upsert(Seq(RecD(1, "a", 10, "2024-01-01", false)).toDF(), 0)
+    sink.upsert(Seq(RecD(1, "gone", 20, "2024-01-01", true)).toDF(), 1) // table now empty
+    // next batch must not crash on the empty (dir-only) table root
+    sink.upsert(Seq(RecD(2, "fresh", 30, "2024-01-02", false)).toDF(), 2)
+    val rows = spark.read.parquet(dir).select("id").as[Int].collect().toSeq
+    assert(rows == Seq(2))
+  }
+
+  test("partition values needing Hive escaping delete correctly when tombstoned") {
+    val dir = Files.createTempDirectory("upsert7").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
+      deleteCol = Some("is_delete"))
+    import spark.implicits._
+    val part = "2024-01-01 00:00:00" // space+colons -> percent-escaped dir
+    sink.upsert(Seq(
+      RecD(1, "x", 10, part, false),
+      RecD(2, "y", 10, "plain", false)).toDF(), 0)
+    sink.upsert(Seq(RecD(1, "gone", 20, part, true)).toDF(), 1)
+    val rows = spark.read.parquet(dir).select("id").as[Int].collect().toSeq
+    assert(rows == Seq(2)) // escaped-partition rows are really gone
+  }
 }
