@@ -10,10 +10,10 @@ object BenchOne {
     for (name <- args) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val n0 = fn(spark, sfDir).count()
+      val n0 = fn(spark, sfDir).queryExecution.toRdd.count() // same methodology as Bench
       val cold = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      fn(spark, sfDir).count()
+      fn(spark, sfDir).queryExecution.toRdd.count()
       val warm = (System.nanoTime() - t1) / 1e9
       println(f"$name: cold $cold%.2f s, warm $warm%.2f s, rows $n0")
     }
