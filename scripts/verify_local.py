@@ -44,7 +44,9 @@ for name, sql in sorted(oracle.items()):
             e = e.astype("datetime64[ns]"); g = g.astype("datetime64[ns]")
             same = e.equals(g)
         elif e.dtype.kind == "f" or g.dtype.kind == "f":
-            same = np.allclose(e.astype(float), g.astype(float), rtol=0, atol=0, equal_nan=True)
+            # tiny atol: ROUND(x,4) values computed in different summation
+            # orders can straddle a rounding boundary by one ulp
+            same = np.allclose(e.astype(float), g.astype(float), rtol=0, atol=1e-9, equal_nan=True)
         else:
             same = e.astype(object).where(pd.notna(e), None).equals(
                    g.astype(object).where(pd.notna(g), None))

@@ -35,10 +35,12 @@ object StreamBench {
     def envelopeBatch(batch: Int): Seq[String] =
       (0 until eventsPerBatch).map { i =>
         val id = batch * eventsPerBatch + i
+        // event time ADVANCES batch over batch (day = batch index) so the
+        // watermark never drops the timed events as late
         val after =
           s"""{\\"id\\":\\"a-$id\\",\\"employee_id\\":${id % 500},\\"activity_type\\":\\"${Seq("login", "click", "view")(id % 3)}\\",""" +
             s"""\\"page_url\\":\\"/p/${id % 97}\\",\\"duration_seconds\\":${id % 400},""" +
-            s"""\\"activity_timestamp\\":\\"2025-01-02T${10 + id % 8}:${10 + id % 49}:00Z\\",\\"device_type\\":\\"mobile\\"}"""
+            s"""\\"activity_timestamp\\":\\"2025-01-${f"${batch + 2}%02d"}T${10 + id % 8}:${10 + id % 49}:00Z\\",\\"device_type\\":\\"mobile\\"}"""
         s"""{"payload": {"after": "$after", "op": "${if (id % 10 == 0) "d" else "c"}", "ts_ms": ${1735813800000L + id}}}"""
       }
     val batches = (0 until numBatches).map(envelopeBatch)
@@ -47,12 +49,17 @@ object StreamBench {
     // MemoryStream delivers each addData block as ONE partition — fan the
     // raw wire out before the (expensive) two-phase JSON parse, exactly
     // as a production job sets minPartitions on a single-partition topic
-    val parsed = Debezium.parse(mem.toDF().repartition(32), Schemas.activity)
+    val parsed = Debezium.parse(mem.toDF().repartition(parts), Schemas.activity)
     val enriched = Enrichments.enrichActivities(parsed)
     val stateless = args.contains("--stateless")
     val q =
       if (stateless)
-        enriched.select(count_if(lit(true)).as("n")) // forces full eval
+        // aggregate over PARSED columns — a bare count would let column
+        // pruning delete the phase-2 parse and enrichment entirely
+        enriched.select(
+          sum(length(col("page_url"))).as("chars"),
+          sum(col("duration_seconds")).as("dur"),
+          count_if(col("is_business_hours")).as("bh"))
           .writeStream.format("memory").queryName("sb_agg")
           .outputMode("complete").start()
       else if (args.contains("--noop"))
@@ -75,7 +82,8 @@ object StreamBench {
       println(f"streamed $n CDC events in $dt%.2f s -> ${eps}%.0f events/s " +
         f"(parse+enrich+windowed agg, ${spark.sparkContext.defaultParallelism} threads)")
       if (!args.contains("--noop"))
-        println(s"agg groups: ${spark.table("sb_agg").count()}")
+        // update-mode memory sink APPENDS revisions — count distinct groups
+        println(s"agg groups: ${spark.table("sb_agg").dropDuplicates().count()}")
     } finally q.stop()
     spark.stop()
   }

@@ -51,13 +51,16 @@ object StreamDemo {
     val activities = spark.read.parquet(s"$root/out/activities")
     val hourly = spark.table("hourly_agg")
     val daily = spark.table("daily_agg")
-    println(s"employees upserted: ${employees.count()} (distinct ids: ${employees.select("id").distinct().count()})")
-    println(s"activities upserted: ${activities.count()} (ops c/u only: expected 160)")
-    println(s"hourly agg groups: ${hourly.count()}")
-    println(s"daily agg groups: ${daily.count()}")
+    val nEmp = employees.count()
+    val nAct = activities.count()
+    val nHourly = hourly.count()
+    val nDaily = daily.count()
+    println(s"employees upserted: $nEmp (distinct ids: ${employees.select("id").distinct().count()})")
+    println(s"activities upserted: $nAct (ops c/u only: expected 160)")
+    println(s"hourly agg groups: $nHourly")
+    println(s"daily agg groups: $nDaily")
     println("sample hourly: " + hourly.orderBy(desc("activity_count")).limit(1).collect().mkString)
-    val ok = employees.count() == 20 && activities.count() == 160 &&
-      hourly.count() > 0 && daily.count() > 0
+    val ok = nEmp == 20 && nAct == 160 && nHourly > 0 && nDaily > 0
     spark.stop()
     if (!ok) sys.exit(1)
     println("STREAM DEMO OK")
