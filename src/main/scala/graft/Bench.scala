@@ -28,8 +28,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries report -1.0 per-query but NEVER deflate the total:
+    // sum successes only and surface an explicit failure count
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failures = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

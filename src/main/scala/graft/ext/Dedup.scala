@@ -146,7 +146,9 @@ object Dedup {
       .withColumn("n", size(col("hs")))
       // persist: the signature projection is referenced by the band
       // explode AND both verify joins — a materialization boundary stops
-      // CollapseProject from recomputing it per reference.
+      // CollapseProject from recomputing it per reference. As with
+      // annIvf: Bench/Verify clearCache() between queries; library
+      // callers own the unpersist once the result is materialized.
       .persist()
     val numBands = numHashes / bandSize
     val bands = docs.select(

@@ -37,8 +37,15 @@ case class FloatVecDot(left: Expression, right: Expression)
         s"vec_dot requires two array<float> inputs, got $l and $r")
     }
 
+  // static schema fact: when neither input can hold null elements the
+  // per-element null checks are omitted entirely (both paths)
+  private lazy val elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType.asInstanceOf[ArrayType].containsNull)
+
   // length mismatch → null (matches the zip_with reference formulation,
-  // where the padded null poisons the fold) — never a silently-truncated
+  // where the padded null poisons the fold); a null ELEMENT also
+  // poisons the whole dot to null (zip_with: null·x = null, and a null
+  // term nulls the aggregate fold) — never a silently-perturbed
   // "plausible" score
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -48,6 +55,7 @@ case class FloatVecDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -59,6 +67,10 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullElementCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -66,9 +78,12 @@ case class FloatVecDot(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElementCheck
          |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

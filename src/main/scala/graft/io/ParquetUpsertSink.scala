@@ -53,6 +53,11 @@ final case class ParquetUpsertSink(
 
   private val nullDir = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
+  // per-sink-instance token in the staging dir name: batch ids restart
+  // per query, so two queries upserting the SAME table path must not
+  // share (and finally-delete) each other's staging dirs
+  private val stagingToken: String = java.util.UUID.randomUUID().toString.take(8)
+
   /** Directory-name form of a partition value (Hive escaping — the same
     * encoding Spark uses when writing, so deletes target real dirs).
     */
@@ -125,7 +130,7 @@ final case class ParquetUpsertSink(
     if (existing.isDefined) {
       // stage to a sibling dir: severs lineage from the files the
       // overwrite replaces, with a deterministic disk footprint
-      val staging = s"${path}__staging_$batchId"
+      val staging = s"${path}__staging_${stagingToken}_$batchId"
       try {
         merged.write.mode(SaveMode.Overwrite).parquet(staging)
         // an all-tombstoned merge writes no part files — nothing to read

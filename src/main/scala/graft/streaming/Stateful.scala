@@ -79,13 +79,38 @@ object Stateful {
             val sorted = batch.toSeq.sortBy(_.activity_timestamp.getTime)
             var closed = List.empty[SessionResult]
             var cur = state.getOption
+            // accumulator for arbitrarily-late stragglers: events more
+            // than a gap EARLIER than the open session's start belong to
+            // a separate, earlier session (the batch twin's
+            // gaps-and-islands would never merge them). They chain among
+            // themselves and are emitted closed at batch end — they can
+            // never bridge into `cur` because every member is > gap
+            // before cur.start by construction.
+            var early = Option.empty[SessionState]
+            def flushEarly(): Unit = early.foreach { es =>
+              closed ::= SessionResult(employeeId,
+                new Timestamp(es.start), new Timestamp(es.lastSeen), es.events, es.totalDuration)
+              early = None
+            }
             sorted.foreach { e =>
               val t = e.activity_timestamp.getTime
               cur match {
+                case Some(s) if s.start - t > gapMillis =>
+                  early match {
+                    case Some(es) if t - es.lastSeen <= gapMillis =>
+                      early = Some(es.copy(
+                        lastSeen = math.max(es.lastSeen, t),
+                        events = es.events + 1,
+                        totalDuration = es.totalDuration + e.duration_seconds))
+                    case _ =>
+                      flushEarly()
+                      early = Some(SessionState(t, t, 1, e.duration_seconds))
+                  }
                 case Some(s) if t - s.lastSeen <= gapMillis =>
-                  // late (out-of-order) events merge WITHOUT regressing
-                  // the session frontier: start/lastSeen only widen —
-                  // a backwards lastSeen would corrupt later gap checks
+                  // in-gap (possibly out-of-order) events merge WITHOUT
+                  // regressing the session frontier: start/lastSeen only
+                  // widen — a backwards lastSeen would corrupt later gap
+                  // checks
                   cur = Some(s.copy(
                     start = math.min(s.start, t),
                     lastSeen = math.max(s.lastSeen, t),
@@ -99,6 +124,7 @@ object Stateful {
                   cur = Some(SessionState(t, t, 1, e.duration_seconds))
               }
             }
+            flushEarly()
             cur.foreach { s =>
               state.update(s)
               if (withTimeout) state.setTimeoutDuration(gapMillis)

@@ -37,6 +37,24 @@ class HashExpressionsSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(0) > 0))
   }
 
+  test("FloatVecDot null element poisons the dot to null (containsNull inputs)") {
+    val df = Seq(
+      (Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](4.0f, 5.0f, 6.0f)),
+      (Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](3.0f, null)),
+      (Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](3.0f, 4.0f)))
+      .toDF("a", "b")
+    val rows = df.select(
+      vec_dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(rows.count(_.isNullAt(0)) == 2)
+  }
+
   test("SortedLongIntersectCount equals size(array_intersect) on sorted distinct arrays") {
     val df = Seq(
       (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 8L)),

@@ -85,6 +85,39 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: arbitrarily-late events become their own earlier session, not a widened one") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ActivityEvent]
+    val q = Stateful.sessionize(spark, mem.toDS(), withTimeout = false)
+      .writeStream.format("memory").queryName("sessionize_straggler")
+      .outputMode("append").start()
+    try {
+      mem.addData(ActivityEvent(4, "a", ts("2025-01-02 12:00:00"), 10))
+      q.processAllAvailable()
+      // two stragglers a full hour earlier (far beyond the 5-min gap),
+      // 60s apart — batch-twin semantics: ONE separate earlier session,
+      // and the open session must stay untouched
+      mem.addData(
+        ActivityEvent(4, "s1", ts("2025-01-02 11:00:00"), 1),
+        ActivityEvent(4, "s2", ts("2025-01-02 11:01:00"), 2))
+      q.processAllAvailable()
+      val earlyRows = spark.table("sessionize_straggler").collect()
+      assert(earlyRows.length == 1)
+      assert(earlyRows(0).getAs[java.sql.Timestamp]("session_start") == ts("2025-01-02 11:00:00"))
+      assert(earlyRows(0).getAs[java.sql.Timestamp]("session_end") == ts("2025-01-02 11:01:00"))
+      assert(earlyRows(0).getAs[Int]("n_events") == 2)
+      assert(earlyRows(0).getAs[Long]("total_duration") == 3L)
+      // far-future event closes the ORIGINAL session: still 1 event,
+      // unwidened by the stragglers
+      mem.addData(ActivityEvent(4, "d", ts("2025-01-02 13:00:00"), 1))
+      q.processAllAvailable()
+      val rows = spark.table("sessionize_straggler").collect()
+        .filter(_.getAs[java.sql.Timestamp]("session_start") == ts("2025-01-02 12:00:00"))
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Int]("n_events") == 1)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes repeats of the same record key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ActivityEvent]
