@@ -24,6 +24,10 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // drop per-query persists between timings
+      // settle the heap between queries (untimed): accumulated garbage
+      // from a prior query otherwise lands GC pauses inside the next
+      // timing — measured swings of several seconds on the pair joins
+      System.gc()
       name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -2,7 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
 
 import graft.model.Schemas
 
@@ -83,4 +83,45 @@ object Debezium {
       structAlias: String = "row",
       jsonOptions: Map[String, String] = Map.empty): DataFrame =
     extractRows(filterOps(parseEnvelope(raw)), rowSchema, structAlias, jsonOptions)
+
+  // ——— Debezium-faithful epoch-micros wire ———
+  //
+  // Real Debezium serializes Postgres TIMESTAMP columns as epoch-MICROS
+  // longs (io.debezium.time.MicroTimestamp), not formatted strings
+  // (PROJECT_DOCUMENTATION.md:246-262 shows the envelope; the `after`
+  // payload carries numeric timestamps). Parsing longs also skips the
+  // per-value DateTimeFormatter work of a string timestamp format.
+
+  /** Wire form of a declared row schema: TimestampType → LongType
+    * (epoch micros), everything else unchanged.
+    */
+  def wireSchema(rowSchema: StructType): StructType =
+    StructType(rowSchema.fields.map { f =>
+      if (f.dataType == TimestampType) f.copy(dataType = LongType) else f
+    })
+
+  /** Projection serializing a logical row to its wire form (for fixture
+    * generators / the Kafka producer side): timestamps → epoch micros.
+    */
+  def toWireCols(rowSchema: StructType): Seq[Column] =
+    rowSchema.fields.toSeq.map { f =>
+      if (f.dataType == TimestampType) unix_micros(col(f.name)).as(f.name)
+      else col(f.name)
+    }
+
+  /** Full pipeline over the epoch-micros wire: envelope parse → op
+    * filter → row extraction against [[wireSchema]] → restore
+    * TimestampType columns from their micros longs.
+    */
+  def parseWire(
+      raw: DataFrame,
+      rowSchema: StructType,
+      structAlias: String = "row"): DataFrame = {
+    val extracted = extractRows(filterOps(parseEnvelope(raw)), wireSchema(rowSchema), structAlias)
+    val restored = rowSchema.fields.toSeq.map { f =>
+      if (f.dataType == TimestampType) timestamp_micros(col(f.name)).as(f.name)
+      else col(f.name)
+    }
+    extracted.select(restored :+ col("event_timestamp") :+ col("processing_timestamp"): _*)
+  }
 }

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Present, Tables}
 import graft.functions.HashFunctions.{hashed_shingle_set, minhash_signature, simhash_md5, sorted_intersect_count, word_shingles}
 
 /** Deduplication for training-data pipelines.
@@ -100,11 +100,13 @@ object Dedup {
     val a = docs.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na"))
     val b = docs.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n").as("nb"))
     val inter = sorted_intersect_count(col("ha"), col("hb")).cast("double")
-    a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", round(inter / (col("na") + col("nb") - inter), 4))
-      .filter(col("jaccard") >= 0.6)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // threshold in the join condition: only passing pairs are copied
+    // out of the nested loop (see Similarity.embeddingPairs)
+    val jac = round(inter / (col("na") + col("nb") - inter), 4)
+    Present.sortSmall(
+      a.join(b, col("doc_a") < col("doc_b") && jac >= 0.6)
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard")),
+      col("doc_a"), col("doc_b"))
   }
 
   val ngramJaccardSql: String =
@@ -174,7 +176,7 @@ object Dedup {
       .withColumn("jaccard", round(inter / (col("na") + col("nb") - inter), 4))
       .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .transform(Present.sortSmall(_, col("doc_a"), col("doc_b")))
   }
 
   /** Oracle = ground-truth pairwise Jaccard without the doc_id cap (LSH
@@ -231,7 +233,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("hamming") <= hammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .transform(Present.sortSmall(_, col("doc_a"), col("doc_b")))
   }
 
   /** Oracle: naive O(n²) SimHash Hamming in SQL (blocking is lossless

@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Present, Tables}
 import graft.functions.VectorFunctions.{vec_cosine, vec_dot}
 
 /** Similarity search over an embedding column (Array[Float], dim 64).
@@ -71,11 +71,12 @@ object Similarity {
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 4))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    Present.sortSmall(
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank")),
+      col("query_id"), col("rank"))
   }
 
   val annBruteForceSql: String =
@@ -106,11 +107,15 @@ object Similarity {
         sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-      .filter(col("sim") >= 0.4)
-      .select(col("vec_a"), col("vec_b"), col("sim"))
-      .orderBy(col("vec_a"), col("vec_b"))
+    // sim is computed in a codegen'd Project ABOVE the join, not in the
+    // join condition — BNLJ evaluates its condition with the interpreted
+    // row path, which is measurably slower for the 64-wide dot
+    Present.sortSmall(
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+        .filter(col("sim") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("sim")),
+      col("vec_a"), col("vec_b"))
   }
 
   val embeddingPairsSql: String =
@@ -147,11 +152,12 @@ object Similarity {
       .withColumn("sim", round(cosine(col("qv"), col("embedding")), 4))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    Present.sortSmall(
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank")),
+      col("query_id"), col("rank"))
   }
 
   /** SQL literal for plane p's sign array. */
@@ -209,11 +215,12 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qv"), col("embedding")), 4))
     val wRank = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    Present.sortSmall(
+      scored
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank")),
+      col("query_id"), col("rank"))
   }
 
   val annIvfSql: String =

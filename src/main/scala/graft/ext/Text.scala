@@ -218,7 +218,7 @@ object Text {
         count(lit(1)).as("n_docs"),
         round(avg(col("quality_score")), 4).as("avg_quality"),
         round(avg(length(col("text"))), 4).as("avg_chars"))
-      .orderBy(col("lang"))
+      .transform(graft.Present.sortSmall(_, col("lang")))
   }
 
   val pipelineSampleSql: String =

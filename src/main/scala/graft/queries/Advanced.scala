@@ -21,7 +21,7 @@ object Advanced {
       .groupBy(to_date(col("activity_timestamp")).as("activity_date"), col("activity_type"))
       .agg(exact_count_distinct(col("employee_id")).as("unique_employees"),
         count(lit(1)).as("n"))
-      .orderBy(col("activity_date"), col("activity_type"))
+      .transform(graft.Present.sortSmall(_, col("activity_date"), col("activity_type")))
 
   val exactDistinctSql: String = Oracles.withActivities(
     """SELECT CAST(activity_timestamp AS DATE) AS activity_date, activity_type,
@@ -41,7 +41,7 @@ object Advanced {
       .groupBy(date_trunc("hour", col("activity_timestamp")).as("hour"), col("employee_id"))
       .agg(array_join(bounded_collect_set(col("page_url"), 3), ",").as("top_pages"),
         count(lit(1)).as("n"))
-      .orderBy(col("hour"), col("employee_id"))
+      .transform(graft.Present.sortSmall(_, col("hour"), col("employee_id")))
 
   val boundedPagesSql: String = Oracles.withActivities(
     """SELECT date_trunc('hour', activity_timestamp) AS hour, employee_id,
@@ -61,7 +61,7 @@ object Advanced {
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token"))
+      .transform(graft.Present.sortSmall(_, col("freq").desc, col("token")))
       .limit(100)
 
   val tokenFreqSql: String =
@@ -91,7 +91,7 @@ object Advanced {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
-      .orderBy(col("c_mktsegment"))
+      .transform(graft.Present.sortSmall(_, col("c_mktsegment")))
   }
 
   val saltedJoinSql: String =
@@ -153,7 +153,8 @@ object Advanced {
       Seq(col("o_custkey")),
       Seq(col("o_totalprice").desc, col("o_orderkey").asc),
       3)
-      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .transform(graft.Present.sortSmall(_,
+        col("o_custkey"), col("o_totalprice").desc, col("o_orderkey")))
   }
 
   val topKNativeSql: String =
@@ -219,7 +220,7 @@ object Advanced {
         round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"),
         round(percentile(col("o_totalprice"), lit(0.99)), 4).as("p99"),
         count(lit(1)).as("n"))
-      .orderBy(col("o_orderstatus"))
+      .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
 
   val percentilesSql: String =
     """SELECT o_orderstatus,
@@ -241,7 +242,7 @@ object Advanced {
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
       .na.fill(0L)
-      .orderBy(col("user_id"))
+      .transform(graft.Present.sortSmall(_, col("user_id")))
 
   val pivotEventsSql: String =
     """SELECT user_id,

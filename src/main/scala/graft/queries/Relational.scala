@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Present, Tables}
 
 /** General relational capability: aggregation pipelines, shuffle joins,
   * broadcast joins, analytic windows, semi/anti joins, rollup, top-k.
@@ -39,7 +39,7 @@ object Relational {
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .transform(Present.sortSmall(_, col("l_returnflag"), col("l_linestatus")))
 
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -110,7 +110,7 @@ object Relational {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("r_name"), col("n_name"))
+      .transform(Present.sortSmall(_, col("r_name"), col("n_name")))
   }
 
   val supplierVolumeByNationSql: String =
@@ -134,7 +134,7 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .orderBy(col("o_custkey"), col("rn"))
+      .transform(Present.sortSmall(_, col("o_custkey"), col("rn")))
   }
 
   val topOrdersPerCustomerSql: String =
@@ -159,7 +159,8 @@ object Relational {
         col("l_shipdate"), col("l_extendedprice"))
       .withColumn("running_revenue", round(sum(col("l_extendedprice")).over(w), 2))
       .filter(col("l_suppkey") <= 3)
-      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .transform(Present.sortSmall(_,
+        col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
   }
 
   val runningSupplierRevenueSql: String =
@@ -183,7 +184,7 @@ object Relational {
     Tables.table(spark, sfDir, "customer")
       .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .orderBy(col("c_custkey"))
+      .transform(Present.sortSmall(_, col("c_custkey")))
   }
 
   val semiJoinCustomersSql: String =
@@ -220,8 +221,8 @@ object Relational {
         count(lit(1)).as("n_orders"),
         grouping(col("o_orderstatus")).cast("int").as("g_status"),
         grouping(col("o_orderpriority")).cast("int").as("g_priority"))
-      .orderBy(col("g_status"), col("g_priority"), col("o_orderstatus"),
-        col("o_orderpriority"))
+      .transform(Present.sortSmall(_, col("g_status"), col("g_priority"),
+        col("o_orderstatus"), col("o_orderpriority")))
 
   val rollupOrdersSql: String =
     """SELECT o_orderstatus, o_orderpriority,
@@ -331,8 +332,8 @@ object Relational {
         count(lit(1)).as("n_orders"),
         grouping(col("o_orderstatus")).cast("int").as("g_status"),
         grouping(col("o_orderpriority")).cast("int").as("g_priority"))
-      .orderBy(col("g_status"), col("g_priority"), col("o_orderstatus"),
-        col("o_orderpriority"))
+      .transform(Present.sortSmall(_, col("g_status"), col("g_priority"),
+        col("o_orderstatus"), col("o_orderpriority")))
 
   val cubeOrdersSql: String =
     """SELECT o_orderstatus, o_orderpriority,
