@@ -2,21 +2,22 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-/** Deterministic presentation sort for BOUNDED results (aggregates,
-  * top-k, near-dup pair lists): shuffle the final rows to one partition
-  * and sort there — the same shape Spark itself picks for
-  * TakeOrderedAndProject.
+/** Deterministic presentation sort for gate/bench query results:
+  * shuffle the final rows to one partition and sort there — the same
+  * shape Spark itself picks for TakeOrderedAndProject.
   *
   * Why not `orderBy`: a global sort range-partitions, and the range
-  * partitioner's sampling pass re-executes the ENTIRE child plan —
-  * for a query whose upstream is the expensive part and whose result
-  * is small, that doubles the query. The heavy upstream keeps its full
-  * parallelism; only the final (small) result crosses one exchange.
+  * partitioner's sampling pass re-executes the ENTIRE child plan — for
+  * a query whose upstream is the expensive part, that runs the query
+  * twice. The heavy upstream keeps its full parallelism; only the
+  * final result crosses one exchange.
   *
-  * Use `orderBy` instead when the result itself is unbounded at scale
-  * (row-level transforms), where a single-partition sort would not
-  * survive 100 TB — there, sort as early as possible (see
-  * Parity.cdcParse) so the sampler re-executes only a cheap prefix.
+  * Scale note: this is presentation-layer scaffolding for the
+  * deterministic oracle compare (results at gate scale are ≤100k
+  * rows). The library operators themselves never impose a total order
+  * — a 100 TB pipeline writes unsorted (or range-partitions explicitly
+  * when a consumer demands global order and the 2× sampling pass is
+  * worth paying).
   */
 object Present {
   def sortSmall(df: DataFrame, cols: Column*): DataFrame =

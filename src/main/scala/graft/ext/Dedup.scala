@@ -50,7 +50,7 @@ object Dedup {
     Tables.table(spark, sfDir, "documents")
       .groupBy(md5(col("text").cast("binary")).as("content_key"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("keeper_doc_id"))
+      .transform(Present.sortSmall(_, col("keeper_doc_id")))
 
   val exactSql: String =
     """SELECT md5(text) AS content_key,
@@ -68,7 +68,7 @@ object Dedup {
     Tables.table(spark, sfDir, "documents")
       .groupBy(Text.bowKey(Text.tokens(col("text"))).as("bow_key"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("keeper_doc_id"))
+      .transform(Present.sortSmall(_, col("keeper_doc_id")))
 
   val bagOfWordsSql: String =
     s"""SELECT ${Text.bowKeySql}
@@ -152,6 +152,9 @@ object Dedup {
       // annIvf: Bench/Verify clearCache() between queries; library
       // callers own the unpersist once the result is materialized.
       .persist()
+    // eager materialization: the band self-join's two sides and the two
+    // verify joins otherwise race a cold cache and recompute signatures
+    docs.count()
     val numBands = numHashes / bandSize
     val bands = docs.select(
       col("doc_id"),

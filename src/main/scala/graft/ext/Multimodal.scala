@@ -92,7 +92,7 @@ object Multimodal {
         when(col("media_type") === "image", 1)
           .when(col("media_type") === "audio", (col("byte_len") / 64).cast("int") + 1)
           .otherwise((col("byte_len") / 256).cast("int") + 1).as("frame_count"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Present.sortSmall(_, col("doc_id")))
 
   val mediaFeaturesSql: String =
     """SELECT doc_id,
@@ -133,7 +133,7 @@ object Multimodal {
         count(lit(1)).as("frames_sampled"),
         sum(col("frame_feature")).as("feature_sum"),
         min(col("frame_feature")).as("feature_min"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Present.sortSmall(_, col("doc_id")))
   }
 
   val frameFeaturesSql: String =

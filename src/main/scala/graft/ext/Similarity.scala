@@ -209,6 +209,9 @@ object Similarity {
       // so the quadratic assignment runs once (Bench/Verify clearCache
       // between queries; library callers own the unpersist)
       .persist()
+    // eager materialization: on a cold cache the broadcast build and
+    // the probe scan otherwise race, each computing the full assignment
+    cells.count()
     val queries = cells.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
     val scored = cells.join(broadcast(queries), Seq("cent_id"))

@@ -75,7 +75,7 @@ object Text {
         regexp_count(col("text"), lit("[a-z0-9]+")).as("n_re_tokens"),
         size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"),
         length(col("text")).as("n_chars"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Present.sortSmall(_, col("doc_id")))
 
   val tokenStatsSql: String =
     """SELECT doc_id,
@@ -102,7 +102,7 @@ object Text {
           .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
           .when(col("fr_hits") > 0, "fr")
           .otherwise("und"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Present.sortSmall(_, col("doc_id")))
   }
 
   private def sqlHits(lang: String): String = {
@@ -150,7 +150,7 @@ object Text {
         round(ttr, 4).as("type_token_ratio"),
         round(stopRatio, 4).as("stopword_ratio"),
         qualityScore(t).as("quality_score"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Present.sortSmall(_, col("doc_id")))
   }
 
   val qualitySql: String =
@@ -180,7 +180,7 @@ object Text {
         col("doc_id"),
         md5(col("text").cast("binary")).as("content_md5"),
         fp.as("rolling_fp"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Present.sortSmall(_, col("doc_id")))
   }
 
   val fingerprintSql: String =

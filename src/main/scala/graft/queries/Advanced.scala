@@ -121,7 +121,7 @@ object Advanced {
         round(log(col("value") + 1), 4).as("ln_v"),
         greatest(col("value"), lit(100.0)).as("g"),
         sha2(col("event_type"), 256).as("sha"))
-      .orderBy(col("event_id"))
+      .transform(graft.Present.sortSmall(_, col("event_id")))
 
   val scalarFuncsSql: String =
     """SELECT event_id,
@@ -196,7 +196,7 @@ object Advanced {
       .filter(col("is_event") === 1)
       .select(col("event_id"), col("uid").as("user_id"), col("t").as("ts"),
         col("asof_orderkey"))
-      .orderBy(col("event_id"))
+      .transform(graft.Present.sortSmall(_, col("event_id")))
   }
 
   val asofJoinSql: String =
@@ -277,7 +277,7 @@ object Advanced {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         round(sum(col("value")), 2).as("session_value"))
-      .orderBy(col("user_id"), col("session_id"))
+      .transform(graft.Present.sortSmall(_, col("user_id"), col("session_id")))
   }
 
   val sessionizeSql: String =

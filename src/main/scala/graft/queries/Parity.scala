@@ -33,14 +33,9 @@ object Parity {
     * Timestamps ride the wire as epoch-micros longs — what Debezium
     * actually emits (io.debezium.time.MicroTimestamp), and ~15% cheaper
     * to parse than formatted strings.
-    *
-    * The deterministic sort happens BEFORE the JSON pipeline: narrow
-    * projections/filters preserve partition order, and the range
-    * partitioner's sampling pass then re-executes only the cheap scan —
-    * sorting last would run the whole to_json/from_json pyramid twice.
     */
   def cdcParse(spark: SparkSession, sfDir: String): DataFrame = {
-    val act = Tables.activities(spark, sfDir).orderBy(col("id").cast("long"))
+    val act = Tables.activities(spark, sfDir)
     val opCol = {
       val m = col("id").cast("long") % 10
       when(m === 0, "d").when(m === 1, "r").when(m === 2, "u").otherwise("c")
@@ -56,6 +51,7 @@ object Parity {
     Debezium
       .parseWire(envelope, Schemas.activity)
       .drop("processing_timestamp") // wall-clock; excluded from oracle compare
+      .transform(graft.Present.sortSmall(_, col("id").cast("long")))
   }
 
   val cdcParseSql: String = graft.Oracles.withActivities(
@@ -69,7 +65,7 @@ object Parity {
 
   /** F6-F8, F10-F13: full activity enrichment. */
   def enrichActivity(spark: SparkSession, sfDir: String): DataFrame =
-    enrichedActivities(spark, sfDir).orderBy(col("id").cast("long"))
+    graft.Present.sortSmall(enrichedActivities(spark, sfDir), col("id").cast("long"))
 
   val enrichActivitySql: String = graft.Oracles.withEnriched(
     """SELECT id, employee_id, activity_type, page_url, duration_seconds,
@@ -83,7 +79,7 @@ object Parity {
   /** F4-F5, F10-F11: employee enrichment. */
   def enrichEmployee(spark: SparkSession, sfDir: String): DataFrame =
     Enrichments.enrichEmployees(Tables.employees(spark, sfDir), fixedNow)
-      .orderBy(col("id"))
+      .transform(graft.Present.sortSmall(_, col("id")))
 
   val enrichEmployeeSql: String = graft.Oracles.withEmployees(
     """SELECT id, name, email, department, created_at,
@@ -171,7 +167,7 @@ object Parity {
         col("id"), col("employee_id"), col("activity_type"),
         col("device_category"), col("duration_seconds"))
       .join(broadcast(emp), Seq("employee_id"), "left")
-      .orderBy(col("id").cast("long"))
+      .transform(graft.Present.sortSmall(_, col("id").cast("long")))
   }
 
   // NOTE: concatenation, not interpolation+stripMargin — the CTE bodies
@@ -254,9 +250,7 @@ object Parity {
     * full row; then parsed back and verified against the oracle.
     */
   def kafkaRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    // sort BEFORE the JSON round trip (narrow ops preserve order; the
-    // range sampler then re-executes only the scan, not the round trip)
-    val act = Tables.activities(spark, sfDir).orderBy(col("id").cast("long"))
+    val act = Tables.activities(spark, sfDir)
     val allCols = act.columns.map(col).toSeq
     val wire = act.select(
       coalesce(col("employee_id").cast("string"), col("id")).as("key"),
@@ -268,6 +262,7 @@ object Parity {
       .select(col("key"), col("row.id").as("id"), col("row.activity_type").as("activity_type"),
         col("row.duration_seconds").as("duration_seconds"),
         col("row.activity_timestamp").as("activity_timestamp"))
+      .transform(graft.Present.sortSmall(_, col("id").cast("long")))
   }
 
   val kafkaRoundtripSql: String = graft.Oracles.withActivities(

@@ -200,7 +200,7 @@ object Relational {
     Tables.table(spark, sfDir, "customer")
       .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
+      .transform(Present.sortSmall(_, col("c_custkey")))
   }
 
   val antiJoinCustomersSql: String =
@@ -247,7 +247,7 @@ object Relational {
       .select(col("c_custkey"), col("c_nationkey"),
         round(col("c_acctbal"), 2).as("c_acctbal"),
         round(col("nation_avg"), 4).as("nation_avg"))
-      .orderBy(col("c_custkey"))
+      .transform(Present.sortSmall(_, col("c_custkey")))
   }
 
   val aboveNationAvgCustomersSql: String =
@@ -270,7 +270,7 @@ object Relational {
     val highValue = Tables.table(spark, sfDir, "orders")
       .filter(col("o_totalprice") > 250000)
       .select(col("o_custkey").as("c_custkey"))
-    building.intersect(highValue).orderBy(col("c_custkey"))
+    Present.sortSmall(building.intersect(highValue), col("c_custkey"))
   }
 
   val intersectCustomersSql: String =
@@ -288,7 +288,7 @@ object Relational {
     val highValue = Tables.table(spark, sfDir, "orders")
       .filter(col("o_totalprice") > 250000)
       .select(col("o_custkey").as("c_custkey"))
-    building.except(highValue).orderBy(col("c_custkey"))
+    Present.sortSmall(building.except(highValue), col("c_custkey"))
   }
 
   val exceptCustomersSql: String =
