@@ -49,6 +49,11 @@ object SparkEntry {
     "q_percentiles" -> (Advanced.percentiles _),
     "q_pivot" -> (Advanced.pivotEvents _),
     "q_sessionize" -> (Advanced.sessionize _),
+    "q_session_window" -> (Advanced.sessionWindow _),
+    "q_sliding_window" -> (Advanced.slidingWindow _),
+    "q_scd2_intervals" -> (Advanced.scd2Intervals _),
+    "q_interval_join" -> (Advanced.intervalJoin _),
+    "q_grouping_sets" -> (Relational.groupingSetsOrders _),
     "x_exact_distinct" -> (Advanced.exactDistinct _),
     "x_bounded_pages" -> (Advanced.boundedPages _),
     "x_token_freq" -> (Advanced.tokenFreq _),
@@ -69,6 +74,7 @@ object SparkEntry {
     "x_embedding_pairs" -> (ext.Similarity.embeddingPairs _),
     "x_ann_lsh" -> (ext.Similarity.annLsh _),
     "x_ann_ivf" -> (ext.Similarity.annIvf _),
+    "x_dedup_embedding" -> (ext.Similarity.dedupByEmbedding _),
     // —— training-data extensions: multimodal ——
     "x_media_features" -> (ext.Multimodal.mediaFeatures _),
     "x_media_frames" -> (ext.Multimodal.frameFeatures _)
@@ -107,6 +113,11 @@ object SparkEntry {
     "q_percentiles" -> Advanced.percentilesSql,
     "q_pivot" -> Advanced.pivotEventsSql,
     "q_sessionize" -> Advanced.sessionizeSql,
+    "q_session_window" -> Advanced.sessionWindowSql,
+    "q_sliding_window" -> Advanced.slidingWindowSql,
+    "q_scd2_intervals" -> Advanced.scd2IntervalsSql,
+    "q_interval_join" -> Advanced.intervalJoinSql,
+    "q_grouping_sets" -> Relational.groupingSetsOrdersSql,
     "x_exact_distinct" -> Advanced.exactDistinctSql,
     "x_bounded_pages" -> Advanced.boundedPagesSql,
     "x_token_freq" -> Advanced.tokenFreqSql,
@@ -124,6 +135,7 @@ object SparkEntry {
     "x_embedding_pairs" -> ext.Similarity.embeddingPairsSql,
     "x_ann_lsh" -> ext.Similarity.annLshSql,
     "x_ann_ivf" -> ext.Similarity.annIvfSql,
+    "x_dedup_embedding" -> ext.Similarity.dedupByEmbeddingSql,
     "x_media_features" -> ext.Multimodal.mediaFeaturesSql,
     "x_media_frames" -> ext.Multimodal.frameFeaturesSql
   )

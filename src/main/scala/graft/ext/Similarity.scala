@@ -126,6 +126,46 @@ object Similarity {
        |  AND round(${cosineSql("a.embedding", "b.embedding")}, 4) >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Embedding-cosine near-dup DEDUP decision layer: every vector that
+    * has a neighbor with a smaller id at sim ≥ 0.4 is a duplicate; its
+    * keeper is the smallest such neighbor. Naive all-pairs baseline,
+    * capped at vec_id < 2000 like the n-gram Jaccard baseline — the
+    * LSH/IVF bucketing above is the 100 TB candidate-generation path.
+    */
+  def dedupByEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    Present.sortSmall(
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+        .filter(col("sim") >= 0.4)
+        .groupBy(col("vec_b").as("dup_id"))
+        .agg(
+          min(col("vec_a")).as("keeper_id"),
+          count(lit(1)).as("n_near_dups"),
+          max(col("sim")).as("best_sim")),
+      col("dup_id"))
+  }
+
+  val dedupByEmbeddingSql: String =
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         round(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000
+       |    AND round(${cosineSql("a.embedding", "b.embedding")}, 4) >= 0.4)
+       |SELECT vec_b AS dup_id,
+       |       min(vec_a) AS keeper_id,
+       |       count(*) AS n_near_dups,
+       |       max(sim) AS best_sim
+       |FROM pairs
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   // ——— LSH-bucketed ANN ———
 
   /** Literal ±1 array column for plane p. */

@@ -280,6 +280,158 @@ object Advanced {
       .transform(graft.Present.sortSmall(_, col("user_id"), col("session_id")))
   }
 
+  /** Native session windows in BATCH (ST5 extension, declarative twin of
+    * the gaps-and-islands formulation): `session_window(ts, gap)` merges
+    * an event into the session while it lands strictly inside
+    * [start, last + gap); session end = last event + gap. One shuffle on
+    * (session, employee) after Spark's internal session merge.
+    */
+  def sessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.activities(spark, sfDir)
+      .groupBy(
+        session_window(col("activity_timestamp"), "30 minutes"),
+        col("employee_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("duration_seconds")).as("total_duration"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("employee_id"), col("n_events"), col("total_duration"))
+      .transform(graft.Present.sortSmall(_, col("employee_id"), col("session_start")))
+
+  // new session when the inactivity gap is >= 30 min (session_window
+  // merges strictly-inside events only); session_end = last + gap
+  val sessionWindowSql: String = Oracles.withActivities(
+    """SELECT min(activity_timestamp) AS session_start,
+      |       max(activity_timestamp) + INTERVAL 30 MINUTE AS session_end,
+      |       employee_id,
+      |       count(*) AS n_events,
+      |       CAST(sum(duration_seconds) AS BIGINT) AS total_duration
+      |FROM (
+      |  SELECT *,
+      |         -- named sess_no: the activities CTE already carries a
+      |         -- session_id column, which the GROUP BY would bind to
+      |         CAST(sum(new_session) OVER (PARTITION BY employee_id
+      |           ORDER BY activity_timestamp, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS sess_no
+      |  FROM (
+      |    SELECT *,
+      |           CASE WHEN lag(activity_timestamp) OVER w IS NULL
+      |                 OR epoch_us(activity_timestamp)
+      |                    - epoch_us(lag(activity_timestamp) OVER w)
+      |                    >= 30*60*1000000
+      |                THEN 1 ELSE 0 END AS new_session
+      |    FROM activities
+      |    WINDOW w AS (PARTITION BY employee_id
+      |                 ORDER BY activity_timestamp, event_id)))
+      |GROUP BY employee_id, sess_no
+      |ORDER BY employee_id, session_start""".stripMargin)
+
+  /** Sliding (hopping) windows: 1-hour windows every 30 minutes — each
+    * event lands in exactly two windows. `window(ts, len, slide)` is the
+    * streaming-compatible form; in batch it compiles to an explode over
+    * the window starts followed by one hash aggregation.
+    */
+  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.activities(spark, sfDir)
+      .groupBy(
+        window(col("activity_timestamp"), "1 hour", "30 minutes"),
+        col("activity_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("duration_seconds")).as("total_duration"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("activity_type"), col("n_events"), col("total_duration"))
+      .transform(graft.Present.sortSmall(_, col("window_start"), col("activity_type")))
+
+  // the two 30-min-aligned starts covering each event: bucket(ts) - k·30'
+  val slidingWindowSql: String = Oracles.withActivities(
+    """SELECT window_start,
+      |       window_start + INTERVAL 1 HOUR AS window_end,
+      |       activity_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(duration_seconds) AS BIGINT) AS total_duration
+      |FROM (
+      |  SELECT a.*,
+      |         time_bucket(INTERVAL '30 minutes', activity_timestamp)
+      |           - to_minutes(30 * k) AS window_start
+      |  FROM activities a CROSS JOIN (SELECT unnest([0, 1]) AS k))
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 3""".stripMargin)
+
+  /** SCD2 interval build (lead/lag window functions): each activity row
+    * becomes a version with [valid_from, valid_to) closed by the next
+    * version's timestamp; the latest version per employee stays open.
+    * The at-rest shape a CDC upsert sink needs for history tables.
+    */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byEmp = Window.partitionBy(col("employee_id"))
+      .orderBy(col("activity_timestamp"), col("id").cast("long"))
+    Tables.activities(spark, sfDir)
+      .select(col("id"), col("employee_id"), col("duration_seconds"),
+        col("activity_timestamp"))
+      .withColumn("valid_from", col("activity_timestamp"))
+      .withColumn("valid_to", lead(col("activity_timestamp"), 1).over(byEmp))
+      .withColumn("prev_duration", lag(col("duration_seconds"), 1).over(byEmp))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("employee_id"), col("id"), col("valid_from"), col("valid_to"),
+        col("prev_duration"), col("is_current"))
+      .transform(graft.Present.sortSmall(_,
+        col("employee_id"), col("valid_from"), col("id").cast("long")))
+  }
+
+  val scd2IntervalsSql: String = Oracles.withActivities(
+    """SELECT employee_id, id,
+      |       activity_timestamp AS valid_from,
+      |       lead(activity_timestamp) OVER w AS valid_to,
+      |       lag(duration_seconds) OVER w AS prev_duration,
+      |       lead(activity_timestamp) OVER w IS NULL AS is_current
+      |FROM activities
+      |WINDOW w AS (PARTITION BY employee_id ORDER BY activity_timestamp, event_id)
+      |ORDER BY employee_id, valid_from, event_id""".stripMargin)
+
+  /** Interval (range) self-join: same-user event pairs at most 1 second
+    * apart — the burst/duplicate-click detection shape. Scales via
+    * 1-second bucket banding: the earlier event probes its own and the
+    * next bucket, so the equi-join on (user, bucket) sees only
+    * co-located candidates and the quadratic pair space never
+    * materializes (same blocking idea as SimHash chunks / LSH bands).
+    */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+    val earlier = ev.select(
+      col("event_id").as("first_event"), col("user_id"), col("t").as("ta"),
+      explode(array(expr("t div 1000000"), expr("t div 1000000") + 1)).as("bkt"))
+    val later = ev.select(
+      col("event_id").as("second_event"), col("user_id"), col("t").as("tb"),
+      expr("t div 1000000").as("bkt"))
+    earlier.join(later, Seq("user_id", "bkt"))
+      .filter(
+        col("tb") >= col("ta") && col("tb") - col("ta") <= 1000000L &&
+          (col("tb") > col("ta") || col("second_event") > col("first_event")))
+      .select(col("first_event"), col("second_event"), col("user_id"),
+        (col("tb") - col("ta")).as("gap_us"))
+      .transform(graft.Present.sortSmall(_, col("first_event"), col("second_event")))
+  }
+
+  /** Oracle: the naive quadratic formulation (ground truth the banding
+    * must reproduce exactly).
+    */
+  val intervalJoinSql: String =
+    """SELECT a.event_id AS first_event, b.event_id AS second_event, a.user_id,
+      |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |WHERE epoch_us(b.ts) >= epoch_us(a.ts)
+      |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 1000000
+      |  AND (epoch_us(b.ts) > epoch_us(a.ts) OR b.event_id > a.event_id)
+      |ORDER BY first_event, second_event""".stripMargin
+
   val sessionizeSql: String =
     """WITH marked AS (
       |  SELECT *,

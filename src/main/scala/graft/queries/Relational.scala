@@ -322,6 +322,37 @@ object Relational {
       |  AND l_discount BETWEEN 0.02 AND 0.09
       |  AND l_quantity < 24""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * an arbitrary, non-hierarchical set list — (status, priority),
+    * (priority), () — via the SQL surface. One expand + one hash
+    * aggregation, same as rollup/cube.
+    */
+  def groupingSetsOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.table(spark, sfDir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       round(sum(o_totalprice), 2) AS total_price,
+        |       count(*) AS n_orders,
+        |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())""".stripMargin)
+      .transform(Present.sortSmall(_, col("g_status"), col("g_priority"),
+        col("o_orderstatus"), col("o_orderpriority")))
+  }
+
+  val groupingSetsOrdersSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       round(sum(o_totalprice), 2) AS total_price,
+      |       count(*) AS n_orders,
+      |       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+      |       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderpriority), ())
+      |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin
+
   /** Cube: the full grouping-sets family (rollup above, cube here) —
     * totals over every subset of (status, priority).
     */
