@@ -97,7 +97,10 @@ object Dedup {
       .select(col("doc_id"),
         hashed_shingle_set(Text.tokens(col("text"))).as("hs"))
       .withColumn("n", size(col("hs")))
-    val a = docs.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na"))
+    // re-split the single-file scan so the pair loop parallelizes (see
+    // Similarity.embeddingPairs)
+    val a = docs.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na"))
     val b = docs.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n").as("nb"))
     val inter = sorted_intersect_count(col("ha"), col("hb")).cast("double")
     // threshold in the join condition: only passing pairs are copied

@@ -66,7 +66,10 @@ object Similarity {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    // re-split the single-file scan: the corpus streams through the
+    // broadcast loop, so its partition count IS the parallelism
+    val corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 4))
     import org.apache.spark.sql.expressions.Window
@@ -105,7 +108,11 @@ object Similarity {
     val emb = Tables.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
+    // the corpus parquet is one small file = ONE input partition; the
+    // nested-loop probe side must be re-split or the whole O(n²) pair
+    // loop runs on a single core
+    val a = emb.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb"))
     // sim is computed in a codegen'd Project ABOVE the join, not in the
     // join condition — BNLJ evaluates its condition with the interpreted
@@ -137,17 +144,27 @@ object Similarity {
       .filter(col("vec_id") < 2000)
       .select(col("vec_id"), col("embedding"),
         sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
+    // re-split the single-file scan so the pair loop parallelizes (see
+    // embeddingPairs)
+    val a = emb.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    // the threshold lives in CONDITIONAL AGGREGATES, not a filter: a
+    // post-join filter on sim gets pushed into the nested-loop join
+    // condition, where the 64-wide dot runs on the interpreted row path
+    // for every ordered pair — measured 2.5× slower than streaming all
+    // pairs through the codegen'd projection below
+    val passingA = when(col("sim") >= 0.4, col("vec_a"))
     Present.sortSmall(
       a.join(b, col("vec_a") < col("vec_b"))
         .withColumn("sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-        .filter(col("sim") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("sim"))
         .groupBy(col("vec_b").as("dup_id"))
         .agg(
-          min(col("vec_a")).as("keeper_id"),
-          count(lit(1)).as("n_near_dups"),
-          max(col("sim")).as("best_sim")),
+          min(passingA).as("keeper_id"),
+          count(passingA).as("n_near_dups"),
+          max(when(col("sim") >= 0.4, col("sim"))).as("best_sim"))
+        .filter(col("n_near_dups") > 0),
       col("dup_id"))
   }
 
@@ -187,7 +204,8 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bkt"))
-    val scored = emb.join(broadcast(queries), Seq("bkt"))
+    val scored = emb.repartition(spark.sparkContext.defaultParallelism)
+      .join(broadcast(queries), Seq("bkt"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qv"), col("embedding")), 4))
     import org.apache.spark.sql.expressions.Window
