@@ -92,22 +92,47 @@ object Debezium {
   // payload carries numeric timestamps). Parsing longs also skips the
   // per-value DateTimeFormatter work of a string timestamp format.
 
+  /** True when a (possibly nested) type contains a timestamp. */
+  private def containsTimestamp(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case TimestampType => true
+    case s: StructType => s.fields.exists(f => containsTimestamp(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => containsTimestamp(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      containsTimestamp(m.keyType) || containsTimestamp(m.valueType)
+    case _ => false
+  }
+
+  /** The micros-wire conversion handles TOP-LEVEL timestamp fields only;
+    * a timestamp buried in a nested struct/array/map would silently
+    * null out on parse (long vs timestamp mismatch) — fail fast instead.
+    */
+  private def requireFlatTimestamps(rowSchema: StructType): Unit =
+    rowSchema.fields.foreach { f =>
+      require(f.dataType == TimestampType || !containsTimestamp(f.dataType),
+        s"micros-wire conversion supports top-level timestamps only; " +
+          s"field '${f.name}' nests one inside ${f.dataType.simpleString}")
+    }
+
   /** Wire form of a declared row schema: TimestampType → LongType
     * (epoch micros), everything else unchanged.
     */
-  def wireSchema(rowSchema: StructType): StructType =
+  def wireSchema(rowSchema: StructType): StructType = {
+    requireFlatTimestamps(rowSchema)
     StructType(rowSchema.fields.map { f =>
       if (f.dataType == TimestampType) f.copy(dataType = LongType) else f
     })
+  }
 
   /** Projection serializing a logical row to its wire form (for fixture
     * generators / the Kafka producer side): timestamps → epoch micros.
     */
-  def toWireCols(rowSchema: StructType): Seq[Column] =
+  def toWireCols(rowSchema: StructType): Seq[Column] = {
+    requireFlatTimestamps(rowSchema)
     rowSchema.fields.toSeq.map { f =>
       if (f.dataType == TimestampType) unix_micros(col(f.name)).as(f.name)
       else col(f.name)
     }
+  }
 
   /** Full pipeline over the epoch-micros wire: envelope parse → op
     * filter → row extraction against [[wireSchema]] → restore

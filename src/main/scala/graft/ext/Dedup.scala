@@ -103,8 +103,11 @@ object Dedup {
       .select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na"))
     val b = docs.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n").as("nb"))
     val inter = sorted_intersect_count(col("ha"), col("hb")).cast("double")
-    // threshold in the join condition: only passing pairs are copied
-    // out of the nested loop (see Similarity.embeddingPairs)
+    // the threshold lands in the BNLJ join condition either way (a
+    // post-join filter gets pushed there by the optimizer): the merge
+    // scan runs on the interpreted row path per pair, but only passing
+    // pairs are copied out of the loop — acceptable for this capped
+    // baseline; MinHash-LSH below is the scale path
     val jac = round(inter / (col("na") + col("nb") - inter), 4)
     Present.sortSmall(
       a.join(b, col("doc_a") < col("doc_b") && jac >= 0.6)

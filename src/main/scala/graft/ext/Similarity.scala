@@ -114,9 +114,12 @@ object Similarity {
     val a = emb.repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb"))
-    // sim is computed in a codegen'd Project ABOVE the join, not in the
-    // join condition — BNLJ evaluates its condition with the interpreted
-    // row path, which is measurably slower for the 64-wide dot
+    // NOTE: the optimizer pushes the sim filter below into the BNLJ
+    // join condition, so the dot runs on the interpreted row path per
+    // ordered pair. For a PAIR-VALUED result there is no clean way to
+    // keep it out (dedupByEmbedding's conditional-aggregate trick needs
+    // an aggregated output); measured acceptable at this scale once the
+    // probe side is properly parallelized.
     Present.sortSmall(
       a.join(b, col("vec_a") < col("vec_b"))
         .withColumn("sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))

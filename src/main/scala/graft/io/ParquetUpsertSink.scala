@@ -55,7 +55,10 @@ final case class ParquetUpsertSink(
 
   // per-sink-instance token in the staging dir name: batch ids restart
   // per query, so two queries upserting the SAME table path must not
-  // share (and finally-delete) each other's staging dirs
+  // share (and finally-delete) each other's staging dirs. The flip side
+  // is that a crashed run's staging dirs carry a dead token and are
+  // never reused — reclaim them with [[ParquetUpsertSink.sweepStaging]]
+  // at (re)deploy time, when no writer is active on the path.
   private val stagingToken: String = java.util.UUID.randomUUID().toString.take(8)
 
   /** Directory-name form of a partition value (Hive escaping — the same
@@ -151,5 +154,24 @@ final case class ParquetUpsertSink(
     } else {
       writeFinal(merged)
     }
+  }
+}
+
+object ParquetUpsertSink {
+
+  /** Delete staging dirs orphaned by crashed runs (`<path>__staging_*`).
+    * Call while NO writer is active on `path` — typically right before
+    * (re)starting the streaming query; a live writer's in-flight staging
+    * dir is indistinguishable from an orphan.
+    */
+  def sweepStaging(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = p.getParent
+    if (parent == null || !fs.exists(parent)) return 0
+    val prefix = s"${p.getName}__staging_"
+    val orphans = fs.listStatus(parent).filter(_.getPath.getName.startsWith(prefix))
+    orphans.foreach(st => fs.delete(st.getPath, true))
+    orphans.length
   }
 }

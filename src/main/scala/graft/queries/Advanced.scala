@@ -61,7 +61,10 @@ object Advanced {
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))
-      .transform(graft.Present.sortSmall(_, col("freq").desc, col("token")))
+      // orderBy+limit compiles to TakeOrderedAndProject (per-partition
+      // top-k heaps, no sampling pass) — strictly better than a
+      // presentation sort for an unbounded distinct-token domain
+      .orderBy(col("freq").desc, col("token"))
       .limit(100)
 
   val tokenFreqSql: String =

@@ -83,14 +83,26 @@ object Stateful {
             // than a gap EARLIER than the open session's start belong to
             // a separate, earlier session (the batch twin's
             // gaps-and-islands would never merge them). They chain among
-            // themselves and are emitted closed at batch end — they can
-            // never bridge into `cur` because every member is > gap
-            // before cur.start by construction.
+            // themselves; if a later in-batch event widens the open
+            // session's start back to within a gap of the chain, the
+            // chain merges into the session (bridged), otherwise it is
+            // emitted closed at batch end.
             var early = Option.empty[SessionState]
             def flushEarly(): Unit = early.foreach { es =>
               closed ::= SessionResult(employeeId,
                 new Timestamp(es.start), new Timestamp(es.lastSeen), es.events, es.totalDuration)
               early = None
+            }
+            // a widened cur.start may come within gap of the early
+            // chain: gaps-and-islands ground truth then has ONE session
+            def bridgeEarly(): Unit = (early, cur) match {
+              case (Some(es), Some(s)) if s.start - es.lastSeen <= gapMillis =>
+                cur = Some(s.copy(
+                  start = math.min(s.start, es.start),
+                  events = s.events + es.events,
+                  totalDuration = s.totalDuration + es.totalDuration))
+                early = None
+              case _ => ()
             }
             sorted.foreach { e =>
               val t = e.activity_timestamp.getTime
@@ -116,6 +128,7 @@ object Stateful {
                     lastSeen = math.max(s.lastSeen, t),
                     events = s.events + 1,
                     totalDuration = s.totalDuration + e.duration_seconds))
+                  if (t < s.start) bridgeEarly()
                 case Some(s) =>
                   closed ::= SessionResult(employeeId,
                     new Timestamp(s.start), new Timestamp(s.lastSeen), s.events, s.totalDuration)

@@ -118,6 +118,35 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: straggler chain bridges into the session when a widening event connects them") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ActivityEvent]
+    val q = Stateful.sessionize(spark, mem.toDS(), withTimeout = false)
+      .writeStream.format("memory").queryName("sessionize_bridge")
+      .outputMode("append").start()
+    try {
+      mem.addData(ActivityEvent(5, "a", ts("2025-01-02 12:00:00"), 10))
+      q.processAllAvailable()
+      // 11:50 and 11:54 are > gap (5 min) before start=12:00 → early
+      // chain; 11:56 widens the session start to 11:56, which is within
+      // gap of the chain's 11:54 — gaps (4/2/4 min) make ONE session
+      mem.addData(
+        ActivityEvent(5, "s1", ts("2025-01-02 11:50:00"), 1),
+        ActivityEvent(5, "s2", ts("2025-01-02 11:54:00"), 2),
+        ActivityEvent(5, "s3", ts("2025-01-02 11:56:00"), 4))
+      q.processAllAvailable()
+      assert(spark.table("sessionize_bridge").count() == 0) // nothing closed
+      mem.addData(ActivityEvent(5, "d", ts("2025-01-02 13:00:00"), 1))
+      q.processAllAvailable()
+      val rows = spark.table("sessionize_bridge").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[java.sql.Timestamp]("session_start") == ts("2025-01-02 11:50:00"))
+      assert(rows(0).getAs[java.sql.Timestamp]("session_end") == ts("2025-01-02 12:00:00"))
+      assert(rows(0).getAs[Int]("n_events") == 4)
+      assert(rows(0).getAs[Long]("total_duration") == 17L)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes repeats of the same record key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ActivityEvent]
