@@ -94,6 +94,26 @@ class ActivityAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding windows: each event lands in exactly two 1h/30min windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Act]
+    val q = mem.toDF()
+      .withWatermark("activity_timestamp", "2 hours")
+      .groupBy(window(col("activity_timestamp"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(fixture.head) // 10:05:00
+      q.processAllAvailable()
+      val rows = spark.table("sliding_test").orderBy(col("ws")).collect()
+      assert(rows.map(_.getAs[Timestamp]("ws")).toSeq ==
+        Seq(ts("2025-01-02 09:30:00"), ts("2025-01-02 10:00:00")))
+      assert(rows.forall(_.getAs[Long]("n") == 1))
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the delay behind max event time") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Act]
