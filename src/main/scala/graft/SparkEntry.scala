@@ -54,6 +54,8 @@ object SparkEntry {
     "q_scd2_intervals" -> (Advanced.scd2Intervals _),
     "q_interval_join" -> (Advanced.intervalJoin _),
     "q_grouping_sets" -> (Relational.groupingSetsOrders _),
+    "q_posexplode" -> (Advanced.posexplodeTokens _),
+    "q_collection_funcs" -> (Advanced.collectionFuncs _),
     "x_exact_distinct" -> (Advanced.exactDistinct _),
     "x_bounded_pages" -> (Advanced.boundedPages _),
     "x_token_freq" -> (Advanced.tokenFreq _),
@@ -118,6 +120,8 @@ object SparkEntry {
     "q_scd2_intervals" -> Advanced.scd2IntervalsSql,
     "q_interval_join" -> Advanced.intervalJoinSql,
     "q_grouping_sets" -> Relational.groupingSetsOrdersSql,
+    "q_posexplode" -> Advanced.posexplodeTokensSql,
+    "q_collection_funcs" -> Advanced.collectionFuncsSql,
     "x_exact_distinct" -> Advanced.exactDistinctSql,
     "x_bounded_pages" -> Advanced.boundedPagesSql,
     "x_token_freq" -> Advanced.tokenFreqSql,

@@ -74,6 +74,61 @@ object Advanced {
       |ORDER BY freq DESC, token
       |LIMIT 100""".stripMargin
 
+  /** Generator (UDTF-family) coverage: posexplode — each document's
+    * first five tokens with their positions. The generate runs inside
+    * the scan stage (no shuffle); the position bound prunes the blowup.
+    */
+  def posexplodeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("pos") < 5)
+      .transform(graft.Present.sortSmall(_, col("doc_id"), col("pos")))
+
+  val posexplodeTokensSql: String =
+    """SELECT doc_id, CAST(pos AS INTEGER) AS pos, toks[pos + 1] AS token
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |CROSS JOIN (SELECT unnest(range(0, 5)) AS pos)
+      |WHERE pos < len(toks)
+      |ORDER BY doc_id, pos""".stripMargin
+
+  /** Map/array (collection) function breadth: construct a map, probe it
+    * (element_at / map_keys), and run array surgery (slice, sort_array,
+    * array_contains, array_position) over the tokenized page path — all
+    * codegen'd built-ins, checked value-by-value by the oracle.
+    */
+  def collectionFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = map(
+      lit("dur"), col("duration_seconds").cast("string"),
+      lit("dev"), col("device_type"))
+    val parts = split(col("page_url"), "/")
+    Tables.activities(spark, sfDir)
+      .select(
+        col("id"),
+        element_at(m, "dur").as("m_dur"),
+        size(map_keys(m)).as("n_keys"),
+        array_join(sort_array(parts), "|").as("sorted_parts"),
+        element_at(parts, -1).as("last_part"),
+        array_contains(parts, "page").as("has_page"),
+        array_position(parts, "page").cast("int").as("page_pos"),
+        size(array_distinct(parts)).as("n_distinct_parts"))
+      .transform(graft.Present.sortSmall(_, col("id").cast("long")))
+  }
+
+  val collectionFuncsSql: String = Oracles.withActivities(
+    """SELECT id,
+      |       CAST(duration_seconds AS VARCHAR) AS m_dur,
+      |       2 AS n_keys,
+      |       array_to_string(list_sort(string_split(page_url, '/')), '|')
+      |         AS sorted_parts,
+      |       string_split(page_url, '/')[-1] AS last_part,
+      |       list_contains(string_split(page_url, '/'), 'page') AS has_page,
+      |       CAST(list_position(string_split(page_url, '/'), 'page') AS INTEGER)
+      |         AS page_pos,
+      |       CAST(len(list_distinct(string_split(page_url, '/'))) AS INTEGER)
+      |         AS n_distinct_parts
+      |FROM activities
+      |ORDER BY event_id""".stripMargin)
+
   /** Skew-mitigated join: the fact side's hot keys are spread over
     * `saltFactor` sub-keys; the dimension side is exploded ×saltFactor
     * so every sub-key still matches. Same result as the unsalted join —

@@ -38,4 +38,31 @@ class StreamJoinSpec extends SparkSpec {
       assert(rows.find(_.getAs[String]("id") == "a1").get.getAs[String]("name") == "Alice")
     } finally q.stop()
   }
+
+  test("stream-static broadcast join enriches the stream without state or watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // tuples, not the Emp case class: nested suite classes can't be
+    // encoded by createDataset (no outer scope)
+    val static = Seq(
+      (1, "Alice", "Technical"),
+      (2, "Bob", "Business"))
+      .toDF("employee_id", "name", "department_category")
+    val actMem = MemoryStream[Act]
+    val joined = actMem.toDF()
+      .join(broadcast(static), Seq("employee_id"), "left")
+      .select(col("id"), col("employee_id"), col("name"), col("department_category"))
+    val q = joined.writeStream.format("memory").queryName("stream_static")
+      .outputMode("append").start()
+    try {
+      actMem.addData(
+        Act("a1", 1, "login", "/l", 5, ts("2025-01-02 10:00:00"), "mobile"),
+        Act("a2", 3, "view", "/v", 7, ts("2025-01-02 10:40:00"), "mobile")) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("stream_static").orderBy(col("id")).collect()
+      assert(rows.length == 2) // left join: unmatched stream rows survive
+      assert(rows(0).getAs[String]("name") == "Alice")
+      assert(rows(1).getAs[String]("name") == null)
+    } finally q.stop()
+  }
 }
