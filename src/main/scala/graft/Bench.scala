@@ -8,8 +8,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt)
     // warm the JVM/codegen once so per-query numbers measure the engine,
-    // not first-call classloading
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
+    // not first-call classloading (alphabetically-first query: Map
+    // iteration order would make the warmup — and the first timed
+    // query's cold penalty — vary run to run)
+    SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

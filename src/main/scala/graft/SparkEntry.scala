@@ -41,6 +41,7 @@ object SparkEntry {
     "q_intersect" -> (Relational.intersectCustomers _),
     "q_except" -> (Relational.exceptCustomers _),
     "q_sql_q6" -> (Relational.sqlRevenueForecast _),
+    "q_sort_merge_join" -> (Relational.sortMergeJoin _),
     "q_cube" -> (Relational.cubeOrders _),
     "q_skew_salted" -> (Advanced.saltedJoin _),
     "q_scalar_funcs" -> (Advanced.scalarFuncs _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "q_intersect" -> Relational.intersectCustomersSql,
     "q_except" -> Relational.exceptCustomersSql,
     "q_sql_q6" -> Relational.sqlRevenueForecastSql,
+    "q_sort_merge_join" -> Relational.sortMergeJoinSql,
     "q_cube" -> Relational.cubeOrdersSql,
     "q_skew_salted" -> Advanced.saltedJoinSql,
     "q_scalar_funcs" -> Advanced.scalarFuncsSql,

@@ -322,6 +322,37 @@ object Relational {
       |  AND l_discount BETWEEN 0.02 AND 0.09
       |  AND l_quantity < 24""".stripMargin
 
+  /** Sort-merge join (the third join strategy next to broadcast-hash and
+    * shuffle-hash): forced via the MERGE hint — both sides exchange on
+    * the key and merge sorted runs. The right default when BOTH sides
+    * are too large to broadcast or hash-build; per-partition memory is
+    * O(1) instead of a hash table.
+    */
+  def sortMergeJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .hint("merge")
+      .join(
+        Tables.table(spark, sfDir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("order_year"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("urgent_revenue"),
+        count(lit(1)).as("n_items"))
+      .transform(Present.sortSmall(_, col("order_year")))
+
+  val sortMergeJoinSql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS urgent_revenue,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Explicit GROUPING SETS (the general form rollup/cube specialize):
     * an arbitrary, non-hierarchical set list — (status, priority),
     * (priority), () — via the SQL surface. One expand + one hash

@@ -132,4 +132,18 @@ class ParquetUpsertSinkSpec extends SparkSpec {
     val rows = spark.read.parquet(dir).select("id").as[Int].collect().toSeq
     assert(rows == Seq(2)) // escaped-partition rows are really gone
   }
+
+  test("sweepStaging reclaims orphaned staging dirs and leaves the table intact") {
+    val root = Files.createTempDirectory("upsert8").toString
+    val dir = root + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    sink.upsert(Seq(Rec(1, "a", 10, "p1")).toDF(), 0)
+    // simulate a crashed run's leftover staging dirs (dead tokens)
+    Files.createDirectories(java.nio.file.Paths.get(s"${dir}__staging_deadbeef_3"))
+    Files.createDirectories(java.nio.file.Paths.get(s"${dir}__staging_cafe01_7"))
+    assert(ParquetUpsertSink.sweepStaging(spark, dir) == 2)
+    assert(!Files.exists(java.nio.file.Paths.get(s"${dir}__staging_deadbeef_3")))
+    assert(spark.read.parquet(dir).count() == 1) // table untouched
+    assert(ParquetUpsertSink.sweepStaging(spark, dir) == 0) // idempotent
+  }
 }
