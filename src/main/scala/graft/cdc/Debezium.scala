@@ -137,12 +137,24 @@ object Debezium {
   /** Full pipeline over the epoch-micros wire: envelope parse → op
     * filter → row extraction against [[wireSchema]] → restore
     * TimestampType columns from their micros longs.
+    *
+    * `headerOpCol`: name of a wire column carrying the CDC op OUTSIDE
+    * the JSON value — what Debezium's standard ExtractNewRecordState
+    * SMT emits with `add.headers=op`. When present, dropped records are
+    * filtered before ANY JSON parse (the predicate pushes to the scan);
+    * without it the op filter's pushed-down form re-derives the op from
+    * the envelope, parsing the JSON a second time per input row.
     */
   def parseWire(
       raw: DataFrame,
       rowSchema: StructType,
-      structAlias: String = "row"): DataFrame = {
-    val extracted = extractRows(filterOps(parseEnvelope(raw)), wireSchema(rowSchema), structAlias)
+      structAlias: String = "row",
+      headerOpCol: Option[String] = None): DataFrame = {
+    val filtered = headerOpCol match {
+      case Some(h) => parseEnvelope(raw.filter(col(h).isin(keptOps: _*)))
+      case None => filterOps(parseEnvelope(raw))
+    }
+    val extracted = extractRows(filtered, wireSchema(rowSchema), structAlias)
     val restored = rowSchema.fields.toSeq.map { f =>
       if (f.dataType == TimestampType) timestamp_micros(col(f.name)).as(f.name)
       else col(f.name)

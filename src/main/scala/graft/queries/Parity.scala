@@ -32,7 +32,9 @@ object Parity {
     *
     * Timestamps ride the wire as epoch-micros longs — what Debezium
     * actually emits (io.debezium.time.MicroTimestamp), and ~15% cheaper
-    * to parse than formatted strings.
+    * to parse than formatted strings. The op also rides as a wire
+    * header column (Debezium SMT `add.headers=op`), so the engine
+    * filters dropped records before parsing any JSON.
     */
   def cdcParse(spark: SparkSession, sfDir: String): DataFrame = {
     val act = Tables.activities(spark, sfDir)
@@ -41,6 +43,7 @@ object Parity {
       when(m === 0, "d").when(m === 1, "r").when(m === 2, "u").otherwise("c")
     }
     val envelope = act.select(
+      opCol.as("op_header"),
       to_json(
         struct(
           struct(
@@ -49,7 +52,7 @@ object Parity {
             unix_millis(col("activity_timestamp")).as("ts_ms")
           ).as("payload"))).as("value"))
     Debezium
-      .parseWire(envelope, Schemas.activity)
+      .parseWire(envelope, Schemas.activity, headerOpCol = Some("op_header"))
       .drop("processing_timestamp") // wall-clock; excluded from oracle compare
       .transform(graft.Present.sortSmall(_, col("id").cast("long")))
   }
