@@ -226,6 +226,9 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = simhashes(spark, sfDir).cache()
+    // eager materialization: the self-join's two sides otherwise race a
+    // cold cache and each compute the signatures (see minhashLsh)
+    sh.count()
     val chunkBits = simhashBits / numChunks
     val chunked = sh.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(numChunks - 1))).as("chunk"))
