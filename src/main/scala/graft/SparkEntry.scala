@@ -66,6 +66,10 @@ object SparkEntry {
     "x_quality" -> (ext.Text.quality _),
     "x_fingerprint" -> (ext.Text.fingerprint _),
     "x_pipeline_sample" -> (ext.Text.pipelineSample _),
+    "x_stratified_sample" -> (ext.Text.stratifiedSample _),
+    "x_pack_sequences" -> (ext.Text.packSequences _),
+    "x_redact" -> (ext.Text.redact _),
+    "x_decontaminate" -> (ext.Dedup.decontaminate _),
     // —— training-data extensions: dedup ——
     "x_dedup_exact" -> (ext.Dedup.exact _),
     "x_dedup_bow" -> (ext.Dedup.bagOfWords _),
@@ -132,6 +136,10 @@ object SparkEntry {
     "x_quality" -> ext.Text.qualitySql,
     "x_fingerprint" -> ext.Text.fingerprintSql,
     "x_pipeline_sample" -> ext.Text.pipelineSampleSql,
+    "x_stratified_sample" -> ext.Text.stratifiedSampleSql,
+    "x_pack_sequences" -> ext.Text.packSequencesSql,
+    "x_redact" -> ext.Text.redactSql,
+    "x_decontaminate" -> ext.Dedup.decontaminateSql,
     "x_dedup_exact" -> ext.Dedup.exactSql,
     "x_dedup_bow" -> ext.Dedup.bagOfWordsSql,
     "x_dedup_ngram_jaccard" -> ext.Dedup.ngramJaccardSql,

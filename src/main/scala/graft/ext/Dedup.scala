@@ -127,6 +127,41 @@ object Dedup {
        |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Benchmark decontamination: training docs sharing ≥ 5 distinct
+    * 3-gram shingles with any "benchmark" doc (every 50th doc here).
+    * The scalable shape: explode shingles on BOTH sides and hash-join
+    * on the shingle itself — cost is O(matching shingles), never the
+    * train × benchmark cross product. The oracle is the naive pairwise
+    * intersect ground truth.
+    */
+  val minSharedShingles = 5
+
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(shingles(Text.tokens(col("text")))).as("s"))
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("s"), col("doc_id").as("bench_doc"))
+    val train = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("s"), col("doc_id").as("train_doc"))
+    // shingles are distinct per doc (WordShingles), so count(*) per
+    // (train, bench) pair IS the shared-shingle count
+    Present.sortSmall(
+      train.join(bench, Seq("s"))
+        .groupBy(col("train_doc"), col("bench_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minSharedShingles),
+      col("train_doc"), col("bench_doc"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH $shinglesSqlCte
+       |SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
+       |       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_shared
+       |FROM sh a, sh b
+       |WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+       |  AND len(list_intersect(a.s, b.s)) >= $minSharedShingles
+       |ORDER BY train_doc, bench_doc""".stripMargin
+
   // ——— MinHash + LSH ———
 
   val numHashes = 32

@@ -194,6 +194,104 @@ object Text {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified sampling (corpus mixing): per-language
+    * keep-rates applied via a content-stable hash — the data-mixing
+    * stage of a pretraining pipeline. Hash-mod sampling (not rand())
+    * is reproducible across runs, engines, and resumes.
+    */
+  val sampleRates: Map[String, Int] = Map("en" -> 50, "de" -> 30, "es" -> 20, "fr" -> 10)
+
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = sampleRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc)
+    }
+    val kept = md5Long(col("doc_id").cast("string")) % 100 < rate
+    Tables.table(spark, sfDir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(kept, 1)).as("n_kept"),
+        round(avg(when(kept, length(col("text")))), 4).as("avg_kept_chars"))
+      .transform(graft.Present.sortSmall(_, col("lang")))
+  }
+
+  private val keptSql =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < " +
+      "(CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'es' THEN 20 " +
+      "WHEN 'fr' THEN 10 ELSE 0 END)"
+
+  val stratifiedSampleSql: String =
+    s"""SELECT lang,
+       |       count(*) AS n_total,
+       |       count(CASE WHEN $keptSql THEN 1 END) AS n_kept,
+       |       round(avg(CASE WHEN $keptSql THEN length(text) END), 4)
+       |         AS avg_kept_chars
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** Sequence packing (concatenate-and-chunk): per language, documents
+    * in doc_id order are packed into fixed 2048-token bins by cumulative
+    * token count — the standard pre-tokenization packing layout. One
+    * window pass + one aggregation; at scale the window partitions by
+    * (lang, shard).
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", (col("cum_before") / 2048).cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .transform(graft.Present.sortSmall(_, col("lang"), col("bin")))
+  }
+
+  val packSequencesSql: String =
+    """SELECT lang, CAST(FLOOR(cum_before / 2048) AS BIGINT) AS bin,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+      |       min(doc_id) AS first_doc
+      |FROM (
+      |  SELECT doc_id, lang, n_tokens,
+      |         COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS cum_before
+      |  FROM (SELECT doc_id, lang,
+      |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |        FROM documents))
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** PII-style redaction: digit runs replaced by a placeholder (the
+    * regex-scrub stage of a cleaning pipeline); the redacted content is
+    * fingerprinted so the oracle verifies the transform byte-for-byte.
+    */
+  def redact(spark: SparkSession, sfDir: String): DataFrame = {
+    val redacted = regexp_replace(col("text"), "[0-9]+", "<NUM>")
+    Tables.table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[0-9]+")).as("n_redactions"),
+        length(redacted).as("redacted_len"),
+        md5(redacted.cast("binary")).as("redacted_md5"))
+      .transform(graft.Present.sortSmall(_, col("doc_id")))
+  }
+
+  val redactSql: String =
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_redactions,
+      |       CAST(length(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS INTEGER)
+      |         AS redacted_len,
+      |       md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Composed training-data pipeline: quality filter → bag-of-words
     * dedup (keep min doc_id per token-set) → deterministic 30% hash
     * sample → per-language corpus stats. One declarative plan: Catalyst
