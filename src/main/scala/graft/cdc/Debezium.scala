@@ -151,7 +151,15 @@ object Debezium {
       structAlias: String = "row",
       headerOpCol: Option[String] = None): DataFrame = {
     val filtered = headerOpCol match {
-      case Some(h) => parseEnvelope(raw.filter(col(h).isin(keptOps: _*)))
+      // payload.isNotNull keeps the two branches semantically aligned
+      // on CORRUPT values: the envelope-derived filter drops them (null
+      // op fails isin), and the header path must too — otherwise an
+      // unparseable record becomes an all-null row. (from_json returns
+      // a non-null struct with a NULL payload field for corrupt input,
+      // so the check must probe the field, not the struct.)
+      case Some(h) =>
+        parseEnvelope(raw.filter(col(h).isin(keptOps: _*)))
+          .filter(col("parsed_value.payload").isNotNull)
       case None => filterOps(parseEnvelope(raw))
     }
     val extracted = extractRows(filtered, wireSchema(rowSchema), structAlias)

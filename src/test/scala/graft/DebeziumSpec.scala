@@ -55,6 +55,34 @@ class DebeziumSpec extends SparkSpec {
     assert(parse("""not json at all""").collect().isEmpty)
   }
 
+  test("parseWire (micros wire, default filter): c/u kept with restored timestamps; d and corrupt dropped") {
+    // epoch-micros after-payload, the Debezium MicroTimestamp format
+    val microsAfter =
+      """{\"id\":\"a-1\",\"employee_id\":1,\"activity_type\":\"page_view\",""" +
+        """\"activity_timestamp\":1735813800000000,\"created_at\":1735813800000000}"""
+    val wire = Seq(
+      s"""{"payload": {"after": "$microsAfter", "op": "c", "ts_ms": 1735813800000}}""",
+      s"""{"payload": {"after": null, "op": "d", "ts_ms": 2}}""",
+      """broken json""").toDF("value")
+    val rows = Debezium.parseWire(wire, Schemas.activity).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[java.sql.Timestamp]("activity_timestamp").toInstant.toString
+      == "2025-01-02T10:30:00Z")
+    assert(rows(0).getAs[Long]("event_timestamp") == 1735813800000L)
+
+    // header-routed variant: same inputs (+ header col) must produce the
+    // SAME surviving row — in particular the corrupt value is dropped,
+    // not emitted as an all-null row
+    val headered = Seq(
+      ("c", s"""{"payload": {"after": "$microsAfter", "op": "c", "ts_ms": 1735813800000}}"""),
+      ("d", s"""{"payload": {"after": null, "op": "d", "ts_ms": 2}}"""),
+      ("c", """broken json""")).toDF("op_header", "value")
+    val viaHeader =
+      Debezium.parseWire(headered, Schemas.activity, headerOpCol = Some("op_header")).collect()
+    assert(viaHeader.length == 1)
+    assert(viaHeader(0).getAs[String]("id") == "a-1")
+  }
+
   test("timestamps round-trip losslessly with micros options") {
     import org.apache.spark.sql.functions._
     val src = Seq(java.sql.Timestamp.valueOf("2024-01-01 00:09:58.778549"))
