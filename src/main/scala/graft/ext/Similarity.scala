@@ -260,11 +260,15 @@ object Similarity {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val centroids = emb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(cosine(col("embedding"), col("cv")).desc, col("cent_id"))
-    val cells = emb.join(broadcast(centroids))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    // nearest-centroid assignment via the native TopKPerGroup operator:
+    // the exchange carries at most ONE (best-so-far) row per vector per
+    // input partition, where a row_number window would shuffle and sort
+    // the full |vectors| × |centroids| candidate set
+    val scoredCand = emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosine(col("embedding"), col("cv")).as("cent_sim"))
+    val cells = graft.plans.TopKPerGroup.topKPerGroup(
+      scoredCand, Seq(col("vec_id")), Seq(col("cent_sim").desc, col("cent_id").asc), 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
       // referenced by both the query side and the probe side — persist
       // so the quadratic assignment runs once (Bench/Verify clearCache
