@@ -151,15 +151,16 @@ object Debezium {
       structAlias: String = "row",
       headerOpCol: Option[String] = None): DataFrame = {
     val filtered = headerOpCol match {
-      // payload.isNotNull keeps the two branches semantically aligned
-      // on CORRUPT values: the envelope-derived filter drops them (null
-      // op fails isin), and the header path must too — otherwise an
-      // unparseable record becomes an all-null row. (from_json returns
-      // a non-null struct with a NULL payload field for corrupt input,
-      // so the check must probe the field, not the struct.)
+      // The header is AUTHORITATIVE for the op (it comes from the same
+      // Debezium record). payload.after.isNotNull then closes every
+      // all-null-row path the envelope-derived filter would have
+      // dropped: corrupt values (from_json yields a non-null struct
+      // with a null payload — probe the field, not the struct) and
+      // disagreeing headers on deletes/snapshot tombstones (their
+      // `after` is null). An honest c/u record always carries `after`.
       case Some(h) =>
         parseEnvelope(raw.filter(col(h).isin(keptOps: _*)))
-          .filter(col("parsed_value.payload").isNotNull)
+          .filter(col("parsed_value.payload.after").isNotNull)
       case None => filterOps(parseEnvelope(raw))
     }
     val extracted = extractRows(filtered, wireSchema(rowSchema), structAlias)

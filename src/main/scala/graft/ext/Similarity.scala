@@ -263,8 +263,12 @@ object Similarity {
     // nearest-centroid assignment via the native TopKPerGroup operator:
     // the exchange carries at most ONE (best-so-far) row per vector per
     // input partition, where a row_number window would shuffle and sort
-    // the full |vectors| × |centroids| candidate set
-    val scoredCand = emb.join(broadcast(centroids))
+    // the full |vectors| × |centroids| candidate set. The probe side is
+    // re-split first — the quadratic cosine work now runs BEFORE the
+    // exchange, on what would otherwise be the single-file scan's one
+    // partition
+    val scoredCand = emb.repartition(spark.sparkContext.defaultParallelism)
+      .join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         cosine(col("embedding"), col("cv")).as("cent_sim"))
     val cells = graft.plans.TopKPerGroup.topKPerGroup(

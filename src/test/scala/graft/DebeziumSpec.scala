@@ -76,6 +76,9 @@ class DebeziumSpec extends SparkSpec {
     val headered = Seq(
       ("c", s"""{"payload": {"after": "$microsAfter", "op": "c", "ts_ms": 1735813800000}}"""),
       ("d", s"""{"payload": {"after": null, "op": "d", "ts_ms": 2}}"""),
+      // disagreeing header on a delete (null after): must NOT become an
+      // all-null row
+      ("c", s"""{"payload": {"after": null, "op": "d", "ts_ms": 3}}"""),
       ("c", """broken json""")).toDF("op_header", "value")
     val viaHeader =
       Debezium.parseWire(headered, Schemas.activity, headerOpCol = Some("op_header")).collect()
