@@ -72,6 +72,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sliding windows: every event lands in exactly len/slide windows, each containing it") {
+    val gen = Gen.chooseNum(0, 10 * 3600) // seconds across 10 hours
+    val times = samples(gen, 300).map(s =>
+      new Timestamp(Timestamp.valueOf("2025-01-02 00:00:00").getTime + s * 1000L))
+    val out = times.toDF("ts")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"), col("n"))
+      .collect()
+    // total multiplicity = 2 windows per event
+    assert(out.map(_.getAs[Long]("n")).sum == 2L * times.length)
+    out.foreach { r =>
+      val ws = r.getAs[Timestamp]("ws"); val we = r.getAs[Timestamp]("we")
+      assert(we.getTime - ws.getTime == 3600 * 1000L)
+      assert(ws.getTime % (30 * 60 * 1000L) == 0) // slide-aligned
+      val contained = times.count(t => !t.before(ws) && t.before(we))
+      assert(contained == r.getAs[Long]("n"))
+    }
+  }
+
+  test("batch session_window: per-key sessions are disjoint and gap-separated") {
+    val gen = for {
+      emp <- Gen.chooseNum(1, 3)
+      sec <- Gen.chooseNum(0, 6 * 3600)
+    } yield (emp, sec)
+    val rows = samples(gen, 200).map { case (emp, sec) =>
+      (emp, new Timestamp(Timestamp.valueOf("2025-01-02 00:00:00").getTime + sec * 1000L))
+    }
+    val out = rows.toDF("emp", "ts")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("emp"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s"), col("session_window.end").as("e"),
+        col("emp"), col("n"))
+      .collect()
+    assert(out.map(_.getAs[Long]("n")).sum == rows.length) // partition of input
+    out.groupBy(_.getAs[Int]("emp")).foreach { case (_, sessions) =>
+      val sorted = sessions.sortBy(_.getAs[Timestamp]("s").getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // next session starts at or after this one's end (end = last+gap)
+          assert(!b.getAs[Timestamp]("s").before(a.getAs[Timestamp]("e")))
+        case _ => ()
+      }
+    }
+  }
+
   test("jaccard primitives: J(x,x)=1 and 0 ≤ |∩| ≤ min(|x|,|y|) on generated token lists") {
     import graft.functions.HashFunctions.{hashed_shingle_set, sorted_intersect_count}
     val tokenGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
