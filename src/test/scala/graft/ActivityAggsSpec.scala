@@ -114,6 +114,43 @@ class ActivityAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: aggregation state survives a query restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("agg_ckpt").toString
+    val mem = MemoryStream[Act]
+    // memory sink refuses checkpoint recovery; foreachBatch supports it
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    // typed function value disambiguates the Scala/Java foreachBatch
+    // overloads under Scala 2.13
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, _) =>
+      emissions.synchronized {
+        emissions ++= batch.select(col("employee_id"), col("activity_count"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+      }
+    def start() =
+      ActivityAggs.hourlyStreaming(Enrichments.enrichActivities(mem.toDF()), "2 hours")
+        .writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+
+    val q1 = start()
+    try {
+      mem.addData(fixture.take(2): _*) // emp 1, hour 10: count 2
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(emissions.synchronized(emissions.contains((1, 2L))))
+
+    // restart from the SAME checkpoint: the state store must resume,
+    // so the next event REVISES the group to 3 rather than starting at 1
+    val q2 = start()
+    try {
+      mem.addData(fixture(2))
+      q2.processAllAvailable()
+      assert(emissions.synchronized(emissions.contains((1, 3L))))
+    } finally q2.stop()
+  }
+
   test("watermark drops events later than the delay behind max event time") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Act]
