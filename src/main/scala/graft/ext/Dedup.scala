@@ -269,17 +269,18 @@ object Dedup {
       explode(sequence(lit(0), lit(numChunks - 1))).as("chunk"))
       .withColumn("chunk_val",
         expr(s"shiftright(simhash, chunk * $chunkBits) & ${(1L << chunkBits) - 1}"))
-    val cand = chunked.as("x")
+    // hamming filter BEFORE the distinct: the XOR+popcount is codegen'd
+    // and per-candidate cheap, while the distinct is a shuffle — shrink
+    // its input to the passing pairs (each surviving pair still appears
+    // once per shared chunk, hence the distinct)
+    chunked.as("x")
       .join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sha"),
-        col("y.doc_id").as("doc_b"), col("y.simhash").as("shb"))
-      .distinct()
-    cand
-      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= hammingMax)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
       .transform(Present.sortSmall(_, col("doc_a"), col("doc_b")))
   }
 
