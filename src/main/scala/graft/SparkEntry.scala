@@ -76,12 +76,14 @@ object SparkEntry {
     "x_dedup_ngram_jaccard" -> (ext.Dedup.ngramJaccard _),
     "x_dedup_minhash_lsh" -> (ext.Dedup.minhashLsh _),
     "x_dedup_simhash" -> (ext.Dedup.simhashPairs _),
+    "x_dedup_clusters" -> (ext.Clusters.dedupClusters _),
     // —— training-data extensions: similarity search ——
     "x_ann_bruteforce" -> (ext.Similarity.annBruteForce _),
     "x_embedding_pairs" -> (ext.Similarity.embeddingPairs _),
     "x_ann_lsh" -> (ext.Similarity.annLsh _),
     "x_ann_ivf" -> (ext.Similarity.annIvf _),
     "x_dedup_embedding" -> (ext.Similarity.dedupByEmbedding _),
+    "x_dedup_embedding_lsh" -> (ext.Similarity.dedupByEmbeddingLsh _),
     // —— training-data extensions: multimodal ——
     "x_media_features" -> (ext.Multimodal.mediaFeatures _),
     "x_media_frames" -> (ext.Multimodal.frameFeatures _)
@@ -145,11 +147,13 @@ object SparkEntry {
     "x_dedup_ngram_jaccard" -> ext.Dedup.ngramJaccardSql,
     "x_dedup_minhash_lsh" -> ext.Dedup.minhashLshSql,
     "x_dedup_simhash" -> ext.Dedup.simhashPairsSql,
+    "x_dedup_clusters" -> ext.Clusters.dedupClustersSql,
     "x_ann_bruteforce" -> ext.Similarity.annBruteForceSql,
     "x_embedding_pairs" -> ext.Similarity.embeddingPairsSql,
     "x_ann_lsh" -> ext.Similarity.annLshSql,
     "x_ann_ivf" -> ext.Similarity.annIvfSql,
     "x_dedup_embedding" -> ext.Similarity.dedupByEmbeddingSql,
+    "x_dedup_embedding_lsh" -> ext.Similarity.dedupByEmbeddingLshSql,
     "x_media_features" -> ext.Multimodal.mediaFeaturesSql,
     "x_media_frames" -> ext.Multimodal.frameFeaturesSql
   )

@@ -1,0 +1,144 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Present
+
+/** Dedup cluster closure: connected components over near-dup candidate
+  * pairs, so transitive chains (a~b, b~c ⇒ {a,b,c} one cluster) get a
+  * single keeper — the layer every real corpus dedup needs on top of
+  * pairwise candidates (pairwise min-neighbor assignment splits such a
+  * chain into two "clusters" with different keepers).
+  *
+  * Algorithm: alternating large-star / small-star edge rewrites
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) — each round is two hash-shuffle window passes over the
+  * edge set, and the edge set converges to stars rooted at each
+  * component's minimum id in O(log n) rounds regardless of component
+  * diameter. That is the 100 TB shape: no driver-side graph, no
+  * per-vertex message loop proportional to diameter, edge count only
+  * ever shrinks toward one edge per non-root node.
+  *
+  * Convergence is detected with a one-pass signature (count +
+  * order-independent hash-sum of the edge set) instead of a set
+  * difference — one cheap job per round, same trick at any scale.
+  */
+object Clusters {
+
+  /** Edges are kept canonical as (lo, hi), lo < hi, distinct. */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges.toDF("a", "b")
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+
+  /** Large-star: every node connects its strictly-larger neighbors to
+    * the minimum of its closed neighborhood.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+      .union(e.select(col("hi").as("u"), col("lo").as("v")))
+    val m = least(col("u"), min(col("v")).over(Window.partitionBy(col("u"))))
+    sym.select(col("u"), col("v"), m.as("m"))
+      .filter(col("v") > col("u"))
+      .select(col("m").as("lo"), col("v").as("hi")) // m ≤ u < v
+      .distinct()
+  }
+
+  /** Small-star: every node connects its smaller neighbors (and itself)
+    * to the minimum among them. Operates on the canonical orientation
+    * (each edge points from hi to its smaller neighbor lo).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val withM = e.select(col("lo"), col("hi"),
+      min(col("lo")).over(Window.partitionBy(col("hi"))).as("m"))
+    withM.filter(col("lo") =!= col("m"))
+      .select(col("m").as("lo"), col("lo").as("hi")) // lo_i > m
+      .union(withM.select(col("m").as("lo"), col("hi")))
+      .distinct()
+  }
+
+  /** (count, order-independent hash xor) — a one-job convergence
+    * signature of an edge set. XOR (not sum): edge sets are distinct,
+    * so xor is an order-independent fold that cannot overflow under
+    * ANSI arithmetic.
+    */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val row = e.agg(count(lit(1)), expr("bit_xor(xxhash64(lo, hi))")).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  /** Connected components of an undirected edge list (two numeric
+    * columns). Returns (id, component) where component is the smallest
+    * id reachable; only ids that appear in an edge are emitted.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    var e = canonical(edges).localCheckpoint(true)
+    var sig = signature(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // localCheckpoint truncates the growing iteration lineage so each
+      // round's plan stays two window passes, not a nested pyramid
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      e = next
+      sig = nextSig
+      it += 1
+    }
+    // fixpoint is a star per component: hi → lo = component min; the
+    // root itself appears only on the lo side
+    e.select(col("hi").as("id"), col("lo").as("component"))
+      .union(e.select(col("lo").as("id"), col("lo").as("component")).distinct())
+  }
+
+  /** Corpus dedup clusters over the MinHash-LSH verified near-dup pairs
+    * (jaccard ≥ 0.6): every document in a near-dup chain maps to its
+    * cluster keeper (the smallest doc_id in the component) with the
+    * component size alongside — `WHERE doc_id != keeper_id` is then the
+    * delete list.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val cc = connectedComponents(edges)
+    Present.sortSmall(
+      cc.select(col("id").as("doc_id"), col("component").as("keeper_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("keeper_id")))),
+      col("doc_id"))
+  }
+
+  /** DuckDB twin: ground-truth pairwise-Jaccard edges (same CTE as the
+    * MinHash-LSH oracle) + a recursive CTE propagating the minimum
+    * reachable doc_id.
+    */
+  val dedupClustersSql: String = {
+    val head = "WITH RECURSIVE " + Dedup.shinglesSqlCte + ","
+    val rest = """
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a, sh b
+      |  WHERE a.doc_id < b.doc_id
+      |    AND round(len(list_intersect(a.s, b.s))::DOUBLE
+      |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION
+      |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+      |reach(doc, lab) AS (
+      |  SELECT doc, doc FROM nodes
+      |  UNION
+      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc),
+      |comp AS (SELECT doc AS doc_id, min(lab) AS keeper_id FROM reach GROUP BY doc)
+      |SELECT doc_id, keeper_id,
+      |       count(*) OVER (PARTITION BY keeper_id) AS cluster_size
+      |FROM comp
+      |ORDER BY doc_id""".stripMargin
+    head + rest
+  }
+}

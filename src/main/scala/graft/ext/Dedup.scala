@@ -178,24 +178,29 @@ object Dedup {
     * 8×4 banding has recall ≈ 1-2e-4, so the naive Jaccard SQL is the
     * oracle; an LSH miss is a real bug, not noise.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLshPairs(spark, sfDir)
+      .transform(Present.sortSmall(_, col("doc_a"), col("doc_b")))
+
+  /** Unsorted verified near-dup pairs — the [[minhashLsh]] body, also
+    * the edge set for [[Clusters.dedupClusters]].
+    */
+  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // One-pass MinHashSignature expression (no shingle×seed explode, no
     // min-agg shuffles); only 8 band rows per doc ever shuffle. Exact
     // verification reuses the hashed-sorted-shingle merge scan.
+    // NOT persisted: column pruning gives each of the four consumers
+    // (band self-join ×2, verify join sides ×2) only ITS expression —
+    // the band sides compute minhash_signature alone, the verify sides
+    // hashed_shingle_set alone. Four pruned tokenize passes measured
+    // FASTER than one pass + columnar-cache build of the long arrays
+    // (r2's persist+count cost +0.55 s), and a library caller no longer
+    // inherits a leaked cached block.
     val docs = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"),
         minhash_signature(shingles(Text.tokens(col("text"))), numHashes).as("sig"),
         hashed_shingle_set(Text.tokens(col("text"))).as("hs"))
       .withColumn("n", size(col("hs")))
-      // persist: the signature projection is referenced by the band
-      // explode AND both verify joins — a materialization boundary stops
-      // CollapseProject from recomputing it per reference. As with
-      // annIvf: Bench/Verify clearCache() between queries; library
-      // callers own the unpersist once the result is materialized.
-      .persist()
-    // eager materialization: the band self-join's two sides and the two
-    // verify joins otherwise race a cold cache and recompute signatures
-    docs.count()
     val numBands = numHashes / bandSize
     val bands = docs.select(
       col("doc_id"),
@@ -220,7 +225,6 @@ object Dedup {
       .withColumn("jaccard", round(inter / (col("na") + col("nb") - inter), 4))
       .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .transform(Present.sortSmall(_, col("doc_a"), col("doc_b")))
   }
 
   /** Oracle = ground-truth pairwise Jaccard without the doc_id cap (LSH
@@ -260,9 +264,14 @@ object Dedup {
     * popcount filter. No O(n²) compare.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // cached + eagerly materialized: the signature pass (md5 per
+    // distinct token) dominates this query, and the self-join's two
+    // sides would each recompute it — measured 5× slower uncached. The
+    // cached projection is narrow (doc_id, simhash) so the columnar
+    // build is cheap, unlike the array-carrying minhash projection
+    // (which stays uncached — see minhashLshPairs). Bench/Verify
+    // clearCache() between queries; library callers own the unpersist.
     val sh = simhashes(spark, sfDir).cache()
-    // eager materialization: the self-join's two sides otherwise race a
-    // cold cache and each compute the signatures (see minhashLsh)
     sh.count()
     val chunkBits = simhashBits / numChunks
     val chunked = sh.select(col("doc_id"), col("simhash"),

@@ -32,11 +32,23 @@ object Similarity {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  /** Banded-LSH shape: bandBits planes per band. Band match p at cosine
+    * s is (1 - acos(s)/π)^bandBits; candidate recall is
+    * 1 - (1 - p)^numBands. At s=0.9 this is ~99.6% recall with a ~16×
+    * candidate shrink on unrelated pairs — the regime banding is for.
+    * (At s=0.4 recall is only ~33%: see tiledCosinePairs for why no
+    * banding can do better there.)
+    */
+  val bandBits = 8
+  val numBands = 16
+
   /** ±1 hyperplane components, derived exactly like the SQL twin:
     * ('0x' || substr(md5(p || ':' || i), 1, 8))::BIGINT % 2.
+    * The first [[numPlanes]] are the single-bucket ANN planes; the full
+    * set serves the banded dedup below.
     */
   val planeSigns: IndexedSeq[IndexedSeq[Double]] =
-    (0 until numPlanes).map { p =>
+    (0 until (numBands * bandBits).max(numPlanes)).map { p =>
       (0 until dim).map { i =>
         val v = java.lang.Long.parseLong(md5Hex(s"$p:$i").take(8), 16)
         if (v % 2 == 1) 1.0 else -1.0
@@ -98,35 +110,87 @@ object Similarity {
 
   // ——— near-duplicate pairs by cosine ———
 
-  /** All vector pairs with cosine ≥ 0.4 (corpus max is ~0.51 — these
-    * are the planted near-dups). Brute force here; the LSH variant
-    * below is the scale path.
+  /** Number of vec_id-blocks for the tiled exact pair join. Work per
+    * tile is (n/B)² dots; replication is (B+1)/2 copies of each vector
+    * per side. B is a knob: pick B ≈ √(desired tasks) so tiles fit an
+    * executor core; replication grows linearly while per-tile memory
+    * shrinks quadratically.
     */
-  def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  val pairBlocks = 16
+
+  /** EXACT all-pairs cosine-threshold join, block-tiled.
+    *
+    * Why not LSH candidates + exact verify: measured on this corpus the
+    * pair-similarity distribution is CONTINUOUS through the 0.4
+    * threshold (background N(0, 0.125²), passing pairs from 0.4001 up,
+    * rejected pairs at 0.3999) — there is no similarity gap. At cos 0.4
+    * a random hyperplane agrees with p=0.631 vs 0.5 for unrelated
+    * pairs, so any banding with near-1 recall admits nearly all pairs
+    * as candidates: exact low-threshold similarity join has no sound
+    * sub-quadratic candidate scheme. The honest scale design is to keep
+    * the O(n²/2) dot products but make them DISTRIBUTE: tile the
+    * triangular pair space into B(B+1)/2 blocks and hash-join on the
+    * tile key.
+    *
+    *  - left replicates each vector to tiles {(blk, j): j ≥ blk}, right
+    *    to {(i, blk): i ≤ blk}: tile (i,j) pairs block i against block
+    *    j exactly once, the diagonal guarded by id order — every
+    *    unordered pair is evaluated exactly once, no BNLJ, no full-
+    *    corpus broadcast, per-tile work uniform (no skew).
+    *  - the sim threshold lands in the hash-join's residual condition,
+    *    which IS whole-stage-codegen'd (unlike the BNLJ interpreted row
+    *    path this replaces).
+    *
+    * The LSH/IVF paths below remain the approximate option for the
+    * high-similarity regime (t ≥ 0.9) where banding recall is real.
+    */
+  private def tiledCosinePairs(spark: SparkSession, sfDir: String,
+      minSim: Double): DataFrame = {
+    val b = pairBlocks
     // norms computed once per vector (not per pair): sim = dot/(na*nb)
     // is bit-identical to dot/(sqrt(daa)*sqrt(dbb)) — same op order.
     val emb = Tables.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
-    // the corpus parquet is one small file = ONE input partition; the
-    // nested-loop probe side must be re-split or the whole O(n²) pair
-    // loop runs on a single core
-    val a = emb.repartition(spark.sparkContext.defaultParallelism)
-      .select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb"))
-    // NOTE: the optimizer pushes the sim filter below into the BNLJ
-    // join condition, so the dot runs on the interpreted row path per
-    // ordered pair. For a PAIR-VALUED result there is no clean way to
-    // keep it out (dedupByEmbedding's conditional-aggregate trick needs
-    // an aggregated output); measured acceptable at this scale once the
-    // probe side is properly parallelized.
-    Present.sortSmall(
-      a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-        .filter(col("sim") >= 0.4)
-        .select(col("vec_a"), col("vec_b"), col("sim")),
-      col("vec_a"), col("vec_b"))
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"),
+        (col("vec_id") % b).cast("int").as("blk"))
+    // re-split the single-file scan so the per-tile dot loops spread
+    // across cores (the tile key is fine-grained enough either way; the
+    // round-robin split just evens the probe side)
+    val left = emb
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na"), col("blk").as("blk_a"),
+        explode(sequence(col("blk"), lit(b - 1))).as("tj"))
+      .select(col("id_a"), col("va"), col("na"), col("blk_a"),
+        (col("blk_a") * b + col("tj")).as("tile"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val right = emb
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb"), col("blk").as("blk_b"),
+        explode(sequence(lit(0), col("blk"))).as("ti"))
+      .select(col("id_b"), col("vb"), col("nb"), col("blk_b"),
+        (col("ti") * b + col("blk_b")).as("tile"))
+    // the replicated side fits a broadcast at gate scale (n·(B+1)/2
+    // rows), making the tile join a BHJ whose residual condition — the
+    // dot — is codegen'd; at corpus scale the same plan degrades to a
+    // sort-merge/shuffled-hash join partitioned BY TILE, which is
+    // exactly the distribution the tiling exists for. Broadcasting
+    // right (not left) keeps the streamed side's repartition as the
+    // source of parallelism.
+    left.join(broadcast(right),
+        left("tile") === right("tile") &&
+          (col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b")))
+      .withColumn("sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("sim") >= minSim)
+      .select(least(col("id_a"), col("id_b")).as("vec_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_b"), col("sim"))
   }
+
+  /** All vector pairs with cosine ≥ 0.4 — exact, uncapped, via the
+    * block-tiled join above.
+    */
+  def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Present.sortSmall(
+      tiledCosinePairs(spark, sfDir, 0.4), col("vec_a"), col("vec_b"))
 
   val embeddingPairsSql: String =
     s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -138,46 +202,111 @@ object Similarity {
 
   /** Embedding-cosine near-dup DEDUP decision layer: every vector that
     * has a neighbor with a smaller id at sim ≥ 0.4 is a duplicate; its
-    * keeper is the smallest such neighbor. Naive all-pairs baseline,
-    * capped at vec_id < 2000 like the n-gram Jaccard baseline — the
-    * LSH/IVF bucketing above is the 100 TB candidate-generation path.
+    * keeper is the smallest such neighbor. Exact and UNCAPPED — pair
+    * generation is the block-tiled hash join above (no BNLJ, no
+    * vec_id cap); the keeper aggregation is one hash shuffle on dup_id.
     */
-  def dedupByEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.table(spark, sfDir, "embeddings")
-      .filter(col("vec_id") < 2000)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
-    // re-split the single-file scan so the pair loop parallelizes (see
-    // embeddingPairs)
-    val a = emb.repartition(spark.sparkContext.defaultParallelism)
-      .select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb"))
-    // the threshold lives in CONDITIONAL AGGREGATES, not a filter: a
-    // post-join filter on sim gets pushed into the nested-loop join
-    // condition, where the 64-wide dot runs on the interpreted row path
-    // for every ordered pair — measured 2.5× slower than streaming all
-    // pairs through the codegen'd projection below
-    val passingA = when(col("sim") >= 0.4, col("vec_a"))
+  def dedupByEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     Present.sortSmall(
-      a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-        .select(col("vec_a"), col("vec_b"), col("sim"))
+      tiledCosinePairs(spark, sfDir, 0.4)
         .groupBy(col("vec_b").as("dup_id"))
         .agg(
-          min(passingA).as("keeper_id"),
-          count(passingA).as("n_near_dups"),
-          max(when(col("sim") >= 0.4, col("sim"))).as("best_sim"))
-        .filter(col("n_near_dups") > 0),
+          min(col("vec_a")).as("keeper_id"),
+          count(lit(1)).as("n_near_dups"),
+          max(col("sim")).as("best_sim")),
       col("dup_id"))
-  }
 
   val dedupByEmbeddingSql: String =
     s"""WITH pairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |         round(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim
        |  FROM embeddings a, embeddings b
-       |  WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000
+       |  WHERE a.vec_id < b.vec_id
        |    AND round(${cosineSql("a.embedding", "b.embedding")}, 4) >= 0.4)
+       |SELECT vec_b AS dup_id,
+       |       min(vec_a) AS keeper_id,
+       |       count(*) AS n_near_dups,
+       |       max(sim) AS best_sim
+       |FROM pairs
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** APPROXIMATE embedding dedup: banded-LSH candidate generation
+    * (numBands × bandBits sign bits) → hash self-join on band key →
+    * exact cosine verify → the same keeper assignment as the exact op.
+    * This is the sub-quadratic 100 TB path for the high-similarity
+    * regime (recall math on [[bandBits]]); the threshold here mirrors
+    * the exact op so the two are directly comparable. The oracle
+    * reproduces the banding bit-for-bit (md5-derived planes, same
+    * sequential dot order), so the gate checks the LSH semantics
+    * themselves, not a lossy approximation of the exact result.
+    */
+  def dedupByEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
+    // all 16 band keys in ONE native pass over the constant plane
+    // matrix (a projection of 128 separate literal-array dots generates
+    // code past JIT limits and deoptimizes — measured 10× slower)
+    val planesFlat: IndexedSeq[Double] =
+      (0 until numBands * bandBits).flatMap(planeSigns(_))
+    val bandKeys = graft.functions.VectorFunctions.hyperplane_band_keys(
+      col("embedding"), planesFlat, dim, bandBits)
+    val banded = emb
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(bandKeys).as("bkey"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    // each surviving pair appears once per shared band — distinct on the
+    // pair (sim is deterministic per pair) before the keeper aggregation
+    val pairs = banded.as("x")
+      .join(banded.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(vec_dot(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm")), 4).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .distinct()
+    Present.sortSmall(
+      pairs
+        .groupBy(col("vec_b").as("dup_id"))
+        .agg(
+          min(col("vec_a")).as("keeper_id"),
+          count(lit(1)).as("n_near_dups"),
+          max(col("sim")).as("best_sim")),
+      col("dup_id"))
+  }
+
+  /** DuckDB twin of the banding: planes regenerated from md5, band bits
+    * from list_inner_product (same sequential op order as FloatVecDot),
+    * candidates from the band-key self-join, exact verify, keeper agg.
+    */
+  val dedupByEmbeddingLshSql: String =
+    s"""WITH planes AS (
+       |  SELECT p, list(CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT % 2 = 1
+       |                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS pv
+       |  FROM range(${numBands * bandBits}) t1(p), range($dim) t2(i)
+       |  GROUP BY p),
+       |bits AS (
+       |  SELECT e.vec_id, pl.p,
+       |         CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(pl.pv AS DOUBLE[])) > 0
+       |              THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e, planes pl),
+       |bk AS (
+       |  SELECT vec_id, p // $bandBits AS band,
+       |         CAST(sum(bit * (1 << (p % $bandBits))) AS BIGINT)
+       |           + CAST(p // $bandBits AS BIGINT) * ${1L << bandBits} AS bkey
+       |  FROM bits
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bk x JOIN bk y ON x.bkey = y.bkey AND x.vec_id < y.vec_id),
+       |pairs AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |         round(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.vec_a
+       |  JOIN embeddings b ON b.vec_id = c.vec_b
+       |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4) >= 0.4)
        |SELECT vec_b AS dup_id,
        |       min(vec_a) AS keeper_id,
        |       count(*) AS n_near_dups,
@@ -263,25 +392,26 @@ object Similarity {
     // nearest-centroid assignment via the native TopKPerGroup operator:
     // the exchange carries at most ONE (best-so-far) row per vector per
     // input partition, where a row_number window would shuffle and sort
-    // the full |vectors| × |centroids| candidate set. The probe side is
-    // re-split first — the quadratic cosine work now runs BEFORE the
-    // exchange, on what would otherwise be the single-file scan's one
-    // partition
-    val scoredCand = emb.repartition(spark.sparkContext.defaultParallelism)
-      .join(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        cosine(col("embedding"), col("cv")).as("cent_sim"))
-    val cells = graft.plans.TopKPerGroup.topKPerGroup(
-      scoredCand, Seq(col("vec_id")), Seq(col("cent_sim").desc, col("cent_id").asc), 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
-      // referenced by both the query side and the probe side — persist
-      // so the quadratic assignment runs once (Bench/Verify clearCache
-      // between queries; library callers own the unpersist)
-      .persist()
-    // eager materialization: on a cold cache the broadcast build and
-    // the probe scan otherwise race, each computing the full assignment
-    cells.count()
-    val queries = cells.filter(col("vec_id") % 100 === 0)
+    // the full |vectors| × |centroids| candidate set
+    def assign(vectors: DataFrame): DataFrame =
+      graft.plans.TopKPerGroup.topKPerGroup(
+        vectors.join(broadcast(centroids))
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            cosine(col("embedding"), col("cv")).as("cent_sim")),
+        Seq(col("vec_id")), Seq(col("cent_sim").desc, col("cent_id").asc), 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+    // the query side re-runs the assignment on its own 1% slice (the
+    // vec_id filter pushes to the scan, so this side costs |queries| ×
+    // |centroids|) instead of sharing a cached full assignment: the
+    // persist+count() that sharing requires pays a full extra pass and
+    // columnar-cache build of the embedding arrays — measured SLOWER
+    // than the duplicate filtered assignment (assignment is
+    // deterministic, ties broken by cent_id, so both sides agree).
+    // The probe side is re-split first — the quadratic cosine work runs
+    // BEFORE the exchange, on what would otherwise be the single-file
+    // scan's one partition
+    val cells = assign(emb.repartition(spark.sparkContext.defaultParallelism))
+    val queries = assign(emb.filter(col("vec_id") % 100 === 0))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
     val scored = cells.join(broadcast(queries), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native dot product over float-array columns.
   *
@@ -108,6 +108,92 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static per-row kernels shared by interpreted eval and generated
+  * code (see HashKernels for the pattern rationale).
+  */
+object VectorKernels {
+
+  /** numBands LSH band keys of a float vector against a flattened
+    * (row-major) ±1 hyperplane matrix: band b's key packs the sign bits
+    * of planes [b·bandBits, (b+1)·bandBits) in its low bits, with b in
+    * the bits above — so keys from different bands never collide and a
+    * single hash join on the key covers all bands. Dots run in element
+    * order (same IEEE order as FloatVecDot / DuckDB's
+    * list_inner_product, which the oracle twin relies on).
+    *
+    * Returns null on length mismatch or a null element, like
+    * FloatVecDot — never a silently-perturbed bucket.
+    */
+  def hyperplaneBandKeys(v: ArrayData, planes: Array[Double], dim: Int,
+      bandBits: Int): ArrayData = {
+    if (v.numElements() != dim) return null
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      j += 1
+    }
+    val numPlanes = planes.length / dim
+    val numBands = numPlanes / bandBits
+    val keys = new Array[Long](numBands)
+    var p = 0
+    while (p < numPlanes) {
+      val off = p * dim
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        acc += v.getFloat(i).toDouble * planes(off + i)
+        i += 1
+      }
+      if (acc > 0) keys(p / bandBits) |= 1L << (p % bandBits)
+      p += 1
+    }
+    var b = 0
+    while (b < numBands) { keys(b) |= b.toLong << bandBits; b += 1 }
+    new GenericArrayData(keys)
+  }
+}
+
+/** All LSH band keys of an embedding in ONE pass over a constant plane
+  * matrix — replaces a projection of numPlanes separate literal-array
+  * dot expressions (whose generated code grows past JIT limits and
+  * deoptimizes). planesFlat is an IndexedSeq so the case-class equality
+  * Catalyst uses for plan canonicalization stays structural.
+  */
+case class HyperplaneBandKeys(child: Expression, planesFlat: IndexedSeq[Double],
+    dim: Int, bandBits: Int) extends UnaryExpression {
+
+  require(dim > 0 && bandBits > 0 && planesFlat.nonEmpty
+    && planesFlat.size % (dim * bandBits) == 0,
+    s"planesFlat size ${planesFlat.size} must be a multiple of dim·bandBits")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_band_keys requires array<float> input, got $t")
+  }
+
+  @transient private lazy val planesArr: Array[Double] = planesFlat.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.hyperplaneBandKeys(
+      input.asInstanceOf[ArrayData], planesArr, dim, bandBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("bandPlanes", planesArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.VectorKernels.hyperplaneBandKeys(
+       |  $c, $planesRef, $dim, $bandBits);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level helpers for the native vector ops. */
 object VectorFunctions {
 
@@ -123,4 +209,10 @@ object VectorFunctions {
     import org.apache.spark.sql.functions.sqrt
     vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
   }
+
+  /** All LSH band keys of an embedding in one native pass. */
+  def hyperplane_band_keys(v: Column, planesFlat: IndexedSeq[Double],
+      dim: Int, bandBits: Int): Column =
+    GraftBridge.column(
+      HyperplaneBandKeys(GraftBridge.expression(v), planesFlat, dim, bandBits))
 }
