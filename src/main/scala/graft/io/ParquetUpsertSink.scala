@@ -47,9 +47,29 @@ final case class ParquetUpsertSink(
     // optional boolean tombstone column: when the LATEST version of a key
     // is a delete, the key disappears from the table (the reference drops
     // CDC deletes entirely — SURVEY P2; this closes that gap)
-    deleteCol: Option[String] = None) {
+    deleteCol: Option[String] = None,
+    // Hudi cleaner semantics (KEEP_LATEST_FILE_VERSIONS, reference
+    // multi_source_streaming_processor.py:275-277 keeps 3): retain the
+    // pre-image of each touched partition for the last keepVersions-1
+    // upsert commits under `<path>/_archive/<commit>/` (a `_`-prefixed
+    // dir — invisible to parquet readers of `path`), so rollback /
+    // inspection / still-running readers of a just-replaced file set
+    // have somewhere to look. 1 = live data only (no archive), matching
+    // the previous behavior.
+    keepVersions: Int = 1,
+    // inline compaction cadence (reference py:278-280 compacts every 5
+    // delta commits): every Nth batch, [[compactPartitions]] runs after
+    // the upsert. 0 = never (COW already rewrites TOUCHED partitions
+    // compactly; this catches debris in untouched ones).
+    compactEvery: Int = 0,
+    // Hive-sync intent (reference py:271-274): register the table under
+    // this name in the session catalog after each batch and sync newly
+    // appeared partitions, so downstream `spark.sql` reads it by name.
+    syncTable: Option[String] = None) {
 
   require(filesPerPartition >= 1, s"filesPerPartition must be >= 1, got $filesPerPartition")
+  require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+  require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
 
   private val nullDir = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
@@ -66,6 +86,23 @@ final case class ParquetUpsertSink(
     */
   private def dirName(v: String): String =
     if (v == null) nullDir else ExternalCatalogUtils.escapePathName(v)
+
+  /** Rewrite `df`'s partitions in place via per-writer dynamic
+    * partition overwrite (no session-conf mutation — concurrent upsert
+    * streams in one session must not race each other's conf).
+    */
+  private def writeFinal(df: DataFrame): Unit = {
+    val distributed =
+      if (filesPerPartition == 1) df.repartition(col(partitionCol))
+      else df.repartition(col(partitionCol),
+        pmod(xxhash64(recordKeys.map(col): _*), lit(filesPerPartition)))
+    distributed
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic") // per-writer, race-free
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
 
   /** foreachBatch body. */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
@@ -112,19 +149,6 @@ final case class ParquetUpsertSink(
       case None => mergedAll
     }
 
-    def writeFinal(df: DataFrame): Unit = {
-      val distributed =
-        if (filesPerPartition == 1) df.repartition(col(partitionCol))
-        else df.repartition(col(partitionCol),
-          pmod(xxhash64(recordKeys.map(col): _*), lit(filesPerPartition)))
-      distributed
-        .write
-        .mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic") // per-writer, race-free
-        .partitionBy(partitionCol)
-        .parquet(path)
-    }
-
     def deleteDirs(values: Iterable[String]): Unit =
       values.foreach { v =>
         fs.delete(new Path(s"$path/$partitionCol=${dirName(v)}"), true)
@@ -136,6 +160,9 @@ final case class ParquetUpsertSink(
       val staging = s"${path}__staging_${stagingToken}_$batchId"
       try {
         merged.write.mode(SaveMode.Overwrite).parquet(staging)
+        // the staged copy is now the read source — the live pre-images
+        // of the touched partitions are free to move to the archive
+        if (keepVersions > 1) archivePreImages(fs, parts, batchId)
         // an all-tombstoned merge writes no part files — nothing to read
         val hasRows = fs.exists(new Path(staging)) &&
           fs.listStatus(new Path(staging))
@@ -154,10 +181,115 @@ final case class ParquetUpsertSink(
     } else {
       writeFinal(merged)
     }
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      compactPartitions(spark)
+    syncTable.foreach(registerAndSync(spark, _, merged.schema))
+  }
+
+  // ——— retention (Hudi cleaner analog) ———
+
+  private def archiveRoot = new Path(s"$path/${ParquetUpsertSink.ArchiveDirName}")
+
+  /** Move the live file sets of the touched partitions into
+    * `_archive/<commit>/<partition>/`, then prune the archive to the
+    * newest keepVersions-1 commits. Commit ids are zero-padded epoch
+    * millis (+ batch id), so lexicographic order IS commit order.
+    */
+  private def archivePreImages(fs: org.apache.hadoop.fs.FileSystem,
+      parts: Array[String], batchId: Long): Unit = {
+    val commit = f"${System.currentTimeMillis()}%013d_$batchId"
+    val commitDir = new Path(archiveRoot, commit)
+    var archivedAny = false
+    parts.foreach { v =>
+      val live = new Path(s"$path/$partitionCol=${dirName(v)}")
+      if (fs.exists(live)) {
+        if (!archivedAny) { fs.mkdirs(commitDir); archivedAny = true }
+        fs.rename(live, new Path(commitDir, live.getName))
+      }
+    }
+    if (fs.exists(archiveRoot)) {
+      val commits = fs.listStatus(archiveRoot).map(_.getPath).sortBy(_.getName)
+      commits.dropRight(keepVersions - 1).foreach(fs.delete(_, true))
+    }
+  }
+
+  // ——— compaction (Hudi inline-compact analog) ———
+
+  /** Coalesce partitions whose live file count exceeds
+    * `filesPerPartition` by rewriting just those partitions (staged
+    * first, then the same dynamic partition overwrite as an upsert —
+    * replay-safe: a crash before the overwrite leaves the table
+    * untouched, after it leaves the same rows in fewer files). Returns
+    * the partition directory names compacted. A maintenance entry
+    * point; schedule via [[compactEvery]] or call directly.
+    */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return Seq.empty
+    val partDirs = fs.listStatus(new Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
+    val oversized = partDirs.filter { st =>
+      fs.listStatus(st.getPath)
+        .count(f => f.getPath.getName.startsWith("part-") && f.getLen > 0) > filesPerPartition
+    }.map(_.getPath.getName)
+    if (oversized.isEmpty) return Seq.empty
+    val values = oversized.map(_.stripPrefix(s"$partitionCol="))
+      .map(d => if (d == nullDir) null else ExternalCatalogUtils.unescapePathName(d))
+    val touched = {
+      val nonNull = values.filter(_ != null)
+      val inNonNull =
+        if (nonNull.nonEmpty) col(partitionCol).cast("string").isin(nonNull: _*)
+        else lit(false)
+      if (values.contains(null)) inNonNull || col(partitionCol).isNull else inNonNull
+    }
+    val staging = s"${path}__staging_${stagingToken}_compact"
+    try {
+      spark.read.parquet(path).filter(touched)
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+      writeFinal(spark.read.parquet(staging))
+    } finally fs.delete(new Path(staging), true)
+    oversized.toSeq
+  }
+
+  // ——— catalog sync (Hive-sync analog) ———
+
+  /** Register `name` as an external partitioned parquet table over
+    * `path` (first call) and recover newly appeared partitions (every
+    * call) — the two things Hudi's hive-sync does per commit.
+    */
+  private def registerAndSync(spark: org.apache.spark.sql.SparkSession,
+      name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    if (!spark.catalog.tableExists(name)) {
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $name (${schema.toDDL})
+           |USING parquet
+           |PARTITIONED BY ($partitionCol)
+           |LOCATION '$path'""".stripMargin)
+    }
+    spark.catalog.recoverPartitions(name)
+    spark.catalog.refreshTable(name)
   }
 }
 
 object ParquetUpsertSink {
+
+  /** Archive subdirectory for retained pre-image file versions; the
+    * leading underscore keeps it invisible to parquet readers of the
+    * table root.
+    */
+  val ArchiveDirName = "_archive"
+
+  /** Retained pre-image commits under `<path>/_archive`, oldest first.
+    * Each holds the touched partitions' file sets as they were BEFORE
+    * that commit's overwrite; read one with
+    * `spark.read.parquet(s"$path/_archive/$commit")`.
+    */
+  def listArchivedCommits(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    val root = new Path(s"$path/$ArchiveDirName")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName).sorted.toSeq
+  }
 
   /** Delete staging dirs orphaned by crashed runs (`<path>__staging_*`).
     * Call while NO writer is active on `path` — typically right before

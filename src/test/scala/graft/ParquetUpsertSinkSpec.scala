@@ -133,6 +133,69 @@ class ParquetUpsertSinkSpec extends SparkSpec {
     assert(rows == Seq(2)) // escaped-partition rows are really gone
   }
 
+  test("keepVersions retains pre-images of the last N-1 commits and prunes older ones") {
+    val dir = Files.createTempDirectory("upsert9").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
+      keepVersions = 3)
+    sink.upsert(Seq(Rec(1, "v0", 10, "2024-01-01")).toDF(), 0) // fresh: nothing to archive
+    assert(ParquetUpsertSink.listArchivedCommits(spark, dir).isEmpty)
+    sink.upsert(Seq(Rec(1, "v1", 20, "2024-01-01")).toDF(), 1)
+    sink.upsert(Seq(Rec(1, "v2", 30, "2024-01-01")).toDF(), 2)
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(commits.length == 2) // live + 2 archives = keepVersions
+    // each archive holds the touched partition's PRE-image
+    val preOf1 = spark.read.parquet(s"$dir/_archive/${commits.head}")
+      .select("v").as[String].collect().toSeq
+    assert(preOf1 == Seq("v0"))
+    // a 4th commit prunes the oldest archive back to N-1
+    sink.upsert(Seq(Rec(1, "v3", 40, "2024-01-01")).toDF(), 3)
+    val commits2 = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(commits2.length == 2 && !commits2.contains(commits.head))
+    // archive dir is invisible to plain readers of the table root
+    assert(spark.read.parquet(dir).select("v").as[String].collect().toSeq == Seq("v3"))
+  }
+
+  test("compactPartitions coalesces oversized partitions without changing rows") {
+    val dir = Files.createTempDirectory("upsert10").toString + "/t"
+    val writer = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    writer.upsert((1 to 20).map(i => Rec(i, s"v$i", i, s"2024-02-0${i % 2 + 1}")).toDF(), 0)
+    // accumulate small-file debris the way a non-compacting writer would:
+    // plain appends leave extra part files in the existing partition dirs
+    (21 to 60).grouped(20).foreach { g =>
+      g.map(i => Rec(i, s"v$i", i, s"2024-02-0${i % 2 + 1}")).toDF()
+        .repartition(1).write.mode("append").partitionBy("processing_date").parquet(dir)
+    }
+    def fileCounts(): Map[String, Int] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("processing_date="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(fileCounts().values.forall(_ > 1))
+    val before = spark.read.parquet(dir).orderBy($"id").collect().toSeq
+    val compacted = writer.compactPartitions(spark).sorted
+    assert(compacted == Seq("processing_date=2024-02-01", "processing_date=2024-02-02"))
+    assert(fileCounts().values.forall(_ == 1))
+    assert(spark.read.parquet(dir).orderBy($"id").collect().toSeq == before)
+    // idempotent: nothing left oversized
+    assert(writer.compactPartitions(spark).isEmpty)
+  }
+
+  test("syncTable registers the table in the catalog and syncs new partitions") {
+    val dir = Files.createTempDirectory("upsert11").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
+      syncTable = Some("upsert_synced"))
+    try {
+      sink.upsert(Seq(Rec(1, "a", 10, "2024-03-01")).toDF(), 0)
+      assert(spark.sql("SELECT v FROM upsert_synced").as[String].collect().toSeq == Seq("a"))
+      // second batch: update + a NEW partition must both be visible by name
+      sink.upsert(Seq(
+        Rec(1, "a2", 20, "2024-03-01"),
+        Rec(2, "b", 10, "2024-03-02")).toDF(), 1)
+      val rows = spark.sql(
+        "SELECT id, v, processing_date FROM upsert_synced ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      assert(rows == Seq((1, "a2", "2024-03-01"), (2, "b", "2024-03-02")))
+    } finally spark.sql("DROP TABLE IF EXISTS upsert_synced")
+  }
+
   test("sweepStaging reclaims orphaned staging dirs and leaves the table intact") {
     val root = Files.createTempDirectory("upsert8").toString
     val dir = root + "/t"
