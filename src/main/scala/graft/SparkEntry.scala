@@ -77,6 +77,7 @@ object SparkEntry {
     "x_dedup_minhash_lsh" -> (ext.Dedup.minhashLsh _),
     "x_dedup_simhash" -> (ext.Dedup.simhashPairs _),
     "x_dedup_clusters" -> (ext.Clusters.dedupClusters _),
+    "x_decontaminate_clean" -> (ext.StreamDecon.cleanCorpus _),
     // —— training-data extensions: similarity search ——
     "x_ann_bruteforce" -> (ext.Similarity.annBruteForce _),
     "x_embedding_pairs" -> (ext.Similarity.embeddingPairs _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "x_dedup_minhash_lsh" -> ext.Dedup.minhashLshSql,
     "x_dedup_simhash" -> ext.Dedup.simhashPairsSql,
     "x_dedup_clusters" -> ext.Clusters.dedupClustersSql,
+    "x_decontaminate_clean" -> ext.StreamDecon.cleanCorpusSql,
     "x_ann_bruteforce" -> ext.Similarity.annBruteForceSql,
     "x_embedding_pairs" -> ext.Similarity.embeddingPairsSql,
     "x_ann_lsh" -> ext.Similarity.annLshSql,
