@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Clusters
+
+/** Connected-components closure over near-dup candidate pairs
+  * (alternating large-star/small-star rewrites).
+  */
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: (Long, Long)*): Map[Long, Long] =
+    Clusters.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("a transitive chain collapses to one component rooted at the min id") {
+    // a~b, b~c, c~d with ids out of order: pairwise min-neighbor keeper
+    // assignment would split this; closure must not
+    val m = cc((7L, 3L), (3L, 9L), (9L, 5L))
+    assert(m == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 9L -> 3L))
+  }
+
+  test("disjoint components keep separate roots; duplicate and self edges are ignored") {
+    val m = cc((1L, 2L), (2L, 1L), (4L, 4L), (5L, 6L))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    // 4's only edge is a self-loop — it never appears
+  }
+
+  test("a long path converges (log-round star contraction, not diameter-bound)") {
+    // 64-node path with shuffled ids: diameter 63 must converge well
+    // inside maxIter=25 rounds, which only O(log n) contraction can do
+    val ids = scala.util.Random.shuffle((100L to 163L).toVector)
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+    val m = cc(edges: _*)
+    assert(m.keySet == ids.toSet)
+    assert(m.values.toSet == Set(ids.min))
+  }
+
+  test("star and clique shapes resolve to the hub/min id") {
+    val star = cc((10L, 11L), (10L, 12L), (10L, 13L))
+    assert(star.values.toSet == Set(10L))
+    val clique = cc((20L, 21L), (20L, 22L), (21L, 22L))
+    assert(clique.values.toSet == Set(20L))
+  }
+
+  test("dedupClusters emits one keeper per component with consistent sizes") {
+    val rows = Clusters.dedupClusters(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty) // corpus has planted near-dups
+    val byKeeper = rows.groupBy(_._2)
+    byKeeper.foreach { case (keeper, members) =>
+      // keeper is a member of its own cluster and the smallest id in it
+      assert(members.exists(_._1 == keeper))
+      assert(members.map(_._1).min == keeper)
+      // the window-computed cluster_size matches the actual group size
+      assert(members.map(_._3).toSet == Set(members.length.toLong))
+    }
+    // closure is consistent with the pairwise edge set: every LSH pair
+    // lands in the same cluster
+    val keeperOf = rows.map(r => r._1 -> r._2).toMap
+    ext.Dedup.minhashLsh(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .foreach { case (a, b) => assert(keeperOf(a) == keeperOf(b)) }
+  }
+}

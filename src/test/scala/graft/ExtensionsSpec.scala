@@ -63,6 +63,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("tiled embedding pair join equals the naive all-pairs ground truth") {
+    val vecs = Tables.table(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val naive = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      sim = r4(dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+      if sim >= 0.4
+    } yield (ia, ib, sim)).toSet
+    val tiled = ext.Similarity.embeddingPairs(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(naive.nonEmpty)
+    assert(tiled == naive) // exact join: every unordered pair once, none twice
+  }
+
+  test("banded-LSH embedding dedup is consistent with the exact dedup") {
+    val exact = ext.Similarity.dedupByEmbedding(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val lsh = ext.Similarity.dedupByEmbeddingLsh(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (dup, keeper, nDups, bestSim) =>
+      // an LSH-found duplicate is a real duplicate: the exact op found
+      // it too, with at-least-as-good keeper/count/sim (LSH may miss
+      // candidates, never invent them)
+      val (_, exKeeper, exN, exBest) = exact(dup)
+      assert(keeper >= exKeeper)
+      assert(nDups <= exN)
+      assert(bestSim <= exBest)
+    }
+  }
+
   test("self-cosine is 1.0 for every embedding") {
     import graft.functions.VectorFunctions.vec_cosine
     val bad = Tables.table(spark, sf0001, "embeddings")

@@ -127,4 +127,59 @@ class HashExpressionsSpec extends SparkSpec {
       .select(simhash_md5(col("t"), 60)).collect()(0).getLong(0)
     assert(java.lang.Long.bitCount(got ^ got2) <= 20)
   }
+
+  test("HyperplaneBandKeys packs per-band sign bits with the band id above them") {
+    // 2 bands × 3 bits over dim 2, hand-picked planes
+    val planes = IndexedSeq(
+      1.0, 1.0, // p0: x+y
+      1.0, -1.0, // p1: x-y
+      -1.0, 1.0, // p2: y-x
+      1.0, 0.0, // p3: x
+      0.0, 1.0, // p4: y
+      -1.0, -1.0) // p5: -(x+y)
+    val df = Seq(Tuple1(Array(2.0f, 1.0f))).toDF("v") // x=2, y=1
+    val keys = df.select(hyperplane_band_keys(col("v"), planes, 2, 3))
+      .collect()(0).getAs[scala.collection.Seq[Long]](0)
+    // band 0 bits: p0=3>0 →1, p1=1>0 →1, p2=-1 →0 ⇒ 0b011; band id 0<<3
+    // band 1 bits: p3=2>0 →1, p4=1>0 →1, p5=-3 →0 ⇒ 0b011; band id 1<<3
+    assert(keys.toSeq == Seq(3L, (1L << 3) | 3L))
+    // keys of different bands can never collide even with equal bit
+    // patterns — the band id sits above the bit field
+    assert(keys.distinct.size == 2)
+  }
+
+  test("HyperplaneBandKeys nulls out on length mismatch or a null element") {
+    val planes = IndexedSeq(1.0, 1.0, 1.0, -1.0) // 2 planes, dim 2, 2-bit band
+    val df = Seq(
+      Tuple1(Seq[java.lang.Float](1.0f, 2.0f)),
+      Tuple1(Seq[java.lang.Float](1.0f, null)),
+      Tuple1(Seq[java.lang.Float](1.0f, 2.0f, 3.0f)))
+      .toDF("v")
+    val rows = df.select(hyperplane_band_keys(col("v"), planes, 2, 2)).collect()
+    assert(!rows(0).isNullAt(0))
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("HyperplaneBandKeys sign bits agree with FloatVecDot against each plane") {
+    val dim = ext.Similarity.dim
+    val bandBits = ext.Similarity.bandBits
+    val numBands = ext.Similarity.numBands
+    val planesFlat = (0 until numBands * bandBits).flatMap(ext.Similarity.planeSigns(_))
+    val emb = Tables.table(spark, sf0001, "embeddings").limit(20)
+    val keys = emb.select(col("vec_id"),
+      hyperplane_band_keys(col("embedding"), planesFlat, dim, bandBits).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("k")).toMap
+    // recompute one band's bits via independent per-plane dots
+    val dotCols = (0 until bandBits).map { p =>
+      vec_dot(col("embedding"),
+        array(ext.Similarity.planeSigns(p).map(s => lit(s.toFloat)): _*)).as(s"d$p")
+    }
+    val dots = emb.select((col("vec_id") +: dotCols): _*).collect()
+    dots.foreach { r =>
+      val expected = (0 until bandBits)
+        .map(p => if (r.getDouble(p + 1) > 0) 1L << p else 0L).sum
+      assert((keys(r.getLong(0)).head & ((1L << bandBits) - 1)) == expected)
+    }
+  }
 }
