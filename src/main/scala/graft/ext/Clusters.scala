@@ -76,14 +76,17 @@ object Clusters {
     * id reachable; only ids that appear in an edge are emitted.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    var e = canonical(edges).localCheckpoint(true)
+    // LAZY localCheckpoint: the signature job right after is the first
+    // action, so it doubles as the materialization — one job per round,
+    // not a checkpoint pass plus a signature pass
+    var e = canonical(edges).localCheckpoint(false)
     var sig = signature(e)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       // localCheckpoint truncates the growing iteration lineage so each
       // round's plan stays two window passes, not a nested pyramid
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       e = next

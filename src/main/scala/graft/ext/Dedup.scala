@@ -182,6 +182,28 @@ object Dedup {
     minhashLshPairs(spark, sfDir)
       .transform(Present.sortSmall(_, col("doc_a"), col("doc_b")))
 
+  /** MinHash signature + hashed shingle set of any (doc_id, text)
+    * frame: (doc_id, sig, hs, n) — the per-doc projection both the
+    * batch LSH and the streaming incremental dedup build on.
+    */
+  def signed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      minhash_signature(shingles(Text.tokens(col("text"))), numHashes).as("sig"),
+      hashed_shingle_set(Text.tokens(col("text"))).as("hs"))
+      .withColumn("n", size(col("hs")))
+
+  /** LSH band rows (doc_id, band, band_key) of a [[signed]] frame. */
+  def bandRows(signedDocs: DataFrame): DataFrame = {
+    val numBands = numHashes / bandSize
+    signedDocs.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        struct(b.as("band"),
+          array_join(transform(slice(col("sig"), b * bandSize + 1, lit(bandSize)),
+            x => x.cast("string")), ",").as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("band_key"))
+  }
+
   /** Unsorted verified near-dup pairs — the [[minhashLsh]] body, also
     * the edge set for [[Clusters.dedupClusters]].
     */
@@ -196,19 +218,8 @@ object Dedup {
     // FASTER than one pass + columnar-cache build of the long arrays
     // (r2's persist+count cost +0.55 s), and a library caller no longer
     // inherits a leaked cached block.
-    val docs = Tables.table(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        minhash_signature(shingles(Text.tokens(col("text"))), numHashes).as("sig"),
-        hashed_shingle_set(Text.tokens(col("text"))).as("hs"))
-      .withColumn("n", size(col("hs")))
-    val numBands = numHashes / bandSize
-    val bands = docs.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
-        struct(b.as("band"),
-          array_join(transform(slice(col("sig"), b * bandSize + 1, lit(bandSize)),
-            x => x.cast("string")), ",").as("key")))).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("band_key"))
+    val docs = signed(Tables.table(spark, sfDir, "documents"))
+    val bands = bandRows(docs)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&

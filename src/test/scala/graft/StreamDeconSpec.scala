@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, StreamDecon, Text}
+import graft.ext.{Dedup, StreamDecon, StreamDedup, Text}
 
 /** Streaming decontamination against a static benchmark corpus:
   * per-micro-batch scoring, anti-join admission, batch-twin parity.
@@ -59,5 +59,51 @@ class StreamDeconSpec extends SparkSpec {
 
     assert(admitted.toSet == batchAdmitted)
     assert(admitted.toSet == Set(2L, 3L)) // brushing passes, dirty ones don't
+  }
+
+  // ——— StreamDedup: incremental near-dup admission vs a static corpus ———
+
+  // 20-word corpus doc; the near-dup drops the LAST word (17 of 18
+  // shingles shared → Jaccard ≈ 0.944, inside the regime where 8×4
+  // banding recall is ≈ 1 — a mid-text edit at j≈0.75 can genuinely
+  // miss all bands); the fresh doc shares nothing
+  private val corpusText = (1 to 20).map(i => s"w$i").mkString(" ")
+  private val nearDupText = (1 to 19).map(i => s"w$i").mkString(" ")
+  private val freshText = (1 to 20).map(i => s"z$i").mkString(" ")
+
+  test("StreamDedup.matches verifies band candidates with exact Jaccard") {
+    val idx = StreamDedup.index(Seq(DeconDoc(100, corpusText)).toDF())
+    val batch = Seq(DeconDoc(1, nearDupText), DeconDoc(2, freshText)).toDF()
+    val m = StreamDedup.matches(batch, idx).collect()
+    assert(m.length == 1)
+    assert(m(0).getAs[Long]("doc_id") == 1L)
+    assert(m(0).getAs[Long]("corpus_doc") == 100L)
+    assert(m(0).getAs[Double]("jaccard") >= 0.6)
+  }
+
+  test("StreamDedup streaming admission matches its batch twin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = StreamDedup.index(Seq(DeconDoc(100, corpusText)).toDF())
+    val allDocs = Seq(
+      DeconDoc(1, nearDupText), DeconDoc(2, freshText),
+      DeconDoc(3, corpusText), DeconDoc(4, freshText + " tail"))
+    val batchAdmitted = StreamDedup.clean(allDocs.toDF(), idx)
+      .select("doc_id").as[Long].collect().toSet
+
+    val mem = MemoryStream[DeconDoc]
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val checkpoint = java.nio.file.Files.createTempDirectory("neardup_ckpt").toString
+    val q = StreamDedup.start(mem.toDF(), idx, checkpoint) { (clean, _) =>
+      admitted ++= clean.select("doc_id").as[Long](implicitly).collect()
+    }
+    try {
+      mem.addData(allDocs(0), allDocs(1))
+      q.processAllAvailable()
+      mem.addData(allDocs(2), allDocs(3))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(admitted.toSet == batchAdmitted)
+    assert(admitted.toSet == Set(2L, 4L)) // near-dup and exact copy both rejected
   }
 }
