@@ -93,6 +93,13 @@ object Clusters {
       sig = nextSig
       it += 1
     }
+    // a non-star edge set would label nodes with an intermediate
+    // neighbor instead of the component min — refuse to return a
+    // silently-wrong clustering (25 rounds cover ~2^25-diameter
+    // components; hitting this means a bug or a pathological maxIter)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"(${sig._1} edges at last signature)")
     // fixpoint is a star per component: hi → lo = component min; the
     // root itself appears only on the lo side
     e.select(col("hi").as("id"), col("lo").as("component"))

@@ -169,14 +169,13 @@ object Similarity {
         explode(sequence(lit(0), col("blk"))).as("ti"))
       .select(col("id_b"), col("vb"), col("nb"), col("blk_b"),
         (col("ti") * b + col("blk_b")).as("tile"))
-    // the replicated side fits a broadcast at gate scale (n·(B+1)/2
-    // rows), making the tile join a BHJ whose residual condition — the
-    // dot — is codegen'd; at corpus scale the same plan degrades to a
-    // sort-merge/shuffled-hash join partitioned BY TILE, which is
-    // exactly the distribution the tiling exists for. Broadcasting
-    // right (not left) keeps the streamed side's repartition as the
-    // source of parallelism.
-    left.join(broadcast(right),
+    // NO forced broadcast hint: a hint is honored regardless of size,
+    // and the replicated side is the FULL corpus ×(B+1)/2 — at real
+    // scale a forced broadcast hits the driver/8 GB broadcast wall and
+    // fails instead of degrading. Spark's stats pick BHJ at gate scale
+    // (small parquet) and a shuffled join partitioned BY TILE beyond —
+    // exactly the distribution the tiling exists for.
+    left.join(right,
         left("tile") === right("tile") &&
           (col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b")))
       .withColumn("sim", round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))

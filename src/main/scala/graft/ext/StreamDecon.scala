@@ -24,8 +24,13 @@ import graft.{Present, Tables}
   * horizon for no benefit).
   *
   * At 100 TB of arriving docs the cost is O(matching shingles) per
-  * batch — identical to the batch op — and the static inventory is
-  * loaded once per executor by the broadcast, not per batch.
+  * batch — identical to the batch op. Each micro-batch is its own
+  * action, and broadcast exchanges are NOT reused across actions: a
+  * long-running stream should pass a persisted inventory
+  * (`benchmarkShingles(...).persist()`) so per-batch cost is the
+  * (cached) broadcast build, not a re-scan + re-shingle of the
+  * benchmark corpus. The caller owns the persist/unpersist, as with
+  * [[StreamDedup.index]].
   */
 object StreamDecon {
 

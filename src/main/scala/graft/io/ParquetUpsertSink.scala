@@ -190,21 +190,37 @@ final case class ParquetUpsertSink(
 
   private def archiveRoot = new Path(s"$path/${ParquetUpsertSink.ArchiveDirName}")
 
-  /** Move the live file sets of the touched partitions into
+  /** COPY the live file sets of the touched partitions into
     * `_archive/<commit>/<partition>/`, then prune the archive to the
-    * newest keepVersions-1 commits. Commit ids are zero-padded epoch
-    * millis (+ batch id), so lexicographic order IS commit order.
+    * newest keepVersions-1 commits. Copy, not rename: a crash between
+    * the archive step and the overwrite must leave the live partition
+    * intact, or the streaming replay would merge the retried batch
+    * against an emptied partition and silently drop its history (the
+    * replay then just archives a redundant pre-image copy — wasteful,
+    * never lossy). Note that under at-least-once replay a re-run of an
+    * already-committed batch archives the (identical) post-image as a
+    * new commit, which ages genuine pre-images out of the keepVersions
+    * window one commit earlier — retention counts physical commits,
+    * like Hudi's cleaner.
+    *
+    * Commit ids are zero-padded epoch millis + zero-padded batch id,
+    * so lexicographic order IS commit order (an unpadded batch id
+    * would sort `_10` before `_9` within one millisecond and prune the
+    * wrong "oldest").
     */
   private def archivePreImages(fs: org.apache.hadoop.fs.FileSystem,
       parts: Array[String], batchId: Long): Unit = {
-    val commit = f"${System.currentTimeMillis()}%013d_$batchId"
+    val commit = f"${System.currentTimeMillis()}%013d_$batchId%06d"
     val commitDir = new Path(archiveRoot, commit)
+    val conf = new org.apache.hadoop.conf.Configuration()
     var archivedAny = false
     parts.foreach { v =>
       val live = new Path(s"$path/$partitionCol=${dirName(v)}")
       if (fs.exists(live)) {
         if (!archivedAny) { fs.mkdirs(commitDir); archivedAny = true }
-        fs.rename(live, new Path(commitDir, live.getName))
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, live, fs, new Path(commitDir, live.getName),
+          false /* deleteSource */, conf)
       }
     }
     if (fs.exists(archiveRoot)) {
@@ -235,16 +251,27 @@ final case class ParquetUpsertSink(
     if (oversized.isEmpty) return Seq.empty
     val values = oversized.map(_.stripPrefix(s"$partitionCol="))
       .map(d => if (d == nullDir) null else ExternalCatalogUtils.unescapePathName(d))
+    // read with the partition column pinned to STRING: type inference
+    // would parse e.g. "00123" as int 123 and the rewrite would land in
+    // a NEW directory (processing_date=123), leaving the old one in
+    // place — duplicated rows and a permanently "oversized" partition.
+    // The string form is the directory-name identity, so it round-trips
+    // exactly (the upsert path gets the same guarantee from the batch
+    // schema; compaction has no batch to borrow from).
+    val inferred = spark.read.parquet(path).schema
+    val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == partitionCol) f.copy(dataType = org.apache.spark.sql.types.StringType)
+      else f))
     val touched = {
       val nonNull = values.filter(_ != null)
       val inNonNull =
-        if (nonNull.nonEmpty) col(partitionCol).cast("string").isin(nonNull: _*)
+        if (nonNull.nonEmpty) col(partitionCol).isin(nonNull: _*)
         else lit(false)
       if (values.contains(null)) inNonNull || col(partitionCol).isNull else inNonNull
     }
     val staging = s"${path}__staging_${stagingToken}_compact"
     try {
-      spark.read.parquet(path).filter(touched)
+      spark.read.schema(pinned).parquet(path).filter(touched)
         .write.mode(SaveMode.Overwrite).parquet(staging)
       writeFinal(spark.read.parquet(staging))
     } finally fs.delete(new Path(staging), true)

@@ -178,6 +178,21 @@ class ParquetUpsertSinkSpec extends SparkSpec {
     assert(writer.compactPartitions(spark).isEmpty)
   }
 
+  test("compactPartitions preserves numeric-like string partition identity (no 00123→123 rename)") {
+    val dir = Files.createTempDirectory("upsert12").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    sink.upsert(Seq(Rec(1, "a", 10, "00123")).toDF(), 0)
+    // debris file so the partition is oversized
+    Seq(Rec(2, "b", 10, "00123")).toDF()
+      .repartition(1).write.mode("append").partitionBy("processing_date").parquet(dir)
+    assert(sink.compactPartitions(spark) == Seq("processing_date=00123"))
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("processing_date=")).map(_.getName).toSeq
+    assert(dirs == Seq("processing_date=00123")) // NOT a new =123 dir
+    val rows = spark.read.parquet(dir).select("id").as[Int].collect().sorted.toSeq
+    assert(rows == Seq(1, 2)) // no duplication
+  }
+
   test("syncTable registers the table in the catalog and syncs new partitions") {
     val dir = Files.createTempDirectory("upsert11").toString + "/t"
     val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
