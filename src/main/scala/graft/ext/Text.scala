@@ -167,6 +167,46 @@ object Text {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition filter: fraction of the doc's bigrams
+    * taken by its single most frequent bigram (native one-pass
+    * [[graft.functions.TopNgramFrac]] — no corpus-wide n-gram explode)
+    * plus the distinct-token fraction; a doc is flagged repetitive when
+    * either signal crosses its threshold. Per-row, shuffle-free — the
+    * shape that pipelines with the scan at 100 TB.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val topBi = round(graft.functions.HashFunctions.top_ngram_frac(t, 2), 4)
+    val distinctFrac = round(size(array_distinct(t)).cast("double") / size(t), 4)
+    Tables.table(spark, sfDir, "documents")
+      .filter(size(t) >= 2)
+      .select(
+        col("doc_id"),
+        topBi.as("top_bigram_frac"),
+        distinctFrac.as("distinct_token_frac"))
+      .withColumn("is_repetitive",
+        col("top_bigram_frac") > 0.05 || col("distinct_token_frac") < 0.5)
+      .transform(graft.Present.sortSmall(_, col("doc_id")))
+  }
+
+  val repetitionSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS b
+      |  FROM d),
+      |cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+      |dv AS (SELECT doc_id, round(len(list_distinct(ts))::DOUBLE / len(ts), 4) AS dtf FROM d)
+      |SELECT t.doc_id,
+      |       round(mx::DOUBLE / tot, 4) AS top_bigram_frac,
+      |       dv.dtf AS distinct_token_frac,
+      |       (round(mx::DOUBLE / tot, 4) > 0.05 OR dv.dtf < 0.5) AS is_repetitive
+      |FROM top t JOIN dv ON dv.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Document fingerprinting: content hash (md5) + order-sensitive
     * rolling hash (Rabin-Karp-style fold over token hashes, mod 1e9+7 to
     * stay overflow-safe in both engines).

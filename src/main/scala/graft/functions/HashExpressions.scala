@@ -114,6 +114,31 @@ object HashKernels {
     out
   }
 
+  /** max n-gram frequency / total n-gram count of a token array —
+    * the Gopher-style repetition signal. Returns -1.0 when the array
+    * holds fewer than n tokens (the expression maps that to null).
+    */
+  def topNgramFrac(arr: ArrayData, n: Int): Double = {
+    val total = arr.numElements() - n + 1
+    if (total <= 0) return -1.0
+    val counts = new java.util.HashMap[String, Integer]()
+    var max = 0
+    var i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(tok(arr, i + k))
+        k += 1
+      }
+      val c = counts.merge(sb.toString, Integer.valueOf(1), (a, b) => a + b)
+      if (c > max) max = c
+      i += 1
+    }
+    max.toDouble / total
+  }
+
   private def tok(arr: ArrayData, i: Int): String = {
     val u = arr.getUTF8String(i)
     if (u == null) "" else u.toString
@@ -290,6 +315,46 @@ object HashFunctions {
 
   def hashed_shingle_set(tokens: Column, n: Int = 3): Column =
     GraftBridge.column(HashedShingleSet(GraftBridge.expression(tokens), n))
+
+  def top_ngram_frac(tokens: Column, n: Int): Column =
+    GraftBridge.column(TopNgramFrac(GraftBridge.expression(tokens), n))
+}
+
+/** Fraction of a doc's n-grams taken by its single most frequent
+  * n-gram — the Gopher-style repetition signal (repetitive boilerplate
+  * and generation loops spike it). One native pass with a local count
+  * map; null when the doc has fewer than n tokens. The composable
+  * alternative (explode n-grams → per-doc groupBy → max/count) shuffles
+  * every n-gram of the corpus; this keeps the quality gate per-row and
+  * shuffle-free.
+  */
+case class TopNgramFrac(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, s"TopNgramFrac n must be positive, got $n")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_ngram_frac requires array<string> input, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val f = HashKernels.topNgramFrac(input.asInstanceOf[ArrayData], n)
+    if (f < 0) null else java.lang.Double.valueOf(f)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.HashKernels.topNgramFrac($c, $n);
+       |if (${ev.value} < 0) { ${ev.isNull} = true; ${ev.value} = 0.0; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Distinct n-word shingles of a token array, built in one native pass

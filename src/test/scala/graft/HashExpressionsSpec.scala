@@ -128,6 +128,22 @@ class HashExpressionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(got ^ got2) <= 20)
   }
 
+  test("TopNgramFrac: max bigram share, boundary cases null out") {
+    val df = Seq(
+      Tuple1(Seq("a", "b", "a", "b", "c")), // bigrams: ab, ba, ab, bc → max 2 of 4
+      Tuple1(Seq("x", "x", "x", "x")), // xx ×3 → 1.0
+      Tuple1(Seq("a", "b", "c")), // all distinct bigrams → 1/2
+      Tuple1(Seq("only")), // fewer than n tokens → null
+      Tuple1(Seq.empty[String]))
+      .toDF("t")
+    val rows = df.select(top_ngram_frac(col("t"), 2)).collect()
+    assert(rows(0).getDouble(0) == 0.5)
+    assert(rows(1).getDouble(0) == 1.0)
+    assert(rows(2).getDouble(0) == 0.5)
+    assert(rows(3).isNullAt(0))
+    assert(rows(4).isNullAt(0))
+  }
+
   test("HyperplaneBandKeys packs per-band sign bits with the band id above them") {
     // 2 bands × 3 bits over dim 2, hand-picked planes
     val planes = IndexedSeq(
