@@ -80,6 +80,7 @@ object SparkEntry {
     "x_decontaminate_clean" -> (ext.StreamDecon.cleanCorpus _),
     "x_dedup_incremental" -> (ext.StreamDedup.cleanCorpus _),
     "x_repetition" -> (ext.Text.repetition _),
+    "x_kmeans" -> (ext.Clustering.kmeans _),
     // —— training-data extensions: similarity search ——
     "x_ann_bruteforce" -> (ext.Similarity.annBruteForce _),
     "x_embedding_pairs" -> (ext.Similarity.embeddingPairs _),
@@ -154,6 +155,7 @@ object SparkEntry {
     "x_decontaminate_clean" -> ext.StreamDecon.cleanCorpusSql,
     "x_dedup_incremental" -> ext.StreamDedup.cleanCorpusSql,
     "x_repetition" -> ext.Text.repetitionSql,
+    "x_kmeans" -> ext.Clustering.kmeansSql,
     "x_ann_bruteforce" -> ext.Similarity.annBruteForceSql,
     "x_embedding_pairs" -> ext.Similarity.embeddingPairsSql,
     "x_ann_lsh" -> ext.Similarity.annLshSql,

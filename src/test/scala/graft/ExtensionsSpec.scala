@@ -103,6 +103,26 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans partitions the corpus; refinement does not reduce cohesion") {
+    val n = Tables.table(spark, sf0001, "embeddings").count()
+    val rows = ext.Clustering.kmeans(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.map(_._2).sum == n) // every vector in exactly one cluster
+    assert(rows.forall { case (_, sz, coh) => sz > 0 && coh >= -1.0 && coh <= 1.0 })
+    // Lloyd refinement: mean assignment cosine must not drop vs the
+    // zeroth (seed) assignment
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val seeds = emb.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
+    val seedCohesion = graft.plans.TopKPerGroup.topKPerGroup(
+      emb.join(broadcast(seeds))
+        .select($"vec_id", ext.Similarity.cosine($"embedding", $"cv").as("sim"), $"cent_id"),
+      Seq($"vec_id"), Seq($"sim".desc, $"cent_id".asc), 1)
+      .agg(avg($"sim")).as[Double].collect()(0)
+    val refinedCohesion = rows.map(r => r._3 * r._2).sum / n
+    assert(refinedCohesion >= seedCohesion - 1e-9)
+  }
+
   test("self-cosine is 1.0 for every embedding") {
     import graft.functions.VectorFunctions.vec_cosine
     val bad = Tables.table(spark, sf0001, "embeddings")
