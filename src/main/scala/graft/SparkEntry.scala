@@ -81,6 +81,7 @@ object SparkEntry {
     "x_dedup_incremental" -> (ext.StreamDedup.cleanCorpus _),
     "x_repetition" -> (ext.Text.repetition _),
     "x_kmeans" -> (ext.Clustering.kmeans _),
+    "x_knn_label_eval" -> (ext.Clustering.knnLabelEval _),
     // —— training-data extensions: similarity search ——
     "x_ann_bruteforce" -> (ext.Similarity.annBruteForce _),
     "x_embedding_pairs" -> (ext.Similarity.embeddingPairs _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "x_dedup_incremental" -> ext.StreamDedup.cleanCorpusSql,
     "x_repetition" -> ext.Text.repetitionSql,
     "x_kmeans" -> ext.Clustering.kmeansSql,
+    "x_knn_label_eval" -> ext.Clustering.knnLabelEvalSql,
     "x_ann_bruteforce" -> ext.Similarity.annBruteForceSql,
     "x_embedding_pairs" -> ext.Similarity.embeddingPairsSql,
     "x_ann_lsh" -> ext.Similarity.annLshSql,

@@ -73,6 +73,74 @@ object Clustering {
       col("cent_id"))
   }
 
+  /** kNN label-consistency eval — the standard embedding-quality /
+    * mislabel-detection pass over a labeled corpus: for each probe
+    * vector (every 100th), take its 5 exact nearest neighbors, majority-
+    * vote their labels (ties → smallest label), and score the vote
+    * against the probe's own label, aggregated per label. Corpus
+    * streams through a broadcast of the probes (the [[Similarity
+    * .annBruteForce]] shape — no big-side shuffle); the vote is a
+    * TopKPerGroup(k=1) over per-(probe, label) counts, not a window
+    * over the full candidate set.
+    */
+  def knnLabelEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("label").as("nlabel"))
+    val scored = corpus.join(broadcast(probes), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(Similarity.cosine(col("qv"), col("nv")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    val top5 = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    val votes = top5.groupBy(col("query_id"), col("qlabel"), col("nlabel"))
+      .agg(count(lit(1)).as("c"))
+    val pred = graft.plans.TopKPerGroup.topKPerGroup(
+      votes, Seq(col("query_id")), Seq(col("c").desc, col("nlabel").asc), 1)
+      .select(col("query_id"), col("qlabel"), col("nlabel").as("plabel"))
+    Present.sortSmall(
+      pred.groupBy(col("qlabel").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("plabel") === col("qlabel"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n_queries"), 4)),
+      col("label"))
+  }
+
+  val knnLabelEvalSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+       |           FROM embeddings WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label AS nlabel,
+       |         round(${Similarity.cosineSql("q.qv", "e.embedding")}, 4) AS sim
+       |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+       |top5 AS (
+       |  SELECT query_id, qlabel, nlabel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= 5),
+       |votes AS (
+       |  SELECT query_id, qlabel, nlabel, count(*) AS c
+       |  FROM top5 GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT query_id, qlabel, nlabel AS plabel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY c DESC, nlabel) AS rn
+       |    FROM votes)
+       |  WHERE rn = 1)
+       |SELECT qlabel AS label,
+       |       CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |       round(sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END)::DOUBLE
+       |             / count(*), 4) AS accuracy
+       |FROM pred
+       |GROUP BY qlabel
+       |ORDER BY qlabel""".stripMargin
+
   /** DuckDB twin: the same seeds and two chained
     * assign→average→float-cast iterations as CTEs, then the final
     * assignment summary.
