@@ -60,8 +60,11 @@ object Clustering {
       // re-split the single-file scan so assignment parallelizes
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"))
+    // FIXED k (vec_id < 800 caps seeds at 32 however big the corpus):
+    // unlike IVF's nlist, k must not scale with n or the centroid
+    // broadcast and the k×|v| assignment stop being the cheap side
     var cents = Tables.table(spark, sfDir, "embeddings")
-      .filter(col("vec_id") % 25 === 0)
+      .filter(col("vec_id") % 25 === 0 && col("vec_id") < 800)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     for (_ <- 1 to iterations)
       cents = update(assign(emb, cents))
@@ -158,7 +161,7 @@ object Clustering {
          |  WHERE rn = 1)""".stripMargin
     s"""WITH cent0 AS (
        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-       |  WHERE vec_id % 25 = 0),
+       |  WHERE vec_id % 25 = 0 AND vec_id < 800),
        |${assignCte("a1", "cent0")},
        |m1 AS (
        |  SELECT cent_id, d, avg(v) AS m FROM (

@@ -112,7 +112,7 @@ class ExtensionsSpec extends SparkSpec {
     // Lloyd refinement: mean assignment cosine must not drop vs the
     // zeroth (seed) assignment
     val emb = Tables.table(spark, sf0001, "embeddings")
-    val seeds = emb.filter($"vec_id" % 25 === 0)
+    val seeds = emb.filter($"vec_id" % 25 === 0 && $"vec_id" < 800)
       .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
     val seedCohesion = graft.plans.TopKPerGroup.topKPerGroup(
       emb.join(broadcast(seeds))
