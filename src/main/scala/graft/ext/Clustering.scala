@@ -30,15 +30,9 @@ object Clustering {
 
   val iterations = 2
 
-  /** One assignment pass: (vec_id, embedding, cent_id, sim) against a
-    * broadcast centroid set (cent_id, cv).
-    */
-  private def assign(vectors: DataFrame, cents: DataFrame): DataFrame =
-    graft.plans.TopKPerGroup.topKPerGroup(
-      vectors.join(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          Similarity.cosine(col("embedding"), col("cv")).as("sim")),
-      Seq(col("vec_id")), Seq(col("sim").desc, col("cent_id").asc), 1)
+  // assignment is [[Similarity.assignNearest]] — ONE definition shared
+  // with annIvf so tie-breaking can never drift between the operator
+  // that produces centroids and the one that consumes them
 
   /** Mean of the members per centroid, rebuilt as a float array in
     * dimension order.
@@ -67,9 +61,11 @@ object Clustering {
       .filter(col("vec_id") % 25 === 0 && col("vec_id") < 800)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     for (_ <- 1 to iterations)
-      cents = update(assign(emb, cents))
+      cents = update(Similarity.assignNearest(emb, cents, keepEmbedding = true))
     Present.sortSmall(
-      assign(emb, cents)
+      // the summary needs only (cent_id, sim): slim the assignment so
+      // the exchange ships ~20 bytes/vector, not the 256-byte embedding
+      Similarity.assignNearest(emb, cents, keepEmbedding = false)
         .groupBy(col("cent_id"))
         .agg(count(lit(1)).as("n_members"),
           round(avg(col("sim")), 4).as("cohesion")),
@@ -87,7 +83,6 @@ object Clustering {
     * over the full candidate set.
     */
   def knnLabelEval(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.table(spark, sfDir, "embeddings")
     val probes = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -95,10 +90,15 @@ object Clustering {
     val corpus = emb.repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
         col("label").as("nlabel"))
+    // sim computed and embeddings PRUNED before the top-k: the native
+    // TopKPerGroup then ships ≤5 slim rows per probe per partition,
+    // where a row_number window would shuffle and sort the full
+    // |corpus| × |probes| scored set
     val scored = corpus.join(broadcast(probes), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(Similarity.cosine(col("qv"), col("nv")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    val top5 = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("qlabel"), col("neighbor_id"), col("nlabel"),
+        round(Similarity.cosine(col("qv"), col("nv")), 4).as("sim"))
+    val top5 = graft.plans.TopKPerGroup.topKPerGroup(
+      scored, Seq(col("query_id")), Seq(col("sim").desc, col("neighbor_id").asc), 5)
     val votes = top5.groupBy(col("query_id"), col("qlabel"), col("nlabel"))
       .agg(count(lit(1)).as("c"))
     val pred = graft.plans.TopKPerGroup.topKPerGroup(
@@ -159,33 +159,27 @@ object Clustering {
          |                      c.cent_id) AS rn
          |    FROM embeddings e, $cents c)
          |  WHERE rn = 1)""".stripMargin
+    // generated from `iterations` so the Spark loop and the oracle can
+    // never silently desynchronize when the count changes
+    def iterCtes(i: Int): String =
+      s"""${assignCte(s"a$i", s"cent${i - 1}")},
+         |m$i AS (
+         |  SELECT cent_id, d, avg(v) AS m FROM (
+         |    SELECT cent_id, generate_subscripts(embedding, 1) AS d,
+         |           unnest(embedding) AS v
+         |    FROM a$i) t
+         |  GROUP BY cent_id, d),
+         |cent$i AS (
+         |  SELECT cent_id, list(CAST(m AS FLOAT4) ORDER BY d) AS cv
+         |  FROM m$i GROUP BY cent_id)""".stripMargin
     s"""WITH cent0 AS (
        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
        |  WHERE vec_id % 25 = 0 AND vec_id < 800),
-       |${assignCte("a1", "cent0")},
-       |m1 AS (
-       |  SELECT cent_id, d, avg(v) AS m FROM (
-       |    SELECT cent_id, generate_subscripts(embedding, 1) AS d,
-       |           unnest(embedding) AS v
-       |    FROM a1) t
-       |  GROUP BY cent_id, d),
-       |cent1 AS (
-       |  SELECT cent_id, list(CAST(m AS FLOAT4) ORDER BY d) AS cv
-       |  FROM m1 GROUP BY cent_id),
-       |${assignCte("a2", "cent1")},
-       |m2 AS (
-       |  SELECT cent_id, d, avg(v) AS m FROM (
-       |    SELECT cent_id, generate_subscripts(embedding, 1) AS d,
-       |           unnest(embedding) AS v
-       |    FROM a2) t
-       |  GROUP BY cent_id, d),
-       |cent2 AS (
-       |  SELECT cent_id, list(CAST(m AS FLOAT4) ORDER BY d) AS cv
-       |  FROM m2 GROUP BY cent_id),
-       |${assignCte("a3", "cent2")}
+       |${(1 to iterations).map(iterCtes).mkString(",\n")},
+       |${assignCte(s"a${iterations + 1}", s"cent$iterations")}
        |SELECT cent_id, count(*) AS n_members,
        |       round(avg(sim), 4) AS cohesion
-       |FROM a3
+       |FROM a${iterations + 1}
        |GROUP BY cent_id
        |ORDER BY cent_id""".stripMargin
   }

@@ -383,21 +383,35 @@ object Similarity {
     * cosine, 20 broadcast centroids); search then touches only the
     * query's cell. nprobe=1 here; raising nprobe = union more cells.
     */
+  /** Nearest-centroid assignment shared by IVF and k-means
+    * ([[Clustering]]): broadcast the (cent_id, cv) centroid set, argmax
+    * cosine per vector via the native TopKPerGroup operator (the
+    * exchange carries at most ONE best-so-far row per vector per input
+    * partition — a row_number window would shuffle and sort the full
+    * |vectors| × |centroids| candidate set), ties to the smallest
+    * cent_id. One definition so the two operators' tie-breaking can
+    * never drift. `keepEmbedding=false` prunes the 64-float payload
+    * BEFORE the operator — ColumnPruning does not push projections
+    * below the custom node, so callers that only need (vec_id,
+    * cent_id, sim) must slim the input here.
+    */
+  def assignNearest(vectors: DataFrame, cents: DataFrame,
+      keepEmbedding: Boolean): DataFrame = {
+    val base = Seq(col("vec_id"), col("cent_id"),
+      cosine(col("embedding"), col("cv")).as("sim"))
+    val outCols = if (keepEmbedding) base :+ col("embedding") else base
+    graft.plans.TopKPerGroup.topKPerGroup(
+      vectors.join(broadcast(cents)).select(outCols: _*),
+      Seq(col("vec_id")), Seq(col("sim").desc, col("cent_id").asc), 1)
+  }
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.table(spark, sfDir, "embeddings")
     val centroids = emb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    // nearest-centroid assignment via the native TopKPerGroup operator:
-    // the exchange carries at most ONE (best-so-far) row per vector per
-    // input partition, where a row_number window would shuffle and sort
-    // the full |vectors| × |centroids| candidate set
     def assign(vectors: DataFrame): DataFrame =
-      graft.plans.TopKPerGroup.topKPerGroup(
-        vectors.join(broadcast(centroids))
-          .select(col("vec_id"), col("embedding"), col("cent_id"),
-            cosine(col("embedding"), col("cv")).as("cent_sim")),
-        Seq(col("vec_id")), Seq(col("cent_sim").desc, col("cent_id").asc), 1)
+      assignNearest(vectors, centroids, keepEmbedding = true)
         .select(col("vec_id"), col("embedding"), col("cent_id"))
     // the query side re-runs the assignment on its own 1% slice (the
     // vec_id filter pushes to the scan, so this side costs |queries| ×

@@ -104,6 +104,22 @@ final case class ParquetUpsertSink(
       .parquet(path)
   }
 
+  /** Read the live table with the partition column pinned to STRING —
+    * the directory-name identity, exactly what `parts` sets compare
+    * against. Plain type inference would parse e.g. "00123" as int 123:
+    * the touched filter would then never match the string form, the
+    * merge would silently exclude (and dynamic overwrite then DELETE)
+    * the partition's existing rows in upsert, and compaction would
+    * rewrite into a brand-new directory. Shared by both paths.
+    */
+  private def readStringPartitioned(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val inferred = spark.read.parquet(path).schema
+    val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == partitionCol) f.copy(dataType = org.apache.spark.sql.types.StringType)
+      else f))
+    spark.read.schema(pinned).parquet(path)
+  }
+
   /** foreachBatch body. */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -130,13 +146,13 @@ final case class ParquetUpsertSink(
         val touched = {
           val inNonNull =
             if (nonNullParts.nonEmpty)
-              col(partitionCol).cast("string").isin(nonNullParts: _*)
+              col(partitionCol).isin(nonNullParts: _*)
             else lit(false)
           if (hasNullPart) inNonNull || col(partitionCol).isNull else inNonNull
         }
-        Some(spark.read.parquet(path)
+        Some(readStringPartitioned(spark)
           .filter(touched)
-          // align the inferred partition-column type back to the batch's
+          // align the string partition column back to the batch's type
           .withColumn(partitionCol,
             col(partitionCol).cast(batch.schema(partitionCol).dataType)))
       } else None
@@ -212,20 +228,28 @@ final case class ParquetUpsertSink(
       parts: Array[String], batchId: Long): Unit = {
     val commit = f"${System.currentTimeMillis()}%013d_$batchId%06d"
     val commitDir = new Path(archiveRoot, commit)
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // copy into a temp name and rename into place once complete: a
+    // crash mid-copy must not leave a PARTIAL commit dir that the
+    // pruner counts against retention and a rollback mistakes for a
+    // full pre-image (dir rename is the atomic step)
+    val tmpDir = new Path(archiveRoot, commit + ParquetUpsertSink.ArchiveTmpSuffix)
     var archivedAny = false
     parts.foreach { v =>
       val live = new Path(s"$path/$partitionCol=${dirName(v)}")
       if (fs.exists(live)) {
-        if (!archivedAny) { fs.mkdirs(commitDir); archivedAny = true }
+        if (!archivedAny) { fs.mkdirs(tmpDir); archivedAny = true }
         org.apache.hadoop.fs.FileUtil.copy(
-          fs, live, fs, new Path(commitDir, live.getName),
-          false /* deleteSource */, conf)
+          fs, live, fs, new Path(tmpDir, live.getName),
+          false /* deleteSource */, fs.getConf)
       }
     }
+    if (archivedAny) fs.rename(tmpDir, commitDir)
     if (fs.exists(archiveRoot)) {
-      val commits = fs.listStatus(archiveRoot).map(_.getPath).sortBy(_.getName)
-      commits.dropRight(keepVersions - 1).foreach(fs.delete(_, true))
+      val (partials, commits) = fs.listStatus(archiveRoot).map(_.getPath)
+        .partition(_.getName.endsWith(ParquetUpsertSink.ArchiveTmpSuffix))
+      // leftover ._tmp dirs are crashed partial copies — garbage
+      partials.foreach(fs.delete(_, true))
+      commits.sortBy(_.getName).dropRight(keepVersions - 1).foreach(fs.delete(_, true))
     }
   }
 
@@ -251,17 +275,6 @@ final case class ParquetUpsertSink(
     if (oversized.isEmpty) return Seq.empty
     val values = oversized.map(_.stripPrefix(s"$partitionCol="))
       .map(d => if (d == nullDir) null else ExternalCatalogUtils.unescapePathName(d))
-    // read with the partition column pinned to STRING: type inference
-    // would parse e.g. "00123" as int 123 and the rewrite would land in
-    // a NEW directory (processing_date=123), leaving the old one in
-    // place — duplicated rows and a permanently "oversized" partition.
-    // The string form is the directory-name identity, so it round-trips
-    // exactly (the upsert path gets the same guarantee from the batch
-    // schema; compaction has no batch to borrow from).
-    val inferred = spark.read.parquet(path).schema
-    val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
-      if (f.name == partitionCol) f.copy(dataType = org.apache.spark.sql.types.StringType)
-      else f))
     val touched = {
       val nonNull = values.filter(_ != null)
       val inNonNull =
@@ -271,7 +284,7 @@ final case class ParquetUpsertSink(
     }
     val staging = s"${path}__staging_${stagingToken}_compact"
     try {
-      spark.read.schema(pinned).parquet(path).filter(touched)
+      readStringPartitioned(spark).filter(touched)
         .write.mode(SaveMode.Overwrite).parquet(staging)
       writeFinal(spark.read.parquet(staging))
     } finally fs.delete(new Path(staging), true)
@@ -306,6 +319,11 @@ object ParquetUpsertSink {
     */
   val ArchiveDirName = "_archive"
 
+  /** Suffix of in-progress (non-atomic) archive copies; never listed
+    * as commits, swept as garbage by the next archiving pass.
+    */
+  val ArchiveTmpSuffix = "._tmp"
+
   /** Retained pre-image commits under `<path>/_archive`, oldest first.
     * Each holds the touched partitions' file sets as they were BEFORE
     * that commit's overwrite; read one with
@@ -315,7 +333,8 @@ object ParquetUpsertSink {
     val root = new Path(s"$path/$ArchiveDirName")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).map(_.getPath.getName).sorted.toSeq
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filterNot(_.endsWith(ArchiveTmpSuffix)).sorted.toSeq
   }
 
   /** Delete staging dirs orphaned by crashed runs (`<path>__staging_*`).

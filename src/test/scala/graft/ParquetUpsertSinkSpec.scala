@@ -178,6 +178,18 @@ class ParquetUpsertSinkSpec extends SparkSpec {
     assert(writer.compactPartitions(spark).isEmpty)
   }
 
+  test("upsert into a numeric-like string partition keeps existing rows (00123 ≠ 123)") {
+    val dir = Files.createTempDirectory("upsert13").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    sink.upsert(Seq(Rec(1, "a", 10, "00123")).toDF(), 0)
+    // second batch touches the same partition: partition-type inference
+    // (00123 → int 123) must not break the touched filter, or the merge
+    // excludes row 1 and the dynamic overwrite deletes it
+    sink.upsert(Seq(Rec(2, "b", 10, "00123")).toDF(), 1)
+    val rows = spark.read.parquet(dir).select("id").as[Int].collect().sorted.toSeq
+    assert(rows == Seq(1, 2))
+  }
+
   test("compactPartitions preserves numeric-like string partition identity (no 00123→123 rename)") {
     val dir = Files.createTempDirectory("upsert12").toString + "/t"
     val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
