@@ -82,6 +82,7 @@ object SparkEntry {
     "x_repetition" -> (ext.Text.repetition _),
     "x_kmeans" -> (ext.Clustering.kmeans _),
     "x_knn_label_eval" -> (ext.Clustering.knnLabelEval _),
+    "x_quantize_int8" -> (ext.Similarity.quantizeInt8 _),
     // —— training-data extensions: similarity search ——
     "x_ann_bruteforce" -> (ext.Similarity.annBruteForce _),
     "x_embedding_pairs" -> (ext.Similarity.embeddingPairs _),
@@ -158,6 +159,7 @@ object SparkEntry {
     "x_repetition" -> ext.Text.repetitionSql,
     "x_kmeans" -> ext.Clustering.kmeansSql,
     "x_knn_label_eval" -> ext.Clustering.knnLabelEvalSql,
+    "x_quantize_int8" -> ext.Similarity.quantizeInt8Sql,
     "x_ann_bruteforce" -> ext.Similarity.annBruteForceSql,
     "x_embedding_pairs" -> ext.Similarity.embeddingPairsSql,
     "x_ann_lsh" -> ext.Similarity.annLshSql,

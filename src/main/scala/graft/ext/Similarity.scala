@@ -374,6 +374,54 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ——— int8 quantization ———
+
+  /** Symmetric per-vector int8 quantization — the storage-efficiency
+    * pass of a large embedding store (4× smaller than float32, cheap
+    * SIMD dot products downstream). Per vector: scale = max|v|/127,
+    * q_i = round(v_i/scale) clamped to [-127,127]; reported per vector
+    * are the scale, the RMS reconstruction error and the max absolute
+    * error — the quality metrics a curation pipeline gates on. Pure
+    * per-row Column expressions (codegen'd, shuffle-free, pipelines
+    * with the scan); the quantized array itself is a `transform` away,
+    * kept out of the gate output to keep the oracle about the
+    * arithmetic, not array formatting.
+    */
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val absMax = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+    val scale = absMax / lit(127.0)
+    val err = transform(col("embedding"), v =>
+      v.cast("double") - round(v.cast("double") / col("scale")) * col("scale"))
+    Present.sortSmall(
+      Tables.table(spark, sfDir, "embeddings")
+        .withColumn("scale", scale)
+        .filter(col("scale") > 0) // an all-zero vector has nothing to quantize
+        .withColumn("rms_err",
+          round(sqrt(aggregate(err, lit(0.0), (a, e) => a + e * e)
+            / size(col("embedding"))), 6))
+        .withColumn("max_err",
+          round(array_max(transform(err, e => abs(e))), 6))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          col("rms_err"), col("max_err")),
+      col("vec_id"))
+  }
+
+  val quantizeInt8Sql: String =
+    """WITH s AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |         list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v))) / 127.0 AS scale
+      |  FROM embeddings),
+      |err AS (
+      |  SELECT vec_id, scale,
+      |         list_transform(e, v -> v - round(v / scale) * scale) AS er,
+      |         len(e) AS n
+      |  FROM s WHERE scale > 0)
+      |SELECT vec_id, round(scale, 6) AS scale,
+      |       round(sqrt(list_sum(list_transform(er, x -> x * x)) / n), 6) AS rms_err,
+      |       round(list_max(list_transform(er, x -> abs(x))), 6) AS max_err
+      |FROM err
+      |ORDER BY vec_id""".stripMargin
+
   // ——— IVF-style ANN ———
 
   /** IVF coarse quantization with deterministic "centroids" (every 25th

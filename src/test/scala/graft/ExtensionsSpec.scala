@@ -123,6 +123,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(refinedCohesion >= seedCohesion - 1e-9)
   }
 
+  test("int8 quantization error is bounded by half a quantization step") {
+    val rows = ext.Similarity.quantizeInt8(spark, sf0001)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, scale, rms, mx) =>
+      assert(scale > 0)
+      // symmetric rounding: per-element error ≤ scale/2 (plus round-6 slack)
+      assert(mx <= scale / 2 + 1e-6)
+      assert(rms <= mx + 1e-6)
+    }
+  }
+
   test("self-cosine is 1.0 for every embedding") {
     import graft.functions.VectorFunctions.vec_cosine
     val bad = Tables.table(spark, sf0001, "embeddings")
