@@ -60,8 +60,17 @@ object Clustering {
     var cents = Tables.table(spark, sfDir, "embeddings")
       .filter(col("vec_id") % 25 === 0 && col("vec_id") < 800)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    for (_ <- 1 to iterations)
-      cents = update(Similarity.assignNearest(emb, cents, keepEmbedding = true))
+    for (_ <- 1 to iterations) {
+      val next = update(Similarity.assignNearest(emb, cents, keepEmbedding = true))
+      // materialize the k centroids on the driver between rounds — the
+      // canonical Lloyd shape (k×dim floats is metadata-scale at ANY
+      // corpus size; MLlib's KMeans keeps centers driver-side too).
+      // Without this each round's broadcast carries the whole previous
+      // rounds' plan as its subtree and the planner re-optimizes a
+      // deeper DAG per iteration.
+      cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(next.collect().toIndexedSeq, 1), next.schema)
+    }
     Present.sortSmall(
       // the summary needs only (cent_id, sim): slim the assignment so
       // the exchange ships ~20 bytes/vector, not the 256-byte embedding
