@@ -113,7 +113,10 @@ final case class ParquetUpsertSink(
     * rewrite into a brand-new directory. Shared by both paths.
     */
   private def readStringPartitioned(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val inferred = spark.read.parquet(path).schema
+    // mergeSchema: after additive schema evolution, partitions written
+    // before the new column lack it in their footers — single-footer
+    // inference would silently drop the column from the merge
+    val inferred = spark.read.option("mergeSchema", "true").parquet(path).schema
     val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
       if (f.name == partitionCol) f.copy(dataType = org.apache.spark.sql.types.StringType)
       else f))
@@ -157,7 +160,14 @@ final case class ParquetUpsertSink(
             col(partitionCol).cast(batch.schema(partitionCol).dataType)))
       } else None
     val mergedAll = existing match {
-      case Some(old) => Precombine.latest(old.unionByName(deduped), recordKeys, precombine)
+      // allowMissingColumns = Hudi-style additive schema evolution: a
+      // batch may carry columns the table lacks (old rows null-fill)
+      // and vice versa after an evolution (new rows null-fill the
+      // legacy column). Incompatible TYPE changes still fail loudly in
+      // the union — widening silently would corrupt history.
+      case Some(old) =>
+        Precombine.latest(old.unionByName(deduped, allowMissingColumns = true),
+          recordKeys, precombine)
       case None => deduped
     }
     val merged = deleteCol match {

@@ -14,6 +14,9 @@ case class Rec(id: Int, v: String, precombine: Long, processing_date: String)
 case class RecD(id: Int, v: String, precombine: Long, processing_date: String,
     is_delete: Boolean)
 
+case class RecE(id: Int, v: String, precombine: Long, processing_date: String,
+    extra: String)
+
 class ParquetUpsertSinkSpec extends SparkSpec {
   import spark.implicits._
 
@@ -176,6 +179,26 @@ class ParquetUpsertSinkSpec extends SparkSpec {
     assert(spark.read.parquet(dir).orderBy($"id").collect().toSeq == before)
     // idempotent: nothing left oversized
     assert(writer.compactPartitions(spark).isEmpty)
+  }
+
+  test("additive schema evolution: later batches may add columns; old rows null-fill") {
+    val dir = Files.createTempDirectory("upsert14").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    sink.upsert(Seq(Rec(1, "a", 10, "2024-01-01")).toDF(), 0)
+    // batch 1 evolves the schema with an `extra` column and a new key
+    sink.upsert(Seq(RecE(2, "b", 10, "2024-01-01", "meta")).toDF(), 1)
+    val rows = spark.read.option("mergeSchema", "true").parquet(dir)
+      .orderBy($"id").collect()
+    assert(rows.map(_.getAs[Int]("id")).toSeq == Seq(1, 2))
+    assert(rows(0).getAs[String]("extra") == null) // pre-evolution row null-fills
+    assert(rows(1).getAs[String]("extra") == "meta")
+    // batch 2 updates id=2 WITHOUT the column: latest version wins, so
+    // its extra becomes null (additive evolution, no silent carry-over)
+    sink.upsert(Seq(Rec(2, "b2", 20, "2024-01-01")).toDF(), 2)
+    val after = spark.read.option("mergeSchema", "true").parquet(dir)
+      .orderBy($"id").collect()
+    assert(after(1).getAs[String]("v") == "b2")
+    assert(after(1).getAs[String]("extra") == null)
   }
 
   test("upsert into a numeric-like string partition keeps existing rows (00123 ≠ 123)") {
