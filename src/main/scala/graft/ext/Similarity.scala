@@ -396,11 +396,15 @@ object Similarity {
       Tables.table(spark, sfDir, "embeddings")
         .withColumn("scale", scale)
         .filter(col("scale") > 0) // an all-zero vector has nothing to quantize
+        // err materialized as its own column: two consumers reference
+        // it, which stops CollapseProject from inlining (= evaluating)
+        // the per-element lambda chain once per metric
+        .withColumn("err", err)
         .withColumn("rms_err",
-          round(sqrt(aggregate(err, lit(0.0), (a, e) => a + e * e)
+          round(sqrt(aggregate(col("err"), lit(0.0), (a, e) => a + e * e)
             / size(col("embedding"))), 6))
         .withColumn("max_err",
-          round(array_max(transform(err, e => abs(e))), 6))
+          round(array_max(transform(col("err"), e => abs(e))), 6))
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
           col("rms_err"), col("max_err")),
       col("vec_id"))

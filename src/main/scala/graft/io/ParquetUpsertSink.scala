@@ -104,23 +104,27 @@ final case class ParquetUpsertSink(
       .parquet(path)
   }
 
-  /** Read the live table with the partition column pinned to STRING —
-    * the directory-name identity, exactly what `parts` sets compare
-    * against. Plain type inference would parse e.g. "00123" as int 123:
-    * the touched filter would then never match the string form, the
-    * merge would silently exclude (and dynamic overwrite then DELETE)
-    * the partition's existing rows in upsert, and compaction would
-    * rewrite into a brand-new directory. Shared by both paths.
+  /** Read ONLY the given partition directories, with the partition
+    * column pinned to STRING — the directory-name identity, exactly
+    * what `parts` sets compare against. Plain type inference would
+    * parse e.g. "00123" as int 123: the touched filter would then
+    * never match the string form, the merge would silently exclude
+    * (and dynamic overwrite then DELETE) the partition's existing rows
+    * in upsert, and compaction would rewrite into a brand-new
+    * directory. mergeSchema runs over only these directories' footers
+    * (additive evolution: pre-evolution files lack the new column, and
+    * single-footer inference would drop it from the merge) — never a
+    * whole-table footer scan per micro-batch. Shared by both paths.
     */
-  private def readStringPartitioned(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    // mergeSchema: after additive schema evolution, partitions written
-    // before the new column lack it in their footers — single-footer
-    // inference would silently drop the column from the merge
-    val inferred = spark.read.option("mergeSchema", "true").parquet(path).schema
+  private def readStringPartitioned(spark: org.apache.spark.sql.SparkSession,
+      partDirs: Seq[Path]): DataFrame = {
+    val paths = partDirs.map(_.toString)
+    val inferred = spark.read.option("mergeSchema", "true").option("basePath", path)
+      .parquet(paths: _*).schema
     val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
       if (f.name == partitionCol) f.copy(dataType = org.apache.spark.sql.types.StringType)
       else f))
-    spark.read.schema(pinned).parquet(path)
+    spark.read.schema(pinned).option("basePath", path).parquet(paths: _*)
   }
 
   /** foreachBatch body. */
@@ -135,30 +139,22 @@ final case class ParquetUpsertSink(
     val parts = deduped.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0))
     if (parts.isEmpty) return
-    val hasNullPart = parts.contains(null)
-    val nonNullParts = parts.filter(_ != null)
 
-    // a root with no partition dirs (fresh, or fully tombstoned away) is
-    // an empty table; transient READ failures below propagate (streaming
+    // the touched partitions ARE the read set: path-level pruning, no
+    // listing or filtering of the rest of the table. A batch touching
+    // only absent dirs (fresh table, or fully tombstoned away) reads
+    // nothing; transient READ failures below propagate (streaming
     // retry), they must not masquerade as first-batch
-    val tableExists = fs.exists(new Path(path)) &&
-      fs.listStatus(new Path(path))
-        .exists(_.getPath.getName.startsWith(s"$partitionCol="))
+    val touchedDirs = parts
+      .map(v => new Path(s"$path/$partitionCol=${dirName(v)}"))
+      .filter(fs.exists)
     val existing =
-      if (tableExists) {
-        val touched = {
-          val inNonNull =
-            if (nonNullParts.nonEmpty)
-              col(partitionCol).isin(nonNullParts: _*)
-            else lit(false)
-          if (hasNullPart) inNonNull || col(partitionCol).isNull else inNonNull
-        }
-        Some(readStringPartitioned(spark)
-          .filter(touched)
+      if (touchedDirs.nonEmpty)
+        Some(readStringPartitioned(spark, touchedDirs.toSeq)
           // align the string partition column back to the batch's type
           .withColumn(partitionCol,
             col(partitionCol).cast(batch.schema(partitionCol).dataType)))
-      } else None
+      else None
     val mergedAll = existing match {
       // allowMissingColumns = Hudi-style additive schema evolution: a
       // batch may carry columns the table lacks (old rows null-fill)
@@ -241,8 +237,12 @@ final case class ParquetUpsertSink(
     // copy into a temp name and rename into place once complete: a
     // crash mid-copy must not leave a PARTIAL commit dir that the
     // pruner counts against retention and a rollback mistakes for a
-    // full pre-image (dir rename is the atomic step)
-    val tmpDir = new Path(archiveRoot, commit + ParquetUpsertSink.ArchiveTmpSuffix)
+    // full pre-image (dir rename is the atomic step). The temp name
+    // carries THIS writer's token — concurrent writers on one path
+    // (supported, like staging) must not sweep each other's in-flight
+    // copies as garbage.
+    val tmpSuffix = s".$stagingToken${ParquetUpsertSink.ArchiveTmpSuffix}"
+    val tmpDir = new Path(archiveRoot, commit + tmpSuffix)
     var archivedAny = false
     parts.foreach { v =>
       val live = new Path(s"$path/$partitionCol=${dirName(v)}")
@@ -253,12 +253,19 @@ final case class ParquetUpsertSink(
           false /* deleteSource */, fs.getConf)
       }
     }
-    if (archivedAny) fs.rename(tmpDir, commitDir)
+    // rename returns false (not an exception) on most FileSystems —
+    // unchecked, the fresh pre-image would be swept as garbage below
+    // and the batch would "succeed" without its retention artifact
+    if (archivedAny && !fs.rename(tmpDir, commitDir))
+      throw new java.io.IOException(
+        s"archive commit rename failed: $tmpDir -> $commitDir")
     if (fs.exists(archiveRoot)) {
       val (partials, commits) = fs.listStatus(archiveRoot).map(_.getPath)
         .partition(_.getName.endsWith(ParquetUpsertSink.ArchiveTmpSuffix))
-      // leftover ._tmp dirs are crashed partial copies — garbage
-      partials.foreach(fs.delete(_, true))
+      // crashed partial copies: sweep only OUR token's (a concurrent
+      // writer's live ._tmp is indistinguishable from its crash
+      // leftovers — those are reclaimed by sweepStaging at deploy time)
+      partials.filter(_.getName.endsWith(tmpSuffix)).foreach(fs.delete(_, true))
       commits.sortBy(_.getName).dropRight(keepVersions - 1).foreach(fs.delete(_, true))
     }
   }
@@ -281,24 +288,17 @@ final case class ParquetUpsertSink(
     val oversized = partDirs.filter { st =>
       fs.listStatus(st.getPath)
         .count(f => f.getPath.getName.startsWith("part-") && f.getLen > 0) > filesPerPartition
-    }.map(_.getPath.getName)
+    }.map(_.getPath)
     if (oversized.isEmpty) return Seq.empty
-    val values = oversized.map(_.stripPrefix(s"$partitionCol="))
-      .map(d => if (d == nullDir) null else ExternalCatalogUtils.unescapePathName(d))
-    val touched = {
-      val nonNull = values.filter(_ != null)
-      val inNonNull =
-        if (nonNull.nonEmpty) col(partitionCol).isin(nonNull: _*)
-        else lit(false)
-      if (values.contains(null)) inNonNull || col(partitionCol).isNull else inNonNull
-    }
     val staging = s"${path}__staging_${stagingToken}_compact"
     try {
-      readStringPartitioned(spark).filter(touched)
+      // the oversized dirs ARE the read set (path-level pruning; string
+      // partition identity preserved by readStringPartitioned)
+      readStringPartitioned(spark, oversized.toSeq)
         .write.mode(SaveMode.Overwrite).parquet(staging)
       writeFinal(spark.read.parquet(staging))
     } finally fs.delete(new Path(staging), true)
-    oversized.toSeq
+    oversized.map(_.getName).toSeq
   }
 
   // ——— catalog sync (Hive-sync analog) ———
@@ -315,6 +315,17 @@ final case class ParquetUpsertSink(
            |USING parquet
            |PARTITIONED BY ($partitionCol)
            |LOCATION '$path'""".stripMargin)
+    } else {
+      // additive schema evolution must reach the catalog too: CREATE IF
+      // NOT EXISTS no-ops, so a batch-introduced column would otherwise
+      // stay invisible to readers of the synced name forever
+      val existing = spark.table(name).schema.fieldNames
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val added = schema.filterNot(f =>
+        existing.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+      if (added.nonEmpty)
+        spark.sql(s"ALTER TABLE $name ADD COLUMNS (${
+          added.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")})")
     }
     spark.catalog.recoverPartitions(name)
     spark.catalog.refreshTable(name)
@@ -347,10 +358,11 @@ object ParquetUpsertSink {
       .filterNot(_.endsWith(ArchiveTmpSuffix)).sorted.toSeq
   }
 
-  /** Delete staging dirs orphaned by crashed runs (`<path>__staging_*`).
+  /** Delete staging dirs orphaned by crashed runs (`<path>__staging_*`)
+    * and crashed partial archive copies (`_archive/<commit>.*._tmp`).
     * Call while NO writer is active on `path` — typically right before
-    * (re)starting the streaming query; a live writer's in-flight staging
-    * dir is indistinguishable from an orphan.
+    * (re)starting the streaming query; a live writer's in-flight
+    * staging/tmp dir is indistinguishable from an orphan.
     */
   def sweepStaging(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
     val p = new Path(path)
@@ -360,6 +372,12 @@ object ParquetUpsertSink {
     val prefix = s"${p.getName}__staging_"
     val orphans = fs.listStatus(parent).filter(_.getPath.getName.startsWith(prefix))
     orphans.foreach(st => fs.delete(st.getPath, true))
-    orphans.length
+    val archive = new Path(s"$path/$ArchiveDirName")
+    val partials =
+      if (fs.exists(archive))
+        fs.listStatus(archive).filter(_.getPath.getName.endsWith(ArchiveTmpSuffix))
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    partials.foreach(st => fs.delete(st.getPath, true))
+    orphans.length + partials.length
   }
 }

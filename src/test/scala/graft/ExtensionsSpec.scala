@@ -119,8 +119,13 @@ class ExtensionsSpec extends SparkSpec {
         .select($"vec_id", ext.Similarity.cosine($"embedding", $"cv").as("sim"), $"cent_id"),
       Seq($"vec_id"), Seq($"sim".desc, $"cent_id".asc), 1)
       .agg(avg($"sim")).as[Double].collect()(0)
+    // refinedCohesion is rebuilt from round(.,4) per-cluster values
+    // (up to ~5e-5 recombination error), and mean-update Lloyd only
+    // guarantees cosine improvement for equal-norm members — 1e-3
+    // slack covers both while still catching a real regression (the
+    // measured margin on this fixture is ~0.08)
     val refinedCohesion = rows.map(r => r._3 * r._2).sum / n
-    assert(refinedCohesion >= seedCohesion - 1e-9)
+    assert(refinedCohesion >= seedCohesion - 1e-3)
   }
 
   test("int8 quantization error is bounded by half a quantization step") {

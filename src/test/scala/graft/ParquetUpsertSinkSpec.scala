@@ -243,6 +243,12 @@ class ParquetUpsertSinkSpec extends SparkSpec {
         "SELECT id, v, processing_date FROM upsert_synced ORDER BY id")
         .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
       assert(rows == Seq((1, "a2", "2024-03-01"), (2, "b", "2024-03-02")))
+      // a schema-evolving batch must reach readers of the synced NAME
+      sink.upsert(Seq(RecE(3, "c", 10, "2024-03-03", "meta")).toDF(), 2)
+      val extras = spark.sql(
+        "SELECT id, extra FROM upsert_synced ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(extras == Seq((1, null), (2, null), (3, "meta")))
     } finally spark.sql("DROP TABLE IF EXISTS upsert_synced")
   }
 
