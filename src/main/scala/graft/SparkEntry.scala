@@ -77,6 +77,7 @@ object SparkEntry {
     "x_dedup_minhash_lsh" -> (ext.Dedup.minhashLsh _),
     "x_dedup_simhash" -> (ext.Dedup.simhashPairs _),
     "x_dedup_clusters" -> (ext.Clusters.dedupClusters _),
+    "x_dup_spans" -> (ext.Dedup.dupSpans _),
     "x_decontaminate_clean" -> (ext.StreamDecon.cleanCorpus _),
     "x_dedup_incremental" -> (ext.StreamDedup.cleanCorpus _),
     "x_repetition" -> (ext.Text.repetition _),
@@ -154,6 +155,7 @@ object SparkEntry {
     "x_dedup_minhash_lsh" -> ext.Dedup.minhashLshSql,
     "x_dedup_simhash" -> ext.Dedup.simhashPairsSql,
     "x_dedup_clusters" -> ext.Clusters.dedupClustersSql,
+    "x_dup_spans" -> ext.Dedup.dupSpansSql,
     "x_decontaminate_clean" -> ext.StreamDecon.cleanCorpusSql,
     "x_dedup_incremental" -> ext.StreamDedup.cleanCorpusSql,
     "x_repetition" -> ext.Text.repetitionSql,

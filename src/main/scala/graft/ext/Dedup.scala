@@ -162,6 +162,83 @@ object Dedup {
        |  AND len(list_intersect(a.s, b.s)) >= $minSharedShingles
        |ORDER BY train_doc, bench_doc""".stripMargin
 
+  // ——— duplicated spans (substring-level dedup signal) ———
+
+  /** Span length for substring-level duplicate detection: long enough
+    * that a shared span is verbatim copying, not coincidence.
+    */
+  val spanLen = 20
+
+  /** Per-document duplicated-span fraction — the substring-level dedup
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": a [[spanLen]]-token window appearing verbatim in
+    * MORE THAN ONE document marks boilerplate/copied text; documents
+    * with a high duplicated fraction get filtered or trimmed.
+    *
+    * Shape: one native WordShingles pass per doc (distinct spans),
+    * explode, one hash shuffle on the span grouping doc-count > 1,
+    * then a partial-agged per-doc fraction — cost O(corpus tokens),
+    * never pairwise. (The full Lee et al. suffix-array construction
+    * finds arbitrary-length repeats; fixed-length windows are the
+    * standard distributed approximation — any repeat ≥ spanLen tokens
+    * contains a duplicated window, so recall at the target length
+    * is exact.)
+    */
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val docSpans = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(shingles(Text.tokens(col("text")), spanLen)).as("span"))
+    // a span is duplicated when it occurs in >1 DISTINCT doc (spans are
+    // distinct within a doc by WordShingles)
+    val dupSpan = docSpans.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("span"))
+    Present.sortSmall(
+      docSpans
+        .join(dupSpan, Seq("span"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_spans"))
+        .join(
+          Tables.table(spark, sfDir, "documents")
+            .select(col("doc_id"),
+              size(shingles(Text.tokens(col("text")), spanLen)).as("n_spans")),
+          Seq("doc_id"), "right_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          col("n_spans"),
+          round(coalesce(col("n_dup_spans"), lit(0L)).cast("double")
+            / col("n_spans"), 4).as("dup_frac")),
+      col("doc_id"))
+  }
+
+  /** DuckDB twin: the same distinct fixed-length windows via a
+    * generated list_transform chain.
+    */
+  val dupSpansSql: String = {
+    val terms = (0 until spanLen).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |spans AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(t) >= $spanLen
+       |              THEN list_distinct(list_transform(range(1, len(t) - ${spanLen - 2}),
+       |                     i -> $terms))
+       |              ELSE [array_to_string(t, ' ')] END AS s
+       |  FROM d),
+       |exploded AS (SELECT doc_id, unnest(s) AS span FROM spans),
+       |dup AS (SELECT span FROM exploded GROUP BY span HAVING count(*) > 1),
+       |per_doc AS (
+       |  SELECT e.doc_id, count(*) AS n_dup_spans
+       |  FROM exploded e JOIN dup USING (span)
+       |  GROUP BY e.doc_id)
+       |SELECT s.doc_id,
+       |       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       |       CAST(len(s.s) AS INTEGER) AS n_spans,
+       |       round(coalesce(p.n_dup_spans, 0)::DOUBLE / len(s.s), 4) AS dup_frac
+       |FROM spans s LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   // ——— MinHash + LSH ———
 
   val numHashes = 32

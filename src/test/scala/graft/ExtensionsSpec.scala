@@ -128,6 +128,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(refinedCohesion >= seedCohesion - 1e-3)
   }
 
+  test("duplicated-span fractions are consistent with the near-dup pair set") {
+    val rows = ext.Dedup.dupSpans(spark, sf0001)
+      .as[(Long, Long, Int, Double)].collect()
+    rows.foreach { case (_, nDup, nSpans, frac) =>
+      assert(nDup >= 0 && nDup <= nSpans)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // the two signals overlap but neither implies the other: a j≥0.9
+    // near-dup with evenly-spread edits can break every 20-token
+    // window (observed in this corpus), and verbatim boilerplate can
+    // sit in otherwise-different docs — assert a nonempty overlap, not
+    // containment
+    val withDups = rows.filter(_._4 > 0.0).map(_._1).toSet
+    assert(withDups.nonEmpty)
+    val nearDups = ext.Dedup.minhashLsh(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(nearDups.nonEmpty)
+    assert((withDups & nearDups).nonEmpty)
+  }
+
   test("int8 quantization error is bounded by half a quantization step") {
     val rows = ext.Similarity.quantizeInt8(spark, sf0001)
       .as[(Long, Double, Double, Double)].collect()
