@@ -193,22 +193,19 @@ object Dedup {
     val dupSpan = docSpans.groupBy(col("span"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
-      .select(col("span"))
+      .select(col("span"), lit(1).as("dup"))
+    // one LEFT join + one groupBy computes BOTH counts (count(*) =
+    // spans, count(dup) = duplicated ones): no separate n_spans
+    // re-tokenize scan, no right_outer — every doc has ≥ 1 span (short
+    // docs yield their whole text), so none is lost
     Present.sortSmall(
       docSpans
-        .join(dupSpan, Seq("span"), "left_semi")
+        .join(dupSpan, Seq("span"), "left_outer")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_dup_spans"))
-        .join(
-          Tables.table(spark, sfDir, "documents")
-            .select(col("doc_id"),
-              size(shingles(Text.tokens(col("text")), spanLen)).as("n_spans")),
-          Seq("doc_id"), "right_outer")
-        .select(col("doc_id"),
-          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-          col("n_spans"),
-          round(coalesce(col("n_dup_spans"), lit(0L)).cast("double")
-            / col("n_spans"), 4).as("dup_frac")),
+        .agg(count(col("dup")).as("n_dup_spans"),
+          count(lit(1)).cast("int").as("n_spans"))
+        .select(col("doc_id"), col("n_dup_spans"), col("n_spans"),
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 4).as("dup_frac")),
       col("doc_id"))
   }
 

@@ -147,7 +147,12 @@ final case class ParquetUpsertSink(
     // retry), they must not masquerade as first-batch
     val touchedDirs = parts
       .map(v => new Path(s"$path/$partitionCol=${dirName(v)}"))
-      .filter(fs.exists)
+      // a dir that exists but holds no data files (a crashed tombstone
+      // delete removed the files but not the dir) must count as absent:
+      // schema inference over zero files throws, and the replay would
+      // crash-loop where the correct answer is "no existing rows"
+      .filter(d => fs.exists(d) && fs.listStatus(d)
+        .exists(f => f.getPath.getName.startsWith("part-") && f.getLen > 0))
     val existing =
       if (touchedDirs.nonEmpty)
         Some(readStringPartitioned(spark, touchedDirs.toSeq)
@@ -232,7 +237,10 @@ final case class ParquetUpsertSink(
     */
   private def archivePreImages(fs: org.apache.hadoop.fs.FileSystem,
       parts: Array[String], batchId: Long): Unit = {
-    val commit = f"${System.currentTimeMillis()}%013d_$batchId%06d"
+    // the token in the COMMIT name too: two writers replaying the same
+    // batch id in the same millisecond must not rename into one dir
+    // (rename-into-existing nests silently on most FileSystems)
+    val commit = f"${System.currentTimeMillis()}%013d_$batchId%06d" + s"_$stagingToken"
     val commitDir = new Path(archiveRoot, commit)
     // copy into a temp name and rename into place once complete: a
     // crash mid-copy must not leave a PARTIAL commit dir that the
@@ -309,23 +317,25 @@ final case class ParquetUpsertSink(
     */
   private def registerAndSync(spark: org.apache.spark.sql.SparkSession,
       name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    // name + type shape, case- and nullability-insensitive: the
+    // comparison that decides whether the catalog entry is stale
+    def shape(s: org.apache.spark.sql.types.StructType): Set[(String, String)] =
+      s.map(f => (f.name.toLowerCase(java.util.Locale.ROOT), f.dataType.sql)).toSet
+    // schema evolution must reach the catalog too (CREATE IF NOT
+    // EXISTS no-ops): on ANY shape change — a new top-level column, a
+    // field added inside a struct — drop and recreate the EXTERNAL
+    // table definition. Metadata-only (the data stays), uniform across
+    // evolution kinds, and schema.toDDL quotes reserved/special column
+    // names correctly (a hand-built ALTER ... ADD COLUMNS would not).
+    if (spark.catalog.tableExists(name)
+        && shape(spark.table(name).schema) != shape(schema))
+      spark.sql(s"DROP TABLE $name")
     if (!spark.catalog.tableExists(name)) {
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $name (${schema.toDDL})
            |USING parquet
            |PARTITIONED BY ($partitionCol)
            |LOCATION '$path'""".stripMargin)
-    } else {
-      // additive schema evolution must reach the catalog too: CREATE IF
-      // NOT EXISTS no-ops, so a batch-introduced column would otherwise
-      // stay invisible to readers of the synced name forever
-      val existing = spark.table(name).schema.fieldNames
-        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-      val added = schema.filterNot(f =>
-        existing.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
-      if (added.nonEmpty)
-        spark.sql(s"ALTER TABLE $name ADD COLUMNS (${
-          added.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")})")
     }
     spark.catalog.recoverPartitions(name)
     spark.catalog.refreshTable(name)
