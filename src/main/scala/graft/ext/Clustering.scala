@@ -54,6 +54,10 @@ object Clustering {
       // re-split the single-file scan so assignment parallelizes
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"))
+      // scanned once per Lloyd round plus the final summary pass — cache
+      // the narrow projection instead of re-reading + re-splitting the
+      // file each round (caller/Bench owns the clearCache, as for IVF)
+      .persist()
     // FIXED k (vec_id < 800 caps seeds at 32 however big the corpus):
     // unlike IVF's nlist, k must not scale with n or the centroid
     // broadcast and the k×|v| assignment stop being the cheap side
