@@ -154,6 +154,112 @@ case class BoundedCollectSet(
     copy(child = newChildren.head)
 }
 
+/** Misra–Gries frequent-items sketch: one streaming pass with at most
+  * `k` counters per buffer, mergeable across partitions (Agarwal et
+  * al., "Mergeable Summaries", PODS'12). Guarantee: every item with
+  * true count > n/(k+1) survives to the output candidate set, and kept
+  * counts undercount by at most n/(k+1). The candidates then get ONE
+  * exact recount pass restricted to them — so heavy-hitter/top-N
+  * queries never shuffle the full vocabulary (the win when the
+  * universe is web-scale n-grams, not when it fits a hash map).
+  *
+  * Emits the sorted candidate item array; exact counts are the
+  * caller's recount join.
+  */
+case class MisraGriesSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(k > 0, s"MisraGriesSketch k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  /** Classic MG step: known item → +1; free slot → new counter; full →
+    * decrement every counter (the arriving item is absorbed by the
+    * decrement). Amortized O(1): each decrement retires k+1 units of
+    * incoming count.
+    */
+  override def update(buf: mutable.HashMap[String, Long], input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.toString
+      buf.get(s) match {
+        case Some(c) => buf(s) = c + 1
+        case None if buf.size < k => buf(s) = 1L
+        case None => decrement(buf, 1L)
+      }
+    }
+    buf
+  }
+
+  /** Subtract `by` from every counter, dropping those that reach 0. */
+  private def decrement(buf: mutable.HashMap[String, Long], by: Long): Unit =
+    buf.filterInPlace { case (_, c) => c > by }.mapValuesInPlace((_, c) => c - by)
+
+  /** Mergeable-summaries merge: sum counters, then restore the k-bound
+    * by subtracting the (k+1)-th largest count from all (exactly the
+    * error the decrement steps would have charged had the streams been
+    * concatenated).
+    */
+  override def merge(buf: mutable.HashMap[String, Long], other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    other.foreach { case (s, c) => buf(s) = buf.getOrElse(s, 0L) + c }
+    if (buf.size > k) {
+      val kth = buf.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      decrement(buf, kth)
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any =
+    new GenericArrayData(
+      buf.keys.toArray.sorted.map(s => UTF8String.fromString(s): Any))
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, c) =>
+      val b = s.getBytes("UTF-8")
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf += new String(b, "UTF-8") -> in.readLong()
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object AggregateFunctions {
   /** Input is cast to long up front — the buffer update unboxes Long,
     * so an un-cast IntegerType column would ClassCastException at
@@ -168,5 +274,13 @@ object AggregateFunctions {
   def bounded_collect_set(c: Column, cap: Int): Column =
     GraftBridge.column(
       BoundedCollectSet(GraftBridge.expression(c.cast("string")), cap)
+        .toAggregateExpression())
+
+  /** Frequent-item candidate set (sorted array) with ≤ k counters of
+    * state per partition; see [[MisraGriesSketch]].
+    */
+  def misra_gries(c: Column, k: Int): Column =
+    GraftBridge.column(
+      MisraGriesSketch(GraftBridge.expression(c.cast("string")), k)
         .toAggregateExpression())
 }

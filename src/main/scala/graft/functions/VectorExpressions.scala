@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native dot product over float-array columns.
   *
@@ -96,6 +96,86 @@ case class FloatVecDot(left: Expression, right: Expression)
          |    double $acc = 0.0;
          |    for (int $i = 0; $i < $n; $i++) {
          |      $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |    }
+         |    ${ev.value} = $acc;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Integer dot product over int-array columns (quantized embeddings).
+  * Accumulates in long — |q|≤127 per component keeps any realistic
+  * dimension count exact (127²·dim ≪ 2⁶³) — so the ADC candidate score
+  * is integer-exact and cross-engine deterministic, unlike a float
+  * fold. Null/length semantics mirror [[FloatVecDot]].
+  */
+case class IntVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"int_vec_dot requires two array<int> inputs, got $l and $r")
+    }
+
+  private lazy val elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType.asInstanceOf[ArrayType].containsNull)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    if (elementsNullable) {
+      var j = 0
+      while (j < n) {
+        if (x.isNullAt(j) || y.isNullAt(j)) return null
+        j += 1
+      }
+    }
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val nullElementScan =
+        if (elementsNullable)
+          s"""
+             |for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+             |  ${ev.isNull} = $a.isNullAt($j) || $b.isNullAt($j);
+             |}
+           """.stripMargin
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $nullElementScan
+         |  if (!${ev.isNull}) {
+         |    long $acc = 0L;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += ((long) $a.getInt($i)) * ((long) $b.getInt($i));
          |    }
          |    ${ev.value} = $acc;
          |  }
@@ -201,6 +281,11 @@ object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column =
     GraftBridge.column(
       FloatVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Native codegen'd int-array dot product (exact, long-accumulated). */
+  def int_vec_dot(a: Column, b: Column): Column =
+    GraftBridge.column(
+      IntVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Cosine from the native dot (same formula shape as the oracle:
     * dot / (sqrt(na) · sqrt(nb))).
