@@ -37,13 +37,16 @@ object Bench {
       System.gc()
       name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision: full-double timings pushed the JSON line
+    // past the driver's fixed tail-capture window, truncating the first
+    // queries out of BENCH_r*.json (sub-ms digits are JVM noise anyway)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failed queries report -1.0 per-query but NEVER deflate the total:
     // sum successes only and surface an explicit failure count
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failures = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

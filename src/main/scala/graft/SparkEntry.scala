@@ -60,6 +60,7 @@ object SparkEntry {
     "x_exact_distinct" -> (Advanced.exactDistinct _),
     "x_bounded_pages" -> (Advanced.boundedPages _),
     "x_token_freq" -> (Advanced.tokenFreq _),
+    "x_token_freq_mg" -> (Advanced.tokenFreqMg _),
     // —— training-data extensions: text analysis ——
     "x_token_stats" -> (ext.Text.tokenStats _),
     "x_lang_id" -> (ext.Text.langId _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "x_embedding_pairs" -> (ext.Similarity.embeddingPairs _),
     "x_ann_lsh" -> (ext.Similarity.annLsh _),
     "x_ann_ivf" -> (ext.Similarity.annIvf _),
+    "x_ann_int8" -> (ext.Similarity.annInt8 _),
     "x_dedup_embedding" -> (ext.Similarity.dedupByEmbedding _),
     "x_dedup_embedding_lsh" -> (ext.Similarity.dedupByEmbeddingLsh _),
     // —— training-data extensions: multimodal ——
@@ -140,6 +142,7 @@ object SparkEntry {
     "x_exact_distinct" -> Advanced.exactDistinctSql,
     "x_bounded_pages" -> Advanced.boundedPagesSql,
     "x_token_freq" -> Advanced.tokenFreqSql,
+    "x_token_freq_mg" -> Advanced.tokenFreqMgSql,
     "x_token_stats" -> ext.Text.tokenStatsSql,
     "x_lang_id" -> ext.Text.langIdSql,
     "x_quality" -> ext.Text.qualitySql,
@@ -166,6 +169,7 @@ object SparkEntry {
     "x_embedding_pairs" -> ext.Similarity.embeddingPairsSql,
     "x_ann_lsh" -> ext.Similarity.annLshSql,
     "x_ann_ivf" -> ext.Similarity.annIvfSql,
+    "x_ann_int8" -> ext.Similarity.annInt8Sql,
     "x_dedup_embedding" -> ext.Similarity.dedupByEmbeddingSql,
     "x_dedup_embedding_lsh" -> ext.Similarity.dedupByEmbeddingLshSql,
     "x_media_features" -> ext.Multimodal.mediaFeaturesSql,

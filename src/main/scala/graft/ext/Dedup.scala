@@ -3,7 +3,10 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.util.sketch.BloomFilter
+
 import graft.{Present, Tables}
+import graft.functions.BloomFunctions.bloom_might_contain
 import graft.functions.HashFunctions.{hashed_shingle_set, minhash_signature, simhash_md5, sorted_intersect_count, word_shingles}
 
 /** Deduplication for training-data pipelines.
@@ -136,12 +139,33 @@ object Dedup {
     */
   val minSharedShingles = 5
 
+  /** Driver-built Bloom filter over a benchmark-side shingle column —
+    * the prune that rides the TRAIN-side scan in [[decontaminate]] /
+    * [[StreamDecon]]. The benchmark corpus is the curated small side,
+    * so sizing it with an exact count() is a metadata-scale job; fpp
+    * 1% drops ~99% of non-matching train shingles BEFORE the join
+    * (false positives just probe the exact join and miss — the output
+    * cannot change). This is manual runtime row-level filtering for a
+    * derived (exploded) key, where Spark's InjectRuntimeFilter can't
+    * reach.
+    */
+  def shingleBloom(bench: DataFrame, shingleCol: String = "s"): BloomFilter = {
+    // rows overcount distinct shingles (cross-doc repeats) — a safe
+    // direction: the filter only gets sparser than sized
+    val n = bench.count()
+    bench.stat.bloomFilter(shingleCol, math.max(n, 64L), 0.01)
+  }
+
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(shingles(Text.tokens(col("text")))).as("s"))
     val bench = sh.filter(col("doc_id") % 50 === 0)
       .select(col("s"), col("doc_id").as("bench_doc"))
+    // Bloom-prune the big side before it reaches the join: only train
+    // shingles that MIGHT be benchmark shingles survive the scan stage
+    val bf = shingleBloom(bench)
     val train = sh.filter(col("doc_id") % 50 =!= 0)
+      .filter(bloom_might_contain(col("s"), bf))
       .select(col("s"), col("doc_id").as("train_doc"))
     // shingles are distinct per doc (WordShingles), so count(*) per
     // (train, bench) pair IS the shared-shingle count
@@ -349,15 +373,16 @@ object Dedup {
     * popcount filter. No O(n²) compare.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // cached + eagerly materialized: the signature pass (md5 per
-    // distinct token) dominates this query, and the self-join's two
-    // sides would each recompute it — measured 5× slower uncached. The
-    // cached projection is narrow (doc_id, simhash) so the columnar
-    // build is cheap, unlike the array-carrying minhash projection
-    // (which stays uncached — see minhashLshPairs). Bench/Verify
-    // clearCache() between queries; library callers own the unpersist.
-    val sh = simhashes(spark, sfDir).cache()
-    sh.count()
+    // eagerly materialized via localCheckpoint: the signature pass (md5
+    // per distinct token) dominates this query, and the self-join's two
+    // sides would each recompute it — measured 5× slower shared-nothing.
+    // The materialized projection is narrow (doc_id, simhash) so the
+    // block build is cheap, unlike the array-carrying minhash projection
+    // (which stays unmaterialized — see minhashLshPairs). Checkpoint
+    // blocks are dropped by the ContextCleaner when this plan becomes
+    // unreachable — no caller-owned unpersist obligation, unlike the
+    // cache() this replaces (which a library consumer would leak).
+    val sh = simhashes(spark, sfDir).localCheckpoint()
     val chunkBits = simhashBits / numChunks
     val chunked = sh.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(numChunks - 1))).as("chunk"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Present, Tables}
-import graft.functions.VectorFunctions.{vec_cosine, vec_dot}
+import graft.functions.VectorFunctions.{int_vec_dot, vec_cosine, vec_dot}
 
 /** Similarity search over an embedding column (Array[Float], dim 64).
   *
@@ -425,6 +425,120 @@ object Similarity {
       |       round(list_max(list_transform(er, x -> abs(x))), 6) AS max_err
       |FROM err
       |ORDER BY vec_id""".stripMargin
+
+  /** Candidate pool per query for the quantized search's exact rerank. */
+  val int8Candidates = 20
+
+  /** Quantized ANN: int8 ADC-style scoring + exact float rerank — what
+    * [[quantizeInt8]]'s output is FOR. The corpus is stored quantized
+    * (4× smaller, int arithmetic); candidate generation scores every
+    * (query, vector) pair with the native integer dot (IntVecDot:
+    * long-accumulated, hence integer-EXACT and cross-engine
+    * deterministic — a float fold would be neither), rescaled by the
+    * two per-vector scales into an approximate cosine; the top
+    * [[int8Candidates]] per query then get ONE exact float-cosine pass
+    * and the final top-5 comes from that rerank.
+    *
+    * Scale shape: the corpus side streams through a broadcast of the
+    * quantized queries (same as [[annBruteForce]]) but each candidate
+    * dot is int8 arithmetic on a 4×-smaller payload; only
+    * [[int8Candidates]] rows per query reach the rerank join, and the
+    * rerank is a hash join on vec_id against the float table — the
+    * full-precision embeddings are read for ≤ 20·|queries| rows, never
+    * streamed wholesale.
+    */
+  def annInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    // symmetric per-vector int8 quantization — the quantizeInt8 recipe:
+    // scale = max|v|/127, q_i = round(v_i/scale) (|v|/scale ≤ 127 by
+    // construction, so no clamp); float norms computed once for the
+    // cosine rescale
+    val quantized = emb
+      .select(col("vec_id"), col("embedding"),
+        (array_max(transform(col("embedding"), v => abs(v.cast("double")))) / lit(127.0))
+          .as("scale"),
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("scale") > 0) // an all-zero vector has nothing to quantize
+      .withColumn("q", transform(col("embedding"), v =>
+        round(v.cast("double") / col("scale")).cast("int")))
+    val queries = quantized.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("scale").as("qs"), col("nrm").as("qn"))
+    // re-split the single-file scan: the corpus streams through the
+    // broadcast loop, so its partition count IS the parallelism
+    val corpus = quantized
+      .select(col("vec_id"), col("q"), col("scale"), col("nrm"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    // approx cosine from the exact integer dot: qdot·sa·sb ≈ float dot
+    // (max |qdot| = 127²·dim ≪ 2⁵³, so the long→double rescale chain is
+    // the same exact value in both engines)
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (int_vec_dot(col("q"), col("qq")).cast("double") * col("scale") * col("qs")
+          / (col("nrm") * col("qn"))).as("qsim"))
+    // top-20 candidates per query via the native partial top-k: the
+    // exchange carries ≤ 20 rows per query per partition, no window
+    // shuffle of the full candidate set
+    val cands = graft.plans.TopKPerGroup.topKPerGroup(
+      scored, Seq(col("query_id")), Seq(col("qsim").desc, col("vec_id").asc),
+      int8Candidates)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // exact rerank: full-precision cosine over only the candidates
+    val rer = cands
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        Seq("neighbor_id"))
+      .join(broadcast(emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        Seq("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    Present.sortSmall(
+      rer.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank")),
+      col("query_id"), col("rank"))
+  }
+
+  /** DuckDB twin: same quantization recipe (round parity proven by
+    * x_quantize_int8), same integer dot (list_inner_product over
+    * integral doubles is exact below 2⁵³), same rescale op order, same
+    * rerank.
+    */
+  val annInt8Sql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e,
+       |         list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v))) / 127.0 AS scale,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id, embedding, scale, nrm,
+       |         list_transform(e, v -> round(v / scale)) AS q
+       |  FROM s WHERE scale > 0),
+       |qry AS (SELECT vec_id AS query_id, q AS qq, scale AS qs, nrm AS qn
+       |        FROM qz WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT query_id, c.vec_id,
+       |         list_inner_product(c.q, qq) * c.scale * qs / (c.nrm * qn) AS qsim
+       |  FROM qz c, qry WHERE c.vec_id <> query_id),
+       |cand AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY qsim DESC, vec_id) AS crank
+       |    FROM scored)
+       |  WHERE crank <= $int8Candidates),
+       |rer AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         round(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.query_id
+       |  JOIN embeddings b ON b.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rer)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   // ——— IVF-style ANN ———
 

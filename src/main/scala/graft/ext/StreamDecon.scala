@@ -3,8 +3,10 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.{Present, Tables}
+import graft.functions.BloomFunctions.bloom_might_contain
 
 /** Streaming decontamination against a STATIC benchmark corpus — the
   * streaming twin of [[Dedup.decontaminate]]: documents arrive on a
@@ -48,11 +50,19 @@ object StreamDecon {
     * [[Dedup.decontaminate]] output shape: (train_doc, bench_doc,
     * n_shared ≥ threshold). Shingles are distinct per doc
     * (WordShingles), so count(*) per pair IS the shared-shingle count.
+    *
+    * `bloom`, when given, prunes the batch-side shingle explode before
+    * the join (build it ONCE with [[Dedup.shingleBloom]], not per
+    * batch): false positives probe the exact join and miss, so the
+    * output is identical — the filter only spares the non-matching
+    * ~99% the hash probe.
     */
-  def scores(docs: DataFrame, bench: DataFrame): DataFrame =
+  def scores(docs: DataFrame, bench: DataFrame,
+      bloom: Option[BloomFilter] = None): DataFrame =
     docs
       .select(col("doc_id").as("train_doc"),
         explode(Dedup.shingles(Text.tokens(col("text")))).as("s"))
+      .transform(d => bloom.fold(d)(bf => d.filter(bloom_might_contain(col("s"), bf))))
       .join(broadcast(bench), Seq("s"))
       .groupBy(col("train_doc"), col("bench_doc"))
       .agg(count(lit(1)).as("n_shared"))
@@ -63,9 +73,10 @@ object StreamDecon {
     * set (both sides of the anti are batch-local, so it stays a local
     * hash join).
     */
-  def clean(docs: DataFrame, bench: DataFrame): DataFrame =
+  def clean(docs: DataFrame, bench: DataFrame,
+      bloom: Option[BloomFilter] = None): DataFrame =
     docs.join(
-      scores(docs, bench).select(col("train_doc").as("doc_id")).distinct(),
+      scores(docs, bench, bloom).select(col("train_doc").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
   /** Start the streaming filter: every micro-batch of `docs` is scored
@@ -75,12 +86,16 @@ object StreamDecon {
     * usual upsert story.
     */
   def start(docs: DataFrame, bench: DataFrame, checkpoint: String)(
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    // one driver-side Bloom build for the whole stream's lifetime —
+    // every micro-batch reuses it as its scan-side prune
+    val bloom = Some(Dedup.shingleBloom(bench))
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: DataFrame, batchId: Long) =>
-        sink(clean(batch, bench), batchId))
+        sink(clean(batch, bench, bloom), batchId))
       .start()
+  }
 
   /** Batch twin for the oracle gate: the full train split (non-bench
     * docs) pushed through the same [[clean]] used per micro-batch.
@@ -88,8 +103,9 @@ object StreamDecon {
   def cleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val train = Tables.table(spark, sfDir, "documents")
       .filter(col("doc_id") % 50 =!= 0)
+    val bench = benchmarkShingles(spark, sfDir)
     Present.sortSmall(
-      clean(train, benchmarkShingles(spark, sfDir))
+      clean(train, bench, Some(Dedup.shingleBloom(bench)))
         .select(col("doc_id"), length(col("text")).as("text_len")),
       col("doc_id"))
   }

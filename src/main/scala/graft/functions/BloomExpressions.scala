@@ -40,6 +40,18 @@ case class BloomMightContainString(child: Expression, bloomBytes: Array[Byte])
       s"bloom_might_contain requires a string input, got $t")
   }
 
+  // Array[Byte] equality is reference-based, so the generated case-class
+  // equals would treat two probes of the SAME filter as distinct —
+  // canonicalization/subexpression elimination could then never dedupe
+  // them and each copy would embed the full filter bytes in the plan
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContainString =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   // one deserialization per executor thread, shared across rows
   @transient private lazy val bloom: BloomFilter = BloomFilter.readFrom(bloomBytes)
 

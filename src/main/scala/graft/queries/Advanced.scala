@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Oracles, Tables}
-import graft.functions.AggregateFunctions.{bounded_collect_set, exact_count_distinct}
+import graft.functions.AggregateFunctions.{bounded_collect_set, exact_count_distinct, misra_gries}
 
 /** Advanced operators: custom typed aggregates, corpus-level token
   * frequency, and skew-mitigated (salted) joins.
@@ -73,6 +73,57 @@ object Advanced {
       |GROUP BY 1
       |ORDER BY freq DESC, token
       |LIMIT 100""".stripMargin
+
+  /** MG sketch width for [[tokenFreqMg]]: ≤ k counters of aggregation
+    * state anywhere, support threshold n/(k+1) ≈ 1% of corpus tokens.
+    */
+  val mgK = 100
+
+  /** Heavy-hitter token frequency via the Misra–Gries sketch — the
+    * scale path when the vocabulary does NOT fit a hash map.
+    * [[tokenFreq]]'s explode→groupBy shuffles the full distinct-token
+    * domain (fine for words, fatal for web-scale n-grams); here the
+    * exchange carries at most [[mgK]] counters per partition:
+    *
+    *  1. one MG candidate pass (MisraGriesSketch — bounded state,
+    *     mergeable across partitions);
+    *  2. ONE exact recount pass restricted to the candidates
+    *     (broadcast semi-join — the recount aggregation state is ≤ k
+    *     groups);
+    *  3. keep tokens whose EXACT count clears the n/(k+1) support
+    *     threshold.
+    *
+    * MG's guarantee — every item with true count > n/(k+1) survives
+    * the sketch — makes the thresholded output exact and deterministic
+    * even though the raw candidate set is merge-order dependent, which
+    * is why the threshold filter is part of the operator, not the
+    * caller. Oracle: the plain exact GROUP BY with the same HAVING.
+    */
+  def tokenFreqMg(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.table(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    // single-row frame: (candidate array, total token count) — stays a
+    // DataFrame end-to-end, no driver collect
+    val sketch = toks.agg(
+      misra_gries(col("token"), mgK).as("cand"),
+      count(lit(1)).as("n_total"))
+    val cands = sketch.select(explode(col("cand")).as("token"), col("n_total"))
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy(col("token"), col("n_total"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * (mgK + 1) > col("n_total"))
+      .select(col("token"), col("freq"))
+      .transform(graft.Present.sortSmall(_, col("freq").desc, col("token")))
+  }
+
+  val tokenFreqMgSql: String =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |tot AS (SELECT count(*) AS n_total FROM toks)
+       |SELECT token, count(*) AS freq
+       |FROM toks, tot
+       |GROUP BY token, n_total
+       |HAVING count(*) * ${mgK + 1} > n_total
+       |ORDER BY freq DESC, token""".stripMargin
 
   /** Generator (UDTF-family) coverage: posexplode — each document's
     * first five tokens with their positions. The generate runs inside

@@ -67,8 +67,17 @@ object Parity {
     */
   def stageWire(spark: SparkSession, sfDir: String): String =
     wireCache.computeIfAbsent(sfDir, { dir =>
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_wire_").resolve("envelope.parquet").toString
+      val root = java.nio.file.Files.createTempDirectory("graft_wire_")
+      // scratch fixture, one per JVM per sfDir: reclaim it on exit
+      // instead of leaking a parquet directory per run
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(root))
+          Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+      val path = root.resolve("envelope.parquet").toString
       wireEnvelope(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(path)

@@ -41,6 +41,47 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("misra_gries keeps every item above the n/(k+1) support threshold across partition merges") {
+    // skewed corpus: 2 heavy hitters + a long tail of singletons;
+    // many partitions force the mergeable-summaries merge path
+    val k = 9
+    val tokens =
+      Seq.fill(300)("h1") ++ Seq.fill(150)("h2") ++ (1 to 500).map(i => s"tail$i")
+    val df = spark.sparkContext.parallelize(tokens, 13).toDF("token")
+    val n = tokens.size // 950; threshold n/(k+1) = 95
+    val cand = df.agg(misra_gries($"token", k).as("c"))
+      .collect()(0).getAs[scala.collection.Seq[String]]("c")
+    // MG guarantee: true count > n/(k+1) survives — regardless of
+    // partitioning or merge order
+    assert(cand.contains("h1") && cand.contains("h2"))
+    // the k-bound is restored after every merge: never more than k candidates
+    assert(cand.size <= k)
+    assert(n / (k + 1) == 95) // fixture sanity: h1, h2 are the only heavy items
+  }
+
+  test("misra_gries candidate pass + exact recount equals the plain exact heavy-hitter query") {
+    val k = 9
+    val tokens =
+      Seq.fill(300)("h1") ++ Seq.fill(150)("h2") ++ Seq.fill(96)("h3") ++
+        (1 to 400).map(i => s"tail${i % 37}") // repeated tail below threshold
+    val df = spark.sparkContext.parallelize(tokens, 11).toDF("token")
+    // the wired operator shape: sketch → broadcast candidates → exact
+    // recount → threshold (deterministic despite the raw candidate set
+    // being merge-order dependent)
+    val sketch = df.agg(misra_gries($"token", k).as("cand"), count(lit(1)).as("n"))
+    val cands = sketch.select(explode($"cand").as("token"), $"n")
+    val got = df.join(broadcast(cands), Seq("token"))
+      .groupBy($"token", $"n").agg(count(lit(1)).as("freq"))
+      .filter($"freq" * (k + 1) > $"n")
+      .select($"token", $"freq")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = df.groupBy($"token").agg(count(lit(1)).as("freq"))
+      .filter($"freq" * (k + 1) > lit(tokens.size.toLong))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.map(_._1) == Set("h1", "h2", "h3"))
+  }
+
   test("exact_count_distinct works in a streaming aggregation (countDistinct is rejected)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Act]

@@ -55,6 +55,63 @@ class HashExpressionsSpec extends SparkSpec {
     assert(rows.count(_.isNullAt(0)) == 2)
   }
 
+  test("IntVecDot is the exact long-accumulated integer dot") {
+    val df = Seq(
+      (Array(1, 2, 3), Array(4, 5, 6)),            // 4+10+18 = 32
+      (Array(-127, 127), Array(127, 127)),         // -16129+16129 = 0
+      (Array.empty[Int], Array.empty[Int]))        // 0
+      .toDF("a", "b")
+    val rows = df.select(int_vec_dot(col("a"), col("b")).as("d")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(32L, 0L, 0L))
+  }
+
+  test("IntVecDot nulls out on length mismatch or a null element") {
+    val df = Seq(
+      (Seq[Integer](1, 2, 3), Seq[Integer](4, 5)),       // length mismatch
+      (Seq[Integer](1, null, 3), Seq[Integer](4, 5, 6)), // null element left
+      (Seq[Integer](1, 2), Seq[Integer](3, null)),       // null element right
+      (Seq[Integer](2, 3), Seq[Integer](4, 5)))          // clean: 23
+      .toDF("a", "b")
+    val rows = df.select(int_vec_dot(col("a"), col("b")).as("d")).collect()
+    assert(rows.take(3).forall(_.isNullAt(0)))
+    assert(rows(3).getLong(0) == 23L)
+  }
+
+  test("BloomMightContainString: no false negatives, probes codegen over a real column") {
+    val docs = Tables.table(spark, sf0001, "documents").limit(200)
+      .select(col("doc_id"), concat_ws("#", lit("k"), col("doc_id")).as("key"))
+    // build on the driver from half the keys; probe the whole table
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val bf = half.stat.bloomFilter("key", 1000L, 0.01)
+    val probed = docs.select(col("doc_id"),
+      graft.functions.BloomFunctions.bloom_might_contain(col("key"), bf).as("hit"))
+      .collect()
+    // hash symmetry: every inserted key MUST probe true (a silent
+    // build/probe byte-encoding skew would show up as false negatives)
+    assert(probed.filter(_.getLong(0) % 2 == 0).forall(_.getBoolean(1)))
+    // non-members mostly miss (fpp 1% — allow a wide margin)
+    val miss = probed.filter(_.getLong(0) % 2 == 1)
+    assert(miss.count(!_.getBoolean(1)) > miss.length / 2)
+  }
+
+  test("BloomMightContainString equality is content-based (plan canonicalization)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bf = Seq("a", "b").toDF("s").stat.bloomFilter("s", 64L, 0.01)
+    def bytes = { // fresh serialization each call — distinct array refs
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // two independently-serialized probes of the same filter must
+    // compare equal, or subexpression elimination can never dedupe them
+    // (the default case-class equals on Array[Byte] is reference-based)
+    val p1 = graft.functions.BloomMightContainString(Literal("x"), bytes)
+    val p2 = graft.functions.BloomMightContainString(Literal("x"), bytes)
+    assert(p1 == p2)
+    assert(p1.hashCode() == p2.hashCode())
+    assert(p1 != graft.functions.BloomMightContainString(Literal("y"), bytes))
+  }
+
   test("SortedLongIntersectCount equals size(array_intersect) on sorted distinct arrays") {
     val df = Seq(
       (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 8L)),

@@ -36,6 +36,47 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window with watermark+append matches the batch twin boundary-for-boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ActivityEvent]
+    // append mode: a session row emits only once the watermark passes
+    // its end — the production shape for a downstream upsert sink
+    val q = Stateful.sessionWindowAgg(mem.toDS(), "5 minutes")
+      .writeStream.format("memory").queryName("sess_win_append")
+      .outputMode("append").start()
+    try {
+      val base = Seq(
+        ActivityEvent(1, "a", ts("2025-01-02 10:00:00"), 10),
+        ActivityEvent(1, "b", ts("2025-01-02 10:03:00"), 20), // same session
+        ActivityEvent(1, "c", ts("2025-01-02 10:20:00"), 30), // new session (17 min gap)
+        ActivityEvent(2, "d", ts("2025-01-02 10:21:00"), 7))  // other key
+      mem.addData(base: _*)
+      q.processAllAvailable()
+      // advance event time far past every session end + the 10-min
+      // watermark delay so append emits all base sessions
+      mem.addData(ActivityEvent(2, "flush", ts("2025-01-02 12:00:00"), 1))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_win_append")
+        .select($"employee_id", $"session_window.start".as("start"),
+          $"session_window.end".as("end"), $"n_events", $"total_duration")
+        .collect().map(r => (r.getInt(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // batch twin: the same session_window aggregation over the same
+      // rows as a plain DataFrame (the flush event's session is not
+      // emitted by the stream — its watermark never passed — so the
+      // batch side aggregates the base events only)
+      val batch = base.toDS()
+        .groupBy(session_window($"activity_timestamp", "5 minutes"), $"employee_id")
+        .agg(count(lit(1)).as("n_events"), sum($"duration_seconds").as("total_duration"))
+        .select($"employee_id", $"session_window.start".as("start"),
+          $"session_window.end".as("end"), $"n_events", $"total_duration")
+        .collect().map(r => (r.getInt(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionize closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ActivityEvent]
