@@ -159,8 +159,13 @@ object Dedup {
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(shingles(Text.tokens(col("text")))).as("s"))
+    // materialized once (localCheckpoint): three consumers read it —
+    // the sizing count, the Bloom build, and the join's broadcast
+    // side — and each would otherwise redo the benchmark-doc shingle
+    // explode from the scan
     val bench = sh.filter(col("doc_id") % 50 === 0)
       .select(col("s"), col("doc_id").as("bench_doc"))
+      .localCheckpoint()
     // Bloom-prune the big side before it reaches the join: only train
     // shingles that MIGHT be benchmark shingles survive the scan stage
     val bf = shingleBloom(bench)

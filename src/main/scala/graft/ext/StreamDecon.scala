@@ -103,7 +103,9 @@ object StreamDecon {
   def cleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val train = Tables.table(spark, sfDir, "documents")
       .filter(col("doc_id") % 50 =!= 0)
-    val bench = benchmarkShingles(spark, sfDir)
+    // materialized once for its three consumers (sizing count, Bloom
+    // build, broadcast join side) — mirrors Dedup.decontaminate
+    val bench = benchmarkShingles(spark, sfDir).localCheckpoint()
     Present.sortSmall(
       clean(train, bench, Some(Dedup.shingleBloom(bench)))
         .select(col("doc_id"), length(col("text")).as("text_len")),

@@ -265,4 +265,24 @@ class ParquetUpsertSinkSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1) // table untouched
     assert(ParquetUpsertSink.sweepStaging(spark, dir) == 0) // idempotent
   }
+
+  test("two sink instances on one table path never cross-delete staging dirs") {
+    // the collision the per-instance token prevents: two writers whose
+    // batch ids both restart at 0 would otherwise stage to — and
+    // finally-delete — the SAME __staging_<batchId> directory
+    val dir = Files.createTempDirectory("upsert9").toString + "/t"
+    val a = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    val b = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    a.upsert(Seq(Rec(1, "a0", 10, "p1")).toDF(), 0)
+    b.upsert(Seq(Rec(2, "b0", 10, "p1")).toDF(), 0) // same batch id, same path
+    a.upsert(Seq(Rec(1, "a1", 20, "p1")).toDF(), 1)
+    b.upsert(Seq(Rec(3, "b1", 10, "p2")).toDF(), 1)
+    val rows = spark.read.parquet(dir).orderBy($"id").collect()
+    assert(rows.map(r => (r.getAs[Int]("id"), r.getAs[String]("v"))).toSeq ==
+      Seq((1, "a1"), (2, "b0"), (3, "b1")))
+    // neither writer's finally-delete swept the other's staging dir
+    // mid-flight, and nothing is left behind afterwards
+    val parent = new java.io.File(dir).getParentFile
+    assert(parent.listFiles().count(_.getName.contains("__staging_")) == 0)
+  }
 }
