@@ -39,14 +39,18 @@ object Bench {
     }
     // millisecond precision: full-double timings pushed the JSON line
     // past the driver's fixed tail-capture window, truncating the first
-    // queries out of BENCH_r*.json (sub-ms digits are JVM noise anyway)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // queries out of BENCH_r*.json (sub-ms digits are JVM noise anyway).
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma-decimal locale would corrupt the JSON line
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     // failed queries report -1.0 per-query but NEVER deflate the total:
     // sum successes only and surface an explicit failure count
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failures = results.count(_._2 < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,7 +14,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache()
+      finally {
+        spark.catalog.clearCache()
+        // clearCache frees cached plans but NOT localCheckpoint blocks
+        // (decontaminate, simhashPairs) — those are reclaimed by the
+        // ContextCleaner only after the driver GCs the plan, so nudge it
+        // or blocks pile up across the ~70-query loop
+        System.gc()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

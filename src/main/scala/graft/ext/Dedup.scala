@@ -156,6 +156,12 @@ object Dedup {
     bench.stat.bloomFilter(shingleCol, math.max(n, 64L), 0.01)
   }
 
+  /** NOTE: unlike the other catalog entries, this runs jobs at
+    * CONSTRUCTION time (the inventory materialization and the Bloom
+    * build are driver-side runtime-filter preparation, inherent to
+    * embedding the filter bytes in the plan) — build the DataFrame
+    * only when you mean to execute it.
+    */
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(shingles(Text.tokens(col("text")))).as("s"))
@@ -387,6 +393,9 @@ object Dedup {
     // blocks are dropped by the ContextCleaner when this plan becomes
     // unreachable — no caller-owned unpersist obligation, unlike the
     // cache() this replaces (which a library consumer would leak).
+    // Trade-off: checkpoint blocks are not fault-tolerant (an executor
+    // loss fails the query instead of recomputing lineage) — fine for a
+    // within-query scratch projection that a retry rebuilds.
     val sh = simhashes(spark, sfDir).localCheckpoint()
     val chunkBits = simhashBits / numChunks
     val chunked = sh.select(col("doc_id"), col("simhash"),

@@ -376,6 +376,25 @@ object Similarity {
 
   // ——— int8 quantization ———
 
+  /** Per-vector symmetric int8 scale, max|v|/127 — THE quantization
+    * recipe, shared by [[quantizeInt8]] (error gating) and [[annInt8]]
+    * (ADC scoring) so the two queries cannot drift apart (annInt8's
+    * cross-engine parity argument leans on quantizeInt8's round
+    * parity).
+    */
+  def int8Scale(emb: Column): Column =
+    array_max(transform(emb, v => abs(v.cast("double")))) / lit(127.0)
+
+  /** The int8 code array: q_i = round(v_i/scale) — |v_i|/scale ≤ 127
+    * by construction of [[int8Scale]], so no clamp is needed.
+    */
+  def int8Codes(emb: Column, scale: Column): Column =
+    transform(emb, v => round(v.cast("double") / scale).cast("int"))
+
+  /** DuckDB twin of [[int8Scale]] (over `embedding`). */
+  val int8ScaleSql: String =
+    "list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v))) / 127.0"
+
   /** Symmetric per-vector int8 quantization — the storage-efficiency
     * pass of a large embedding store (4× smaller than float32, cheap
     * SIMD dot products downstream). Per vector: scale = max|v|/127,
@@ -388,8 +407,7 @@ object Similarity {
     * arithmetic, not array formatting.
     */
   def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
-    val absMax = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
-    val scale = absMax / lit(127.0)
+    val scale = int8Scale(col("embedding"))
     val err = transform(col("embedding"), v =>
       v.cast("double") - round(v.cast("double") / col("scale")) * col("scale"))
     Present.sortSmall(
@@ -411,9 +429,9 @@ object Similarity {
   }
 
   val quantizeInt8Sql: String =
-    """WITH s AS (
+    s"""WITH s AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-      |         list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v))) / 127.0 AS scale
+      |         $int8ScaleSql AS scale
       |  FROM embeddings),
       |err AS (
       |  SELECT vec_id, scale,
@@ -450,18 +468,14 @@ object Similarity {
   def annInt8(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.table(spark, sfDir, "embeddings")
-    // symmetric per-vector int8 quantization — the quantizeInt8 recipe:
-    // scale = max|v|/127, q_i = round(v_i/scale) (|v|/scale ≤ 127 by
-    // construction, so no clamp); float norms computed once for the
-    // cosine rescale
+    // the shared int8Scale/int8Codes recipe (same columns quantizeInt8
+    // gates on); float norms computed once for the cosine rescale
     val quantized = emb
       .select(col("vec_id"), col("embedding"),
-        (array_max(transform(col("embedding"), v => abs(v.cast("double")))) / lit(127.0))
-          .as("scale"),
+        int8Scale(col("embedding")).as("scale"),
         sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
       .filter(col("scale") > 0) // an all-zero vector has nothing to quantize
-      .withColumn("q", transform(col("embedding"), v =>
-        round(v.cast("double") / col("scale")).cast("int")))
+      .withColumn("q", int8Codes(col("embedding"), col("scale")))
     val queries = quantized.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("scale").as("qs"), col("nrm").as("qn"))
@@ -508,7 +522,7 @@ object Similarity {
   val annInt8Sql: String =
     s"""WITH s AS (
        |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e,
-       |         list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v))) / 127.0 AS scale,
+       |         $int8ScaleSql AS scale,
        |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings),
        |qz AS (

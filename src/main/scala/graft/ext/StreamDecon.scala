@@ -27,12 +27,12 @@ import graft.functions.BloomFunctions.bloom_might_contain
   *
   * At 100 TB of arriving docs the cost is O(matching shingles) per
   * batch — identical to the batch op. Each micro-batch is its own
-  * action, and broadcast exchanges are NOT reused across actions: a
-  * long-running stream should pass a persisted inventory
-  * (`benchmarkShingles(...).persist()`) so per-batch cost is the
-  * (cached) broadcast build, not a re-scan + re-shingle of the
-  * benchmark corpus. The caller owns the persist/unpersist, as with
-  * [[StreamDedup.index]].
+  * action, and broadcast exchanges are NOT reused across actions:
+  * [[start]] therefore localCheckpoints the inventory once for the
+  * stream's lifetime, so per-batch cost is the broadcast build over
+  * materialized blocks, not a re-scan + re-shingle of the benchmark
+  * corpus (blocks are reclaimed by the ContextCleaner when the query's
+  * plans become unreachable).
   */
 object StreamDecon {
 
@@ -87,13 +87,18 @@ object StreamDecon {
     */
   def start(docs: DataFrame, bench: DataFrame, checkpoint: String)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    // materialize the inventory ONCE for the stream's lifetime: the
+    // Bloom sizing count, the Bloom build, and every micro-batch's
+    // broadcast side all read the checkpointed blocks instead of
+    // re-scanning + re-shingling the benchmark corpus per action
+    val inv = bench.localCheckpoint()
     // one driver-side Bloom build for the whole stream's lifetime —
     // every micro-batch reuses it as its scan-side prune
-    val bloom = Some(Dedup.shingleBloom(bench))
+    val bloom = Some(Dedup.shingleBloom(inv))
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: DataFrame, batchId: Long) =>
-        sink(clean(batch, bench, bloom), batchId))
+        sink(clean(batch, inv, bloom), batchId))
       .start()
   }
 

@@ -73,9 +73,16 @@ object Parity {
       sys.addShutdownHook {
         import java.nio.file.{Files, Path}
         import java.util.Comparator
-        if (Files.exists(root))
-          Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
+        // best-effort: hooks run concurrently with Spark's own shutdown,
+        // so a still-flushing file must not abort the rest of the sweep
+        // (and the walk stream must be closed either way)
+        if (Files.exists(root)) {
+          val walk = Files.walk(root)
+          try walk.sorted(Comparator.reverseOrder[Path]()).forEach { p =>
+            try Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () }
+          } finally walk.close()
+        }
       }
       val path = root.resolve("envelope.parquet").toString
       wireEnvelope(spark, dir)
