@@ -63,6 +63,7 @@ object SparkEntry {
     "x_token_freq_mg" -> (Advanced.tokenFreqMg _),
     // —— training-data extensions: text analysis ——
     "x_token_stats" -> (ext.Text.tokenStats _),
+    "x_tfidf" -> (ext.Text.tfidf _),
     "x_lang_id" -> (ext.Text.langId _),
     "x_quality" -> (ext.Text.quality _),
     "x_fingerprint" -> (ext.Text.fingerprint _),
@@ -144,6 +145,7 @@ object SparkEntry {
     "x_token_freq" -> Advanced.tokenFreqSql,
     "x_token_freq_mg" -> Advanced.tokenFreqMgSql,
     "x_token_stats" -> ext.Text.tokenStatsSql,
+    "x_tfidf" -> ext.Text.tfidfSql,
     "x_lang_id" -> ext.Text.langIdSql,
     "x_quality" -> ext.Text.qualitySql,
     "x_fingerprint" -> ext.Text.fingerprintSql,

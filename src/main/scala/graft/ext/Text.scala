@@ -167,6 +167,64 @@ object Text {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** Top terms kept per document by [[tfidf]]. */
+  val tfidfTopK = 3
+
+  /** TF-IDF top terms per document — the feature-extraction pass a
+    * quality/topic classifier trains on.
+    *
+    * Scale shape, stage by stage: term frequencies are one shuffle on
+    * the (doc, term) domain with FULL map-side combine (a document is
+    * a single row, so every occurrence of a term collapses before the
+    * exchange); document frequencies are one shuffle on the term
+    * domain; the idf join is a shuffle hash join on term (the
+    * vocabulary is web-scale at 100 TB — deliberately NOT broadcast);
+    * the per-doc top-k runs on the native TopKPerGroup operator, so
+    * the final exchange carries ≤ k rows per document per partition
+    * rather than the full (doc, term) matrix.
+    *
+    * Both engines rank by the ROUNDED score (then term) so a sub-ulp
+    * ln() divergence cannot reorder near-ties across engines.
+    */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.table(spark, sfDir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfc"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n)) // scalar doc count rides along
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("dfc")), 4))
+    val top = graft.plans.TopKPerGroup.topKPerGroup(
+      scored, Seq(col("doc_id")), Seq(col("tfidf").desc, col("token").asc), tfidfTopK)
+    // rank numbering over the ≤ k·|docs| survivors only
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    graft.Present.sortSmall(
+      top.withColumn("rank", row_number().over(w))
+        .select(col("doc_id"), col("token"), col("tfidf"), col("rank")),
+      col("doc_id"), col("rank"))
+  }
+
+  val tfidfSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+       |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, token, round(tf * ln(n_docs::DOUBLE / dfc), 4) AS tfidf
+       |  FROM tf JOIN dfreq USING (token), n)
+       |SELECT doc_id, token, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY tfidf DESC, token) AS rank
+       |  FROM scored)
+       |WHERE rank <= $tfidfTopK
+       |ORDER BY doc_id, rank""".stripMargin
+
   /** Gopher-style repetition filter: fraction of the doc's bigrams
     * taken by its single most frequent bigram (native one-pass
     * [[graft.functions.TopNgramFrac]] — no corpus-wide n-gram explode)

@@ -169,6 +169,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("tfidf ranks hand-computable fixture terms correctly") {
+    import java.nio.file.Files
+    // 4 docs: "rare" appears in 1 doc, "mid" in 2, "the" in all 4
+    // (idf = 0 ⇒ never a top term no matter how frequent)
+    val dir = Files.createTempDirectory("tfidf").toString
+    Seq(
+      (0L, "the the the rare mid"),
+      (1L, "the mid"),
+      (2L, "the"),
+      (3L, "the")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = ext.Text.tfidf(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token"),
+        r.getAs[Double]("tfidf"), r.getAs[Int]("rank")))
+    val doc0 = rows.filter(_._1 == 0L)
+    // doc 0: rare tf=1 idf=ln(4)≈1.3863; mid tf=1 idf=ln(2)≈0.6931;
+    // the tf=3 idf=ln(1)=0 — rank must be rare > mid > the
+    assert(doc0.map(t => (t._2, t._4)).toSeq ==
+      Seq(("rare", 1), ("mid", 2), ("the", 3)))
+    assert(doc0.find(_._2 == "rare").get._3 == 1.3863)
+    assert(doc0.find(_._2 == "the").get._3 == 0.0)
+    // every doc emits at most tfidfTopK rows with ranks 1..k
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= ext.Text.tfidfTopK)
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
   test("quality scores are in (0,1]; token stats consistent") {
     val q = ext.Text.quality(spark, sf0001).collect()
     q.foreach { r =>
