@@ -117,14 +117,14 @@ final case class ParquetUpsertSink(
     * whole-table footer scan per micro-batch. Shared by both paths.
     */
   private def readStringPartitioned(spark: org.apache.spark.sql.SparkSession,
-      partDirs: Seq[Path]): DataFrame = {
+      partDirs: Seq[Path], base: String = path): DataFrame = {
     val paths = partDirs.map(_.toString)
-    val inferred = spark.read.option("mergeSchema", "true").option("basePath", path)
+    val inferred = spark.read.option("mergeSchema", "true").option("basePath", base)
       .parquet(paths: _*).schema
     val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
       if (f.name == partitionCol) f.copy(dataType = org.apache.spark.sql.types.StringType)
       else f))
-    spark.read.schema(pinned).option("basePath", path).parquet(paths: _*)
+    spark.read.schema(pinned).option("basePath", base).parquet(paths: _*)
   }
 
   /** foreachBatch body. */
@@ -206,6 +206,10 @@ final case class ParquetUpsertSink(
         deleteDirs(parts.filterNot(surviving.contains))
       } finally fs.delete(new Path(staging), true)
     } else {
+      // creation-only commit (no live pre-images): still record it —
+      // with its touched-partition manifest — or [[readAsOf]] could not
+      // tell that these partitions did not exist before this commit
+      if (keepVersions > 1) archivePreImages(fs, parts, batchId)
       writeFinal(merged)
     }
     if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
@@ -251,20 +255,27 @@ final case class ParquetUpsertSink(
     // copies as garbage.
     val tmpSuffix = s".$stagingToken${ParquetUpsertSink.ArchiveTmpSuffix}"
     val tmpDir = new Path(archiveRoot, commit + tmpSuffix)
-    var archivedAny = false
+    fs.mkdirs(tmpDir)
     parts.foreach { v =>
       val live = new Path(s"$path/$partitionCol=${dirName(v)}")
-      if (fs.exists(live)) {
-        if (!archivedAny) { fs.mkdirs(tmpDir); archivedAny = true }
+      if (fs.exists(live))
         org.apache.hadoop.fs.FileUtil.copy(
           fs, live, fs, new Path(tmpDir, live.getName),
           false /* deleteSource */, fs.getConf)
-      }
     }
+    // manifest of ALL touched partitions — including creations, which
+    // leave no pre-image dir: [[readAsOf]] needs "P did not exist
+    // before this commit" to be distinguishable from "P untouched".
+    // Values are stored in escaped dir-name form (newlines etc. are
+    // percent-escaped), so line-oriented parsing is safe.
+    val mf = fs.create(new Path(tmpDir, ParquetUpsertSink.TouchedManifest), true)
+    try mf.write(parts.map(dirName).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mf.close()
     // rename returns false (not an exception) on most FileSystems —
     // unchecked, the fresh pre-image would be swept as garbage below
     // and the batch would "succeed" without its retention artifact
-    if (archivedAny && !fs.rename(tmpDir, commitDir))
+    if (!fs.rename(tmpDir, commitDir))
       throw new java.io.IOException(
         s"archive commit rename failed: $tmpDir -> $commitDir")
     if (fs.exists(archiveRoot)) {
