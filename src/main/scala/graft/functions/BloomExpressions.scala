@@ -49,8 +49,11 @@ case class BloomMightContainString(child: Expression, bloomBytes: Array[Byte])
       child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
     case _ => false
   }
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+  // Catalyst hashes expressions repeatedly during plan transforms and
+  // TreeNode never caches hashCode — recomputing over the full KB–MB
+  // filter bytes would add O(filterSize) work per lookup
+  @transient private lazy val bytesHash: Int = java.util.Arrays.hashCode(bloomBytes)
+  override def hashCode(): Int = 31 * child.hashCode() + bytesHash
 
   // one deserialization per executor thread, shared across rows
   @transient private lazy val bloom: BloomFilter = BloomFilter.readFrom(bloomBytes)

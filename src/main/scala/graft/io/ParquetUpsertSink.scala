@@ -127,6 +127,92 @@ final case class ParquetUpsertSink(
     spark.read.schema(pinned).option("basePath", base).parquet(paths: _*)
   }
 
+  /** Does `dir` exist and hold at least one non-empty data file?
+    * (An existing-but-empty dir must read as absent — schema inference
+    * over zero files throws.)
+    */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir)
+      .exists(f => f.getPath.getName.startsWith("part-") && f.getLen > 0)
+
+  /** Touched-partition set of an archived commit, in escaped dir-name
+    * form: the manifest when present; for pre-manifest commits, the
+    * pre-image dirs themselves (creations are then indistinguishable
+    * from untouched — the manifest exists to close exactly that gap).
+    */
+  private def touchedPartitions(fs: org.apache.hadoop.fs.FileSystem,
+      commitDir: Path): Seq[String] = {
+    val mfPath = new Path(commitDir, ParquetUpsertSink.TouchedManifest)
+    if (fs.exists(mfPath)) {
+      val in = fs.open(mfPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    } else
+      fs.listStatus(commitDir).filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix(s"$partitionCol=")).toSeq
+  }
+
+  /** Time-travel read: the table's rows as they stood immediately
+    * AFTER archive commit `asOf` was applied (pass "" for the state
+    * before the oldest retained commit). Requires `keepVersions` >
+    * (number of commits since `asOf`) — older pre-images have been
+    * pruned. Commit ids come from
+    * [[ParquetUpsertSink.listArchivedCommits]].
+    *
+    * A partition's state as of `asOf` is its pre-image at the OLDEST
+    * retained commit strictly newer than `asOf` that touched it (each
+    * commit archives the state BEFORE its own overwrite); touched
+    * there with no pre-image dir means the partition was created by
+    * that commit — absent as of `asOf`. Partitions no newer commit
+    * touched are read live. The partition column is pinned to STRING
+    * (directory-name identity, like every other read in this sink).
+    *
+    * I/O is metadata + the touched partitions only: no live partition
+    * is copied or rewritten, and untouched partitions are read (not
+    * listed file-by-file) straight from the table — at 100 TB a
+    * time-travel read costs the same scan as a live read plus the
+    * archived deltas.
+    */
+  def readAsOf(spark: org.apache.spark.sql.SparkSession, asOf: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // oldest-first; for each partition the FIRST newer commit that
+    // touched it holds the authoritative pre-image
+    val newer = ParquetUpsertSink.listArchivedCommits(spark, path).filter(_ > asOf)
+    val overrides = scala.collection.mutable.LinkedHashMap.empty[String, Option[Path]]
+    newer.foreach { c =>
+      val commitDir = new Path(archiveRoot, c)
+      touchedPartitions(fs, commitDir).foreach { v =>
+        if (!overrides.contains(v)) {
+          val pre = new Path(commitDir, s"$partitionCol=$v")
+          overrides(v) = if (hasDataFiles(fs, pre)) Some(pre) else None
+        }
+      }
+    }
+    val liveDirs: Seq[Path] =
+      if (fs.exists(new Path(path)))
+        fs.listStatus(new Path(path)).map(_.getPath)
+          .filter(p => p.getName.startsWith(s"$partitionCol=")
+            && !overrides.contains(p.getName.stripPrefix(s"$partitionCol="))
+            && hasDataFiles(fs, p)).toSeq
+      else Seq.empty
+    // one read per base (live table; each commit dir): basePath anchors
+    // partition-column recovery, so groups can't share one scan
+    val groups: Seq[DataFrame] =
+      (if (liveDirs.nonEmpty) Seq(readStringPartitioned(spark, liveDirs)) else Nil) ++
+        overrides.values.flatten.groupBy(_.getParent).map { case (base, dirs) =>
+          readStringPartitioned(spark, dirs.toSeq, base.toString)
+        }
+    if (groups.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(partitionCol,
+            org.apache.spark.sql.types.StringType))))
+    // additive schema evolution across commits: old pre-images may
+    // lack columns the live table has gained (null-fill, like upsert)
+    else groups.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** foreachBatch body. */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -365,6 +451,13 @@ object ParquetUpsertSink {
     * as commits, swept as garbage by the next archiving pass.
     */
   val ArchiveTmpSuffix = "._tmp"
+
+  /** Per-commit manifest file listing ALL partitions the commit
+    * touched (escaped dir-name form, one per line) — including
+    * creations, which leave no pre-image dir. The leading underscore
+    * hides it from parquet readers of a commit dir.
+    */
+  val TouchedManifest = "_touched.manifest"
 
   /** Retained pre-image commits under `<path>/_archive`, oldest first.
     * Each holds the touched partitions' file sets as they were BEFORE

@@ -140,8 +140,12 @@ class ParquetUpsertSinkSpec extends SparkSpec {
     val dir = Files.createTempDirectory("upsert9").toString + "/t"
     val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
       keepVersions = 3)
-    sink.upsert(Seq(Rec(1, "v0", 10, "2024-01-01")).toDF(), 0) // fresh: nothing to archive
-    assert(ParquetUpsertSink.listArchivedCommits(spark, dir).isEmpty)
+    // fresh table: a manifest-ONLY commit (no pre-image dirs) — readAsOf
+    // needs "created at this commit" distinguishable from "untouched"
+    sink.upsert(Seq(Rec(1, "v0", 10, "2024-01-01")).toDF(), 0)
+    val c0 = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(c0.length == 1)
+    assert(!new java.io.File(s"$dir/_archive/${c0.head}/processing_date=2024-01-01").exists())
     sink.upsert(Seq(Rec(1, "v1", 20, "2024-01-01")).toDF(), 1)
     sink.upsert(Seq(Rec(1, "v2", 30, "2024-01-01")).toDF(), 2)
     val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
@@ -284,5 +288,52 @@ class ParquetUpsertSinkSpec extends SparkSpec {
     // mid-flight, and nothing is left behind afterwards
     val parent = new java.io.File(dir).getParentFile
     assert(parent.listFiles().count(_.getName.contains("__staging_")) == 0)
+  }
+
+  test("readAsOf reconstructs each retained commit's state (updates, creations, tombstones)") {
+    val dir = Files.createTempDirectory("asof").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
+      deleteCol = Some("is_delete"), keepVersions = 4)
+    // commit 0: create 2024-01-01 (id 1) and 2024-01-02 (id 2)
+    sink.upsert(Seq(
+      RecD(1, "a1", 10, "2024-01-01", false),
+      RecD(2, "b1", 10, "2024-01-02", false)).toDF(), 0)
+    // commit 1: update 2024-01-01, create 2024-01-03
+    sink.upsert(Seq(
+      RecD(1, "a2", 20, "2024-01-01", false),
+      RecD(3, "c1", 10, "2024-01-03", false)).toDF(), 1)
+    // commit 2: tombstone away all of 2024-01-02
+    sink.upsert(Seq(RecD(2, "b1", 30, "2024-01-02", true)).toDF(), 2)
+
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(commits.length == 3)
+    def snap(asOf: String): Set[(Int, String)] =
+      sink.readAsOf(spark, asOf).select($"id", $"v").as[(Int, String)].collect().toSet
+
+    // before the oldest commit: creations are known absent via the manifest
+    assert(sink.readAsOf(spark, "").count() == 0)
+    assert(snap(commits(0)) == Set((1, "a1"), (2, "b1")))
+    assert(snap(commits(1)) == Set((1, "a2"), (2, "b1"), (3, "c1")))
+    // as-of-latest == live read (tombstoned partition stays gone)
+    assert(snap(commits(2)) == Set((1, "a2"), (3, "c1")))
+    assert(spark.read.parquet(dir).select($"id", $"v").as[(Int, String)]
+      .collect().toSet == snap(commits(2)))
+  }
+
+  test("readAsOf null-fills columns an old pre-image predates (additive evolution)") {
+    val dir = Files.createTempDirectory("asof2").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
+      keepVersions = 4)
+    sink.upsert(Seq(Rec(1, "v1", 10, "p1"), Rec(2, "w1", 10, "p2")).toDF(), 0)
+    sink.upsert(Seq(RecE(1, "v2", 20, "p1", "x")).toDF(), 1) // adds `extra`
+    sink.upsert(Seq(RecE(2, "w2", 30, "p2", "y")).toDF(), 2)
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(commits.length == 3)
+    // as of commit 1: p1 reads live (evolved schema), p2 from commit 2's
+    // pre-evolution pre-image — its missing `extra` must null-fill
+    val asOf1 = sink.readAsOf(spark, commits(1)).orderBy($"id")
+      .select($"id", $"v", $"extra").collect()
+    assert(asOf1.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1, "v2", "x"), (2, "w1", null)))
   }
 }
