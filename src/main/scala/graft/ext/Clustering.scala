@@ -157,6 +157,70 @@ object Clustering {
        |GROUP BY qlabel
        |ORDER BY qlabel""".stripMargin
 
+  /** Outliers surfaced per label by [[labelOutliers]]. */
+  val outliersPerLabel = 5
+
+  /** Label-centroid outlier detection — the embedding-side data-quality
+    * pass: vectors far from their own label's centroid are mislabels,
+    * encoder failures, or genuine edge cases; curation pipelines route
+    * the bottom few per label to review or drop them. Emits each
+    * label's [[outliersPerLabel]] least-central members by cosine.
+    *
+    * Scale shape: the centroid pass is the k-means update step — a
+    * (label × dim)-cell partial agg whose exchange is constant in
+    * corpus size; scoring broadcasts the tiny centroid table and runs
+    * one codegen'd cosine per row; the per-label bottom-k uses the
+    * native TopKPerGroup operator (≤ k slim rows per label per
+    * partition cross the exchange — never a full window sort).
+    * Centroid components are float-cast like k-means, so distributed
+    * double-sum wobble can't diverge from the oracle.
+    */
+  def labelOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s.getField("m").cast("float")).as("cv"))
+    val scored = emb.repartition(spark.sparkContext.defaultParallelism)
+      .join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("cv")), 4).as("cos_centroid"))
+    val bottom = graft.plans.TopKPerGroup.topKPerGroup(
+      scored, Seq(col("label")),
+      Seq(col("cos_centroid").asc, col("vec_id").asc), outliersPerLabel)
+    // rank numbering over the ≤ k·|labels| survivors only
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+    Present.sortSmall(
+      bottom.withColumn("rank", row_number().over(w))
+        .select(col("label"), col("vec_id"), col("cos_centroid"), col("rank")),
+      col("label"), col("rank"))
+  }
+
+  val labelOutliersSql: String =
+    s"""WITH cells AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS d,
+       |         unnest(embedding) AS v
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, list(CAST(m AS FLOAT4) ORDER BY d) AS cv FROM (
+       |    SELECT label, d, avg(v) AS m FROM cells GROUP BY 1, 2)
+       |  GROUP BY label),
+       |scored AS (
+       |  SELECT e.label, e.vec_id,
+       |         round(${Similarity.cosineSql("e.embedding", "c.cv")}, 4) AS cos_centroid
+       |  FROM embeddings e JOIN cent c USING (label))
+       |SELECT label, vec_id, cos_centroid, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY label
+       |                               ORDER BY cos_centroid, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $outliersPerLabel
+       |ORDER BY label, rank""".stripMargin
+
   /** DuckDB twin: the same seeds and two chained
     * assign→average→float-cast iterations as CTEs, then the final
     * assignment summary.

@@ -130,6 +130,82 @@ object Dedup {
        |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ——— shingle containment (asymmetric near-dup) ———
+
+  /** Stop-shingle cap: shingles occurring in more than this many
+    * documents are boilerplate and are excluded from pair counting —
+    * the standard guard that keeps the shingle self-join's pair
+    * blowup bounded (≤ cap² pair rows per shingle) at any corpus size.
+    */
+  val containmentDfCap = 50
+
+  /** Minimum |A∩B| / |A| for A to count as contained in B. */
+  val containmentThreshold = 0.9
+
+  /** Shingle containment — the ASYMMETRIC near-dup signal Jaccard
+    * misses: a short document quoted wholesale inside a longer one has
+    * low Jaccard (the union is large) but containment ≈ 1. Emits
+    * (contained_doc, container_doc) pairs where ≥
+    * [[containmentThreshold]] of the contained doc's non-boilerplate
+    * shingles also occur in the container.
+    *
+    * Unlike the capped pairwise Jaccard baseline above, this is the
+    * scale shape: explode shingles, drop stop-shingles
+    * (df > [[containmentDfCap]] — part of the operator's definition,
+    * mirrored by the oracle), self-join on the shingle itself, count
+    * per pair. Every stage is a hash shuffle on bounded keys; cost is
+    * O(matching shingles), never the doc × doc cross product.
+    */
+  def containment(spark: SparkSession, sfDir: String): DataFrame = {
+    // WordShingles emits DISTINCT shingles per doc, so (doc_id, s) rows
+    // are unique and count(*) per pair IS the shared-shingle count.
+    // Shingles are hashed to 64 bits BEFORE any exchange: the df agg
+    // and the self-join then shuffle 8-byte longs, not shingle text
+    // (same ~1e-15-per-pair collision acceptance as ngramJaccard).
+    val sh = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(shingles(Text.tokens(col("text")))).as("raw"))
+      .select(col("doc_id"), xxhash64(col("raw")).as("s"))
+    // materialized once (localCheckpoint, as in [[decontaminate]] —
+    // this too runs a job at construction time): three consumers
+    // (sizes, both self-join sides) would each redo the explode and
+    // the stop-shingle join from the scan
+    val rare = sh.join(
+      sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= containmentDfCap)
+        .select(col("s")),
+      Seq("s"))
+      .localCheckpoint()
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val shared = rare.select(col("s"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("s"), col("doc_id").as("doc_b")), Seq("s"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val cont = round(col("shared").cast("double") / col("na"), 4)
+    Present.sortSmall(
+      shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+        .filter(cont >= containmentThreshold)
+        .select(col("doc_a").as("contained_doc"), col("doc_b").as("container_doc"),
+          cont.as("containment")),
+      col("contained_doc"), col("container_doc"))
+  }
+
+  val containmentSql: String =
+    s"""WITH $shinglesSqlCte,
+       |ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+       |rare AS (SELECT doc_id, s FROM ex
+       |         WHERE s IN (SELECT s FROM ex GROUP BY s
+       |                     HAVING count(*) <= $containmentDfCap)),
+       |sizes AS (SELECT doc_id, count(*) AS na FROM rare GROUP BY 1),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |           FROM rare a JOIN rare b USING (s)
+       |           WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a AS contained_doc, doc_b AS container_doc,
+       |       round(shared::DOUBLE / na, 4) AS containment
+       |FROM shared JOIN sizes ON sizes.doc_id = shared.doc_a
+       |WHERE round(shared::DOUBLE / na, 4) >= $containmentThreshold
+       |ORDER BY contained_doc, container_doc""".stripMargin
+
   /** Benchmark decontamination: training docs sharing ≥ 5 distinct
     * 3-gram shingles with any "benchmark" doc (every 50th doc here).
     * The scalable shape: explode shingles on BOTH sides and hash-join

@@ -225,6 +225,47 @@ object Text {
        |WHERE rank <= $tfidfTopK
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Corpus-LM quality scoring: per-document mean unigram
+    * log-probability under the corpus's own MLE unigram model — the
+    * cheap perplexity proxy pipelines use to flag gibberish (very
+    * negative score: tokens the corpus has rarely seen) and boilerplate
+    * (score near zero: nothing but the corpus's most common tokens)
+    * before paying for a real LM pass.
+    *
+    * Scale shape: the model IS the token-frequency table — one shuffle
+    * on the token domain with full map-side combine; scoring is a
+    * shuffle hash join of (doc, token) against it (the vocabulary is
+    * web-scale at 100 TB — deliberately NOT broadcast) and a per-doc
+    * partial agg. Every token's probability is an exact ratio
+    * (count/total); only the final mean is floating, rounded on both
+    * engines.
+    */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    graft.Present.sortSmall(
+      toks.join(freq, Seq("token"))
+        .crossJoin(broadcast(total)) // scalar corpus size rides along
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(avg(log(col("tf").cast("double") / col("n_total"))), 4)
+            .as("avg_logprob")),
+      col("doc_id"))
+  }
+
+  val unigramLogprobSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_total FROM toks)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round(avg(ln(tf::DOUBLE / n_total)), 4) AS avg_logprob
+      |FROM toks JOIN freq USING (token), tot
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Gopher-style repetition filter: fraction of the doc's bigrams
     * taken by its single most frequent bigram (native one-pass
     * [[graft.functions.TopNgramFrac]] — no corpus-wide n-gram explode)

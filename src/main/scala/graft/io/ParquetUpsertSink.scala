@@ -213,6 +213,33 @@ final case class ParquetUpsertSink(
     else groups.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Incremental refresh: the LIVE rows of every partition touched by
+    * a retained commit strictly newer than `since` ("" = all retained
+    * commits). A downstream job that consumed the table as of `since`
+    * re-reads only what changed — at 100 TB the difference between an
+    * incremental refresh and a full rescan. Partitions tombstoned away
+    * since `since` have no live dir and so (correctly) yield no rows;
+    * callers needing their pre-deletion content diff against
+    * [[readAsOf]]. Requires `keepVersions` deep enough to retain every
+    * commit since `since` — pruned commits take their manifests with
+    * them, silently shrinking the change set.
+    */
+  def readChangesSince(spark: org.apache.spark.sql.SparkSession, since: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touched = ParquetUpsertSink.listArchivedCommits(spark, path)
+      .filter(_ > since)
+      .flatMap(c => touchedPartitions(fs, new Path(archiveRoot, c)))
+      .distinct
+    val liveDirs = touched.map(v => new Path(s"$path/$partitionCol=$v"))
+      .filter(hasDataFiles(fs, _))
+    if (liveDirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(partitionCol,
+            org.apache.spark.sql.types.StringType))))
+    else readStringPartitioned(spark, liveDirs)
+  }
+
   /** foreachBatch body. */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession

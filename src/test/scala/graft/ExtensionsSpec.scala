@@ -229,4 +229,60 @@ class ExtensionsSpec extends SparkSpec {
       assert(v >= 0 && v < 1000000007L)
     }
   }
+
+  test("containment matches the naive shingle-set ground truth exactly") {
+    val out = ext.Dedup.containment(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("contained_doc"),
+        r.getAs[Long]("container_doc")) -> r.getAs[Double]("containment")).toMap
+    // naive twin on the small corpus: per-doc distinct shingle sets,
+    // stop-shingles dropped, every ordered pair checked
+    val sets = Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), ext.Dedup.shingles(ext.Text.tokens(col("text"))).as("s"))
+      .as[(Long, Seq[String])].collect().map { case (id, s) => id -> s.toSet }
+    val df = sets.flatMap(_._2).groupBy(identity).map { case (s, o) => s -> o.length }
+    val rare = sets.map { case (id, s) =>
+      id -> s.filter(df(_) <= ext.Dedup.containmentDfCap)
+    }.toMap
+    val expected = (for {
+      (a, sa) <- rare.toSeq; (b, sb) <- rare.toSeq
+      if a != b && sa.nonEmpty
+      c = BigDecimal(sa.intersect(sb).size.toDouble / sa.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= ext.Dedup.containmentThreshold
+    } yield (a, b) -> c).toMap
+    assert(out == expected)
+    assert(expected.nonEmpty) // corpus plants near-dups — the check is non-vacuous
+  }
+
+  test("unigram logprob: scores are negative, token counts exact, corpus non-degenerate") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val out = ext.Text.unigramLogprob(spark, sf0001)
+    assert(out.count() == docs.count()) // every doc scored
+    val expected = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val scores = out.collect().map { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_tokens") == expected(id))
+      r.getAs[Double]("avg_logprob")
+    }
+    // MLE probabilities are < 1 (no token is the entire corpus) → ln < 0
+    scores.foreach(s => assert(s < 0.0))
+    assert(scores.max > scores.min) // common-token docs separate from rare-token ones
+  }
+
+  test("label outliers: bottom-k per label, ascending by centroid cosine") {
+    val nLabels = Tables.table(spark, sf0001, "embeddings")
+      .select(col("label")).distinct().count()
+    val byLabel = ext.Clustering.labelOutliers(spark, sf0001)
+      .collect().groupBy(_.getAs[Int]("label"))
+    assert(byLabel.size == nLabels)
+    byLabel.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to ext.Clustering.outliersPerLabel))
+      val cos = sorted.map(_.getAs[Double]("cos_centroid"))
+      cos.foreach(c => assert(c >= -1.0001 && c <= 1.0001))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a <= b }) // least central first
+    }
+  }
 }

@@ -320,6 +320,32 @@ class ParquetUpsertSinkSpec extends SparkSpec {
       .collect().toSet == snap(commits(2)))
   }
 
+  test("readChangesSince reads only touched partitions, at live state") {
+    val dir = Files.createTempDirectory("incr").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
+      deleteCol = Some("is_delete"), keepVersions = 5)
+    sink.upsert(Seq(
+      RecD(1, "a1", 10, "p1", false),
+      RecD(2, "b1", 10, "p2", false),
+      RecD(3, "c1", 10, "p3", false)).toDF(), 0)
+    sink.upsert(Seq(RecD(1, "a2", 20, "p1", false)).toDF(), 1)   // update p1
+    sink.upsert(Seq(RecD(4, "d1", 10, "p4", false)).toDF(), 2)   // create p4
+    sink.upsert(Seq(RecD(2, "b1", 30, "p2", true)).toDF(), 3)    // tombstone p2
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(commits.length == 4)
+    def changes(since: String): Set[(Int, String)] =
+      sink.readChangesSince(spark, since).select($"id", $"v").as[(Int, String)]
+        .collect().toSet
+    // since commit 0: p1 updated, p4 created, p2 tombstoned (gone — no rows);
+    // p3 untouched and correctly absent
+    assert(changes(commits(0)) == Set((1, "a2"), (4, "d1")))
+    // only the tombstone since commit 2 — its partition has no live rows
+    assert(sink.readChangesSince(spark, commits(2)).count() == 0)
+    assert(sink.readChangesSince(spark, commits(3)).count() == 0) // nothing newer
+    // since "" = every retained commit's partitions, at live state
+    assert(changes("") == Set((1, "a2"), (3, "c1"), (4, "d1")))
+  }
+
   test("readAsOf null-fills columns an old pre-image predates (additive evolution)") {
     val dir = Files.createTempDirectory("asof2").toString + "/t"
     val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
