@@ -266,6 +266,51 @@ object Text {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Mixture temperature for [[sourceWeights]]: weight ∝ tokens^α.
+    * α < 1 upsamples small sources relative to proportional sampling —
+    * the standard multilingual/source-balance exponent.
+    */
+  val mixAlpha = 0.7
+
+  /** Per-source corpus mix statistics + temperature-scaled sampling
+    * weights — the step that decides how much of each source the
+    * training run actually sees. Emits size (docs, tokens), mean
+    * quality, and weight ∝ n_tokens^α normalized over sources.
+    *
+    * Scale shape: one partial-agged groupBy on the source key (a
+    * handful of groups however big the corpus), a scalar normalizer
+    * over the tiny per-source frame, broadcast back. Output is
+    * constant-size; the corpus is scanned exactly once.
+    */
+  def sourceWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val per = Tables.table(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(t).cast("long")).as("n_tokens"),
+        round(avg(qualityScore(t)), 4).as("mean_quality"))
+    val z = per.agg(sum(pow(col("n_tokens").cast("double"), mixAlpha)).as("z"))
+    graft.Present.sortSmall(
+      per.crossJoin(broadcast(z))
+        .withColumn("weight",
+          round(pow(col("n_tokens").cast("double"), mixAlpha) / col("z"), 4))
+        .drop("z"),
+      col("source"))
+  }
+
+  val sourceWeightsSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |         round(avg($qualityScoreSql), 4) AS mean_quality
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(pow(n_tokens, $mixAlpha)) AS z FROM per)
+       |SELECT source, n_docs, n_tokens, mean_quality,
+       |       round(pow(n_tokens, $mixAlpha) / z, 4) AS weight
+       |FROM per, tot
+       |ORDER BY source""".stripMargin
+
   /** Gopher-style repetition filter: fraction of the doc's bigrams
     * taken by its single most frequent bigram (native one-pass
     * [[graft.functions.TopNgramFrac]] — no corpus-wide n-gram explode)

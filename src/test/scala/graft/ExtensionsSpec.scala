@@ -230,6 +230,17 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard equals the naive pairwise baseline (lossless filter)") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> r.getAs[Double]("jaccard")).toMap
+    val naive = pairs(ext.Dedup.ngramJaccard(spark, sf0001)) // capped at doc_id < 1000
+    val pp = pairs(ext.Dedup.jaccardPrefix(spark, sf0001))
+      .filter { case ((a, b), _) => a < 1000 && b < 1000 }
+    assert(naive.nonEmpty)
+    assert(pp == naive) // same pairs, same scores — nothing pruned that shouldn't be
+  }
+
   test("containment matches the naive shingle-set ground truth exactly") {
     val out = ext.Dedup.containment(spark, sf0001)
       .collect().map(r => (r.getAs[Long]("contained_doc"),
@@ -268,6 +279,20 @@ class ExtensionsSpec extends SparkSpec {
     // MLE probabilities are < 1 (no token is the entire corpus) → ln < 0
     scores.foreach(s => assert(s < 0.0))
     assert(scores.max > scores.min) // common-token docs separate from rare-token ones
+  }
+
+  test("source weights: a partition of the corpus with weights summing to 1") {
+    val out = ext.Text.sourceWeights(spark, sf0001).collect()
+    val nDocs = Tables.table(spark, sf0001, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val ws = out.map(_.getAs[Double]("weight"))
+    ws.foreach(w => assert(w > 0.0 && w < 1.0))
+    assert(math.abs(ws.sum - 1.0) < 1e-2) // per-source 4dp rounding slack
+    // α < 1 compresses the mix: the largest source's weight share is
+    // smaller than its token share
+    val toks = out.map(_.getAs[Long]("n_tokens"))
+    val big = toks.indices.maxBy(toks(_))
+    assert(ws(big) < toks(big).toDouble / toks.sum)
   }
 
   test("label outliers: bottom-k per label, ascending by centroid cosine") {
