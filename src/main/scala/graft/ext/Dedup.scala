@@ -521,6 +521,51 @@ object Dedup {
        |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Fuzzy benchmark decontamination: train docs NEAR-DUPLICATING any
+    * benchmark doc (Jaccard ≥ 0.6), where [[decontaminate]] catches
+    * exact shingle overlap counts. The cross-corpus twin of
+    * [[minhashLshPairs]] with the asymmetry exploited: the benchmark
+    * is the curated small side, so its band index and its verify side
+    * are BROADCAST — the 100 TB train corpus never shuffles; band
+    * probing and exact verification both ride the train-side scan.
+    * Same banding recall argument as [[minhashLsh]]: every planted
+    * true pair sits at j ≥ 0.9 where 8×4 recall ≈ 1 − 2e-4, so the
+    * naive pairwise SQL is the oracle.
+    */
+  def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Tables.table(spark, sfDir, "documents")
+    val st = signed(all.filter(col("doc_id") % 50 =!= 0))
+    val sb = signed(all.filter(col("doc_id") % 50 === 0))
+    val cand = bandRows(st).as("x")
+      .join(broadcast(bandRows(sb).as("y")),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("train_doc"), col("y.doc_id").as("bench_doc"))
+      .distinct()
+    val inter = sorted_intersect_count(col("ha"), col("hb")).cast("double")
+    Present.sortSmall(
+      cand
+        .join(st.select(col("doc_id").as("train_doc"), col("hs").as("ha"),
+          col("n").as("na")), Seq("train_doc"))
+        .join(broadcast(sb.select(col("doc_id").as("bench_doc"), col("hs").as("hb"),
+          col("n").as("nb"))), Seq("bench_doc"))
+        .withColumn("jaccard", round(inter / (col("na") + col("nb") - inter), 4))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("train_doc"), col("bench_doc"), col("jaccard")),
+      col("train_doc"), col("bench_doc"))
+  }
+
+  val decontaminateFuzzySql: String =
+    s"""WITH $shinglesSqlCte
+       |SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
+       |       round(len(list_intersect(a.s, b.s))::DOUBLE
+       |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+       |         AS jaccard
+       |FROM sh a, sh b
+       |WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+       |  AND round(len(list_intersect(a.s, b.s))::DOUBLE
+       |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
+       |ORDER BY train_doc, bench_doc""".stripMargin
+
   // ——— SimHash ———
 
   val simhashBits = 60 // 15 hex digits — stays positive in a signed long

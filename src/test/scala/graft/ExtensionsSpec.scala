@@ -241,6 +241,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(pp == naive) // same pairs, same scores — nothing pruned that shouldn't be
   }
 
+  test("fuzzy decontamination = LSH near-dup pairs restricted to the corpus split") {
+    val expected = ext.Dedup.minhashLshPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+      .flatMap { case (a, b, j) =>
+        if (a % 50 != 0 && b % 50 == 0) Some((a, b, j))
+        else if (a % 50 == 0 && b % 50 != 0) Some((b, a, j))
+        else None
+      }.toSet
+    val fuzzy = ext.Dedup.decontaminateFuzzy(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("train_doc"), r.getAs[Long]("bench_doc"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(fuzzy == expected)
+  }
+
   test("containment matches the naive shingle-set ground truth exactly") {
     val out = ext.Dedup.containment(spark, sf0001)
       .collect().map(r => (r.getAs[Long]("contained_doc"),
