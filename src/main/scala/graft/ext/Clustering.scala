@@ -221,6 +221,54 @@ object Clustering {
        |WHERE rank <= $outliersPerLabel
        |ORDER BY label, rank""".stripMargin
 
+  /** Cosine at or above which two same-cluster vectors are semantic
+    * duplicates — the corpus's near-dup regime (see
+    * [[Similarity.tiledCosinePairs]]).
+    */
+  val semanticDupThreshold = 0.4
+
+  /** Semantic deduplication, the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster first, then search for near-duplicate
+    * embeddings ONLY within a cluster — the quadratic pair space
+    * shrinks by the cluster count, which a production run scales with
+    * the corpus (k ∝ n keeps per-cluster work constant; cluster with
+    * [[kmeans]]). Here the curated `label` column plays the cluster
+    * assignment so the oracle can reproduce it exactly. A vector is
+    * dropped when a LOWER-id cluster-mate sits at cosine ≥
+    * [[semanticDupThreshold]] (keep-the-earliest — deterministic
+    * without computing the transitive closure); emits each dropped
+    * vector with its keeper: the smallest such neighbor.
+    *
+    * Scale shape: a self-join on the cluster key (blocking, as SimHash
+    * chunks / LSH bands elsewhere), a codegen'd cosine per candidate
+    * pair, and a partial-agged min per dropped vector. Nothing crosses
+    * clusters; the cut is on the ROUNDED cosine so both engines agree
+    * at the boundary.
+    */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("label"), col("vec_id"), col("embedding"))
+    val sim = round(Similarity.cosine(col("a_emb"), col("b_emb")), 4)
+    Present.sortSmall(
+      emb.select(col("label"), col("vec_id").as("keep_id"), col("embedding").as("a_emb"))
+        .join(emb.select(col("label"), col("vec_id").as("drop_id"),
+          col("embedding").as("b_emb")), Seq("label"))
+        .filter(col("keep_id") < col("drop_id") && sim >= semanticDupThreshold)
+        .groupBy(col("drop_id"), col("label"))
+        .agg(min(col("keep_id")).as("kept_by"))
+        .select(col("drop_id").as("vec_id"), col("label"), col("kept_by")),
+      col("vec_id"))
+  }
+
+  val dedupSemanticSql: String =
+    s"""SELECT b.vec_id, b.label, min(a.vec_id) AS kept_by
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 4)
+       |      >= $semanticDupThreshold
+       |GROUP BY b.vec_id, b.label
+       |ORDER BY b.vec_id""".stripMargin
+
   /** DuckDB twin: the same seeds and two chained
     * assign→average→float-cast iterations as CTEs, then the final
     * assignment summary.

@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sparse lexical retrieval over the document corpus — the inverted-
+  * index BM25 ranking that a training-data pipeline runs for
+  * decontamination-by-retrieval, nearest-benchmark auditing, and
+  * query-driven corpus slicing (the lexical complement of the dense
+  * ANN paths in [[Similarity]]).
+  *
+  * The benchmark split (every 50th doc, as in [[Dedup.decontaminate]])
+  * plays the query set; the remaining corpus is the indexed side.
+  *
+  * Scale shape: the "index" is the (token → doc, tf) posting relation —
+  * a partial-agged explode of the corpus scan, shuffled once on the
+  * token key. Query terms are the SMALL side (a curated benchmark) and
+  * are BROADCAST onto the postings, so the 100 TB corpus never
+  * reshuffles for the probe. Per-(query, doc) scores reduce in one
+  * hash agg keyed by the match pairs (bounded by postings hit, never
+  * |Q|×|corpus|), and the final top-k per query runs on the native
+  * [[graft.plans.TopKPerGroup]] operator — the exchange carries ≤ k
+  * rows per query per partition.
+  *
+  * Determinism: tf, df, N, and doc lengths are exact integers; idf and
+  * the saturation term are evaluated in double on both engines and the
+  * summed score is ROUNDED to 4 dp before ranking, so a sub-ulp
+  * divergence in ln() or in float-add order cannot reorder near-ties
+  * (ties break on doc_id, mirrored in the oracle's row_number).
+  */
+object Retrieval {
+
+  /** Standard Robertson BM25 constants. */
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+
+  /** Results per query. */
+  val bm25TopK = 5
+
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.table(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+
+    // posting list: tf per (doc, token) + per-doc length
+    val postings = corpus
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docLen = corpus
+      .select(col("doc_id"), size(Text.tokens(col("text"))).as("dl"))
+    val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("dfc"))
+    val stats = corpus.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(Text.tokens(col("text"))).cast("double")).as("avgdl"))
+
+    // query side: DISTINCT terms per benchmark doc (small — broadcast)
+    val qterms = queries
+      .select(col("doc_id").as("query_doc"),
+        explode(array_distinct(Text.tokens(col("text")))).as("token"))
+
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("dfc") + 0.5) / (col("dfc") + 0.5))
+    val sat = col("tf").cast("double") * (bm25K1 + 1.0) /
+      (col("tf") + lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl")))
+    val scored = postings
+      .join(broadcast(qterms), Seq("token"))
+      .join(dfreq, Seq("token"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(stats)) // two scalars ride along
+      .groupBy(col("query_doc"), col("doc_id"))
+      .agg(round(sum(idf * sat), 4).as("score"))
+
+    val top = graft.plans.TopKPerGroup.topKPerGroup(
+      scored, Seq(col("query_doc")), Seq(col("score").desc, col("doc_id").asc),
+      bm25TopK)
+    val w = Window.partitionBy(col("query_doc"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    graft.Present.sortSmall(
+      top.withColumn("rank", row_number().over(w))
+        .select(col("query_doc"), col("doc_id"), col("score"), col("rank")),
+      col("query_doc"), col("rank"))
+  }
+
+  val bm25Sql: String =
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+       |qt AS (SELECT doc_id AS query_doc, unnest(list_distinct(string_split(text, ' '))) AS token
+       |       FROM documents WHERE doc_id % 50 = 0),
+       |post AS (SELECT doc_id, token, count(*) AS tf
+       |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus)
+       |         GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM corpus),
+       |dfreq AS (SELECT token, count(*) AS dfc FROM post GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs,
+       |                 avg(len(string_split(text, ' '))::DOUBLE) AS avgdl
+       |          FROM corpus),
+       |scored AS (
+       |  SELECT query_doc, post.doc_id,
+       |         round(sum(ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5))
+       |                   * tf::DOUBLE * ($bm25K1 + 1.0)
+       |                   / (tf + $bm25K1 * (1.0 - $bm25B + $bm25B * dl / avgdl))), 4)
+       |           AS score
+       |  FROM post JOIN qt USING (token) JOIN dfreq USING (token)
+       |            JOIN dl ON dl.doc_id = post.doc_id, stats
+       |  GROUP BY 1, 2)
+       |SELECT query_doc, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_doc
+       |                               ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $bm25TopK
+       |ORDER BY query_doc, rank""".stripMargin
+}

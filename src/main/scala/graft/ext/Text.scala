@@ -266,6 +266,72 @@ object Text {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Interpolation weight on the bigram term of [[bigramLogprob]]. */
+  val bigramLambda = 0.5
+
+  /** Corpus-LM scoring, order-sensitive upgrade of [[unigramLogprob]]:
+    * per-document mean log-probability under an interpolated bigram
+    * model, p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N. The unigram
+    * backoff keeps every probability finite (any bigram present in a
+    * doc is present in the model, but interpolation is the standard
+    * CCNet-style smoothing and makes the score robust when the model
+    * is later trained on a held-out split). Flags token-salad that
+    * unigram scoring misses: plausible words in implausible order.
+    *
+    * Scale shape: bigrams come from a per-row `zip_with` over adjacent
+    * slices (codegen'd, no self-join to form pairs); the two model
+    * tables are token-key partial aggs; scoring joins on token keys
+    * (web-scale vocabulary — deliberately NOT broadcast) and reduces
+    * per-doc. Identical shuffle profile to [[unigramLogprob]] plus one
+    * more key join.
+    */
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val docs = Tables.table(spark, sfDir, "documents")
+    val bigrams = docs.select(
+      col("doc_id"),
+      explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val toks = docs.select(col("doc_id"), explode(t).as("token"))
+    val cBigram = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cContext = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val cUnigram = toks.groupBy(col("token")).agg(count(lit(1)).as("cu"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val p = lit(bigramLambda) * (col("c2").cast("double") / col("c1")) +
+      lit(1 - bigramLambda) * (col("cu").cast("double") / col("n_total"))
+    graft.Present.sortSmall(
+      bigrams
+        .join(cBigram, Seq("w1", "w2"))
+        .join(cContext, Seq("w1"))
+        .join(cUnigram, bigrams("w2") === cUnigram("token"))
+        .crossJoin(broadcast(total)) // scalar corpus size rides along
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(p)), 4).as("avg_logprob")),
+      col("doc_id"))
+  }
+
+  val bigramLogprobSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |                     generate_subscripts(string_split(text, ' '), 1) AS pos
+       |              FROM documents),
+       |bg AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+       |       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |cb AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |cc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+       |uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total FROM toks)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       round(avg(ln($bigramLambda * (c2::DOUBLE / c1)
+       |                    + ${1 - bigramLambda} * (cu::DOUBLE / n_total))), 4)
+       |         AS avg_logprob
+       |FROM bg JOIN cb USING (w1, w2) JOIN cc USING (w1)
+       |        JOIN uni ON uni.tok = bg.w2, tot
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Mixture temperature for [[sourceWeights]]: weight ∝ tokens^α.
     * α < 1 upsamples small sources relative to proportional sampling —
     * the standard multilingual/source-balance exponent.

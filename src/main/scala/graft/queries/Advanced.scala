@@ -541,6 +541,40 @@ object Advanced {
       |  AND (epoch_us(b.ts) > epoch_us(a.ts) OR b.event_id > a.event_id)
       |ORDER BY first_event, second_event""".stripMargin
 
+  /** Z-score anomaly detection: events whose value sits ≥ 3 population
+    * standard deviations from their event_type's mean — the telemetry
+    * outlier flag every monitoring pipeline runs over its event log.
+    *
+    * Scale shape: the model is one partial-agged groupBy on the tiny
+    * event_type domain (constant-size however large the log), broadcast
+    * back over a second scan; flagging is a codegen'd per-row
+    * projection. One shuffle of a handful of rows, nothing quadratic.
+    * The cut is taken on the ROUNDED z (4 dp) so a sub-ulp divergence
+    * in mean/stddev between engines cannot flip boundary membership.
+    */
+  def eventAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sigma"))
+    val z = round((col("value") - col("mu")) / col("sigma"), 4)
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(col("sigma") > 0 && abs(z) >= 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("mu"), 4).as("type_mean"), z.as("z_score"))
+      .transform(graft.Present.sortSmall(_, col("event_id")))
+  }
+
+  val eventAnomalySql: String =
+    """WITH stats AS (SELECT event_type, avg("value") AS mu,
+      |                      stddev_pop("value") AS sigma
+      |               FROM events GROUP BY 1)
+      |SELECT event_id, event_type, "value",
+      |       round(mu, 4) AS type_mean,
+      |       round(("value" - mu) / sigma, 4) AS z_score
+      |FROM events JOIN stats USING (event_type)
+      |WHERE sigma > 0 AND abs(round(("value" - mu) / sigma, 4)) >= 3.0
+      |ORDER BY event_id""".stripMargin
+
   val sessionizeSql: String =
     """WITH marked AS (
       |  SELECT *,

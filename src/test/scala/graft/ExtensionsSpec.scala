@@ -309,6 +309,98 @@ class ExtensionsSpec extends SparkSpec {
     assert(ws(big) < toks(big).toDouble / toks.sum)
   }
 
+  test("event anomaly matches a brute-force z-score recomputation") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = ev.groupBy(_._2).flatMap { case (_, rows) =>
+      val vs = rows.map(_._3)
+      val mu = vs.sum / vs.length
+      val sigma = math.sqrt(vs.map(v => (v - mu) * (v - mu)).sum / vs.length)
+      if (sigma <= 0) Seq.empty[Long]
+      else rows.filter(r => math.abs(round4((r._3 - mu) / sigma)) >= 3.0).map(_._1).toSeq
+    }.toSet
+    val got = queries.Advanced.eventAnomaly(spark, sf0001)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // the log contains genuine outliers
+  }
+
+  test("bigram logprob scores a hand-computable fixture exactly") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("bigram").toString
+    // corpus: tokens a,b,a,b,a,c — cu(a)=3 cu(b)=2 cu(c)=1, N=6;
+    // bigrams (a,b)×2 (a,c)×1, c1(a)=3
+    Seq((0L, "a b"), (1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = ext.Text.bigramLogprob(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"))).toSeq
+    // p(b|a) = .5·(2/3) + .5·(2/6) = 0.5 → ln = −0.6931
+    // p(c|a) = .5·(1/3) + .5·(1/6) = 0.25 → ln = −1.3863
+    assert(rows.sortBy(_._1) ==
+      Seq((0L, 1L, -0.6931), (1L, 1L, -0.6931), (2L, 1L, -1.3863)))
+  }
+
+  test("bm25 scores a hand-computable fixture exactly; ranks well-formed on corpus") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("bm25").toString
+    // doc 0 (id % 50 == 0) is the query; 1-4 the corpus. N=4,
+    // df(apple)=2, avgdl=1.75, idf=ln 2. Hand scores: doc2 0.7936 > doc1 0.6549.
+    Seq((0L, "apple"), (1L, "apple banana"), (2L, "apple apple banana"),
+      (3L, "banana"), (4L, "cherry")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fix = ext.Retrieval.bm25(spark, dir)
+      .collect().map(r => (r.getAs[Long]("query_doc"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSeq
+    assert(fix == Seq((0L, 2L, 0.7936, 1), (0L, 1L, 0.6549, 2)))
+    // corpus-level shape invariants
+    val rows = ext.Retrieval.bm25(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_doc") % 50 == 0)
+      assert(r.getAs[Long]("doc_id") % 50 != 0)
+    }
+    rows.groupBy(_.getAs[Long]("query_doc")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("semantic dedup matches the brute-force intra-label ground truth") {
+    val vecs = Tables.table(spark, sf0001, "embeddings")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      a <- vecs; b <- vecs
+      if a._2 == b._2 && a._1 < b._1
+      if round4(cos(a._3, b._3)) >= ext.Clustering.semanticDupThreshold
+    } yield (b._1, a._1)).groupBy(_._1).map { case (drop, ps) =>
+      (drop, ps.map(_._2).min)
+    }.toSet
+    val got = ext.Clustering.dedupSemantic(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("kept_by"))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // the corpus has intra-label near-dups
+  }
+
   test("label outliers: bottom-k per label, ascending by centroid cosine") {
     val nLabels = Tables.table(spark, sf0001, "embeddings")
       .select(col("label")).distinct().count()
