@@ -589,4 +589,107 @@ object Text {
       |FROM sampled
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  /** Per-source distribution drift: KL(source ‖ corpus) over the token
+    * unigram distributions — the audit that catches a crawl snapshot or
+    * vendor feed whose language suddenly shifts (boilerplate injection,
+    * encoding breakage, topic drift) before it contaminates a training
+    * mix. KL is computed over the source's own support, so every term
+    * is finite (q(t) > 0 whenever p(t) > 0: the corpus contains the
+    * source).
+    *
+    * Scale shape: one shuffle keyed on (source, token) with full
+    * map-side combine; the global model derives from that table by a
+    * second token-key agg (never re-scanning the corpus); the
+    * vocabulary join stays on token keys (web-scale — NOT broadcast);
+    * per-source totals are a handful of rows, broadcast back. Output is
+    * |sources| rows.
+    */
+  def sourceKl(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = Tables.table(spark, sfDir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_st"))
+    val sTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val gt = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val gTot = gt.agg(sum(col("c_t")).as("n"))
+    val p = col("c_st").cast("double") / col("n_s")
+    val q = col("c_t").cast("double") / col("n")
+    graft.Present.sortSmall(
+      st.join(gt, Seq("token"))
+        .join(broadcast(sTot), Seq("source"))
+        .crossJoin(broadcast(gTot)) // scalar corpus size rides along
+        .groupBy(col("source"), col("n_s").as("n_tokens"))
+        .agg(round(sum(p * log(p / q)), 4).as("kl_corpus")),
+      col("source"))
+  }
+
+  val sourceKlSql: String =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token
+      |              FROM documents),
+      |st AS (SELECT source, token, count(*) AS c_st FROM toks GROUP BY 1, 2),
+      |stot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      |gt AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM gt)
+      |SELECT source, n_s AS n_tokens,
+      |       round(sum((c_st::DOUBLE / n_s)
+      |                 * ln((c_st::DOUBLE / n_s) / (c_t::DOUBLE / n))), 4)
+      |         AS kl_corpus
+      |FROM st JOIN stot USING (source) JOIN gt USING (token), tot
+      |GROUP BY source, n_s
+      |ORDER BY source""".stripMargin
+
+  /** Fixed coefficients of [[qualityModel]] — stands in for a trained
+    * quality classifier's weights (fastText-style), shipped with the
+    * pipeline as literals.
+    */
+  val qmBias = -1.25
+  val qmWLenSat = 1.2 // length saturation: min(tokens/100, 1)
+  val qmWTtr = 2.0 // type-token ratio
+  val qmWStop = 1.5 // stopword hit ratio (en markers)
+  val qmWWordLen = -0.8 // mean chars per token / 10
+
+  /** Batch model inference — the "apply the trained quality classifier
+    * to the whole corpus" stage: a deterministic logistic model over
+    * cheap text features (length saturation, type-token ratio,
+    * stopword ratio, mean word length), emitting the score and the
+    * keep/drop decision at the 0.5 cut. The decision is taken on the
+    * ROUNDED score so engines agree at the boundary.
+    *
+    * Scale shape: pure per-row codegen'd projection — no shuffle, no
+    * model state beyond literal weights; pipelines with the parquet
+    * scan exactly like a broadcast-weights GPU-free scorer would at
+    * 100 TB.
+    */
+  def qualityModel(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t).cast("double")
+    val z = lit(qmBias) +
+      lit(qmWLenSat) * least(n / 100.0, lit(1.0)) +
+      lit(qmWTtr) * (size(array_distinct(t)).cast("double") / n) +
+      lit(qmWStop) * (stopwordHits(t, stopwords("en")).cast("double") / n) +
+      lit(qmWWordLen) * (length(col("text")).cast("double") / n / 10.0)
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+    graft.Present.sortSmall(
+      Tables.table(spark, sfDir, "documents")
+        .select(col("doc_id"), score.as("score"), (score >= 0.5).as("keep")),
+      col("doc_id"))
+  }
+
+  val qualityModelSql: String = {
+    val mk = "list_filter(string_split(text, ' '), x -> list_contains(" +
+      "['the', 'a', 'is', 'of', 'to', 'and', 'in'], x))"
+    val z = s"""($qmBias
+       |  + $qmWLenSat * least(len(string_split(text, ' ')) / 100.0, 1.0)
+       |  + $qmWTtr * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+       |               / len(string_split(text, ' ')))
+       |  + $qmWStop * (len($mk)::DOUBLE / len(string_split(text, ' ')))
+       |  + $qmWWordLen * (length(text)::DOUBLE / len(string_split(text, ' ')) / 10.0))"""
+      .stripMargin
+    s"""SELECT doc_id,
+       |       round(1.0 / (1.0 + exp(-$z)), 4) AS score,
+       |       round(1.0 / (1.0 + exp(-$z)), 4) >= 0.5 AS keep
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
 }

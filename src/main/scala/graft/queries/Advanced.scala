@@ -554,14 +554,29 @@ object Advanced {
     */
   def eventAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    val stats = ev.groupBy(col("event_type"))
+    flagAnomalies(ev, anomalyStats(ev))
+      .transform(graft.Present.sortSmall(_, col("event_id")))
+  }
+
+  /** The per-type model: one partial-agged groupBy on the tiny
+    * event_type domain.
+    */
+  def anomalyStats(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
       .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sigma"))
+
+  /** Scores `events` (batch OR streaming) against a batch-trained
+    * model — the train-batch/score-stream split every production
+    * anomaly detector runs: the stats frame is broadcast, so a
+    * streaming caller gets a stream-static broadcast join that adds
+    * no state and no extra watermark to the pipeline.
+    */
+  def flagAnomalies(events: DataFrame, stats: DataFrame): DataFrame = {
     val z = round((col("value") - col("mu")) / col("sigma"), 4)
-    ev.join(broadcast(stats), Seq("event_type"))
+    events.join(broadcast(stats), Seq("event_type"))
       .filter(col("sigma") > 0 && abs(z) >= 3.0)
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("mu"), 4).as("type_mean"), z.as("z_score"))
-      .transform(graft.Present.sortSmall(_, col("event_id")))
   }
 
   val eventAnomalySql: String =

@@ -401,6 +401,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.nonEmpty) // the corpus has intra-label near-dups
   }
 
+  test("source KL: non-negative, zero iff source matches corpus, partition of tokens") {
+    val out = ext.Text.sourceKl(spark, sf0001).collect()
+    val corpusTokens = Tables.table(spark, sf0001, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == corpusTokens)
+    val kls = out.map(_.getAs[Double]("kl_corpus"))
+    kls.foreach(k => assert(k >= 0.0)) // Gibbs' inequality
+    assert(kls.max > 0.0) // sources genuinely differ from the mix
+  }
+
+  test("quality model matches a brute-force recomputation of the logistic score") {
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stop = ext.Text.stopwords("en").toSet
+    val expected = Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val t = text.split(" ", -1)
+        val n = t.length.toDouble
+        val z = ext.Text.qmBias +
+          ext.Text.qmWLenSat * math.min(n / 100.0, 1.0) +
+          ext.Text.qmWTtr * (t.distinct.length / n) +
+          ext.Text.qmWStop * (t.count(stop) / n) +
+          ext.Text.qmWWordLen * (text.length / n / 10.0)
+        val s = round4(1.0 / (1.0 + math.exp(-z)))
+        (id, s, s >= 0.5)
+      }.toSet
+    val got = ext.Text.qualityModel(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Boolean]("keep"))).toSet
+    assert(got == expected)
+    assert(got.exists(_._3) && got.exists(!_._3)) // the cut separates the corpus
+  }
+
   test("label outliers: bottom-k per label, ascending by centroid cosine") {
     val nLabels = Tables.table(spark, sf0001, "embeddings")
       .select(col("label")).distinct().count()
