@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom typed-imperative aggregates.
@@ -260,6 +260,106 @@ case class MisraGriesSketch(
     copy(child = newChildren.head)
 }
 
+/** DDSketch-style quantile sketch (Masson, Lee & Rim, "DDSketch: A
+  * Fast and Fully-Mergeable Quantile Sketch with Relative-Error
+  * Guarantees", VLDB'19): positive values land in log-spaced buckets
+  * i = ⌈ln v / ln γ⌉, so every quantile estimate 2γⁱ/(γ+1) is within
+  * relative error (γ−1)/(γ+1) of the true value. The buffer is the
+  * bucket→count map — bounded by ⌈ln(max/min)/ln γ⌉ buckets (a few
+  * hundred at γ=1.02 over any realistic value range), and the merge is
+  * plain count addition: COMMUTATIVE and EXACT, so the result is
+  * deterministic under any partitioning / merge order — which is what
+  * lets the oracle reproduce it bit-for-bit, and what makes it safe as
+  * streaming state where percentile_approx's GK buffer is not
+  * merge-order-stable.
+  *
+  * `eval` returns one estimate per requested quantile: the value at
+  * 1-based rank ⌈q·n⌉ in bucket order. Non-positive inputs are
+  * ignored by construction (log-bucketing needs v > 0; route
+  * zero/negative domains through a caller-side offset).
+  */
+case class DDSketchQuantiles(
+    child: Expression,
+    gamma: Double,
+    qs: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[Int, Long]] {
+
+  require(gamma > 1.0, s"DDSketch gamma must exceed 1, got $gamma")
+  require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+    s"quantiles must lie in (0,1], got $qs")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): mutable.HashMap[Int, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[Int, Long], input: InternalRow): mutable.HashMap[Int, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = v.asInstanceOf[Double]
+      if (d > 0.0) {
+        val bkt = math.ceil(math.log(d) / math.log(gamma)).toInt
+        buf(bkt) = buf.getOrElse(bkt, 0L) + 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[Int, Long], other: mutable.HashMap[Int, Long]): mutable.HashMap[Int, Long] = {
+    other.foreach { case (b, c) => buf(b) = buf.getOrElse(b, 0L) + c }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[Int, Long]): Any = {
+    val buckets = buf.toArray.sortBy(_._1)
+    val n = buckets.map(_._2).sum
+    val ests = qs.map { q =>
+      val rank = math.max(1L, math.ceil(q * n).toLong)
+      var cum = 0L
+      var i = 0
+      var est = 0.0
+      var found = false
+      while (i < buckets.length && !found) {
+        cum += buckets(i)._2
+        if (cum >= rank) { est = 2.0 * math.pow(gamma, buckets(i)._1) / (gamma + 1.0); found = true }
+        i += 1
+      }
+      est
+    }
+    new GenericArrayData(ests.map(d => d: Any).toArray)
+  }
+
+  override def serialize(buf: mutable.HashMap[Int, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (b, c) => out.writeInt(b); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Int, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[Int, Long]
+    var i = 0
+    while (i < n) { buf += in.readInt() -> in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DDSketchQuantiles =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DDSketchQuantiles =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object AggregateFunctions {
   /** Input is cast to long up front — the buffer update unboxes Long,
     * so an un-cast IntegerType column would ClassCastException at
@@ -282,5 +382,13 @@ object AggregateFunctions {
   def misra_gries(c: Column, k: Int): Column =
     GraftBridge.column(
       MisraGriesSketch(GraftBridge.expression(c.cast("string")), k)
+        .toAggregateExpression())
+
+  /** Array of DDSketch quantile estimates (one per entry of `qs`) over
+    * a positive double column; see [[DDSketchQuantiles]].
+    */
+  def dd_quantiles(c: Column, gamma: Double, qs: Seq[Double]): Column =
+    GraftBridge.column(
+      DDSketchQuantiles(GraftBridge.expression(c.cast("double")), gamma, qs)
         .toAggregateExpression())
 }

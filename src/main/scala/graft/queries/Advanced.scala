@@ -541,6 +541,66 @@ object Advanced {
       |  AND (epoch_us(b.ts) > epoch_us(a.ts) OR b.event_id > a.event_id)
       |ORDER BY first_event, second_event""".stripMargin
 
+  /** DDSketch bucket base: 2% relative-error quantiles. */
+  val ddGamma = 1.02
+
+  /** Quantiles emitted by [[quantileSketch]]. */
+  val ddQs = Seq(0.5, 0.9, 0.99)
+
+  /** Value-distribution quantiles per event type via the custom
+    * [[graft.functions.DDSketchQuantiles]] mergeable sketch — the
+    * monitoring percentiles (p50/p90/p99) a pipeline tracks per metric.
+    *
+    * Why a sketch and not sort-based `percentile`: exact percentiles
+    * shuffle (or at best cluster) every row per group; the sketch's
+    * exchange carries one ≤ few-hundred-bucket histogram per group per
+    * partition regardless of corpus size, and — unlike
+    * percentile_approx's GK buffer — its merge is exact count
+    * addition, so results are deterministic under any partitioning
+    * (which is also what makes the DuckDB oracle able to reproduce
+    * the log-bucket math bit-for-bit) and safe as streaming state.
+    */
+  def quantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.AggregateFunctions.dd_quantiles
+    Tables.table(spark, sfDir, "events")
+      .filter(col("value") > 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dd_quantiles(col("value"), ddGamma, ddQs).as("qv"))
+      .select(col("event_type"), col("n_events"),
+        round(element_at(col("qv"), 1), 4).as("p50"),
+        round(element_at(col("qv"), 2), 4).as("p90"),
+        round(element_at(col("qv"), 3), 4).as("p99"))
+      .transform(graft.Present.sortSmall(_, col("event_type")))
+  }
+
+  /** Oracle: the sketch's log-bucket math replayed in SQL — bucket
+    * assignment, cumulative rank walk, and midpoint estimate are all
+    * deterministic, so the comparison is exact, not tolerance-based.
+    */
+  val quantileSketchSql: String = {
+    def est = s"2 * pow($ddGamma, bkt) / ($ddGamma + 1.0)"
+    s"""WITH b AS (SELECT event_type,
+       |                  CAST(ceil(ln("value") / ln($ddGamma)) AS INTEGER) AS bkt,
+       |                  count(*) AS c
+       |           FROM events WHERE "value" > 0 GROUP BY 1, 2),
+       |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY 1),
+       |cum AS (SELECT event_type, bkt,
+       |               sum(c) OVER (PARTITION BY event_type ORDER BY bkt) AS cum
+       |        FROM b),
+       |sel AS (SELECT event_type, q, min(bkt) AS bkt
+       |        FROM cum JOIN tot USING (event_type),
+       |             (VALUES (0.5), (0.9), (0.99)) t(q)
+       |        WHERE cum >= ceil(q * n) GROUP BY 1, 2)
+       |SELECT s.event_type, t.n AS n_events,
+       |       round(max(CASE WHEN q = 0.5 THEN $est END), 4) AS p50,
+       |       round(max(CASE WHEN q = 0.9 THEN $est END), 4) AS p90,
+       |       round(max(CASE WHEN q = 0.99 THEN $est END), 4) AS p99
+       |FROM sel s JOIN tot t USING (event_type)
+       |GROUP BY 1, 2
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Z-score anomaly detection: events whose value sits ≥ 3 population
     * standard deviations from their event_type's mean — the telemetry
     * outlier flag every monitoring pipeline runs over its event log.

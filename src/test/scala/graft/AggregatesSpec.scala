@@ -105,4 +105,32 @@ class AggregatesSpec extends SparkSpec {
       assert(last.getAs[Long]("uniq") == 3)
     } finally q.stop()
   }
+
+  test("dd_quantiles: relative error within the DDSketch guarantee vs exact percentiles") {
+    import graft.functions.AggregateFunctions.dd_quantiles
+    val gamma = queries.Advanced.ddGamma
+    val qs = queries.Advanced.ddQs
+    val vals = Tables.table(spark, sf0001, "events")
+      .select($"value").as[Double].collect().sorted
+    val est = Tables.table(spark, sf0001, "events")
+      .agg(dd_quantiles($"value", gamma, qs).as("qv"))
+      .select($"qv").as[Seq[Double]].collect()(0)
+    val bound = (gamma - 1.0) / (gamma + 1.0) + 1e-9
+    qs.zip(est).foreach { case (q, e) =>
+      val exact = vals((math.ceil(q * vals.length) - 1).toInt)
+      assert(math.abs(e - exact) / exact <= bound,
+        s"q=$q est=$e exact=$exact rel=${math.abs(e - exact) / exact}")
+    }
+  }
+
+  test("dd_quantiles is deterministic under repartitioning (exact merge)") {
+    import graft.functions.AggregateFunctions.dd_quantiles
+    val ev = Tables.table(spark, sf0001, "events").select($"event_type", $"value")
+    def run(parts: Int): Map[String, Seq[Double]] =
+      ev.repartition(parts)
+        .groupBy($"event_type")
+        .agg(dd_quantiles($"value", 1.02, Seq(0.5, 0.9, 0.99)).as("qv"))
+        .as[(String, Seq[Double])].collect().toMap
+    assert(run(1) == run(13)) // bit-identical, not approximately equal
+  }
 }
