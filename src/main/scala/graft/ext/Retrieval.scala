@@ -14,15 +14,18 @@ import graft.Tables
   * The benchmark split (every 50th doc, as in [[Dedup.decontaminate]])
   * plays the query set; the remaining corpus is the indexed side.
   *
-  * Scale shape: the "index" is the (token → doc, tf) posting relation —
-  * a partial-agged explode of the corpus scan, shuffled once on the
-  * token key. Query terms are the SMALL side (a curated benchmark) and
-  * are BROADCAST onto the postings, so the 100 TB corpus never
-  * reshuffles for the probe. Per-(query, doc) scores reduce in one
-  * hash agg keyed by the match pairs (bounded by postings hit, never
-  * |Q|×|corpus|), and the final top-k per query runs on the native
-  * [[graft.plans.TopKPerGroup]] operator — the exchange carries ≤ k
-  * rows per query per partition.
+  * Scale shape: the "index" is the (token → doc, tf) posting relation,
+  * and it is pruned BEFORE it ever shuffles — the query vocabulary (a
+  * curated benchmark: small) is broadcast onto the exploded corpus
+  * scan as a map-side semi filter, so the tf aggregation, the df
+  * count, and the scoring join all carry only query-vocabulary
+  * postings; the 100 TB corpus itself never reshuffles. (tf and df for
+  * a surviving token are unchanged by the prune — both are functions
+  * of that token's postings only.) Per-(query, doc) scores reduce in
+  * one hash agg keyed by the match pairs (bounded by postings hit,
+  * never |Q|×|corpus|), and the final top-k per query runs on the
+  * native [[graft.plans.TopKPerGroup]] operator — the exchange
+  * carries ≤ k rows per query per partition.
   *
   * Determinism: tf, df, N, and doc lengths are exact integers; idf and
   * the saturation term are evaluated in double on both engines and the
@@ -45,9 +48,18 @@ object Retrieval {
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
     val queries = docs.filter(col("doc_id") % 50 === 0)
 
-    // posting list: tf per (doc, token) + per-doc length
+    // query side: DISTINCT terms per benchmark doc (small — broadcast)
+    val qterms = queries
+      .select(col("doc_id").as("query_doc"),
+        explode(array_distinct(Text.tokens(col("text")))).as("token"))
+    val qvocab = qterms.select(col("token")).distinct()
+
+    // posting list restricted to the query vocabulary: the broadcast
+    // semi filter runs map-side on the exploded scan, BEFORE the tf
+    // exchange — only matching tokens' postings ever shuffle
     val postings = corpus
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .join(broadcast(qvocab), Seq("token"), "left_semi")
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val docLen = corpus
@@ -56,11 +68,6 @@ object Retrieval {
     val stats = corpus.agg(
       count(lit(1)).as("n_docs"),
       avg(size(Text.tokens(col("text"))).cast("double")).as("avgdl"))
-
-    // query side: DISTINCT terms per benchmark doc (small — broadcast)
-    val qterms = queries
-      .select(col("doc_id").as("query_doc"),
-        explode(array_distinct(Text.tokens(col("text")))).as("token"))
 
     val idf = log(lit(1.0) +
       (col("n_docs") - col("dfc") + 0.5) / (col("dfc") + 0.5))
