@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Present
+import graft.{Present, Tables}
 
 /** Dedup cluster closure: connected components over near-dup candidate
   * pairs, so transitive chains (a~b, b~c ⇒ {a,b,c} one cluster) get a
@@ -122,11 +122,11 @@ object Clusters {
       col("doc_id"))
   }
 
-  /** DuckDB twin: ground-truth pairwise-Jaccard edges (same CTE as the
-    * MinHash-LSH oracle) + a recursive CTE propagating the minimum
-    * reachable doc_id.
+  /** Shared oracle scaffolding: ground-truth pairwise-Jaccard edges
+    * (same CTE as the MinHash-LSH oracle) + a recursive CTE propagating
+    * the minimum reachable doc_id into `comp(doc_id, keeper_id)`.
     */
-  val dedupClustersSql: String = {
+  private val componentsCteSql: String = {
     val head = "WITH RECURSIVE " + Dedup.shinglesSqlCte + ","
     val rest = """
       |pairs AS (
@@ -144,11 +144,43 @@ object Clusters {
       |  SELECT doc, doc FROM nodes
       |  UNION
       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc),
-      |comp AS (SELECT doc AS doc_id, min(lab) AS keeper_id FROM reach GROUP BY doc)
-      |SELECT doc_id, keeper_id,
-      |       count(*) OVER (PARTITION BY keeper_id) AS cluster_size
-      |FROM comp
-      |ORDER BY doc_id""".stripMargin
+      |comp AS (SELECT doc AS doc_id, min(lab) AS keeper_id FROM reach GROUP BY doc)""".stripMargin
     head + rest
   }
+
+  /** DuckDB twin of [[dedupClusters]]. */
+  val dedupClustersSql: String = componentsCteSql + """
+    |SELECT doc_id, keeper_id,
+    |       count(*) OVER (PARTITION BY keeper_id) AS cluster_size
+    |FROM comp
+    |ORDER BY doc_id""".stripMargin
+
+  /** The survivor corpus — what dedup is FOR: every document except
+    * non-keeper near-dup cluster members, materialized with the
+    * columns a downstream training mix consumes. The delete list
+    * comes from [[connectedComponents]] over the LSH-verified pairs;
+    * the removal is a shuffled anti-join on doc_id — deliberately NOT
+    * broadcast: at web scale the duplicate fraction is a sizable share
+    * of the corpus, so both sides are large and the hash anti-join on
+    * the key is the honest shape (AQE may still broadcast when the
+    * delete list turns out small).
+    */
+  def dedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val drops = connectedComponents(edges)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    Present.sortSmall(
+      Tables.table(spark, sfDir, "documents")
+        .join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      col("doc_id"))
+  }
+
+  /** DuckDB twin of [[dedupKeep]]. */
+  val dedupKeepSql: String = componentsCteSql + """
+    |SELECT d.doc_id, d.source, d.n_chars
+    |FROM documents d
+    |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keeper_id)
+    |ORDER BY d.doc_id""".stripMargin
 }

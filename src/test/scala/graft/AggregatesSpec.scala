@@ -123,6 +123,40 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("dd_quantiles works as streaming state and matches its batch result") {
+    import graft.functions.AggregateFunctions.dd_quantiles
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.table(spark, sf0001, "events")
+      .select($"event_type", $"value").as[(String, Double)]
+    val batch = ev.groupBy($"event_type")
+      .agg(dd_quantiles($"value", 1.02, Seq(0.5, 0.99)).as("qv"))
+      .as[(String, Seq[Double])].collect().toMap
+    val mem = MemoryStream[(String, Double)]
+    // upsert each update-mode micro-batch into a map: batches arrive in
+    // order, so the final entry per key is the full-history sketch
+    val acc = scala.collection.mutable.Map.empty[String, Seq[Double]]
+    val ckpt = java.nio.file.Files.createTempDirectory("dd_ckpt").toString
+    val q = mem.toDF().toDF("event_type", "value")
+      .groupBy($"event_type")
+      .agg(dd_quantiles($"value", 1.02, Seq(0.5, 0.99)).as("qv"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.as[(String, Seq[Double])](implicitly).collect()
+          .foreach { case (k, v) => acc(k) = v }
+      }
+      .start()
+    try {
+      val rows = ev.collect()
+      val (a, b) = rows.splitAt(rows.length / 2)
+      mem.addData(a.toSeq)
+      q.processAllAvailable()
+      mem.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(acc.toMap == batch) // exact merge ⇒ bit-identical to batch
+  }
+
   test("dd_quantiles is deterministic under repartitioning (exact merge)") {
     import graft.functions.AggregateFunctions.dd_quantiles
     val ev = Tables.table(spark, sf0001, "events").select($"event_type", $"value")

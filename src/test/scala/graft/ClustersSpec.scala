@@ -63,4 +63,16 @@ class ClustersSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
       .foreach { case (a, b) => assert(keeperOf(a) == keeperOf(b)) }
   }
+
+  test("dedupKeep = corpus minus exactly the non-keeper cluster members") {
+    val all = Tables.table(spark, sf0001, "documents")
+      .select("doc_id").as[Long].collect().toSet
+    val dropped = Clusters.dedupClusters(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+      .collect { case (doc, keeper, _) if doc != keeper => doc }.toSet
+    val kept = Clusters.dedupKeep(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dropped.nonEmpty)
+    assert(kept == all -- dropped)
+  }
 }
