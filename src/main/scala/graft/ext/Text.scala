@@ -639,6 +639,53 @@ object Text {
       |GROUP BY source, n_s
       |ORDER BY source""".stripMargin
 
+  /** Zipf rank-frequency slope per source: the least-squares slope of
+    * ln(freq) against ln(rank) over each source's token frequency
+    * table — natural text sits near −1 (Zipf's law); a slope far off
+    * flags machine-generated or template-heavy feeds (too flat: random
+    * noise; too steep: boilerplate dominated by a few strings). The
+    * corpus-health twin of [[sourceKl]]: KL compares sources to the
+    * mix, the slope checks each source against the shape natural
+    * language itself has.
+    *
+    * Scale shape: the frequency table is the usual (source, token)
+    * partial agg; ranking is a per-source window over the VOCABULARY
+    * (vocab-size, not corpus-size — and per-source, so partitions
+    * parallelize); the slope reduces via covar_pop/var_pop partial
+    * aggs. Ties rank by (freq desc, token) on both engines so the
+    * regression inputs are identical.
+    */
+  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.table(spark, sfDir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("token").asc)
+    val lnR = log(col("r").cast("double"))
+    graft.Present.sortSmall(
+      freq.withColumn("r", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab_size"),
+          round(covar_pop(lnR, log(col("c").cast("double"))) / var_pop(lnR), 4)
+            .as("zipf_slope")),
+      col("source"))
+  }
+
+  val zipfSlopeSql: String =
+    """WITH f AS (SELECT source, token, count(*) AS c
+      |           FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+      |                 FROM documents)
+      |           GROUP BY 1, 2),
+      |r AS (SELECT source, c,
+      |             row_number() OVER (PARTITION BY source
+      |                                ORDER BY c DESC, token) AS rnk
+      |      FROM f)
+      |SELECT source, count(*) AS vocab_size,
+      |       round(covar_pop(ln(rnk), ln(c)) / var_pop(ln(rnk)), 4) AS zipf_slope
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   /** Fixed coefficients of [[qualityModel]] — stands in for a trained
     * quality classifier's weights (fastText-style), shipped with the
     * pipeline as literals.

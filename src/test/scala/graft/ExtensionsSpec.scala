@@ -412,6 +412,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(kls.max > 0.0) // sources genuinely differ from the mix
   }
 
+  test("zipf slope: negative for every source and matches least-squares recomputation") {
+    val freqs = Tables.table(spark, sf0001, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1)
+    val expected = freqs.map { case (src, rows) =>
+      val ranked = rows.sortBy(r => (-r._3, r._2)).zipWithIndex
+        .map { case (r, i) => (math.log((i + 1).toDouble), math.log(r._3.toDouble)) }
+      val n = ranked.length
+      val mx = ranked.map(_._1).sum / n
+      val my = ranked.map(_._2).sum / n
+      val cov = ranked.map { case (x, y) => (x - mx) * (y - my) }.sum / n
+      val vx = ranked.map { case (x, _) => (x - mx) * (x - mx) }.sum / n
+      src -> cov / vx
+    }
+    val got = ext.Text.zipfSlope(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("vocab_size"),
+        r.getAs[Double]("zipf_slope")))
+    assert(got.nonEmpty)
+    got.foreach { case (src, vocab, slope) =>
+      assert(vocab == freqs(src).length)
+      assert(slope < 0.0) // frequency falls with rank
+      assert(math.abs(slope - expected(src)) < 1e-3)
+    }
+  }
+
   test("quality model matches a brute-force recomputation of the logistic score") {
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
