@@ -566,6 +566,56 @@ object Dedup {
        |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
        |ORDER BY train_doc, bench_doc""".stripMargin
 
+  /** Cross-source contamination matrix: distinct-shingle overlap for
+    * every source pair — the audit that catches one feed republishing
+    * another (syndication, mirror crawls, vendor overlap) before both
+    * are independently weighted into a training mix. Emits shared
+    * shingle counts and source-level Jaccard.
+    *
+    * Scale shape: per-source shingle sets dedup in one (source, hash)
+    * partial agg; the pair join shuffles on the shingle hash and each
+    * shingle fans out to at most |sources|² pair rows (a constant —
+    * sources are a handful however big the corpus); the matrix itself
+    * is |sources|² rows. Shingles are hashed to 64 bits before any
+    * exchange, as in [[containment]].
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = Tables.table(spark, sfDir, "documents")
+      .select(col("source"), explode(shingles(Text.tokens(col("text")))).as("raw"))
+      .select(col("source"), xxhash64(col("raw")).as("s"))
+      .distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = ss.select(col("source").as("source_a"), col("s"))
+      .join(ss.select(col("source").as("source_b"), col("s")), Seq("s"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val j = round(col("n_shared").cast("double") /
+      (col("na") + col("nb") - col("n_shared")), 4)
+    Present.sortSmall(
+      shared
+        .join(sizes.select(col("source").as("source_a"), col("n").as("na")), Seq("source_a"))
+        .join(sizes.select(col("source").as("source_b"), col("n").as("nb")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_shared"), j.as("jaccard")),
+      col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH $shinglesSqlCte,
+       |ss AS (SELECT DISTINCT d.source, unnest(sh.s) AS sv
+       |       FROM sh JOIN documents d USING (doc_id)),
+       |sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+       |shared AS (SELECT a.source AS source_a, b.source AS source_b,
+       |                  count(*) AS n_shared
+       |           FROM ss a JOIN ss b ON a.sv = b.sv AND a.source < b.source
+       |           GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_shared,
+       |       round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 4) AS jaccard
+       |FROM shared
+       |JOIN sizes sa ON sa.source = source_a
+       |JOIN sizes sb ON sb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   // ——— SimHash ———
 
   val simhashBits = 60 // 15 hex digits — stays positive in a signed long

@@ -412,6 +412,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(kls.max > 0.0) // sources genuinely differ from the mix
   }
 
+  test("source overlap matches a brute-force shingle-set recomputation") {
+    def shingleSet(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t.mkString(" "))
+    }
+    val bySource = Tables.table(spark, sf0001, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .groupBy(_._1).map { case (src, rows) =>
+        src -> rows.map(r => shingleSet(r._2)).reduce(_ ++ _)
+      }
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      (sa, setA) <- bySource; (sb, setB) <- bySource
+      if sa < sb
+      shared = (setA & setB).size
+      if shared > 0
+    } yield (sa, sb, shared.toLong,
+      round4(shared.toDouble / (setA.size + setB.size - shared)))).toSet
+    val got = ext.Dedup.sourceOverlap(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard"))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // planted near-dups cross source boundaries
+  }
+
   test("zipf slope: negative for every source and matches least-squares recomputation") {
     val freqs = Tables.table(spark, sf0001, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
