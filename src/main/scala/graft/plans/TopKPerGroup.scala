@@ -125,12 +125,83 @@ case class TopKPerGroupExec(
 /** SparkSessionExtensions entry point — inject via
   * `.withExtensions(new GraftExtensions)` (GraftSession does) or the
   * `spark.sql.extensions` config.
+  *
+  * Besides the physical strategy and the analyzer rule, this registers
+  * the engine's custom expressions/aggregates as SQL functions, so a
+  * pure-`spark.sql` user (the reference's API style) reaches them
+  * without touching the Column API. Sketch parameters must be literals
+  * — they configure the aggregation buffer, which exists before any
+  * row is seen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  private def register(
+      ext: SparkSessionExtensions, name: String, usage: String)(
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      // 2-arg form: (className, functionName) — usage only documents
+      // the registration site; the identifier drives lookup
+      new ExpressionInfo(s"graft.functions ($usage)", name),
+      builder))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     // analyzer rewrite: exact countDistinct becomes legal on streams
     ext.injectResolutionRule(_ => RewriteStreamingExactDistinct)
+
+    register(ext, "graft_vec_dot",
+      "float-vector dot product (double accumulation)") {
+      case Seq(a, b) => graft.functions.FloatVecDot(a, b)
+    }
+    register(ext, "graft_int_vec_dot",
+      "integer-vector dot product (long accumulation, exact)") {
+      case Seq(a, b) => graft.functions.IntVecDot(a, b)
+    }
+    register(ext, "graft_word_shingles",
+      "distinct n-word shingles of a token array") {
+      case Seq(t, n) => graft.functions.WordShingles(t, litInt(n, "shingle width"))
+    }
+    // input casts mirror the Column-API wrappers in AggregateFunctions:
+    // each buffer update unboxes one concrete type
+    register(ext, "graft_exact_count_distinct",
+      "exact distinct count, streaming-legal") {
+      case Seq(c) => graft.functions.ExactCountDistinctLong(
+        Cast(c, org.apache.spark.sql.types.LongType))
+    }
+    register(ext, "graft_bounded_collect_set",
+      "collect_set keeping the cap smallest distinct strings") {
+      case Seq(c, cap) => graft.functions.BoundedCollectSet(
+        Cast(c, org.apache.spark.sql.types.StringType), litInt(cap, "cap"))
+    }
+    register(ext, "graft_misra_gries",
+      "Misra-Gries frequent-item candidates with k counters") {
+      case Seq(c, k) => graft.functions.MisraGriesSketch(
+        Cast(c, org.apache.spark.sql.types.StringType), litInt(k, "k"))
+    }
+    register(ext, "graft_dd_quantiles",
+      "DDSketch quantile estimates at the given gamma") {
+      case c +: gamma +: qs if qs.nonEmpty =>
+        graft.functions.DDSketchQuantiles(
+          Cast(c, org.apache.spark.sql.types.DoubleType),
+          litDouble(gamma, "gamma"), qs.map(litDouble(_, "quantile")))
+    }
   }
 }
 

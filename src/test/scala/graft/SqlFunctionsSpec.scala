@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL surface of the custom expressions/aggregates: every function
+  * GraftExtensions registers must be reachable from `spark.sql` and
+  * agree with its Column-API twin.
+  */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered scalar functions run from spark.sql and match the Column API") {
+    Tables.table(spark, sf0001, "embeddings").createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id,
+        |       graft_vec_dot(a.embedding, a.embedding) AS self_dot
+        |FROM emb_sql a ORDER BY a.vec_id""".stripMargin)
+      .as[(Long, Double)].collect()
+    val viaCol = Tables.table(spark, sf0001, "embeddings")
+      .select($"vec_id",
+        graft.functions.VectorFunctions.vec_dot($"embedding", $"embedding").as("d"))
+      .orderBy($"vec_id").as[(Long, Double)].collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+
+    val sh = spark.sql(
+      "SELECT graft_word_shingles(array('a','b','c','d'), 3) AS s")
+      .as[Seq[String]].collect()(0)
+    assert(sh.toSet == Set("a b c", "b c d"))
+  }
+
+  test("registered aggregates run from spark.sql and match the Column API") {
+    Tables.table(spark, sf0001, "events").createOrReplaceTempView("ev_sql")
+    val viaSql = spark.sql(
+      """SELECT event_type,
+        |       graft_exact_count_distinct(user_id) AS uniq,
+        |       graft_dd_quantiles(value, 1.02D, 0.5D, 0.99D) AS qv
+        |FROM ev_sql GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .as[(String, Long, Seq[Double])].collect()
+    val viaCol = Tables.table(spark, sf0001, "events")
+      .groupBy($"event_type")
+      .agg(
+        graft.functions.AggregateFunctions.exact_count_distinct($"user_id").as("uniq"),
+        graft.functions.AggregateFunctions.dd_quantiles($"value", 1.02, Seq(0.5, 0.99)).as("qv"))
+      .orderBy($"event_type").as[(String, Long, Seq[Double])].collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
+  test("sketch parameters reject non-literal arguments with a clear error") {
+    Tables.table(spark, sf0001, "events").createOrReplaceTempView("ev_sql2")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_dd_quantiles(value, value, 0.5D) FROM ev_sql2").collect()
+    }
+    assert(e.getMessage.contains("numeric literal"))
+  }
+}
