@@ -178,6 +178,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "distinct n-word shingles of a token array") {
       case Seq(t, n) => graft.functions.WordShingles(t, litInt(n, "shingle width"))
     }
+    register(ext, "graft_hashed_shingle_set",
+      "sorted distinct 64-bit hashes of n-word shingles") {
+      case Seq(t, n) => graft.functions.HashedShingleSet(t, litInt(n, "shingle width"))
+    }
+    register(ext, "graft_sorted_intersect_count",
+      "intersection size of two sorted long arrays") {
+      case Seq(a, b) => graft.functions.SortedLongIntersectCount(a, b)
+    }
+    register(ext, "graft_minhash_signature",
+      "k-seed MinHash signature of a token array") {
+      case Seq(t, k) => graft.functions.MinHashSignature(t, litInt(k, "signature size"))
+    }
+    register(ext, "graft_simhash",
+      "md5-derived SimHash of a token array at the given bit width") {
+      case Seq(t, bits) => graft.functions.SimHashMd5(t, litInt(bits, "bits"))
+    }
+    register(ext, "graft_top_ngram_frac",
+      "fraction of a doc's tokens covered by its most repeated n-gram") {
+      case Seq(t, n) => graft.functions.TopNgramFrac(t, litInt(n, "ngram width"))
+    }
     // input casts mirror the Column-API wrappers in AggregateFunctions:
     // each buffer update unboxes one concrete type
     register(ext, "graft_exact_count_distinct",

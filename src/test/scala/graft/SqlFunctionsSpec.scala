@@ -28,6 +28,33 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sh.toSet == Set("a b c", "b c d"))
   }
 
+  test("registered hash/sketch scalars agree with their Column-API twins on the corpus") {
+    import graft.functions.HashFunctions._
+    Tables.table(spark, sf0001, "documents").createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |       graft_simhash(split(text, ' '), 60) AS sh,
+        |       graft_top_ngram_frac(split(text, ' '), 3) AS frac,
+        |       graft_sorted_intersect_count(
+        |         graft_hashed_shingle_set(split(text, ' '), 3),
+        |         graft_hashed_shingle_set(split(text, ' '), 3)) AS self_n,
+        |       graft_minhash_signature(
+        |         graft_word_shingles(split(text, ' '), 3), 8) AS sig
+        |FROM docs_sql ORDER BY doc_id""".stripMargin)
+      .as[(Long, Long, Double, Int, Seq[Long])].collect()
+    val t = split(col("text"), " ")
+    val viaCol = Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        simhash_md5(t, 60).as("sh"),
+        top_ngram_frac(t, 3).as("frac"),
+        sorted_intersect_count(
+          hashed_shingle_set(t, 3), hashed_shingle_set(t, 3)).as("self_n"),
+        minhash_signature(word_shingles(t, 3), 8).as("sig"))
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Double, Int, Seq[Long])].collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
   test("registered aggregates run from spark.sql and match the Column API") {
     Tables.table(spark, sf0001, "events").createOrReplaceTempView("ev_sql")
     val viaSql = spark.sql(
