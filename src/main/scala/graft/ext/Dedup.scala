@@ -321,7 +321,14 @@ object Dedup {
     * embedding the filter bytes in the plan) — build the DataFrame
     * only when you mean to execute it.
     */
-  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    Present.sortSmall(contaminationPairs(spark, sfDir),
+      col("train_doc"), col("bench_doc"))
+
+  /** The raw contaminated pair set (no presentation sort) — shared by
+    * [[decontaminate]] and [[Retrieval.hardNegatives]].
+    */
+  def contaminationPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(shingles(Text.tokens(col("text")))).as("s"))
     // materialized once (localCheckpoint): three consumers read it —
@@ -339,12 +346,10 @@ object Dedup {
       .select(col("s"), col("doc_id").as("train_doc"))
     // shingles are distinct per doc (WordShingles), so count(*) per
     // (train, bench) pair IS the shared-shingle count
-    Present.sortSmall(
-      train.join(bench, Seq("s"))
-        .groupBy(col("train_doc"), col("bench_doc"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= minSharedShingles),
-      col("train_doc"), col("bench_doc"))
+    train.join(bench, Seq("s"))
+      .groupBy(col("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSharedShingles)
   }
 
   val decontaminateSql: String =

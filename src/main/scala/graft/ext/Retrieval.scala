@@ -42,8 +42,45 @@ object Retrieval {
   /** Results per query. */
   val bm25TopK = 5
 
-  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+  def bm25(spark: SparkSession, sfDir: String): DataFrame =
+    rankTopK(scoredBm25(spark, sfDir))
+
+  /** Hard-negative mining for retrieval training: per query, the
+    * top-scoring BM25 candidates that are NOT near-duplicates of the
+    * query (no ≥ [[Dedup.minSharedShingles]]-shingle overlap — the
+    * [[Dedup.contaminationPairs]] signal). Lexically close but
+    * non-duplicated documents are exactly the negatives a dense
+    * retriever trains against; the contaminated ones would be false
+    * negatives. Ranking happens AFTER the filter, so every query
+    * yields a full top-k of genuine negatives.
+    *
+    * Scale shape: the BM25 scoring pipeline as-is, plus one anti-join
+    * against the contaminated pair set — benchmark-bounded, hence
+    * broadcast.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val contaminated = Dedup.contaminationPairs(spark, sfDir)
+      .select(col("bench_doc").as("query_doc"), col("train_doc").as("doc_id"))
+    rankTopK(
+      scoredBm25(spark, sfDir)
+        .join(broadcast(contaminated), Seq("query_doc", "doc_id"), "left_anti"))
+  }
+
+  /** Native-TopKPerGroup top-k + rank numbering over the survivors. */
+  private def rankTopK(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val top = graft.plans.TopKPerGroup.topKPerGroup(
+      scored, Seq(col("query_doc")), Seq(col("score").desc, col("doc_id").asc),
+      bm25TopK)
+    val w = Window.partitionBy(col("query_doc"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    graft.Present.sortSmall(
+      top.withColumn("rank", row_number().over(w))
+        .select(col("query_doc"), col("doc_id"), col("score"), col("rank")),
+      col("query_doc"), col("rank"))
+  }
+
+  private def scoredBm25(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.table(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
     val queries = docs.filter(col("doc_id") % 50 === 0)
@@ -73,27 +110,20 @@ object Retrieval {
       (col("n_docs") - col("dfc") + 0.5) / (col("dfc") + 0.5))
     val sat = col("tf").cast("double") * (bm25K1 + 1.0) /
       (col("tf") + lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl")))
-    val scored = postings
+    postings
       .join(broadcast(qterms), Seq("token"))
       .join(dfreq, Seq("token"))
       .join(docLen, Seq("doc_id"))
       .crossJoin(broadcast(stats)) // two scalars ride along
       .groupBy(col("query_doc"), col("doc_id"))
       .agg(round(sum(idf * sat), 4).as("score"))
-
-    val top = graft.plans.TopKPerGroup.topKPerGroup(
-      scored, Seq(col("query_doc")), Seq(col("score").desc, col("doc_id").asc),
-      bm25TopK)
-    val w = Window.partitionBy(col("query_doc"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    graft.Present.sortSmall(
-      top.withColumn("rank", row_number().over(w))
-        .select(col("query_doc"), col("doc_id"), col("score"), col("rank")),
-      col("query_doc"), col("rank"))
   }
 
-  val bm25Sql: String =
-    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+  /** Shared oracle scaffolding: the scored (query_doc, doc_id, score)
+    * relation.
+    */
+  private val scoredCtesSql: String =
+    s"""corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
        |qt AS (SELECT doc_id AS query_doc, unnest(list_distinct(string_split(text, ' '))) AS token
        |       FROM documents WHERE doc_id % 50 = 0),
        |post AS (SELECT doc_id, token, count(*) AS tf
@@ -112,11 +142,30 @@ object Retrieval {
        |           AS score
        |  FROM post JOIN qt USING (token) JOIN dfreq USING (token)
        |            JOIN dl ON dl.doc_id = post.doc_id, stats
-       |  GROUP BY 1, 2)
-       |SELECT query_doc, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def rankSelectSql(from: String): String =
+    s"""SELECT query_doc, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_doc
        |                               ORDER BY score DESC, doc_id) AS rank
-       |  FROM scored)
+       |  FROM $from)
        |WHERE rank <= $bm25TopK
        |ORDER BY query_doc, rank""".stripMargin
+
+  val bm25Sql: String =
+    "WITH " + scoredCtesSql + "\n" + rankSelectSql("scored")
+
+  val hardNegativesSql: String =
+    "WITH " + Dedup.shinglesSqlCte + ",\n" + scoredCtesSql + s""",
+       |cont AS (
+       |  SELECT b.doc_id AS query_doc, a.doc_id AS doc_id
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+       |    AND len(list_intersect(a.s, b.s)) >= ${Dedup.minSharedShingles}),
+       |negs AS (
+       |  SELECT * FROM scored
+       |  WHERE NOT EXISTS (SELECT 1 FROM cont
+       |                    WHERE cont.query_doc = scored.query_doc
+       |                      AND cont.doc_id = scored.doc_id))
+       |""".stripMargin + rankSelectSql("negs")
 }

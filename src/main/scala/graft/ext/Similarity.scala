@@ -142,7 +142,11 @@ object Similarity {
     *    path this replaces).
     *
     * The LSH/IVF paths below remain the approximate option for the
-    * high-similarity regime (t ≥ 0.9) where banding recall is real.
+    * high-similarity regime (t ≥ 0.9) where banding recall is real,
+    * and [[Clustering.dedupSemantic]] is the published sub-quadratic
+    * production path (SemDeDup: cluster first, pair only within a
+    * cluster — the pair space shrinks by the cluster count, which
+    * scales with the corpus).
     */
   private def tiledCosinePairs(spark: SparkSession, sfDir: String,
       minSim: Double): DataFrame = {

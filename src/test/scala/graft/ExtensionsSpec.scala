@@ -371,6 +371,34 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives = bm25 candidates minus contaminated pairs, re-ranked") {
+    val contaminated = ext.Dedup.decontaminate(spark, sf0001)
+      .select($"bench_doc", $"train_doc").as[(Long, Long)].collect().toSet
+    val hn = ext.Retrieval.hardNegatives(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("query_doc"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank")))
+    assert(hn.nonEmpty)
+    // no contaminated pair survives
+    hn.foreach { case (q, d, _, _) => assert(!contaminated.contains((q, d))) }
+    // ranks are dense from 1 and scores non-increasing per query
+    hn.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rs.length))
+      val scores = sorted.map(_._3)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // where bm25's top-k had no contaminated hits, the two queries agree
+    val bm = ext.Retrieval.bm25(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("query_doc"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank")))
+    val cleanQueries = bm.groupBy(_._1).collect {
+      case (q, rs) if rs.forall(r => !contaminated.contains((r._1, r._2))) => q
+    }.toSet
+    assert(cleanQueries.nonEmpty)
+    assert(hn.filter(r => cleanQueries(r._1)).toSet ==
+      bm.filter(r => cleanQueries(r._1)).toSet)
+  }
+
   test("semantic dedup matches the brute-force intra-label ground truth") {
     val vecs = Tables.table(spark, sf0001, "embeddings")
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
