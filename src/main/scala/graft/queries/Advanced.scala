@@ -601,6 +601,50 @@ object Advanced {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Temporal distribution drift: per day, KL(day ‖ overall) of the
+    * event-type distribution — the monitoring twin of
+    * [[graft.ext.Text.sourceKl]] along the time axis: a day whose
+    * event mix diverges from the historical shape flags an outage, a
+    * bot wave, or an instrumentation change. Support is the day's own
+    * types, so every term is finite (the overall mix contains them).
+    *
+    * Scale shape: one partial-agged groupBy on (day, type) — a tiny
+    * key domain however long the log — then constant-size joins;
+    * output is one row per day.
+    */
+  def eventDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("c_dt"))
+    val dTot = dt.groupBy(col("day")).agg(sum(col("c_dt")).as("n_d"))
+    val gt = dt.groupBy(col("event_type")).agg(sum(col("c_dt")).as("c_t"))
+    val gTot = gt.agg(sum(col("c_t")).as("n"))
+    val p = col("c_dt").cast("double") / col("n_d")
+    val q = col("c_t").cast("double") / col("n")
+    graft.Present.sortSmall(
+      dt.join(broadcast(gt), Seq("event_type"))
+        .join(broadcast(dTot), Seq("day"))
+        .crossJoin(broadcast(gTot)) // scalar log size rides along
+        .groupBy(col("day"), col("n_d").as("n_events"))
+        .agg(round(sum(p * log(p / q)), 4).as("kl_overall")),
+      col("day"))
+  }
+
+  val eventDriftSql: String =
+    """WITH dt AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c_dt
+      |            FROM events GROUP BY 1, 2),
+      |dtot AS (SELECT day, CAST(sum(c_dt) AS BIGINT) AS n_d FROM dt GROUP BY 1),
+      |gt AS (SELECT event_type, CAST(sum(c_dt) AS BIGINT) AS c_t FROM dt GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM gt)
+      |SELECT day, n_d AS n_events,
+      |       round(sum((c_dt::DOUBLE / n_d)
+      |                 * ln((c_dt::DOUBLE / n_d) / (c_t::DOUBLE / n))), 4)
+      |         AS kl_overall
+      |FROM dt JOIN gt USING (event_type) JOIN dtot USING (day), tot
+      |GROUP BY day, n_d
+      |ORDER BY day""".stripMargin
+
   /** Z-score anomaly detection: events whose value sits ≥ 3 population
     * standard deviations from their event_type's mean — the telemetry
     * outlier flag every monitoring pipeline runs over its event log.

@@ -309,6 +309,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(ws(big) < toks(big).toDouble / toks.sum)
   }
 
+  test("event drift: non-negative KL per day, totals partition the log") {
+    val out = queries.Advanced.eventDrift(spark, sf0001).collect()
+    val total = Tables.events(spark, sf0001).count()
+    assert(out.map(_.getAs[Long]("n_events")).sum == total)
+    val kls = out.map(_.getAs[Double]("kl_overall"))
+    kls.foreach(k => assert(k >= 0.0)) // Gibbs' inequality
+    assert(out.length > 1) // the log spans multiple days
+  }
+
   test("event anomaly matches a brute-force z-score recomputation") {
     val ev = Tables.events(spark, sf0001)
       .select(col("event_id"), col("event_type"), col("value"))
