@@ -601,6 +601,71 @@ object Advanced {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Ordered funnel steps (first-occurrence semantics). */
+  val funnelSteps = Seq("signup", "view", "click", "purchase")
+
+  /** Conversion funnel over the event log: users reaching step k of
+    * signup → view → click → purchase, where each step's FIRST
+    * occurrence must strictly follow the previous step's first
+    * occurrence (the standard first-touch ordered funnel). Emits the
+    * cumulative reach per step and conversion from step 1.
+    *
+    * Scale shape: ONE partial-agged groupBy(user) computes all four
+    * first-occurrence times as conditional mins (no self-joins, no
+    * per-step passes — the classic funnel anti-pattern); the step
+    * derivation is a per-row CASE chain; the cumulative counts come
+    * from exploding 1..step, whose output is ≤ 4 rows per user.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = unix_micros(col("ts"))
+    val mins = funnelSteps.zipWithIndex.map { case (st, i) =>
+      min(when(col("event_type") === st, ts)).as(s"t${i + 1}")
+    }
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(mins.head, mins.tail: _*)
+    val step = when(col("t1").isNull, lit(0)).otherwise(
+      when(col("t2") > col("t1"),
+        when(col("t3") > col("t2"),
+          when(col("t4") > col("t3"), lit(4)).otherwise(lit(3)))
+          .otherwise(lit(2)))
+        .otherwise(lit(1)))
+    val reached = per.select(step.as("s"))
+      .filter(col("s") >= 1)
+      .select(explode(sequence(lit(1), col("s"))).as("step"))
+      .groupBy(col("step")).agg(count(lit(1)).as("n_reached"))
+    val conv = round(col("n_reached").cast("double") /
+      max(col("n_reached")).over(Window.partitionBy()), 4)
+    graft.Present.sortSmall(
+      reached.select(col("step"), col("n_reached"), conv.as("conv_from_first")),
+      col("step"))
+  }
+
+  val funnelSql: String = {
+    val mins = funnelSteps.zipWithIndex.map { case (st, i) =>
+      s"min(CASE WHEN event_type = '$st' THEN epoch_us(ts) END) AS t${i + 1}"
+    }.mkString(",\n|         ")
+    s"""WITH per AS (
+       |  SELECT user_id,
+       |         $mins
+       |  FROM events GROUP BY 1),
+       |steps AS (
+       |  SELECT CASE WHEN t1 IS NULL THEN 0
+       |              WHEN t2 > t1 THEN
+       |                CASE WHEN t3 > t2 THEN
+       |                  CASE WHEN t4 > t3 THEN 4 ELSE 3 END
+       |                ELSE 2 END
+       |              ELSE 1 END AS s
+       |  FROM per),
+       |reached AS (SELECT unnest(range(1, s + 1)) AS step
+       |            FROM steps WHERE s >= 1),
+       |counts AS (SELECT CAST(step AS INTEGER) AS step, count(*) AS n_reached
+       |           FROM reached GROUP BY 1)
+       |SELECT step, n_reached,
+       |       round(n_reached::DOUBLE / max(n_reached) OVER (), 4) AS conv_from_first
+       |FROM counts ORDER BY step""".stripMargin
+  }
+
   /** Temporal distribution drift: per day, KL(day ‖ overall) of the
     * event-type distribution — the monitoring twin of
     * [[graft.ext.Text.sourceKl]] along the time axis: a day whose

@@ -309,6 +309,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(ws(big) < toks(big).toDouble / toks.sum)
   }
 
+  test("funnel matches a brute-force per-user first-occurrence recomputation") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .as[(Long, String, Long)].collect()
+    val steps = queries.Advanced.funnelSteps
+    val perUser = ev.groupBy(_._1).values.map { rows =>
+      val first = steps.map(st =>
+        rows.filter(_._2 == st) match {
+          case e if e.isEmpty => None
+          case e => Some(e.map(_._3).min)
+        })
+      var s = 0
+      var prev = Long.MinValue
+      var going = true
+      first.foreach { t =>
+        if (going) t match {
+          case Some(x) if s == 0 || x > prev => s += 1; prev = x
+          case _ => going = false
+        }
+      }
+      s
+    }.toSeq
+    val expected = (1 to 4).map(k => k -> perUser.count(_ >= k).toLong)
+      .filter(_._2 > 0).toMap
+    val got = queries.Advanced.funnel(spark, sf0001).collect()
+      .map(r => r.getAs[Int]("step") -> r.getAs[Long]("n_reached")).toMap
+    assert(got == expected)
+    assert(got(1) > got.getOrElse(4, 0L)) // the funnel narrows
+  }
+
   test("event drift: non-negative KL per day, totals partition the log") {
     val out = queries.Advanced.eventDrift(spark, sf0001).collect()
     val total = Tables.events(spark, sf0001).count()
