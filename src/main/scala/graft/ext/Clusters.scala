@@ -183,4 +183,50 @@ object Clusters {
     |FROM documents d
     |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keeper_id)
     |ORDER BY d.doc_id""".stripMargin
+
+  /** Leakage-safe train/validation/test split: the 80/10/10 assignment
+    * hashes the near-dup CLUSTER KEEPER (own id for unclustered docs),
+    * not the document id — a doc_id-keyed split would scatter
+    * near-duplicate chains across splits and leak training text into
+    * held-out sets, the classic eval-inflation bug. Hashing is
+    * md5-derived (deterministic, engine-reproducible — never rand()).
+    * Emits per-split corpus stats.
+    *
+    * Scale shape: the component closure (O(log n) star rounds) + one
+    * left join to attach keepers + a per-row hash bucket + a 3-group
+    * partial agg. Nothing new shuffles beyond the closure itself.
+    */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val cc = connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("component"))
+    val bucket = Text.md5Long(
+      coalesce(col("component"), col("doc_id")).cast("string")) % 100
+    val splitCol = when(bucket < 80, "train")
+      .when(bucket < 90, "validation").otherwise("test")
+    Present.sortSmall(
+      Tables.table(spark, sfDir, "documents")
+        .join(cc, Seq("doc_id"), "left_outer")
+        .select(splitCol.as("split"),
+          size(Text.tokens(col("text"))).cast("long").as("toks"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens")),
+      col("split"))
+  }
+
+  /** DuckDB twin of [[leakageSafeSplit]]. */
+  val leakageSafeSplitSql: String = componentsCteSql + """
+    |,assigned AS (
+    |  SELECT d.text,
+    |         ('0x' || substr(md5(CAST(coalesce(c.keeper_id, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT
+    |           % 100 AS bkt
+    |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+    |SELECT CASE WHEN bkt < 80 THEN 'train'
+    |            WHEN bkt < 90 THEN 'validation'
+    |            ELSE 'test' END AS split,
+    |       count(*) AS n_docs,
+    |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    |FROM assigned
+    |GROUP BY 1
+    |ORDER BY 1""".stripMargin
 }

@@ -64,6 +64,33 @@ class ClustersSpec extends SparkSpec {
       .foreach { case (a, b) => assert(keeperOf(a) == keeperOf(b)) }
   }
 
+  test("leakage-safe split: near-dup pairs never straddle splits; totals partition the corpus") {
+    // reconstruct each doc's assignment with the same keeper-hash rule
+    val keeperOf = Clusters.dedupClusters(spark, sf0001)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    def bucket(key: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 100
+    }
+    def splitOf(doc: Long): String = {
+      val b = bucket(keeperOf.getOrElse(doc, doc))
+      if (b < 80) "train" else if (b < 90) "validation" else "test"
+    }
+    // no LSH near-dup pair crosses a split boundary
+    ext.Dedup.minhashLsh(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .foreach { case (a, b) => assert(splitOf(a) == splitOf(b)) }
+    // per-split doc counts match the brute-force assignment
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id").as[Long].collect()
+    val expected = docs.groupBy(splitOf).map { case (s, ds) => s -> ds.length.toLong }
+    val got = Clusters.leakageSafeSplit(spark, sf0001)
+      .select("split", "n_docs").as[(String, Long)].collect().toMap
+    assert(got == expected)
+    assert(got.values.sum == docs.length)
+  }
+
   test("dedupKeep = corpus minus exactly the non-keeper cluster members") {
     val all = Tables.table(spark, sf0001, "documents")
       .select("doc_id").as[Long].collect().toSet
