@@ -146,7 +146,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def litDouble(e: Expression, what: String): Double = e match {
     case Literal(v: Double, _) => v
     case Literal(v: Int, _) => v.toDouble
-    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    // un-suffixed SQL literals like 1.02 parse as DecimalType
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
     case other => throw new IllegalArgumentException(
       s"$what must be a numeric literal, got $other")
   }

@@ -57,10 +57,11 @@ class SqlFunctionsSpec extends SparkSpec {
 
   test("registered aggregates run from spark.sql and match the Column API") {
     Tables.table(spark, sf0001, "events").createOrReplaceTempView("ev_sql")
+    // un-suffixed decimal literals (the way a SQL user writes them)
     val viaSql = spark.sql(
       """SELECT event_type,
         |       graft_exact_count_distinct(user_id) AS uniq,
-        |       graft_dd_quantiles(value, 1.02D, 0.5D, 0.99D) AS qv
+        |       graft_dd_quantiles(value, 1.02, 0.5, 0.99) AS qv
         |FROM ev_sql GROUP BY event_type ORDER BY event_type""".stripMargin)
       .as[(String, Long, Seq[Double])].collect()
     val viaCol = Tables.table(spark, sf0001, "events")
