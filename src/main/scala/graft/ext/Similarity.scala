@@ -622,6 +622,114 @@ object Similarity {
       col("query_id"), col("rank"))
   }
 
+  /** The assembled production ANN stack — IVF + ADC, the shape every
+    * large-scale vector store runs: [[annIvf]]'s coarse quantizer
+    * decides WHERE to look (only the query's cell is scanned),
+    * [[annInt8]]'s integer dot decides CHEAPLY what to shortlist
+    * (4×-compressed codes, exact long arithmetic), and full-precision
+    * cosine reranks only the [[int8Candidates]] survivors. At 100 TB
+    * the float embeddings are touched for ≤ candidates·|queries| rows;
+    * everything else streams compressed and cell-local.
+    */
+  def annIvfInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    // float-precision cell assignment (the coarse quantizer), slimmed
+    // to (vec_id, cent_id) before the exchange; re-split first so the
+    // cosine work parallelizes off the single-file scan
+    val assigned = assignNearest(
+      emb.repartition(spark.sparkContext.defaultParallelism), centroids,
+      keepEmbedding = false).select(col("vec_id"), col("cent_id"))
+    val quantized = emb
+      .select(col("vec_id"), col("embedding"),
+        int8Scale(col("embedding")).as("scale"),
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("scale") > 0)
+      .withColumn("q", int8Codes(col("embedding"), col("scale")))
+      .select(col("vec_id"), col("q"), col("scale"), col("nrm"))
+    val cells = quantized.join(assigned, Seq("vec_id"))
+    // queries take their cell from the SAME assignment — deterministic,
+    // so probing q's cell probes where q itself was indexed
+    val queries = cells.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("scale").as("qs"), col("nrm").as("qn"), col("cent_id"))
+    val scored = cells.join(broadcast(queries), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (int_vec_dot(col("q"), col("qq")).cast("double") * col("scale") * col("qs")
+          / (col("nrm") * col("qn"))).as("qsim"))
+    val cands = graft.plans.TopKPerGroup.topKPerGroup(
+      scored, Seq(col("query_id")), Seq(col("qsim").desc, col("vec_id").asc),
+      int8Candidates)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val rer = cands
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        Seq("neighbor_id"))
+      .join(broadcast(emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        Seq("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    Present.sortSmall(
+      rer.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank")),
+      col("query_id"), col("rank"))
+  }
+
+  /** DuckDB twin: the IVF assignment CTEs joined with the int8
+    * quantization CTEs — both already proven against their standalone
+    * oracles.
+    */
+  val annIvfInt8Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |              WHERE vec_id % 25 = 0),
+       |asg AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC,
+       |                                       c.cent_id) AS rn
+       |    FROM embeddings e, cent c)
+       |  WHERE rn = 1),
+       |s AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |         $int8ScaleSql AS scale,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id, scale, nrm,
+       |         list_transform(e, v -> round(v / scale)) AS q
+       |  FROM s WHERE scale > 0),
+       |cells AS (SELECT qz.*, asg.cent_id FROM qz JOIN asg USING (vec_id)),
+       |qry AS (SELECT vec_id AS query_id, q AS qq, scale AS qs, nrm AS qn, cent_id
+       |        FROM cells WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT query_id, c.vec_id,
+       |         list_inner_product(c.q, qq) * c.scale * qs / (c.nrm * qn) AS qsim
+       |  FROM cells c JOIN qry USING (cent_id) WHERE c.vec_id <> query_id),
+       |cand AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY qsim DESC, vec_id) AS crank
+       |    FROM scored)
+       |  WHERE crank <= $int8Candidates),
+       |rer AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         round(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.query_id
+       |  JOIN embeddings b ON b.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rer)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   val annIvfSql: String =
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
        |              WHERE vec_id % 25 = 0),

@@ -410,6 +410,41 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("IVF+int8 ANN: cell-local neighbors with exact float sims, well-formed ranks") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val cellOf = ext.Similarity.assignNearest(emb, centroids, keepEmbedding = false)
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().toMap
+    val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = ext.Similarity.annIvfInt8(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rank")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n, sim, _) =>
+      assert(cellOf(q) == cellOf(n)) // IVF pruning really is cell-local
+      assert(sim == round4(cos(vecs(q), vecs(n)))) // rerank sims are exact
+    }
+    rows.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rs.length))
+      val sims = sorted.map(_._3)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("hard negatives = bm25 candidates minus contaminated pairs, re-ranked") {
     val contaminated = ext.Dedup.decontaminate(spark, sf0001)
       .select($"bench_doc", $"train_doc").as[(Long, Long)].collect().toSet
