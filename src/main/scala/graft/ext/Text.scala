@@ -639,6 +639,51 @@ object Text {
       |GROUP BY source, n_s
       |ORDER BY source""".stripMargin
 
+  /** Length-outlier screening via the DDSketch p99: documents longer
+    * than the corpus's 99th-percentile token count — the truncation /
+    * review queue every pretraining pipeline maintains (a 10⁶-token
+    * "document" is a concatenation bug or a dump, not prose). The
+    * cutoff comes from [[graft.functions.DDSketchQuantiles]], so at
+    * 100 TB it costs one bounded-state pass, not a sort; its
+    * log-bucket math is deterministic, which is what lets the oracle
+    * reproduce the cutoff exactly rather than within a tolerance.
+    *
+    * Scale shape: sketch pass (constant-size exchange) → one-row
+    * broadcast → pushdown-friendly per-row filter on a second scan.
+    */
+  def lengthOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.AggregateFunctions.dd_quantiles
+    val gamma = graft.queries.Advanced.ddGamma
+    val n = size(tokens(col("text")))
+    val docs = Tables.table(spark, sfDir, "documents")
+    val p99 = docs
+      .agg(dd_quantiles(n.cast("double"), gamma, Seq(0.99)).as("qv"))
+      .select(element_at(col("qv"), 1).as("p99"))
+    graft.Present.sortSmall(
+      docs.select(col("doc_id"), n.as("n_tokens"))
+        .crossJoin(broadcast(p99)) // one scalar cutoff rides along
+        .filter(col("n_tokens") > col("p99"))
+        .select(col("doc_id"), col("n_tokens"), round(col("p99"), 4).as("p99_tokens")),
+      col("doc_id"))
+  }
+
+  val lengthOutliersSql: String = {
+    val gamma = graft.queries.Advanced.ddGamma
+    s"""WITH n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       |           FROM documents),
+       |b AS (SELECT CAST(ceil(ln(n_tokens::DOUBLE) / ln($gamma)) AS INTEGER) AS bkt,
+       |             count(*) AS c
+       |      FROM n WHERE n_tokens > 0 GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM b),
+       |cum AS (SELECT bkt, sum(c) OVER (ORDER BY bkt) AS cum FROM b),
+       |sel AS (SELECT min(bkt) AS bkt FROM cum, tot WHERE cum >= ceil(0.99 * m)),
+       |p AS (SELECT 2 * pow($gamma, bkt) / ($gamma + 1.0) AS p99 FROM sel)
+       |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       |       round(p99, 4) AS p99_tokens
+       |FROM n, p WHERE n_tokens > p99
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Zipf rank-frequency slope per source: the least-squares slope of
     * ln(freq) against ln(rank) over each source's token frequency
     * table — natural text sits near −1 (Zipf's law); a slope far off

@@ -541,6 +541,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.nonEmpty) // planted near-dups cross source boundaries
   }
 
+  test("length outliers match an exact replay of the sketch bucket math") {
+    val gamma = queries.Advanced.ddGamma
+    val lens = Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .as[(Long, Int)].collect()
+    val counts = lens.map { case (_, n) =>
+      math.ceil(math.log(n.toDouble) / math.log(gamma)).toInt
+    }.groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val m = lens.length.toLong
+    val rank = math.ceil(0.99 * m).toLong
+    var cum = 0L
+    val bkt = counts.toSeq.sortBy(_._1).find { case (_, c) =>
+      cum += c; cum >= rank
+    }.get._1
+    val p99 = 2.0 * math.pow(gamma, bkt) / (gamma + 1.0)
+    val expected = lens.filter(_._2 > p99).map(_._1).toSet
+    val got = ext.Text.lengthOutliers(spark, sf0001).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected)
+    // a genuine tail: ~1% nominal, up to a few % at small corpus sizes
+    // (bucket granularity + the ≤1% relative cutoff error)
+    assert(got.nonEmpty && got.size < lens.length / 20)
+  }
+
   test("zipf slope: negative for every source and matches least-squares recomputation") {
     val freqs = Tables.table(spark, sf0001, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
