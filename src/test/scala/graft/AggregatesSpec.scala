@@ -106,6 +106,37 @@ class AggregatesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("misra_gries works as streaming state: heavy hitters survive across micro-batches") {
+    import graft.functions.AggregateFunctions.misra_gries
+    implicit val sqlCtx = spark.sqlContext
+    // 30× "hot" among 20 distinct cold items, split across two batches:
+    // true count 30 > n/(k+1) = 50/11 — MG guarantees survival however
+    // the stream is batched
+    val hot = Seq.fill(30)("hot")
+    val cold = (1 to 20).map(i => s"cold$i")
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val ckpt = java.nio.file.Files.createTempDirectory("mg_ckpt").toString
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("token")
+      .groupBy()
+      .agg(misra_gries($"token", 10).as("cands"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc += df.as[Seq[String]](implicitly).collect()(0).toSeq
+        ()
+      }
+      .start()
+    try {
+      mem.addData(hot.take(15) ++ cold.take(10))
+      q.processAllAvailable()
+      mem.addData(hot.drop(15) ++ cold.drop(10))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(acc.last.contains("hot")) // the guaranteed survivor
+    assert(acc.last.size <= 10) // state bound holds as streaming state
+  }
+
   test("dd_quantiles: relative error within the DDSketch guarantee vs exact percentiles") {
     import graft.functions.AggregateFunctions.dd_quantiles
     val gamma = queries.Advanced.ddGamma
