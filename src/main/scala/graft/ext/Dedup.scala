@@ -43,6 +43,16 @@ object Dedup {
       |              ELSE [array_to_string(t, ' ')] END AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
 
+  /** Near-dup Jaccard threshold — ONE definition shared by the naive
+    * baseline, the prefix-filtered exact join, MinHash-LSH
+    * verification, and fuzzy decontamination (and interpolated into
+    * each of their SQL twins), so the notion of "near-duplicate"
+    * cannot drift between operators. NOTE: must precede every val
+    * that interpolates it (object init order — a forward reference
+    * reads 0.0, silently).
+    */
+  val jaccardThreshold = 0.6
+
   // ——— exact dedup ———
 
   /** Exact dedup by full-content hash: group key → keeper (min id) +
@@ -113,7 +123,7 @@ object Dedup {
     // baseline; MinHash-LSH below is the scale path
     val jac = round(inter / (col("na") + col("nb") - inter), 4)
     Present.sortSmall(
-      a.join(b, col("doc_a") < col("doc_b") && jac >= 0.6)
+      a.join(b, col("doc_a") < col("doc_b") && jac >= jaccardThreshold)
         .select(col("doc_a"), col("doc_b"), jac.as("jaccard")),
       col("doc_a"), col("doc_b"))
   }
@@ -127,15 +137,10 @@ object Dedup {
        |FROM sh a, sh b
        |WHERE a.doc_id < b.doc_id AND a.doc_id < 1000 AND b.doc_id < 1000
        |  AND round(len(list_intersect(a.s, b.s))::DOUBLE
-       |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
+       |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ——— prefix-filtered all-pairs Jaccard (SSJoin/PPJoin family) ———
-
-  /** Jaccard threshold shared by the capped naive baseline above and
-    * the uncapped prefix-filtered path below.
-    */
-  val jaccardThreshold = 0.6
 
   /** EXACT all-pairs 3-gram Jaccard ≥ [[jaccardThreshold]] with NO
     * document cap — the prefix-filtering shape (Chaudhuri et al.
@@ -507,7 +512,7 @@ object Dedup {
       .join(sides.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n").as("nb")),
         Seq("doc_b"))
       .withColumn("jaccard", round(inter / (col("na") + col("nb") - inter), 4))
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -523,7 +528,7 @@ object Dedup {
        |FROM sh a, sh b
        |WHERE a.doc_id < b.doc_id
        |  AND round(len(list_intersect(a.s, b.s))::DOUBLE
-       |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
+       |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Fuzzy benchmark decontamination: train docs NEAR-DUPLICATING any
@@ -554,7 +559,7 @@ object Dedup {
         .join(broadcast(sb.select(col("doc_id").as("bench_doc"), col("hs").as("hb"),
           col("n").as("nb"))), Seq("bench_doc"))
         .withColumn("jaccard", round(inter / (col("na") + col("nb") - inter), 4))
-        .filter(col("jaccard") >= 0.6)
+        .filter(col("jaccard") >= jaccardThreshold)
         .select(col("train_doc"), col("bench_doc"), col("jaccard")),
       col("train_doc"), col("bench_doc"))
   }
@@ -568,7 +573,7 @@ object Dedup {
        |FROM sh a, sh b
        |WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
        |  AND round(len(list_intersect(a.s, b.s))::DOUBLE
-       |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
+       |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= $jaccardThreshold
        |ORDER BY train_doc, bench_doc""".stripMargin
 
   /** Cross-source contamination matrix: distinct-shingle overlap for

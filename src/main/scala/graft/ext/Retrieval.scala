@@ -57,6 +57,11 @@ object Retrieval {
     * Scale shape: the BM25 scoring pipeline as-is, plus one anti-join
     * against the contaminated pair set — benchmark-bounded, hence
     * broadcast.
+    *
+    * NOTE: like [[Dedup.decontaminate]], this runs Spark jobs at
+    * CONSTRUCTION time (the contamination side's inventory
+    * materialization and Bloom build) — build the DataFrame only when
+    * you mean to execute it.
     */
   def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
     val contaminated = Dedup.contaminationPairs(spark, sfDir)

@@ -656,14 +656,17 @@ object Text {
     val gamma = graft.queries.Advanced.ddGamma
     val n = size(tokens(col("text")))
     val docs = Tables.table(spark, sfDir, "documents")
+    // the cut is taken on the ROUNDED cutoff (4 dp), the same boundary
+    // convention as every other cross-engine cut here: pow/ln are not
+    // correctly-rounded, so a sub-ulp divergence must not flip a row
     val p99 = docs
       .agg(dd_quantiles(n.cast("double"), gamma, Seq(0.99)).as("qv"))
-      .select(element_at(col("qv"), 1).as("p99"))
+      .select(round(element_at(col("qv"), 1), 4).as("p99"))
     graft.Present.sortSmall(
       docs.select(col("doc_id"), n.as("n_tokens"))
         .crossJoin(broadcast(p99)) // one scalar cutoff rides along
         .filter(col("n_tokens") > col("p99"))
-        .select(col("doc_id"), col("n_tokens"), round(col("p99"), 4).as("p99_tokens")),
+        .select(col("doc_id"), col("n_tokens"), col("p99").as("p99_tokens")),
       col("doc_id"))
   }
 
@@ -677,9 +680,9 @@ object Text {
        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM b),
        |cum AS (SELECT bkt, sum(c) OVER (ORDER BY bkt) AS cum FROM b),
        |sel AS (SELECT min(bkt) AS bkt FROM cum, tot WHERE cum >= ceil(0.99 * m)),
-       |p AS (SELECT 2 * pow($gamma, bkt) / ($gamma + 1.0) AS p99 FROM sel)
+       |p AS (SELECT round(2 * pow($gamma, bkt) / ($gamma + 1.0), 4) AS p99 FROM sel)
        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
-       |       round(p99, 4) AS p99_tokens
+       |       p99 AS p99_tokens
        |FROM n, p WHERE n_tokens > p99
        |ORDER BY doc_id""".stripMargin
   }
@@ -714,7 +717,11 @@ object Text {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("vocab_size"),
           round(covar_pop(lnR, log(col("c").cast("double"))) / var_pop(lnR), 4)
-            .as("zipf_slope")),
+            .as("zipf_slope"))
+        // a single-token vocabulary has var_pop = 0 → 0/0 NaN; a slope
+        // needs ≥ 2 points, so such degenerate sources are excluded
+        // (mirrored by the oracle's HAVING)
+        .filter(col("vocab_size") > 1),
       col("source"))
   }
 
@@ -729,7 +736,7 @@ object Text {
       |      FROM f)
       |SELECT source, count(*) AS vocab_size,
       |       round(covar_pop(ln(rnk), ln(c)) / var_pop(ln(rnk)), 4) AS zipf_slope
-      |FROM r GROUP BY source ORDER BY source""".stripMargin
+      |FROM r GROUP BY source HAVING count(*) > 1 ORDER BY source""".stripMargin
 
   /** Fixed coefficients of [[qualityModel]] — stands in for a trained
     * quality classifier's weights (fastText-style), shipped with the

@@ -291,7 +291,9 @@ case class DDSketchQuantiles(
     s"quantiles must lie in (0,1], got $qs")
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  // null when the sketch saw no positive value — a silent 0.0 would
+  // read as a plausible quantile and diverge from the oracle's NULL
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def createAggregationBuffer(): mutable.HashMap[Int, Long] =
@@ -315,6 +317,7 @@ case class DDSketchQuantiles(
   }
 
   override def eval(buf: mutable.HashMap[Int, Long]): Any = {
+    if (buf.isEmpty) return null
     val buckets = buf.toArray.sortBy(_._1)
     val n = buckets.map(_._2).sum
     val ests = qs.map { q =>

@@ -160,7 +160,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // 2-arg form: (className, functionName) — usage only documents
       // the registration site; the identifier drives lookup
       new ExpressionInfo(s"graft.functions ($usage)", name),
-      builder))
+      // a wrong argument count would otherwise surface as a bare
+      // MatchError with no function name attached
+      args =>
+        try builder(args)
+        catch {
+          case _: MatchError => throw new IllegalArgumentException(
+            s"$name: unexpected argument count ${args.size} — $usage")
+        }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)

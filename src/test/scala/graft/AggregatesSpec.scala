@@ -188,6 +188,13 @@ class AggregatesSpec extends SparkSpec {
     assert(acc.toMap == batch) // exact merge ⇒ bit-identical to batch
   }
 
+  test("dd_quantiles yields null, not a fake 0.0, when no positive value was seen") {
+    import graft.functions.AggregateFunctions.dd_quantiles
+    val row = Seq(-1.0, 0.0).toDF("v")
+      .agg(dd_quantiles($"v", 1.02, Seq(0.5)).as("qv")).collect()(0)
+    assert(row.isNullAt(0))
+  }
+
   test("dd_quantiles is deterministic under repartitioning (exact merge)") {
     import graft.functions.AggregateFunctions.dd_quantiles
     val ev = Tables.table(spark, sf0001, "events").select($"event_type", $"value")

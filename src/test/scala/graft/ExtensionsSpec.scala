@@ -555,7 +555,8 @@ class ExtensionsSpec extends SparkSpec {
     val bkt = counts.toSeq.sortBy(_._1).find { case (_, c) =>
       cum += c; cum >= rank
     }.get._1
-    val p99 = 2.0 * math.pow(gamma, bkt) / (gamma + 1.0)
+    val p99 = BigDecimal(2.0 * math.pow(gamma, bkt) / (gamma + 1.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val expected = lens.filter(_._2 > p99).map(_._1).toSet
     val got = ext.Text.lengthOutliers(spark, sf0001).collect()
       .map(_.getAs[Long]("doc_id")).toSet
