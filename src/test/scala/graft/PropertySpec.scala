@@ -140,4 +140,24 @@ class PropertySpec extends SparkSpec {
       assert(xy >= 0 && xy <= math.min(nx, ny))
     }
   }
+
+  test("DDSketch guarantee holds on generated log-uniform data at several gammas") {
+    import graft.functions.AggregateFunctions.dd_quantiles
+    // log-uniform over ~9 orders of magnitude — the distribution shape
+    // the relative-error guarantee is hardest on
+    val vals = samples(Gen.chooseNum(-9.0, 9.0), 400).map(math.exp)
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    for (gamma <- Seq(1.005, 1.02, 1.1)) {
+      val est = vals.toDF("v")
+        .agg(dd_quantiles(col("v"), gamma, qs).as("qv"))
+        .as[Seq[Double]].collect()(0)
+      val sorted = vals.sorted
+      val bound = (gamma - 1.0) / (gamma + 1.0) + 1e-9
+      qs.zip(est).foreach { case (q, e) =>
+        val exact = sorted((math.ceil(q * sorted.length) - 1).toInt)
+        assert(math.abs(e - exact) / exact <= bound,
+          s"gamma=$gamma q=$q est=$e exact=$exact")
+      }
+    }
+  }
 }
