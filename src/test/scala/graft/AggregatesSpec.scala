@@ -188,6 +188,31 @@ class AggregatesSpec extends SparkSpec {
     assert(acc.toMap == batch) // exact merge ⇒ bit-identical to batch
   }
 
+  test("dd_quantiles aggregates inside watermarked tumbling windows on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val q = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(dd_quantiles($"v", 1.02, Seq(0.5)).as("qv"))
+      .writeStream.format("memory").queryName("dd_win")
+      .outputMode("update").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      mem.addData((t("2025-01-02 10:05:00"), 10.0), (t("2025-01-02 10:40:00"), 30.0),
+        (t("2025-01-02 11:10:00"), 100.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dd_win")
+      .select($"window.start".cast("string"), element_at($"qv", 1))
+      .as[(String, Double)].collect().toMap
+    assert(rows.size == 2) // two tumbling windows saw data
+    // p50 rank ⌈0.5·2⌉ = 1 → the 10-bucket for {10, 30}; {100} → 100
+    val bound = (1.02 - 1.0) / (1.02 + 1.0) + 1e-9
+    assert(math.abs(rows("2025-01-02 10:00:00") - 10.0) / 10.0 <= bound)
+    assert(math.abs(rows("2025-01-02 11:00:00") - 100.0) / 100.0 <= bound)
+  }
+
   test("dd_quantiles yields null, not a fake 0.0, when no positive value was seen") {
     import graft.functions.AggregateFunctions.dd_quantiles
     val row = Seq(-1.0, 0.0).toDF("v")
