@@ -71,6 +71,18 @@ class SqlFunctionsSpec extends SparkSpec {
         graft.functions.AggregateFunctions.dd_quantiles($"value", 1.02, Seq(0.5, 0.99)).as("qv"))
       .orderBy($"event_type").as[(String, Long, Seq[Double])].collect()
     assert(viaSql.toSeq == viaCol.toSeq)
+
+    val viaSql2 = spark.sql(
+      """SELECT graft_bounded_collect_set(event_type, 3) AS s,
+        |       graft_misra_gries(event_type, 2) AS mg
+        |FROM ev_sql""".stripMargin)
+      .as[(Seq[String], Seq[String])].collect()(0)
+    val viaCol2 = Tables.table(spark, sf0001, "events")
+      .agg(
+        graft.functions.AggregateFunctions.bounded_collect_set($"event_type", 3).as("s"),
+        graft.functions.AggregateFunctions.misra_gries($"event_type", 2).as("mg"))
+      .as[(Seq[String], Seq[String])].collect()(0)
+    assert(viaSql2 == viaCol2)
   }
 
   test("sketch parameters reject non-literal arguments with a clear error") {
