@@ -122,31 +122,38 @@ object Clusters {
       col("doc_id"))
   }
 
-  /** Shared oracle scaffolding: ground-truth pairwise-Jaccard edges
-    * (same CTE as the MinHash-LSH oracle) + a recursive CTE propagating
-    * the minimum reachable doc_id into `comp(doc_id, keeper_id)`.
+  /** Shared oracle scaffolding: ground-truth pairwise-Jaccard pairs
+    * (same CTE as the MinHash-LSH oracle) + the symmetric edge list.
+    * (RECURSIVE is declared up front so [[componentsCteSql]] can
+    * extend this prefix; it is legal with no recursive member.)
     */
-  private val componentsCteSql: String = {
+  private val pairsEdgesCteSql: String = {
     val head = "WITH RECURSIVE " + Dedup.shinglesSqlCte + ","
-    val rest = """
+    val rest = s"""
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM sh a, sh b
       |  WHERE a.doc_id < b.doc_id
       |    AND round(len(list_intersect(a.s, b.s))::DOUBLE
-      |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6),
+      |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+      |        >= ${Dedup.jaccardThreshold}),
       |edges AS (
       |  SELECT doc_a AS a, doc_b AS b FROM pairs
       |  UNION
-      |  SELECT doc_b AS a, doc_a AS b FROM pairs),
-      |nodes AS (SELECT DISTINCT a AS doc FROM edges),
-      |reach(doc, lab) AS (
-      |  SELECT doc, doc FROM nodes
-      |  UNION
-      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc),
-      |comp AS (SELECT doc AS doc_id, min(lab) AS keeper_id FROM reach GROUP BY doc)""".stripMargin
+      |  SELECT doc_b AS a, doc_a AS b FROM pairs)""".stripMargin
     head + rest
   }
+
+  /** ... plus the recursive CTE propagating the minimum reachable
+    * doc_id into `comp(doc_id, keeper_id)`.
+    */
+  private val componentsCteSql: String = pairsEdgesCteSql + """,
+    |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    |reach(doc, lab) AS (
+    |  SELECT doc, doc FROM nodes
+    |  UNION
+    |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc),
+    |comp AS (SELECT doc AS doc_id, min(lab) AS keeper_id FROM reach GROUP BY doc)""".stripMargin
 
   /** DuckDB twin of [[dedupClusters]]. */
   val dedupClustersSql: String = componentsCteSql + """
@@ -183,6 +190,69 @@ object Clusters {
     |FROM documents d
     |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keeper_id)
     |ORDER BY d.doc_id""".stripMargin
+
+  /** Damping factor and iteration count for [[dupPageRank]] — fixed
+    * (not run-to-convergence) so the oracle replays the exact same
+    * two chained iterations.
+    */
+  val prDamping = 0.85
+  val prIterations = 2
+
+  /** PageRank centrality over the near-dup graph: an importance score
+    * for every document that participates in a near-dup chain — the
+    * principled upgrade to min-id keeper selection (keep the most
+    * CENTRAL version of a duplicated document: the one most other
+    * variants derive from), and the standard graph-side signal for
+    * weighting survivors. Undirected graph, uniform init 1.0,
+    * pr ← (1−d) + d·Σ pr(neighbor)/deg(neighbor), [[prIterations]]
+    * fixed iterations.
+    *
+    * Scale shape: each iteration is one edge-list join against the
+    * current rank table plus a partial-agged sum per destination —
+    * never adjacency matrices, never driver-side graph state; the
+    * iteration count is fixed, so the lineage stays two joins deep.
+    * Every node of this graph has degree ≥ 1 (it comes from a pair
+    * list), so no dangling-mass term is needed.
+    */
+  def dupPageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Dedup.minhashLshPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("doc_id"), lit(1.0).as("pr"))
+    for (_ <- 1 to prIterations) {
+      ranks = sym.join(deg, Seq("src"))
+        .join(ranks, sym("src") === ranks("doc_id"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in"))
+        .select(col("dst").as("doc_id"),
+          (lit(1.0 - prDamping) + lit(prDamping) * col("in")).as("pr"))
+    }
+    Present.sortSmall(
+      ranks.select(col("doc_id"), round(col("pr"), 4).as("pagerank")),
+      col("doc_id"))
+  }
+
+  /** DuckDB twin: the naive-pair edge list + the same two chained
+    * iteration CTEs (edges are symmetric, so a→b contributes
+    * pr(a)/deg(a) to b).
+    */
+  val dupPageRankSql: String = {
+    def iter(prev: String, next: String): String =
+      s""",
+         |$next AS (
+         |  SELECT e.b AS doc_id,
+         |         ${1.0 - prDamping} + $prDamping * sum(r.pr / d.deg) AS pr
+         |  FROM edges e JOIN $prev r ON r.doc_id = e.a
+         |               JOIN deg d ON d.src = e.a
+         |  GROUP BY e.b)""".stripMargin
+    pairsEdgesCteSql + """,
+    |deg AS (SELECT a AS src, count(*) AS deg FROM edges GROUP BY 1),
+    |r0 AS (SELECT src AS doc_id, 1.0 AS pr FROM deg)""".stripMargin +
+      iter("r0", "r1") + iter("r1", "r2") + """
+    |SELECT doc_id, round(pr, 4) AS pagerank FROM r2 ORDER BY doc_id""".stripMargin
+  }
 
   /** Leakage-safe train/validation/test split: the 80/10/10 assignment
     * hashes the near-dup CLUSTER KEEPER (own id for unclustered docs),

@@ -91,6 +91,28 @@ class ClustersSpec extends SparkSpec {
     assert(got.values.sum == docs.length)
   }
 
+  test("dup pagerank matches a brute-force power-iteration recomputation") {
+    val pairs = ext.Dedup.minhashLsh(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var pr = adj.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to Clusters.prIterations) {
+      // incoming mass: each neighbor m sends pr(m)/deg(m) along its edge
+      pr = adj.map { case (n, ns) =>
+        n -> (0.15 + 0.85 * ns.toSeq.map(m => pr(m) / adj(m).size).sum)
+      }
+    }
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Clusters.dupPageRank(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("pagerank"))).toMap
+    assert(got.keySet == pr.keySet)
+    got.foreach { case (n, v) => assert(math.abs(v - round4(pr(n))) <= 1e-4, s"doc $n") }
+    // teleport + conservation on a symmetric graph: total mass stays |V|
+    assert(math.abs(got.values.sum - got.size) < 0.01 * got.size)
+  }
+
   test("dedupKeep = corpus minus exactly the non-keeper cluster members") {
     val all = Tables.table(spark, sf0001, "documents")
       .select("doc_id").as[Long].collect().toSet
