@@ -37,9 +37,6 @@ object Bench {
       System.gc()
       name -> (if (ok) dt else -1.0)
     }
-    // millisecond precision: full-double timings pushed the JSON line
-    // past the driver's fixed tail-capture window, truncating the first
-    // queries out of BENCH_r*.json (sub-ms digits are JVM noise anyway).
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and
     // a comma-decimal locale would corrupt the JSON line
     def ms(v: Double): String =
@@ -50,7 +47,25 @@ object Bench {
     // sum successes only and surface an explicit failure count
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failures = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}"""
+    // The per-query map (~100 entries) overflows the driver's fixed
+    // stdout tail-capture window, which for three rounds truncated the
+    // first ~15 timings and broke JSON parsing. So: the FULL map is
+    // written to a committed file, and stdout carries only one short,
+    // always-parseable totals line (printed last, nothing after it).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full per-query timings written to $outPath")
+    } catch { case e: Throwable =>
+      // fall back to stderr so the numbers are never silently lost
+      System.err.println(s"[bench] could not write $outPath (${e.getMessage}); full JSON follows")
+      System.err.println(fullJson)
+    }
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failures":$failures,"n_queries":${results.size},"detail":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
