@@ -217,8 +217,15 @@ object Clusters {
   def dupPageRank(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = Dedup.minhashLshPairs(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
+    // localCheckpoint the symmetric edge list once (lazy — the first
+    // iteration's action materializes it), mirroring connectedComponents:
+    // without it every fixed iteration's plan re-embeds the whole
+    // MinHash+LSH+verify candidate pipeline, and candidate generation —
+    // the dominant cost at corpus scale — re-executes ~5× in one query.
+    // deg derives from the checkpointed sym, so the LSH lineage runs once.
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(false)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var ranks = deg.select(col("src").as("doc_id"), lit(1.0).as("pr"))
     for (_ <- 1 to prIterations) {

@@ -96,20 +96,31 @@ object Retrieval {
         explode(array_distinct(Text.tokens(col("text")))).as("token"))
     val qvocab = qterms.select(col("token")).distinct()
 
+    // tokenize ONCE: postings, doc lengths, and the corpus stats all
+    // need the token stream, and without sharing it each re-runs the
+    // full corpus scan + tokenize — the dominant cost of the pipeline.
+    // Lazy localCheckpoint materializes (doc_id, toks, dl) on the first
+    // action and the three derivations below read the checkpointed
+    // blocks (a DISK_ONLY persist or a staging parquet is the
+    // multi-executor analog of the same move).
+    val tokenized = corpus
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      .localCheckpoint(false)
+
     // posting list restricted to the query vocabulary: the broadcast
-    // semi filter runs map-side on the exploded scan, BEFORE the tf
-    // exchange — only matching tokens' postings ever shuffle
-    val postings = corpus
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    // semi filter runs map-side on the exploded checkpoint read, BEFORE
+    // the tf exchange — only matching tokens' postings ever shuffle
+    val postings = tokenized
+      .select(col("doc_id"), explode(col("toks")).as("token"))
       .join(broadcast(qvocab), Seq("token"), "left_semi")
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val docLen = corpus
-      .select(col("doc_id"), size(Text.tokens(col("text"))).as("dl"))
+    val docLen = tokenized.select(col("doc_id"), col("dl"))
     val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("dfc"))
-    val stats = corpus.agg(
+    val stats = tokenized.agg(
       count(lit(1)).as("n_docs"),
-      avg(size(Text.tokens(col("text"))).cast("double")).as("avgdl"))
+      avg(col("dl").cast("double")).as("avgdl"))
 
     val idf = log(lit(1.0) +
       (col("n_docs") - col("dfc") + 0.5) / (col("dfc") + 0.5))
