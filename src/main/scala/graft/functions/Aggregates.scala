@@ -304,6 +304,18 @@ case class DDSketchQuantiles(
     if (v != null) {
       val d = v.asInstanceOf[Double]
       if (d > 0.0) {
+        // RESIDUAL BOUNDARY ASSUMPTION (shared with the DuckDB twins in
+        // quantileSketchSql / lengthOutliersSql): neither JVM Math.log
+        // nor libm ln is correctly rounded, so a value landing EXACTLY
+        // on a bucket boundary (ln v / ln γ integral) could in principle
+        // be assigned adjacent buckets by the two engines. The oracle
+        // queries feed integer-valued doubles through γ = 1.02 /
+        // 1.0204..., whose boundaries (γ^k) are irrational for k ≠ 0, so
+        // no fixture value can sit on one; a 1-ulp divergence off a
+        // boundary never flips ceil. Callers needing engine-identical
+        // bucketing for arbitrary inputs should pre-round inputs (the
+        // repo's usual 4-dp move) rather than trust matching ln
+        // implementations.
         val bkt = math.ceil(math.log(d) / math.log(gamma)).toInt
         buf(bkt) = buf.getOrElse(bkt, 0L) + 1
       }

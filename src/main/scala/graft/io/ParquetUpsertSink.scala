@@ -135,6 +135,43 @@ final case class ParquetUpsertSink(
     fs.exists(dir) && fs.listStatus(dir)
       .exists(f => f.getPath.getName.startsWith("part-") && f.getLen > 0)
 
+  /** Full pinned schema of the table: inferred from the live partition
+    * dirs when any hold data, else from the NEWEST archived pre-image
+    * that does. Lets an empty change-set / time-travel read return zero
+    * rows WITH the table schema — a downstream `select("id", "v")`
+    * must not throw AnalysisException precisely in the common
+    * no-changes / all-tombstoned case.
+    */
+  private def tableSchema(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem): Option[org.apache.spark.sql.types.StructType] = {
+    def partDirs(root: Path): Seq[Path] =
+      if (fs.exists(root))
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.startsWith(s"$partitionCol=") && hasDataFiles(fs, p)).toSeq
+      else Seq.empty
+    val live = partDirs(new Path(path))
+    if (live.nonEmpty) Some(readStringPartitioned(spark, live).schema)
+    else ParquetUpsertSink.listArchivedCommits(spark, path).reverse.iterator
+      .map(c => new Path(archiveRoot, c))
+      .map(cd => cd -> partDirs(cd))
+      .collectFirst { case (cd, dirs) if dirs.nonEmpty =>
+        readStringPartitioned(spark, dirs, cd.toString).schema
+      }
+  }
+
+  /** Zero rows, table schema (see [[tableSchema]]; falls back to the
+    * partition column alone only when the table has never held data
+    * anywhere — live or archived — i.e. there is no schema to pin).
+    */
+  private def emptyTable(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem): DataFrame = {
+    val schema = tableSchema(spark, fs).getOrElse(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(partitionCol,
+          org.apache.spark.sql.types.StringType))))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** Touched-partition set of an archived commit, in escaped dir-name
     * form: the manifest when present; for pre-manifest commits, the
     * pre-image dirs themselves (creations are then indistinguishable
@@ -176,9 +213,17 @@ final case class ParquetUpsertSink(
     */
   def readAsOf(spark: org.apache.spark.sql.SparkSession, asOf: String): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retained = ParquetUpsertSink.listArchivedCommits(spark, path)
+    // fail fast on a pruned commit id: commits between a pruned asOf and
+    // the oldest retained commit have lost their pre-images, so the read
+    // would silently collapse to the before-oldest-retained state
+    require(asOf == "" || retained.contains(asOf),
+      s"asOf commit '$asOf' is not retained (keepVersions window); " +
+        (if (retained.isEmpty) "no archived commits exist"
+         else s"oldest retained commit is '${retained.head}'"))
     // oldest-first; for each partition the FIRST newer commit that
     // touched it holds the authoritative pre-image
-    val newer = ParquetUpsertSink.listArchivedCommits(spark, path).filter(_ > asOf)
+    val newer = retained.filter(_ > asOf)
     val overrides = scala.collection.mutable.LinkedHashMap.empty[String, Option[Path]]
     newer.foreach { c =>
       val commitDir = new Path(archiveRoot, c)
@@ -203,11 +248,7 @@ final case class ParquetUpsertSink(
         overrides.values.flatten.groupBy(_.getParent).map { case (base, dirs) =>
           readStringPartitioned(spark, dirs.toSeq, base.toString)
         }
-    if (groups.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(partitionCol,
-            org.apache.spark.sql.types.StringType))))
+    if (groups.isEmpty) emptyTable(spark, fs)
     // additive schema evolution across commits: old pre-images may
     // lack columns the live table has gained (null-fill, like upsert)
     else groups.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -232,11 +273,7 @@ final case class ParquetUpsertSink(
       .distinct
     val liveDirs = touched.map(v => new Path(s"$path/$partitionCol=$v"))
       .filter(hasDataFiles(fs, _))
-    if (liveDirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(partitionCol,
-            org.apache.spark.sql.types.StringType))))
+    if (liveDirs.isEmpty) emptyTable(spark, fs)
     else readStringPartitioned(spark, liveDirs)
   }
 

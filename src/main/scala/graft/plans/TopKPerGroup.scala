@@ -153,78 +153,83 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   private def register(
-      ext: SparkSessionExtensions, name: String, usage: String)(
+      ext: SparkSessionExtensions, name: String, clazz: Class[_],
+      usage: String, arity: Int, variadicMin: Boolean = false)(
       builder: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
       new FunctionIdentifier(name),
-      // 2-arg form: (className, functionName) — usage only documents
-      // the registration site; the identifier drives lookup
-      new ExpressionInfo(s"graft.functions ($usage)", name),
-      // a wrong argument count would otherwise surface as a bare
-      // MatchError with no function name attached
-      args =>
-        try builder(args)
-        catch {
-          case _: MatchError => throw new IllegalArgumentException(
-            s"$name: unexpected argument count ${args.size} — $usage")
-        }))
+      // 5-arg form: DESCRIBE FUNCTION shows the real implementing class
+      // where it belongs AND the usage text in its own field (the 2-arg
+      // form is (className, functionName) — usage passed there landed in
+      // the class-name slot)
+      new ExpressionInfo(clazz.getCanonicalName, null, name, usage, ""),
+      args => {
+        // explicit arity check BEFORE the builder runs — a MatchError
+        // catch around it would also mask a genuine MatchError thrown
+        // from inside an expression constructor
+        val ok = if (variadicMin) args.size >= arity else args.size == arity
+        if (!ok) throw new IllegalArgumentException(
+          s"$name: expected ${if (variadicMin) s"at least $arity" else s"$arity"} " +
+            s"argument(s), got ${args.size} — $usage")
+        builder(args)
+      }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     // analyzer rewrite: exact countDistinct becomes legal on streams
     ext.injectResolutionRule(_ => RewriteStreamingExactDistinct)
 
-    register(ext, "graft_vec_dot",
-      "float-vector dot product (double accumulation)") {
+    register(ext, "graft_vec_dot", classOf[graft.functions.FloatVecDot],
+      "float-vector dot product (double accumulation)", 2) {
       case Seq(a, b) => graft.functions.FloatVecDot(a, b)
     }
-    register(ext, "graft_int_vec_dot",
-      "integer-vector dot product (long accumulation, exact)") {
+    register(ext, "graft_int_vec_dot", classOf[graft.functions.IntVecDot],
+      "integer-vector dot product (long accumulation, exact)", 2) {
       case Seq(a, b) => graft.functions.IntVecDot(a, b)
     }
-    register(ext, "graft_word_shingles",
-      "distinct n-word shingles of a token array") {
+    register(ext, "graft_word_shingles", classOf[graft.functions.WordShingles],
+      "distinct n-word shingles of a token array", 2) {
       case Seq(t, n) => graft.functions.WordShingles(t, litInt(n, "shingle width"))
     }
-    register(ext, "graft_hashed_shingle_set",
-      "sorted distinct 64-bit hashes of n-word shingles") {
+    register(ext, "graft_hashed_shingle_set", classOf[graft.functions.HashedShingleSet],
+      "sorted distinct 64-bit hashes of n-word shingles", 2) {
       case Seq(t, n) => graft.functions.HashedShingleSet(t, litInt(n, "shingle width"))
     }
-    register(ext, "graft_sorted_intersect_count",
-      "intersection size of two sorted long arrays") {
+    register(ext, "graft_sorted_intersect_count", classOf[graft.functions.SortedLongIntersectCount],
+      "intersection size of two sorted long arrays", 2) {
       case Seq(a, b) => graft.functions.SortedLongIntersectCount(a, b)
     }
-    register(ext, "graft_minhash_signature",
-      "k-seed MinHash signature of a token array") {
+    register(ext, "graft_minhash_signature", classOf[graft.functions.MinHashSignature],
+      "k-seed MinHash signature of a token array", 2) {
       case Seq(t, k) => graft.functions.MinHashSignature(t, litInt(k, "signature size"))
     }
-    register(ext, "graft_simhash",
-      "md5-derived SimHash of a token array at the given bit width") {
+    register(ext, "graft_simhash", classOf[graft.functions.SimHashMd5],
+      "md5-derived SimHash of a token array at the given bit width", 2) {
       case Seq(t, bits) => graft.functions.SimHashMd5(t, litInt(bits, "bits"))
     }
-    register(ext, "graft_top_ngram_frac",
-      "fraction of a doc's tokens covered by its most repeated n-gram") {
+    register(ext, "graft_top_ngram_frac", classOf[graft.functions.TopNgramFrac],
+      "fraction of a doc's tokens covered by its most repeated n-gram", 2) {
       case Seq(t, n) => graft.functions.TopNgramFrac(t, litInt(n, "ngram width"))
     }
     // input casts mirror the Column-API wrappers in AggregateFunctions:
     // each buffer update unboxes one concrete type
-    register(ext, "graft_exact_count_distinct",
-      "exact distinct count, streaming-legal") {
+    register(ext, "graft_exact_count_distinct", classOf[graft.functions.ExactCountDistinctLong],
+      "exact distinct count, streaming-legal", 1) {
       case Seq(c) => graft.functions.ExactCountDistinctLong(
         Cast(c, org.apache.spark.sql.types.LongType))
     }
-    register(ext, "graft_bounded_collect_set",
-      "collect_set keeping the cap smallest distinct strings") {
+    register(ext, "graft_bounded_collect_set", classOf[graft.functions.BoundedCollectSet],
+      "collect_set keeping the cap smallest distinct strings", 2) {
       case Seq(c, cap) => graft.functions.BoundedCollectSet(
         Cast(c, org.apache.spark.sql.types.StringType), litInt(cap, "cap"))
     }
-    register(ext, "graft_misra_gries",
-      "Misra-Gries frequent-item candidates with k counters") {
+    register(ext, "graft_misra_gries", classOf[graft.functions.MisraGriesSketch],
+      "Misra-Gries frequent-item candidates with k counters", 2) {
       case Seq(c, k) => graft.functions.MisraGriesSketch(
         Cast(c, org.apache.spark.sql.types.StringType), litInt(k, "k"))
     }
-    register(ext, "graft_dd_quantiles",
-      "DDSketch quantile estimates at the given gamma") {
+    register(ext, "graft_dd_quantiles", classOf[graft.functions.DDSketchQuantiles],
+      "DDSketch quantile estimates at the given gamma", 3, variadicMin = true) {
       case c +: gamma +: qs if qs.nonEmpty =>
         graft.functions.DDSketchQuantiles(
           Cast(c, org.apache.spark.sql.types.DoubleType),
