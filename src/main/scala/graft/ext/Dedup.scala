@@ -440,6 +440,122 @@ object Dedup {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** Substring span REMOVAL — the action the [[dupSpans]] signal exists
+    * to drive (Lee et al. §4: excise the duplicated substring, keep the
+    * rest of the document): emit each document's text with every
+    * duplicated [[spanLen]]-token window cut out, plus removal counts.
+    * A token is removed when ANY window covering it occurs verbatim in
+    * more than one document; overlapping flagged windows merge
+    * naturally through the covered-index set.
+    *
+    * Scale shape, stage by stage: (1) positional windows are one
+    * O(corpus tokens) explode; (2) the duplicated-window set is one
+    * hash shuffle on the span key with partial agg; (3) covered token
+    * indices explode only FLAGGED windows (duplicated text fraction,
+    * not the corpus); (4) only flagged documents pay the token-level
+    * rebuild shuffle — clean documents pass through with a per-row
+    * array_join and never reshuffle. At 100 TB with a few percent of
+    * text duplicated, the expensive path touches a few percent of the
+    * corpus.
+    *
+    * Docs shorter than [[spanLen]] tokens form one whole-doc window
+    * (the [[dupSpans]]/[[shingles]] convention), so a short doc whose
+    * entire text occurs elsewhere is excised to empty — exact-dup
+    * removal degenerates out of the same rule.
+    */
+  def dupSpanRemoval(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+    // positional windows (NON-distinct, unlike WordShingles — removal
+    // needs every occurrence's start index): 0-based start i covers
+    // tokens [i, min(i+spanLen, n) - 1]
+    val windows = docs
+      .select(col("doc_id"), size(col("t")).as("n"),
+        posexplode(
+          when(size(col("t")) >= spanLen,
+            transform(sequence(lit(0), size(col("t")) - spanLen),
+              i => array_join(slice(col("t"), i + lit(1), lit(spanLen)), " ")))
+            .otherwise(array(array_join(col("t"), " "))))
+          .as(Seq("pos", "span")))
+    // duplicated = the window text occurs in >1 DISTINCT document (a
+    // doc-internal repeat alone is repetition, not cross-doc copying)
+    val dup = windows.select(col("span"), col("doc_id")).distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("span"))
+    val covered = windows
+      .join(dup, Seq("span"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"),
+          least(col("pos") + spanLen, col("n")) - 1)).as("i"))
+      .distinct()
+    val flagged = covered.select(col("doc_id")).distinct()
+    // token-level rebuild, flagged docs only: anti-join drops covered
+    // positions, sort_array restores token order under one doc-keyed
+    // shuffle
+    val rebuilt = docs.join(flagged, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "tok")))
+      .join(covered, Seq("doc_id", "i"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+            s => s.getField("tok")), " ").as("ct"))
+    Present.sortSmall(
+      docs
+        .join(flagged.withColumn("is_flagged", lit(true)), Seq("doc_id"), "left_outer")
+        .join(rebuilt, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          size(col("t")).as("n_tokens"),
+          when(col("is_flagged"), size(col("t")) - coalesce(col("n_kept"), lit(0L)))
+            .otherwise(lit(0)).cast("int").as("n_removed"),
+          when(col("is_flagged"), coalesce(col("ct"), lit("")))
+            .otherwise(array_join(col("t"), " ")).as("clean_text")),
+      col("doc_id"))
+  }
+
+  /** DuckDB twin of [[dupSpanRemoval]]: same positional windows (list
+    * slices clamp, so the short-doc whole-text window falls out of the
+    * same expression), same covered-index anti join, ordered string_agg
+    * rebuild.
+    */
+  val dupSpanRemovalSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |w AS (
+       |  SELECT doc_id, n, i, array_to_string(t[i : i + ${spanLen - 1}], ' ') AS span
+       |  FROM (SELECT doc_id, t, len(t) AS n,
+       |               unnest(range(1, greatest(len(t) - ${spanLen - 1}, 1) + 1)) AS i
+       |        FROM d)),
+       |dup AS (
+       |  SELECT span FROM (SELECT DISTINCT doc_id, span FROM w)
+       |  GROUP BY span HAVING count(*) > 1),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, j AS i FROM (
+       |    SELECT w.doc_id, unnest(range(w.i, least(w.i + $spanLen, w.n + 1))) AS j
+       |    FROM w JOIN dup USING (span))),
+       |fd AS (SELECT DISTINCT doc_id FROM cov),
+       |tok AS (
+       |  SELECT doc_id, i, t[i] AS tok FROM (
+       |    SELECT d.doc_id, d.t, unnest(range(1, len(t) + 1)) AS i
+       |    FROM d JOIN fd USING (doc_id))),
+       |kept AS (
+       |  SELECT * FROM tok
+       |  WHERE NOT EXISTS (SELECT 1 FROM cov
+       |                    WHERE cov.doc_id = tok.doc_id AND cov.i = tok.i)),
+       |reb AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY i) AS ct
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(len(t) AS INTEGER) AS n_tokens,
+       |       CAST(CASE WHEN fd.doc_id IS NOT NULL
+       |                 THEN len(t) - coalesce(reb.n_kept, 0)
+       |                 ELSE 0 END AS INTEGER) AS n_removed,
+       |       CASE WHEN fd.doc_id IS NOT NULL THEN coalesce(reb.ct, '')
+       |            ELSE array_to_string(t, ' ') END AS clean_text
+       |FROM d LEFT JOIN fd USING (doc_id) LEFT JOIN reb USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ——— MinHash + LSH ———
 
   val numHashes = 32

@@ -149,6 +149,28 @@ class ExtensionsSpec extends SparkSpec {
     assert((withDups & nearDups).nonEmpty)
   }
 
+  test("span removal excises exactly the flagged-window tokens") {
+    val spans = ext.Dedup.dupSpans(spark, sf0001)
+      .select($"doc_id", $"dup_frac").as[(Long, Double)].collect().toMap
+    val removed = ext.Dedup.dupSpanRemoval(spark, sf0001)
+      .as[(Long, Int, Int, String)].collect()
+    assert(removed.length == spans.size) // every doc comes back, flagged or not
+    removed.foreach { case (id, nTok, nRem, clean) =>
+      assert(nRem >= 0 && nRem <= nTok)
+      // output self-consistency: the cleaned text holds exactly the
+      // surviving tokens (single-space join, mirroring tokenization)
+      val cleanToks = if (clean.isEmpty) 0 else clean.split(" ", -1).length
+      assert(cleanToks == nTok - nRem,
+        s"doc $id: clean token count $cleanToks != $nTok - $nRem")
+      // a doc loses tokens IFF the dup-span signal flags it: both
+      // operators define "duplicated" as a window occurring in >1
+      // distinct doc, so the removal acts on exactly the signal's docs
+      assert((nRem > 0) == (spans(id) > 0.0),
+        s"doc $id: n_removed=$nRem but dup_frac=${spans(id)}")
+    }
+    assert(removed.exists(_._3 > 0)) // fixture does contain duplicated text
+  }
+
   test("int8 quantization error is bounded by half a quantization step") {
     val rows = ext.Similarity.quantizeInt8(spark, sf0001)
       .as[(Long, Double, Double, Double)].collect()
