@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.io.ParquetUpsertSink
+
+/** Streaming IVF index maintenance — the streaming twin of
+  * [[Similarity.annIvf]]: new embedding vectors arrive on a stream,
+  * each micro-batch is assigned to its nearest coarse-quantizer
+  * centroid ([[Similarity.assignNearest]] — the SAME assignment the
+  * batch index uses, so the two can never drift) and upserted with its
+  * int8 ADC payload into a cent_id-partitioned [[ParquetUpsertSink]]
+  * table. The coarse quantizer itself stays FIXED between index
+  * rebuilds — standard IVF practice (re-fitting centroids is the
+  * periodic batch job; an index whose cells move under its readers
+  * answers nothing consistently).
+  *
+  * Index-consistency caveat (Hudi's non-global-index semantics, same
+  * tradeoff): the upsert resolves record keys WITHIN a partition, so a
+  * re-ingested vector whose embedding moved far enough to change its
+  * nearest centroid writes its new cell but does not erase its row in
+  * the old one — the key-to-cell lookup that global erasure needs is a
+  * corpus-scale index of its own. The common refresh (same cell, new
+  * payload) resolves exactly; callers that re-embed whole corpora
+  * rebuild the index (the batch path) rather than streaming moves.
+  *
+  * Scale shape: per micro-batch the centroid set (k rows — metadata
+  * scale) is broadcast, assignment is one map-side pass over the batch,
+  * and the upsert rewrites only the partitions (= IVF cells) the batch
+  * touches. Search probes read only their query's cell DIRECTORY —
+  * partition pruning on cent_id, so a 100 TB index answers an nprobe=1
+  * query by scanning one cell, exactly like the batch [[Similarity.annIvf]]
+  * layout. Replayed batches re-upsert the same (vec_id, seq) rows
+  * idempotently — at-least-once delivery degrades to the sink's
+  * documented idempotent rewrite.
+  */
+object StreamIvf {
+
+  /** Index rows of a (vec_id, embedding) vector set against the fixed
+    * centroid table: cell assignment + the int8 ADC payload
+    * ([[Similarity.int8Scale]]/[[Similarity.int8Codes]] — the shared
+    * quantization recipe) + the float embedding for exact rerank.
+    * `seq` is the precombine version (the micro-batch id): on key
+    * collision the upsert keeps the highest, so a re-ingested vector
+    * resolves to its newest embedding.
+    */
+  def indexRows(vectors: DataFrame, cents: DataFrame, seq: Long): DataFrame =
+    Similarity.assignNearest(vectors, cents, keepEmbedding = true)
+      .select(col("vec_id"), col("cent_id"), col("embedding"))
+      .withColumn("scale", Similarity.int8Scale(col("embedding")))
+      .filter(col("scale") > 0) // an all-zero vector has nothing to index
+      .withColumn("q", Similarity.int8Codes(col("embedding"), col("scale")))
+      .withColumn("seq", lit(seq))
+
+  /** The index table's sink: record key vec_id, precombine seq,
+    * partitioned by IVF cell.
+    */
+  def sink(path: String, keepVersions: Int = 1): ParquetUpsertSink =
+    ParquetUpsertSink(path, recordKeys = Seq("vec_id"), precombine = "seq",
+      partitionCol = "cent_id", keepVersions = keepVersions)
+
+  /** Start maintaining the index from a stream of (vec_id, embedding)
+    * rows: per micro-batch, assign + quantize + upsert the touched
+    * cells.
+    */
+  def start(vectors: DataFrame, cents: DataFrame, path: String,
+      checkpoint: String): StreamingQuery = {
+    val s = sink(path)
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        s.upsert(indexRows(batch, cents, batchId), batchId))
+      .start()
+  }
+
+  /** Read the maintained index back (partition-pruning-friendly: filter
+    * on cent_id before anything else and only those cell directories
+    * are listed). The partition column is directory-inferred — pin it
+    * back to the centroid ids' long type.
+    */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).withColumn("cent_id", col("cent_id").cast("long"))
+
+  /** Exact cell-probed top-k over the maintained index —
+    * [[Similarity.annIvf]]'s search shape (nprobe = 1): assign each
+    * query to its cell with the same quantizer, join only that cell's
+    * rows, exact float cosine, top-k with the standard tie-break.
+    */
+  def search(index: DataFrame, queryVecs: DataFrame, cents: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = Similarity.assignNearest(queryVecs, cents, keepEmbedding = true)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
+    val scored = index.join(broadcast(queries), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(Similarity.cosine(col("qv"), col("embedding")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
+  }
+}
