@@ -136,6 +136,120 @@ object Multimodal {
       .transform(graft.Present.sortSmall(_, col("doc_id")))
   }
 
+  // ——— media dedup ———
+
+  /** Exact media dedup: payload content hash within a modality →
+    * keeper + copy count, [[Dedup.exact]]'s shape lifted onto the
+    * binary column (the hash key is the payload BYTES — for media
+    * there is no "normalize then hash" shortcut, the bytes are the
+    * identity). One hash shuffle with map-side partial agg; at 100 TB
+    * the md5 streams with the scan and only (type, key) groups
+    * exchange.
+    */
+  def mediaDedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).toDF()
+      .groupBy(col("media_type"), md5(col("payload")).as("content_key"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .transform(graft.Present.sortSmall(_, col("media_type"), col("keeper_doc_id")))
+
+  val mediaDedupExactSql: String =
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |            WHEN doc_id % 3 = 1 THEN 'audio'
+      |            ELSE 'video' END AS media_type,
+      |       md5(text) AS content_key,
+      |       min(doc_id) AS keeper_doc_id,
+      |       count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY media_type, keeper_doc_id""".stripMargin
+
+  /** Banding granularity and verify tolerances for
+    * [[mediaDedupFeature]]: band on f1 in [[featureEps]]-wide buckets
+    * (probe own + both neighbor bands, so no true pair at the
+    * tolerance can straddle away), verify |Δf1| ≤ eps, |Δf2| ≤ eps/2,
+    * and byte lengths within 2%.
+    */
+  val featureEps = 0.002
+
+  /** Feature-space media near-dup: block on a quantized stub
+    * "perceptual" feature, verify candidates exactly — the media twin
+    * of the banded embedding LSH ([[Similarity]]), demonstrating the
+    * decode→feature→band→verify pipeline on the staged binary column.
+    * The features play the role of a perceptual hash (decoded-content
+    * statistics, NOT byte identity): f1 = separator density, f2 =
+    * digit density over the decoded payload, both cheap codegen'd
+    * expressions standing in for the real (stubbed, [[decodeStub]])
+    * image/audio feature extractor.
+    *
+    * Scale shape: per-row features, explode ×3 band keys, hash
+    * shuffle on (media_type, band), in-band pair join + exact verify,
+    * distinct to collapse multi-band hits. A 1-D band over a scalar
+    * feature concentrates mass at web scale — the production path for
+    * rich features is the multi-band embedding LSH
+    * ([[Similarity.dedupByEmbeddingLsh]]); this operator carries the
+    * media-table plumbing.
+    */
+  def mediaDedupFeature(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = mediaTable(spark, sfDir).toDF()
+      .withColumn("txt", decode(col("payload"), "UTF-8"))
+      .withColumn("f1", round(
+        (length(col("txt")) - length(regexp_replace(col("txt"), " ", "")))
+          .cast("double") / col("byte_len"), 4))
+      .withColumn("f2", round(
+        (length(col("txt")) - length(regexp_replace(col("txt"), "[0-9]", "")))
+          .cast("double") / col("byte_len"), 4))
+      .select(col("doc_id"), col("media_type"), col("byte_len"), col("f1"), col("f2"))
+    val banded = media.select(col("doc_id"), col("media_type"),
+      col("byte_len"), col("f1"), col("f2"),
+      explode(array(Seq(-1, 0, 1).map(d =>
+        (floor(col("f1") / featureEps) + d).cast("long")): _*)).as("band"))
+    val a = banded.select(col("media_type"), col("band"),
+      col("doc_id").as("doc_a"), col("byte_len").as("len_a"),
+      col("f1").as("f1a"), col("f2").as("f2a"))
+    val b = banded.select(col("media_type"), col("band"),
+      col("doc_id").as("doc_b"), col("byte_len").as("len_b"),
+      col("f1").as("f1b"), col("f2").as("f2b"))
+    graft.Present.sortSmall(
+      a.join(b, Seq("media_type", "band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(abs(col("f1a") - col("f1b")) <= featureEps)
+        .filter(abs(col("f2a") - col("f2b")) <= featureEps / 2)
+        .filter(least(col("len_a"), col("len_b")).cast("double")
+          / greatest(col("len_a"), col("len_b")) >= 0.98)
+        .select(col("media_type"), col("doc_a"), col("doc_b"),
+          round(abs(col("f1a") - col("f1b")), 4).as("d_f1"))
+        .distinct(), // a pair can meet in up to 3 bands — emit once
+      col("media_type"), col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin of [[mediaDedupFeature]]: same rounded features, same
+    * 3-band probe, same verify, same distinct.
+    */
+  val mediaDedupFeatureSql: String =
+    s"""WITH m AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS media_type,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |         round((length(text) - length(replace(text, ' ', '')))::DOUBLE
+      |               / octet_length(encode(text)), 4) AS f1,
+      |         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+      |               / octet_length(encode(text)), 4) AS f2
+      |  FROM documents),
+      |banded AS (
+      |  SELECT doc_id, media_type, byte_len, f1, f2,
+      |         CAST(floor(f1 / $featureEps) + d AS BIGINT) AS band
+      |  FROM m, (SELECT unnest([-1, 0, 1]) AS d))
+      |SELECT DISTINCT a.media_type AS media_type, a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       round(abs(a.f1 - b.f1), 4) AS d_f1
+      |FROM banded a JOIN banded b
+      |  ON a.media_type = b.media_type AND a.band = b.band AND a.doc_id < b.doc_id
+      |WHERE abs(a.f1 - b.f1) <= $featureEps
+      |  AND abs(a.f2 - b.f2) <= ${featureEps / 2}
+      |  AND least(a.byte_len, b.byte_len)::DOUBLE / greatest(a.byte_len, b.byte_len) >= 0.98
+      |ORDER BY media_type, doc_a, doc_b""".stripMargin
+
   val frameFeaturesSql: String =
     """WITH media AS (
       |  SELECT doc_id,
