@@ -518,6 +518,104 @@ object Text {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** BPE-style pre-tokenizer regex (RE2- and Java-compatible — no
+    * lookarounds): letter runs | single digits (digit-split, as modern
+    * tokenizers do) | punctuation runs. Spaces vanish into piece
+    * boundaries.
+    */
+  val bpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"
+
+  /** Max characters a single vocab piece is assumed to cover: a piece
+    * of length L counts as ceil(L/6) subword tokens.
+    */
+  val bpeMaxPiece = 6
+
+  /** Estimated subword token count of a text — whitespace counting
+    * under-counts what a model actually consumes (long words split,
+    * digits split, punctuation detaches), and packing or mix weights
+    * computed from word counts are systematically off by the
+    * "fertility" factor. This is the standard regex pre-tokenize +
+    * length-based piece estimate (a real BPE merge table is
+    * vocab-specific; the estimate is deterministic and
+    * engine-reproducible): pieces via [[bpePattern]], each counted as
+    * ceil(len/[[bpeMaxPiece]]) tokens. Integer arithmetic end to end —
+    * exact in both engines.
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(
+      expr(s"regexp_extract_all(text, '$bpePattern', 0)"),
+      lit(0L),
+      (acc, p) => acc + floor((length(p) + lit(bpeMaxPiece - 1)) / bpeMaxPiece).cast("long"))
+
+  /** SQL twin of [[bpeTokenEstimate]] over a column named `text`. */
+  val bpeTokenEstimateSql: String =
+    s"coalesce(list_sum(list_transform(regexp_extract_all(text, '$bpePattern'), " +
+      s"p -> (length(p) + ${bpeMaxPiece - 1}) // $bpeMaxPiece)), 0)"
+
+  /** Per-document tokenizer-aware counting: whitespace tokens vs regex
+    * pre-tokenizer pieces vs estimated subword tokens, plus the
+    * fertility ratio (subword per word) that mix-weight and packing
+    * math should use. Pure per-row codegen'd expressions — the scan is
+    * the cost.
+    */
+  def tokenCountBpe(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        expr(s"size(regexp_extract_all(text, '$bpePattern', 0))").cast("long")
+          .as("bpe_pieces"),
+        bpeTokenEstimate(col("text")).as("bpe_tokens"))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_pieces"), col("bpe_tokens"),
+        round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4).as("fertility"))
+      .transform(graft.Present.sortSmall(_, col("doc_id")))
+
+  val tokenCountBpeSql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       |       CAST(len(regexp_extract_all(text, '$bpePattern')) AS BIGINT) AS bpe_pieces,
+       |       CAST($bpeTokenEstimateSql AS BIGINT) AS bpe_tokens,
+       |       round(($bpeTokenEstimateSql)::DOUBLE
+       |             / len(string_split(text, ' ')), 4) AS fertility
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[packSequences]] with tokenizer-aware bin accounting: bins close
+    * on estimated SUBWORD tokens ([[bpeTokenEstimate]]), not whitespace
+    * words — the bin budget is the model's context length, which is
+    * spent in subword tokens. Same one-window-pass shape.
+    */
+  def packSequencesBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), bpeTokenEstimate(col("text")).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", (col("cum_before") / 2048).cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .transform(graft.Present.sortSmall(_, col("lang"), col("bin")))
+  }
+
+  val packSequencesBpeSql: String =
+    s"""SELECT lang, CAST(FLOOR(cum_before / 2048) AS BIGINT) AS bin,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       |       min(doc_id) AS first_doc
+       |FROM (
+       |  SELECT doc_id, lang, n_tokens,
+       |         COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS cum_before
+       |  FROM (SELECT doc_id, lang,
+       |               CAST($bpeTokenEstimateSql AS BIGINT) AS n_tokens
+       |        FROM documents))
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   /** PII-style redaction: digit runs replaced by a placeholder (the
     * regex-scrub stage of a cleaning pipeline); the redacted content is
     * fingerprinted so the oracle verifies the transform byte-for-byte.
