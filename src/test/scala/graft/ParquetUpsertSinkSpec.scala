@@ -346,6 +346,46 @@ class ParquetUpsertSinkSpec extends SparkSpec {
     assert(changes("") == Set((1, "a2"), (3, "c1"), (4, "d1")))
   }
 
+  test("empty change-set and time-travel reads carry the full table schema") {
+    val dir = Files.createTempDirectory("emptyread").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
+      keepVersions = 3)
+    sink.upsert(Seq(Rec(1, "a", 10, "p1")).toDF(), 0)
+    sink.upsert(Seq(Rec(1, "b", 20, "p1")).toDF(), 1)
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    // nothing newer than the last commit → zero rows; selecting data
+    // columns must still analyze (the common idle-poll consumer shape)
+    val empty = sink.readChangesSince(spark, commits.last)
+    assert(empty.count() == 0)
+    assert(empty.select($"id", $"v", $"precombine").count() == 0)
+    // before the oldest retained commit of a table CREATED by that
+    // commit: zero rows, full schema (not just the partition column)
+    val pre = sink.readAsOf(spark, "")
+    assert(pre.count() == 0)
+    assert(pre.select($"id", $"v", $"precombine").count() == 0)
+  }
+
+  test("readAsOf fails fast on a pruned or unknown commit id") {
+    val dir = Files.createTempDirectory("prunedasof").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
+      keepVersions = 2)
+    sink.upsert(Seq(Rec(1, "a", 10, "p1")).toDF(), 0)
+    sink.upsert(Seq(Rec(1, "b", 20, "p1")).toDF(), 1)
+    sink.upsert(Seq(Rec(1, "c", 30, "p1")).toDF(), 2)
+    val retained = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(retained.length == 1) // keepVersions=2 retains one pre-image
+    // a commit id older than the retained window must throw (its
+    // pre-images are gone — the read would silently collapse to the
+    // before-oldest state), and the error names the oldest survivor
+    val ex = intercept[IllegalArgumentException] {
+      sink.readAsOf(spark, "0000000000000000000")
+    }
+    assert(ex.getMessage.contains(retained.head))
+    // the documented sentinels still work
+    assert(sink.readAsOf(spark, "").count() >= 0)
+    assert(sink.readAsOf(spark, retained.head).count() == 1)
+  }
+
   test("readAsOf null-fills columns an old pre-image predates (additive evolution)") {
     val dir = Files.createTempDirectory("asof2").toString + "/t"
     val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
