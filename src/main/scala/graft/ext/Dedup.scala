@@ -483,12 +483,17 @@ object Dedup {
       .groupBy(col("span")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1)
       .select(col("span"))
+    // lazy localCheckpoint: covered feeds THREE consumers (flagged-doc
+    // set, the rebuild's anti join, the final pass-through join) and
+    // without it each re-embeds the whole windows+dup detection
+    // lineage — the dominant cost — into its own plan branch
     val covered = windows
       .join(dup, Seq("span"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos"),
           least(col("pos") + spanLen, col("n")) - 1)).as("i"))
       .distinct()
+      .localCheckpoint(false)
     val flagged = covered.select(col("doc_id")).distinct()
     // token-level rebuild, flagged docs only: anti-join drops covered
     // positions, sort_array restores token order under one doc-keyed
