@@ -616,6 +616,102 @@ object Text {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** Hashed-feature space size for [[dsirWeights]]. Real DSIR uses
+    * ~10k buckets over a web-scale vocabulary; 1024 keeps the fixture
+    * buckets multiply occupied while the math is size-independent.
+    */
+  val dsirBuckets = 1024
+
+  /** Target distribution for [[dsirWeights]]: documents in this
+    * language play the role of the high-quality target corpus.
+    */
+  val dsirTargetLang = "en"
+
+  /** DSIR feature stream of a document: unigrams ++ adjacent bigrams
+    * (space-joined), the hashed n-gram features of Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling"
+    * (NeurIPS 2023). Per-row codegen'd array ops — no join forms the
+    * bigrams.
+    */
+  def dsirFeatures(text: Column): Column = {
+    val t = tokens(text)
+    concat(t, zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat_ws(" ", a, b)))
+  }
+
+  /** DSIR importance weights: score every document by how much more
+    * likely its hashed n-gram features are under the target
+    * distribution (docs in [[dsirTargetLang]]) than under the corpus
+    * ("proposal") distribution — the data-selection step that picks
+    * web-corpus documents resembling a trusted target corpus. Per-doc
+    * log weight = Σ_features [ln p̂_tgt(b) − ln p̂_prop(b)] with add-one
+    * smoothing over [[dsirBuckets]] buckets; `selected` marks docs
+    * more target-like than corpus-like (the deterministic stand-in for
+    * DSIR's Gumbel resampling).
+    *
+    * Scale shape: features are bucketed ONCE into a per-doc int array
+    * (lazy localCheckpoint — target model, proposal model, and scoring
+    * all read the same materialization, the BM25 tokenize-once move);
+    * both models are bounded partial aggs (≤ [[dsirBuckets]] rows)
+    * broadcast back onto the exploded feature stream; scoring reduces
+    * per-doc. The corpus shuffles feature-bucket counts, never text.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val bucketed = docs
+      .select(col("doc_id"), col("lang"),
+        transform(dsirFeatures(col("text")),
+          f => pmod(md5Long(f), lit(dsirBuckets))).as("buckets"))
+      .localCheckpoint(false)
+    val feats = bucketed
+      .select(col("doc_id"), col("lang"), explode(col("buckets")).as("bucket"))
+    val tgtFeats = feats.filter(col("lang") === dsirTargetLang)
+    val tgt = tgtFeats.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val prop = feats.groupBy(col("bucket")).agg(count(lit(1)).as("cp"))
+    val totals = tgtFeats.agg(count(lit(1)).as("nt"))
+      .crossJoin(feats.agg(count(lit(1)).as("np")))
+    val logRatio =
+      log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+        (col("nt") + dsirBuckets)) -
+        log((col("cp") + 1).cast("double") / (col("np") + dsirBuckets))
+    graft.Present.sortSmall(
+      feats
+        .join(broadcast(tgt), Seq("bucket"), "left")
+        .join(broadcast(prop), Seq("bucket"))
+        .crossJoin(broadcast(totals)) // two scalars ride along
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_feats"),
+          round(sum(logRatio), 4).as("log_weight"))
+        .withColumn("selected", (col("log_weight") > 0).cast("int")),
+      col("doc_id"))
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |feats AS (
+       |  SELECT doc_id, lang,
+       |         ('0x' || substr(md5(f), 1, 8))::BIGINT % $dsirBuckets AS bucket
+       |  FROM (SELECT doc_id, lang,
+       |               unnest(list_concat(t,
+       |                 list_transform(range(1, len(t)),
+       |                   i -> list_extract(t, i) || ' ' || list_extract(t, i + 1)))) AS f
+       |        FROM toks)),
+       |tgt AS (SELECT bucket, count(*) AS ct FROM feats
+       |        WHERE lang = '$dsirTargetLang' GROUP BY 1),
+       |prop AS (SELECT bucket, count(*) AS cp FROM feats GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM feats WHERE lang = '$dsirTargetLang') AS nt,
+       |               (SELECT count(*) FROM feats) AS np)
+       |SELECT doc_id, lang, count(*) AS n_feats,
+       |       round(sum(ln((coalesce(ct, 0) + 1)::DOUBLE / (nt + $dsirBuckets))
+       |                 - ln((cp + 1)::DOUBLE / (np + $dsirBuckets))), 4) AS log_weight,
+       |       CASE WHEN round(sum(ln((coalesce(ct, 0) + 1)::DOUBLE / (nt + $dsirBuckets))
+       |                 - ln((cp + 1)::DOUBLE / (np + $dsirBuckets))), 4) > 0
+       |            THEN 1 ELSE 0 END AS selected
+       |FROM feats LEFT JOIN tgt USING (bucket) JOIN prop USING (bucket), tot
+       |GROUP BY doc_id, lang
+       |ORDER BY doc_id""".stripMargin
+
   /** PII-style redaction: digit runs replaced by a placeholder (the
     * regex-scrub stage of a cleaning pipeline); the redacted content is
     * fingerprinted so the oracle verifies the transform byte-for-byte.

@@ -639,6 +639,50 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.exists(_._3) && got.exists(!_._3)) // the cut separates the corpus
   }
 
+  test("dsir weights: target-language docs score higher and the weight matches a replay") {
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = ext.Text.dsirWeights(spark, sf0001).collect()
+    val n = Tables.table(spark, sf0001, "documents").count()
+    assert(rows.length == n) // every document is scored
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(rs => rs.map(_.getAs[Double]("log_weight")).sum / rs.length)
+    // the target language's docs must be markedly more target-like on
+    // average than every other language's
+    val tgtMean = byLang(ext.Text.dsirTargetLang)
+    byLang.filterKeys(_ != ext.Text.dsirTargetLang)
+      .foreach { case (_, m) => assert(tgtMean > m + 1.0) }
+    rows.foreach { r =>
+      assert((r.getAs[Int]("selected") == 1) == (r.getAs[Double]("log_weight") > 0))
+    }
+    // exact replay of the smoothed bucket math for one document
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def buckets(text: String): Seq[Long] = {
+      val t = text.split(" ").toSeq
+      val feats = t ++ t.zip(t.tail).map { case (a, b) => s"$a $b" }
+      feats.map { f =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % ext.Text.dsirBuckets
+      }
+    }
+    val tgtCounts = docs.filter(_._2 == ext.Text.dsirTargetLang)
+      .flatMap(d => buckets(d._3)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val propCounts = docs.flatMap(d => buckets(d._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nt = tgtCounts.values.sum
+    val np = propCounts.values.sum
+    val d0 = docs.minBy(_._1)
+    val expected = round4(buckets(d0._3).map { b =>
+      math.log((tgtCounts.getOrElse(b, 0L) + 1).toDouble / (nt + ext.Text.dsirBuckets)) -
+        math.log((propCounts(b) + 1).toDouble / (np + ext.Text.dsirBuckets))
+    }.sum)
+    val got = rows.find(_.getAs[Long]("doc_id") == d0._1).get.getAs[Double]("log_weight")
+    assert(got == expected)
+  }
+
   test("label outliers: bottom-k per label, ascending by centroid cosine") {
     val nLabels = Tables.table(spark, sf0001, "embeddings")
       .select(col("label")).distinct().count()
