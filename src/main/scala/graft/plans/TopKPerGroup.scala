@@ -195,6 +195,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "sorted distinct 64-bit hashes of n-word shingles", 2) {
       case Seq(t, n) => graft.functions.HashedShingleSet(t, litInt(n, "shingle width"))
     }
+    register(ext, "graft_morton_code", classOf[graft.functions.MortonCode],
+      "Z-order bit interleave of two non-negative bigints", 2) {
+      case Seq(x, y) => graft.functions.MortonCode(
+        Cast(x, org.apache.spark.sql.types.LongType),
+        Cast(y, org.apache.spark.sql.types.LongType))
+    }
     register(ext, "graft_sorted_intersect_count", classOf[graft.functions.SortedLongIntersectCount],
       "intersection size of two sorted long arrays", 2) {
       case Seq(a, b) => graft.functions.SortedLongIntersectCount(a, b)

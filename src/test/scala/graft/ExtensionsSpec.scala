@@ -683,6 +683,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("zorder layout: buckets are 2-D tiles and the morton kernel matches a bit replay") {
+    // bit-by-bit reference interleave vs the shift-mask kernel
+    def naiveMorton(x: Long, y: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 31) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    for (x <- Seq(0L, 1L, 149L, 490L, 12345L, 0x7FFFFFFFL);
+         y <- Seq(0L, 1L, 63L, 490L, 0x7FFFFFFFL)) {
+      assert(functions.ZOrderKernels.morton(x, y) == naiveMorton(x, y))
+    }
+    // every Z-prefix bucket is a tile: with shift=12, 6 free bits per
+    // dimension → both extents < 64 in EVERY bucket (a 1-D sort cannot
+    // bound the second dimension)
+    val rows = ext.Layout.zorderLayout(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val free = ext.Layout.zorderShift / 2
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") < (1L << free))
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") < (1L << free))
+    }
+    // buckets partition the table
+    val n = Tables.table(spark, sf0001, "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == n)
+  }
+
   test("label outliers: bottom-k per label, ascending by centroid cosine") {
     val nLabels = Tables.table(spark, sf0001, "embeddings")
       .select(col("label")).distinct().count()

@@ -26,6 +26,10 @@ class SqlFunctionsSpec extends SparkSpec {
       "SELECT graft_word_shingles(array('a','b','c','d'), 3) AS s")
       .as[Seq[String]].collect()(0)
     assert(sh.toSet == Set("a b c", "b c d"))
+
+    val mz = spark.sql("SELECT graft_morton_code(3, 5) AS z").as[Long].collect()(0)
+    assert(mz == functions.ZOrderKernels.morton(3L, 5L))
+    assert(mz == 39L) // x=011 -> even bits 0,2; y=101 -> odd bits 1,5: 100111
   }
 
   test("registered hash/sketch scalars agree with their Column-API twins on the corpus") {
