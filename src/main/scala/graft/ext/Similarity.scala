@@ -318,6 +318,91 @@ object Similarity {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** SEMANTIC decontamination: flag training vectors whose embedding is
+    * near-identical to a benchmark vector (every 50th vec id plays the
+    * held-out benchmark) — the paraphrase-level leak that shingle
+    * decontamination ([[Dedup.decontaminateFuzzy]]) cannot see, caught
+    * in embedding space. Same banded-LSH candidate generation as
+    * [[dedupByEmbeddingLsh]], but a train × benchmark band join instead
+    * of a self-join.
+    *
+    * Scale shape: the benchmark side is the curated-small side and is
+    * BROADCAST, so the corpus never shuffles — band keys are computed
+    * map-side in one native pass and candidates verify with an exact
+    * cosine before flagging. Sub-quadratic end to end.
+    *
+    * Recall semantics: every FLAG is sound (exact cosine verify), but
+    * candidate recall follows the banding curve — near-certain in the
+    * paraphrase regime (≥0.9 cosine), partial at the 0.4 boundary kept
+    * here for comparability with the embedding-dedup ops. The oracle
+    * replays the banding bit-for-bit, so the gate checks the LSH
+    * semantics themselves.
+    */
+  def decontaminateSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
+    val planesFlat: IndexedSeq[Double] =
+      (0 until numBands * bandBits).flatMap(planeSigns(_))
+    val bandKeys = graft.functions.VectorFunctions.hyperplane_band_keys(
+      col("embedding"), planesFlat, dim, bandBits)
+    val banded = emb
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(bandKeys).as("bkey"))
+    val bench = banded.filter(col("vec_id") % 50 === 0)
+    val train = banded.filter(col("vec_id") % 50 =!= 0)
+    // a (train, bench) pair appears once per shared band — distinct
+    // before the per-train-vector rollup
+    val pairs = train.as("t")
+      .join(broadcast(bench.as("b")), col("t.bkey") === col("b.bkey"))
+      .select(col("t.vec_id").as("train_id"), col("b.vec_id").as("bench_id"),
+        round(vec_dot(col("t.embedding"), col("b.embedding"))
+          / (col("t.nrm") * col("b.nrm")), 4).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .distinct()
+    Present.sortSmall(
+      pairs
+        .groupBy(col("train_id"))
+        .agg(count(lit(1)).as("n_bench_hits"), max(col("sim")).as("best_sim")),
+      col("train_id"))
+  }
+
+  /** DuckDB twin: the [[dedupByEmbeddingLshSql]] banding CTEs with a
+    * cross-split candidate join in place of the self-join.
+    */
+  val decontaminateSemanticSql: String =
+    s"""WITH planes AS (
+       |  SELECT p, list(CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT % 2 = 1
+       |                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS pv
+       |  FROM range(${numBands * bandBits}) t1(p), range($dim) t2(i)
+       |  GROUP BY p),
+       |bits AS (
+       |  SELECT e.vec_id, pl.p,
+       |         CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(pl.pv AS DOUBLE[])) > 0
+       |              THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e, planes pl),
+       |bk AS (
+       |  SELECT vec_id, p // $bandBits AS band,
+       |         CAST(sum(bit * (1 << (p % $bandBits))) AS BIGINT)
+       |           + CAST(p // $bandBits AS BIGINT) * ${1L << bandBits} AS bkey
+       |  FROM bits
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT t.vec_id AS train_id, b.vec_id AS bench_id
+       |  FROM bk t JOIN bk b ON t.bkey = b.bkey
+       |  WHERE t.vec_id % 50 <> 0 AND b.vec_id % 50 = 0),
+       |pairs AS (
+       |  SELECT c.train_id, c.bench_id,
+       |         round(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.train_id
+       |  JOIN embeddings b ON b.vec_id = c.bench_id
+       |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4) >= 0.4)
+       |SELECT train_id, count(*) AS n_bench_hits, max(sim) AS best_sim
+       |FROM pairs
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   // ——— LSH-bucketed ANN ———
 
   /** Literal ±1 array column for plane p. */

@@ -683,6 +683,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("semantic decontamination flags are sound and high-sim cross pairs are caught") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bench = emb.filter(_._1 % 50 == 0)
+    val train = emb.filter(_._1 % 50 != 0)
+    val truth = (for {
+      (tid, tv) <- train; (bid, bv) <- bench
+      s = cos(tv, bv) if s >= 0.4
+    } yield (tid, bid, s)).toSeq
+    val flagged = ext.Similarity.decontaminateSemantic(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Double]("best_sim"))).toMap
+    assert(flagged.nonEmpty) // the corpus plants at least one cross leak
+    // soundness: every flagged train vector has a true benchmark
+    // neighbor at the threshold (the exact-verify step guarantees it)
+    flagged.keys.foreach(tid => assert(truth.exists(_._1 == tid)))
+    // recall guarantee in the paraphrase regime: banding at these
+    // parameters is near-certain at cosine >= 0.9
+    truth.filter(_._3 >= 0.9).foreach { case (tid, _, _) =>
+      assert(flagged.contains(tid))
+    }
+  }
+
   test("zorder layout: buckets are 2-D tiles and the morton kernel matches a bit replay") {
     // bit-by-bit reference interleave vs the shift-mask kernel
     def naiveMorton(x: Long, y: Long): Long = {
