@@ -743,6 +743,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum == n)
   }
 
+  test("z-clustered files keep a cross-dimension predicate local; a 1-D sort cannot") {
+    import org.apache.spark.sql.functions.input_file_name
+    // sf0.01: 150 distinct x and ~490 distinct y — real 2-D geometry
+    // (sf0.001 has only 15 users, so any x predicate is degenerate)
+    val ev = Tables.table(spark, "/root/testdata/sf0.01", "events")
+      .select(col("user_id").as("x"), floor(col("value")).cast("long").as("y"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val nFiles = 16
+    ev.repartitionByRange(nFiles,
+        functions.ZOrderExpressions.mortonCode(col("x"), col("y")))
+      .write.parquet(s"$base/zsort")
+    ev.repartitionByRange(nFiles, col("x")).write.parquet(s"$base/xsort")
+    // files containing rows matching a predicate = the lower bound any
+    // min/max-stats pruner must read; clustering quality IS this count
+    def touched(layout: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(s"$base/$layout").filter(pred)
+        .select(input_file_name()).distinct().count()
+    // a y-only predicate: the x-sorted layout smears it across every
+    // file (no pruning power in the second dimension); the Z layout
+    // keeps it inside the low-y tiles
+    // y<=30 holds ~46% of rows (value is skewed low), so even perfect
+    // clustering needs ~7 of 16 equi-count files — the assertion is the
+    // qualitative gap, not a tile-perfect bound
+    val yPred = col("y").between(0, 30)
+    assert(touched("xsort", yPred) == nFiles)
+    assert(touched("zsort", yPred) < touched("xsort", yPred))
+    assert(touched("zsort", yPred) <= nFiles * 3 / 4)
+    // a 2-D point-range lookup stays local under Z too
+    val both = col("x").between(0, 15) && yPred
+    assert(touched("zsort", both) <= nFiles / 4)
+  }
+
   test("label outliers: bottom-k per label, ascending by centroid cosine") {
     val nLabels = Tables.table(spark, sf0001, "embeddings")
       .select(col("label")).distinct().count()
