@@ -616,6 +616,80 @@ object Text {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** Count-Min sketch geometry: depth (independent hash rows) × width
+    * (buckets per row). Error: over-estimate ≤ 2N/width with
+    * probability 1 − 2^−depth.
+    */
+  val cmsDepth = 4
+  val cmsWidth = 256
+
+  /** Bucket of a token under hash row i (md5-derived, cross-engine). */
+  def cmsBucket(tok: Column, i: Int): Column =
+    pmod(md5Long(concat(lit(s"$i:"), tok)), lit(cmsWidth))
+
+  /** Count-Min token-frequency estimation, formulated Spark-native:
+    * the sketch IS a (depth, bucket, count) table — a bounded
+    * [[cmsDepth]]×[[cmsWidth]]-cell aggregation, mergeable across
+    * micro-batches by adding counts cell-wise (the same property the
+    * classic array form has, without custom buffer code). A probe is a
+    * broadcast join + min over the depth rows. The probe set here is
+    * the fixed stopword vocabulary; output compares the estimate
+    * against the exact count (CMS never under-estimates).
+    *
+    * Scale shape: one explode + one bounded-key shuffle builds the
+    * sketch however large the corpus; the probe side is constant-size.
+    * Token-frequency family: exact ([[graft.queries.Advanced]]
+    * tokenFreq), Misra–Gries top-k candidates (tokenFreqMg), and this
+    * — point-queryable counts in bounded memory.
+    */
+  def tokenCms(spark: SparkSession, sfDir: String): DataFrame = {
+    val probeTokens: Seq[String] =
+      stopwords.values.flatten.toSeq.distinct.sorted
+    val toks = Tables.table(spark, sfDir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+    val sketch = toks
+      .select(explode(array((0 until cmsDepth).map(i =>
+        struct(lit(i).as("d"), cmsBucket(col("token"), i).as("b"))): _*)).as("c"))
+      .groupBy(col("c.d").as("d"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val probes = spark.range(1)
+      .select(explode(array(probeTokens.map(lit): _*)).as("token"))
+    val probeBuckets = probes
+      .select(col("token"), explode(array((0 until cmsDepth).map(i =>
+        struct(lit(i).as("d"), cmsBucket(col("token"), i).as("b"))): _*)).as("c"))
+      .select(col("token"), col("c.d").as("d"), col("c.b").as("b"))
+    val est = probeBuckets
+      .join(sketch, Seq("d", "b"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_n"))
+    val exact = probes.join(
+        toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n")),
+        Seq("token"), "left")
+      .select(col("token"), coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+    graft.Present.sortSmall(
+      exact.join(est, Seq("token")), col("token"))
+  }
+
+  val tokenCmsSql: String = {
+    val probeList = stopwords.values.flatten.toSeq.distinct.sorted
+      .map(t => s"'$t'").mkString(", ")
+    val h = s"('0x' || substr(md5(d::VARCHAR || ':' || token), 1, 8))::BIGINT % $cmsWidth"
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |probe AS (SELECT unnest([$probeList]) AS token),
+       |sk AS (SELECT d, $h AS b, count(*) AS n
+       |       FROM toks, range($cmsDepth) t(d) GROUP BY 1, 2),
+       |pb AS (SELECT token, d, $h AS b FROM probe, range($cmsDepth) t(d)),
+       |est AS (SELECT pb.token, min(coalesce(sk.n, 0)) AS cms_n
+       |        FROM pb LEFT JOIN sk ON sk.d = pb.d AND sk.b = pb.b
+       |        GROUP BY 1)
+       |SELECT p.token,
+       |       coalesce((SELECT count(*) FROM toks t WHERE t.token = p.token), 0)
+       |         AS exact_n,
+       |       est.cms_n
+       |FROM probe p JOIN est ON est.token = p.token
+       |ORDER BY p.token""".stripMargin
+  }
+
   /** Hashed-feature space size for [[dsirWeights]]. Real DSIR uses
     * ~10k buckets over a web-scale vocabulary; 1024 keeps the fixture
     * buckets multiply occupied while the math is size-independent.

@@ -712,6 +712,24 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("count-min estimates never under-count and respect the width error bound") {
+    val rows = ext.Text.tokenCms(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.table(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    // CMS over-estimates only, and by at most 2N/width with high
+    // probability (depth 4 ⇒ all 25 probes holding it is the expected
+    // case, and deterministic here since the hashes are fixed)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("cms_n")
+      assert(est >= exact)
+      assert(est - exact <= 2 * n / ext.Text.cmsWidth)
+    }
+    // the probe set includes genuinely present and absent tokens
+    assert(rows.exists(_.getAs[Long]("exact_n") > 0))
+  }
+
   test("zorder layout: buckets are 2-D tiles and the morton kernel matches a bit replay") {
     // bit-by-bit reference interleave vs the shift-mask kernel
     def naiveMorton(x: Long, y: Long): Long = {
