@@ -265,12 +265,40 @@ final case class ParquetUpsertSink(
     * commit since `since` — pruned commits take their manifests with
     * them, silently shrinking the change set.
     */
-  def readChangesSince(spark: org.apache.spark.sql.SparkSession, since: String): DataFrame = {
+  /** Live rows of the named partitions only (path-level pruning; no
+    * listing of the rest of the table). Absent or empty partitions
+    * contribute zero rows; all absent → empty frame with the table
+    * schema.
+    */
+  def readPartitions(spark: org.apache.spark.sql.SparkSession,
+      values: Seq[String]): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val touched = ParquetUpsertSink.listArchivedCommits(spark, path)
+    val liveDirs = values.distinct
+      .map(v => new Path(s"$path/$partitionCol=${dirName(v)}"))
+      .filter(hasDataFiles(fs, _))
+    if (liveDirs.isEmpty) emptyTable(spark, fs)
+    else readStringPartitioned(spark, liveDirs)
+  }
+
+  /** Partition values touched by any retained commit strictly newer
+    * than `since` ("" = all) — the invalidation set an incremental
+    * consumer must refresh, INCLUDING partitions whose live data has
+    * since been tombstoned away (they appear here with no live rows in
+    * [[readChangesSince]], which is how a consumer learns to drop
+    * them).
+    */
+  def touchedPartitionsSince(
+      spark: org.apache.spark.sql.SparkSession, since: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ParquetUpsertSink.listArchivedCommits(spark, path)
       .filter(_ > since)
       .flatMap(c => touchedPartitions(fs, new Path(archiveRoot, c)))
       .distinct
+  }
+
+  def readChangesSince(spark: org.apache.spark.sql.SparkSession, since: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touched = touchedPartitionsSince(spark, since)
     val liveDirs = touched.map(v => new Path(s"$path/$partitionCol=$v"))
       .filter(hasDataFiles(fs, _))
     if (liveDirs.isEmpty) emptyTable(spark, fs)
