@@ -33,4 +33,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan("q_interval_join").contains("CartesianProduct"))
     assert(!plan("q_interval_join").contains("BroadcastNestedLoopJoin"))
   }
+
+  test("dsir scoring broadcasts its bounded models — the corpus never shuffles text") {
+    val p = plan("x_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), "bucket models must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("semantic decontamination broadcasts the benchmark band side") {
+    val p = plan("x_decontaminate_semantic")
+    assert(p.contains("BroadcastHashJoin"), "benchmark side must broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("morton key computes inline in the scan projection — no extra exchange") {
+    val exec = SparkEntry.queries("x_zorder_layout")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(exec.toLowerCase.contains("mortoncode"), "Z key must be the native expression")
+    // exactly the aggregation exchange plus the presentation sort's —
+    // computing the Z key itself must not shuffle
+    assert("Exchange".r.findAllIn(exec).size <= 2, s"unexpected exchanges:\n$exec")
+  }
 }
