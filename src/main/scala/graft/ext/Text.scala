@@ -377,6 +377,70 @@ object Text {
        |FROM per, tot
        |ORDER BY source""".stripMargin
 
+  /** Document budget [[applyMix]] resamples the corpus down to. */
+  val mixTargetDocs = 1000
+
+  /** APPLY the temperature mix: turn [[sourceWeights]]'s per-source
+    * weights into deterministic keep-rates for a [[mixTargetDocs]]
+    * budget (rate = min(1, weight·T / n_docs), 4 dp) and resample each
+    * source by content-stable hash-mod — the step that actually
+    * materializes the planned mix. Emits per source the population,
+    * the rate, and the kept count; upsampled-beyond-1 sources saturate
+    * at keeping everything (the standard single-epoch behavior).
+    *
+    * Scale shape: the rate table is a handful of rows computed from
+    * one partial-agged pass and broadcast back; the keep decision is
+    * per-row codegen'd hash math. Documented residual: the 4-dp rate
+    * sits downstream of pow(·, α), so a value landing exactly on a
+    * rounding boundary could differ across engines' libm — the same
+    * accepted class as the DDSketch bucket note.
+    */
+  def applyMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val docs = Tables.table(spark, sfDir, "documents")
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(t).cast("long")).as("n_tokens"))
+    val z = per.agg(sum(pow(col("n_tokens").cast("double"), mixAlpha)).as("z"))
+    val rates = per.crossJoin(broadcast(z))
+      .withColumn("rate",
+        least(lit(1.0), round(
+          pow(col("n_tokens").cast("double"), mixAlpha) / col("z")
+            * mixTargetDocs / col("n_docs"), 4)))
+      .withColumn("cut", round(col("rate") * 10000).cast("long"))
+      .select(col("source"), col("rate"), col("cut"))
+    val kept = md5Long(col("doc_id").cast("string")) % 10000 < col("cut")
+    graft.Present.sortSmall(
+      docs.join(broadcast(rates), Seq("source"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(kept, 1)).as("n_kept"),
+          max(col("rate")).as("rate")),
+      col("source"))
+  }
+
+  val applyMixSql: String = {
+    val hash10k = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000"
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(pow(n_tokens, $mixAlpha)) AS z FROM per),
+       |rates AS (
+       |  SELECT source,
+       |         least(1.0, round(pow(n_tokens, $mixAlpha) / z
+       |                          * $mixTargetDocs / n_docs, 4)) AS rate
+       |  FROM per, tot)
+       |SELECT d.source, count(*) AS n_docs,
+       |       count(CASE WHEN $hash10k < CAST(round(r.rate * 10000) AS BIGINT)
+       |                  THEN 1 END) AS n_kept,
+       |       max(r.rate) AS rate
+       |FROM documents d JOIN rates r ON r.source = d.source
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Gopher-style repetition filter: fraction of the doc's bigrams
     * taken by its single most frequent bigram (native one-pass
     * [[graft.functions.TopNgramFrac]] — no corpus-wide n-gram explode)

@@ -712,6 +712,31 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("apply mix: kept counts track the planned per-source budget") {
+    val rows = ext.Text.applyMix(spark, sf0001).collect()
+    val weights = ext.Text.sourceWeights(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    assert(rows.map(_.getAs[String]("source")).toSet == weights.keySet)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val n = r.getAs[Long]("n_docs")
+      val kept = r.getAs[Long]("n_kept")
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(kept <= n)
+      // the planned budget for this source, saturated at the population
+      val planned = math.min(n.toDouble, weights(src) * ext.Text.mixTargetDocs)
+      // hash-mod sampling binomial tolerance (populations are ~25 docs
+      // at sf0.001 — allow generous slack, determinism is the point)
+      assert(math.abs(kept - planned) <= math.max(5.0, 0.5 * planned),
+        s"$src kept=$kept planned=$planned")
+    }
+    // deterministic: identical on re-run
+    val again = ext.Text.applyMix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("count-min estimates never under-count and respect the width error bound") {
     val rows = ext.Text.tokenCms(spark, sf0001).collect()
     assert(rows.nonEmpty)
