@@ -160,4 +160,27 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("morton interleave: invertible, monotone per axis, order-preserving on tiles") {
+    import graft.functions.ZOrderKernels.{morton, spreadBits}
+    def unspread(z: Long): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 31) { v |= ((z >> (2 * i)) & 1L) << i; i += 1 }
+      v
+    }
+    val coords = samples(Gen.chooseNum(0L, 0x7FFFFFFFL), 300) ++
+      Seq(0L, 1L, 0x7FFFFFFFL, 0x40000000L)
+    coords.zip(coords.reverse).foreach { case (x, y) =>
+      val z = morton(x, y)
+      assert(z >= 0L) // 31-bit inputs never touch the sign bit
+      assert(unspread(z) == x) // even bits recover x
+      assert(unspread(z >> 1) == y) // odd bits recover y
+      // monotone per axis: growing one coordinate never shrinks the key
+      if (x < 0x7FFFFFFFL) assert(morton(x + 1, y) > z)
+      if (y < 0x7FFFFFFFL) assert(morton(x, y + 1) > z)
+      // spread is injective on its 31-bit domain (mask identity)
+      assert((spreadBits(x) & 0x5555555555555555L) == spreadBits(x))
+    }
+  }
 }
