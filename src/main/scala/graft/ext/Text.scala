@@ -441,6 +441,80 @@ object Text {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Token budget (in documents) for [[epochPlan]] — deliberately
+    * larger than the corpus so small sources need repeats > 1.
+    */
+  val epochTargetDocs = 3000
+
+  /** Epoch schedule — the UPSAMPLING half of mix application: when a
+    * source's planned share exceeds its population, it is seen
+    * multiple times per epoch. Splits each source's target into an
+    * integer repeat count plus a fractional remainder applied by
+    * content-stable hash-cut: effective_docs = n·⌊t/n⌋ + |hash cut| —
+    * the DoReMi/LLaMA-style "epochs per source" plan, deterministic
+    * across runs and engines.
+    *
+    * Scale shape: identical to [[applyMix]] — a broadcast rate table
+    * and per-row hash math; the repeat factor is metadata the loader
+    * consumes, no row is physically duplicated here.
+    */
+  def epochPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val docs = Tables.table(spark, sfDir, "documents")
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(t).cast("long")).as("n_tokens"))
+    val z = per.agg(sum(pow(col("n_tokens").cast("double"), mixAlpha)).as("z"))
+    val plan = per.crossJoin(broadcast(z))
+      .withColumn("target",
+        round(pow(col("n_tokens").cast("double"), mixAlpha) / col("z")
+          * epochTargetDocs, 4))
+      .withColumn("base_repeats",
+        floor(col("target") / col("n_docs")).cast("long"))
+      .withColumn("frac_rate",
+        round(col("target") / col("n_docs")
+          - floor(col("target") / col("n_docs")), 4))
+      .withColumn("cut", round(col("frac_rate") * 10000).cast("long"))
+      .select(col("source"), col("base_repeats"), col("frac_rate"), col("cut"))
+    val kept = md5Long(col("doc_id").cast("string")) % 10000 < col("cut")
+    graft.Present.sortSmall(
+      docs.join(broadcast(plan), Seq("source"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(col("base_repeats")).as("base_repeats"),
+          max(col("frac_rate")).as("frac_rate"),
+          (max(col("base_repeats")) * count(lit(1))
+            + count(when(kept, 1))).as("effective_docs")),
+      col("source"))
+  }
+
+  val epochPlanSql: String = {
+    val hash10k = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000"
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(pow(n_tokens, $mixAlpha)) AS z FROM per),
+       |plan AS (
+       |  SELECT source,
+       |         CAST(floor(round(pow(n_tokens, $mixAlpha) / z * $epochTargetDocs, 4)
+       |                    / n_docs) AS BIGINT) AS base_repeats,
+       |         round(round(pow(n_tokens, $mixAlpha) / z * $epochTargetDocs, 4) / n_docs
+       |               - floor(round(pow(n_tokens, $mixAlpha) / z * $epochTargetDocs, 4)
+       |                       / n_docs), 4) AS frac_rate
+       |  FROM per, tot)
+       |SELECT d.source, count(*) AS n_docs,
+       |       max(p.base_repeats) AS base_repeats,
+       |       max(p.frac_rate) AS frac_rate,
+       |       max(p.base_repeats) * count(*)
+       |         + count(CASE WHEN $hash10k < CAST(round(p.frac_rate * 10000) AS BIGINT)
+       |                      THEN 1 END) AS effective_docs
+       |FROM documents d JOIN plan p ON p.source = d.source
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Gopher-style repetition filter: fraction of the doc's bigrams
     * taken by its single most frequent bigram (native one-pass
     * [[graft.functions.TopNgramFrac]] — no corpus-wide n-gram explode)

@@ -737,6 +737,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("epoch plan: repeats bracket the planned target and totals approximate the budget") {
+    val rows = ext.Text.epochPlan(spark, sf0001).collect()
+    val weights = ext.Text.sourceWeights(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    var effectiveTotal = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val base = r.getAs[Long]("base_repeats")
+      val eff = r.getAs[Long]("effective_docs")
+      val target = weights(r.getAs[String]("source")) * ext.Text.epochTargetDocs
+      assert(base == math.floor(target / n).toLong)
+      // effective docs sit between whole-epoch floors and ceilings
+      assert(eff >= n * base && eff <= n * (base + 1))
+      effectiveTotal += eff
+    }
+    // hash-cut noise aside, the schedule delivers roughly the budget
+    assert(math.abs(effectiveTotal - ext.Text.epochTargetDocs)
+      <= ext.Text.epochTargetDocs / 10)
+  }
+
   test("count-min estimates never under-count and respect the width error bound") {
     val rows = ext.Text.tokenCms(spark, sf0001).collect()
     assert(rows.nonEmpty)
