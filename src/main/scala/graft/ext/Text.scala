@@ -780,16 +780,22 @@ object Text {
     * tokenFreq), Misra–Gries top-k candidates (tokenFreqMg), and this
     * — point-queryable counts in bounded memory.
     */
+  /** The (depth, bucket, count) sketch of a (token) column frame —
+    * mergeable across frames/micro-batches by summing counts cell-wise
+    * (spec-verified: sketch(A ∪ B) = sketch(A) ⊎ sketch(B)).
+    */
+  def cmsSketch(toks: DataFrame): DataFrame = toks
+    .select(explode(array((0 until cmsDepth).map(i =>
+      struct(lit(i).as("d"), cmsBucket(col("token"), i).as("b"))): _*)).as("c"))
+    .groupBy(col("c.d").as("d"), col("c.b").as("b"))
+    .agg(count(lit(1)).as("n"))
+
   def tokenCms(spark: SparkSession, sfDir: String): DataFrame = {
     val probeTokens: Seq[String] =
       stopwords.values.flatten.toSeq.distinct.sorted
     val toks = Tables.table(spark, sfDir, "documents")
       .select(explode(tokens(col("text"))).as("token"))
-    val sketch = toks
-      .select(explode(array((0 until cmsDepth).map(i =>
-        struct(lit(i).as("d"), cmsBucket(col("token"), i).as("b"))): _*)).as("c"))
-      .groupBy(col("c.d").as("d"), col("c.b").as("b"))
-      .agg(count(lit(1)).as("n"))
+    val sketch = cmsSketch(toks)
     val probes = spark.range(1)
       .select(explode(array(probeTokens.map(lit): _*)).as("token"))
     val probeBuckets = probes

@@ -775,6 +775,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("exact_n") > 0))
   }
 
+  test("count-min sketches merge cell-wise: sketch(A ∪ B) = sketch(A) ⊎ sketch(B)") {
+    val toks = Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      ext.Text.cmsSketch(df).collect()
+        .map(r => (r.getAs[Int]("d"), r.getAs[Long]("b")) -> r.getAs[Long]("n"))
+        .toMap
+    val whole = cells(toks)
+    val a = cells(toks.filter(col("doc_id") % 2 === 0))
+    val b = cells(toks.filter(col("doc_id") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet)
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
   test("zorder layout: buckets are 2-D tiles and the morton kernel matches a bit replay") {
     // bit-by-bit reference interleave vs the shift-mask kernel
     def naiveMorton(x: Long, y: Long): Long = {
