@@ -1,0 +1,221 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-run preparation: the operators that sit between a cleaned
+  * corpus and the data loader — context-window chunking, deterministic
+  * shard planning, curriculum phase assignment, and tokenizer (BPE)
+  * merge induction. All are built from codegen'd per-row expressions
+  * plus at most one hash shuffle, the shapes that survive a 100 TB
+  * corpus unchanged.
+  *
+  * Reference scope note: the reference pipeline (spark_streaming.py)
+  * stops at cleaned tables; these ops are part of the mandated
+  * training-data extension surface, not reference parity.
+  */
+object Prep {
+
+  /** Context-window size (tokens) for [[chunkDocs]]. */
+  val chunkSize = 32
+
+  /** Chunk stride (tokens): `chunkSize - stride` tokens overlap between
+    * consecutive chunks, the usual RAG/context-prep setting.
+    */
+  val chunkStride = 24
+
+  /** Document chunking — split each document into overlapping
+    * fixed-size token windows (size [[chunkSize]], stride
+    * [[chunkStride]]): the retrieval-corpus / context-window prep step.
+    * Start positions run 0, stride, 2·stride, … while < n_tokens, so
+    * every token lands in ≥ 1 chunk and the final chunk is allowed to
+    * run short; a doc shorter than one window yields exactly one chunk
+    * (its whole text).
+    *
+    * Scale shape: pure per-row expression work — one `transform` over
+    * the start sequence and one `posexplode`, fused into the scan by
+    * whole-stage codegen; no shuffle at all (the presentation sort is
+    * result-only). Output size is input size × (1 + overlap fraction);
+    * at 100 TB the stage is embarrassingly parallel and the chunk
+    * stream can be written partition-local.
+    */
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Text.tokens(col("text"))
+    graft.Present.sortSmall(
+      Tables.table(spark, sfDir, "documents")
+        .select(col("doc_id"), size(t).as("n"), t.as("t"))
+        .select(col("doc_id"), col("n"),
+          posexplode(
+            transform(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(chunkStride)),
+              i => array_join(slice(col("t"), i + lit(1), lit(chunkSize)), " ")))
+            .as(Seq("chunk_id", "chunk_text")))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * chunkStride).as("chunk_start"),
+          least(lit(chunkSize), col("n") - col("chunk_id") * chunkStride)
+            .as("n_chunk_tokens"),
+          col("chunk_text")),
+      col("doc_id"), col("chunk_id"))
+  }
+
+  /** DuckDB twin of [[chunkDocs]]: the same start grid via
+    * `range(0, n, stride)` and the same clamped list slice.
+    */
+  val chunkDocsSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |s AS (SELECT doc_id, len(t) AS n, t,
+       |             unnest(range(0, greatest(len(t), 1), $chunkStride)) AS start
+       |      FROM d)
+       |SELECT doc_id,
+       |       CAST(start / $chunkStride AS INTEGER) AS chunk_id,
+       |       CAST(start AS INTEGER) AS chunk_start,
+       |       CAST(least($chunkSize, n - start) AS INTEGER) AS n_chunk_tokens,
+       |       array_to_string(t[start + 1 : start + $chunkSize], ' ') AS chunk_text
+       |FROM s
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Number of output shards for [[shardPlan]]. */
+  val nShards = 16
+
+  /** Deterministic global shuffle + shard plan — assign every document
+    * a shard and a position within it, both content-stable functions of
+    * the key (no `rand()`, so the plan replays identically across runs
+    * and engines): shard = h(doc_id) mod N, within-shard order by an
+    * independent second hash. This is the "global shuffle" a training
+    * run needs — documents from the same source/cluster scatter across
+    * shards and arrive in hash order, not ingest order.
+    *
+    * Scale shape: per-row hash math + ONE shuffle on the shard key;
+    * the within-shard rank is a sort inside each shard's partition
+    * (`repartition(shard) + sortWithinPartitions` is the writer-side
+    * twin). Shards are equal-sized in expectation (hash uniformity), so
+    * no shard becomes a straggler at 100 TB.
+    */
+  def shardPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Text.md5Long(concat(lit("shard:"), col("doc_id").cast("string")))
+    graft.Present.sortSmall(
+      Tables.table(spark, sfDir, "documents")
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", (col("h") % nShards).cast("int"))
+        .withColumn("pos",
+          row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+        .select(col("doc_id"), col("shard"), col("pos")),
+      col("doc_id"))
+  }
+
+  /** DuckDB twin of [[shardPlan]] (md5Long is non-negative, so `%`
+    * matches Spark's `%` with no pmod correction).
+    */
+  val shardPlanSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(h % $nShards AS INTEGER) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY h % $nShards
+       |                               ORDER BY h, doc_id) AS INTEGER) AS pos
+       |FROM h
+       |ORDER BY doc_id""".stripMargin
+
+  /** Curriculum phase thresholds on the shared quality score (fixed
+    * cutoffs, chosen around the fixture's quartiles; a production run
+    * would pick its own): phase 1 = highest quality, consumed first.
+    */
+  val curriculumCuts: Seq[Double] = Seq(0.56, 0.51, 0.46)
+
+  /** Curriculum ordering — assign each document a training phase by
+    * quality score (easy/clean first) and a deterministic position
+    * within its phase. Uses FIXED score cutoffs rather than ntile:
+    * an ntile needs a global single-partition sort, while threshold
+    * binning is per-row math against broadcast constants — the shape
+    * that survives 100 TB (a production pipeline derives the cutoffs
+    * once from a quantile sketch, then applies them exactly like
+    * this). Within a phase, order is an independent content hash —
+    * the same deterministic shuffle as [[shardPlan]].
+    */
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Text.qualityScore(Text.tokens(col("text")))
+    val h = Text.md5Long(concat(lit("curr:"), col("doc_id").cast("string")))
+    val phase = curriculumCuts.zipWithIndex
+      .foldRight(lit(curriculumCuts.size + 1)) { case ((cut, i), els) =>
+        when(col("q") >= cut, lit(i + 1)).otherwise(els)
+      }
+    graft.Present.sortSmall(
+      Tables.table(spark, sfDir, "documents")
+        .select(col("doc_id"), q.as("q"), h.as("h"))
+        .withColumn("phase", phase)
+        .withColumn("pos",
+          row_number().over(
+            Window.partitionBy(col("phase")).orderBy(col("h"), col("doc_id"))))
+        .select(col("doc_id"), col("q"), col("phase"), col("pos")),
+      col("doc_id"))
+  }
+
+  /** DuckDB twin of [[curriculum]] — same 4-dp-rounded score, same
+    * fixed cutoffs, same hash order.
+    */
+  val curriculumSql: String = {
+    val cases = curriculumCuts.zipWithIndex
+      .map { case (c, i) => s"WHEN q >= $c THEN ${i + 1}" }
+      .mkString(" ")
+    s"""WITH s AS (
+       |  SELECT doc_id, ${Text.qualityScoreSql} AS q,
+       |         ('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+       |  FROM documents)
+       |SELECT doc_id, q,
+       |       CASE $cases ELSE ${curriculumCuts.size + 1} END AS phase,
+       |       CAST(row_number() OVER (
+       |              PARTITION BY CASE $cases ELSE ${curriculumCuts.size + 1} END
+       |              ORDER BY h, doc_id) AS INTEGER) AS pos
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Top merge candidates returned by [[bpeMerges]]. */
+  val bpeTopK = 30
+
+  /** BPE merge induction, round one — the corpus-wide statistic a
+    * tokenizer trainer computes: the frequency of every adjacent
+    * symbol pair (here: character pairs, i.e. 2-char substrings of
+    * each token occurrence), ranked. The top pair is the first BPE
+    * merge; iterating (merge, recount) yields the vocab — the recount
+    * rounds reuse exactly this aggregation (see PrepSpec for an
+    * applied-merge round).
+    *
+    * Scale shape: per-row substring explode (codegen'd, no UDF) + ONE
+    * hash shuffle with partial aggregation on the pair key — the pair
+    * vocabulary is tiny (≤ alphabet²), so the reduce side is
+    * metadata-scale no matter the corpus size; the top-k is a sort of
+    * that tiny aggregate, not of the corpus.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(bpeTopK)
+
+  /** DuckDB twin of [[bpeMerges]]: same 2-char substrings, same total
+    * (n, pair) order so the LIMIT cut is deterministic.
+    */
+  val bpeMergesSql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |p AS (
+       |  SELECT substr(tok, CAST(j AS INTEGER), 2) AS pair
+       |  FROM (SELECT tok, unnest(range(1, len(tok))) AS j
+       |        FROM tok WHERE len(tok) >= 2))
+       |SELECT pair, count(*) AS n
+       |FROM p GROUP BY pair
+       |ORDER BY n DESC, pair
+       |LIMIT $bpeTopK""".stripMargin
+}

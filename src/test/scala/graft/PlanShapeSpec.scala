@@ -55,4 +55,20 @@ class PlanShapeSpec extends SparkSpec {
     // computing the Z key itself must not shuffle
     assert("Exchange".r.findAllIn(exec).size <= 2, s"unexpected exchanges:\n$exec")
   }
+
+  test("chunking pipelines with the scan — only the presentation exchange") {
+    val p = plan("x_chunk_docs")
+    // the chunk explode is per-row expression work; the single Exchange
+    // is Present.sortSmall's repartition(1)
+    assert("Exchange".r.findAllIn(p).size <= 1, s"chunking must not shuffle:\n$p")
+    assert(!p.contains("Window"), "chunking must not need a window")
+  }
+
+  test("BPE pair counting partial-aggregates before its single exchange") {
+    val p = plan("x_bpe_merges")
+    assert("Exchange".r.findAllIn(p).size <= 2, // pair agg + top-k sort
+      s"pair count must be one hash shuffle:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "map-side combine must survive")
+  }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the training-run preparation operators
+  * (`ext.Prep`): chunk coverage/overlap, shard balance and
+  * determinism, curriculum phase monotonicity, and a second BPE
+  * round after applying the first merge.
+  */
+class PrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking covers every token exactly and overlaps by size - stride") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), size(ext.Text.tokens(col("text"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val chunks = ext.Prep.chunkDocs(spark, sf0001)
+      .select("doc_id", "chunk_id", "chunk_start", "n_chunk_tokens", "chunk_text")
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet == docs.keySet) // every doc yields >= 1 chunk
+    chunks.foreach { case (id, rows) =>
+      val n = docs(id)
+      val sorted = rows.sortBy(_.getAs[Int]("chunk_id"))
+      // starts form the stride grid and stay inside the doc
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("chunk_id") == i)
+        assert(r.getAs[Int]("chunk_start") == i * ext.Prep.chunkStride)
+        assert(r.getAs[Int]("chunk_start") < n || n <= ext.Prep.chunkStride)
+        val len = r.getAs[Int]("n_chunk_tokens")
+        assert(len == math.min(ext.Prep.chunkSize, n - r.getAs[Int]("chunk_start")))
+        assert(r.getAs[String]("chunk_text").split(" ").length == len)
+      }
+      // union of [start, start+len) covers [0, n) with no gaps
+      val covered = sorted.flatMap { r =>
+        val s = r.getAs[Int]("chunk_start")
+        s until (s + r.getAs[Int]("n_chunk_tokens"))
+      }.toSet
+      assert(covered == (0 until n).toSet)
+    }
+  }
+
+  test("shard plan is balanced, deterministic, and a permutation of the corpus") {
+    val plan = ext.Prep.shardPlan(spark, sf0001).collect()
+    val n = Tables.table(spark, sf0001, "documents").count()
+    assert(plan.length == n)
+    // every shard within 3x of uniform (hash balance; tiny corpus -> loose)
+    val perShard = plan.groupBy(_.getAs[Int]("shard")).view.mapValues(_.length)
+    assert(perShard.values.max <= 3 * n.toInt / ext.Prep.nShards + 1)
+    // positions within each shard are 1..k (a proper ordering, no holes)
+    plan.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to rows.length))
+    }
+    // replay is bit-identical (no rand() anywhere)
+    val again = ext.Prep.shardPlan(spark, sf0001).collect()
+    assert(plan.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("curriculum phases partition the corpus and quality is monotone across phases") {
+    val rows = ext.Prep.curriculum(spark, sf0001).collect()
+    val byPhase = rows.groupBy(_.getAs[Int]("phase"))
+    assert(byPhase.keySet.subsetOf((1 to ext.Prep.curriculumCuts.size + 1).toSet))
+    // min quality of phase p >= max quality of phase p+1 can fail only at
+    // the exact cut; check against the cut values themselves instead
+    byPhase.foreach { case (p, rs) =>
+      val qs = rs.map(_.getAs[Double]("q"))
+      if (p <= ext.Prep.curriculumCuts.size)
+        assert(qs.forall(_ >= ext.Prep.curriculumCuts(p - 1)))
+      if (p > 1)
+        assert(qs.forall(_ < ext.Prep.curriculumCuts(p - 2)))
+      // in-phase positions are again 1..k
+      assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("applying the top BPE merge strictly lowers its pair count in round two") {
+    val top = ext.Prep.bpeMerges(spark, sf0001).collect()
+    assert(top.length == ext.Prep.bpeTopK)
+    val counts = top.map(r => r.getAs[String]("pair") -> r.getAs[Long]("n"))
+    // ranked: non-increasing counts, ties broken by pair text
+    assert(counts.map(_._2).toSeq == counts.map(_._2).sortBy(-_).toSeq)
+    val (bestPair, bestN) = counts.head
+    // round two: replace the merged pair with a single symbol (one
+    // non-overlapping left-to-right pass, the BPE apply rule), recount
+    // with the SAME aggregation the operator uses
+    val merged = Tables.table(spark, sf0001, "documents")
+      .select(explode(ext.Text.tokens(col("text"))).as("tok"))
+      .select(regexp_replace(col("tok"), java.util.regex.Pattern.quote(bestPair), "").as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    val leftover = merged.filter(col("pair") === bestPair)
+      .collect().headOption.map(_.getAs[Long]("n")).getOrElse(0L)
+    // only overlap-split occurrences (e.g. "aaa" for pair "aa") survive
+    assert(leftover < bestN)
+  }
+}
