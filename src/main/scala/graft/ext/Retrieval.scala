@@ -110,13 +110,17 @@ object Retrieval {
 
     // posting list restricted to the query vocabulary: the broadcast
     // semi filter runs map-side on the exploded checkpoint read, BEFORE
-    // the tf exchange — only matching tokens' postings ever shuffle
+    // the tf exchange — only matching tokens' postings ever shuffle.
+    // dl is functionally dependent on doc_id, so it rides through the
+    // tf aggregation as first() instead of costing a separate
+    // corpus-scale docLen join afterwards.
     val postings = tokenized
-      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .join(broadcast(qvocab), Seq("token"), "left_semi")
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val docLen = tokenized.select(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // df is bounded by the query vocabulary (a curated benchmark:
+    // metadata-scale however big the corpus), so it broadcasts
     val dfreq = postings.groupBy(col("token")).agg(count(lit(1)).as("dfc"))
     val stats = tokenized.agg(
       count(lit(1)).as("n_docs"),
@@ -128,8 +132,7 @@ object Retrieval {
       (col("tf") + lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl")))
     postings
       .join(broadcast(qterms), Seq("token"))
-      .join(dfreq, Seq("token"))
-      .join(docLen, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("token"))
       .crossJoin(broadcast(stats)) // two scalars ride along
       .groupBy(col("query_doc"), col("doc_id"))
       .agg(round(sum(idf * sat), 4).as("score"))
