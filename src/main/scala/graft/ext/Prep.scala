@@ -175,6 +175,78 @@ object Prep {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Token budget for [[budgetSelect]], as a fraction of corpus
+    * tokens (scale-free: the fixture and a 100 TB corpus cut at the
+    * same relative point).
+    */
+  val budgetFrac = 0.5
+
+  /** Token-budget corpus selection — keep the highest-quality
+    * documents until the token budget is spent: the "best N tokens"
+    * selection every training run makes. A document is selected when
+    * the running token total up to and including it (in quality-desc,
+    * doc_id-asc order) stays within `budgetFrac` of the corpus total.
+    *
+    * Scale shape — a distributed prefix sum, NOT a global window: the
+    * 4-dp quality score is an integer band (≤ 10⁴ + 1 values), so
+    * (1) per-band token totals partial-agg in one bounded shuffle;
+    * (2) band offsets cumulate in a window over the BAND table —
+    * metadata-scale (≤ 10k rows) no matter the corpus size, the same
+    * driver-side-bounded argument as k-means centroids; (3) each doc's
+    * running total is its broadcast band offset plus an intra-band
+    * prefix sum windowed BY BAND — every window partition is bounded
+    * by a band's population, never the corpus. The DuckDB twin is the
+    * naive single-window global cumsum, so the gate proves the
+    * decomposition exact. Distinct 4-dp scores map to distinct bands,
+    * hence (band desc, doc_id) order ≡ (quality desc, doc_id) order.
+    */
+  def budgetSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Text.tokens(col("text"))
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), Text.qualityScore(t).as("q"),
+        size(t).as("n_tokens"))
+      .withColumn("band", round(col("q") * 10000).cast("int"))
+    val total = docs.agg(sum(col("n_tokens")).cast("long").as("tot"))
+    val bandOff = docs.groupBy(col("band"))
+      .agg(sum(col("n_tokens")).cast("long").as("btok"))
+      .withColumn("boff",
+        coalesce(
+          sum(col("btok")).over(
+            Window.orderBy(col("band").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("band"), col("boff"))
+    graft.Present.sortSmall(
+      docs.join(broadcast(bandOff), Seq("band"))
+        .withColumn("cum_tokens",
+          col("boff") + sum(col("n_tokens")).over(
+            Window.partitionBy(col("band")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .filter(col("cum_tokens") <= col("tot") * budgetFrac)
+        .select(col("doc_id"), col("q"), col("n_tokens"), col("cum_tokens")),
+      col("doc_id"))
+  }
+
+  /** DuckDB twin of [[budgetSelect]] — deliberately the NAIVE global
+    * cumulative window, so the oracle validates the band-decomposed
+    * prefix sum against the direct formulation.
+    */
+  val budgetSelectSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${Text.qualityScoreSql} AS q,
+       |         len(string_split(text, ' ')) AS n FROM documents),
+       |t AS (SELECT sum(n) AS tot FROM d),
+       |c AS (
+       |  SELECT doc_id, q, n,
+       |         sum(n) OVER (ORDER BY q DESC, doc_id
+       |                      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d)
+       |SELECT doc_id, q, CAST(n AS INTEGER) AS n_tokens,
+       |       CAST(cum AS BIGINT) AS cum_tokens
+       |FROM c, t WHERE cum <= tot * $budgetFrac
+       |ORDER BY doc_id""".stripMargin
+
   /** Top merge candidates returned by [[bpeMerges]]. */
   val bpeTopK = 30
 

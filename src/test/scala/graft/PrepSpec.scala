@@ -73,6 +73,27 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("budget selection is the maximal quality-ordered prefix within budget") {
+    val sel = ext.Prep.budgetSelect(spark, sf0001).collect()
+    assert(sel.nonEmpty)
+    // recompute the naive global order driver-side
+    val all = Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        ext.Text.qualityScore(ext.Text.tokens(col("text"))).as("q"),
+        size(ext.Text.tokens(col("text"))).as("n"))
+      .as[(Long, Double, Int)].collect()
+      .sortBy { case (id, q, _) => (-q, id) }
+    val budget = all.map(_._3.toLong).sum * ext.Prep.budgetFrac
+    val cums = all.scanLeft(0L)(_ + _._3).tail
+    val expect = all.zip(cums).takeWhile(_._2 <= budget)
+    // identity with the band-decomposed engine result, cum included
+    assert(sel.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens"))).sorted.toSeq
+      == expect.map { case ((id, _, _), c) => (id, c) }.sorted.toSeq)
+    // maximality: the next doc in order would blow the budget
+    if (expect.length < all.length)
+      assert(cums(expect.length) > budget)
+  }
+
   test("applying the top BPE merge strictly lowers its pair count in round two") {
     val top = ext.Prep.bpeMerges(spark, sf0001).collect()
     assert(top.length == ext.Prep.bpeTopK)
