@@ -121,6 +121,27 @@ object Prep {
        |FROM h
        |ORDER BY doc_id""".stripMargin
 
+  /** Physically materialize [[shardPlan]] — the writer-side twin the
+    * plan promises: repartition BY the shard value, sort each
+    * partition by the in-shard hash order, and write parquet
+    * partitioned on `shard`. Each shard directory receives exactly one
+    * file whose ROW ORDER is the shard's reading order, so a data
+    * loader streams shard files sequentially with no further sort.
+    * One shuffle total; at 100 TB the same plan fans out to one file
+    * set per shard with bounded per-task memory (the sort is
+    * spillable).
+    */
+  def writeShards(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val h = Text.md5Long(concat(lit("shard:"), col("doc_id").cast("string")))
+    Tables.table(spark, sfDir, "documents")
+      .withColumn("h", h)
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
+      .drop("h")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   /** Curriculum phase thresholds on the shared quality score (fixed
     * cutoffs, chosen around the fixture's quartiles; a production run
     * would pick its own): phase 1 = highest quality, consumed first.
@@ -290,4 +311,60 @@ object Prep {
        |FROM p GROUP BY pair
        |ORDER BY n DESC, pair
        |LIMIT $bpeTopK""".stripMargin
+
+  /** Adjacent symbol pairs of a symbol array. */
+  private def symPairs(s: org.apache.spark.sql.Column) =
+    transform(sequence(lit(0), size(s) - 2),
+      i => concat(element_at(s, i + 1), element_at(s, i + 2)))
+
+  /** One greedy left-to-right merge application: fuse every
+    * non-overlapping occurrence of `pair` (codegen'd `aggregate` fold,
+    * no UDF). After a fuse the merged symbol stays eligible as the
+    * LEFT of the next candidate — the standard BPE apply rule.
+    */
+  private def applyMerge(s: org.apache.spark.sql.Column, pair: String) =
+    aggregate(s, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && concat(element_at(acc, -1), x) === pair,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(element_at(acc, -1), x))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Multi-round BPE training — the iterative (count pairs → take the
+    * most frequent → fuse it everywhere) loop a tokenizer trainer
+    * runs, for `rounds` merges. Returns the learned merge table
+    * (rank, pair, n at selection time).
+    *
+    * Scale shape per round: one pair-count shuffle (partial agg to the
+    * metadata-scale pair vocabulary) + one per-row fold applying the
+    * merge; the driver holds only the merge list (`rounds` strings).
+    * The symbol table is localCheckpointed each round so round k+1
+    * reads materialized blocks instead of re-folding all k prior
+    * merges from the scan (the multi-executor analog is a staging
+    * write). Production trainers run this on a corpus SAMPLE; the loop
+    * body is sample-size-independent in shape.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String, rounds: Int): DataFrame = {
+    import spark.implicits._
+    var syms = Tables.table(spark, sfDir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(split(col("tok"), "").as("s"))
+      .localCheckpoint(false)
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = syms
+        .select(explode(symPairs(col("s"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1)
+        .as[(String, Long)].collect()
+      assert(best.nonEmpty, s"corpus exhausted before round $r")
+      val (pair, n) = best.head
+      merges += ((r, pair, n))
+      syms = syms.select(applyMerge(col("s"), pair).as("s"))
+        .localCheckpoint(false)
+    }
+    merges.result().toDF("rank", "pair", "n")
+  }
 }

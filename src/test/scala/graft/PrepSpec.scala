@@ -94,6 +94,44 @@ class PrepSpec extends SparkSpec {
       assert(cums(expect.length) > budget)
   }
 
+  test("written shards are one ordered file per shard, matching the plan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      ext.Prep.writeShards(spark, sf0001, out)
+      val plan = ext.Prep.shardPlan(spark, sf0001).collect()
+        .groupBy(_.getAs[Int]("shard"))
+        .view.mapValues(_.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("doc_id")).toSeq)
+        .toMap
+      val dirs = new java.io.File(out).listFiles.filter(_.getName.startsWith("shard="))
+      assert(dirs.map(_.getName.stripPrefix("shard=").toInt).toSet == plan.keySet)
+      dirs.foreach { d =>
+        val files = d.listFiles.filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"${d.getName} must be exactly one file")
+        // row order in the file IS the shard's reading order
+        val got = spark.read.parquet(files.head.toString)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        assert(got == plan(d.getName.stripPrefix("shard=").toInt))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("multi-round BPE training learns distinct merges with non-increasing counts") {
+    val merges = ext.Prep.bpeTrain(spark, sf0001, rounds = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("pair"), r.getAs[Long]("n")))
+    assert(merges.map(_._1).toSeq == (1 to 5))
+    assert(merges.map(_._2).distinct.length == 5) // a pair is only ever fused once
+    // round 1 must agree with the oracle-checked single-round operator
+    val top1 = ext.Prep.bpeMerges(spark, sf0001).collect().head
+    assert(merges.head._2 == top1.getAs[String]("pair"))
+    assert(merges.head._3 == top1.getAs[Long]("n"))
+    // merged symbols grow: later merges may chain earlier ones (length
+    // > 2 means a fused symbol participated) — just assert shape sanity
+    merges.foreach { case (_, p, n) => assert(p.length >= 2 && n > 0) }
+  }
+
   test("applying the top BPE merge strictly lowers its pair count in round two") {
     val top = ext.Prep.bpeMerges(spark, sf0001).collect()
     assert(top.length == ext.Prep.bpeTopK)
