@@ -42,22 +42,31 @@ object Prep {
     * at 100 TB the stage is embarrassingly parallel and the chunk
     * stream can be written partition-local.
     */
-  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = Text.tokens(col("text"))
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame =
     graft.Present.sortSmall(
-      Tables.table(spark, sfDir, "documents")
-        .select(col("doc_id"), size(t).as("n"), t.as("t"))
-        .select(col("doc_id"), col("n"),
-          posexplode(
-            transform(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(chunkStride)),
-              i => array_join(slice(col("t"), i + lit(1), lit(chunkSize)), " ")))
-            .as(Seq("chunk_id", "chunk_text")))
-        .select(col("doc_id"), col("chunk_id"),
-          (col("chunk_id") * chunkStride).as("chunk_start"),
-          least(lit(chunkSize), col("n") - col("chunk_id") * chunkStride)
-            .as("n_chunk_tokens"),
-          col("chunk_text")),
+      chunkify(Tables.table(spark, sfDir, "documents")),
       col("doc_id"), col("chunk_id"))
+
+  /** Core chunk transform over any `(doc_id, text)` relation.
+    * Stateless per-row expression work, so the IDENTICAL code path
+    * runs on a streaming DataFrame (see PrepSpec's MemoryStream
+    * parity test) — chunking slots into the ingest pipeline with no
+    * state store.
+    */
+  def chunkify(docs: DataFrame): DataFrame = {
+    val t = Text.tokens(col("text"))
+    docs
+      .select(col("doc_id"), size(t).as("n"), t.as("t"))
+      .select(col("doc_id"), col("n"),
+        posexplode(
+          transform(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(chunkStride)),
+            i => array_join(slice(col("t"), i + lit(1), lit(chunkSize)), " ")))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * chunkStride).as("chunk_start"),
+        least(lit(chunkSize), col("n") - col("chunk_id") * chunkStride)
+          .as("n_chunk_tokens"),
+        col("chunk_text"))
   }
 
   /** DuckDB twin of [[chunkDocs]]: the same start grid via
@@ -311,6 +320,75 @@ object Prep {
        |FROM p GROUP BY pair
        |ORDER BY n DESC, pair
        |LIMIT $bpeTopK""".stripMargin
+
+  /** Corpus snapshot diff — the release-to-release accounting a
+    * versioned dataset pipeline runs: classify every doc_id across two
+    * corpus versions as `added` / `removed` / `changed` (content hash
+    * differs) / `unchanged`, emitting the non-unchanged rows plus the
+    * version each side carries. The comparison key is the md5 content
+    * hash, never the text itself, so the join carries 16 bytes per doc
+    * regardless of document size.
+    *
+    * The fixture has a single `documents` table, so version 2 is
+    * DERIVED deterministically (drops, edits, and additions keyed on
+    * doc_id arithmetic) identically in both engines; in production the
+    * two sides are two snapshot reads (e.g.
+    * [[graft.io.ParquetUpsertSink.readAsOf]] commits).
+    *
+    * Scale shape: two scans reduced to (doc_id, hash) at the source,
+    * one hash shuffle for the full outer join on doc_id; the status
+    * CASE is per-row. No text moves, nothing collects.
+    */
+  def corpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val v1 = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h1"))
+    // v2: every 17th doc (mod 3) removed, every 13th (mod 2) edited,
+    // and a synthetic appended range re-using shifted ids as new docs
+    val v2 = docs
+      .filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        md5(concat(col("text"),
+          when(col("doc_id") % 13 === 2, lit(" rev2")).otherwise(lit("")))
+          .cast("binary")).as("h2"))
+      .unionByName(
+        docs.filter(col("doc_id") % 19 === 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(concat(col("text"), lit(" new")).cast("binary")).as("h2")))
+    graft.Present.sortSmall(
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, lit("added"))
+            .when(col("h2").isNull, lit("removed"))
+            .when(col("h1") =!= col("h2"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .filter(col("status") =!= "unchanged")
+        .select(col("doc_id"), col("status")),
+      col("doc_id"))
+  }
+
+  /** DuckDB twin of [[corpusDiff]] — same derived v2, same hash-only
+    * full outer join.
+    */
+  val corpusDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |         md5(text || CASE WHEN doc_id % 13 = 2 THEN ' rev2' ELSE '' END) AS h2
+      |  FROM documents WHERE doc_id % 17 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, md5(text || ' new') AS h2
+      |  FROM documents WHERE doc_id % 19 = 5)
+      |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |       CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |            WHEN v2.doc_id IS NULL THEN 'removed'
+      |            WHEN h1 <> h2 THEN 'changed'
+      |            ELSE 'unchanged' END AS status
+      |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |WHERE CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |           WHEN v2.doc_id IS NULL THEN 'removed'
+      |           WHEN h1 <> h2 THEN 'changed'
+      |           ELSE 'unchanged' END <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin
 
   /** Adjacent symbol pairs of a symbol array. */
   private def symPairs(s: org.apache.spark.sql.Column) =

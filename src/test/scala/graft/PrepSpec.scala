@@ -94,6 +94,29 @@ class PrepSpec extends SparkSpec {
       assert(cums(expect.length) > budget)
   }
 
+  test("streaming chunking emits exactly the batch chunks (stateless parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"a$i").mkString(" ")), // 2 chunks
+      (2L, "one two three"), // short doc: 1 chunk
+      (3L, (1 to 70).map(i => s"b$i").mkString(" "))) // 3 chunks
+    val expected = ext.Prep.chunkify(docs.toDF("doc_id", "text"))
+      .collect().map(_.toString).sorted.toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = ext.Prep.chunkify(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_parity")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      mem.addData(docs(2))
+      q.processAllAvailable()
+      val got = spark.table("chunk_parity").collect().map(_.toString).sorted.toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("written shards are one ordered file per shard, matching the plan") {
     val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
     try {
