@@ -321,6 +321,41 @@ object Prep {
        |ORDER BY n DESC, pair
        |LIMIT $bpeTopK""".stripMargin
 
+  /** Dataset card — the one-row release summary a corpus ships with:
+    * document/token/source/language counts, quality mean, length
+    * extremes, and the exact-duplicate text count. One scan, scalar
+    * aggregates (plus the distinct-hash count, a bounded shuffle on
+    * 16-byte keys); every number is exact and engine-reproducible.
+    */
+  def corpusCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Text.tokens(col("text"))
+    Tables.table(spark, sfDir, "documents")
+      .select(col("source"), col("lang"),
+        size(t).as("n"), Text.qualityScore(t).as("q"),
+        md5(col("text").cast("binary")).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n").cast("long")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("q")), 4).as("avg_quality"),
+        min(col("n")).as("min_doc_tokens"),
+        max(col("n")).as("max_doc_tokens"),
+        countDistinct(col("h")).as("n_unique_texts"))
+  }
+
+  /** DuckDB twin of [[corpusCard]]. */
+  val corpusCardSql: String =
+    s"""SELECT count(*) AS n_docs,
+       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |       count(DISTINCT source) AS n_sources,
+       |       count(DISTINCT lang) AS n_langs,
+       |       round(avg(${Text.qualityScoreSql}), 4) AS avg_quality,
+       |       CAST(min(len(string_split(text, ' '))) AS INTEGER) AS min_doc_tokens,
+       |       CAST(max(len(string_split(text, ' '))) AS INTEGER) AS max_doc_tokens,
+       |       count(DISTINCT md5(text)) AS n_unique_texts
+       |FROM documents""".stripMargin
+
   /** Corpus snapshot diff — the release-to-release accounting a
     * versioned dataset pipeline runs: classify every doc_id across two
     * corpus versions as `added` / `removed` / `changed` (content hash
@@ -444,5 +479,29 @@ object Prep {
         .localCheckpoint(false)
     }
     merges.result().toDF("rank", "pair", "n")
+  }
+
+  /** BPE ENCODE — apply a learned merge table (rank order) to any
+    * `(doc_id, text)` relation: per token, split to chars and fold
+    * each merge through [[applyMerge]]. Pure per-row chained
+    * expressions (one fold per merge, all codegen'd, no UDF, no
+    * shuffle) — the tokenizer-application pass a training pipeline
+    * runs over the full corpus, embarrassingly parallel at 100 TB.
+    * Returns per-doc symbol accounting (`n_chars`, `n_symbols`);
+    * PrepSpec pins the conservation law — every fuse performed during
+    * training removes exactly one symbol, so encoding the SAME corpus
+    * with the learned table satisfies
+    * Σ n_symbols = Σ chars − Σ merge-table counts.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val encodedTok = merges.foldLeft(split(col("tok"), "")) {
+      (acc, pair) => applyMerge(acc, pair)
+    }
+    docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), length(col("tok")).as("nc"),
+        size(encodedTok).as("ns"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nc")).as("n_chars"), sum(col("ns")).as("n_symbols"))
   }
 }

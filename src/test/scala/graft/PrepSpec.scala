@@ -155,6 +155,19 @@ class PrepSpec extends SparkSpec {
     merges.foreach { case (_, p, n) => assert(p.length >= 2 && n > 0) }
   }
 
+  test("encoding with the learned merge table conserves symbols: chars - fuses") {
+    val merges = ext.Prep.bpeTrain(spark, sf0001, rounds = 4)
+      .orderBy("rank").collect()
+    val pairs = merges.map(_.getAs[String]("pair")).toSeq
+    val totalFuses = merges.map(_.getAs[Long]("n")).sum
+    val enc = ext.Prep.bpeEncode(
+      Tables.table(spark, sf0001, "documents"), pairs)
+      .agg(sum("n_chars"), sum("n_symbols")).collect()(0)
+    // each fuse performed in training removes exactly one symbol, and
+    // re-encoding the same corpus replays exactly those fuses
+    assert(enc.getLong(0) - enc.getLong(1) == totalFuses)
+  }
+
   test("applying the top BPE merge strictly lowers its pair count in round two") {
     val top = ext.Prep.bpeMerges(spark, sf0001).collect()
     assert(top.length == ext.Prep.bpeTopK)
