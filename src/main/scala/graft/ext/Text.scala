@@ -313,24 +313,32 @@ object Text {
       col("doc_id"))
   }
 
-  val bigramLogprobSql: String =
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-       |                     generate_subscripts(string_split(text, ' '), 1) AS pos
-       |              FROM documents),
+  /** Shared oracle scaffolding for the interpolated-bigram model: CTE
+    * list ending in `bscore(doc_id, n_bigrams, avg_logprob)` — reused
+    * by [[bigramLogprobSql]] and [[Lexical.ccnetBucketsSql]].
+    */
+  val bigramScoresCtesSql: String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |                generate_subscripts(string_split(text, ' '), 1) AS pos
+       |         FROM documents),
        |bg AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
        |       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
        |cb AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
        |cc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
        |uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY 1),
-       |tot AS (SELECT count(*) AS n_total FROM toks)
-       |SELECT doc_id, count(*) AS n_bigrams,
-       |       round(avg(ln($bigramLambda * (c2::DOUBLE / c1)
-       |                    + ${1 - bigramLambda} * (cu::DOUBLE / n_total))), 4)
-       |         AS avg_logprob
-       |FROM bg JOIN cb USING (w1, w2) JOIN cc USING (w1)
-       |        JOIN uni ON uni.tok = bg.w2, tot
-       |GROUP BY doc_id
-       |ORDER BY doc_id""".stripMargin
+       |tot AS (SELECT count(*) AS n_total FROM toks),
+       |bscore AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |         round(avg(ln($bigramLambda * (c2::DOUBLE / c1)
+       |                      + ${1 - bigramLambda} * (cu::DOUBLE / n_total))), 4)
+       |           AS avg_logprob
+       |  FROM bg JOIN cb USING (w1, w2) JOIN cc USING (w1)
+       |          JOIN uni ON uni.tok = bg.w2, tot
+       |  GROUP BY doc_id)""".stripMargin
+
+  val bigramLogprobSql: String =
+    "WITH " + bigramScoresCtesSql +
+      "\nSELECT doc_id, n_bigrams, avg_logprob FROM bscore ORDER BY doc_id"
 
   /** Mixture temperature for [[sourceWeights]]: weight ∝ tokens^α.
     * α < 1 upsamples small sources relative to proportional sampling —
