@@ -138,6 +138,98 @@ object Retrieval {
       .agg(round(sum(idf * sat), 4).as("score"))
   }
 
+  /** Negatives per anchor in [[contrastivePairs]]. */
+  val contrastiveK = 4
+
+  /** Pool sampling modulus: the negative pool is the hash-mod
+    * 1/[[contrastivePoolMod]] corpus sample. Production picks the
+    * modulus so |pool| lands at a few hundred docs (≈ c·k) regardless
+    * of corpus size — the pool must stay broadcastable.
+    */
+  val contrastivePoolMod = 4
+
+  /** Contrastive-triplet construction for embedding-model training:
+    * every document with a verified near-duplicate becomes an anchor,
+    * its lowest-id near-dup partner the positive (the pair a bi-encoder
+    * should map together), and [[contrastiveK]] deterministic
+    * hash-sampled non-near-dup documents the in-batch negatives. The
+    * self-supervised mining recipe near-dup detection already paid for.
+    *
+    * Scale shape: the near-dup edge list is computed once and
+    * lazy-localCheckpointed (two consumers — positive selection and the
+    * negative anti-join — must not each re-run the LSH pipeline, the
+    * lesson `dupPageRank` learned in round 7); the negative pool is a
+    * bounded hash-mod sample and broadcasts, so the anchors × pool
+    * candidate join is |anchors|·|pool| with the pool side
+    * metadata-scale; per-anchor top-k rides the native
+    * [[graft.plans.TopKPerGroup]]. Negative choice is content-stable
+    * hash rank, not rand() — reproducible across runs, engines, and
+    * resumes.
+    */
+  def contrastivePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Dedup.minhashLshPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(false)
+    val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("anchor", "partner")
+    val anchors = sym.groupBy(col("anchor")).agg(min(col("partner")).as("positive"))
+    val pool = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id").as("negative"))
+      .filter(Text.md5Long(col("negative").cast("string")) % contrastivePoolMod === 0)
+    val h = Text.md5Long(concat(
+      col("anchor").cast("string"), lit(":"), col("negative").cast("string")))
+    val cand = anchors
+      .join(broadcast(pool),
+        col("negative") =!= col("anchor") && col("negative") =!= col("positive"))
+      .join(sym.withColumnRenamed("partner", "negative"),
+        Seq("anchor", "negative"), "left_anti")
+      .withColumn("h", h)
+    val top = graft.plans.TopKPerGroup.topKPerGroup(
+      cand, Seq(col("anchor")), Seq(col("h").asc, col("negative").asc), contrastiveK)
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("h").asc, col("negative").asc)
+    graft.Present.sortSmall(
+      top.withColumn("neg_rank", row_number().over(w))
+        .select(col("anchor"), col("positive"), col("negative"), col("neg_rank")),
+      col("anchor"), col("neg_rank"))
+  }
+
+  /** DuckDB twin of [[contrastivePairs]]: ground-truth pairwise near-dup
+    * edges (the [[Dedup.minhashLshSql]] argument: banding recall ≈ 1 at
+    * the planted j ≥ 0.9), same min-partner positive, same hash-ranked
+    * pool negatives.
+    */
+  val contrastivePairsSql: String =
+    s"""WITH ${Dedup.shinglesSqlCte},
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND round(len(list_intersect(a.s, b.s))::DOUBLE
+       |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+       |          >= ${Dedup.jaccardThreshold}),
+       |sym AS (SELECT doc_a AS anchor, doc_b AS partner FROM p
+       |        UNION ALL SELECT doc_b, doc_a FROM p),
+       |an AS (SELECT anchor, min(partner) AS positive FROM sym GROUP BY 1),
+       |pool AS (SELECT doc_id AS negative FROM documents
+       |         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+       |                 % $contrastivePoolMod = 0),
+       |cand AS (
+       |  SELECT anchor, positive, negative,
+       |         ('0x' || substr(md5(anchor::VARCHAR || ':' || negative::VARCHAR),
+       |                         1, 8))::BIGINT AS h
+       |  FROM an, pool
+       |  WHERE negative <> anchor AND negative <> positive
+       |    AND NOT EXISTS (SELECT 1 FROM sym s
+       |                    WHERE s.anchor = an.anchor AND s.partner = pool.negative))
+       |SELECT anchor, positive, negative, CAST(neg_rank AS INTEGER) AS neg_rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY anchor
+       |                               ORDER BY h, negative) AS neg_rank
+       |  FROM cand)
+       |WHERE neg_rank <= $contrastiveK
+       |ORDER BY anchor, neg_rank""".stripMargin
+
   /** RRF smoothing constant (the standard k=60 of Cormack et al.). */
   val rrfK = 60
 

@@ -896,4 +896,26 @@ class ExtensionsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     rows.foreach(r => assert(r.getAs[Double]("rrf") <= bothMax))
   }
+
+  test("contrastive pairs: positive is the min near-dup partner, negatives never near-dups") {
+    val pairs = ext.Dedup.minhashLsh(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val sym = (pairs ++ pairs.map(_.swap)).toSet
+    val out = ext.Retrieval.contrastivePairs(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val anchors = out.map(_.getAs[Long]("anchor")).toSet
+    assert(anchors.subsetOf(sym.map(_._1))) // only near-dup docs anchor
+    out.groupBy(_.getAs[Long]("anchor")).foreach { case (a, rows) =>
+      val pos = rows.map(_.getAs[Long]("positive")).distinct
+      assert(pos.length == 1)
+      assert(pos.head == sym.collect { case (x, p) if x == a => p }.min)
+      assert(rows.length <= ext.Retrieval.contrastiveK)
+      assert(rows.map(_.getAs[Int]("neg_rank")).sorted.toSeq == (1 to rows.length))
+      rows.foreach { r =>
+        val n = r.getAs[Long]("negative")
+        assert(n != a && n != pos.head)
+        assert(!sym.contains((a, n))) // a negative is never a near-dup of its anchor
+      }
+    }
+  }
 }
