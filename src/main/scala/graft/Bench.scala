@@ -19,7 +19,14 @@ object Bench {
     // broker), so q_cdc_parse times the engine's parse path only
     try queries.Parity.stageWire(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] stageWire FAILED: ${e.getMessage}") }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c times just those queries — regression triage
+    // needs isolated numbers (shared-JVM run-position effects measured
+    // at 2× on the heavy pair joins)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // execute the query's OWN physical plan (toRdd) — a count() on top
       // would let the optimizer prune every projection expression and
@@ -54,7 +61,9 @@ object Bench {
     // first ~15 timings and broke JSON parsing. So: the FULL map is
     // written to a committed file, and stdout carries only one short,
     // always-parseable totals line (printed last, nothing after it).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    // a filtered run must not clobber the committed full-map file
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "/tmp/bench_only.json" else "/root/repo/BENCH_LOCAL.json")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
