@@ -71,4 +71,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       "map-side combine must survive")
   }
+
+  test("MLM masking is pure per-row work — only the presentation exchange") {
+    val p = plan("x_mlm_masking")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"masking must not shuffle:\n$p")
+    assert(!p.contains("Generate"), "masking must not explode tokens")
+  }
+
+  test("collocation top-k is TakeOrdered — no global sort of the pair table") {
+    val p = plan("x_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must run as TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("contrastive negatives broadcast the bounded pool") {
+    val p = plan("x_contrastive_pairs")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"pool side must broadcast:\n$p")
+    assert(p.contains("TopKPerGroup"), "per-anchor top-k must be native")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("span removal reuses one checkpointed windows relation — no second explode") {
+    val p = plan("x_dup_span_removal")
+    // dup detection + covered semi join + rebuild all read the
+    // localCheckpoint; the only Generate nodes are the windows explode
+    // inside the checkpointed lineage (invisible here), the covered
+    // index explode, and the rebuild posexplode
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"windows/covered checkpoints must feed the consumers:\n$p")
+  }
 }
