@@ -306,4 +306,50 @@ object Clusters {
     |FROM assigned
     |GROUP BY 1
     |ORDER BY 1""".stripMargin
+
+  /** Per-source dedup shrinkage: for each corpus source, how many
+    * documents survive MinHash-LSH near-dup removal and what fraction
+    * was duplicated — the report a corpus curator reads before
+    * re-weighting the training mix (a source that is 40% duplicated
+    * contributes far less unique signal than its raw size suggests).
+    *
+    * Scale shape: the drop list is the component closure already
+    * proven in [[dedupKeep]]; charging each drop to its source is one
+    * doc_id semi-join plus a per-source partial agg — output is
+    * |sources| rows, metadata-scale.
+    */
+  def dedupRates(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val edges = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val drops = connectedComponents(edges)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    val dropped = docs.join(drops, Seq("doc_id"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dropped"))
+    Present.sortSmall(
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(dropped, Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+        .withColumn("dup_rate",
+          round(col("n_dropped").cast("double") / col("n_docs"), 4)),
+      col("source"))
+  }
+
+  /** DuckDB twin of [[dedupRates]]. */
+  val dedupRatesSql: String = componentsCteSql + """
+    |,drops AS (SELECT doc_id FROM comp WHERE doc_id <> keeper_id),
+    |per AS (
+    |  SELECT d.source,
+    |         count(*) AS n_docs,
+    |         count(dr.doc_id) AS n_dropped
+    |  FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+    |  GROUP BY d.source)
+    |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+    |       CAST(n_dropped AS BIGINT) AS n_dropped,
+    |       CAST(n_docs - n_dropped AS BIGINT) AS n_kept,
+    |       round(n_dropped::DOUBLE / n_docs, 4) AS dup_rate
+    |FROM per
+    |ORDER BY source""".stripMargin
 }

@@ -837,4 +837,46 @@ object Similarity {
        |  FROM scored)
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@5 of the IVF(nprobe=1) path against the exact brute-force
+    * top-5 — the evaluation a production pipeline runs to tune cell
+    * count and probe width before trusting an ANN index, emitted per
+    * query (a single mean hides the tail queries that fall off their
+    * cell boundary).
+    *
+    * Scale shape: both sides are the existing ANN pipelines (their
+    * scale stories apply unchanged); the comparison joins two
+    * k-rows-per-query frames — metadata-scale regardless of corpus
+    * size.
+    */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val bf = annBruteForce(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val iv = annIvf(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val hits = bf.join(iv, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    Present.sortSmall(
+      bf.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits").cast("double") / 5, 4)),
+      col("query_id"))
+  }
+
+  /** DuckDB twin of [[annRecall]] — the two ANN oracles nested as
+    * derived tables (concatenated pre-stripped, no composite
+    * stripMargin), joined on exact hits. Defined after [[annIvfSql]]:
+    * object vals initialize top-to-bottom, so referencing it earlier
+    * would concatenate null.
+    */
+  val annRecallSql: String =
+    "WITH bf AS (SELECT query_id, neighbor_id FROM (" + annBruteForceSql + ")),\n" +
+      "iv AS (SELECT query_id, neighbor_id FROM (" + annIvfSql + ")),\n" +
+      """h AS (SELECT bf.query_id, count(iv.neighbor_id) AS n_hits
+        |      FROM bf LEFT JOIN iv ON iv.query_id = bf.query_id
+        |                          AND iv.neighbor_id = bf.neighbor_id
+        |      GROUP BY bf.query_id)
+        |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+        |       round(n_hits::DOUBLE / 5, 4) AS recall
+        |FROM h
+        |ORDER BY query_id""".stripMargin
 }

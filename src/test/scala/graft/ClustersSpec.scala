@@ -124,4 +124,25 @@ class ClustersSpec extends SparkSpec {
     assert(dropped.nonEmpty)
     assert(kept == all -- dropped)
   }
+
+  test("dedupRates reconciles with the documents table and the survivor corpus") {
+    val rates = Clusters.dedupRates(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_kept"), r.getAs[Double]("dup_rate"))).toMap
+    // per-source totals are exactly the raw corpus counts
+    val raw = Tables.table(spark, sf0001, "documents")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(rates.keySet == raw.keySet)
+    rates.foreach { case (src, (nDocs, nDropped, nKept, rate)) =>
+      assert(nDocs == raw(src))
+      assert(nKept == nDocs - nDropped)
+      assert(rate == BigDecimal(nDropped.toDouble / nDocs)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // summed survivors equal the materialized survivor corpus
+    assert(rates.values.map(_._3).sum == Clusters.dedupKeep(spark, sf0001).count())
+    // the corpus plants near-dups, so at least one source shrinks
+    assert(rates.values.exists(_._2 > 0))
+  }
 }

@@ -63,6 +63,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("ANN recall@5 equals a hand-computed IVF-vs-brute-force overlap") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = pairs(ext.Similarity.annBruteForce(spark, sf0001))
+    val iv = pairs(ext.Similarity.annIvf(spark, sf0001))
+    val expected = bf.groupBy(_._1).map { case (q, ps) =>
+      q -> ps.count(iv.contains).toLong
+    }
+    val got = ext.Similarity.annRecall(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).toMap
+    assert(got.keySet == expected.keySet) // every query scored, even 0-hit ones
+    got.foreach { case (q, (hits, recall)) =>
+      assert(hits == expected(q), s"query $q")
+      assert(recall == hits.toDouble / 5)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // nprobe=1 IVF on a planted-cluster corpus should find most true neighbors
+    assert(got.values.map(_._1).sum > 0)
+  }
+
   test("tiled embedding pair join equals the naive all-pairs ground truth") {
     val vecs = Tables.table(spark, sf0001, "embeddings")
       .select("vec_id", "embedding")

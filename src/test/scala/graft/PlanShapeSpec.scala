@@ -93,6 +93,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ANN recall eval joins the two top-k frames — no cartesian, semi-join hits") {
+    // NB the underlying ANN pipelines keep their broadcast-probe BNLJ
+    // (tiny query side, non-equi self-pair filter) — that shape is
+    // audited in their own docs; here we only guard the comparison.
+    val p = plan("x_ann_recall")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), "hit counting must be a semi join")
+  }
+
+  test("dedup rates charge drops to sources via a doc_id semi join — no cartesian") {
+    val p = plan("x_dedup_rates")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftSemi"), "drop charging must be a semi join")
+  }
+
   test("span removal reuses one checkpointed windows relation — no second explode") {
     val p = plan("x_dup_span_removal")
     // dup detection + covered semi join + rebuild all read the
