@@ -307,6 +307,37 @@ object Clusters {
     |GROUP BY 1
     |ORDER BY 1""".stripMargin
 
+  /** Near-dup cluster-size histogram: for each cluster size, how many
+    * clusters and how many documents sit in them — the first health
+    * check on a dedup run (a giant component says the threshold or the
+    * banding is over-merging; all-size-2 says near-dups are isolated
+    * pairs and transitive closure was unnecessary work).
+    *
+    * Scale shape: two partial-agged hash shuffles over the component
+    * assignment (keeper → size, size → histogram); output is
+    * |distinct sizes| rows — metadata-scale.
+    */
+  def clusterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val sizes = connectedComponents(edges)
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    Present.sortSmall(
+      sizes.groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs")),
+      col("cluster_size"))
+  }
+
+  /** DuckDB twin of [[clusterStats]]. */
+  val clusterStatsSql: String = componentsCteSql + """
+    |,sizes AS (SELECT keeper_id, count(*) AS cluster_size FROM comp GROUP BY keeper_id)
+    |SELECT cluster_size, count(*) AS n_clusters,
+    |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    |FROM sizes
+    |GROUP BY cluster_size
+    |ORDER BY cluster_size""".stripMargin
+
   /** Per-source dedup shrinkage: for each corpus source, how many
     * documents survive MinHash-LSH near-dup removal and what fraction
     * was duplicated — the report a corpus curator reads before

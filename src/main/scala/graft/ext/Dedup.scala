@@ -664,6 +664,282 @@ object Dedup {
        |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= $jaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Signature length for [[minhashError]]'s cross-engine estimate —
+    * deliberately md5-seeded (not the xxhash64 the production LSH path
+    * uses) so DuckDB can replay every hash bit-for-bit; estimator
+    * error statistics are a property of signature LENGTH, not of the
+    * hash family, so the calibration read-out transfers.
+    */
+  val mhErrorSeeds = 16
+
+  /** Per-seed md5 MinHash over a shingle array: seed s ↦
+    * min over shingles of md5Long(s ++ ":" ++ shingle). Built from
+    * codegen'd builtins (md5/conv/substring inside HOF lambdas).
+    */
+  private def md5MinhashSig(shingleCol: Column): Column =
+    transform(sequence(lit(0), lit(mhErrorSeeds - 1)), seed =>
+      array_min(transform(shingleCol, x =>
+        graft.ext.Text.md5Long(concat(seed.cast("string"), lit(":"), x)))))
+
+  /** MinHash estimator calibration: for every verified near-dup pair,
+    * the exact shingle Jaccard next to the [[mhErrorSeeds]]-component
+    * MinHash estimate (fraction of matching signature components) and
+    * the absolute error — the measurement that tells you whether a
+    * signature length is sufficient before you trust banding at scale
+    * (k=16 ⇒ σ ≈ √(j(1−j)/16) ≈ 0.07 at j=0.9; a systematically
+    * larger spread means the hash family or shingling is broken).
+    *
+    * Scale shape: the signature is one embarrassingly-parallel per-doc
+    * scan pass; the comparison joins it onto the (already bounded)
+    * verified pair set by doc_id — pair-scale, never corpus².
+    * Oracle note: pairs come from the production LSH path; at this
+    * corpus's planted j ≥ 0.9 banding recall ≈ 1 − 2e-4, so the naive
+    * ground-truth pair SQL is the oracle (same argument as
+    * [[minhashLsh]]).
+    */
+  def minhashError(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5MinhashSig(shingles(graft.ext.Text.tokens(col("text")))).as("msig"))
+    val matches = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    Present.sortSmall(
+      minhashLshPairs(spark, sfDir)
+        .join(sigs.select(col("doc_id").as("doc_a"), col("msig").as("sa")), Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("msig").as("sb")), Seq("doc_b"))
+        .withColumn("est", round(matches.cast("double") / mhErrorSeeds, 4))
+        .withColumn("abs_err", round(abs(col("jaccard") - col("est")), 4))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("est"), col("abs_err")),
+      col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin of [[minhashError]] — replays the md5-seeded
+    * signature exactly (1-based list indexing; range(16) = 0..15).
+    */
+  val minhashErrorSql: String =
+    s"""WITH $shinglesSqlCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |         list_transform(range($mhErrorSeeds), seed ->
+       |           list_min(list_transform(s, x ->
+       |             ('0x' || substr(md5(seed::VARCHAR || ':' || x), 1, 8))::BIGINT))) AS msig
+       |  FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         round(len(list_intersect(a.s, b.s))::DOUBLE
+       |               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND round(len(list_intersect(a.s, b.s))::DOUBLE
+       |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= $jaccardThreshold)
+       |SELECT p.doc_a, p.doc_b, p.jaccard,
+       |       round(list_sum(list_transform(range($mhErrorSeeds),
+       |               i -> CASE WHEN sa.msig[i+1] = sb.msig[i+1] THEN 1 ELSE 0 END))::DOUBLE
+       |             / $mhErrorSeeds, 4) AS est,
+       |       round(abs(p.jaccard -
+       |             round(list_sum(list_transform(range($mhErrorSeeds),
+       |                     i -> CASE WHEN sa.msig[i+1] = sb.msig[i+1] THEN 1 ELSE 0 END))::DOUBLE
+       |                   / $mhErrorSeeds, 4)), 4) AS abs_err
+       |FROM pairs p
+       |JOIN sig sa ON sa.doc_id = p.doc_a
+       |JOIN sig sb ON sb.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
+  /** Near-dup threshold sweep: for each candidate Jaccard threshold,
+    * how many verified pairs and how many distinct documents would be
+    * implicated — the knob-tuning curve a curator reads before fixing
+    * [[jaccardThreshold]] for a corpus (cumulative: a pair at j=0.95
+    * counts under every threshold below it).
+    *
+    * Scale shape: one pass over the verified pair set (already
+    * candidate-pruned by banding), exploding each pair into only the
+    * thresholds it passes (≤ 4 rows) — pair-scale, output 4 rows.
+    */
+  def thresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = Seq(0.6, 0.7, 0.8, 0.9)
+    val passed = filter(array(ts.map(lit): _*), t => col("jaccard") >= t)
+    val pairs = minhashLshPairs(spark, sfDir)
+      .select(explode(passed).as("threshold"), col("doc_a"), col("doc_b"))
+    val nPairs = pairs.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val nDocs = pairs
+      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .distinct()
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs"))
+    Present.sortSmall(
+      nPairs.join(nDocs, Seq("threshold")), col("threshold"))
+  }
+
+  /** DuckDB twin of [[thresholdSweep]] (thresholds cast to DOUBLE so
+    * the column type matches Spark's, not DuckDB's default DECIMAL).
+    */
+  val thresholdSweepSql: String =
+    s"""WITH $shinglesSqlCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         round(len(list_intersect(a.s, b.s))::DOUBLE
+       |               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND round(len(list_intersect(a.s, b.s))::DOUBLE
+       |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= $jaccardThreshold),
+       |th AS (SELECT unnest([0.6::DOUBLE, 0.7::DOUBLE, 0.8::DOUBLE, 0.9::DOUBLE]) AS threshold),
+       |hit AS (SELECT t.threshold, p.doc_a, p.doc_b
+       |        FROM th t JOIN pairs p ON p.jaccard >= t.threshold),
+       |np AS (SELECT threshold, count(*) AS n_pairs FROM hit GROUP BY threshold),
+       |nd AS (SELECT threshold, count(*) AS n_docs FROM (
+       |         SELECT DISTINCT threshold, doc FROM (
+       |           SELECT threshold, doc_a AS doc FROM hit
+       |           UNION ALL
+       |           SELECT threshold, doc_b AS doc FROM hit))
+       |       GROUP BY threshold)
+       |SELECT np.threshold, np.n_pairs, nd.n_docs
+       |FROM np JOIN nd USING (threshold)
+       |ORDER BY threshold""".stripMargin
+
+  /** Banding configurations swept by [[lshRecall]]: (rows-per-band r,
+    * bands b) with r·b = [[mhErrorSeeds]] fixed, spanning the whole
+    * precision/recall knob — r=1 buckets on single components
+    * (max recall, max candidate waste), r=16 demands a full-signature
+    * match (min candidates, recall collapses).
+    */
+  val lshSweepConfigs: Seq[(Int, Int)] = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** c^n for power-of-two n by iterated squaring — multiplication only,
+    * so both engines compute bit-identical IEEE doubles (pow()'s libm
+    * vs JVM sub-ulp divergence never enters).
+    */
+  private def ipow2(c: Column, n: Int): Column = {
+    require(n > 0 && (n & (n - 1)) == 0, s"power-of-two exponent required: $n")
+    var x = c; var k = n
+    while (k > 1) { x = x * x; k /= 2 }
+    x
+  }
+
+  /** SQL twin of [[ipow2]] — the same squaring tree as a string, so
+    * DuckDB performs the identical multiplication sequence.
+    */
+  private def ipow2Sql(e: String, n: Int): String =
+    if (n == 1) e
+    else { val h = ipow2Sql(e, n / 2); s"($h * $h)" }
+
+  /** Banding-configuration sweep: for each (rows-per-band, bands)
+    * split of the [[mhErrorSeeds]]-component signature, the measured
+    * recall against the exact ground-truth near-dup pairs, the raw
+    * candidate-pair volume (the verification work the config buys),
+    * and the theoretical expected recall Σ 1−(1−jʳ)ᵇ / n — the table a
+    * curator reads to pick banding before an expensive corpus run
+    * (measured ≪ theory means a broken hash family; candidates/truth
+    * is the precision cost of each recall step). Ground truth and
+    * signature share [[ngramJaccard]]'s doc_id < 1000 cap so the
+    * oracle can replay the exact pair set.
+    *
+    * Scale shape: the signature is one per-doc scan pass reused by all
+    * configs (lazy localCheckpoint); candidates come from band-key
+    * equi-joins (the production LSH shape), never all-pairs; every
+    * aggregate is on the 5-row config domain. The theory column sums
+    * 4-dp-scaled integers so the mean is partitioning-independent.
+    */
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"),
+        md5MinhashSig(shingles(graft.ext.Text.tokens(col("text")))).as("msig"))
+      .localCheckpoint(false)
+    val truth = ngramJaccard(spark, sfDir).localCheckpoint(false)
+    val bandRows = lshSweepConfigs.map { case (r, b) =>
+      val slices = (0 until b).map { band =>
+        struct(lit(band).as("band"),
+          concat_ws(",", transform(slice(col("msig"), band * r + 1, r),
+            _.cast("string"))).as("key"))
+      }
+      sigs.select(lit(r).as("r"), lit(b).as("b"), col("doc_id"),
+          explode(array(slices: _*)).as("bk"))
+        .select(col("r"), col("b"), col("doc_id"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    }.reduce(_ unionAll _)
+    val cand = bandRows.as("x").join(bandRows.as("y"),
+        col("x.r") === col("y.r") && col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.r").as("r"), col("x.b").as("b"),
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint(false)
+    val nCand = cand.groupBy(col("r"), col("b")).agg(count(lit(1)).as("n_candidates"))
+    val nDet = cand.join(truth.select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("n_detected"))
+    val theo = lshSweepConfigs.map { case (r, b) =>
+      val p = lit(1.0) - ipow2(lit(1.0) - ipow2(col("jaccard"), r), b)
+      truth.select(lit(r).as("r"), lit(b).as("b"),
+        round(p * 10000).cast("long").as("ip"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("r"), col("b"))
+      .agg(count(lit(1)).as("n_truth"), sum(col("ip")).as("sip"))
+    Present.sortSmall(
+      theo.join(nCand, Seq("r", "b"), "left").join(nDet, Seq("r", "b"), "left")
+        .select(col("r"), col("b"), col("n_truth"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_detected"), lit(0L)).as("n_detected"),
+          round(coalesce(col("n_detected"), lit(0L)).cast("double") / col("n_truth"), 4)
+            .as("recall"),
+          round(col("sip") / (col("n_truth") * 10000.0), 4).as("theory_recall")),
+      col("r"))
+  }
+
+  /** DuckDB twin of [[lshRecall]] — replays the md5 signature, the
+    * band slicing (list_slice is 1-based end-inclusive, matching
+    * Spark's slice(start, length)), and the squaring-tree theory
+    * arithmetic exactly.
+    */
+  val lshRecallSql: String = {
+    val bandSelects = lshSweepConfigs.flatMap { case (r, b) =>
+      (0 until b).map { band =>
+        s"SELECT doc_id, $r AS r, $b AS b, $band AS band, " +
+          s"array_to_string(list_slice(msig, ${band * r + 1}, ${band * r + r}), ',') AS key FROM sig"
+      }
+    }.mkString("\n|  ", "\n|  UNION ALL\n|  ", "")
+    val theoSelects = lshSweepConfigs.map { case (r, b) =>
+      val p = s"(1.0 - ${ipow2Sql(s"(1.0 - ${ipow2Sql("jaccard", r)})", b)})"
+      s"SELECT $r AS r, $b AS b, CAST(round($p * 10000) AS BIGINT) AS ip FROM truth"
+    }.mkString("\n|  ", "\n|  UNION ALL\n|  ", "")
+    s"""WITH $shinglesSqlCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |         list_transform(range($mhErrorSeeds), seed ->
+       |           list_min(list_transform(s, x ->
+       |             ('0x' || substr(md5(seed::VARCHAR || ':' || x), 1, 8))::BIGINT))) AS msig
+       |  FROM sh WHERE doc_id < 1000),
+       |truth AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         round(len(list_intersect(a.s, b.s))::DOUBLE
+       |               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id AND a.doc_id < 1000 AND b.doc_id < 1000
+       |    AND round(len(list_intersect(a.s, b.s))::DOUBLE
+       |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= $jaccardThreshold),
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.r, x.b, x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.r = y.r AND x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |nc AS (SELECT r, b, count(*) AS n_candidates FROM cand GROUP BY r, b),
+       |nd AS (SELECT c.r, c.b, count(*) AS n_detected
+       |       FROM cand c JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+       |       GROUP BY c.r, c.b),
+       |theo AS (
+       |  SELECT r, b, count(*) AS n_truth, CAST(sum(ip) AS BIGINT) AS sip
+       |  FROM ($theoSelects)
+       |  GROUP BY r, b)
+       |SELECT t.r, t.b, t.n_truth,
+       |       coalesce(nc.n_candidates, 0) AS n_candidates,
+       |       coalesce(nd.n_detected, 0) AS n_detected,
+       |       round(coalesce(nd.n_detected, 0)::DOUBLE / t.n_truth, 4) AS recall,
+       |       round(t.sip / (t.n_truth * 10000.0), 4) AS theory_recall
+       |FROM theo t LEFT JOIN nc ON nc.r = t.r AND nc.b = t.b
+       |            LEFT JOIN nd ON nd.r = t.r AND nd.b = t.b
+       |ORDER BY t.r""".stripMargin
+  }
+
   /** Fuzzy benchmark decontamination: train docs NEAR-DUPLICATING any
     * benchmark doc (Jaccard ≥ 0.6), where [[decontaminate]] catches
     * exact shingle overlap counts. The cross-corpus twin of

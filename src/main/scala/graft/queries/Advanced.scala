@@ -710,6 +710,68 @@ object Advanced {
       |GROUP BY day, n_d
       |ORDER BY day""".stripMargin
 
+  /** Cohort retention matrix: users grouped by the week of their first
+    * event (the cohort), then for every later week the count and
+    * fraction of the cohort still active — the canonical product
+    * analytics read-out (and the one the reference's activity log
+    * exists to feed; cf. reference streaming queries over per-user
+    * activity, SURVEY §2.5). Weeks are Monday-truncated in both
+    * engines; `week_offset` 0 is the cohort week itself, so retention
+    * at offset 0 is 1.0 by construction.
+    *
+    * Scale shape: one user-grain aggregate for first-event weeks, one
+    * user×week distinct, one hash join on user_id (AQE may broadcast
+    * the cohort side when small; at web scale both sides shuffle on
+    * user_id — the join key equals the aggregation key so the
+    * exchange is reused), then a (cohort, offset) partial-agg whose
+    * key domain is weeks² — metadata-scale. The retention window runs
+    * over per-cohort partitions of that tiny result, never over rows.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("active_week"))
+      .distinct()
+    val per = active.join(firsts, Seq("user_id"))
+      .select(col("cohort_week"),
+        // both weeks are Monday-aligned, so the day gap is an exact
+        // multiple of 7 and the int cast is a no-op truncation
+        (datediff(col("active_week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+    val counts = per.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val base = max(when(col("week_offset") === 0, col("n_users")))
+      .over(Window.partitionBy(col("cohort_week")))
+    graft.Present.sortSmall(
+      counts.withColumn("retention", round(col("n_users").cast("double") / base, 4)),
+      col("cohort_week"), col("week_offset"))
+  }
+
+  /** DuckDB twin of [[cohortRetention]] (`//` keeps the offset
+    * arithmetic integral; both engines truncate weeks to Monday).
+    */
+  val cohortRetentionSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |active AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      |  FROM events),
+      |per AS (
+      |  SELECT f.cohort_week,
+      |         CAST((a.active_week - f.cohort_week) // 7 AS INTEGER) AS week_offset
+      |  FROM active a JOIN firsts f USING (user_id)),
+      |counts AS (
+      |  SELECT cohort_week, week_offset, count(*) AS n_users
+      |  FROM per GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, n_users,
+      |       round(n_users::DOUBLE / max(CASE WHEN week_offset = 0 THEN n_users END)
+      |             OVER (PARTITION BY cohort_week), 4) AS retention
+      |FROM counts
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Z-score anomaly detection: events whose value sits ≥ 3 population
     * standard deviations from their event_type's mean — the telemetry
     * outlier flag every monitoring pipeline runs over its event log.

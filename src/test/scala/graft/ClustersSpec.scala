@@ -145,4 +145,22 @@ class ClustersSpec extends SparkSpec {
     // the corpus plants near-dups, so at least one source shrinks
     assert(rates.values.exists(_._2 > 0))
   }
+
+  test("clusterStats histogram reconciles with the component assignment") {
+    val comp = Clusters.dedupClusters(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id"))
+    val sizes = comp.groupBy(_._2).map(_._2.size)
+    val expected = sizes.groupBy(identity).map { case (sz, g) => sz.toLong -> g.size.toLong }
+    val got = Clusters.clusterStats(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"))).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    got.foreach { case (sz, (nClusters, nDocs)) =>
+      assert(nClusters == expected(sz))
+      assert(nDocs == sz * nClusters)
+      assert(sz >= 2) // an edge-derived component always has ≥ 2 members
+    }
+    // histogram covers every clustered document exactly once
+    assert(got.values.map(_._2).sum == comp.length)
+  }
 }

@@ -939,4 +939,103 @@ class ExtensionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("cohortRetention matches a brute-force per-user recomputation") {
+    import java.time.{DayOfWeek, LocalDate}
+    import java.time.temporal.TemporalAdjusters
+    def week(d: java.sql.Timestamp): LocalDate =
+      d.toLocalDateTime.toLocalDate.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+    val ev = Tables.events(spark, sf0001)
+      .select("user_id", "ts").as[(Long, java.sql.Timestamp)].collect()
+    val firsts = ev.groupBy(_._1).map { case (u, rows) => u -> rows.map(r => week(r._2)).min }
+    val active = ev.map { case (u, ts) => (u, week(ts)) }.distinct
+    val expected = active
+      .map { case (u, w) =>
+        (firsts(u), java.time.temporal.ChronoUnit.WEEKS.between(firsts(u), w).toInt) }
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val got = queries.Advanced.cohortRetention(spark, sf0001).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_week").toLocalDate,
+        r.getAs[Int]("week_offset")) ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("retention"))).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    got.foreach { case (k @ (cw, off), (n, ret)) =>
+      assert(n == expected(k), s"cohort $cw offset $off")
+      val base = expected((cw, 0))
+      assert(ret == BigDecimal(n.toDouble / base)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      if (off == 0) assert(ret == 1.0) // everyone is active in their first week
+    }
+  }
+
+  test("lshRecall: config sweep is monotone and reconciles with the truth set") {
+    val nTruth = ext.Dedup.ngramJaccard(spark, sf0001).count()
+    val rows = ext.Dedup.lshRecall(spark, sf0001).collect()
+      .map(r => r.getAs[Int]("r") ->
+        (r.getAs[Int]("b"), r.getAs[Long]("n_truth"), r.getAs[Long]("n_candidates"),
+          r.getAs[Long]("n_detected"), r.getAs[Double]("recall"),
+          r.getAs[Double]("theory_recall"))).toMap
+    assert(rows.keySet == ext.Dedup.lshSweepConfigs.map(_._1).toSet)
+    rows.foreach { case (r, (b, truth, cand, det, recall, theory)) =>
+      assert(r * b == ext.Dedup.mhErrorSeeds) // the sweep splits one signature
+      assert(truth == nTruth)
+      assert(det <= math.min(truth, cand)) // detected pairs are candidates AND true
+      assert(recall == BigDecimal(det.toDouble / truth)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // with n_truth ~25 pairs, binomial σ ≤ 0.1 — measured recall within
+      // a few σ of theory; a gross gap means a broken signature/banding
+      assert(math.abs(recall - theory) < 0.3, s"r=$r recall=$recall theory=$theory")
+    }
+    // the knob trades candidates for recall: both shrink as r grows
+    val byR = rows.toSeq.sortBy(_._1).map(_._2)
+    assert(byR.sliding(2).forall { case Seq((_, _, c1, _, re1, t1), (_, _, c2, _, re2, t2)) =>
+      c2 <= c1 && re2 <= re1 && t2 <= t1 })
+    // the sweep must actually span the curve: full recall at r=1, a real
+    // collapse by r=16 (else the sweep measures nothing)
+    assert(rows(1)._5 == 1.0)
+    assert(rows(16)._5 < 1.0)
+  }
+
+  test("minhashError: estimate bounded, error consistent, pairs = verified LSH pairs") {
+    val verified = ext.Dedup.minhashLshPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val rows = ext.Dedup.minhashError(spark, sf0001).collect()
+    val got = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+      (r.getAs[Double]("jaccard"), r.getAs[Double]("est"), r.getAs[Double]("abs_err"))).toMap
+    assert(got.keySet == verified.keySet && got.nonEmpty)
+    got.foreach { case (pair, (j, est, err)) =>
+      assert(j == verified(pair))
+      // est is a fraction of k matching components: in [0,1] on the 1/k grid
+      assert(est >= 0.0 && est <= 1.0)
+      assert(math.abs(est * ext.Dedup.mhErrorSeeds -
+        math.round(est * ext.Dedup.mhErrorSeeds)) < 1e-6)
+      assert(math.abs(err - math.abs(j - est)) <= 1e-4)
+    }
+    // k=16 ⇒ σ ≈ √(j(1−j)/16) ≤ 0.125; planted pairs sit at j ≥ 0.6 so the
+    // MEAN |error| must land well under 2σ — a broken hash family (est ~ U[0,1])
+    // would blow far past this
+    val meanErr = got.values.map(_._3).sum / got.size
+    assert(meanErr < 0.15, s"mean |jaccard - est| = $meanErr")
+  }
+
+  test("thresholdSweep: cumulative, monotone, floor bucket = all verified pairs") {
+    val verified = ext.Dedup.minhashLshPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val sweep = ext.Dedup.thresholdSweep(spark, sf0001).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"))).toMap
+    assert(sweep.keySet == Set(0.6, 0.7, 0.8, 0.9))
+    // every bucket reconciles against an independent recount of the pair set
+    sweep.foreach { case (t, (nPairs, nDocs)) =>
+      val passing = verified.filter(_._2 >= t)
+      assert(nPairs == passing.size, s"threshold $t")
+      assert(nDocs == passing.keySet.flatMap(p => Set(p._1, p._2)).size, s"threshold $t")
+    }
+    // cumulative semantics: counts non-increasing in the threshold, and the
+    // floor bucket (= jaccardThreshold) captures the whole verified set
+    val ordered = sweep.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered.sliding(2).forall { case Seq((p1, d1), (p2, d2)) => p2 <= p1 && d2 <= d1 })
+    assert(sweep(ext.Dedup.jaccardThreshold)._1 == verified.size)
+  }
 }
