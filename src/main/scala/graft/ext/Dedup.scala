@@ -698,14 +698,23 @@ object Dedup {
     * [[minhashLsh]]).
     */
   def minhashError(spark: SparkSession, sfDir: String): DataFrame = {
+    // pairs drive everything: checkpointed once, they prune the
+    // signature pass to the implicated docs (pair-scale, ≤ 2|pairs|)
+    // instead of md5-hashing 16 seeds × every shingle of the whole
+    // corpus — the difference between a calibration read-out and a
+    // second full-corpus signature job at 100 TB
+    val pairs = minhashLshPairs(spark, sfDir).localCheckpoint(false)
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sigs = Tables.table(spark, sfDir, "documents")
+      .join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         md5MinhashSig(shingles(graft.ext.Text.tokens(col("text")))).as("msig"))
     val matches = aggregate(
       zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
     Present.sortSmall(
-      minhashLshPairs(spark, sfDir)
+      pairs
         .join(sigs.select(col("doc_id").as("doc_a"), col("msig").as("sa")), Seq("doc_a"))
         .join(sigs.select(col("doc_id").as("doc_b"), col("msig").as("sb")), Seq("doc_b"))
         .withColumn("est", round(matches.cast("double") / mhErrorSeeds, 4))

@@ -262,10 +262,16 @@ object Retrieval {
       .select(col("vec_id").as("doc_id"), col("embedding").as("nv"))
     val dw = Window.partitionBy(col("query_doc"))
       .orderBy(col("sim").desc, col("doc_id"))
-    val dense = corpus.crossJoin(broadcast(dq))
-      .withColumn("sim", round(Similarity.cosine(col("qv"), col("nv")), 4))
+    // native TopKPerGroup prunes to ≤k slim rows per query per
+    // partition BEFORE the exchange; the row_number that assigns the
+    // dense rank then sorts k rows per query, not the full
+    // |corpus|×|queries| scored set (the knnLabelEval shape)
+    val dense = graft.plans.TopKPerGroup.topKPerGroup(
+        corpus.crossJoin(broadcast(dq))
+          .select(col("query_doc"), col("doc_id"),
+            round(Similarity.cosine(col("qv"), col("nv")), 4).as("sim")),
+        Seq(col("query_doc")), Seq(col("sim").desc, col("doc_id").asc), bm25TopK)
       .withColumn("dense_rank", row_number().over(dw))
-      .filter(col("dense_rank") <= bm25TopK)
       .select(col("query_doc"), col("doc_id"), col("dense_rank"))
     val rrf = round(
       coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +

@@ -1211,4 +1211,135 @@ object Text {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Closed-form least-squares fit of the quality score on surface
+    * features (intercept, n_words, n_chars) — model TRAINING expressed
+    * as pure aggregation, the other half of the [[qualityModel]]
+    * inference story: the normal equations' moment matrix is ten
+    * order-independent sums collected in ONE partial-agged scan pass,
+    * and the solve is constant-time Cramer arithmetic on the resulting
+    * 1-row frame. At 100 TB the only data-scale work is the scan; the
+    * "training" reduces to the same map-side-combine shape as a
+    * count(*), with no iteration, no driver model state, no shuffle of
+    * anything but ten longs per partition.
+    *
+    * Cross-engine determinism: features are integers and the target
+    * rides as round(score·10⁴) integers, so every moment is an EXACT
+    * BIGINT (< 2^53, hence exact as a double too); both engines then
+    * evaluate the identical Cramer / R² expression tree on those exact
+    * values — no pow/ln/exp, no summation-order wobble. (At extreme
+    * corpus×feature scale the integer moments would need DECIMAL or
+    * feature scaling to stay inside BIGINT; documented, not hit here.)
+    */
+  def linregQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val moments = Tables.table(spark, sfDir, "documents")
+      .select(
+        size(t).cast("long").as("x1"),
+        length(col("text")).cast("long").as("x2"),
+        round(qualityScore(t) * 10000).cast("long").as("y4"))
+      .agg(
+        count(lit(1)).as("s00"),
+        sum(col("x1")).as("s01"), sum(col("x2")).as("s02"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y4")).as("ty0"),
+        sum(col("x1") * col("y4")).as("ty1"),
+        sum(col("x2") * col("y4")).as("ty2"),
+        sum(col("y4") * col("y4")).as("tyy"))
+    def d(c: String): Column = col(c).cast("double")
+    val solved = moments.select(
+      col("s00").as("n"),
+      d("s00").as("a00"), d("s01").as("a01"), d("s02").as("a02"),
+      d("s11").as("a11"), d("s12").as("a12"), d("s22").as("a22"),
+      (d("ty0") / 10000.0).as("t0"), (d("ty1") / 10000.0).as("t1"),
+      (d("ty2") / 10000.0).as("t2"), (d("tyy") / 100000000.0).as("tt"))
+    val withDets = solved.select(col("n"), col("t0"), col("t1"), col("t2"), col("tt"),
+      (col("a00") * (col("a11") * col("a22") - col("a12") * col("a12"))
+        - col("a01") * (col("a01") * col("a22") - col("a12") * col("a02"))
+        + col("a02") * (col("a01") * col("a12") - col("a11") * col("a02"))).as("det"),
+      (col("t0") * (col("a11") * col("a22") - col("a12") * col("a12"))
+        - col("a01") * (col("t1") * col("a22") - col("a12") * col("t2"))
+        + col("a02") * (col("t1") * col("a12") - col("a11") * col("t2"))).as("det0"),
+      (col("a00") * (col("t1") * col("a22") - col("a12") * col("t2"))
+        - col("t0") * (col("a01") * col("a22") - col("a12") * col("a02"))
+        + col("a02") * (col("a01") * col("t2") - col("t1") * col("a02"))).as("det1"),
+      (col("a00") * (col("a11") * col("t2") - col("t1") * col("a12"))
+        - col("a01") * (col("a01") * col("t2") - col("t1") * col("a02"))
+        + col("t0") * (col("a01") * col("a12") - col("a11") * col("a02"))).as("det2"),
+      col("a00"))
+    val betas = withDets.select(col("n"), col("t0"), col("t1"), col("t2"),
+      col("tt"), col("a00"),
+      (col("det0") / col("det")).as("b0"),
+      (col("det1") / col("det")).as("b1"),
+      (col("det2") / col("det")).as("b2"))
+    // SSE = y'y − βᵀ(Xᵀy) because β solves the normal equations;
+    // SST = y'y − (Σy)²/n — both pure arithmetic on the exact moments
+    val sse = col("tt") -
+      (col("b0") * col("t0") + col("b1") * col("t1") + col("b2") * col("t2"))
+    val sst = col("tt") - col("t0") * col("t0") / col("a00")
+    betas.select(
+      col("n"),
+      round(col("b0"), 6).as("beta_intercept"),
+      round(col("b1"), 6).as("beta_n_words"),
+      round(col("b2"), 6).as("beta_n_chars"),
+      round(lit(1.0) - sse / sst, 4).as("r2"))
+  }
+
+  /** DuckDB twin of [[linregQuality]] — the same exact-integer moment
+    * pass and the identical Cramer / R² expression tree, chained
+    * through CTEs so the multiplication order matches the Spark plan
+    * operation for operation.
+    */
+  val linregQualitySql: String =
+    s"""WITH f AS (
+       |  SELECT len(string_split(text, ' ')) AS x1,
+       |         length(text) AS x2,
+       |         CAST(round(($qualityScoreSql) * 10000) AS BIGINT) AS y4
+       |  FROM documents),
+       |s AS (
+       |  SELECT count(*) AS s00,
+       |         CAST(sum(x1) AS BIGINT) AS s01, CAST(sum(x2) AS BIGINT) AS s02,
+       |         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+       |         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+       |         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+       |         CAST(sum(y4) AS BIGINT) AS ty0,
+       |         CAST(sum(x1 * y4) AS BIGINT) AS ty1,
+       |         CAST(sum(x2 * y4) AS BIGINT) AS ty2,
+       |         CAST(sum(y4 * y4) AS BIGINT) AS tyy
+       |  FROM f),
+       |m AS (
+       |  SELECT s00 AS n,
+       |         s00::DOUBLE AS a00, s01::DOUBLE AS a01, s02::DOUBLE AS a02,
+       |         s11::DOUBLE AS a11, s12::DOUBLE AS a12, s22::DOUBLE AS a22,
+       |         ty0::DOUBLE / 10000.0 AS t0, ty1::DOUBLE / 10000.0 AS t1,
+       |         ty2::DOUBLE / 10000.0 AS t2, tyy::DOUBLE / 100000000.0 AS tt
+       |  FROM s),
+       |dets AS (
+       |  SELECT n, t0, t1, t2, tt, a00,
+       |         (a00 * (a11 * a22 - a12 * a12)
+       |          - a01 * (a01 * a22 - a12 * a02)
+       |          + a02 * (a01 * a12 - a11 * a02)) AS det,
+       |         (t0 * (a11 * a22 - a12 * a12)
+       |          - a01 * (t1 * a22 - a12 * t2)
+       |          + a02 * (t1 * a12 - a11 * t2)) AS det0,
+       |         (a00 * (t1 * a22 - a12 * t2)
+       |          - t0 * (a01 * a22 - a12 * a02)
+       |          + a02 * (a01 * t2 - t1 * a02)) AS det1,
+       |         (a00 * (a11 * t2 - t1 * a12)
+       |          - a01 * (a01 * t2 - t1 * a02)
+       |          + t0 * (a01 * a12 - a11 * a02)) AS det2
+       |  FROM m),
+       |b AS (
+       |  SELECT n, t0, t1, t2, tt, a00,
+       |         det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+       |  FROM dets)
+       |SELECT n,
+       |       round(b0, 6) AS beta_intercept,
+       |       round(b1, 6) AS beta_n_words,
+       |       round(b2, 6) AS beta_n_chars,
+       |       round(1.0 - (tt - (b0 * t0 + b1 * t1 + b2 * t2))
+       |                   / (tt - t0 * t0 / a00), 4) AS r2
+       |FROM b""".stripMargin
 }

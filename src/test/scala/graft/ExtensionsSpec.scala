@@ -636,6 +636,46 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("linreg quality fit matches a brute-force normal-equations recomputation") {
+    val rows = Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (_, text) =>
+        val t = text.split(" ", -1)
+        val n = t.length.toDouble
+        val score = BigDecimal(math.min(n / 100.0, 1.0) * 0.5 + (t.distinct.length / n) * 0.5)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t.length.toLong, text.length.toLong, math.round(score * 10000))
+      }
+    // exact integer moments, then the same Cramer solve as the operator
+    val (s00, s01, s02) = (rows.length.toDouble, rows.map(_._1).sum.toDouble, rows.map(_._2).sum.toDouble)
+    val s11 = rows.map(r => r._1 * r._1).sum.toDouble
+    val s12 = rows.map(r => r._1 * r._2).sum.toDouble
+    val s22 = rows.map(r => r._2 * r._2).sum.toDouble
+    val t0 = rows.map(_._3).sum.toDouble / 10000.0
+    val t1 = rows.map(r => r._1 * r._3).sum.toDouble / 10000.0
+    val t2 = rows.map(r => r._2 * r._3).sum.toDouble / 10000.0
+    val tt = rows.map(r => r._3 * r._3).sum.toDouble / 1e8
+    val det = s00 * (s11 * s22 - s12 * s12) - s01 * (s01 * s22 - s12 * s02) +
+      s02 * (s01 * s12 - s11 * s02)
+    val b0 = (t0 * (s11 * s22 - s12 * s12) - s01 * (t1 * s22 - s12 * t2) +
+      s02 * (t1 * s12 - s11 * t2)) / det
+    val b1 = (s00 * (t1 * s22 - s12 * t2) - t0 * (s01 * s22 - s12 * s02) +
+      s02 * (s01 * t2 - t1 * s02)) / det
+    val b2 = (s00 * (s11 * t2 - t1 * s12) - s01 * (s01 * t2 - t1 * s02) +
+      t0 * (s01 * s12 - s11 * s02)) / det
+    val r2 = 1.0 - (tt - (b0 * t0 + b1 * t1 + b2 * t2)) / (tt - t0 * t0 / s00)
+    val got = ext.Text.linregQuality(spark, sf0001).collect().head
+    assert(got.getAs[Long]("n") == rows.length)
+    assert(math.abs(got.getAs[Double]("beta_intercept") - b0) <= 1e-6)
+    assert(math.abs(got.getAs[Double]("beta_n_words") - b1) <= 1e-6)
+    assert(math.abs(got.getAs[Double]("beta_n_chars") - b2) <= 1e-6)
+    assert(math.abs(got.getAs[Double]("r2") - r2) <= 1e-4)
+    // the fit must actually explain something: longer docs saturate the
+    // length term, so words carry positive weight and R² is substantial
+    assert(got.getAs[Double]("beta_n_words") > 0)
+    assert(got.getAs[Double]("r2") > 0.3 && got.getAs[Double]("r2") <= 1.0)
+  }
+
   test("quality model matches a brute-force recomputation of the logistic score") {
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
