@@ -815,6 +815,211 @@ object Similarity {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  // ——— product quantization (PQ) ———
+
+  /** PQ geometry: the 64-dim embedding splits into [[pqSubspaces]]
+    * contiguous 16-dim subvectors, each coded against its own
+    * [[pqK]]-entry codebook — 64 floats (256 B) compress to 4 code
+    * bytes, the 64× storage story that makes billion-vector indexes
+    * RAM-resident.
+    */
+  val pqSubspaces = 4
+  val pqSubDim: Int = dim / pqSubspaces
+  /** Codebook entries per subspace (seeds: every 50th vec_id < 800). */
+  val pqK = 16
+  /** ADC shortlist size per query before the exact float rerank. */
+  val pqCandidates = 20
+
+  /** (vec_id, sub_id, sv) subvector frame — one row per subspace. */
+  private def pqSubvectors(emb: DataFrame, idCol: String): DataFrame = {
+    val slices = (0 until pqSubspaces).map(s =>
+      struct(lit(s).as("sub_id"),
+        slice(col("embedding"), s * pqSubDim + 1, pqSubDim).as("sv")))
+    emb.select(col(idCol), explode(array(slices: _*)).as("p"))
+      .select(col(idCol), col("p.sub_id").as("sub_id"), col("p.sv").as("sv"))
+  }
+
+  /** Nearest codebook entry per (vec, subspace) by L2 — argmin |sv−cv|²
+    * ≡ argmax 2·⟨sv,cv⟩ − |cv|² (|sv|² is constant inside the group),
+    * ties to the smaller cent_id. Native TopKPerGroup: ≤1 slim row per
+    * group per partition crosses the exchange.
+    */
+  private def pqNearest(subs: DataFrame, cents: DataFrame,
+      keepSv: Boolean): DataFrame = {
+    val score = (lit(2.0) * dot(col("sv"), col("cv"))
+      - dot(col("cv"), col("cv"))).as("score")
+    val base = Seq(col("vec_id"), col("sub_id"), col("cent_id"), score)
+    val cols = if (keepSv) base :+ col("sv") else base
+    graft.plans.TopKPerGroup.topKPerGroup(
+      subs.join(broadcast(cents), Seq("sub_id")).select(cols: _*),
+      Seq(col("vec_id"), col("sub_id")),
+      Seq(col("score").desc, col("cent_id").asc), 1)
+  }
+
+  /** Product-quantized ANN with asymmetric-distance (ADC) scoring —
+    * the FAISS-style memory-bound search shape, assembled end to end:
+    *
+    *  1. codebooks: per-subspace seeds (every 50th vec), one Lloyd L2
+    *     refinement (mean per (sub, cent, dim), float-cast so the
+    *     oracle replays the update bit-for-bit — the kmeans argument);
+    *     4×16×16 floats, metadata-scale at ANY corpus size.
+    *  2. codes: each vector → 4 small ints (argmin-L2 per subspace,
+    *     ties to smaller cent_id) — the only corpus-scale state.
+    *  3. ADC: per query, a 4×16 table of ⟨q_s, c⟩ dots; the quantized
+    *     dot ⟨q, x̂⟩ is then FOUR table lookups summed in fixed
+    *     subspace order (pivot columns, not an agg over an arbitrary
+    *     merge order — cross-engine deterministic).
+    *  4. shortlist [[pqCandidates]] per query on the native
+    *     TopKPerGroup, then exact float cosine rerank to top-5.
+    *
+    * Scale shape: codebooks and per-query tables broadcast; the
+    * corpus-side work is one codes scan + a (sub_id, code) hash join
+    * against the tiny table side; nothing quadratic, nothing driver-
+    * side beyond the 64-row codebook materialization between Lloyd
+    * rounds (the canonical Lloyd shape, as in kmeans).
+    */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val subs = pqSubvectors(
+      emb.repartition(spark.sparkContext.defaultParallelism), "vec_id")
+    val cents0 = pqSubvectors(
+      emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 800), "vec_id")
+      .select(col("sub_id"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+    // one Lloyd round: mean per (sub, cent, d), rebuilt in dim order
+    val next = pqNearest(subs, cents0, keepSv = true)
+      .select(col("sub_id"), col("cent_id"), posexplode(col("sv")).as(Seq("d", "v")))
+      .groupBy(col("sub_id"), col("cent_id"), col("d"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("sub_id"), col("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s.getField("m").cast("float")).as("cv"))
+    // driver-materialize the 64 codebook rows between rounds (kmeans
+    // rationale: cuts the per-round plan subtree, metadata-scale)
+    val cents1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(next.collect().toIndexedSeq, 1), next.schema)
+    val codes = pqNearest(subs, cents1, keepSv = false)
+      .select(col("vec_id"), col("sub_id"), col("cent_id").as("code"))
+    // ADC tables: ⟨q_s, c⟩ for every (query, subspace, codebook entry)
+    val tables = pqSubvectors(emb.filter(col("vec_id") % 100 === 0), "vec_id")
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cents1), Seq("sub_id"))
+      .select(col("query_id"), col("sub_id"), col("cent_id"),
+        dot(col("sv"), col("cv")).as("tab"))
+    // quantized dot = the 4 lookups summed in FIXED subspace order
+    val subCols = (0 until pqSubspaces).map(s =>
+      max(when(col("sub_id") === s, col("tab"))).as(s"t$s"))
+    val tabSide = tables
+      .withColumnRenamed("sub_id", "t_sub").withColumnRenamed("cent_id", "t_cent")
+    val approx = codes
+      .join(broadcast(tabSide),
+        col("sub_id") === col("t_sub") && col("code") === col("t_cent"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(subCols.head, subCols.tail: _*)
+      .select(col("query_id"), col("vec_id"),
+        (0 until pqSubspaces).map(s => col(s"t$s")).reduce(_ + _).as("adc"))
+    val cands = graft.plans.TopKPerGroup.topKPerGroup(
+      approx, Seq(col("query_id")), Seq(col("adc").desc, col("vec_id").asc),
+      pqCandidates)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val rer = cands
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        Seq("neighbor_id"))
+      .join(broadcast(emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        Seq("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    Present.sortSmall(
+      rer.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank")),
+      col("query_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[annPq]] — subvector slicing (list_slice is
+    * 1-based end-inclusive ≡ Spark's slice(start, len)), the same
+    * seeds, one float-cast Lloyd round, argmin-L2 codes, ADC pivot
+    * sums in subspace order, shortlist, exact rerank.
+    */
+  val annPqSql: String = {
+    def sub(src: String, id: String): String =
+      (0 until pqSubspaces).map(s =>
+        s"SELECT vec_id AS $id, $s AS sub_id, " +
+          s"list_slice(embedding, ${s * pqSubDim + 1}, ${s * pqSubDim + pqSubDim}) AS sv " +
+          s"FROM $src").mkString("\n|    ", "\n|    UNION ALL\n|    ", "")
+    def l2(sv: String, cv: String): String =
+      s"(2.0 * list_inner_product(CAST($sv AS DOUBLE[]), CAST($cv AS DOUBLE[]))" +
+        s" - list_inner_product(CAST($cv AS DOUBLE[]), CAST($cv AS DOUBLE[])))"
+    val tCols = (0 until pqSubspaces)
+      .map(s => s"max(CASE WHEN t.sub_id = $s THEN t.tab END) AS t$s")
+      .mkString(",\n|         ")
+    val tSum = (0 until pqSubspaces).map(s => s"t$s").mkString(" + ")
+    s"""WITH subs AS (${sub("embeddings", "vec_id")}),
+       |seed AS (SELECT * FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 800),
+       |cent0 AS (
+       |  SELECT sub_id, c_id AS cent_id, sv AS cv
+       |  FROM (${sub("seed", "c_id")})),
+       |a0 AS (
+       |  SELECT vec_id, sub_id, cent_id, sv FROM (
+       |    SELECT s.vec_id, s.sub_id, c.cent_id, s.sv,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+       |             ORDER BY ${l2("s.sv", "c.cv")} DESC, c.cent_id) AS rn
+       |    FROM subs s JOIN cent0 c USING (sub_id))
+       |  WHERE rn = 1),
+       |m1 AS (
+       |  SELECT sub_id, cent_id, d, avg(v) AS m FROM (
+       |    SELECT sub_id, cent_id, generate_subscripts(sv, 1) AS d, unnest(sv) AS v
+       |    FROM a0) t
+       |  GROUP BY sub_id, cent_id, d),
+       |cent1 AS (
+       |  SELECT sub_id, cent_id, list(CAST(m AS FLOAT4) ORDER BY d) AS cv
+       |  FROM m1 GROUP BY sub_id, cent_id),
+       |codes AS (
+       |  SELECT vec_id, sub_id, cent_id AS code FROM (
+       |    SELECT s.vec_id, s.sub_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+       |             ORDER BY ${l2("s.sv", "c.cv")} DESC, c.cent_id) AS rn
+       |    FROM subs s JOIN cent1 c USING (sub_id))
+       |  WHERE rn = 1),
+       |qsub AS (
+       |  SELECT q_id AS query_id, sub_id, sv
+       |  FROM (${sub("embeddings", "q_id")})
+       |  WHERE q_id % 100 = 0),
+       |tab AS (
+       |  SELECT q.query_id, q.sub_id, c.cent_id,
+       |         list_inner_product(CAST(q.sv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS tab
+       |  FROM qsub q JOIN cent1 c USING (sub_id)),
+       |adc AS (
+       |  SELECT t.query_id, k.vec_id,
+       |         $tCols
+       |  FROM codes k
+       |  JOIN tab t ON t.sub_id = k.sub_id AND t.cent_id = k.code
+       |  WHERE k.vec_id <> t.query_id
+       |  GROUP BY t.query_id, k.vec_id),
+       |cand AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY ($tSum) DESC, vec_id) AS rn
+       |    FROM adc)
+       |  WHERE rn <= $pqCandidates),
+       |rer AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         round(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.query_id
+       |  JOIN embeddings b ON b.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rer)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val annIvfSql: String =
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
        |              WHERE vec_id % 25 = 0),

@@ -636,6 +636,42 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("PQ ANN: exact rerank sims, well-formed ranks, recall beats chance") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = ext.Similarity.annPq(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rank")))
+    // 5 ranks per query, 1-based, sims are the EXACT float cosines
+    // (the rerank stage guarantees quantization error never reaches the
+    // reported score), descending within each query
+    val perQ = got.groupBy(_._1)
+    assert(perQ.nonEmpty)
+    perQ.foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to 5), s"query $q ranks")
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sortBy(-(_: Double)).toSeq)
+      rows.foreach { case (_, n, sim, _) =>
+        assert(n != q)
+        assert(sim == round4(cos(emb(q), emb(n))), s"($q,$n) sim not exact")
+      }
+    }
+    // ADC shortlist quality: recall@5 vs brute force far above the
+    // ~0.01 chance level (deterministic 0.4 on this corpus — aggressive
+    // 4-byte codes; the measurement the rerank/eval stages exist for)
+    val bf = ext.Similarity.annBruteForce(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hits = got.count { case (q, n, _, _) => bf((q, n)) }
+    assert(hits.toDouble / bf.size >= 0.3, s"recall ${hits.toDouble / bf.size}")
+  }
+
   test("linreg quality fit matches a brute-force normal-equations recomputation") {
     val rows = Tables.table(spark, sf0001, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()

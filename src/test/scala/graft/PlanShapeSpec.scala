@@ -102,6 +102,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "hit counting must be a semi join")
   }
 
+  test("PQ ANN: codebook/table joins hash or broadcast, shortlist on native top-k") {
+    val p = plan("x_ann_pq")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TopKPerGroup"), "code assignment/shortlist lost the native top-k")
+  }
+
   test("dedup rates charge drops to sources via a doc_id semi join — no cartesian") {
     val p = plan("x_dedup_rates")
     assert(!p.contains("CartesianProduct"))
