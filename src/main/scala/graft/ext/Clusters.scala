@@ -383,4 +383,66 @@ object Clusters {
     |       round(n_dropped::DOUBLE / n_docs, 4) AS dup_rate
     |FROM per
     |ORDER BY source""".stripMargin
+
+  /** Quality-aware keeper selection: within each near-dup cluster keep
+    * the member with the HIGHEST quality score (ties broken by lowest
+    * doc_id), instead of [[dedupClusters]]' arbitrary min-id keeper.
+    * This is the selection rule a production corpus pipeline actually
+    * wants — when a document exists in several near-identical versions
+    * (mirrors, partial scrapes, boilerplate-wrapped copies), the
+    * variant worth training on is the best-quality one, not the one
+    * with the numerically smallest id. The quality signal is the same
+    * [[Text.qualityScore]] the filter stage uses, so the two stages
+    * rank documents consistently.
+    *
+    * Scale shape: the component closure is the proven O(log n)
+    * [[connectedComponents]]; quality is computed ONLY for cluster
+    * members (a doc_id semi-join prunes the corpus scan before the
+    * expensive tokenize — at a few-percent duplicate rate that is a
+    * few percent of 100 TB); the argmax itself is a partial-agged
+    * `max(struct(quality, -doc_id))` per component — full map-side
+    * combine, no window over data-scale partitions, and the struct
+    * comparison is exact because quality is rounded to 4 dp on both
+    * engines before the max.
+    */
+  def dedupKeepQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val edges = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val member = connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("component"))
+    val memberQ = docs
+      .join(member, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        Text.qualityScore(Text.tokens(col("text"))).as("quality_score"))
+      .join(member, Seq("doc_id"))
+    val keepers = memberQ.groupBy(col("component"))
+      .agg(max(struct(col("quality_score").as("q"),
+        (-col("doc_id")).as("neg"), col("doc_id").as("kid"))).as("m"))
+      .select(col("component"), col("m.kid").as("keeper_id"),
+        col("m.q").as("keeper_quality"))
+    Present.sortSmall(
+      memberQ.join(keepers, Seq("component"))
+        .select(col("doc_id"), col("quality_score"), col("keeper_id"),
+          col("keeper_quality"),
+          (col("doc_id") === col("keeper_id")).as("is_keeper")),
+      col("doc_id"))
+  }
+
+  /** DuckDB twin of [[dedupKeepQuality]] — same component CTE, quality
+    * per member, window-max keeper per component.
+    */
+  val dedupKeepQualitySql: String = componentsCteSql + s"""
+    |,mq AS (
+    |  SELECT c.doc_id, c.keeper_id AS component, ${Text.qualityScoreSql} AS q
+    |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+    |k AS (
+    |  SELECT component, doc_id AS kid, q AS kq,
+    |         row_number() OVER (PARTITION BY component
+    |                            ORDER BY q DESC, doc_id ASC) AS rn
+    |  FROM mq)
+    |SELECT m.doc_id, m.q AS quality_score,
+    |       k.kid AS keeper_id, k.kq AS keeper_quality,
+    |       m.doc_id = k.kid AS is_keeper
+    |FROM mq m JOIN k ON k.component = m.component AND k.rn = 1
+    |ORDER BY m.doc_id""".stripMargin
 }
