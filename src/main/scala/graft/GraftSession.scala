@@ -9,9 +9,10 @@ import org.apache.spark.sql.SparkSession
   *  - shuffle.partitions sized to local cores (the 100 TB deployment
   *    overrides this; AQE coalescing handles the variance);
   *  - AQE on: runtime partition coalescing + skew-join splitting;
-  *  - nanosAsLong: the driver testdata's `events.ts` is parquet
-  *    TIMESTAMP(NANOS), which Spark's vectorized reader refuses —
-  *    read as long, converted in [[Tables.activities]].
+  *  - nanosAsLong: some driver testdata generations store `events.ts`
+  *    as parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+  *    refuses — read as long; [[Tables.events]] adapts to whichever
+  *    encoding (int64-nanos or timestamp[us]) the current files use.
   */
 object GraftSession {
   def build(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",

@@ -14,14 +14,24 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events with `ts` as a usable µs timestamp. The file stores
-    * TIMESTAMP(NANOS) which Spark reads as long (nanosAsLong config, see
-    * [[GraftSession]]); integer-divide to µs — same floor-truncation
-    * DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP.
+  /** events with `ts` as a usable µs timestamp, adaptive to the file's
+    * physical encoding (the driver has regenerated the testdata with
+    * different encodings across rounds):
+    *  - parquet TIMESTAMP(NANOS) → Spark reads long (nanosAsLong config,
+    *    see [[GraftSession]]); integer-divide to µs — same
+    *    floor-truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP;
+    *  - parquet timestamp[us] → Spark reads TIMESTAMP_NTZ; cast to
+    *    session-local TimestampType (session tz pinned UTC, so values
+    *    are identical to DuckDB's native read).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _                                   => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
+  }
 
   /** events → activity rows (FIXTURES.md §5 mapping).
     * Deterministic derivations only (no rand/current_*), so the DuckDB
