@@ -397,9 +397,10 @@ object Clusters {
     *
     * Scale shape: the component closure is the proven O(log n)
     * [[connectedComponents]]; quality is computed ONLY for cluster
-    * members (a doc_id semi-join prunes the corpus scan before the
-    * expensive tokenize — at a few-percent duplicate rate that is a
-    * few percent of 100 TB); the argmax itself is a partial-agged
+    * members (the doc_id join restricts the corpus scan to members
+    * before the expensive tokenize — at a few-percent duplicate rate
+    * that is a few percent of 100 TB, and the small member side
+    * broadcasts); the argmax itself is a partial-agged
     * `max(struct(quality, -doc_id))` per component — full map-side
     * combine, no window over data-scale partitions, and the struct
     * comparison is exact because quality is rounded to 4 dp on both
@@ -411,10 +412,9 @@ object Clusters {
     val member = connectedComponents(edges)
       .select(col("id").as("doc_id"), col("component"))
     val memberQ = docs
-      .join(member, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        Text.qualityScore(Text.tokens(col("text"))).as("quality_score"))
       .join(member, Seq("doc_id"))
+      .select(col("doc_id"), col("component"),
+        Text.qualityScore(Text.tokens(col("text"))).as("quality_score"))
     val keepers = memberQ.groupBy(col("component"))
       .agg(max(struct(col("quality_score").as("q"),
         (-col("doc_id")).as("neg"), col("doc_id").as("kid"))).as("m"))
