@@ -243,11 +243,14 @@ object Retrieval {
     * re-ranked to a final top-k.
     *
     * Scale shape: the BM25 pipeline as-is (query-vocabulary-pruned
-    * postings, native top-k); the dense side is the brute-force
-    * broadcast loop as the exact baseline — at scale the IVF shortlist
-    * ([[Similarity.annIvf]]) drops in unchanged, because fusion only
-    * consumes (query, doc, rank). The fusion join itself carries ≤ 2k
-    * rows per query — metadata-scale however big the corpus.
+    * postings, native top-k); the dense side is the PRODUCTION IVF
+    * shortlist ([[Similarity.assignNearest]]'s coarse quantizer,
+    * nprobe=1) — fusion only consumes (query, doc, rank), so the
+    * brute-force exact scan belongs to the recall evals
+    * ([[Similarity.annRecall]]), not here: at 100× this side scans one
+    * cell per query, never corpus × queries. The fusion join itself
+    * carries ≤ 2k rows per query — metadata-scale however big the
+    * corpus.
     */
   def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -255,19 +258,28 @@ object Retrieval {
       scoredBm25(spark, sfDir).filter(col("query_doc") % 100 === 0))
       .select(col("query_doc"), col("doc_id"), col("rank").as("lex_rank"))
     val emb = Tables.table(spark, sfDir, "embeddings")
-    val dq = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_doc"), col("embedding").as("qv"))
-    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("vec_id").as("doc_id"), col("embedding").as("nv"))
+    // IVF cells: deterministic centroid seeds (every 25th vector, as in
+    // annIvf — a KMeans fit in production; deterministic seeds keep the
+    // DuckDB oracle exact). Corpus and query sides share one assignment
+    // definition so a query probes the cell it would itself index into.
+    val centroids = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val cells = Similarity.assignNearest(
+        emb.filter(col("vec_id") % 50 =!= 0)
+          .repartition(spark.sparkContext.defaultParallelism),
+        centroids, keepEmbedding = true)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("nv"), col("cent_id"))
+    val dq = Similarity.assignNearest(
+        emb.filter(col("vec_id") % 100 === 0), centroids, keepEmbedding = true)
+      .select(col("vec_id").as("query_doc"), col("embedding").as("qv"), col("cent_id"))
     val dw = Window.partitionBy(col("query_doc"))
       .orderBy(col("sim").desc, col("doc_id"))
     // native TopKPerGroup prunes to ≤k slim rows per query per
     // partition BEFORE the exchange; the row_number that assigns the
-    // dense rank then sorts k rows per query, not the full
-    // |corpus|×|queries| scored set (the knnLabelEval shape)
+    // dense rank then sorts k rows per query, not the cell's full
+    // scored set (the knnLabelEval shape)
     val dense = graft.plans.TopKPerGroup.topKPerGroup(
-        corpus.crossJoin(broadcast(dq))
+        cells.join(broadcast(dq), Seq("cent_id"))
           .select(col("query_doc"), col("doc_id"),
             round(Similarity.cosine(col("qv"), col("nv")), 4).as("sim")),
         Seq(col("query_doc")), Seq(col("sim").desc, col("doc_id").asc), bm25TopK)
@@ -288,9 +300,11 @@ object Retrieval {
   }
 
   /** DuckDB twin of [[hybridRrf]]: the shared BM25 scored CTE filtered
-    * to the % 100 query split, the dense cosine ranking, and the same
-    * full-outer RRF fusion. (lazy: `scoredCtesSql` is declared below —
-    * an eager val would interpolate null at object init.)
+    * to the % 100 query split, the IVF-shortlisted dense ranking (same
+    * deterministic centroid seeds and nearest-cell assignment as the
+    * annIvf oracle), and the same full-outer RRF fusion. (lazy:
+    * `scoredCtesSql` is declared below — an eager val would
+    * interpolate null at object init.)
     */
   lazy val hybridRrfSql: String =
     "WITH " + scoredCtesSql + s""",
@@ -300,12 +314,28 @@ object Retrieval {
        |                                 ORDER BY score DESC, doc_id) AS rank
        |    FROM scored WHERE query_doc % 100 = 0)
        |  WHERE rank <= $bm25TopK),
-       |dq AS (SELECT vec_id AS query_doc, embedding AS qv FROM embeddings
-       |       WHERE vec_id % 100 = 0),
+       |dcent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |          WHERE vec_id % 25 = 0),
+       |dasg AS (
+       |  SELECT doc_id, nv, cent_id FROM (
+       |    SELECT e.vec_id AS doc_id, e.embedding AS nv, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${Similarity.cosineSql("e.embedding", "c.cv")} DESC,
+       |                                       c.cent_id) AS rn
+       |    FROM embeddings e, dcent c WHERE e.vec_id % 50 <> 0)
+       |  WHERE rn = 1),
+       |dqasg AS (
+       |  SELECT query_doc, qv, cent_id FROM (
+       |    SELECT e.vec_id AS query_doc, e.embedding AS qv, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${Similarity.cosineSql("e.embedding", "c.cv")} DESC,
+       |                                       c.cent_id) AS rn
+       |    FROM embeddings e, dcent c WHERE e.vec_id % 100 = 0)
+       |  WHERE rn = 1),
        |dscored AS (
-       |  SELECT dq.query_doc, e.vec_id AS doc_id,
-       |         round(${Similarity.cosineSql("dq.qv", "e.embedding")}, 4) AS sim
-       |  FROM dq, embeddings e WHERE e.vec_id % 50 <> 0),
+       |  SELECT q.query_doc, a.doc_id,
+       |         round(${Similarity.cosineSql("q.qv", "a.nv")}, 4) AS sim
+       |  FROM dqasg q JOIN dasg a ON a.cent_id = q.cent_id),
        |drank AS (
        |  SELECT query_doc, doc_id, rank FROM (
        |    SELECT query_doc, doc_id,
