@@ -254,9 +254,17 @@ object Retrieval {
     */
   def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Each fusion input is a ≤ top-k-per-query rank list — metadata
+    // scale. Materialize both (lazy localCheckpoint) so the fused query
+    // optimizes/codegens over two tiny leaf relations instead of one
+    // mega-plan spanning the whole BM25 + IVF pipelines: the fusion
+    // stage's plan is then independent of the retrieval pipelines'
+    // size, which is also how a production run stages per-retriever
+    // shortlists before rank fusion.
     val lex = rankTopK(
       scoredBm25(spark, sfDir).filter(col("query_doc") % 100 === 0))
       .select(col("query_doc"), col("doc_id"), col("rank").as("lex_rank"))
+      .localCheckpoint(false)
     val emb = Tables.table(spark, sfDir, "embeddings")
     // IVF cells: deterministic centroid seeds (every 25th vector, as in
     // annIvf — a KMeans fit in production; deterministic seeds keep the
@@ -285,6 +293,7 @@ object Retrieval {
         Seq(col("query_doc")), Seq(col("sim").desc, col("doc_id").asc), bm25TopK)
       .withColumn("dense_rank", row_number().over(dw))
       .select(col("query_doc"), col("doc_id"), col("dense_rank"))
+      .localCheckpoint(false)
     val rrf = round(
       coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)), 6)
