@@ -968,6 +968,81 @@ object Dedup {
     * true pair sits at j ≥ 0.9 where 8×4 recall ≈ 1 − 2e-4, so the
     * naive pairwise SQL is the oracle.
     */
+  /** Shingle widths swept by [[decontaminateNgramSweep]] — n = 13 is
+    * the published LLM decontamination convention (GPT-3 appendix C),
+    * n = 8 the stricter academic variant; 3 and 5 show how fast the
+    * contamination signal sharpens as n grows.
+    */
+  val deconSweepNs: Seq[Int] = Seq(3, 5, 8, 13)
+
+  /** Decontamination n-gram-width sweep: for each shingle width n, how
+    * many (train, bench) pairs share at least one n-shingle and how
+    * many distinct train docs that implicates — the calibration a
+    * curator reads to pick the width before a production
+    * decontamination pass (too small n flags boilerplate echoes; too
+    * large misses paraphrased leaks).
+    *
+    * Scale shape: per width, the [[decontaminate]] shape — explode
+    * shingles on both sides, hash (xxhash64) BEFORE the exchange, and
+    * equi-join on the shingle itself; cost is O(matching shingles) per
+    * width, never train × bench. The global aggregate per width is a
+    * one-row count (map-side partial). Production adds the
+    * [[shingleBloom]] prune on the train scan exactly as
+    * [[decontaminate]] does; the sweep keeps the join bare so the
+    * per-width counts are exact.
+    */
+  def decontaminateNgramSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val perN = deconSweepNs.map { n =>
+      val sh = docs
+        .select(col("doc_id"), explode(shingles(Text.tokens(col("text")), n)).as("raw"))
+        .select(col("doc_id"), xxhash64(col("raw")).as("s"))
+      val bench = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("s"), col("doc_id").as("bench_doc"))
+      val train = sh.filter(col("doc_id") % 50 =!= 0)
+        .select(col("s"), col("doc_id").as("train_doc"))
+      // shingles are distinct per doc, but a pair can share several —
+      // distinct pairs before counting
+      train.join(bench, Seq("s"))
+        .select(col("train_doc"), col("bench_doc")).distinct()
+        // global agg (no groupBy): emits its 0-count row even when a
+        // width finds no pairs, matching the oracle's per-width SELECT
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("train_doc")).as("n_train_docs"))
+        .select(lit(n).as("n"), col("n_pairs"), col("n_train_docs"))
+    }
+    Present.sortSmall(perN.reduce(_ unionAll _), col("n"))
+  }
+
+  /** DuckDB n-shingle expression over a pre-split token array `t` —
+    * the generic-width twin of [[shinglesSqlCte]]'s n = 3 case.
+    */
+  private def shingleExprSql(n: Int): String = {
+    val cat = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"CASE WHEN len(t) >= $n THEN list_distinct(list_transform(" +
+      s"range(1, len(t) - ${n - 2}), i -> $cat)) " +
+      "ELSE [array_to_string(t, ' ')] END"
+  }
+
+  /** DuckDB twin of [[decontaminateNgramSweep]]. */
+  val decontaminateNgramSweepSql: String = {
+    val ctes = deconSweepNs.map { n =>
+      s"sh$n AS (SELECT doc_id, unnest(${shingleExprSql(n)}) AS s FROM tok)"
+    }.mkString(",\n|")
+    val selects = deconSweepNs.map { n =>
+      s"""SELECT $n AS n, count(*) AS n_pairs,
+         |       count(DISTINCT train_doc) AS n_train_docs FROM (
+         |  SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS bench_doc
+         |  FROM sh$n a JOIN sh$n b USING (s)
+         |  WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0)""".stripMargin
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |$ctes
+       |SELECT * FROM (
+       |$selects)
+       |ORDER BY n""".stripMargin
+  }
+
   def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
     val all = Tables.table(spark, sfDir, "documents")
     val st = signed(all.filter(col("doc_id") % 50 =!= 0))

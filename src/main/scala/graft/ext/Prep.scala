@@ -504,4 +504,118 @@ object Prep {
       .groupBy(col("doc_id"))
       .agg(sum(col("nc")).as("n_chars"), sum(col("ns")).as("n_symbols"))
   }
+
+  // ——— filter funnel ———
+
+  /** Ordered quality-filter chain with per-stage survival counts — the
+    * funnel report every corpus-curation run publishes (what fraction
+    * did language ID keep, what did length bounds cost on top, how
+    * much did dedup remove at the end). Stages are CUMULATIVE
+    * conjunctions, applied in the order a production pipeline runs
+    * them (cheap scan-pushable predicates first, the dedup-key shuffle
+    * last):
+    *
+    *   0 all → 1 lang tagged → 2 length bounds (n_chars 50..550) →
+    *   3 quality ≥ 0.5 → 4 non-repetitive → 5 exact-dup keeper.
+    *
+    * Scale shape: ONE corpus pass computes stages 0-4 as conditional
+    * partial aggregates (`sum(CASE WHEN cum_i THEN 1 END)` — map-side
+    * combine, no per-stage rescan); the keeper stage adds the one
+    * dedup-key hash shuffle that exact dedup costs anyway. Output is
+    * six rows however big the corpus.
+    */
+  def filterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("k"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val t = Text.tokens(col("text"))
+    // repetition markers mirror [[Text.repetition]]'s thresholds; docs
+    // under 2 tokens have no bigram — treat as repetitive (they can't
+    // reach stage 4 anyway: stage 2's length floor excludes them)
+    val topBi = round(graft.functions.HashFunctions.top_ngram_frac(t, 2), 4)
+    val distinctFrac = round(size(array_distinct(t)).cast("double") / size(t), 4)
+    val repetitive = when(size(t) < 2, lit(true))
+      .otherwise(topBi > 0.05 || distinctFrac < 0.5)
+    val c1 = col("lang").isin("en", "de", "es", "fr")
+    val c2 = c1 && col("n_chars").between(50, 550)
+    val c3 = c2 && (Text.qualityScore(t) >= 0.5)
+    val c4 = c3 && !repetitive
+    val c5 = c4 && (col("doc_id") === col("keeper"))
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val a = docs
+      .join(keepers, md5(col("text").cast("binary")) === col("k"))
+      .agg(count(lit(1)).as("n0"), cnt(c1).as("n1"), cnt(c2).as("n2"),
+        cnt(c3).as("n3"), cnt(c4).as("n4"), cnt(c5).as("n5"))
+    val names = Seq("all", "lang_tagged", "length_bounds", "quality",
+      "non_repetitive", "exact_keeper")
+    def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0L, lit(null)).otherwise(round(num.cast("double") / den, 4))
+    val stages = array((0 to 5).map { i =>
+      val n = col(s"n$i")
+      val prev = if (i == 0) col("n0") else col(s"n${i - 1}")
+      struct(lit(i).as("stage_idx"), lit(names(i)).as("stage"),
+        n.as("n_docs"),
+        frac(n, col("n0")).as("frac_of_corpus"),
+        frac(n, prev).as("frac_of_prev"))
+    }: _*)
+    a.select(explode(stages).as("s")).select(col("s.*"))
+      .transform(graft.Present.sortSmall(_, col("stage_idx")))
+  }
+
+  /** DuckDB twin of [[filterFunnel]] — same cumulative stage
+    * predicates (DuckDB lateral column aliases), same 4-dp rounding.
+    */
+  val filterFunnelSql: String = {
+    val rows = Seq("all" -> "n0", "lang_tagged" -> "n1",
+      "length_bounds" -> "n2", "quality" -> "n3",
+      "non_repetitive" -> "n4", "exact_keeper" -> "n5")
+    val selects = rows.zipWithIndex.map { case ((name, n), i) =>
+      val prev = if (i == 0) "n0" else s"n${i - 1}"
+      s"""SELECT $i AS stage_idx, '$name' AS stage, $n AS n_docs,
+         |  CASE WHEN n0 = 0 THEN NULL
+         |       ELSE round($n::DOUBLE / n0, 4) END AS frac_of_corpus,
+         |  CASE WHEN $prev = 0 THEN NULL
+         |       ELSE round($n::DOUBLE / $prev, 4) END AS frac_of_prev
+         |FROM c""".stripMargin
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH k AS (SELECT md5(text) AS kk, min(doc_id) AS keeper
+       |           FROM documents GROUP BY 1),
+       |b AS (SELECT d.doc_id, d.lang, d.n_chars, d.text, k.keeper,
+       |             string_split(d.text, ' ') AS ts
+       |      FROM documents d JOIN k ON md5(d.text) = k.kk),
+       |bg AS (SELECT doc_id,
+       |              unnest(list_transform(range(1, len(ts)),
+       |                     i -> ts[i] || ' ' || ts[i+1])) AS bgr
+       |       FROM b WHERE len(ts) >= 2),
+       |bc AS (SELECT doc_id, bgr, count(*) AS c FROM bg GROUP BY 1, 2),
+       |tb AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS tbf
+       |       FROM bc GROUP BY 1),
+       |f AS (SELECT b.*, tb.tbf,
+       |             round(len(list_distinct(ts))::DOUBLE / len(ts), 4) AS dtf,
+       |             ${Text.qualityScoreSql} AS q
+       |      FROM b LEFT JOIN tb USING (doc_id)),
+       |p AS (SELECT doc_id, keeper,
+       |             lang IN ('en', 'de', 'es', 'fr') AS c1,
+       |             c1 AND n_chars BETWEEN 50 AND 550 AS c2,
+       |             c3_q AS c3, c3_q AND NOT rep AS c4,
+       |             c3_q AND NOT rep AND doc_id = keeper AS c5
+       |      FROM (SELECT *,
+       |              lang IN ('en', 'de', 'es', 'fr')
+       |                AND n_chars BETWEEN 50 AND 550 AND q >= 0.5 AS c3_q,
+       |              CASE WHEN len(ts) < 2 THEN true
+       |                   ELSE (tbf > 0.05 OR dtf < 0.5) END AS rep
+       |            FROM f)),
+       |c AS (SELECT count(*) AS n0,
+       |             CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |             CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |             CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |             CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+       |             CAST(sum(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+       |      FROM p)
+       |SELECT * FROM (
+       |$selects)
+       |ORDER BY stage_idx""".stripMargin
+  }
 }

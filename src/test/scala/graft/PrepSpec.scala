@@ -191,4 +191,38 @@ class PrepSpec extends SparkSpec {
     // only overlap-split occurrences (e.g. "aaa" for pair "aa") survive
     assert(leftover < bestN)
   }
+
+  test("filter funnel: counts are monotone non-increasing and fracs consistent") {
+    val rows = ext.Prep.filterFunnel(spark, sf0001)
+      .select("stage_idx", "stage", "n_docs", "frac_of_corpus", "frac_of_prev")
+      .collect().sortBy(_.getAs[Int]("stage_idx"))
+    assert(rows.length == 6)
+    assert(rows.head.getAs[String]("stage") == "all")
+    val n0 = rows.head.getAs[Long]("n_docs")
+    assert(n0 > 0)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_docs") <= a.getAs[Long]("n_docs"),
+        s"stage ${b.getAs[String]("stage")} gained docs")
+    }
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(math.abs(r.getAs[Double]("frac_of_corpus") - n.toDouble / n0) < 1e-3)
+      val fp = r.getAs[Double]("frac_of_prev")
+      assert(fp >= 0.0 && fp <= 1.0)
+    }
+  }
+
+  test("decontamination n-gram sweep: contamination shrinks as n grows") {
+    val rows = ext.Dedup.decontaminateNgramSweep(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("n"))
+    assert(rows.map(_.getAs[Int]("n")).toSeq == ext.Dedup.deconSweepNs)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      // a shared (n+k)-shingle implies shared n-shingles, so pair and
+      // doc counts can only shrink as the width grows
+      assert(b.getAs[Long]("n_pairs") <= a.getAs[Long]("n_pairs"))
+      assert(b.getAs[Long]("n_train_docs") <= a.getAs[Long]("n_train_docs"))
+    }
+    // width 3 must flag something on this corpus (planted near-dups)
+    assert(rows.head.getAs[Long]("n_pairs") > 0)
+  }
 }
