@@ -968,6 +968,88 @@ object Dedup {
     * true pair sits at j ≥ 0.9 where 8×4 recall ≈ 1 − 2e-4, so the
     * naive pairwise SQL is the oracle.
     */
+  /** Per-document n-gram novelty: the fraction of a doc's shingles
+    * that occur in NO other document (corpus df = 1) — the
+    * "originality" complement of boilerplate burden. Curation uses it
+    * to separate template-heavy scrapes (novelty ≈ 0) from genuinely
+    * new text, orthogonal to pairwise near-dup detection (a doc can be
+    * unduplicated yet assembled entirely from corpus-common phrases).
+    *
+    * Scale shape: shingles hash to 64 bits before any exchange; the df
+    * aggregate and the join back both shuffle 8-byte keys with map-side
+    * partial aggregation (the [[containment]] skeleton), and the
+    * per-doc roll-up is one more hash agg — no pair joins anywhere, so
+    * cost is linear in total shingle count at 100 TB.
+    */
+  def novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(shingles(Text.tokens(col("text")))).as("raw"))
+      .select(col("doc_id"), xxhash64(col("raw")).as("s"))
+    // shingles are distinct per doc (WordShingles), so count per s IS
+    // the document frequency
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    Present.sortSmall(
+      sh.join(dfreq, Seq("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty",
+          round(col("n_unique").cast("double") / col("n_shingles"), 4)),
+      col("doc_id"))
+  }
+
+  /** DuckDB twin of [[novelty]]. */
+  val noveltySql: String =
+    s"""WITH $shinglesSqlCte,
+       |ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+       |df AS (SELECT s, count(*) AS df FROM ex GROUP BY 1)
+       |SELECT e.doc_id, count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_unique,
+       |       round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+       |             / count(*), 4) AS novelty
+       |FROM ex e JOIN df USING (s)
+       |GROUP BY 1
+       |ORDER BY doc_id""".stripMargin
+
+  /** Rows reported by [[boilerplateShingles]]. */
+  val boilerplateTopK = 25
+
+  /** Corpus boilerplate report: the [[boilerplateTopK]] shingles with
+    * the highest document frequency, with the fraction of the corpus
+    * each touches — the phrase-level complement of [[novelty]] and the
+    * empirical basis for [[containmentDfCap]]-style stop-shingle
+    * thresholds. Unlike the hashed paths, the shingle TEXT is the
+    * deliverable here, so the aggregation key is the string itself;
+    * map-side partial agg still collapses each mapper's duplicates and
+    * the final top-k is a bounded TakeOrdered, never a full sort spill.
+    */
+  def boilerplateShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = docs
+      .select(col("doc_id"), explode(shingles(Text.tokens(col("text")))).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    Present.sortSmall(
+      dfreq.crossJoin(broadcast(nDocs)) // one scalar rides along
+        .orderBy(col("df").desc, col("shingle").asc)
+        .limit(boilerplateTopK)
+        .select(col("shingle"), col("df"),
+          round(col("df").cast("double") / col("n_docs"), 4).as("pct_docs")),
+      col("df").desc, col("shingle"))
+  }
+
+  /** DuckDB twin of [[boilerplateShingles]]. */
+  val boilerplateShinglesSql: String =
+    s"""WITH $shinglesSqlCte,
+       |ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+       |df AS (SELECT s AS shingle, count(*) AS df FROM ex GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT shingle, df, round(df::DOUBLE / n_docs, 4) AS pct_docs
+       |FROM df, n
+       |ORDER BY df DESC, shingle ASC
+       |LIMIT $boilerplateTopK""".stripMargin
+
   /** Shingle widths swept by [[decontaminateNgramSweep]] — n = 13 is
     * the published LLM decontamination convention (GPT-3 appendix C),
     * n = 8 the stricter academic variant; 3 and 5 show how fast the
