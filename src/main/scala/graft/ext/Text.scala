@@ -769,9 +769,19 @@ object Text {
   val cmsDepth = 4
   val cmsWidth = 256
 
-  /** Bucket of a token under hash row i (md5-derived, cross-engine). */
-  def cmsBucket(tok: Column, i: Int): Column =
-    pmod(md5Long(concat(lit(s"$i:"), tok)), lit(cmsWidth))
+  /** Two md5-derived base hashes per token; hash row i buckets at
+    * (h1 + i·h2) mod width — Kirsch–Mitzenmacher double hashing, the
+    * standard construction that preserves CMS error guarantees while
+    * paying TWO hash evaluations per token instead of `depth` (md5 via
+    * conv() is the dominant sketch-build cost). Cross-engine exact:
+    * both engines replay the same two hashes and the same affine
+    * combination. h1, h2 < 2³² so h1 + 3·h2 < 2³⁴ — no overflow.
+    */
+  def cmsBaseHashes(tok: Column): (Column, Column) =
+    (md5Long(concat(lit("1:"), tok)), md5Long(concat(lit("2:"), tok)))
+
+  def cmsBucket(h1: Column, h2: Column, i: Int): Column =
+    pmod(h1 + lit(i.toLong) * h2, lit(cmsWidth.toLong))
 
   /** Count-Min token-frequency estimation, formulated Spark-native:
     * the sketch IS a (depth, bucket, count) table — a bounded
@@ -792,11 +802,18 @@ object Text {
     * mergeable across frames/micro-batches by summing counts cell-wise
     * (spec-verified: sketch(A ∪ B) = sketch(A) ⊎ sketch(B)).
     */
-  def cmsSketch(toks: DataFrame): DataFrame = toks
-    .select(explode(array((0 until cmsDepth).map(i =>
-      struct(lit(i).as("d"), cmsBucket(col("token"), i).as("b"))): _*)).as("c"))
-    .groupBy(col("c.d").as("d"), col("c.b").as("b"))
-    .agg(count(lit(1)).as("n"))
+  def cmsSketch(toks: DataFrame): DataFrame = {
+    val (h1, h2) = cmsBaseHashes(col("token"))
+    toks
+      // separate projection: h1/h2 are md5-expensive and referenced by
+      // every depth row — CollapseProject keeps multiply-referenced
+      // non-cheap aliases un-inlined, so each evaluates once per token
+      .select(h1.as("h1"), h2.as("h2"))
+      .select(explode(array((0 until cmsDepth).map(i =>
+        struct(lit(i).as("d"), cmsBucket(col("h1"), col("h2"), i).as("b"))): _*)).as("c"))
+      .groupBy(col("c.d").as("d"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+  }
 
   def tokenCms(spark: SparkSession, sfDir: String): DataFrame = {
     val probeTokens: Seq[String] =
@@ -806,16 +823,24 @@ object Text {
     val sketch = cmsSketch(toks)
     val probes = spark.range(1)
       .select(explode(array(probeTokens.map(lit): _*)).as("token"))
+    val (ph1, ph2) = cmsBaseHashes(col("token"))
     val probeBuckets = probes
+      .select(col("token"), ph1.as("h1"), ph2.as("h2"))
       .select(col("token"), explode(array((0 until cmsDepth).map(i =>
-        struct(lit(i).as("d"), cmsBucket(col("token"), i).as("b"))): _*)).as("c"))
+        struct(lit(i).as("d"), cmsBucket(col("h1"), col("h2"), i).as("b"))): _*)).as("c"))
       .select(col("token"), col("c.d").as("d"), col("c.b").as("b"))
     val est = probeBuckets
       .join(sketch, Seq("d", "b"), "left")
       .groupBy(col("token"))
       .agg(min(coalesce(col("n"), lit(0L))).as("cms_n"))
+    // the exact side exists only to evaluate the probes: filter the
+    // token stream to the constant probe set BEFORE the count shuffle
+    // (a pushed In-predicate), so only probe hits ever exchange —
+    // without this the full corpus token stream shuffles by string to
+    // count a 25-token set
     val exact = probes.join(
-        toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n")),
+        toks.filter(col("token").isin(probeTokens: _*))
+          .groupBy(col("token")).agg(count(lit(1)).as("exact_n")),
         Seq("token"), "left")
       .select(col("token"), coalesce(col("exact_n"), lit(0L)).as("exact_n"))
     graft.Present.sortSmall(
@@ -825,12 +850,15 @@ object Text {
   val tokenCmsSql: String = {
     val probeList = stopwords.values.flatten.toSeq.distinct.sorted
       .map(t => s"'$t'").mkString(", ")
-    val h = s"('0x' || substr(md5(d::VARCHAR || ':' || token), 1, 8))::BIGINT % $cmsWidth"
+    def bh(p: Int) = s"('0x' || substr(md5('$p:' || token), 1, 8))::BIGINT"
     s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
        |probe AS (SELECT unnest([$probeList]) AS token),
-       |sk AS (SELECT d, $h AS b, count(*) AS n
-       |       FROM toks, range($cmsDepth) t(d) GROUP BY 1, 2),
-       |pb AS (SELECT token, d, $h AS b FROM probe, range($cmsDepth) t(d)),
+       |th AS (SELECT token, ${bh(1)} AS h1, ${bh(2)} AS h2 FROM toks),
+       |sk AS (SELECT d, (h1 + d * h2) % $cmsWidth AS b, count(*) AS n
+       |       FROM th, range($cmsDepth) t(d) GROUP BY 1, 2),
+       |ph AS (SELECT token, ${bh(1)} AS h1, ${bh(2)} AS h2 FROM probe),
+       |pb AS (SELECT token, d, (h1 + d * h2) % $cmsWidth AS b
+       |       FROM ph, range($cmsDepth) t(d)),
        |est AS (SELECT pb.token, min(coalesce(sk.n, 0)) AS cms_n
        |        FROM pb LEFT JOIN sk ON sk.d = pb.d AND sk.b = pb.b
        |        GROUP BY 1)
