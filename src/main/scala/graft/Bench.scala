@@ -72,8 +72,11 @@ object Bench {
     val calibSec = results.collect {
       case (n, v) if v >= 0 && calibration(n) => v }.sum
     val failures = results.count(_._2 < 0)
+    // "value" keeps its historical meaning — the sum over ALL
+    // successful queries, comparable with every prior round's file;
+    // the tier split rides alongside as headline_sec/calibration_sec
     val fullJson =
-      s"""{"metric":"total","value":${ms(headline)},"unit":"sec","calibration_sec":${ms(calibSec)},"all_sec":${ms(total)},"failures":$failures,"queries":$qs,"calibration_queries":${calibration.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"failures":$failures,"queries":$qs,"calibration_queries":${calibration.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // The per-query map (~100 entries) overflows the driver's fixed
     // stdout tail-capture window, which for three rounds truncated the
     // first ~15 timings and broke JSON parsing. So: the FULL map is
@@ -95,7 +98,7 @@ object Bench {
     // stop() BEFORE the final println: its shutdown logging otherwise
     // lands after the JSON line in the driver's merged-stream tail
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(headline)},"unit":"sec","calibration_sec":${ms(calibSec)},"all_sec":${ms(total)},"failures":$failures,"n_queries":${results.size},"detail":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"failures":$failures,"n_queries":${results.size},"detail":"$outPath","sf":"$sfDir"}""")
     System.out.flush()
   }
 }

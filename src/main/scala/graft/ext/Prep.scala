@@ -531,8 +531,11 @@ object Prep {
       .agg(min(col("doc_id")).as("keeper"))
     val t = Text.tokens(col("text"))
     // repetition markers mirror [[Text.repetition]]'s thresholds; docs
-    // under 2 tokens have no bigram — treat as repetitive (they can't
-    // reach stage 4 anyway: stage 2's length floor excludes them)
+    // under 2 tokens have no bigram — mark them repetitive. The branch
+    // is LOAD-BEARING: a single 50+-char token passes the length and
+    // quality stages (quality = 0.5·min(1, n/100) + 0.5·TTR ≥ 0.5 at
+    // TTR = 1), so only this guard keeps it out of stage 4 — mirrored
+    // by the oracle's CASE WHEN len(ts) < 2.
     val topBi = round(graft.functions.HashFunctions.top_ngram_frac(t, 2), 4)
     val distinctFrac = round(size(array_distinct(t)).cast("double") / size(t), 4)
     val repetitive = when(size(t) < 2, lit(true))
@@ -541,13 +544,20 @@ object Prep {
     val c2 = c1 && col("n_chars").between(50, 550)
     val c3 = c2 && (Text.qualityScore(t) >= 0.5)
     val c4 = c3 && !repetitive
-    val c5 = c4 && (col("doc_id") === col("keeper"))
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
-    val a = docs
-      .join(keepers, md5(col("text").cast("binary")) === col("k"))
-      .agg(count(lit(1)).as("n0"), cnt(c1).as("n1"), cnt(c2).as("n2"),
-        cnt(c3).as("n3"), cnt(c4).as("n4"), cnt(c5).as("n5"))
+    // flags are computed from text BEFORE the dedup-key join, so the
+    // exchange carries only (doc_id, 32-hex key, 4 booleans) — never
+    // the document text; the join itself is the same slim hash-key
+    // shuffle exact dedup costs
+    val flags = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("k"),
+      c1.as("c1"), c2.as("c2"), c3.as("c3"), c4.as("c4"))
+    val a = flags
+      .join(keepers, Seq("k"))
+      .agg(count(lit(1)).as("n0"), cnt(col("c1")).as("n1"), cnt(col("c2")).as("n2"),
+        cnt(col("c3")).as("n3"), cnt(col("c4")).as("n4"),
+        cnt(col("c4") && col("doc_id") === col("keeper")).as("n5"))
     val names = Seq("all", "lang_tagged", "length_bounds", "quality",
       "non_repetitive", "exact_keeper")
     def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =

@@ -204,11 +204,20 @@ class PrepSpec extends SparkSpec {
       assert(b.getAs[Long]("n_docs") <= a.getAs[Long]("n_docs"),
         s"stage ${b.getAs[String]("stage")} gained docs")
     }
-    rows.foreach { r =>
+    rows.zipWithIndex.foreach { case (r, i) =>
       val n = r.getAs[Long]("n_docs")
       assert(math.abs(r.getAs[Double]("frac_of_corpus") - n.toDouble / n0) < 1e-3)
-      val fp = r.getAs[Double]("frac_of_prev")
-      assert(fp >= 0.0 && fp <= 1.0)
+      val prev = if (i == 0) n0 else rows(i - 1).getAs[Long]("n_docs")
+      val fpIdx = r.fieldIndex("frac_of_prev")
+      if (prev == 0L) {
+        // NULL is the contract when the previous stage emptied —
+        // getAs[Double] would silently unbox it to 0.0
+        assert(r.isNullAt(fpIdx), s"stage $i: frac_of_prev must be NULL when prev = 0")
+      } else {
+        assert(!r.isNullAt(fpIdx), s"stage $i: frac_of_prev must not be NULL")
+        val fp = r.getAs[Double]("frac_of_prev")
+        assert(math.abs(fp - n.toDouble / prev) < 1e-3)
+      }
     }
   }
 
