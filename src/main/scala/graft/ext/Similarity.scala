@@ -1020,6 +1020,80 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Cells probed per query by [[annIvfNprobe]]. */
+  val ivfNprobe = 2
+
+  /** IVF search with nprobe > 1 — the recall/cost knob every
+    * production vector store exposes: a query near a cell boundary
+    * misses neighbors assigned to the adjacent cell under nprobe=1
+    * ([[annIvf]]); probing the query's [[ivfNprobe]] nearest cells
+    * recovers them at exactly nprobe× the scan cost. Corpus-side
+    * assignment is unchanged (each vector lives in ONE cell, so a
+    * (query, neighbor) pair can't double-count); only the query's
+    * probe set widens — the per-query work is still
+    * nprobe · cell-size, never the corpus.
+    */
+  def annIvfNprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val cells = assignNearest(
+        emb.repartition(spark.sparkContext.defaultParallelism), centroids,
+        keepEmbedding = true)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    // top-nprobe nearest centroids per query via the native
+    // TopKPerGroup (same expression and tie-break as assignNearest, so
+    // probe cell #1 is exactly the nprobe=1 cell)
+    val queries = graft.plans.TopKPerGroup.topKPerGroup(
+        emb.filter(col("vec_id") % 100 === 0).join(broadcast(centroids))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("cent_id"), cosine(col("embedding"), col("cv")).as("csim")),
+        Seq(col("query_id")), Seq(col("csim").desc, col("cent_id").asc), ivfNprobe)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+    val scored = cells.join(broadcast(queries), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("embedding")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    Present.sortSmall(
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank")),
+      col("query_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[annIvfNprobe]] — the annIvf CTEs with the query
+    * assignment widened to rn ≤ nprobe.
+    */
+  val annIvfNprobeSql: String =
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |              WHERE vec_id % 25 = 0),
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC,
+       |                                     c.cent_id) AS rn
+       |  FROM embeddings e, cent c),
+       |cells AS (SELECT vec_id, embedding, cent_id FROM assigned WHERE rn = 1),
+       |qp AS (
+       |  SELECT query_id, qv, cent_id FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS qv, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC,
+       |                                       c.cent_id) AS rn
+       |    FROM embeddings e, cent c WHERE e.vec_id % 100 = 0)
+       |  WHERE rn <= $ivfNprobe),
+       |scored AS (
+       |  SELECT qp.query_id, e.vec_id AS neighbor_id,
+       |         round(${cosineSql("qp.qv", "e.embedding")}, 4) AS sim
+       |  FROM qp JOIN cells e USING (cent_id) WHERE e.vec_id <> qp.query_id)
+       |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   val annIvfSql: String =
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
        |              WHERE vec_id % 25 = 0),
