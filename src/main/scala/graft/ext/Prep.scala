@@ -524,18 +524,19 @@ object Prep {
     * dedup-key hash shuffle that exact dedup costs anyway. Output is
     * six rows however big the corpus.
     */
-  def filterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.table(spark, sfDir, "documents")
-    val keepers = docs
-      .groupBy(md5(col("text").cast("binary")).as("k"))
-      .agg(min(col("doc_id")).as("keeper"))
+  /** Per-doc funnel stage flags + content key, a slim projection
+    * shared by the batch funnel and [[StreamFunnel]]'s incremental
+    * twin: (doc_id, k = md5(text), c1..c4 cumulative booleans).
+    *
+    * Repetition markers mirror [[Text.repetition]]'s thresholds; docs
+    * under 2 tokens have no bigram — mark them repetitive. The branch
+    * is LOAD-BEARING: a single 50+-char token passes the length and
+    * quality stages (quality = 0.5·min(1, n/100) + 0.5·TTR ≥ 0.5 at
+    * TTR = 1), so only this guard keeps it out of stage 4 — mirrored
+    * by the oracle's CASE WHEN len(ts) < 2.
+    */
+  def funnelFlags(docs: DataFrame): DataFrame = {
     val t = Text.tokens(col("text"))
-    // repetition markers mirror [[Text.repetition]]'s thresholds; docs
-    // under 2 tokens have no bigram — mark them repetitive. The branch
-    // is LOAD-BEARING: a single 50+-char token passes the length and
-    // quality stages (quality = 0.5·min(1, n/100) + 0.5·TTR ≥ 0.5 at
-    // TTR = 1), so only this guard keeps it out of stage 4 — mirrored
-    // by the oracle's CASE WHEN len(ts) < 2.
     val topBi = round(graft.functions.HashFunctions.top_ngram_frac(t, 2), 4)
     val distinctFrac = round(size(array_distinct(t)).cast("double") / size(t), 4)
     val repetitive = when(size(t) < 2, lit(true))
@@ -544,35 +545,56 @@ object Prep {
     val c2 = c1 && col("n_chars").between(50, 550)
     val c3 = c2 && (Text.qualityScore(t) >= 0.5)
     val c4 = c3 && !repetitive
+    docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("k"),
+      c1.as("c1"), c2.as("c2"), c3.as("c3"), c4.as("c4"))
+  }
+
+  /** Funnel stage names, index-aligned with the n0..n5 counters. */
+  val funnelStageNames: Seq[String] = Seq("all", "lang_tagged",
+    "length_bounds", "quality", "non_repetitive", "exact_keeper")
+
+  /** The one-row (n0..n5) counter frame of any (doc_id, text, lang,
+    * n_chars) relation — shared by the batch funnel and the streaming
+    * twin's equivalence spec.
+    */
+  def funnelCounts(docs: DataFrame): DataFrame = {
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("k"))
+      .agg(min(col("doc_id")).as("keeper"))
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
     // flags are computed from text BEFORE the dedup-key join, so the
     // exchange carries only (doc_id, 32-hex key, 4 booleans) — never
     // the document text; the join itself is the same slim hash-key
     // shuffle exact dedup costs
-    val flags = docs.select(col("doc_id"),
-      md5(col("text").cast("binary")).as("k"),
-      c1.as("c1"), c2.as("c2"), c3.as("c3"), c4.as("c4"))
-    val a = flags
+    funnelFlags(docs)
       .join(keepers, Seq("k"))
       .agg(count(lit(1)).as("n0"), cnt(col("c1")).as("n1"), cnt(col("c2")).as("n2"),
         cnt(col("c3")).as("n3"), cnt(col("c4")).as("n4"),
         cnt(col("c4") && col("doc_id") === col("keeper")).as("n5"))
-    val names = Seq("all", "lang_tagged", "length_bounds", "quality",
-      "non_repetitive", "exact_keeper")
+  }
+
+  /** Expand a one-row (n0..n5) counter frame into the 6-row funnel
+    * report with corpus/previous-stage fractions.
+    */
+  def funnelReport(counters: DataFrame): DataFrame = {
     def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
       when(den === 0L, lit(null)).otherwise(round(num.cast("double") / den, 4))
     val stages = array((0 to 5).map { i =>
       val n = col(s"n$i")
       val prev = if (i == 0) col("n0") else col(s"n${i - 1}")
-      struct(lit(i).as("stage_idx"), lit(names(i)).as("stage"),
+      struct(lit(i).as("stage_idx"), lit(funnelStageNames(i)).as("stage"),
         n.as("n_docs"),
         frac(n, col("n0")).as("frac_of_corpus"),
         frac(n, prev).as("frac_of_prev"))
     }: _*)
-    a.select(explode(stages).as("s")).select(col("s.*"))
+    counters.select(explode(stages).as("s")).select(col("s.*"))
       .transform(graft.Present.sortSmall(_, col("stage_idx")))
   }
+
+  def filterFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelReport(funnelCounts(Tables.table(spark, sfDir, "documents")))
 
   /** DuckDB twin of [[filterFunnel]] — same cumulative stage
     * predicates (DuckDB lateral column aliases), same 4-dp rounding.
