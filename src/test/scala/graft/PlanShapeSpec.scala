@@ -125,4 +125,18 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
       s"windows/covered checkpoints must feed the consumers:\n$p")
   }
+
+  test("filter funnel joins on slim flags — document text never reaches the join") {
+    val qe = ext.Prep.funnelCounts(
+      Tables.table(spark, sf0001, "documents")).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val cols = j.children.flatMap(_.output).map(_.name.toLowerCase)
+      assert(!cols.contains("text"),
+        s"funnel join inputs must be (doc_id, key, flags)-slim; got $cols")
+    }
+  }
 }
