@@ -535,7 +535,8 @@ object Prep {
     * TTR = 1), so only this guard keeps it out of stage 4 — mirrored
     * by the oracle's CASE WHEN len(ts) < 2.
     */
-  def funnelFlags(docs: DataFrame): DataFrame = {
+  def funnelFlags(docs: DataFrame,
+      carry: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val t = Text.tokens(col("text"))
     val topBi = round(graft.functions.HashFunctions.top_ngram_frac(t, 2), 4)
     val distinctFrac = round(size(array_distinct(t)).cast("double") / size(t), 4)
@@ -545,9 +546,9 @@ object Prep {
     val c2 = c1 && col("n_chars").between(50, 550)
     val c3 = c2 && (Text.qualityScore(t) >= 0.5)
     val c4 = c3 && !repetitive
-    docs.select(col("doc_id"),
+    docs.select(Seq(col("doc_id"),
       md5(col("text").cast("binary")).as("k"),
-      c1.as("c1"), c2.as("c2"), c3.as("c3"), c4.as("c4"))
+      c1.as("c1"), c2.as("c2"), c3.as("c3"), c4.as("c4")) ++ carry: _*)
   }
 
   /** Funnel stage names, index-aligned with the n0..n5 counters. */
@@ -595,6 +596,79 @@ object Prep {
 
   def filterFunnel(spark: SparkSession, sfDir: String): DataFrame =
     funnelReport(funnelCounts(Tables.table(spark, sfDir, "documents")))
+
+  /** The funnel broken down per source — WHERE the corpus loses docs:
+    * a source whose survival collapses at the quality stage needs a
+    * different cleaning recipe than one dominated by duplicates. Same
+    * single conditional-aggregate pass as [[filterFunnel]], grouped by
+    * the source key; keeper attribution is corpus-global (a doc
+    * duplicated across sources counts as kept only in the keeper's
+    * source — the number that matters when sources are billed for
+    * their surviving contribution).
+    */
+  def funnelBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("k"))
+      .agg(min(col("doc_id")).as("keeper"))
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    graft.Present.sortSmall(
+      funnelFlags(docs, Seq(col("source")))
+        .join(keepers, Seq("k"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n0"), cnt(col("c1")).as("n1"), cnt(col("c2")).as("n2"),
+          cnt(col("c3")).as("n3"), cnt(col("c4")).as("n4"),
+          cnt(col("c4") && col("doc_id") === col("keeper")).as("n5"))
+        .withColumn("survival",
+          when(col("n0") === 0L, lit(null))
+            .otherwise(round(col("n5").cast("double") / col("n0"), 4))),
+      col("source"))
+  }
+
+  /** DuckDB twin of [[funnelBySource]] — the [[filterFunnelSql]] CTEs
+    * grouped by source.
+    */
+  val funnelBySourceSql: String =
+    s"""WITH k AS (SELECT md5(text) AS kk, min(doc_id) AS keeper
+       |           FROM documents GROUP BY 1),
+       |b AS (SELECT d.doc_id, d.lang, d.n_chars, d.source, d.text, k.keeper,
+       |             string_split(d.text, ' ') AS ts
+       |      FROM documents d JOIN k ON md5(d.text) = k.kk),
+       |bg AS (SELECT doc_id,
+       |              unnest(list_transform(range(1, len(ts)),
+       |                     i -> ts[i] || ' ' || ts[i+1])) AS bgr
+       |       FROM b WHERE len(ts) >= 2),
+       |bc AS (SELECT doc_id, bgr, count(*) AS c FROM bg GROUP BY 1, 2),
+       |tb AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS tbf
+       |       FROM bc GROUP BY 1),
+       |f AS (SELECT b.*, tb.tbf,
+       |             round(len(list_distinct(ts))::DOUBLE / len(ts), 4) AS dtf,
+       |             ${Text.qualityScoreSql} AS q
+       |      FROM b LEFT JOIN tb USING (doc_id)),
+       |p AS (SELECT doc_id, source, keeper,
+       |             lang IN ('en', 'de', 'es', 'fr') AS c1,
+       |             c1 AND n_chars BETWEEN 50 AND 550 AS c2,
+       |             c3_q AS c3, c3_q AND NOT rep AS c4,
+       |             c3_q AND NOT rep AND doc_id = keeper AS c5
+       |      FROM (SELECT *,
+       |              lang IN ('en', 'de', 'es', 'fr')
+       |                AND n_chars BETWEEN 50 AND 550 AND q >= 0.5 AS c3_q,
+       |              CASE WHEN len(ts) < 2 THEN true
+       |                   ELSE (tbf > 0.05 OR dtf < 0.5) END AS rep
+       |            FROM f))
+       |SELECT source, count(*) AS n0,
+       |       CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |       CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |       CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |       CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+       |       CAST(sum(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+       |       CASE WHEN count(*) = 0 THEN NULL
+       |            ELSE round(sum(CASE WHEN c5 THEN 1 ELSE 0 END)::DOUBLE
+       |                       / count(*), 4) END AS survival
+       |FROM p
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 
   /** DuckDB twin of [[filterFunnel]] — same cumulative stage
     * predicates (DuckDB lateral column aliases), same 4-dp rounding.

@@ -725,6 +725,46 @@ object Text {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-language tokenizer fertility audit: whitespace words, regex
+    * pre-tokenizer pieces, and estimated subword tokens aggregated by
+    * language, with the fertility ratio (subwords per word) — the
+    * multilingual-fairness read-out every tokenizer evaluation
+    * publishes (a language whose fertility is 2× pays 2× the context
+    * budget and 2× the inference cost for the same text).
+    *
+    * Scale shape: pure per-row codegen'd expressions + one hash agg on
+    * the language key (map-side partial) — the scan is the cost.
+    * Ratios divide EXACT integer sums (not averaged per-doc doubles),
+    * so partitioning cannot perturb the result.
+    */
+  def bpeFertility(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "documents")
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("ws"),
+        expr(s"size(regexp_extract_all(text, '$bpePattern', 0))").cast("long").as("pieces"),
+        bpeTokenEstimate(col("text")).as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("pieces")).as("bpe_pieces"),
+        sum(col("bpe")).as("bpe_tokens"))
+      .withColumn("fertility",
+        round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4))
+      .transform(graft.Present.sortSmall(_, col("lang")))
+
+  /** DuckDB twin of [[bpeFertility]]. */
+  val bpeFertilitySql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       |       CAST(sum(len(regexp_extract_all(text, '$bpePattern'))) AS BIGINT)
+       |         AS bpe_pieces,
+       |       CAST(sum($bpeTokenEstimateSql) AS BIGINT) AS bpe_tokens,
+       |       round(sum($bpeTokenEstimateSql)::DOUBLE
+       |             / sum(len(string_split(text, ' '))), 4) AS fertility
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   /** [[packSequences]] with tokenizer-aware bin accounting: bins close
     * on estimated SUBWORD tokens ([[bpeTokenEstimate]]), not whitespace
     * words — the bin budget is the model's context length, which is
