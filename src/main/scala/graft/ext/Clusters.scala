@@ -384,6 +384,49 @@ object Clusters {
     |FROM per
     |ORDER BY source""".stripMargin
 
+  /** Token-weighted dedup rates per source: the fraction of TOKENS (not
+    * docs) removed by near-dup deletion — the number that actually
+    * moves a training-token budget: dropping 5% of docs that happen to
+    * be the longest ones costs far more than 5% of the corpus. Same
+    * component closure as [[dedupRates]]; token counts ride the one
+    * per-source aggregation as exact integer sums.
+    */
+  def dedupTokenRates(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val edges = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val drops = connectedComponents(edges)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"), lit(true).as("dropped"))
+    val toks = size(Text.tokens(col("text"))).cast("long")
+    Present.sortSmall(
+      docs.join(drops, Seq("doc_id"), "left_outer")
+        .select(col("source"), toks.as("t"),
+          coalesce(col("dropped"), lit(false)).as("dropped"))
+        .groupBy(col("source"))
+        .agg(sum(col("t")).as("n_tokens"),
+          sum(when(col("dropped"), col("t")).otherwise(0L)).as("tokens_dropped"))
+        .withColumn("token_dup_rate",
+          round(col("tokens_dropped").cast("double") / col("n_tokens"), 4)),
+      col("source"))
+  }
+
+  /** DuckDB twin of [[dedupTokenRates]]. */
+  val dedupTokenRatesSql: String = componentsCteSql + """
+    |,drops AS (SELECT doc_id FROM comp WHERE doc_id <> keeper_id),
+    |per AS (
+    |  SELECT d.source,
+    |         len(string_split(d.text, ' ')) AS t,
+    |         dr.doc_id IS NOT NULL AS dropped
+    |  FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id)
+    |SELECT source, CAST(sum(t) AS BIGINT) AS n_tokens,
+    |       CAST(sum(CASE WHEN dropped THEN t ELSE 0 END) AS BIGINT)
+    |         AS tokens_dropped,
+    |       round(sum(CASE WHEN dropped THEN t ELSE 0 END)::DOUBLE
+    |             / sum(t), 4) AS token_dup_rate
+    |FROM per
+    |GROUP BY source
+    |ORDER BY source""".stripMargin
+
   /** Quality-aware keeper selection: within each near-dup cluster keep
     * the member with the HIGHEST quality score (ties broken by lowest
     * doc_id), instead of [[dedupClusters]]' arbitrary min-id keeper.

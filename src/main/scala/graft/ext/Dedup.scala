@@ -359,6 +359,48 @@ object Dedup {
       .filter(col("n_shared") >= minSharedShingles)
    }
 
+  /** Per-benchmark-doc contamination report: for each benchmark doc,
+    * how many training docs leak it and the worst (max-shared-shingle)
+    * offender — the ranking an eval owner reads to know WHICH
+    * benchmark items are compromised and how badly, where
+    * [[decontaminate]] answers the train-side question (what to drop).
+    * One aggregation over the already-bounded contamination pair set
+    * (read from the [[Shared.memo]] staging).
+    */
+  def contaminationReport(spark: SparkSession, sfDir: String): DataFrame =
+    Present.sortSmall(
+      contaminationPairs(spark, sfDir)
+        .groupBy(col("bench_doc"))
+        .agg(count(lit(1)).as("n_train_docs"),
+          max(col("n_shared")).as("max_shared"),
+          max(struct(col("n_shared").as("s"), col("train_doc").as("d"))).as("m"))
+        .select(col("bench_doc"), col("n_train_docs"), col("max_shared"),
+          col("m.d").as("worst_train_doc")),
+      col("bench_doc"))
+
+  /** DuckDB twin of [[contaminationReport]] — worst offender by
+    * (n_shared, train_doc) max, mirrored via row_number.
+    */
+  val contaminationReportSql: String =
+    s"""WITH $shinglesSqlCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
+       |         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_shared
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+       |    AND len(list_intersect(a.s, b.s)) >= $minSharedShingles),
+       |worst AS (
+       |  SELECT bench_doc, train_doc,
+       |         row_number() OVER (PARTITION BY bench_doc
+       |                            ORDER BY n_shared DESC, train_doc DESC) AS rn
+       |  FROM pairs)
+       |SELECT p.bench_doc, count(*) AS n_train_docs,
+       |       max(p.n_shared) AS max_shared,
+       |       min(w.train_doc) AS worst_train_doc
+       |FROM pairs p JOIN worst w ON w.bench_doc = p.bench_doc AND w.rn = 1
+       |GROUP BY p.bench_doc
+       |ORDER BY p.bench_doc""".stripMargin
+
   val decontaminateSql: String =
     s"""WITH $shinglesSqlCte
        |SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
