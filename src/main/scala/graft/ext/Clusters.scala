@@ -349,13 +349,21 @@ object Clusters {
     * doc_id semi-join plus a per-source partial agg — output is
     * |sources| rows, metadata-scale.
     */
-  def dedupRates(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.table(spark, sfDir, "documents")
+  /** The near-dup delete list (every non-keeper cluster member) — the
+    * ONE drop-list definition shared by the doc-weighted and
+    * token-weighted rate reports, so the two can never disagree about
+    * what was dropped.
+    */
+  private def dropList(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    val drops = connectedComponents(edges)
+    connectedComponents(edges)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
-    val dropped = docs.join(drops, Seq("doc_id"), "left_semi")
+  }
+
+  def dedupRates(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val dropped = docs.join(dropList(spark, sfDir), Seq("doc_id"), "left_semi")
       .groupBy(col("source")).agg(count(lit(1)).as("n_dropped"))
     Present.sortSmall(
       docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
@@ -393,10 +401,7 @@ object Clusters {
     */
   def dedupTokenRates(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.table(spark, sfDir, "documents")
-    val edges = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    val drops = connectedComponents(edges)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as("doc_id"), lit(true).as("dropped"))
+    val drops = dropList(spark, sfDir).withColumn("dropped", lit(true))
     val toks = size(Text.tokens(col("text"))).cast("long")
     Present.sortSmall(
       docs.join(drops, Seq("doc_id"), "left_outer")

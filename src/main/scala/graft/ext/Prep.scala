@@ -555,11 +555,16 @@ object Prep {
   val funnelStageNames: Seq[String] = Seq("all", "lang_tagged",
     "length_bounds", "quality", "non_repetitive", "exact_keeper")
 
-  /** The one-row (n0..n5) counter frame of any (doc_id, text, lang,
-    * n_chars) relation — shared by the batch funnel and the streaming
-    * twin's equivalence spec.
+  /** The (n0..n5) counter frame of any (doc_id, text, lang, n_chars)
+    * relation, optionally grouped (e.g. by source) — the ONE funnel
+    * counter definition shared by the corpus funnel, the per-source
+    * breakdown, and the streaming twin's equivalence spec. Keeper
+    * attribution is always corpus-global (min doc_id per content key
+    * over ALL of `docs`, regardless of grouping).
     */
-  def funnelCounts(docs: DataFrame): DataFrame = {
+  def funnelCounts(docs: DataFrame,
+      groupCols: Seq[org.apache.spark.sql.Column] = Nil,
+      carry: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val keepers = docs
       .groupBy(md5(col("text").cast("binary")).as("k"))
       .agg(min(col("doc_id")).as("keeper"))
@@ -569,8 +574,9 @@ object Prep {
     // exchange carries only (doc_id, 32-hex key, 4 booleans) — never
     // the document text; the join itself is the same slim hash-key
     // shuffle exact dedup costs
-    funnelFlags(docs)
+    funnelFlags(docs, carry)
       .join(keepers, Seq("k"))
+      .groupBy(groupCols: _*)
       .agg(count(lit(1)).as("n0"), cnt(col("c1")).as("n1"), cnt(col("c2")).as("n2"),
         cnt(col("c3")).as("n3"), cnt(col("c4")).as("n4"),
         cnt(col("c4") && col("doc_id") === col("keeper")).as("n5"))
@@ -606,25 +612,14 @@ object Prep {
     * source — the number that matters when sources are billed for
     * their surviving contribution).
     */
-  def funnelBySource(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.table(spark, sfDir, "documents")
-    val keepers = docs
-      .groupBy(md5(col("text").cast("binary")).as("k"))
-      .agg(min(col("doc_id")).as("keeper"))
-    def cnt(c: org.apache.spark.sql.Column) =
-      sum(when(c, 1L).otherwise(0L))
+  def funnelBySource(spark: SparkSession, sfDir: String): DataFrame =
     graft.Present.sortSmall(
-      funnelFlags(docs, Seq(col("source")))
-        .join(keepers, Seq("k"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n0"), cnt(col("c1")).as("n1"), cnt(col("c2")).as("n2"),
-          cnt(col("c3")).as("n3"), cnt(col("c4")).as("n4"),
-          cnt(col("c4") && col("doc_id") === col("keeper")).as("n5"))
+      funnelCounts(Tables.table(spark, sfDir, "documents"),
+        groupCols = Seq(col("source")), carry = Seq(col("source")))
         .withColumn("survival",
           when(col("n0") === 0L, lit(null))
             .otherwise(round(col("n5").cast("double") / col("n0"), 4))),
       col("source"))
-  }
 
   /** DuckDB twin of [[funnelBySource]] — the [[filterFunnelSql]] CTEs
     * grouped by source.

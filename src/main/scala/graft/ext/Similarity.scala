@@ -692,15 +692,11 @@ object Similarity {
         .select(col("vec_id"), col("embedding"), col("cent_id"))
     // the query side re-runs the assignment on its own 1% slice (the
     // vec_id filter pushes to the scan, so this side costs |queries| ×
-    // |centroids|) instead of sharing a cached full assignment: the
-    // persist+count() that sharing requires pays a full extra pass and
-    // columnar-cache build of the embedding arrays — measured SLOWER
-    // than the duplicate filtered assignment (assignment is
-    // deterministic, ties broken by cent_id, so both sides agree).
-    // The probe side is re-split first — the quadratic cosine work runs
-    // BEFORE the exchange, on what would otherwise be the single-file
-    // scan's one partition
-    val cells = assign(emb.repartition(spark.sparkContext.defaultParallelism))
+    // |centroids|): assignment is deterministic (ties broken by
+    // cent_id) so it lands in the same cell the staged index holds it
+    // in. The corpus side reads the ONE staged index ([[ivfCells]]),
+    // shared with the other probe configurations.
+    val cells = ivfCells(spark, sfDir)
     val queries = assign(emb.filter(col("vec_id") % 100 === 0))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
     val scored = cells.join(broadcast(queries), Seq("cent_id"))
@@ -1031,6 +1027,24 @@ object Similarity {
   /** Cells probed per query by [[annIvfNprobe]]. */
   val ivfNprobe = 2
 
+  /** The corpus-side IVF assignment (every vector in its nearest cell,
+    * embedding kept) — the index structure itself. [[Shared.memo]]-
+    * staged: [[annIvf]], [[annIvfNprobe]], and [[annProbeSweep]] all
+    * probe the SAME built index, exactly as a production store builds
+    * once and serves many probe configurations; the |corpus|×|cents|
+    * assignment cosines are paid once per (session, corpus).
+    */
+  def ivfCells(spark: SparkSession, sfDir: String): DataFrame =
+   Shared.memo(spark, sfDir, "ivf_cells") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    assignNearest(
+        emb.repartition(spark.sparkContext.defaultParallelism), centroids,
+        keepEmbedding = true)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+   }
+
   /** IVF search with nprobe > 1 — the recall/cost knob every
     * production vector store exposes: a query near a cell boundary
     * misses neighbors assigned to the adjacent cell under nprobe=1
@@ -1046,10 +1060,7 @@ object Similarity {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val centroids = emb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val cells = assignNearest(
-        emb.repartition(spark.sparkContext.defaultParallelism), centroids,
-        keepEmbedding = true)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val cells = ivfCells(spark, sfDir)
     // top-nprobe nearest centroids per query via the native
     // TopKPerGroup (same expression and tie-break as assignNearest, so
     // probe cell #1 is exactly the nprobe=1 cell)

@@ -30,8 +30,24 @@ object StreamFunnel {
 
   /** Replay-deterministic per-batch delta: counters + batch-local key
     * table, written with overwrite into the batch's own directory.
+    *
+    * CONTRACT: `dir` and the query's checkpointLocation live and die
+    * together — batch ids are the delta keys, so restarting with a
+    * fresh checkpoint against a dir holding an older run's deltas
+    * would interleave two unrelated runs. Guarded: batch 0 against a
+    * dir already holding later batches fails fast instead of
+    * corrupting the report.
     */
   def ingestBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    if (batchId == 0L) {
+      val aggRoot = new java.io.File(s"$dir/agg")
+      val stale = Option(aggRoot.list()).getOrElse(Array.empty[String])
+        .exists(n => n.startsWith("b") && n != "b0")
+      require(!stale,
+        s"$dir holds deltas from a previous run but the stream restarted " +
+          "at batch 0 (fresh checkpoint?) — use a fresh output dir or " +
+          "keep dir and checkpoint together")
+    }
     val f = Prep.funnelFlags(batch).localCheckpoint() // consumed twice
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
@@ -57,9 +73,15 @@ object StreamFunnel {
       .start()
 
   /** The funnel report over everything ingested so far — same 6-row
-    * shape as [[Prep.filterFunnel]].
+    * shape as [[Prep.filterFunnel]]. Before the first batch commits
+    * (no deltas on disk yet) the report is all zeros, not an error.
     */
   def report(spark: SparkSession, dir: String): DataFrame = {
+    if (!new java.io.File(s"$dir/agg").isDirectory) {
+      return Prep.funnelReport(spark.range(1).select(
+        lit(0L).as("n0"), lit(0L).as("n1"), lit(0L).as("n2"),
+        lit(0L).as("n3"), lit(0L).as("n4"), lit(0L).as("n5")))
+    }
     val aggs = spark.read.parquet(s"$dir/agg/*")
     // first arrival per content key across batches: min (bid, keeper)
     // — one row per batch per key, so the struct min picks the
