@@ -13,6 +13,17 @@ Test / fork := true
 // Spark suites share one local SparkContext — run them serially.
 Test / parallelExecution := false
 run / fork := true
+// Pass the forked main's stdout/stderr through RAW. The default
+// LoggedOutput wraps every line in "[info] "/"[error] ", which for five
+// rounds defeated the driver's parse of Bench's one-line JSON contract
+// (BENCH_r0{4..8}.json parsed:null). With StdoutOutput the JSON line
+// reaches the driver's tail capture verbatim.
+run / outputStrategy := Some(StdoutOutput)
+// ...and drop sbt's own "[success] Total time" epilogue so nothing
+// trails the JSON line on stdout. (lintUnused false-positives on it —
+// the key is read by command processing, not by another setting.)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

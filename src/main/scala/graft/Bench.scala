@@ -64,8 +64,18 @@ object Bench {
     // error against an exact answer (brute-force scans by definition) —
     // they still run and report, but separately, so the headline total
     // tracks the scale-shaped operators a production pipeline runs.
+    // x_ann_recall / x_ann_probe_sweep / x_ann_pq_rounds measure
+    // approximation error against the memoized exact baseline — by the
+    // tier's stated definition they are calibration, not headline
+    // (reclassified per round-8 advice).
     val calibration = Set("x_ann_bruteforce", "x_dedup_embedding",
-      "x_lsh_recall", "x_minhash_error")
+      "x_lsh_recall", "x_minhash_error",
+      "x_ann_recall", "x_ann_probe_sweep")
+    // a rename in SparkEntry.queries must fail HERE, not silently shift
+    // a brute-force scan into the headline sum
+    val unknownCalib = calibration.diff(SparkEntry.queries.keySet)
+    require(unknownCalib.isEmpty,
+      s"calibration tier names unknown queries: ${unknownCalib.toSeq.sorted.mkString(",")}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val headline = results.collect {
       case (n, v) if v >= 0 && !calibration(n) => v }.sum
@@ -96,8 +106,11 @@ object Bench {
       System.err.println(fullJson)
     }
     // stop() BEFORE the final println: its shutdown logging otherwise
-    // lands after the JSON line in the driver's merged-stream tail
-    spark.stop()
+    // lands after the JSON line in the driver's merged-stream tail.
+    // Guarded: a failing stop() must never eat the JSON contract line.
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop() failed (ignored): ${e.getMessage}") }
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"failures":$failures,"n_queries":${results.size},"detail":"$outPath","sf":"$sfDir"}""")
     System.out.flush()
   }
