@@ -23,6 +23,19 @@ object Bench {
     // broker), so q_cdc_parse times the engine's parse path only
     try queries.Parity.stageWire(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] stageWire FAILED: ${e.getMessage}") }
+    // Stage the shared relations up front (untimed per-query, reported
+    // as staging_sec): per-query numbers then measure steady-state
+    // staged reads — the production accounting, where the staging job
+    // runs once per corpus, not inside whichever consumer ran first.
+    // Also fixes isolated-triage comparability: an SPARK_GRAFT_ONLY run
+    // of a memo consumer no longer pays the build its full-suite twin
+    // skipped. SPARK_GRAFT_STAGE=0 restores round-8 accounting.
+    val stagingTimes: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_STAGE").contains("0")) Seq.empty
+      else ext.Shared.stageAll(spark, sfDir)
+    val stagingSec = stagingTimes.collect { case (_, v) if v >= 0 => v }.sum
+    stagingTimes.foreach { case (k, v) =>
+      System.err.println(f"[bench] staged $k in $v%.3f s") }
     // SPARK_GRAFT_ONLY=a,b,c times just those queries — regression triage
     // needs isolated numbers (shared-JVM run-position effects measured
     // at 2× on the heavy pair joins)
@@ -76,17 +89,25 @@ object Bench {
     val unknownCalib = calibration.diff(SparkEntry.queries.keySet)
     require(unknownCalib.isEmpty,
       s"calibration tier names unknown queries: ${unknownCalib.toSeq.sorted.mkString(",")}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // "value" keeps its historical meaning — the TOTAL work of the run.
+    // In prior rounds staging cost was embedded in whichever consumer
+    // materialized a shared relation first; now it is measured
+    // separately, so value = staging + all queries stays comparable
+    // with every prior round's file, and the tier split rides alongside
+    // as staging_sec/headline_sec/calibration_sec.
+    val total = stagingSec +
+      results.collect { case (_, v) if v >= 0 => v }.sum
     val headline = results.collect {
       case (n, v) if v >= 0 && !calibration(n) => v }.sum
     val calibSec = results.collect {
       case (n, v) if v >= 0 && calibration(n) => v }.sum
-    val failures = results.count(_._2 < 0)
-    // "value" keeps its historical meaning — the sum over ALL
-    // successful queries, comparable with every prior round's file;
-    // the tier split rides alongside as headline_sec/calibration_sec
+    val failures = results.count(_._2 < 0) +
+      stagingTimes.count(_._2 < 0)
+    val stagingJson = stagingTimes
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"failures":$failures,"queries":$qs,"calibration_queries":${calibration.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","staging_sec":${ms(stagingSec)},"headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"failures":$failures,"queries":$qs,"staging":$stagingJson,"calibration_queries":${calibration.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // The per-query map (~100 entries) overflows the driver's fixed
     // stdout tail-capture window, which for three rounds truncated the
     // first ~15 timings and broke JSON parsing. So: the FULL map is
@@ -105,13 +126,16 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath (${e.getMessage}); full JSON follows")
       System.err.println(fullJson)
     }
+    // free the staged blocks before teardown (nothing consumes them
+    // after the loop; exercises the clear() path every bench run)
+    try ext.Shared.clear(spark) catch { case _: Throwable => () }
     // stop() BEFORE the final println: its shutdown logging otherwise
     // lands after the JSON line in the driver's merged-stream tail.
     // Guarded: a failing stop() must never eat the JSON contract line.
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop() failed (ignored): ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"failures":$failures,"n_queries":${results.size},"detail":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","staging_sec":${ms(stagingSec)},"headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"failures":$failures,"n_queries":${results.size},"detail":"$outPath","sf":"$sfDir"}""")
     System.out.flush()
   }
 }

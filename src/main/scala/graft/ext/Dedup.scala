@@ -100,7 +100,7 @@ object Dedup {
     * product (the LSH variant below is the scale path).
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-   Shared.memo(spark, sfDir, "ngram_jaccard") {
+   Shared.memoClustered(spark, sfDir, "ngram_jaccard", Some("doc_a" -> 8)) {
     // Shingles are hashed (xxhash64) and sorted ONCE per doc; each pair
     // then costs a single allocation-free merge scan
     // (SortedLongIntersectCount) instead of array_intersect's per-pair
@@ -335,7 +335,7 @@ object Dedup {
     * [[decontaminate]] and [[Retrieval.hardNegatives]].
     */
   def contaminationPairs(spark: SparkSession, sfDir: String): DataFrame =
-   Shared.memo(spark, sfDir, "contamination_pairs") {
+   Shared.memoClustered(spark, sfDir, "contamination_pairs", Some("train_doc" -> 32)) {
     val sh = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), explode(shingles(Text.tokens(col("text")))).as("s"))
     // materialized once (localCheckpoint): three consumers read it —
@@ -663,7 +663,7 @@ object Dedup {
     * the edge set for [[Clusters.dedupClusters]].
     */
   def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame =
-   Shared.memo(spark, sfDir, "minhash_lsh_pairs") {
+   Shared.memoClustered(spark, sfDir, "minhash_lsh_pairs", Some("doc_a" -> 32)) {
     // One-pass MinHashSignature expression (no shingle×seed explode, no
     // min-agg shuffles); only 8 band rows per doc ever shuffle. Exact
     // verification reuses the hashed-sorted-shingle merge scan.

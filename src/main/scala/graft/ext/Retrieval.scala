@@ -85,8 +85,8 @@ object Retrieval {
       col("query_doc"), col("rank"))
   }
 
-  private def scoredBm25(spark: SparkSession, sfDir: String): DataFrame =
-   Shared.memo(spark, sfDir, "bm25_scored") {
+  private[ext] def scoredBm25(spark: SparkSession, sfDir: String): DataFrame =
+   Shared.memoClustered(spark, sfDir, "bm25_scored", Some("query_doc" -> 32)) {
     val docs = Tables.table(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
     val queries = docs.filter(col("doc_id") % 50 === 0)

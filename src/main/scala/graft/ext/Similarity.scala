@@ -80,7 +80,7 @@ object Similarity {
     * staged k-rows-per-query result.
     */
   def bruteForceTop5(spark: SparkSession, sfDir: String): DataFrame =
-   Shared.memo(spark, sfDir, "ann_bruteforce_top5") {
+   Shared.memoClustered(spark, sfDir, "ann_bruteforce_top5", Some("query_id" -> 32)) {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -1035,7 +1035,7 @@ object Similarity {
     * assignment cosines are paid once per (session, corpus).
     */
   def ivfCells(spark: SparkSession, sfDir: String): DataFrame =
-   Shared.memo(spark, sfDir, "ivf_cells") {
+   Shared.memoClustered(spark, sfDir, "ivf_cells", Some("cent_id" -> 32)) {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val centroids = emb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
