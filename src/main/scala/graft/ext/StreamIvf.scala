@@ -101,4 +101,41 @@ object StreamIvf {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /** Rebuilt-vs-maintained index equivalence, as an oracle-checked
+    * query: the embeddings corpus arrives as four disjoint micro-batch
+    * slices upserted one at a time into a fresh sink table, followed by
+    * an at-least-once REPLAY of one slice and a higher-seq REFRESH of
+    * another (the two degenerate deliveries a streaming maintainer must
+    * absorb); the maintained index is then searched with the standard
+    * nprobe=1 probe. The oracle is [[Similarity.annIvfSql]] — the
+    * batch-REBUILT index's search semantics — so a hash match IS the
+    * proof that incremental maintenance converges to the rebuild,
+    * the same equivalence the engine proves for aggregates
+    * (IncrementalAgg) and the funnel (StreamFunnel).
+    *
+    * Scale shape: each upsert touches only the IVF cells present in
+    * its batch (partition-pruned rewrite), the centroid set is
+    * broadcast metadata, and the search reads only the probed cell
+    * directories — nothing here is corpus²  at any stage.
+    */
+  def annIvfIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = graft.Tables.table(spark, sfDir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val s = sink(path)
+    def slice(b: Int): DataFrame = emb.filter(pmod(col("vec_id"), lit(4)) === b)
+    (0 until 4).foreach { b =>
+      s.upsert(indexRows(slice(b), centroids, seq = b.toLong), batchId = b.toLong)
+    }
+    // at-least-once replay of slice 1 (same seq — idempotent rewrite) …
+    s.upsert(indexRows(slice(1), centroids, seq = 1L), batchId = 4L)
+    // … and a refresh of slice 2 at a higher seq (precombine keeps it)
+    s.upsert(indexRows(slice(2), centroids, seq = 5L), batchId = 5L)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    graft.Present.sortSmall(
+      search(readIndex(spark, path), queries, centroids, k = 5),
+      col("query_id"), col("rank"))
+  }
 }

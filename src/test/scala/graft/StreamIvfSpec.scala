@@ -66,6 +66,15 @@ class StreamIvfSpec extends SparkSpec {
     assert(streamedAnswers.sameElements(batchOp))
   }
 
+  test("annIvfIncremental (sliced replay + refresh) equals the rebuilt-index search") {
+    val inc = ext.StreamIvf.annIvfIncremental(spark, sf0001)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val rebuilt = Similarity.annIvf(spark, sf0001)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(inc === rebuilt)
+    assert(inc.nonEmpty)
+  }
+
   test("a re-ingested vector resolves to its newest embedding (precombine on seq)") {
     implicit val sqlCtx = spark.sqlContext
     val first = vectors.as[IvfVec].collect().minBy(_.vec_id)
