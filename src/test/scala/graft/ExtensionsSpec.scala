@@ -63,6 +63,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("PQ rounds sweep: one row per swept round count, recall well-formed") {
+    val out = ext.Similarity.annPqRounds(spark, sf0001).collect()
+    assert(out.map(_.getAs[Int]("rounds")).toSeq ==
+      ext.Similarity.pqRoundsSweep)
+    out.foreach { r =>
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_truth"))
+    }
+  }
+
   test("ANN recall@5 equals a hand-computed IVF-vs-brute-force overlap") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
