@@ -64,32 +64,111 @@ object StreamFunnel {
     keys.write.mode("overwrite").parquet(s"$dir/keys/b$batchId")
   }
 
-  def start(docs: DataFrame, dir: String, checkpoint: String): StreamingQuery =
+  /** Start the funnel maintainer. `compactEvery` > 0 folds the keys/
+    * delta store every Nth batch ([[compactKeys]]) so state stays
+    * bounded on unbounded runs; 0 = never (every delta kept, the
+    * pre-compaction behavior). `ttlBatches` bounds the dedup horizon
+    * at compaction time (see [[compactKeys]]).
+    */
+  def start(docs: DataFrame, dir: String, checkpoint: String,
+      compactEvery: Int = 0, ttlBatches: Option[Long] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: java.lang.Long) =>
         ingestBatch(batch, dir, batchId)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactKeys(batch.sparkSession, dir, batchId, ttlBatches)
       }
       .start()
 
+  /** COMMITTED delta dirs under `root` (a `_SUCCESS` marker present):
+    * a crashed batch's half-written dir (or a bare `_temporary`) must
+    * be invisible to readers — the stream will replay it with
+    * overwrite semantics.
+    */
+  private def committed(root: String): Seq[String] = {
+    val dirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    dirs.toSeq
+      .filter(d => d.isDirectory && new java.io.File(d, "_SUCCESS").exists())
+      .map(_.getAbsolutePath).sorted
+  }
+
+  /** Fold the keys/ delta store into one base table — the bounded-state
+    * move for unbounded runs. Every committed delta (and any previous
+    * base) collapses to min(bid, keeper, keeper_c4) per key; the fold
+    * is the SAME associative min the report computes, so report-before
+    * ≡ report-after, and because min is idempotent over duplicate
+    * rows, a crash that leaves both the new base and already-folded
+    * deltas on disk (or a replayed batch re-writing a folded delta's
+    * dir) still reads correctly — cleanup is garbage collection, not
+    * a correctness step.
+    *
+    * `ttlBatches` = Some(t): keys FIRST SEEN at or before
+    * `upToBatch - t` are dropped from the base — the watermark
+    * discipline applied to the dedup horizon. A key re-arriving after
+    * expiry counts as a fresh keeper; n5 thereafter means "keepers
+    * within the horizon", the bounded-state tradeoff every streaming
+    * dedup store makes (state can't witness arrivals it no longer
+    * remembers). None = exact forever (state grows with the distinct
+    * key count — the same order as any dedup index).
+    */
+  def compactKeys(spark: SparkSession, dir: String, upToBatch: Long,
+      ttlBatches: Option[Long] = None): Unit = {
+    val target = new java.io.File(s"$dir/keys/base_$upToBatch").getAbsolutePath
+    // a replay that crashed between base-write and cleanup must NOT
+    // re-fold (the committed target would be both input and overwrite
+    // target); the committed base already holds the full fold and the
+    // surviving deltas are idempotent subsets — only cleanup remains
+    if (!new java.io.File(target, "_SUCCESS").exists()) {
+      val folded = committed(s"$dir/keys")
+      if (folded.isEmpty) return
+      val base = spark.read.parquet(folded: _*)
+        .groupBy(col("k"))
+        .agg(min(struct(col("bid"), col("keeper"), col("keeper_c4"))).as("m"))
+        .select(col("k"), col("m.keeper").as("keeper"),
+          col("m.keeper_c4").as("keeper_c4"), col("m.bid").as("bid"))
+      val kept = ttlBatches match {
+        case Some(t) => base.filter(col("bid") > upToBatch - t)
+        case None    => base
+      }
+      // base written first; only then are the folded inputs dropped —
+      // the crash window leaves duplicates, which the min-fold absorbs
+      kept.write.mode("overwrite").parquet(target)
+    }
+    committed(s"$dir/keys").filterNot(_ == target).foreach { p =>
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+  }
+
   /** The funnel report over everything ingested so far — same 6-row
-    * shape as [[Prep.filterFunnel]]. Before the first batch commits
-    * (no deltas on disk yet) the report is all zeros, not an error.
+    * shape as [[Prep.filterFunnel]]. Before the first batch COMMITS
+    * (no deltas on disk yet, or only a crashed writer's uncommitted
+    * leftovers) the report is all zeros, not an error.
     */
   def report(spark: SparkSession, dir: String): DataFrame = {
-    if (!new java.io.File(s"$dir/agg").isDirectory) {
+    val aggDirs = committed(s"$dir/agg")
+    if (aggDirs.isEmpty) {
       return Prep.funnelReport(spark.range(1).select(
         lit(0L).as("n0"), lit(0L).as("n1"), lit(0L).as("n2"),
         lit(0L).as("n3"), lit(0L).as("n4"), lit(0L).as("n5")))
     }
-    val aggs = spark.read.parquet(s"$dir/agg/*")
-    // first arrival per content key across batches: min (bid, keeper)
-    // — one row per batch per key, so the struct min picks the
-    // earliest batch's keeper and its c4
-    val n5 = spark.read.parquet(s"$dir/keys/*")
-      .groupBy(col("k"))
-      .agg(min(struct(col("bid"), col("keeper"), col("keeper_c4"))).as("m"))
-      .agg(sum(when(col("m.keeper_c4"), 1L).otherwise(0L)).as("n5"))
+    val aggs = spark.read.parquet(aggDirs: _*)
+    // first arrival per content key across deltas (and the compacted
+    // base, if present — its rows fold identically): min (bid, keeper)
+    val keyDirs = committed(s"$dir/keys")
+    val n5 =
+      if (keyDirs.isEmpty)
+        // agg committed but keys not yet (crash between the two
+        // writes): the batch will replay; report zeros, don't throw
+        spark.range(1).select(lit(0L).as("n5"))
+      else
+        spark.read.parquet(keyDirs: _*)
+          .groupBy(col("k"))
+          .agg(min(struct(col("bid"), col("keeper"), col("keeper_c4"))).as("m"))
+          .agg(sum(when(col("m.keeper_c4"), 1L).otherwise(0L)).as("n5"))
     val totals = aggs.agg(sum(col("n0")).as("n0"), sum(col("n1")).as("n1"),
       sum(col("n2")).as("n2"), sum(col("n3")).as("n3"), sum(col("n4")).as("n4"))
       .crossJoin(n5)

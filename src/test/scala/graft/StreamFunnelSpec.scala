@@ -65,4 +65,91 @@ class StreamFunnelSpec extends SparkSpec {
     ext.StreamFunnel.ingestBatch(batch2.toDF(), dir, 1L)
     assert(rows(ext.StreamFunnel.report(spark, dir)) === expected)
   }
+
+  private def reportRows(dir: String): Seq[(Int, String, Long)] =
+    ext.StreamFunnel.report(spark, dir)
+      .select(col("stage_idx"), col("stage"), col("n_docs"))
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+
+  private def keyDirs(dir: String): Seq[String] =
+    Option(new java.io.File(s"$dir/keys").list()).getOrElse(Array.empty).toSeq.sorted
+
+  test("keys compaction bounds state across replayed batches; report unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("funnel_cmp").toString
+    // the SAME content re-ingested every batch — the worst case for
+    // state growth (every batch writes a full key delta)
+    (0L to 5L).foreach(b => ext.StreamFunnel.ingestBatch(batch1.toDF(), dir, b))
+    assert(keyDirs(dir).size === 6)
+    val before = reportRows(dir)
+    ext.StreamFunnel.compactKeys(spark, dir, upToBatch = 5L)
+    // six deltas collapsed to ONE base dir holding one row per key
+    assert(keyDirs(dir) === Seq("base_5"))
+    val nKeys = spark.read.parquet(s"$dir/keys/base_5").count()
+    assert(nKeys === batch1.map(_.text).distinct.size)
+    assert(reportRows(dir) === before, "compaction must not change the report")
+
+    // a post-compaction replay of an already-folded batch is absorbed
+    ext.StreamFunnel.ingestBatch(batch1.toDF(), dir, 3L)
+    assert(reportRows(dir) === before)
+    // a crashed compaction replay (base committed, deltas back on
+    // disk) must clean up, not re-fold into its own input
+    ext.StreamFunnel.compactKeys(spark, dir, upToBatch = 5L)
+    assert(keyDirs(dir) === Seq("base_5"))
+    assert(reportRows(dir) === before)
+
+    // new data after compaction folds base + fresh deltas on the next
+    // compaction cycle
+    ext.StreamFunnel.ingestBatch(batch2.toDF(), dir, 6L)
+    val withNew = reportRows(dir)
+    ext.StreamFunnel.compactKeys(spark, dir, upToBatch = 6L)
+    assert(keyDirs(dir) === Seq("base_6"))
+    assert(reportRows(dir) === withNew)
+  }
+
+  test("compactEvery in start() keeps the delta count bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("funnel_auto").toString
+    val checkpoint = java.nio.file.Files.createTempDirectory("funnel_auto_ckpt").toString
+    val mem = MemoryStream[FunnelDoc]
+    val q = ext.StreamFunnel.start(mem.toDF(), dir, checkpoint, compactEvery = 2)
+    try {
+      (1 to 6).foreach { i =>
+        mem.addData(batch1: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 6 batches, compacted every 2nd: at most 1 base + 1 fresh delta
+    assert(keyDirs(dir).size <= 2,
+      s"state must stay bounded, saw ${keyDirs(dir)}")
+    assert(reportRows(dir).head._3 === 6L * batch1.size)
+  }
+
+  test("TTL expires old first-arrivals; a re-arrival counts as a fresh keeper") {
+    val dir = java.nio.file.Files.createTempDirectory("funnel_ttl").toString
+    ext.StreamFunnel.ingestBatch(batch1.toDF(), dir, 0L)
+    ext.StreamFunnel.ingestBatch(batch2.toDF(), dir, 5L)
+    // horizon of 2 batches behind 5: batch-0 first-arrivals expire
+    ext.StreamFunnel.compactKeys(spark, dir, upToBatch = 5L, ttlBatches = Some(2L))
+    val kept = spark.read.parquet(s"$dir/keys/base_5")
+      .select(col("bid")).as[Long].collect()
+    assert(kept.nonEmpty && kept.forall(_ > 3L),
+      "only in-horizon first-arrivals survive")
+    // `good` expired with batch 0 — its re-arrival now earns keeper
+    // status again (bounded-horizon semantics)
+    ext.StreamFunnel.ingestBatch(Seq(doc(20, good)).toDF(), dir, 6L)
+    val n5 = reportRows(dir).last._3
+    // in-horizon keepers: doc 7 (good2+extra, bid 5) and doc 20's fresh
+    // `good` arrival; `good2` (bid 0) expired and did not re-arrive
+    assert(n5 === 2L)
+  }
+
+  test("report is all zeros over uncommitted leftovers, not an error") {
+    val dir = java.nio.file.Files.createTempDirectory("funnel_crash").toString
+    val b0 = new java.io.File(s"$dir/agg/b0")
+    assert(b0.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(b0, "part-crashed.parquet").toPath, Array[Byte](9))
+    // no _SUCCESS anywhere: the crashed writer's dir must be invisible
+    assert(reportRows(dir).forall(_._3 === 0L))
+  }
 }
