@@ -1,0 +1,24 @@
+#!/bin/bash
+# Scaling sweep: run graft.Bench at sf0.001 / sf0.01 / sf0.1 from one
+# idle-box session (plain java — no sbt noise, identical JVM flags per
+# point) and emit SCALING.md with per-query time ratios. A headline
+# query whose sf0.01->sf0.1 ratio exceeds ~10x on a 10x corpus is
+# super-linear and gets flagged for triage (e.g. an accidental O(n^2)
+# pair blowup the small corpus is too small to expose).
+set -eo pipefail
+CP="/root/repo/target/scala-2.13/classes:/root/repo/src/main/resources:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+for SF in 0.001 0.01 0.1; do
+  echo "== bench sf$SF =="
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf$SF \
+  SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf$SF.json \
+  java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} -Dspark.ui.enabled=false \
+    -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench \
+    > /tmp/bench_sf$SF.stdout 2>/tmp/bench_sf$SF.stderr \
+    || { echo "bench sf$SF FAILED"; tail -20 /tmp/bench_sf$SF.stderr; exit 1; }
+  tail -1 /tmp/bench_sf$SF.stdout
+done
+python3 /root/repo/scripts/scaling_report.py \
+  /tmp/bench_sf0.001.json /tmp/bench_sf0.01.json /tmp/bench_sf0.1.json \
+  > /root/repo/SCALING.md
+echo "wrote SCALING.md"

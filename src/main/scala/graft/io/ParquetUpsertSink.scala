@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
   *     read errors propagate rather than masquerading as "first batch"
   *     and dropping history;
   *  3. merge old+new, precombine again, apply delete tombstones;
-  *  4. stage the merged rows to a sibling temp dir (bounded footprint,
-  *     no lineage back to the files about to be replaced), then rewrite
-  *     just the touched partitions via the per-writer dynamic-overwrite
-  *     option (no session-conf mutation — concurrent upsert streams in
-  *     one session must not race each other's conf);
+  *  4. materialize the merge to checkpoint blocks (no lineage back to
+  *     the files about to be replaced — a lost block fails the job and
+  *     the streaming retry replays into this idempotent upsert), then
+  *     rewrite just the touched partitions via the per-writer
+  *     dynamic-overwrite option (no session-conf mutation — concurrent
+  *     upsert streams in one session must not race each other's conf);
   *  5. partitions whose keys were ALL tombstoned get their directories
   *     deleted explicitly (dynamic overwrite never rewrites a partition
   *     absent from the written data), using Hive-escaped dir names.
@@ -73,12 +74,11 @@ final case class ParquetUpsertSink(
 
   private val nullDir = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
-  // per-sink-instance token in the staging dir name: batch ids restart
-  // per query, so two queries upserting the SAME table path must not
-  // share (and finally-delete) each other's staging dirs. The flip side
-  // is that a crashed run's staging dirs carry a dead token and are
-  // never reused — reclaim them with [[ParquetUpsertSink.sweepStaging]]
-  // at (re)deploy time, when no writer is active on the path.
+  // per-sink-instance token in archive commit names: batch ids restart
+  // per query, so two writers replaying the same batch id on the SAME
+  // table path must not collide on a commit dir. (Also disambiguates
+  // legacy on-disk staging dirs — see [[ParquetUpsertSink.sweepStaging]],
+  // which reclaims leftovers from older runs at (re)deploy time.)
   private val stagingToken: String = java.util.UUID.randomUUID().toString.take(8)
 
   /** Directory-name form of a partition value (Hive escaping — the same
@@ -118,13 +118,105 @@ final case class ParquetUpsertSink(
     */
   private def readStringPartitioned(spark: org.apache.spark.sql.SparkSession,
       partDirs: Seq[Path], base: String = path): DataFrame = {
-    val paths = partDirs.map(_.toString)
     val inferred = spark.read.option("mergeSchema", "true").option("basePath", base)
-      .parquet(paths: _*).schema
-    val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
-      if (f.name == partitionCol) f.copy(dataType = org.apache.spark.sql.types.StringType)
+      .parquet(partDirs.map(_.toString): _*).schema
+    readWithSchema(spark, partDirs, pinString(inferred), base)
+  }
+
+  /** Read the given partition dirs with a KNOWN (already string-pinned)
+    * schema — no footer-scan inference job. Files missing a column
+    * null-fill it (additive evolution); a file whose physical type
+    * conflicts with the schema fails loudly, same as the union did.
+    */
+  private def readWithSchema(spark: org.apache.spark.sql.SparkSession,
+      partDirs: Seq[Path], schema: org.apache.spark.sql.types.StructType,
+      base: String = path): DataFrame =
+    spark.read.schema(schema).option("basePath", base)
+      .parquet(partDirs.map(_.toString): _*)
+
+  private def pinString(s: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(s.map(f =>
+      if (f.name == partitionCol)
+        f.copy(dataType = org.apache.spark.sql.types.StringType)
       else f))
-    spark.read.schema(pinned).option("basePath", base).parquet(paths: _*)
+
+  // ——— table schema metadata (Hudi keeps the writer schema in commit
+  // metadata rather than re-scanning parquet footers every batch;
+  // `_schema.json` is that analog) ———
+
+  // in-memory for this sink's lifetime; `_schema.json` across restarts
+  @volatile private var cachedSchema: Option[org.apache.spark.sql.types.StructType] = None
+  // whether `_schema.json` is known to hold cachedSchema — false after
+  // the legacy-table inference fallback (and after a corrupt read), so
+  // the next commit re-establishes the metadata on disk
+  @volatile private var schemaPersisted: Boolean = false
+
+  private def schemaFile = new Path(s"$path/${ParquetUpsertSink.SchemaFileName}")
+
+  /** The schema to read existing partitions with during a merge:
+    * in-memory cache, else `_schema.json`, else (legacy tables written
+    * before the metadata existed) a one-time footer-merge inference
+    * over every live data dir — each subsequent batch then skips the
+    * per-batch inference job entirely. The persisted schema is always a
+    * SUPERSET of every live file's columns ([[persistSchema]] writes it
+    * before the overwrite, and merge schemas only grow), so reading
+    * with it can only null-fill, never drop, columns. Caveat, shared
+    * with the commit design: concurrent writers on one table must not
+    * evolve the schema concurrently (one writer's cached view would
+    * miss the other's new column).
+    */
+  private def mergeReadSchema(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      liveDirs: => Seq[Path]): Option[org.apache.spark.sql.types.StructType] = {
+    val s = cachedSchema.orElse {
+      // a torn/corrupt metadata file (crash inside the delete+rename
+      // window, bit rot) must degrade to the inference path, not wedge
+      // the writer — the next commit rewrites it
+      val fromFile =
+        if (fs.exists(schemaFile))
+          scala.util.Try {
+            val in = fs.open(schemaFile)
+            try org.apache.spark.sql.types.DataType
+              .fromJson(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            finally in.close()
+          }.toOption
+        else None
+      schemaPersisted = fromFile.isDefined
+      fromFile.orElse {
+        val dirs = liveDirs
+        if (dirs.isEmpty) None
+        else Some(pinString(spark.read.option("mergeSchema", "true")
+          .option("basePath", path).parquet(dirs.map(_.toString): _*).schema))
+      }
+    }
+    cachedSchema = s
+    s
+  }
+
+  /** Persist the (string-pinned) table schema BEFORE the overwrite that
+    * makes it real: a crash between the two leaves a superset schema on
+    * disk (harmless — the streaming replay re-delivers the columns),
+    * where the reverse order would leave a NARROWER schema than the
+    * files and a later merge would silently drop, then erase, the new
+    * column. Written only when it changes; delete+rename keeps the
+    * update atomic-enough (a reader hitting the gap falls back to
+    * footer inference).
+    */
+  private def persistSchema(fs: org.apache.hadoop.fs.FileSystem,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val pinned = pinString(schema)
+    if (!schemaPersisted || !cachedSchema.contains(pinned)) {
+      val tmp = new Path(s"$path/.${ParquetUpsertSink.SchemaFileName}.$stagingToken.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(pinned.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(schemaFile, false)
+      if (!fs.rename(tmp, schemaFile))
+        throw new java.io.IOException(s"schema metadata rename failed: $tmp -> $schemaFile")
+      cachedSchema = Some(pinned)
+      schemaPersisted = true
+    }
   }
 
   /** Does `dir` exist and hold at least one non-empty data file?
@@ -309,90 +401,113 @@ final case class ParquetUpsertSink(
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the batch feeds two actions (partition discovery, then the merge
+    // write) — persist it once (Hudi caches its workload profile input
+    // the same way) so assignment/transform lineage upstream of the
+    // sink runs once per batch, not once per action
     val deduped = Precombine.latest(batch, recordKeys, precombine)
-    // partition identity is the STRING form (basis of the dir name); the
-    // read-back table infers the partition column's type (e.g. DATE
-    // where the batch carries STRING) — value-typed set compares would
-    // silently never match
-    val parts = deduped.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0))
-    if (parts.isEmpty) return
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // partition identity is the STRING form (basis of the dir name); the
+      // read-back table infers the partition column's type (e.g. DATE
+      // where the batch carries STRING) — value-typed set compares would
+      // silently never match
+      val parts = deduped.select(col(partitionCol).cast("string"))
+        .distinct().collect().map(_.getString(0))
+      if (parts.isEmpty) return
 
-    // the touched partitions ARE the read set: path-level pruning, no
-    // listing or filtering of the rest of the table. A batch touching
-    // only absent dirs (fresh table, or fully tombstoned away) reads
-    // nothing; transient READ failures below propagate (streaming
-    // retry), they must not masquerade as first-batch
-    val touchedDirs = parts
-      .map(v => new Path(s"$path/$partitionCol=${dirName(v)}"))
-      // a dir that exists but holds no data files (a crashed tombstone
-      // delete removed the files but not the dir) must count as absent:
+      // ONE glob round-trip discovers every live data file; the previous
+      // per-dir exists+listStatus pair cost 2×|touched| namenode RPCs per
+      // batch — measured as the dominant per-upsert cost as the partition
+      // count grows (and far worse against an object store). Partition
+      // values are Hive-escaped on disk, which percent-escapes every glob
+      // metacharacter, so the pattern below is literal-safe.
+      // A dir that exists but holds no data files (a crashed tombstone
+      // delete removed the files but not the dir) counts as absent:
       // schema inference over zero files throws, and the replay would
       // crash-loop where the correct answer is "no existing rows"
-      .filter(d => fs.exists(d) && fs.listStatus(d)
-        .exists(f => f.getPath.getName.startsWith("part-") && f.getLen > 0))
-    val existing =
-      if (touchedDirs.nonEmpty)
-        Some(readStringPartitioned(spark, touchedDirs.toSeq)
-          // align the string partition column back to the batch's type
-          .withColumn(partitionCol,
-            col(partitionCol).cast(batch.schema(partitionCol).dataType)))
-      else None
-    val mergedAll = existing match {
-      // allowMissingColumns = Hudi-style additive schema evolution: a
-      // batch may carry columns the table lacks (old rows null-fill)
-      // and vice versa after an evolution (new rows null-fill the
-      // legacy column). Incompatible TYPE changes still fail loudly in
-      // the union — widening silently would corrupt history.
-      case Some(old) =>
-        Precombine.latest(old.unionByName(deduped, allowMissingColumns = true),
-          recordKeys, precombine)
-      case None => deduped
-    }
-    val merged = deleteCol match {
-      case Some(d) => mergedAll.filter(!coalesce(col(d), lit(false)))
-      case None => mergedAll
-    }
+      val liveDataDirs: Set[String] =
+        fs.globStatus(new Path(s"$path/$partitionCol=*/part-*"))
+          .filter(_.getLen > 0)
+          .map(_.getPath.getParent.getName)
+          .toSet
 
-    def deleteDirs(values: Iterable[String]): Unit =
-      values.foreach { v =>
-        fs.delete(new Path(s"$path/$partitionCol=${dirName(v)}"), true)
+      // the touched partitions ARE the read set: path-level pruning, no
+      // reading of the rest of the table. A batch touching only absent
+      // dirs (fresh table, or fully tombstoned away) reads nothing;
+      // transient READ failures below propagate (streaming retry), they
+      // must not masquerade as first-batch
+      val touchedDirs = parts
+        .filter(v => liveDataDirs.contains(s"$partitionCol=${dirName(v)}"))
+        .map(v => new Path(s"$path/$partitionCol=${dirName(v)}"))
+      // metadata-schema read: no per-batch footer-inference job (the
+      // lazy liveDirs fallback lists only legacy tables that predate
+      // `_schema.json`, once per sink lifetime)
+      def allLiveDirs: Seq[Path] =
+        liveDataDirs.toSeq.sorted.map(d => new Path(s"$path/$d"))
+      val existing =
+        if (touchedDirs.nonEmpty)
+          mergeReadSchema(spark, fs, allLiveDirs).map(schema =>
+            readWithSchema(spark, touchedDirs.toSeq, schema)
+              // align the string partition column back to the batch's type
+              .withColumn(partitionCol,
+                col(partitionCol).cast(batch.schema(partitionCol).dataType)))
+        else None
+      val mergedAll = existing match {
+        // allowMissingColumns = Hudi-style additive schema evolution: a
+        // batch may carry columns the table lacks (old rows null-fill)
+        // and vice versa after an evolution (new rows null-fill the
+        // legacy column). Incompatible TYPE changes still fail loudly in
+        // the union — widening silently would corrupt history.
+        case Some(old) =>
+          Precombine.latest(old.unionByName(deduped, allowMissingColumns = true),
+            recordKeys, precombine)
+        case None => deduped
+      }
+      val merged = deleteCol match {
+        case Some(d) => mergedAll.filter(!coalesce(col(d), lit(false)))
+        case None => mergedAll
       }
 
-    if (existing.isDefined) {
-      // stage to a sibling dir: severs lineage from the files the
-      // overwrite replaces, with a deterministic disk footprint
-      val staging = s"${path}__staging_${stagingToken}_$batchId"
-      try {
-        merged.write.mode(SaveMode.Overwrite).parquet(staging)
-        // the staged copy is now the read source — the live pre-images
-        // of the touched partitions are free to move to the archive
+      def deleteDirs(values: Iterable[String]): Unit =
+        values.foreach { v =>
+          fs.delete(new Path(s"$path/$partitionCol=${dirName(v)}"), true)
+        }
+
+      if (existing.isDefined) {
+        // sever lineage from the files the overwrite replaces by
+        // materializing the merge to checkpoint blocks — ONE pass over
+        // the merge, where the previous sibling-staging design paid a
+        // parquet encode, a re-read, and a second scan for the surviving
+        // set. Crash semantics are unchanged: a lost checkpoint block
+        // fails the job and the streaming retry replays the batch into
+        // this idempotent upsert, exactly like a lost staging file did.
+        val mat = merged.localCheckpoint(true)
+        try {
+          // the live pre-images of the touched partitions move to the
+          // archive only once the merge result is safely materialized
+          if (keepVersions > 1) archivePreImages(fs, parts, batchId)
+          // an all-tombstoned merge survives nowhere — skip the write
+          val surviving: Set[String] = mat
+            .select(col(partitionCol).cast("string")).distinct()
+            .collect().map(_.getString(0)).toSet
+          if (surviving.nonEmpty) { persistSchema(fs, mat.schema); writeFinal(mat) }
+          // tombstoned-empty partitions: dynamic overwrite left their old
+          // files in place — remove the directories explicitly
+          deleteDirs(parts.filterNot(surviving.contains))
+        } finally mat.unpersist(false)
+      } else {
+        // creation-only commit (no live pre-images): still record it —
+        // with its touched-partition manifest — or [[readAsOf]] could not
+        // tell that these partitions did not exist before this commit
         if (keepVersions > 1) archivePreImages(fs, parts, batchId)
-        // an all-tombstoned merge writes no part files — nothing to read
-        val hasRows = fs.exists(new Path(staging)) &&
-          fs.listStatus(new Path(staging))
-            .exists(st => st.getPath.getName.startsWith("part-") && st.getLen > 0)
-        val surviving: Set[String] =
-          if (hasRows) {
-            val staged = spark.read.parquet(staging)
-            writeFinal(staged)
-            staged.select(col(partitionCol).cast("string")).distinct()
-              .collect().map(_.getString(0)).toSet
-          } else Set.empty
-        // tombstoned-empty partitions: dynamic overwrite left their old
-        // files in place — remove the directories explicitly
-        deleteDirs(parts.filterNot(surviving.contains))
-      } finally fs.delete(new Path(staging), true)
-    } else {
-      // creation-only commit (no live pre-images): still record it —
-      // with its touched-partition manifest — or [[readAsOf]] could not
-      // tell that these partitions did not exist before this commit
-      if (keepVersions > 1) archivePreImages(fs, parts, batchId)
-      writeFinal(merged)
-    }
-    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-      compactPartitions(spark)
-    syncTable.foreach(registerAndSync(spark, _, merged.schema))
+        persistSchema(fs, merged.schema)
+        writeFinal(merged)
+      }
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        compactPartitions(spark)
+      syncTable.foreach(registerAndSync(spark, _, merged.schema))
+    } finally deduped.unpersist(false)
   }
 
   // ——— retention (Hudi cleaner analog) ———
@@ -487,14 +602,13 @@ final case class ParquetUpsertSink(
         .count(f => f.getPath.getName.startsWith("part-") && f.getLen > 0) > filesPerPartition
     }.map(_.getPath)
     if (oversized.isEmpty) return Seq.empty
-    val staging = s"${path}__staging_${stagingToken}_compact"
-    try {
-      // the oversized dirs ARE the read set (path-level pruning; string
-      // partition identity preserved by readStringPartitioned)
-      readStringPartitioned(spark, oversized.toSeq)
-        .write.mode(SaveMode.Overwrite).parquet(staging)
-      writeFinal(spark.read.parquet(staging))
-    } finally fs.delete(new Path(staging), true)
+    // the oversized dirs ARE the read set (path-level pruning; string
+    // partition identity preserved by readStringPartitioned); checkpoint
+    // severs lineage from the files the overwrite replaces — replay-safe
+    // like upsert: a crash before the overwrite leaves the table
+    // untouched, after it leaves the same rows in fewer files
+    val mat = readStringPartitioned(spark, oversized.toSeq).localCheckpoint(true)
+    try writeFinal(mat) finally mat.unpersist(false)
     oversized.map(_.getName).toSeq
   }
 
@@ -538,6 +652,13 @@ object ParquetUpsertSink {
     * table root.
     */
   val ArchiveDirName = "_archive"
+
+  /** Table-schema metadata file at the table root (Hudi commit-metadata
+    * analog): the string-pinned writer schema as of the latest commit —
+    * always a superset of every live file's columns. The leading
+    * underscore hides it from parquet readers of the table root.
+    */
+  val SchemaFileName = "_schema.json"
 
   /** Suffix of in-progress (non-atomic) archive copies; never listed
     * as commits, swept as garbage by the next archiving pass.

@@ -402,4 +402,70 @@ class ParquetUpsertSinkSpec extends SparkSpec {
     assert(asOf1.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
       Seq((1, "v2", "x"), (2, "w1", null)))
   }
+
+  test("schema metadata: written at commit, survives restart, superset-on-crash is safe") {
+    val dir = Files.createTempDirectory("schemameta").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    sink.upsert(Seq(RecE(1, "a", 10, "p1", "m1")).toDF(), 0)
+    val sf = java.nio.file.Paths.get(dir, ParquetUpsertSink.SchemaFileName)
+    assert(java.nio.file.Files.exists(sf))
+    // the persisted schema is the string-pinned writer schema — a
+    // superset of every live file's columns, partition col as string
+    val persisted = org.apache.spark.sql.types.DataType
+      .fromJson(new String(java.nio.file.Files.readAllBytes(sf), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(persisted.fieldNames.toSet ==
+      Set("id", "v", "precombine", "processing_date", "extra"))
+    assert(persisted("processing_date").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // a RESTARTED writer (fresh sink instance = cold cache) reads the
+    // metadata, merges against the full on-disk schema, and must not
+    // drop the pre-existing `extra` column from untouched keys
+    val restarted = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    restarted.upsert(Seq(Rec(2, "b", 10, "p1")).toDF(), 1)
+    val rows = spark.read.option("mergeSchema", "true").parquet(dir)
+      .orderBy($"id").collect()
+    assert(rows.map(r => (r.getAs[Int]("id"), r.getAs[String]("extra"))).toSeq ==
+      Seq((1, "m1"), (2, null)))
+    // crash-superset property: a schema file carrying a column no live
+    // file has (commit wrote metadata, crashed before the overwrite, no
+    // replay came) only null-fills — it must not fail the next merge
+    val wide = org.apache.spark.sql.types.StructType(persisted.fields :+
+      org.apache.spark.sql.types.StructField("phantom",
+        org.apache.spark.sql.types.StringType))
+    // write through the Hadoop FS so the local-FS checksum sidecar stays
+    // consistent (a raw java.nio write would fail the checksummed read)
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(new org.apache.hadoop.fs.Path(
+      dir, ParquetUpsertSink.SchemaFileName), true)
+    try out.write(wide.json.getBytes("UTF-8")) finally out.close()
+    val afterCrash = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    afterCrash.upsert(Seq(Rec(1, "a2", 20, "p1")).toDF(), 2)
+    val healed = spark.read.option("mergeSchema", "true").parquet(dir)
+      .orderBy($"id").collect()
+    assert(healed.map(_.getAs[String]("v")).toSeq == Seq("a2", "b"))
+  }
+
+  test("legacy table without schema metadata falls back to footer inference") {
+    val dir = Files.createTempDirectory("schemalegacy").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    sink.upsert(Seq(RecE(1, "a", 10, "p1", "m1")).toDF(), 0)
+    // simulate a table written before the metadata existed (delete via
+    // the Hadoop FS so the checksum sidecar goes with it)
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(
+        dir, ParquetUpsertSink.SchemaFileName), false)
+    val legacy = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    legacy.upsert(Seq(Rec(1, "a2", 20, "p1")).toDF(), 1)
+    val rows = spark.read.option("mergeSchema", "true").parquet(dir).collect()
+    // the inferred merge kept the evolved column; the new version of the
+    // key (sent without it) null-fills rather than erasing the column
+    assert(rows.map(r => (r.getAs[String]("v"), r.getAs[String]("extra"))).toSeq ==
+      Seq(("a2", null)))
+    // and the fallback path re-establishes the metadata at its commit
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, ParquetUpsertSink.SchemaFileName)))
+  }
 }
