@@ -157,6 +157,10 @@ object Shared {
     "bm25_scored"         -> ((s, d) => Retrieval.scoredBm25(s, d)),
     "ann_bruteforce_top5" -> ((s, d) => Similarity.bruteForceTop5(s, d)),
     "ivf_cells"           -> ((s, d) => Similarity.ivfCells(s, d)),
+    // pq_codes' build reads pq_codebook — listed after it so the
+    // up-front staging pass materializes each exactly once
+    "pq_codebook"         -> ((s, d) => Similarity.pqCodebookStaged(s, d)),
+    "pq_codes"            -> ((s, d) => Similarity.pqCodesStaged(s, d)),
   )
 
   /** Materialize every registry relation (build + checkpoint/write, or

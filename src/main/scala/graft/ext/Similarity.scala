@@ -883,7 +883,8 @@ object Similarity {
     * rounds (the canonical Lloyd shape, as in kmeans).
     */
   def annPq(spark: SparkSession, sfDir: String): DataFrame =
-    pqTop5(spark, sfDir, rounds = 1)
+    pqSearch(spark, sfDir,
+      pqCodebookStaged(spark, sfDir), pqCodesStaged(spark, sfDir))
 
   /** Codebook refinement loop: `rounds` Lloyd L2 iterations from the
     * deterministic seeds, the 4×16×16-float codebook driver-
@@ -908,17 +909,53 @@ object Similarity {
     cents
   }
 
-  private def pqTop5(spark: SparkSession, sfDir: String, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Corpus subvector frame + deterministic codebook seeds. */
+  private def pqSeedInputs(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val subs = pqSubvectors(
       emb.repartition(spark.sparkContext.defaultParallelism), "vec_id")
     val cents0 = pqSubvectors(
       emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 800), "vec_id")
       .select(col("sub_id"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+    (subs, cents0)
+  }
+
+  /** Staged round-1 PQ codebook (4×16×16 floats — metadata-scale):
+    * the production index artifact, built once per (session, corpus)
+    * like [[ivfCells]]; the calibration sweep ([[annPqRounds]]) builds
+    * its own per-round-count codebooks inline by design.
+    */
+  def pqCodebookStaged(spark: SparkSession, sfDir: String): DataFrame =
+    Shared.memo(spark, sfDir, "pq_codebook") {
+      val (subs, cents0) = pqSeedInputs(spark, sfDir)
+      pqCodebook(spark, subs, cents0, rounds = 1)
+    }
+
+  /** Staged round-1 PQ code table (vec_id → 4 small ints) — the only
+    * corpus-scale index state, clustered by vec_id for the rerank join.
+    */
+  def pqCodesStaged(spark: SparkSession, sfDir: String): DataFrame =
+    Shared.memoClustered(spark, sfDir, "pq_codes", Some("vec_id" -> 32)) {
+      val (subs, _) = pqSeedInputs(spark, sfDir)
+      pqNearest(subs, pqCodebookStaged(spark, sfDir), keepSv = false)
+        .select(col("vec_id"), col("sub_id"), col("cent_id").as("code"))
+    }
+
+  private def pqTop5(spark: SparkSession, sfDir: String, rounds: Int): DataFrame = {
+    val (subs, cents0) = pqSeedInputs(spark, sfDir)
     val cents1 = pqCodebook(spark, subs, cents0, rounds)
     val codes = pqNearest(subs, cents1, keepSv = false)
       .select(col("vec_id"), col("sub_id"), col("cent_id").as("code"))
+    pqSearch(spark, sfDir, cents1, codes)
+  }
+
+  /** ADC shortlist + exact rerank over a given codebook and code table
+    * (staged for the production path, inline for the rounds sweep).
+    */
+  private def pqSearch(spark: SparkSession, sfDir: String,
+      cents1: DataFrame, codes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.table(spark, sfDir, "embeddings")
     // ADC tables: ⟨q_s, c⟩ for every (query, subspace, codebook entry)
     val tables = pqSubvectors(emb.filter(col("vec_id") % 100 === 0), "vec_id")
       .withColumnRenamed("vec_id", "query_id")
