@@ -943,6 +943,11 @@ object Similarity {
 
   private def pqTop5(spark: SparkSession, sfDir: String, rounds: Int): DataFrame = {
     val (subs, cents0) = pqSeedInputs(spark, sfDir)
+    pqTop5From(spark, sfDir, subs, cents0, rounds)
+  }
+
+  private def pqTop5From(spark: SparkSession, sfDir: String,
+      subs: DataFrame, cents0: DataFrame, rounds: Int): DataFrame = {
     val cents1 = pqCodebook(spark, subs, cents0, rounds)
     val codes = pqNearest(subs, cents1, keepSv = false)
       .select(col("vec_id"), col("sub_id"), col("cent_id").as("code"))
@@ -1319,8 +1324,14 @@ object Similarity {
   def annPqRounds(spark: SparkSession, sfDir: String): DataFrame = {
     val bf = bruteForceTop5(spark, sfDir).select(col("query_id"), col("neighbor_id"))
     val truth = bf.agg(count(lit(1)).as("n_truth"))
+    // ONE materialization of the corpus subvector frame feeds every
+    // sweep point's Lloyd collects and code assignment (the sweep runs
+    // |rounds|×(rounds+1) corpus passes over it otherwise)
+    val (subs0, cents0) = pqSeedInputs(spark, sfDir)
+    val subs = subs0.localCheckpoint(true)
     val rows = pqRoundsSweep.map { r =>
-      bf.join(pqTop5(spark, sfDir, r).select(col("query_id"), col("neighbor_id")),
+      bf.join(pqTop5From(spark, sfDir, subs, cents0, r)
+            .select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .crossJoin(truth) // one-row scalar rides along
