@@ -617,6 +617,109 @@ object Dedup {
        |FROM d LEFT JOIN fd USING (doc_id) LEFT JOIN reb USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ——— line-level dedup (CCNet/RefinedWeb exact line dedup) ———
+
+  /** Tokens per pseudo-line. The corpus has no newline structure, so a
+    * "line" is a non-overlapping [[lineLen]]-token segment — the
+    * segmentation is the pluggable part (a real web corpus splits on
+    * '\n' instead); keeper selection, removal, and rebuild below are
+    * segmentation-agnostic.
+    */
+  val lineLen = 12
+
+  /** Per-doc line segmentation: non-overlapping [[lineLen]]-token
+    * windows (the last segment keeps the remainder; an empty doc is one
+    * empty line). Pure per-row expression — pipelines with the scan.
+    */
+  private def lineSegments(t: Column): Column =
+    transform(sequence(lit(0), floor((size(t) - 1) / lineLen).cast("int")),
+      j => array_join(slice(t, j * lineLen + 1, lit(lineLen)), " "))
+
+  /** CCNet-style exact line-level deduplication, keep-first: a line
+    * occurring more than once in the corpus survives only at its first
+    * occurrence (minimal (doc_id, position)); every other occurrence is
+    * cut from its document. This is the standard boilerplate-removal
+    * pass (nav bars, cookie banners, license headers) that document-
+    * grain dedup cannot touch because the surrounding text differs.
+    *
+    * Scale shape: segmentation is a shuffle-free per-row transform;
+    * only (16-byte md5 key, doc_id, pos) tuples ever shuffle. Keeper
+    * selection is a partial-aggregable min(struct(doc_id, pos)) under
+    * one hash shuffle on the line key, restricted to duplicated keys
+    * before the occurrence join. The rebuild is per-row array surgery
+    * off a left join against a per-doc removed-position list (bounded
+    * by lines-per-doc) — documents that lost nothing never reshuffle
+    * and pass their text through unchanged. O(corpus lines), never
+    * pairwise.
+    *
+    * Output per doc: line count, removed-line count, cleaned text.
+    */
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val withLines = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), lineSegments(Text.tokens(col("text"))).as("lines"))
+    // occurrence relation: md5-128 keys shuffle, never line text
+    // (collision-safe far past 100 TB); localCheckpoint because both
+    // the keeper aggregation and the removal join consume it
+    val occ = withLines
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), md5(col("line").cast("binary")).as("lh"))
+      .localCheckpoint(false)
+    // keeper per DUPLICATED line: global first occurrence
+    val dupKeeper = occ.groupBy(col("lh"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("keeper"))
+      .filter(col("cnt") > 1)
+      .select(col("lh"), col("keeper"))
+    val removed = occ.join(dupKeeper, Seq("lh"))
+      .filter(!(struct(col("doc_id"), col("pos")) === col("keeper")))
+      .select(col("doc_id"), col("pos"))
+    val rmPerDoc = removed.groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("rm"))
+    Present.sortSmall(
+      withLines.join(rmPerDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          size(col("lines")).as("n_lines"),
+          when(col("rm").isNull, lit(0)).otherwise(size(col("rm")))
+            .as("n_removed_lines"),
+          when(col("rm").isNull, array_join(col("lines"), " "))
+            .otherwise(array_join(
+              filter(col("lines"), (_, i) => !array_contains(col("rm"), i)), " "))
+            .as("clean_text")),
+      col("doc_id"))
+  }
+
+  /** DuckDB twin of [[lineDedup]]: same segmentation (list slices
+    * clamp), keeper via the windowed first-occurrence rank, ordered
+    * string_agg rebuild. The oracle keys on line TEXT where the engine
+    * keys on md5(line) — identical short of an md5-128 collision.
+    */
+  val lineDedupSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |seg AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, ((len(t) - 1) // $lineLen) + 1),
+       |           j -> array_to_string(t[j*$lineLen + 1 : j*$lineLen + $lineLen], ' ')) AS ls
+       |  FROM d),
+       |occ AS (
+       |  SELECT doc_id, unnest(ls) AS line, unnest(range(0, len(ls))) AS pos
+       |  FROM seg),
+       |marked AS (
+       |  SELECT doc_id, pos, line,
+       |         count(*) OVER (PARTITION BY line) AS c,
+       |         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+       |  FROM occ),
+       |kept AS (SELECT doc_id, pos, line FROM marked WHERE c = 1 OR rn = 1),
+       |reb AS (
+       |  SELECT doc_id, count(*) AS nk,
+       |         string_agg(line, ' ' ORDER BY pos) AS ct
+       |  FROM kept GROUP BY doc_id)
+       |SELECT s.doc_id,
+       |       CAST(len(s.ls) AS INTEGER) AS n_lines,
+       |       CAST(len(s.ls) - coalesce(r.nk, 0) AS INTEGER) AS n_removed_lines,
+       |       coalesce(r.ct, '') AS clean_text
+       |FROM seg s LEFT JOIN reb r USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
+
   // ——— MinHash + LSH ———
 
   val numHashes = 32

@@ -626,6 +626,38 @@ object Text {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** Per-source document cap — the "domain cap" of web-corpus curation
+    * (no single domain may dominate the mix): keep at most
+    * [[sourceCapK]] documents per source, preferring the longest
+    * (n_chars DESC, doc_id ASC as the deterministic tie-break).
+    *
+    * Scale shape: the native [[graft.plans.TopKPerGroup]] operator
+    * keeps a bounded per-partition heap per source BEFORE the
+    * exchange, so only ≤ k·partitions candidate rows ever shuffle —
+    * never a per-source global sort, never a data-scale window. At
+    * 100 TB with millions of domains this is one partial-top-k pass
+    * plus a hash shuffle of the k-capped survivors.
+    */
+  val sourceCapK = 25
+
+  def sourceCaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    graft.plans.TopKPerGroup.topKPerGroup(
+        docs, Seq(col("source")), Seq(col("n_chars").desc, col("doc_id").asc),
+        sourceCapK)
+      .transform(graft.Present.sortSmall(_, col("source"), col("doc_id")))
+  }
+
+  val sourceCapsSql: String =
+    s"""SELECT source, doc_id, n_chars FROM (
+       |  SELECT source, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= $sourceCapK
+       |ORDER BY source, doc_id""".stripMargin
+
   /** Sequence packing (concatenate-and-chunk): per language, documents
     * in doc_id order are packed into fixed 2048-token bins by cumulative
     * token count — the standard pre-tokenization packing layout. One

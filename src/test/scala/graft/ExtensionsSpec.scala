@@ -203,6 +203,59 @@ class ExtensionsSpec extends SparkSpec {
     assert(removed.exists(_._3 > 0)) // fixture does contain duplicated text
   }
 
+  test("line dedup keeps exactly the first occurrence of each duplicated line") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("linededup").toString
+    // pseudo-lines are 12-token segments; build exact 12-token lines
+    def line(p: String) = (1 to 12).map(i => s"$p$i").mkString(" ")
+    val (la, lb, lc, ld) = (line("a"), line("b"), line("c"), line("d"))
+    val rem = (1 to 6).map(i => s"r$i").mkString(" ") // 6-token remainder
+    Seq(
+      (0L, s"$la $lb"),   // keeper of la; untouched
+      (1L, s"$la $lc"),   // loses la to doc 0
+      (2L, line("e")),    // unique, untouched
+      (3L, s"$ld $ld"),   // intra-doc dup: keeps first, loses second
+      (4L, s"$la $rem"),  // loses la; keeper of the short remainder line
+      (5L, rem)           // whole doc duplicates doc 4's remainder: emptied
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = ext.Dedup.lineDedup(spark, dir)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((0L, 2, 0), (1L, 2, 1), (2L, 1, 0), (3L, 2, 1), (4L, 2, 1), (5L, 1, 1)))
+    val clean = rows.map(r => r._1 -> r._4).toMap
+    assert(clean(0L) == s"$la $lb") // untouched docs pass through verbatim
+    assert(clean(1L) == lc)
+    assert(clean(3L) == ld)         // first intra-doc occurrence survives
+    assert(clean(4L) == rem)        // keeper of the remainder line keeps it
+    assert(clean(5L) == "")         // whole-doc duplicate excised to empty
+  }
+
+  test("source caps keep at most K docs per source via the native top-k plan") {
+    val df = ext.Text.sourceCaps(spark, sf0001)
+    // the bounded-per-partition TopKPerGroup exec must be in the plan
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    val perSource = df.groupBy("source").count().as[(String, Long)].collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach { case (s, c) =>
+      assert(c <= ext.Text.sourceCapK, s"source $s kept $c > cap")
+    }
+    // every kept doc's n_chars is >= every dropped doc's of the same
+    // source, modulo the doc_id tie-break at the boundary value
+    val keptMin = df.groupBy("source").agg(min("n_chars").as("m"))
+      .as[(String, Long)].collect().toMap
+    val all = Tables.table(spark, sf0001, "documents")
+      .select("source", "n_chars").as[(String, Long)].collect()
+    val keptCount = perSource.toMap
+    all.groupBy(_._1).foreach { case (s, rows) =>
+      if (rows.length > ext.Text.sourceCapK) {
+        val strictlyAbove = rows.count(_._2 > keptMin(s))
+        assert(strictlyAbove <= keptCount(s),
+          s"source $s: ${strictlyAbove} docs above the kept floor ${keptMin(s)}")
+      }
+    }
+  }
+
   test("int8 quantization error is bounded by half a quantization step") {
     val rows = ext.Similarity.quantizeInt8(spark, sf0001)
       .as[(Long, Double, Double, Double)].collect()
