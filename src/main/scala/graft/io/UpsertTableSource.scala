@@ -1,0 +1,392 @@
+package graft.io
+
+import java.util.{Map => JMap}
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType, Type => PType, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In, IsNotNull, IsNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 read path for [[ParquetUpsertSink]] tables — the
+  * "query side" of the upsert table format, registered under the short
+  * name `graft-upsert`:
+  *
+  * {{{
+  *   spark.read.format("graft-upsert").load(tablePath)
+  *     .where($"dept" === "eng").select("id", "salary")
+  * }}}
+  *
+  * What the connector does natively (visible in `.explain`):
+  *  - **partition pruning**: `EqualTo` / `In` / `IsNull` / `IsNotNull`
+  *    predicates on the partition column are consumed at PLANNING time
+  *    — only matching `part=value` directories are ever listed into
+  *    input partitions (the pushed filters show on the scan node);
+  *  - **column pruning**: the required schema is projected into the
+  *    parquet read schema, so unreferenced columns are never decoded
+  *    (and never leave the file);
+  *  - **schema evolution**: files written before an additive evolution
+  *    lack the new column; the reader null-fills per file against the
+  *    table's `_schema.json` writer schema — same merge rule as the
+  *    sink's own read helpers;
+  *  - **one input partition per live data file**, so Spark's
+  *    parallelism follows the sink's `filesPerPartition` layout.
+  *
+  * Scale notes: planning does one directory listing per surviving
+  * partition dir (after pruning — under a partition predicate the
+  * listing is O(selected partitions), never the whole table). Row
+  * decode uses parquet-mr's record materialization; for the flat CDC
+  * row shapes this table format stores, decode cost is dominated by
+  * page decompression either way. Residual (non-partition) predicates
+  * stay with Spark and evaluate in whole-stage codegen above the scan.
+  *
+  * Supported column types: the flat-row set the sink writes — boolean,
+  * int, long, float, double, string, date, timestamp (INT64
+  * micros/millis and legacy INT96 both decode). Nested columns are out
+  * of scope for this table format (CDC rows are flattened upstream —
+  * SURVEY P3).
+  *
+  * Writes go through [[ParquetUpsertSink]] (upsert/precombine needs
+  * the merge; a blind DSv2 append would corrupt table semantics).
+  */
+final class UpsertTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-upsert"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    UpsertTableSource.tableSchema(UpsertTableSource.tablePath(options))
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
+    val path = UpsertTableSource.tablePath(options)
+    UpsertTableSource.partitionColOf(path)
+      .map(c => Array[Transform](Expressions.identity(c)))
+      .getOrElse(Array.empty)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = UpsertTableSource.tablePath(
+      new CaseInsensitiveStringMap(properties))
+    new UpsertTable(path, schema, UpsertTableSource.partitionColOf(path))
+  }
+}
+
+/** The loaded table: read-only, batch capability. */
+final class UpsertTable(path: String, schema: StructType,
+    partitionCol: Option[String]) extends Table with SupportsRead {
+
+  override def name(): String = s"graft-upsert `$path`"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def partitioning(): Array[Transform] =
+    partitionCol.map(c => Array[Transform](Expressions.identity(c))).getOrElse(Array.empty)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new UpsertScanBuilder(path, schema, partitionCol)
+}
+
+/** Scan builder: consumes partition-column predicates for pruning,
+  * prunes the read schema to the required columns.
+  */
+final class UpsertScanBuilder(path: String, tableSchema: StructType,
+    partitionCol: Option[String]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var partitionFilters: Array[Filter] = Array.empty
+
+  private def isPartitionFilter(f: Filter): Boolean = partitionCol.exists { c =>
+    f match {
+      case EqualTo(a, _) => a.equalsIgnoreCase(c)
+      case EqualNullSafe(a, _) => a.equalsIgnoreCase(c)
+      case In(a, _) => a.equalsIgnoreCase(c)
+      case IsNull(a) => a.equalsIgnoreCase(c)
+      case IsNotNull(a) => a.equalsIgnoreCase(c)
+      case _ => false
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (part, residual) = filters.partition(isPartitionFilter)
+    partitionFilters = part
+    residual // Spark evaluates everything else above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = partitionFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new UpsertScan(path, tableSchema, required, partitionCol, partitionFilters)
+}
+
+/** The scan: plans one input partition per live data file in the
+  * partition directories surviving the pushed predicates.
+  */
+final class UpsertScan(path: String, tableSchema: StructType,
+    required: StructType, partitionCol: Option[String],
+    partitionFilters: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val pf = partitionFilters.mkString(", ")
+    s"graft-upsert $path${if (pf.nonEmpty) s" [pruned: $pf]" else ""}"
+  }
+
+  /** Does the (unescaped, null for the default dir) partition value
+    * satisfy every pushed partition predicate?
+    */
+  private def matches(value: String): Boolean = partitionFilters.forall {
+    case EqualTo(_, v) => value != null && value == String.valueOf(v)
+    case EqualNullSafe(_, null) => value == null
+    case EqualNullSafe(_, v) => value != null && value == String.valueOf(v)
+    case In(_, vs) => value != null && vs.exists(v => v != null && String.valueOf(v) == value)
+    case IsNull(_) => value == null
+    case IsNotNull(_) => value != null
+    case _ => true
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = new Path(path).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    if (!fs.exists(root)) return Array.empty
+    partitionCol match {
+      case Some(c) =>
+        fs.listStatus(root).iterator
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith(s"$c="))
+          .map(p => p -> UpsertTableSource.dirValue(p.getName.drop(c.length + 1)))
+          .filter { case (_, v) => matches(v) }
+          .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
+            .map(f => UpsertFilePartition(f.toString, v)) }
+          .toArray
+      case None => // unpartitioned layout: files at the root
+        UpsertTableSource.dataFiles(fs, root)
+          .map(f => UpsertFilePartition(f.toString, null)).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new UpsertReaderFactory(required, partitionCol)
+}
+
+/** One live data file plus its partition-dir value (null = the
+  * default/null partition or an unpartitioned table).
+  */
+final case class UpsertFilePartition(filePath: String, partValue: String)
+  extends InputPartition
+
+final class UpsertReaderFactory(required: StructType, partitionCol: Option[String])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new UpsertPartitionReader(partition.asInstanceOf[UpsertFilePartition],
+      required, partitionCol)
+}
+
+/** Executor-side reader: parquet-mr record materialization of exactly
+  * the required data columns (projection pushed into the parquet read
+  * schema), partition column filled from the directory value, columns
+  * the file predates null-filled.
+  */
+final class UpsertPartitionReader(part: UpsertFilePartition,
+    required: StructType, partitionCol: Option[String])
+  extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val file = new Path(part.filePath)
+
+  // data columns this FILE can serve (projection must be a subset of
+  // the file schema; evolved-in columns the file lacks null-fill)
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  private val dataFields: Array[StructField] =
+    required.fields.filter(f => !partitionCol.exists(_.equalsIgnoreCase(f.name)))
+
+  private val presentFields: Array[StructField] =
+    dataFields.filter(f => fileSchema.containsField(f.name))
+
+  private val reader: ParquetReader[Group] = {
+    val projection: MessageType = {
+      val b = Types.buildMessage()
+      presentFields.foreach(f =>
+        b.addField(fileSchema.getType(fileSchema.getFieldIndex(f.name))))
+      b.named(fileSchema.getName)
+    }
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projection.toString)
+    ParquetReader.builder(new GroupReadSupport(), file).withConf(conf).build()
+  }
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val values = new Array[Any](required.length)
+    var pi = 0 // index into the projected group
+    val presentNames = presentFields.map(_.name).toSet
+    var i = 0
+    while (i < required.length) {
+      val f = required.fields(i)
+      if (partitionCol.exists(_.equalsIgnoreCase(f.name))) {
+        values(i) = if (part.partValue == null) null else UTF8String.fromString(part.partValue)
+      } else if (presentNames.contains(f.name)) {
+        values(i) = UpsertTableSource.readValue(current, pi, f.dataType)
+        pi += 1
+      } // else: evolved-in column absent from this file -> null
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+object UpsertTableSource {
+
+  private[io] def tablePath(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
+    p.getOrElse(throw new IllegalArgumentException(
+      "graft-upsert: a table path is required (.load(path))"))
+  }
+
+  /** Live data files of a directory (the sink's part-* naming). */
+  private[io] def dataFiles(fs: FileSystem, dir: Path): Seq[Path] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(f => f.getPath.getName.startsWith("part-") && f.getLen > 0)
+      .map(_.getPath)
+
+  /** Unescaped partition value; the Hive default-partition dir decodes
+    * to null.
+    */
+  private[io] def dirValue(escaped: String): String =
+    if (escaped == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+    else ExternalCatalogUtils.unescapePathName(escaped)
+
+  /** The table's partition column, inferred from the `col=value`
+    * directory layout (None = unpartitioned).
+    */
+  private[io] def partitionColOf(path: String): Option[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).iterator.map(_.getPath.getName)
+      .collectFirst { case n if !n.startsWith("_") && !n.startsWith(".") && n.contains("=") =>
+        n.take(n.indexOf('=')) }
+  }
+
+  /** Table schema: the `_schema.json` writer schema when present (the
+    * commit-metadata analog — no footer job), else a one-time
+    * footer-merge inference over the live dirs with the partition
+    * column pinned to STRING (the sink's own rule).
+    */
+  private[io] def tableSchema(path: String): StructType = {
+    val spark = SparkSession.active
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sf = new Path(s"$path/${ParquetUpsertSink.SchemaFileName}")
+    val fromFile: Option[StructType] =
+      if (fs.exists(sf)) scala.util.Try {
+        val in = fs.open(sf)
+        try DataType.fromJson(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+          .asInstanceOf[StructType]
+        finally in.close()
+      }.toOption
+      else None
+    fromFile.getOrElse {
+      val pc = partitionColOf(path)
+      val dirs =
+        if (!fs.exists(new Path(path))) Seq.empty
+        else pc match {
+          case Some(c) => fs.listStatus(new Path(path)).toSeq.map(_.getPath)
+            .filter(p => p.getName.startsWith(s"$c=") && dataFiles(fs, p).nonEmpty)
+          case None => Seq(new Path(path)).filter(p => dataFiles(fs, p).nonEmpty)
+        }
+      if (dirs.isEmpty)
+        throw new IllegalArgumentException(
+          s"graft-upsert: no ${ParquetUpsertSink.SchemaFileName} and no live data under $path")
+      val inferred = spark.read.option("mergeSchema", "true").option("basePath", path)
+        .parquet(dirs.map(_.toString): _*).schema
+      pc match {
+        case Some(c) => StructType(inferred.map(f =>
+          if (f.name == c) f.copy(dataType = StringType) else f))
+        case None => inferred
+      }
+    }
+  }
+
+  private val JulianDayOfEpoch = 2440588L
+  private val MicrosPerDay = 86400000000L
+
+  /** Decode one projected field into Spark's internal representation.
+    * `pi` indexes the PROJECTED group (file order of present fields).
+    */
+  private[io] def readValue(g: Group, pi: Int, dt: DataType): Any = {
+    if (g.getFieldRepetitionCount(pi) == 0) return null
+    val prim = g.getType.getType(pi).asPrimitiveType()
+    dt match {
+      case LongType => g.getLong(pi, 0)
+      case IntegerType => g.getInteger(pi, 0)
+      case DoubleType => g.getDouble(pi, 0)
+      case FloatType => g.getFloat(pi, 0)
+      case BooleanType => g.getBoolean(pi, 0)
+      case StringType => UTF8String.fromBytes(g.getBinary(pi, 0).getBytes)
+      case DateType => g.getInteger(pi, 0) // days since epoch, as written
+      case TimestampType | TimestampNTZType =>
+        prim.getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT96 =>
+            // legacy layout: 8B nanos-of-day LE + 4B julian day LE
+            val b = java.nio.ByteBuffer.wrap(g.getInt96(pi, 0).getBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nanosOfDay = b.getLong
+            val julianDay = b.getInt
+            (julianDay - JulianDayOfEpoch) * MicrosPerDay + nanosOfDay / 1000L
+          case PrimitiveTypeName.INT64 =>
+            val v = g.getLong(pi, 0)
+            prim.getLogicalTypeAnnotation match {
+              case t: TimestampLogicalTypeAnnotation
+                  if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+              case t: TimestampLogicalTypeAnnotation
+                  if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => v / 1000L
+              case _ => v // micros
+            }
+          case other =>
+            throw new UnsupportedOperationException(
+              s"graft-upsert: timestamp stored as $other not supported")
+        }
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-upsert: column type $other not supported by this table format")
+    }
+  }
+}

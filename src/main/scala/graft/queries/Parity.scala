@@ -290,6 +290,45 @@ object Parity {
       |  ORDER BY activity_timestamp DESC, event_id DESC) = 1
       |ORDER BY employee_id, activity_type""".stripMargin)
 
+  /** End-to-end upsert TABLE round-trip through the DataSource V2 read
+    * path: physically write orders into a [[graft.io.ParquetUpsertSink]]
+    * table (batch 0 = full load, batch 1 = an update wave that bumps
+    * every 97th order's total by 1000 — precombine makes the update
+    * win), then read it back with `format("graft-upsert")` under a
+    * partition-pruning predicate and aggregate. The oracle reproduces
+    * the update arithmetic directly over `orders` — a hash match proves
+    * the sink's merge AND the connector's pruned read agree with plain
+    * SQL semantics.
+    */
+  def upsertTableRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq", "o_orderpriority")
+    val orders = Tables.table(spark, sfDir, "orders")
+    sink.upsert(orders.withColumn("seq", lit(0L)), 0)
+    sink.upsert(
+      orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("seq", lit(1L)), 1)
+    spark.read.format("graft-upsert").load(dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        max(col("o_orderdate")).as("last_date"))
+      .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
+  }
+
+  val upsertTableReadSql: String =
+    """SELECT o_orderstatus,
+      |       count(*) AS n,
+      |       round(sum(CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000
+      |                      ELSE o_totalprice END), 2) AS total,
+      |       max(o_orderdate) AS last_date
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** K1 Kafka-sink semantics as a query: key = coalesce(employee id, row
     * id) as string (the reference's B1 intent), value = to_json of the
     * full row; then parsed back and verified against the oracle.

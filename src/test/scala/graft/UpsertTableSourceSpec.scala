@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, TimestampType}
+
+import graft.io.ParquetUpsertSink
+
+/** DataSource V2 read path for upsert tables (`format("graft-upsert")`):
+  * result parity with the parquet scan, partition pruning at planning
+  * time, column projection, evolution null-fill, timestamp decode.
+  */
+case class RecT(id: Int, v: String, amount: Double, precombine: Long,
+    ts: java.sql.Timestamp, processing_date: String)
+
+class UpsertTableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(prefix: String): (String, ParquetUpsertSink) = {
+    val dir = Files.createTempDirectory(prefix).toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    sink.upsert(Seq(
+      RecT(1, "a", 1.5, 10, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "2024-01-01"),
+      RecT(1, "b", 2.5, 20, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "2024-01-01"),
+      RecT(2, "c", 3.5, 5, java.sql.Timestamp.valueOf("2024-01-02 09:30:00"), "2024-01-02"),
+      RecT(3, "d", 4.5, 7, java.sql.Timestamp.valueOf("2024-01-03 08:15:00"), "2024-01-03")
+    ).toDF(), 0)
+    (dir, sink)
+  }
+
+  test("reads exactly what the parquet scan reads, schema pinned to the writer schema") {
+    val (dir, _) = mkTable("dsv2")
+    val v2 = spark.read.format("graft-upsert").load(dir)
+    val v1 = spark.read.parquet(dir)
+    // partition column is string-pinned (the sink's dir-name identity)
+    assert(v2.schema("processing_date").dataType == StringType)
+    assert(v2.schema("ts").dataType == TimestampType)
+    val a = v2.select("id", "v", "amount", "ts", "processing_date")
+      .orderBy("id").collect().toSeq
+    val b = v1.select("id", "v", "amount", "ts", "processing_date")
+      .withColumn("processing_date", $"processing_date".cast("string"))
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getAs[String]("v")) == Seq("b", "c", "d")) // precombine applied
+  }
+
+  test("partition predicates prune input partitions at planning time") {
+    val (dir, _) = mkTable("dsv2p")
+    val all = spark.read.format("graft-upsert").load(dir)
+    assert(all.rdd.getNumPartitions == 3) // one live file per partition dir
+    val one = spark.read.format("graft-upsert").load(dir)
+      .where($"processing_date" === "2024-01-02")
+    assert(one.rdd.getNumPartitions == 1) // two dirs never planned
+    assert(one.select("v").as[String].collect().toSeq == Seq("c"))
+    // pushed filter is visible on the scan node
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-upsert"))
+    val in2 = spark.read.format("graft-upsert").load(dir)
+      .where($"processing_date".isin("2024-01-01", "2024-01-03"))
+    assert(in2.rdd.getNumPartitions == 2)
+    assert(in2.count() == 2)
+  }
+
+  test("column projection drops unreferenced columns from the read schema") {
+    val (dir, _) = mkTable("dsv2c")
+    val df = spark.read.format("graft-upsert").load(dir).select("id", "amount")
+    assert(df.schema.fieldNames.toSeq == Seq("id", "amount"))
+    val rows = df.orderBy("id").as[(Int, Double)].collect().toSeq
+    assert(rows == Seq((1, 2.5), (2, 3.5), (3, 4.5)))
+    // the scan's readSchema is the pruned one (no string/timestamp decode)
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(!scanLine.contains("v#"), s"unpruned scan: $scanLine")
+  }
+
+  test("files written before an additive evolution null-fill the new column") {
+    val (dir, sink) = mkTable("dsv2e")
+    // evolve: add a column, touching only one partition
+    sink.upsert(Seq(
+      (4, "e", 5.5, 9L, java.sql.Timestamp.valueOf("2024-01-02 12:00:00"),
+        "2024-01-02", "extra4")
+    ).toDF("id", "v", "amount", "precombine", "ts", "processing_date", "extra"), 1)
+    val v2 = spark.read.format("graft-upsert").load(dir)
+    assert(v2.schema.fieldNames.contains("extra"))
+    val rows = v2.select("id", "extra").orderBy("id")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSeq
+    // ids 1 and 3 live in pre-evolution files (reader null-fills);
+    // id 2 was rewritten by the touched-partition merge with extra=null
+    assert(rows == Seq((1, None), (2, None), (3, None), (4, Some("extra4"))))
+  }
+
+  test("empty and missing partitions behave: no dirs -> empty result with schema") {
+    val (dir, _) = mkTable("dsv2m")
+    val none = spark.read.format("graft-upsert").load(dir)
+      .where($"processing_date" === "2099-12-31")
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0)
+    assert(none.schema.fieldNames.contains("id"))
+  }
+}
