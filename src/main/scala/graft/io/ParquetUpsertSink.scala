@@ -305,6 +305,33 @@ final case class ParquetUpsertSink(
     */
   def readAsOf(spark: org.apache.spark.sql.SparkSession, asOf: String): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val dirs = asOfPartitionDirs(spark, asOf).map(_._2)
+    // one read per base (live table; each commit dir): basePath anchors
+    // partition-column recovery, so groups can't share one scan
+    val groups: Seq[DataFrame] =
+      dirs.groupBy(_.getParent).toSeq.map { case (base, ds) =>
+        if (base == root) readStringPartitioned(spark, ds)
+        else readStringPartitioned(spark, ds, base.toString)
+      }
+    if (groups.isEmpty) emptyTable(spark, fs)
+    // additive schema evolution across commits: old pre-images may
+    // lack columns the live table has gained (null-fill, like upsert)
+    else groups.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The (escaped partition value, authoritative directory) pairs that
+    * form the table's file set as of archive commit `asOf` — the
+    * planning core shared by [[readAsOf]] and the `graft-upsert`
+    * DataSource V2 scan's `asOf` option. For each partition the FIRST
+    * retained commit strictly newer than `asOf` that touched it holds
+    * the pre-image (touched with no pre-image dir = created later,
+    * absent as of `asOf`); partitions no newer commit touched read
+    * live. Metadata-only: no data file is opened here.
+    */
+  def asOfPartitionDirs(spark: org.apache.spark.sql.SparkSession,
+      asOf: String): Seq[(String, Path)] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val retained = ParquetUpsertSink.listArchivedCommits(spark, path)
     // fail fast on a pruned commit id: commits between a pruned asOf and
     // the oldest retained commit have lost their pre-images, so the read
@@ -313,8 +340,6 @@ final case class ParquetUpsertSink(
       s"asOf commit '$asOf' is not retained (keepVersions window); " +
         (if (retained.isEmpty) "no archived commits exist"
          else s"oldest retained commit is '${retained.head}'"))
-    // oldest-first; for each partition the FIRST newer commit that
-    // touched it holds the authoritative pre-image
     val newer = retained.filter(_ > asOf)
     val overrides = scala.collection.mutable.LinkedHashMap.empty[String, Option[Path]]
     newer.foreach { c =>
@@ -326,24 +351,15 @@ final case class ParquetUpsertSink(
         }
       }
     }
-    val liveDirs: Seq[Path] =
+    val livePairs: Seq[(String, Path)] =
       if (fs.exists(new Path(path)))
         fs.listStatus(new Path(path)).map(_.getPath)
           .filter(p => p.getName.startsWith(s"$partitionCol=")
             && !overrides.contains(p.getName.stripPrefix(s"$partitionCol="))
-            && hasDataFiles(fs, p)).toSeq
+            && hasDataFiles(fs, p))
+          .map(p => p.getName.stripPrefix(s"$partitionCol=") -> p).toSeq
       else Seq.empty
-    // one read per base (live table; each commit dir): basePath anchors
-    // partition-column recovery, so groups can't share one scan
-    val groups: Seq[DataFrame] =
-      (if (liveDirs.nonEmpty) Seq(readStringPartitioned(spark, liveDirs)) else Nil) ++
-        overrides.values.flatten.groupBy(_.getParent).map { case (base, dirs) =>
-          readStringPartitioned(spark, dirs.toSeq, base.toString)
-        }
-    if (groups.isEmpty) emptyTable(spark, fs)
-    // additive schema evolution across commits: old pre-images may
-    // lack columns the live table has gained (null-fill, like upsert)
-    else groups.reduce(_.unionByName(_, allowMissingColumns = true))
+    livePairs ++ overrides.collect { case (v, Some(pre)) => v -> pre }
   }
 
   /** Incremental refresh: the LIVE rows of every partition touched by

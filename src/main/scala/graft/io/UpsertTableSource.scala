@@ -47,7 +47,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    table's `_schema.json` writer schema — same merge rule as the
   *    sink's own read helpers;
   *  - **one input partition per live data file**, so Spark's
-  *    parallelism follows the sink's `filesPerPartition` layout.
+  *    parallelism follows the sink's `filesPerPartition` layout;
+  *  - **time travel**: `.option("asOf", commitId)` plans the table's
+  *    file set as of an archived commit ([[ParquetUpsertSink.listArchivedCommits]]
+  *    lists ids) — untouched partitions read live, touched ones read
+  *    their archived pre-image; partition pruning composes.
   *
   * Scale notes: planning does one directory listing per surviving
   * partition dir (after pruning — under a partition predicate the
@@ -103,14 +107,15 @@ final class UpsertTable(path: String, schema: StructType,
     partitionCol.map(c => Array[Transform](Expressions.identity(c))).getOrElse(Array.empty)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new UpsertScanBuilder(path, schema, partitionCol)
+    new UpsertScanBuilder(path, schema, partitionCol,
+      Option(options.get("asOf")))
 }
 
 /** Scan builder: consumes partition-column predicates for pruning,
   * prunes the read schema to the required columns.
   */
 final class UpsertScanBuilder(path: String, tableSchema: StructType,
-    partitionCol: Option[String]) extends ScanBuilder
+    partitionCol: Option[String], asOf: Option[String]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = tableSchema
@@ -139,7 +144,7 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
     required = requiredSchema
 
   override def build(): Scan =
-    new UpsertScan(path, tableSchema, required, partitionCol, partitionFilters)
+    new UpsertScan(path, tableSchema, required, partitionCol, partitionFilters, asOf)
 }
 
 /** The scan: plans one input partition per live data file in the
@@ -147,13 +152,14 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
   */
 final class UpsertScan(path: String, tableSchema: StructType,
     required: StructType, partitionCol: Option[String],
-    partitionFilters: Array[Filter]) extends Scan with Batch {
+    partitionFilters: Array[Filter], asOf: Option[String]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val pf = partitionFilters.mkString(", ")
-    s"graft-upsert $path${if (pf.nonEmpty) s" [pruned: $pf]" else ""}"
+    s"graft-upsert $path${asOf.map(c => s" asOf=$c").getOrElse("")}" +
+      (if (pf.nonEmpty) s" [pruned: $pf]" else "")
   }
 
   /** Does the (unescaped, null for the default dir) partition value
@@ -170,12 +176,23 @@ final class UpsertScan(path: String, tableSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = new Path(path).getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration)
+    val spark = SparkSession.active
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
     if (!fs.exists(root)) return Array.empty
-    partitionCol match {
-      case Some(c) =>
+    (partitionCol, asOf) match {
+      case (Some(c), Some(commit)) =>
+        // time travel: the authoritative dir per partition as of the
+        // commit — live when untouched since, archived pre-image
+        // otherwise (metadata-only planning; pruning composes)
+        val sink = ParquetUpsertSink(path, Seq("_unused"), "_unused", c)
+        sink.asOfPartitionDirs(spark, commit)
+          .map { case (escaped, dir) => dir -> UpsertTableSource.dirValue(escaped) }
+          .filter { case (_, v) => matches(v) }
+          .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
+            .map(f => UpsertFilePartition(f.toString, v)) }
+          .toArray
+      case (Some(c), None) =>
         fs.listStatus(root).iterator
           .map(_.getPath)
           .filter(p => p.getName.startsWith(s"$c="))
@@ -184,7 +201,7 @@ final class UpsertScan(path: String, tableSchema: StructType,
           .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
             .map(f => UpsertFilePartition(f.toString, v)) }
           .toArray
-      case None => // unpartitioned layout: files at the root
+      case (None, _) => // unpartitioned layout: files at the root
         UpsertTableSource.dataFiles(fs, root)
           .map(f => UpsertFilePartition(f.toString, null)).toArray
     }

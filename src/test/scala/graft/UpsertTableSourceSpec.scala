@@ -90,6 +90,34 @@ class UpsertTableSourceSpec extends SparkSpec {
     assert(rows == Seq((1, None), (2, None), (3, None), (4, Some("extra4"))))
   }
 
+  test("asOf option time-travels to an archived commit, identical to readAsOf") {
+    val dir = Files.createTempDirectory("dsv2t").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date",
+      keepVersions = 4)
+    sink.upsert(Seq(
+      Rec(1, "v0", 10, "2024-01-01"),
+      Rec(2, "w0", 10, "2024-01-02")).toDF(), 0)
+    sink.upsert(Seq(Rec(1, "v1", 20, "2024-01-01")).toDF(), 1)
+    sink.upsert(Seq(Rec(3, "x2", 20, "2024-01-03")).toDF(), 2)
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(commits.length == 3)
+    // state after commit 0 applied: v0/w0, no id=3
+    val atC0 = spark.read.format("graft-upsert").option("asOf", commits.head).load(dir)
+    val expect0 = sink.readAsOf(spark, commits.head)
+      .select("id", "v", "processing_date").orderBy("id").collect().toSeq
+    assert(atC0.select("id", "v", "processing_date").orderBy("id").collect().toSeq
+      == expect0)
+    assert(atC0.select("v").as[String].collect().sorted.toSeq == Seq("v0", "w0"))
+    // state after commit 1: v1 visible, id=3 still absent
+    val atC1 = spark.read.format("graft-upsert").option("asOf", commits(1)).load(dir)
+    assert(atC1.select("v").as[String].collect().sorted.toSeq == Seq("v1", "w0"))
+    // pruning composes with time travel
+    val pruned = spark.read.format("graft-upsert").option("asOf", commits(1)).load(dir)
+      .where($"processing_date" === "2024-01-01")
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(pruned.select("v").as[String].collect().toSeq == Seq("v1"))
+  }
+
   test("empty and missing partitions behave: no dirs -> empty result with schema") {
     val (dir, _) = mkTable("dsv2m")
     val none = spark.read.format("graft-upsert").load(dir)
