@@ -18,8 +18,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In, IsNotNull, IsNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -152,7 +152,20 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
   */
 final class UpsertScan(path: String, tableSchema: StructType,
     required: StructType, partitionCol: Option[String],
-    partitionFilters: Array[Filter], asOf: Option[String]) extends Scan with Batch {
+    partitionFilters: Array[Filter], asOf: Option[String])
+  extends Scan with Batch with SupportsRuntimeFiltering {
+
+  // runtime (dynamic-partition-pruning) predicates Spark derives from
+  // join keys at execution time — same value semantics as the static
+  // pushed filters, arriving after planning instead of before
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    partitionCol.map(c => Array[NamedReference](Expressions.column(c)))
+      .getOrElse(Array.empty)
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -163,9 +176,11 @@ final class UpsertScan(path: String, tableSchema: StructType,
   }
 
   /** Does the (unescaped, null for the default dir) partition value
-    * satisfy every pushed partition predicate?
+    * satisfy every pushed partition predicate — static and runtime?
+    * Unknown predicate shapes are conservatively kept (no pruning).
     */
-  private def matches(value: String): Boolean = partitionFilters.forall {
+  private def matches(value: String): Boolean =
+    (partitionFilters.iterator ++ runtimeFilters.iterator).forall {
     case EqualTo(_, v) => value != null && value == String.valueOf(v)
     case EqualNullSafe(_, null) => value == null
     case EqualNullSafe(_, v) => value != null && value == String.valueOf(v)

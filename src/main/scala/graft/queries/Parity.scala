@@ -303,7 +303,10 @@ object Parity {
   def upsertTableRead(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2").toString + "/t"
     val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq", "o_orderpriority")
+    // deterministic subset: the round-trip proves write/merge/read
+    // mechanics, which don't need the full fact table behind them
     val orders = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
     sink.upsert(orders.withColumn("seq", lit(0L)), 0)
     sink.upsert(
       orders.filter(col("o_orderkey") % 97 === 0)
@@ -325,7 +328,8 @@ object Parity {
       |                      ELSE o_totalprice END), 2) AS total,
       |       max(o_orderdate) AS last_date
       |FROM orders
-      |WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+      |WHERE o_orderkey % 3 = 0
+      |  AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 

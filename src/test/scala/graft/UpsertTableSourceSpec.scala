@@ -118,6 +118,45 @@ class UpsertTableSourceSpec extends SparkSpec {
     assert(pruned.select("v").as[String].collect().toSeq == Seq("v1"))
   }
 
+  test("runtime filtering prunes partitions under dynamic partition pruning") {
+    val (dir, _) = mkTable("dsv2rf")
+    // parquet-backed build side (a local relation would constant-fold
+    // the filter away), selective on a NON-join column so no static
+    // constraint can propagate — only the runtime filter can prune
+    val dimPath = Files.createTempDirectory("dsv2rf_dim").toString
+    Seq(("2024-01-01", "no"), ("2024-01-02", "yes"), ("2024-01-03", "no"))
+      .toDF("d", "k")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"k" === "yes").select("d")
+    val fact = spark.read.format("graft-upsert").load(dir)
+    val joined = fact.join(broadcast(dim), fact("processing_date") === dim("d"))
+    val rows = joined.collect().map(_.getAs[String]("v")).toSeq
+    assert(rows == Seq("c"))
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // query stages are leaves; recurse into their materialized plans
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(q.plan)
+      }.flatten
+    val scans = scansIn(finalPlan)
+    assert(scans.nonEmpty)
+    // the runtime IN-filter reached the scan node...
+    assert(scans.head.toString.contains("dynamicpruning"),
+      s"no runtime filter on the scan:\n$finalPlan")
+    // ...and pruned at partition grain: only the matching partition's
+    // single row was ever read (3 live rows in the table)
+    val m = scans.map(s => s.metrics.map { case (k, v) => s"$k=${v.value}" }.mkString(",")).mkString(" | ")
+    assert(scans.exists(_.metrics("numOutputRows").value == 1),
+      s"expected runtime-pruned scan; ${scans.length} scans, metrics: $m\n" +
+        s"isFinal=${joined.queryExecution.executedPlan}\nplan:\n$finalPlan")
+  }
+
   test("empty and missing partitions behave: no dirs -> empty result with schema") {
     val (dir, _) = mkTable("dsv2m")
     val none = spark.read.format("graft-upsert").load(dir)
