@@ -631,7 +631,7 @@ object Dedup {
     * windows (the last segment keeps the remainder; an empty doc is one
     * empty line). Pure per-row expression — pipelines with the scan.
     */
-  private def lineSegments(t: Column): Column =
+  private[ext] def lineSegments(t: Column): Column =
     transform(sequence(lit(0), floor((size(t) - 1) / lineLen).cast("int")),
       j => array_join(slice(t, j * lineLen + 1, lit(lineLen)), " "))
 
@@ -673,19 +673,28 @@ object Dedup {
     val removed = occ.join(dupKeeper, Seq("lh"))
       .filter(!(struct(col("doc_id"), col("pos")) === col("keeper")))
       .select(col("doc_id"), col("pos"))
+    Present.sortSmall(rebuildWithoutLines(withLines, removed), col("doc_id"))
+  }
+
+  /** Rebuild (doc_id, n_lines, n_removed_lines, clean_text) from the
+    * per-doc `lines` array and a (doc_id, pos) removed-occurrence set —
+    * per-row array surgery off one left join; untouched docs pass
+    * through unchanged. Shared by the batch [[lineDedup]] and the
+    * streaming [[StreamLineDedup]] twin.
+    */
+  private[ext] def rebuildWithoutLines(withLines: DataFrame,
+      removed: DataFrame): DataFrame = {
     val rmPerDoc = removed.groupBy(col("doc_id"))
       .agg(collect_list(col("pos")).as("rm"))
-    Present.sortSmall(
-      withLines.join(rmPerDoc, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          size(col("lines")).as("n_lines"),
-          when(col("rm").isNull, lit(0)).otherwise(size(col("rm")))
-            .as("n_removed_lines"),
-          when(col("rm").isNull, array_join(col("lines"), " "))
-            .otherwise(array_join(
-              filter(col("lines"), (_, i) => !array_contains(col("rm"), i)), " "))
-            .as("clean_text")),
-      col("doc_id"))
+    withLines.join(rmPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        size(col("lines")).as("n_lines"),
+        when(col("rm").isNull, lit(0)).otherwise(size(col("rm")))
+          .as("n_removed_lines"),
+        when(col("rm").isNull, array_join(col("lines"), " "))
+          .otherwise(array_join(
+            filter(col("lines"), (_, i) => !array_contains(col("rm"), i)), " "))
+          .as("clean_text"))
   }
 
   /** DuckDB twin of [[lineDedup]]: same segmentation (list slices
