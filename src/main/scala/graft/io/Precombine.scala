@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object Precombine {
   def latest(df: DataFrame, recordKeys: Seq[String], precombine: String): DataFrame = {
-    val contentHash = xxhash64(df.columns.sorted.map(col): _*)
+    val contentHash = xxhash64(df.columns.sorted.toIndexedSeq.map(col): _*)
     val w = Window
       .partitionBy(recordKeys.map(col): _*)
       .orderBy(col(precombine).desc, contentHash.asc)

@@ -67,8 +67,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * of scope for this table format (CDC rows are flattened upstream —
   * SURVEY P3).
   *
-  * Writes go through [[ParquetUpsertSink]] (upsert/precombine needs
-  * the merge; a blind DSv2 append would corrupt table semantics).
+  * Writes: `mode("append")` is UPSERT — task files stage under the
+  * table path and the driver-side commit runs them through
+  * [[ParquetUpsertSink.upsert]]'s merge ([[UpsertTableWrite]]); a
+  * blind file append would corrupt table semantics, so that is the
+  * only write mode the format defines.
   */
 final class UpsertTableProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -95,20 +98,26 @@ final class UpsertTableProvider extends TableProvider
   }
 }
 
-/** The loaded table: read-only, batch capability. */
+/** The loaded table: batch read + batch (upsert-on-commit) write. */
 final class UpsertTable(path: String, schema: StructType,
-    partitionCol: Option[String]) extends Table with SupportsRead {
+    partitionCol: Option[String]) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft-upsert `$path`"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def partitioning(): Array[Transform] =
     partitionCol.map(c => Array[Transform](Expressions.identity(c))).getOrElse(Array.empty)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new UpsertScanBuilder(path, schema, partitionCol,
       Option(options.get("asOf")))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new UpsertWriteBuilder(path, info)
 }
 
 /** Scan builder: consumes partition-column predicates for pruning,

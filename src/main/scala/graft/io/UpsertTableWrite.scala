@@ -1,0 +1,188 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type => PType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types._
+
+/** DataSource V2 WRITE path for upsert tables — the standard
+  * `df.write.format("graft-upsert").mode("append")` API routed through
+  * the table format's merge semantics:
+  *
+  * {{{
+  *   df.write.format("graft-upsert")
+  *     .option("recordKeys", "id")          // comma-separated key cols
+  *     .option("precombine", "seq")
+  *     .option("partitionCol", "dept")
+  *     .mode("append").save(tablePath)
+  * }}}
+  *
+  * "Append" here means UPSERT — the only write this table format
+  * defines: executors stage the batch as plain parquet task files
+  * under `<path>/.staging-write-<uuid>/` (each task commits its own
+  * file; an aborted task deletes it), and the driver-side
+  * `BatchWrite.commit` runs the staged batch through
+  * [[ParquetUpsertSink.upsert]] — record-key merge, precombine-latest,
+  * touched-partition dynamic overwrite, tombstones, schema metadata,
+  * the lot. A crash BEFORE commit leaves only an invisible staging dir
+  * ([[ParquetUpsertSink.sweepStaging]]'s reclaim territory); the merge
+  * itself keeps the sink's own replay/idempotence story.
+  *
+  * This is the standard integration shape for merge-on-commit table
+  * formats (stage task outputs, finalize in one driver-side commit) —
+  * the V2 analog of the sink's `foreachBatch` streaming entry.
+  */
+final class UpsertWriteBuilder(path: String, info: LogicalWriteInfo)
+  extends WriteBuilder {
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val opts = info.options
+      def req(k: String): String = {
+        val v = opts.get(k)
+        require(v != null && v.nonEmpty,
+          s"graft-upsert write requires option '$k' " +
+            "(recordKeys, precombine, partitionCol)")
+        v
+      }
+      new UpsertBatchWrite(path, info.schema(),
+        req("recordKeys").split(',').map(_.trim).toSeq,
+        req("precombine"), req("partitionCol"),
+        Option(opts.get("deleteCol")))
+    }
+  }
+}
+
+final class UpsertBatchWrite(path: String, schema: StructType,
+    recordKeys: Seq[String], precombine: String, partitionCol: String,
+    deleteCol: Option[String]) extends BatchWrite {
+
+  private val stagingDir =
+    s"$path/.staging-write-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new UpsertDataWriterFactory(stagingDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files = messages.collect { case UpsertWriteCommit(f) if f != null => f }
+    if (files.nonEmpty) {
+      val staged = spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+      ParquetUpsertSink(path, recordKeys, precombine, partitionCol,
+        deleteCol = deleteCol)
+        .upsert(staged, 0L)
+    }
+    cleanup()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit = {
+    val fs = new Path(stagingDir)
+      .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(stagingDir), true)
+  }
+}
+
+final case class UpsertWriteCommit(file: String) extends WriterCommitMessage
+
+final class UpsertDataWriterFactory(stagingDir: String, schema: StructType)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new UpsertDataWriter(s"$stagingDir/task-$partitionId-$taskId.parquet", schema)
+}
+
+/** Executor-side task writer: Spark internal rows → parquet Groups
+  * (the reverse mapping of [[UpsertPartitionReader]]; same flat type
+  * set). One file per task, removed on abort.
+  */
+final class UpsertDataWriter(file: String, schema: StructType)
+  extends DataWriter[InternalRow] {
+
+  private val conf = new Configuration()
+  private val parquetSchema: MessageType = UpsertTableWrite.toParquetSchema(schema)
+  GroupWriteSupport.setSchema(parquetSchema, conf)
+  private val writer = ExampleParquetWriter.builder(new Path(file))
+    .withConf(conf).build()
+  private val factory = new SimpleGroupFactory(parquetSchema)
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) UpsertTableWrite.appendValue(g, i, schema(i).dataType, row)
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    UpsertWriteCommit(file)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    new Path(file).getFileSystem(conf).delete(new Path(file), false)
+  }
+
+  override def close(): Unit = ()
+}
+
+object UpsertTableWrite {
+
+  /** Spark flat schema → parquet message type (all fields optional;
+    * nested types are out of scope for this table format).
+    */
+  def toParquetSchema(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val fb = f.dataType match {
+        case LongType => Types.optional(PrimitiveTypeName.INT64)
+        case IntegerType => Types.optional(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.intType(32, true))
+        case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
+        case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
+        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
+        case StringType => Types.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+        case DateType => Types.optional(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.dateType())
+        case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case other => throw new UnsupportedOperationException(
+          s"graft-upsert: column type $other not supported by this table format")
+      }
+      b.addField(fb.named(f.name))
+    }
+    b.named("spark_schema")
+  }
+
+  /** Append one non-null field of a Spark internal row to a Group. */
+  def appendValue(g: Group, i: Int, dt: DataType, row: InternalRow): Unit = dt match {
+    case LongType => g.append(g.getType.getFieldName(i), row.getLong(i))
+    case IntegerType => g.append(g.getType.getFieldName(i), row.getInt(i))
+    case DoubleType => g.append(g.getType.getFieldName(i), row.getDouble(i))
+    case FloatType => g.append(g.getType.getFieldName(i), row.getFloat(i))
+    case BooleanType => g.append(g.getType.getFieldName(i), row.getBoolean(i))
+    case StringType => g.append(g.getType.getFieldName(i),
+      org.apache.parquet.io.api.Binary.fromReusedByteArray(
+        row.getUTF8String(i).getBytes))
+    case DateType => g.append(g.getType.getFieldName(i), row.getInt(i))
+    case TimestampType | TimestampNTZType =>
+      g.append(g.getType.getFieldName(i), row.getLong(i))
+    case other => throw new UnsupportedOperationException(
+      s"graft-upsert: column type $other not supported by this table format")
+  }
+}

@@ -158,11 +158,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       builder: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
       new FunctionIdentifier(name),
-      // 5-arg form: DESCRIBE FUNCTION shows the real implementing class
-      // where it belongs AND the usage text in its own field (the 2-arg
-      // form is (className, functionName) — usage passed there landed in
-      // the class-name slot)
-      new ExpressionInfo(clazz.getCanonicalName, null, name, usage, ""),
+      // full 11-arg form (the shorter ones are deprecated): DESCRIBE
+      // FUNCTION shows the real implementing class where it belongs AND
+      // the usage text in its own field
+      new ExpressionInfo(clazz.getCanonicalName, null, name, usage,
+        "", "", "", "", "", "", "built-in"),
       args => {
         // explicit arity check BEFORE the builder runs — a MatchError
         // catch around it would also mask a genuine MatchError thrown

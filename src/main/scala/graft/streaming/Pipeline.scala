@@ -42,7 +42,7 @@ object Pipeline {
   def toKafkaWire(df: DataFrame, keyCol: Column): DataFrame =
     df.select(
       keyCol.cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** Attach a Kafka sink (production wiring; format-gated for the
     * offline environment where the kafka jar is absent).

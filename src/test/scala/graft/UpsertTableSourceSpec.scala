@@ -157,6 +157,58 @@ class UpsertTableSourceSpec extends SparkSpec {
         s"isFinal=${joined.queryExecution.executedPlan}\nplan:\n$finalPlan")
   }
 
+  test("SQL DDL surface: CREATE TABLE ... USING `graft-upsert` reads by name") {
+    val (dir, _) = mkTable("dsv2sql")
+    spark.sql("DROP TABLE IF EXISTS upsert_sql_t")
+    spark.sql(
+      s"CREATE TABLE upsert_sql_t USING `graft-upsert` OPTIONS (path '$dir')")
+    try {
+      val rows = spark.sql(
+        """SELECT v, amount FROM upsert_sql_t
+          |WHERE processing_date = '2024-01-02'""".stripMargin)
+        .as[(String, Double)].collect().toSeq
+      assert(rows == Seq(("c", 3.5)))
+      assert(spark.sql("SELECT count(*) FROM upsert_sql_t").first().getLong(0) == 3)
+    } finally spark.sql("DROP TABLE upsert_sql_t")
+  }
+
+  test("DSv2 write path: append-as-upsert through the standard writer API") {
+    val dir = Files.createTempDirectory("dsv2w").toString + "/t"
+    def write(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("graft-upsert")
+        .option("recordKeys", "id")
+        .option("precombine", "seq")
+        .option("partitionCol", "dept")
+        .mode("append").save(dir)
+    // initial load (new table, no prior metadata)
+    write(Seq(
+      (1, "alice", 100.0, 0L, "eng"),
+      (2, "bob", 200.0, 0L, "ops"),
+      (3, "carol", 300.0, 0L, "eng")
+    ).toDF("id", "name", "salary", "seq", "dept"))
+    // second append: update id=1 (higher seq wins), stale id=2 (loses),
+    // new id=4
+    write(Seq(
+      (1, "alice2", 150.0, 5L, "eng"),
+      (2, "bob-stale", 999.0, -1L, "ops"),
+      (4, "dave", 400.0, 0L, "fin")
+    ).toDF("id", "name", "salary", "seq", "dept"))
+    val rows = spark.read.format("graft-upsert").load(dir)
+      .select("id", "name", "salary", "dept").orderBy("id")
+      .as[(Int, String, Double, String)].collect().toSeq
+    assert(rows == Seq(
+      (1, "alice2", 150.0, "eng"),
+      (2, "bob", 200.0, "ops"),
+      (3, "carol", 300.0, "eng"),
+      (4, "dave", 400.0, "fin")))
+    // no staging debris left behind
+    val leftovers = Option(new java.io.File(dir).list()).getOrElse(Array.empty)
+      .filter(_.startsWith(".staging-write-"))
+    assert(leftovers.isEmpty)
+    // the write is a real table-format commit: plain parquet agrees
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
   test("empty and missing partitions behave: no dirs -> empty result with schema") {
     val (dir, _) = mkTable("dsv2m")
     val none = spark.read.format("graft-upsert").load(dir)
