@@ -106,7 +106,8 @@ final class UpsertTable(path: String, schema: StructType,
   override def name(): String = s"graft-upsert `$path`"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def partitioning(): Array[Transform] =
     partitionCol.map(c => Array[Transform](Expressions.identity(c))).getOrElse(Array.empty)
 

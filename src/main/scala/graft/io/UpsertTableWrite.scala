@@ -10,6 +10,7 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 
 /** DataSource V2 WRITE path for upsert tables — the standard
@@ -36,33 +37,39 @@ import org.apache.spark.sql.types._
   * itself keeps the sink's own replay/idempotence story.
   *
   * This is the standard integration shape for merge-on-commit table
-  * formats (stage task outputs, finalize in one driver-side commit) —
-  * the V2 analog of the sink's `foreachBatch` streaming entry.
+  * formats (stage task outputs, finalize in one driver-side commit).
+  * The streaming flavor ([[UpsertStreamingWrite]]) makes
+  * `df.writeStream.format("graft-upsert")` work directly — one staged
+  * upsert per epoch, replacing the sink's hand-rolled `foreachBatch`
+  * entry with the engine-managed one.
   */
 final class UpsertWriteBuilder(path: String, info: LogicalWriteInfo)
   extends WriteBuilder {
 
+  private def req(k: String): String = {
+    val v = info.options.get(k)
+    require(v != null && v.nonEmpty,
+      s"graft-upsert write requires option '$k' " +
+        "(recordKeys, precombine, partitionCol)")
+    v
+  }
+
+  private def mkSink(): ParquetUpsertSink =
+    ParquetUpsertSink(path,
+      req("recordKeys").split(',').map(_.trim).toSeq,
+      req("precombine"), req("partitionCol"),
+      deleteCol = Option(info.options.get("deleteCol")))
+
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
-      val opts = info.options
-      def req(k: String): String = {
-        val v = opts.get(k)
-        require(v != null && v.nonEmpty,
-          s"graft-upsert write requires option '$k' " +
-            "(recordKeys, precombine, partitionCol)")
-        v
-      }
-      new UpsertBatchWrite(path, info.schema(),
-        req("recordKeys").split(',').map(_.trim).toSeq,
-        req("precombine"), req("partitionCol"),
-        Option(opts.get("deleteCol")))
-    }
+    override def toBatch: BatchWrite =
+      new UpsertBatchWrite(path, info.schema(), mkSink())
+    override def toStreaming: StreamingWrite =
+      new UpsertStreamingWrite(path, info.schema(), mkSink())
   }
 }
 
 final class UpsertBatchWrite(path: String, schema: StructType,
-    recordKeys: Seq[String], precombine: String, partitionCol: String,
-    deleteCol: Option[String]) extends BatchWrite {
+    sink: ParquetUpsertSink) extends BatchWrite {
 
   private val stagingDir =
     s"$path/.staging-write-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -71,24 +78,36 @@ final class UpsertBatchWrite(path: String, schema: StructType,
     new UpsertDataWriterFactory(stagingDir, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val spark = SparkSession.active
-    val files = messages.collect { case UpsertWriteCommit(f) if f != null => f }
-    if (files.nonEmpty) {
-      val staged = spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
-      ParquetUpsertSink(path, recordKeys, precombine, partitionCol,
-        deleteCol = deleteCol)
-        .upsert(staged, 0L)
-    }
-    cleanup()
+    UpsertTableWrite.mergeStaged(schema, sink, messages, batchId = 0L)
+    UpsertTableWrite.drop(stagingDir)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    UpsertTableWrite.drop(stagingDir)
+}
 
-  private def cleanup(): Unit = {
-    val fs = new Path(stagingDir)
-      .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(stagingDir), true)
+/** Streaming flavor: one staging dir per epoch; each epoch's commit is
+  * one sink upsert with the epoch id as the batch id — the same
+  * at-least-once replay contract as the sink's `foreachBatch` entry
+  * (a replayed epoch re-merges idempotently through precombine).
+  */
+final class UpsertStreamingWrite(path: String, schema: StructType,
+    sink: ParquetUpsertSink) extends StreamingWrite {
+
+  private val stagingBase =
+    s"$path/.staging-write-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new UpsertStreamingDataWriterFactory(stagingBase, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    UpsertTableWrite.mergeStaged(schema, sink, messages, batchId = epochId)
+    UpsertTableWrite.drop(s"$stagingBase/e$epochId")
   }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    UpsertTableWrite.drop(s"$stagingBase/e$epochId")
 }
 
 final case class UpsertWriteCommit(file: String) extends WriterCommitMessage
@@ -97,6 +116,14 @@ final class UpsertDataWriterFactory(stagingDir: String, schema: StructType)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new UpsertDataWriter(s"$stagingDir/task-$partitionId-$taskId.parquet", schema)
+}
+
+final class UpsertStreamingDataWriterFactory(stagingBase: String,
+    schema: StructType) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new UpsertDataWriter(
+      s"$stagingBase/e$epochId/task-$partitionId-$taskId.parquet", schema)
 }
 
 /** Executor-side task writer: Spark internal rows → parquet Groups
@@ -137,6 +164,25 @@ final class UpsertDataWriter(file: String, schema: StructType)
 }
 
 object UpsertTableWrite {
+
+  /** Driver-side commit: read the staged task files, run them through
+    * the sink's upsert merge. Shared by the batch and streaming writes.
+    */
+  private[io] def mergeStaged(schema: StructType, sink: ParquetUpsertSink,
+      messages: Array[WriterCommitMessage], batchId: Long): Unit = {
+    val files = messages.collect { case UpsertWriteCommit(f) if f != null => f }
+    if (files.nonEmpty) {
+      val staged = SparkSession.active.read.schema(schema)
+        .parquet(files.toIndexedSeq: _*)
+      sink.upsert(staged, batchId)
+    }
+  }
+
+  private[io] def drop(dir: String): Unit = {
+    val fs = new Path(dir)
+      .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir), true)
+  }
 
   /** Spark flat schema → parquet message type (all fields optional;
     * nested types are out of scope for this table format).

@@ -209,6 +209,35 @@ class UpsertTableSourceSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("DSv2 streaming write: writeStream.format(graft-upsert) upserts per epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("dsv2sw").toString + "/t"
+    val checkpoint = Files.createTempDirectory("dsv2sw_ckpt").toString
+    val mem = MemoryStream[(Int, String, Long, String)]
+    val q = mem.toDF().toDF("id", "v", "seq", "dept")
+      .writeStream.format("graft-upsert")
+      .option("recordKeys", "id")
+      .option("precombine", "seq")
+      .option("partitionCol", "dept")
+      .option("checkpointLocation", checkpoint)
+      .start(dir)
+    try {
+      mem.addData((1, "a0", 0L, "eng"), (2, "b0", 0L, "ops"))
+      q.processAllAvailable()
+      mem.addData((1, "a1", 5L, "eng"), (3, "c0", 0L, "fin"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.format("graft-upsert").load(dir)
+      .select("id", "v").orderBy("id").as[(Int, String)].collect().toSeq
+    assert(rows == Seq((1, "a1"), (2, "b0"), (3, "c0")))
+    // epoch staging dirs cleaned up
+    val leftovers = Option(new java.io.File(dir).list()).getOrElse(Array.empty)
+      .filter(_.startsWith(".staging-write-"))
+      .filter(d => Option(new java.io.File(dir, d).list()).exists(_.nonEmpty))
+    assert(leftovers.isEmpty)
+  }
+
   test("empty and missing partitions behave: no dirs -> empty result with schema") {
     val (dir, _) = mkTable("dsv2m")
     val none = spark.read.format("graft-upsert").load(dir)
