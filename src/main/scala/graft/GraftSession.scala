@@ -25,6 +25,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // name-based SQL surface for graft-upsert tables (CREATE/INSERT/
+      // DELETE/VERSION AS OF against `graft.`<path>``)
+      .config("spark.sql.catalog.graft", "graft.io.GraftUpsertCatalog")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,242 @@
+package graft.io
+
+import java.util.{Map => JMap}
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog plugin for `graft-upsert` tables — the name-based SQL
+  * surface of the table format. Register once per session:
+  *
+  * {{{
+  *   spark.conf: spark.sql.catalog.graft = graft.io.GraftUpsertCatalog
+  *               spark.sql.catalog.graft.warehouse = /data/graft   (optional)
+  * }}}
+  *
+  * and the full SQL lifecycle works against it:
+  *
+  * {{{
+  *   CREATE TABLE graft.`/data/t` (id BIGINT, seq BIGINT, dept STRING)
+  *     PARTITIONED BY (dept)
+  *     TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq')
+  *   INSERT INTO graft.`/data/t` SELECT ...      -- append-as-UPSERT
+  *   SELECT * FROM graft.`/data/t` WHERE dept='eng'
+  *   SELECT * FROM graft.`/data/t` VERSION AS OF '<commitId>'
+  *   DELETE FROM graft.`/data/t` WHERE dept='ops'
+  *   ALTER TABLE graft.`/data/t` ADD COLUMN note STRING
+  *   DROP TABLE graft.`/data/t`
+  * }}}
+  *
+  * Identifiers are paths: a backticked absolute path is used verbatim;
+  * otherwise the identifier resolves under the catalog's `warehouse`
+  * option (`graft.db.t` → `<warehouse>/db/t`). Table-level upsert
+  * config (record keys, precombine, tombstone column) persists in
+  * `_table.properties` at the table root at CREATE time, so writers
+  * need no per-write options — the same place Hudi keeps
+  * `hoodie.properties`.
+  *
+  * All catalog operations are metadata-scale: a CREATE writes two
+  * small files, a DROP removes one directory tree, a load reads
+  * `_schema.json` — nothing here scans data.
+  */
+final class GraftUpsertCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).filter(_.nonEmpty)
+  }
+
+  override def name(): String = catalogName
+
+  private def hadoopConf =
+    SparkSession.active.sparkContext.hadoopConfiguration
+
+  private def pathOf(ident: Identifier): String = {
+    val joined = (ident.namespace :+ ident.name).mkString("/")
+    if (joined.startsWith("/")) joined
+    else warehouse match {
+      case Some(w) => s"$w/$joined"
+      case None => throw new IllegalArgumentException(
+        s"graft catalog '$catalogName': identifier '$joined' is relative and no " +
+          "'warehouse' catalog option is set — use an absolute backticked path " +
+          "or configure spark.sql.catalog." + catalogName + ".warehouse")
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val p = new Path(pathOf(ident))
+    val fs = p.getFileSystem(hadoopConf)
+    fs.exists(new Path(p, ParquetUpsertSink.SchemaFileName)) ||
+      (fs.exists(p) && fs.listStatus(p).exists(st =>
+        st.isDirectory && st.getPath.getName.contains("=")))
+  }
+
+  override def loadTable(ident: Identifier): Table = loadWith(ident, None)
+
+  /** `VERSION AS OF '<commitId>'` time travel: every scan of the loaded
+    * table plans the archived commit's file set
+    * ([[ParquetUpsertSink.asOfPartitionDirs]]).
+    */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadWith(ident, Some(version))
+
+  private def loadWith(ident: Identifier, asOf: Option[String]): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val path = pathOf(ident)
+    new UpsertTable(path, UpsertTableSource.tableSchema(path),
+      UpsertTableSource.partitionColOf(path), asOf)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val path = pathOf(ident)
+    val partitionCol: Option[String] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" =>
+        Some(t.references()(0).fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"graft-upsert: only single-column identity partitioning is supported, got " +
+          other.mkString(", "))
+    }
+    partitionCol.foreach { c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"partition column '$c' is not in the table schema")
+    }
+    // directory-name identity: the partition column is STRING in this
+    // table format (same pin as every sink read)
+    val pinned = StructType(schema.map(f =>
+      if (partitionCol.exists(_.equalsIgnoreCase(f.name))) f.copy(dataType = StringType)
+      else f))
+    val root = new Path(path)
+    val fs = root.getFileSystem(hadoopConf)
+    fs.mkdirs(root)
+    writeFile(fs, new Path(root, ParquetUpsertSink.SchemaFileName), pinned.json)
+    val props = new java.util.Properties()
+    properties.asScala
+      .filterNot { case (k, _) => k.startsWith("option.") || IgnoredProps(k) }
+      .foreach { case (k, v) => props.setProperty(k, v) }
+    partitionCol.foreach(props.setProperty("partitionCol", _))
+    val out = fs.create(new Path(root, GraftUpsertCatalog.TablePropsFileName), true)
+    try props.store(out, null) finally out.close()
+    new UpsertTable(path, pinned, partitionCol)
+  }
+
+  // Spark-managed bookkeeping entries it passes through `properties`
+  private val IgnoredProps =
+    Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_TABLE_TYPE,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_COLLATION)
+
+  /** Additive schema evolution (`ADD COLUMN`) and table-property
+    * updates; everything else this table format has no physical story
+    * for (a column RENAME would strand the data files' field names).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val path = pathOf(ident)
+    val root = new Path(path)
+    val fs = root.getFileSystem(hadoopConf)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft-upsert: nested columns are out of scope for this table format")
+        val cur = UpsertTableSource.tableSchema(path)
+        val evolved = StructType(
+          cur.fields :+ StructField(add.fieldNames()(0), add.dataType, nullable = true))
+        writeFile(fs, new Path(root, ParquetUpsertSink.SchemaFileName), evolved.json)
+      case set: TableChange.SetProperty =>
+        updateProps(fs, root)(_.setProperty(set.property, set.value))
+      case rm: TableChange.RemoveProperty =>
+        updateProps(fs, root)(_.remove(rm.property))
+      case other => throw new UnsupportedOperationException(
+        s"graft-upsert: unsupported table change $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val p = new Path(pathOf(ident))
+    p.getFileSystem(hadoopConf).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val fs = new Path(pathOf(oldIdent)).getFileSystem(hadoopConf)
+    if (!fs.rename(new Path(pathOf(oldIdent)), new Path(pathOf(newIdent))))
+      throw new java.io.IOException(
+        s"rename failed: ${pathOf(oldIdent)} -> ${pathOf(newIdent)}")
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    warehouse match {
+      case None => Array.empty
+      case Some(w) =>
+        val dir = new Path((w +: namespace.toSeq).mkString("/"))
+        val fs = dir.getFileSystem(hadoopConf)
+        if (!fs.exists(dir)) Array.empty
+        else fs.listStatus(dir)
+          .filter(st => st.isDirectory &&
+            tableExists(Identifier.of(namespace, st.getPath.getName)))
+          .map(st => Identifier.of(namespace, st.getPath.getName))
+    }
+
+  private def writeFile(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def updateProps(fs: org.apache.hadoop.fs.FileSystem, root: Path)(
+      f: java.util.Properties => Unit): Unit = {
+    val p = new Path(root, GraftUpsertCatalog.TablePropsFileName)
+    val props = new java.util.Properties()
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try props.load(in) finally in.close()
+    }
+    f(props)
+    val out = fs.create(p, true)
+    try props.store(out, null) finally out.close()
+  }
+}
+
+object GraftUpsertCatalog {
+
+  /** Table-level config at the table root (`hoodie.properties` analog):
+    * partitionCol plus the upsert write config (recordKeys, precombine,
+    * deleteCol) persisted at CREATE TABLE time, so writes by name need
+    * no per-write options. Java-Properties text format — escaping
+    * handled by the JDK, no parser dependency.
+    */
+  val TablePropsFileName = "_table.properties"
+
+  /** The persisted table properties, empty when the file is absent
+    * (tables created by the sink rather than the catalog).
+    */
+  def tableProps(path: String): Map[String, String] = {
+    val p = new Path(s"$path/$TablePropsFileName")
+    val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val props = new java.util.Properties()
+      val in = fs.open(p)
+      try props.load(in) finally in.close()
+      props.asScala.toMap
+    }
+  }
+}

@@ -526,6 +526,66 @@ final case class ParquetUpsertSink(
     } finally deduped.unpersist(false)
   }
 
+  /** Row-level DELETE over the table, copy-on-write: removes every row
+    * for which `cond` evaluates TRUE (a NULL condition keeps the row —
+    * SQL DELETE semantics), rewriting ONLY the partitions that contain
+    * at least one matching row. Backs SQL `DELETE FROM` on
+    * `graft-upsert` tables (the [[UpsertTable]] SupportsDelete hook)
+    * and `TRUNCATE TABLE` (cond = TRUE ⇒ every live partition
+    * matches ⇒ all directories removed).
+    *
+    * Scale shape: the match scan reads only the columns `cond`
+    * references plus the partition column (parquet column pruning);
+    * the rewrite reads and rewrites only the matched partitions —
+    * identical I/O discipline to [[upsert]]'s touched-partition merge.
+    * Pre-images of the rewritten partitions archive under the same
+    * retention contract (`keepVersions`), so a delete is time-travel
+    * visible like any other commit. Partitions whose every row matched
+    * get their directories removed (dynamic overwrite cannot drop a
+    * partition absent from the written data). Returns the matched
+    * partition values (string form).
+    */
+  def delete(spark: org.apache.spark.sql.SparkSession, cond: org.apache.spark.sql.Column,
+      batchId: Long = 0L): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveDataDirs: Set[String] =
+      fs.globStatus(new Path(s"$path/$partitionCol=*/part-*"))
+        .filter(_.getLen > 0)
+        .map(_.getPath.getParent.getName)
+        .toSet
+    if (liveDataDirs.isEmpty) return Seq.empty
+    def allLiveDirs: Seq[Path] =
+      liveDataDirs.toSeq.sorted.map(d => new Path(s"$path/$d"))
+    val schema = mergeReadSchema(spark, fs, allLiveDirs).getOrElse(return Seq.empty)
+    // matched partitions first (metadata-scale result): the full-table
+    // pass decodes only cond's columns + the partition column
+    val matched: Array[String] =
+      readWithSchema(spark, allLiveDirs, schema)
+        .filter(cond)
+        .select(col(partitionCol)).distinct()
+        .collect().map(_.getString(0))
+    if (matched.isEmpty) return Seq.empty
+    val touchedDirs = matched.toSeq
+      .map(v => new Path(s"$path/$partitionCol=${dirName(v)}"))
+    // survivors: rows where cond is FALSE or NULL (SQL DELETE keeps
+    // NULL-condition rows); checkpoint severs lineage from the files
+    // the overwrite replaces, exactly like upsert's merge
+    val mat = readWithSchema(spark, touchedDirs, schema)
+      .filter(!coalesce(cond, lit(false)))
+      .localCheckpoint(true)
+    try {
+      if (keepVersions > 1) archivePreImages(fs, matched, batchId)
+      val surviving: Set[String] = mat
+        .select(col(partitionCol)).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (surviving.nonEmpty) writeFinal(mat)
+      matched.filterNot(surviving.contains).foreach { v =>
+        fs.delete(new Path(s"$path/$partitionCol=${dirName(v)}"), true)
+      }
+    } finally mat.unpersist(false)
+    matched.toSeq
+  }
+
   // ——— retention (Hudi cleaner analog) ———
 
   private def archiveRoot = new Path(s"$path/${ParquetUpsertSink.ArchiveDirName}")

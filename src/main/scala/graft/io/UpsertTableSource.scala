@@ -98,10 +98,19 @@ final class UpsertTableProvider extends TableProvider
   }
 }
 
-/** The loaded table: batch read + batch (upsert-on-commit) write. */
+/** The loaded table: batch read, batch/streaming (upsert-on-commit)
+  * write, and SQL row-level DELETE (`DELETE FROM` / `TRUNCATE TABLE`)
+  * executed as the sink's copy-on-write partition rewrite.
+  *
+  * `asOf` (set by the catalog's `VERSION AS OF` time-travel load) pins
+  * every scan of this table instance to an archived commit; a scan
+  * option of the same name still overrides per-read.
+  */
 final class UpsertTable(path: String, schema: StructType,
-    partitionCol: Option[String]) extends Table
-    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    partitionCol: Option[String], asOf: Option[String] = None)
+    extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft-upsert `$path`"
   override def schema(): StructType = schema
@@ -113,12 +122,35 @@ final class UpsertTable(path: String, schema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new UpsertScanBuilder(path, schema, partitionCol,
-      Option(options.get("asOf")))
+      Option(options.get("asOf")).orElse(asOf))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new UpsertWriteBuilder(path, info)
+
+  /** SQL DELETE is executable when the WHERE clause translates to a
+    * DataFrame predicate and the table has the partitioned layout the
+    * sink's copy-on-write rewrite targets (the only layout the write
+    * path produces; an unpartitioned root-file table is read-only).
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    partitionCol.isDefined && FilterColumns.conjunction(filters).isDefined
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val pc = partitionCol.getOrElse(throw new UnsupportedOperationException(
+      "graft-upsert: DELETE requires a partitioned table layout"))
+    val cond = FilterColumns.conjunction(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-upsert: cannot execute DELETE condition ${filters.mkString(" AND ")}"))
+    // record keys play no part in a delete rewrite; the sink instance
+    // exists for its partition-rewrite machinery. The table's retention
+    // config applies — a delete archives pre-images like any commit.
+    val keep = GraftUpsertCatalog.tableProps(path)
+      .get("keepVersions").map(_.toInt).getOrElse(1)
+    ParquetUpsertSink(path, Seq("_unused"), "_unused", pc, keepVersions = keep)
+      .delete(SparkSession.active, cond)
+  }
 }
 
 /** Scan builder: consumes partition-column predicates for pruning,

@@ -46,19 +46,31 @@ import org.apache.spark.sql.types._
 final class UpsertWriteBuilder(path: String, info: LogicalWriteInfo)
   extends WriteBuilder {
 
-  private def req(k: String): String = {
-    val v = info.options.get(k)
-    require(v != null && v.nonEmpty,
+  // write options first, then the table's persisted `_table.properties`
+  // (set at catalog CREATE TABLE time) — so `INSERT INTO graft.t` and
+  // option-less `df.write.format("graft-upsert")` against a
+  // catalog-created table both carry their upsert config with the table
+  private lazy val tableProps: Map[String, String] =
+    GraftUpsertCatalog.tableProps(path)
+
+  private def opt(k: String): Option[String] =
+    Option(info.options.get(k)).filter(_.nonEmpty)
+      .orElse(tableProps.get(k).filter(_.nonEmpty))
+
+  private def req(k: String): String =
+    opt(k).getOrElse(throw new IllegalArgumentException(
       s"graft-upsert write requires option '$k' " +
-        "(recordKeys, precombine, partitionCol)")
-    v
-  }
+        "(recordKeys, precombine, partitionCol) — per-write or persisted " +
+        s"in ${GraftUpsertCatalog.TablePropsFileName}"))
 
   private def mkSink(): ParquetUpsertSink =
     ParquetUpsertSink(path,
       req("recordKeys").split(',').map(_.trim).toSeq,
       req("precombine"), req("partitionCol"),
-      deleteCol = Option(info.options.get("deleteCol")))
+      filesPerPartition = opt("filesPerPartition").map(_.toInt).getOrElse(1),
+      deleteCol = opt("deleteCol"),
+      keepVersions = opt("keepVersions").map(_.toInt).getOrElse(1),
+      compactEvery = opt("compactEvery").map(_.toInt).getOrElse(0))
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =

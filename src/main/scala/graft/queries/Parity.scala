@@ -358,4 +358,78 @@ object Parity {
       |       duration_seconds, activity_timestamp
       |FROM activities
       |ORDER BY event_id""".stripMargin)
+
+  /** SQL `DELETE FROM` on a graft-upsert table through the catalog: a
+    * residual-predicate delete (copy-on-write rewrite of matched
+    * partitions) followed by a partition-predicate delete (whole
+    * directories removed), then an aggregate over what survived. The
+    * oracle applies the same two WHERE-clause negations to the source
+    * rows — equality proves the row-level surface deletes exactly the
+    * condition's rows, nothing else.
+    */
+  def sqlDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqldel").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq", "o_orderpriority")
+    val orders = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 4 === 1)
+    sink.upsert(orders.withColumn("seq", lit(0L)), 0)
+    // residual predicate: rewrites the partitions containing matches
+    spark.sql(s"DELETE FROM graft.`$dir` " +
+      "WHERE o_totalprice > 250000.0 AND o_orderstatus = 'O'")
+    // partition predicate: removes whole partition directories
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE o_orderpriority = '5-LOW'")
+    spark.read.format("graft-upsert").load(dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .transform(graft.Present.sortSmall(_, col("o_orderstatus"), col("o_orderpriority")))
+  }
+
+  val sqlDeleteSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE o_orderkey % 4 = 1
+      |  AND NOT (o_totalprice > 250000.0 AND o_orderstatus = 'O')
+      |  AND o_orderpriority <> '5-LOW'
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** SQL time travel (`VERSION AS OF`) through the catalog: commit 0
+    * seeds, commit 1 upserts price changes onto a third of the keys —
+    * the query reads the PRE-update snapshot by commit id while the
+    * live table holds the updates. The oracle reproduces the commit-0
+    * state, so equality proves the archived snapshot is exact (and
+    * untouched by the later commit).
+    */
+  def sqlVersionAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq",
+      "o_orderpriority", keepVersions = 3)
+    val orders = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 5 === 2)
+    sink.upsert(orders.withColumn("seq", lit(0L)), 0)
+    sink.upsert(
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("seq", lit(1L)), 1)
+    // VERSION AS OF c = the table immediately AFTER commit c applied;
+    // commits(0) is the seed commit, so this is the pre-update snapshot
+    val commits = graft.io.ParquetUpsertSink.listArchivedCommits(spark, dir)
+    spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF '${commits(0)}'")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
+  }
+
+  val sqlVersionAsOfSql: String =
+    """SELECT o_orderstatus,
+      |       count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE o_orderkey % 5 = 2
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 }

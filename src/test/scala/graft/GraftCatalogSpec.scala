@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{GraftUpsertCatalog, ParquetUpsertSink}
+
+/** Catalog plugin + SQL row-level surface for graft-upsert tables:
+  * CREATE TABLE / INSERT INTO (upsert semantics) / SELECT / DELETE FROM
+  * / TRUNCATE / VERSION AS OF / ALTER TABLE / DROP TABLE by name, plus
+  * the sink-level copy-on-write delete underneath it all.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  // ——— sink-level delete (the machinery under SQL DELETE) ———
+
+  private def seedSink(dir: String, keepVersions: Int = 1): ParquetUpsertSink = {
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept", keepVersions = keepVersions)
+    sink.upsert(Seq(
+      (1L, 10L, "eng", 100.0), (2L, 10L, "eng", 200.0),
+      (3L, 10L, "ops", 300.0), (4L, 10L, "ops", 400.0),
+      (5L, 10L, "hr", 500.0)
+    ).toDF("id", "seq", "dept", "amount"), 0)
+    sink
+  }
+
+  test("sink delete removes matching rows, rewrites only matched partitions") {
+    val dir = tmp("del")
+    val sink = seedSink(dir)
+    // snapshot the untouched partition's file set before the delete
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: String): Seq[(String, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/dept=$p"))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(st => (st.getPath.getName, st.getModificationTime)).toSeq.sorted
+    val hrBefore = files("hr")
+    val touched = sink.delete(spark, col("amount") < 250.0)
+    assert(touched.toSet == Set("eng")) // only eng had matches
+    val left = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(left == Set(3L, 4L, 5L))
+    // untouched partitions were not rewritten (same files, same mtimes)
+    assert(files("hr") == hrBefore)
+    assert(files("ops").nonEmpty)
+  }
+
+  test("sink delete NULL condition keeps the row (SQL DELETE semantics)") {
+    val dir = tmp("delnull")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")
+    sink.upsert(Seq(
+      (1L, 1L, "a", Some(1.0)), (2L, 1L, "a", None), (3L, 1L, "a", Some(9.0))
+    ).toDF("id", "seq", "dept", "amount"), 0)
+    sink.delete(spark, col("amount") < 5.0) // NULL < 5.0 is NULL -> keep
+    val left = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(left == Set(2L, 3L))
+  }
+
+  test("sink delete drops directories of fully-deleted partitions") {
+    val dir = tmp("deldir")
+    val sink = seedSink(dir)
+    sink.delete(spark, col("dept") === "ops")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/dept=ops")))
+    assert(spark.read.parquet(dir).count() == 3)
+    // no-match delete is a no-op
+    assert(sink.delete(spark, col("dept") === "nope").isEmpty)
+  }
+
+  test("sink delete archives pre-images under keepVersions (time-travel visible)") {
+    val dir = tmp("delarch")
+    val sink = seedSink(dir, keepVersions = 3)
+    sink.delete(spark, col("id") === 1L, batchId = 1L)
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(commits.size == 2) // seed commit + delete commit
+    // as of the seed commit (before the delete), id=1 still exists
+    val asOf = sink.readAsOf(spark, commits.head)
+    assert(asOf.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet
+      == Set(2L, 3L, 4L, 5L))
+  }
+
+  // ——— catalog: full SQL lifecycle by name ———
+
+  test("SQL lifecycle: CREATE/INSERT(upsert)/SELECT/DELETE/VERSION AS OF/DROP") {
+    val dir = tmp("cat")
+    val t = s"graft.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, seq BIGINT, dept STRING, amount DOUBLE)
+         |PARTITIONED BY (dept)
+         |TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq', 'keepVersions'='4')
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM $t").count() == 0)
+
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'eng', 10.0), (2, 1, 'ops', 20.0)")
+    // INSERT is UPSERT: same key wins by precombine, not duplicated
+    spark.sql(s"INSERT INTO $t VALUES (1, 2, 'eng', 11.5), (3, 1, 'hr', 30.0)")
+    val rows = spark.sql(s"SELECT id, amount FROM $t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 11.5), (2L, 20.0), (3L, 30.0)))
+
+    // partition pruning works by name too
+    val pruned = spark.sql(s"SELECT id FROM $t WHERE dept = 'ops'")
+    assert(pruned.as[Long].collect().toSeq == Seq(2L))
+    assert(pruned.rdd.getNumPartitions == 1)
+
+    // DELETE FROM with a residual (non-partition) predicate
+    spark.sql(s"DELETE FROM $t WHERE amount > 15.0")
+    assert(spark.sql(s"SELECT id FROM $t").as[Long].collect().toSet == Set(1L))
+
+    // time travel: the table as of the SECOND insert commit (before the
+    // delete) — VERSION AS OF c is the state immediately after commit c
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(commits.size == 3) // two inserts + one delete
+    val v1 = spark.sql(
+      s"SELECT id, amount FROM $t VERSION AS OF '${commits(1)}' ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(v1 == Seq((1L, 11.5), (2L, 20.0), (3L, 30.0)))
+
+    assert(spark.sql(s"SHOW TABLES IN graft").count() >= 0) // namespace listing is defined
+    spark.sql(s"DROP TABLE $t")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+  }
+
+  test("TRUNCATE TABLE empties the table; schema survives for re-insert") {
+    val dir = tmp("trunc")
+    val t = s"graft.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, seq BIGINT, dept STRING)
+         |PARTITIONED BY (dept)
+         |TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'a'), (2, 1, 'b')")
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(spark.sql(s"SELECT * FROM $t").count() == 0)
+    spark.sql(s"INSERT INTO $t VALUES (9, 1, 'c')")
+    assert(spark.sql(s"SELECT id FROM $t").as[Long].collect().toSeq == Seq(9L))
+  }
+
+  test("ALTER TABLE ADD COLUMN evolves additively; old rows null-fill") {
+    val dir = tmp("alter")
+    val t = s"graft.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, seq BIGINT, dept STRING)
+         |PARTITIONED BY (dept)
+         |TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'a')")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN note STRING")
+    spark.sql(s"INSERT INTO $t VALUES (2, 1, 'a', 'hello')")
+    val rows = spark.sql(s"SELECT id, note FROM $t ORDER BY id")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(rows == Seq((1L, None), (2L, Some("hello"))))
+    // property updates round-trip through _table.properties
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('deleteCol'='gone')")
+    assert(GraftUpsertCatalog.tableProps(dir).get("deleteCol").contains("gone"))
+  }
+
+  test("catalog-created table also works option-less through the path API") {
+    val dir = tmp("props")
+    val t = s"graft.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, seq BIGINT, dept STRING)
+         |PARTITIONED BY (dept)
+         |TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq')""".stripMargin)
+    // no options: recordKeys/precombine/partitionCol come from
+    // _table.properties persisted at CREATE time
+    Seq((1L, 1L, "x"), (1L, 2L, "x")).toDF("id", "seq", "dept")
+      .write.format("graft-upsert").mode("append").save(dir)
+    val rows = spark.read.format("graft-upsert").load(dir)
+      .select("id", "seq").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 2L))) // precombine applied
+  }
+}
