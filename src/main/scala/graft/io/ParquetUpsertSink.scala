@@ -586,6 +586,58 @@ final case class ParquetUpsertSink(
     matched.toSeq
   }
 
+  /** Group-replacement commit for SQL row-level operations (UPDATE /
+    * MERGE INTO / subquery DELETE): the copy-on-write contract Spark's
+    * `ReplaceData` plan expects. `replaced` are the partition values
+    * whose file sets the operation's scan planned (post runtime group
+    * filtering) — those groups cease to exist; `rows` is the
+    * operation's full output for them (survivors + updates + inserts).
+    *
+    * Placement honors group semantics, not blanket overwrite:
+    *  - a REPLACED partition with rows → dynamically overwritten;
+    *  - a replaced partition with no surviving rows → directory removed;
+    *  - rows landing in a partition the scan did NOT plan (a MERGE
+    *    insert into an existing partition with no matches) → APPENDED,
+    *    because that partition's existing files were never read and
+    *    must survive.
+    *
+    * Pre-images of every touched partition archive under keepVersions —
+    * an UPDATE/MERGE is time-travel visible like any upsert commit.
+    * Scale: all sets here are partition-value lists (metadata), the
+    * data I/O is exactly the staged output plus the rewritten groups.
+    */
+  def replaceGroups(spark: org.apache.spark.sql.SparkSession, replaced: Seq[String],
+      rows: DataFrame, batchId: Long = 0L): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // string partition identity (dir-name basis), like every sink path
+    val norm = rows.withColumn(partitionCol, col(partitionCol).cast("string"))
+    val rowParts: Array[String] = norm
+      .select(col(partitionCol)).distinct().collect().map(_.getString(0))
+    val touched = (replaced ++ rowParts).distinct.toArray
+    if (touched.isEmpty) return
+    if (keepVersions > 1) archivePreImages(fs, touched, batchId)
+    val replacedDirs = replaced.map(dirName).toSet
+    val (ovwParts, appParts) = rowParts.partition(v => replacedDirs.contains(dirName(v)))
+    // dir-name-normalized key: null partitions compare via the Hive
+    // default-partition token, so the splits below cover them too
+    def normKey = coalesce(col(partitionCol), lit(nullDir))
+    if (ovwParts.nonEmpty)
+      writeFinal(norm.filter(normKey.isin(ovwParts.map(v =>
+        if (v == null) nullDir else v).toIndexedSeq: _*)))
+    if (appParts.nonEmpty)
+      norm.filter(normKey.isin(appParts.map(v =>
+          if (v == null) nullDir else v).toIndexedSeq: _*))
+        .repartition(col(partitionCol))
+        .write.mode(SaveMode.Append)
+        .partitionBy(partitionCol)
+        .parquet(path)
+    val rowPartDirs = rowParts.map(dirName).toSet
+    replaced.filterNot(v => rowPartDirs.contains(dirName(v))).foreach { v =>
+      fs.delete(new Path(s"$path/$partitionCol=${dirName(v)}"), true)
+    }
+    persistSchema(fs, norm.schema)
+  }
+
   // ——— retention (Hudi cleaner analog) ———
 
   private def archiveRoot = new Path(s"$path/${ParquetUpsertSink.ArchiveDirName}")

@@ -110,7 +110,8 @@ final class UpsertTable(path: String, schema: StructType,
     partitionCol: Option[String], asOf: Option[String] = None)
     extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = s"graft-upsert `$path`"
   override def schema(): StructType = schema
@@ -128,6 +129,18 @@ final class UpsertTable(path: String, schema: StructType,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new UpsertWriteBuilder(path, info)
+
+  /** SQL UPDATE / MERGE INTO / subquery DELETE: group-based
+    * copy-on-write over the partition layout
+    * ([[UpsertRowLevelOperation]]).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val pc = partitionCol.getOrElse(throw new UnsupportedOperationException(
+      "graft-upsert: row-level operations require a partitioned table layout"))
+    () => new UpsertRowLevelOperation(path, schema, pc, info.command)
+  }
 
   /** SQL DELETE is executable when the WHERE clause translates to a
     * DataFrame predicate and the table has the partitioned layout the
@@ -157,7 +170,10 @@ final class UpsertTable(path: String, schema: StructType,
   * prunes the read schema to the required columns.
   */
 final class UpsertScanBuilder(path: String, tableSchema: StructType,
-    partitionCol: Option[String], asOf: Option[String]) extends ScanBuilder
+    partitionCol: Option[String], asOf: Option[String],
+    // row-level operations capture their configured scan here, to learn
+    // at commit time which groups the rewrite query actually planned
+    onBuild: UpsertScan => Unit = _ => ()) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = tableSchema
@@ -185,8 +201,12 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new UpsertScan(path, tableSchema, required, partitionCol, partitionFilters, asOf)
+  override def build(): Scan = {
+    val scan =
+      new UpsertScan(path, tableSchema, required, partitionCol, partitionFilters, asOf)
+    onBuild(scan)
+    scan
+  }
 }
 
 /** The scan: plans one input partition per live data file in the
@@ -201,6 +221,11 @@ final class UpsertScan(path: String, tableSchema: StructType,
   // join keys at execution time — same value semantics as the static
   // pushed filters, arriving after planning instead of before
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  // the partition values this scan actually planned (post static AND
+  // runtime pruning) — the "scanned groups" a row-level operation's
+  // commit must replace ([[UpsertReplaceGroupsWrite]])
+  @volatile private[io] var plannedPartitionValues: Option[Seq[String]] = None
 
   override def filterAttributes(): Array[NamedReference] =
     partitionCol.map(c => Array[NamedReference](Expressions.column(c)))
@@ -236,7 +261,7 @@ final class UpsertScan(path: String, tableSchema: StructType,
     val spark = SparkSession.active
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
-    if (!fs.exists(root)) return Array.empty
+    if (!fs.exists(root)) { plannedPartitionValues = Some(Seq.empty); return Array.empty }
     (partitionCol, asOf) match {
       case (Some(c), Some(commit)) =>
         // time travel: the authoritative dir per partition as of the
@@ -250,11 +275,14 @@ final class UpsertScan(path: String, tableSchema: StructType,
             .map(f => UpsertFilePartition(f.toString, v)) }
           .toArray
       case (Some(c), None) =>
-        fs.listStatus(root).iterator
+        val matched = fs.listStatus(root).iterator
           .map(_.getPath)
           .filter(p => p.getName.startsWith(s"$c="))
           .map(p => p -> UpsertTableSource.dirValue(p.getName.drop(c.length + 1)))
           .filter { case (_, v) => matches(v) }
+          .toList
+        plannedPartitionValues = Some(matched.map(_._2))
+        matched.iterator
           .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
             .map(f => UpsertFilePartition(f.toString, v)) }
           .toArray

@@ -124,10 +124,17 @@ final class UpsertStreamingWrite(path: String, schema: StructType,
 
 final case class UpsertWriteCommit(file: String) extends WriterCommitMessage
 
-final class UpsertDataWriterFactory(stagingDir: String, schema: StructType)
+final class UpsertDataWriterFactory(stagingDir: String, schema: StructType,
+    // true for ReplaceData (row-level operation) writes: Spark 4.x
+    // prepends RowDeltaUtils.OPERATION_COLUMN (an int tag) to each row
+    // of a group-based rewrite, and only strips it for connectors that
+    // declare metadata attributes — writers here are positional, so the
+    // leading tag must be skipped explicitly
+    dropOperationColumn: Boolean = false)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new UpsertDataWriter(s"$stagingDir/task-$partitionId-$taskId.parquet", schema)
+    new UpsertDataWriter(s"$stagingDir/task-$partitionId-$taskId.parquet", schema,
+      if (dropOperationColumn) 1 else 0)
 }
 
 final class UpsertStreamingDataWriterFactory(stagingBase: String,
@@ -140,10 +147,11 @@ final class UpsertStreamingDataWriterFactory(stagingBase: String,
 
 /** Executor-side task writer: Spark internal rows → parquet Groups
   * (the reverse mapping of [[UpsertPartitionReader]]; same flat type
-  * set). One file per task, removed on abort.
+  * set). One file per task, removed on abort. `rowOffset` skips
+  * leading non-data fields (the ReplaceData operation tag).
   */
-final class UpsertDataWriter(file: String, schema: StructType)
-  extends DataWriter[InternalRow] {
+final class UpsertDataWriter(file: String, schema: StructType,
+    rowOffset: Int = 0) extends DataWriter[InternalRow] {
 
   private val conf = new Configuration()
   private val parquetSchema: MessageType = UpsertTableWrite.toParquetSchema(schema)
@@ -153,10 +161,16 @@ final class UpsertDataWriter(file: String, schema: StructType)
   private val factory = new SimpleGroupFactory(parquetSchema)
 
   override def write(row: InternalRow): Unit = {
+    if (rowOffset > 0 && row.numFields != schema.length + rowOffset)
+      throw new IllegalStateException(
+        s"graft-upsert ReplaceData row has ${row.numFields} fields, expected " +
+          s"${schema.length + rowOffset} (operation tag + data) — Spark's " +
+          "row-level write layout changed; adjust UpsertDataWriterFactory")
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
-      if (!row.isNullAt(i)) UpsertTableWrite.appendValue(g, i, schema(i).dataType, row)
+      if (!row.isNullAt(i + rowOffset))
+        UpsertTableWrite.appendValue(g, i, schema(i).dataType, row, i + rowOffset)
       i += 1
     }
     writer.write(g)
@@ -227,19 +241,23 @@ object UpsertTableWrite {
     b.named("spark_schema")
   }
 
-  /** Append one non-null field of a Spark internal row to a Group. */
-  def appendValue(g: Group, i: Int, dt: DataType, row: InternalRow): Unit = dt match {
-    case LongType => g.append(g.getType.getFieldName(i), row.getLong(i))
-    case IntegerType => g.append(g.getType.getFieldName(i), row.getInt(i))
-    case DoubleType => g.append(g.getType.getFieldName(i), row.getDouble(i))
-    case FloatType => g.append(g.getType.getFieldName(i), row.getFloat(i))
-    case BooleanType => g.append(g.getType.getFieldName(i), row.getBoolean(i))
+  /** Append one non-null field of a Spark internal row to a Group;
+    * `ri` is the row ordinal (it can lead the group field index `i` by
+    * the ReplaceData operation-tag offset).
+    */
+  def appendValue(g: Group, i: Int, dt: DataType, row: InternalRow,
+      ri: Int): Unit = dt match {
+    case LongType => g.append(g.getType.getFieldName(i), row.getLong(ri))
+    case IntegerType => g.append(g.getType.getFieldName(i), row.getInt(ri))
+    case DoubleType => g.append(g.getType.getFieldName(i), row.getDouble(ri))
+    case FloatType => g.append(g.getType.getFieldName(i), row.getFloat(ri))
+    case BooleanType => g.append(g.getType.getFieldName(i), row.getBoolean(ri))
     case StringType => g.append(g.getType.getFieldName(i),
       org.apache.parquet.io.api.Binary.fromReusedByteArray(
-        row.getUTF8String(i).getBytes))
-    case DateType => g.append(g.getType.getFieldName(i), row.getInt(i))
+        row.getUTF8String(ri).getBytes))
+    case DateType => g.append(g.getType.getFieldName(i), row.getInt(ri))
     case TimestampType | TimestampNTZType =>
-      g.append(g.getType.getFieldName(i), row.getLong(i))
+      g.append(g.getType.getFieldName(i), row.getLong(ri))
     case other => throw new UnsupportedOperationException(
       s"graft-upsert: column type $other not supported by this table format")
   }

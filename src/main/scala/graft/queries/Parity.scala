@@ -432,4 +432,93 @@ object Parity {
       |WHERE o_orderkey % 5 = 2
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  /** SQL `UPDATE` through the row-level rewrite (group-based
+    * copy-on-write `ReplaceData`): update a residual predicate's rows,
+    * then aggregate the final table. The oracle applies the same
+    * assignment as a CASE — equality proves the rewrite updated exactly
+    * the condition's rows and copied every other row of the scanned
+    * groups unchanged.
+    */
+  def sqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlupd").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq", "o_orderpriority")
+    val orders = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 6 === 3)
+    sink.upsert(orders.withColumn("seq", lit(0L)), 0)
+    spark.sql(s"UPDATE graft.`$dir` " +
+      "SET o_totalprice = o_totalprice + 500.0, seq = 1 WHERE o_orderstatus = 'P'")
+    spark.read.format("graft-upsert").load(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        sum(col("seq")).as("updated"))
+      .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
+  }
+
+  val sqlUpdateSql: String =
+    """SELECT o_orderstatus,
+      |       count(*) AS n,
+      |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 500.0
+      |                      ELSE o_totalprice END), 2) AS total,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS updated
+      |FROM orders
+      |WHERE o_orderkey % 6 = 3
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** SQL `MERGE INTO` through the row-level rewrite: matched-and-delete,
+    * matched-update, and not-matched-insert clauses in one statement
+    * against a seeded table, source rows derived from the same orders
+    * table. The oracle reproduces the post-merge state set-theoretically
+    * (survivors with CASE-updated prices UNION ALL the inserted keys).
+    */
+  def sqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlmrg").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq", "o_orderpriority")
+    val orders = Tables.table(spark, sfDir, "orders")
+    sink.upsert(orders.filter(col("o_orderkey") % 6 === 1)
+      .withColumn("seq", lit(0L)), 0)
+    // source: price updates for keys %5=0 (deletes where %10=0), plus
+    // the %6=2 keys as fresh inserts
+    orders.filter(col("o_orderkey") % 6 === 1 && col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .withColumn("del", col("o_orderkey") % 10 === 0)
+      .unionByName(orders.filter(col("o_orderkey") % 6 === 2)
+        .withColumn("del", lit(false)))
+      .withColumn("seq", lit(1L))
+      .createOrReplaceTempView("graft_merge_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING graft_merge_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice, seq = s.seq
+         |WHEN NOT MATCHED THEN INSERT
+         |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |   o_orderpriority, seq)
+         |  VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+         |   s.o_orderdate, s.o_orderpriority, s.seq)""".stripMargin)
+    spark.read.format("graft-upsert").load(dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .transform(graft.Present.sortSmall(_, col("o_orderstatus"), col("o_orderpriority")))
+  }
+
+  val sqlMergeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       round(sum(price), 2) AS total
+      |FROM (
+      |  SELECT o_orderstatus, o_orderpriority,
+      |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000
+      |              ELSE o_totalprice END AS price
+      |  FROM orders
+      |  WHERE o_orderkey % 6 = 1
+      |    AND NOT (o_orderkey % 5 = 0 AND o_orderkey % 10 = 0)
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_orderpriority, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 6 = 2
+      |)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 }

@@ -161,6 +161,98 @@ class GraftCatalogSpec extends SparkSpec {
     assert(GraftUpsertCatalog.tableProps(dir).get("deleteCol").contains("gone"))
   }
 
+  // ——— row-level operations (group-based copy-on-write) ———
+
+  private def seedCatalogTable(dir: String): String = {
+    val t = s"graft.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, seq BIGINT, dept STRING, amount DOUBLE)
+         |PARTITIONED BY (dept)
+         |TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq')""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, 1, 'eng', 100.0), (2, 1, 'eng', 200.0), " +
+      "(3, 1, 'ops', 300.0), (4, 1, 'hr', 400.0)")
+    t
+  }
+
+  test("SQL UPDATE rewrites only the partitions containing matches") {
+    val dir = tmp("upd")
+    val t = seedCatalogTable(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: String): Seq[(String, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/dept=$p"))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(st => (st.getPath.getName, st.getModificationTime)).toSeq.sorted
+    val hrBefore = files("hr")
+    spark.sql(s"UPDATE $t SET amount = amount + 0.5 WHERE id <= 2")
+    val rows = spark.sql(s"SELECT id, amount FROM $t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 100.5), (2L, 200.5), (3L, 300.0), (4L, 400.0)))
+    // runtime group filtering: hr had no matches, its files never moved
+    assert(files("hr") == hrBefore)
+  }
+
+  test("SQL UPDATE of the partition column moves rows across partitions") {
+    val dir = tmp("updpart")
+    val t = seedCatalogTable(dir)
+    spark.sql(s"UPDATE $t SET dept = 'ops' WHERE id = 1")
+    val byDept = spark.sql(s"SELECT dept, count(*) FROM $t GROUP BY dept ORDER BY dept")
+      .as[(String, Long)].collect().toSeq
+    assert(byDept == Seq(("eng", 1L), ("hr", 1L), ("ops", 2L)))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/dept=ops")))
+  }
+
+  test("SQL MERGE INTO: matched update, matched delete, not-matched insert") {
+    val dir = tmp("merge")
+    val t = seedCatalogTable(dir)
+    Seq((1L, 2L, "eng", 111.0, false), (3L, 2L, "ops", 0.0, true),
+        (9L, 1L, "new", 900.0, false))
+      .toDF("id", "seq", "dept", "amount", "del")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $t t USING merge_src s ON t.id = s.id
+         |WHEN MATCHED AND s.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET amount = s.amount, seq = s.seq
+         |WHEN NOT MATCHED THEN INSERT (id, seq, dept, amount)
+         |  VALUES (s.id, s.seq, s.dept, s.amount)""".stripMargin)
+    val rows = spark.sql(s"SELECT id, dept, amount FROM $t ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows == Seq((1L, "eng", 111.0), (2L, "eng", 200.0),
+      (4L, "hr", 400.0), (9L, "new", 900.0)))
+  }
+
+  test("MERGE insert into an unscanned existing partition APPENDS (no data loss)") {
+    val dir = tmp("mergeapp")
+    val t = seedCatalogTable(dir)
+    // source matches nothing in 'hr'; the insert row lands in 'hr',
+    // whose existing files were never scanned — they must survive
+    Seq((9L, 1L, "hr", 900.0)).toDF("id", "seq", "dept", "amount")
+      .createOrReplaceTempView("merge_src2")
+    spark.sql(
+      s"""MERGE INTO $t t USING merge_src2 s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET amount = s.amount
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val hr = spark.sql(s"SELECT id FROM $t WHERE dept = 'hr' ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(hr == Seq(4L, 9L)) // pre-existing row 4 survived the insert of 9
+  }
+
+  test("SQL DELETE with a subquery routes through the row-level rewrite") {
+    val dir = tmp("delsub")
+    val t = seedCatalogTable(dir)
+    Seq(1L, 3L).toDF("bad_id").createOrReplaceTempView("bad_ids")
+    spark.sql(s"DELETE FROM $t WHERE id IN (SELECT bad_id FROM bad_ids)")
+    val left = spark.sql(s"SELECT id FROM $t ORDER BY id").as[Long].collect().toSeq
+    assert(left == Seq(2L, 4L))
+    // ops lost its only row: the partition directory is gone
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/dept=ops")))
+  }
+
   test("catalog-created table also works option-less through the path API") {
     val dir = tmp("props")
     val t = s"graft.`$dir`"
