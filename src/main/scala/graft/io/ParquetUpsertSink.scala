@@ -404,6 +404,27 @@ final case class ParquetUpsertSink(
       .distinct
   }
 
+  /** The (escaped partition value, authoritative dir) pairs holding the
+    * POST-image, as of commit `until`, of every partition touched by a
+    * commit in `(since, until]` — one micro-batch of the table's change
+    * stream ([[UpsertMicroBatchStream]]). "" = before the oldest
+    * retained commit. Metadata-only planning; deterministic on replay
+    * while the retention window covers `until` (the shared
+    * [[asOfPartitionDirs]] fail-fast applies). Commits PRUNED out of
+    * `(since, until]` take their manifests with them — keepVersions
+    * must outlive the stream's trigger interval, the same contract as
+    * [[readChangesSince]].
+    */
+  def changedPartitionDirsBetween(spark: org.apache.spark.sql.SparkSession,
+      since: String, until: String): Seq[(String, Path)] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touched = ParquetUpsertSink.listArchivedCommits(spark, path)
+      .filter(c => c > since && c <= until)
+      .flatMap(c => touchedPartitions(fs, new Path(archiveRoot, c)))
+      .toSet
+    asOfPartitionDirs(spark, until).filter { case (escaped, _) => touched.contains(escaped) }
+  }
+
   def readChangesSince(spark: org.apache.spark.sql.SparkSession, since: String): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val touched = touchedPartitionsSince(spark, since)
@@ -502,7 +523,8 @@ final case class ParquetUpsertSink(
         try {
           // the live pre-images of the touched partitions move to the
           // archive only once the merge result is safely materialized
-          if (keepVersions > 1) archivePreImages(fs, parts, batchId)
+          val commit =
+            if (keepVersions > 1) Some(archivePreImages(fs, parts, batchId)) else None
           // an all-tombstoned merge survives nowhere — skip the write
           val surviving: Set[String] = mat
             .select(col(partitionCol).cast("string")).distinct()
@@ -511,14 +533,17 @@ final case class ParquetUpsertSink(
           // tombstoned-empty partitions: dynamic overwrite left their old
           // files in place — remove the directories explicitly
           deleteDirs(parts.filterNot(surviving.contains))
+          markCommitComplete(fs, commit)
         } finally mat.unpersist(false)
       } else {
         // creation-only commit (no live pre-images): still record it —
         // with its touched-partition manifest — or [[readAsOf]] could not
         // tell that these partitions did not exist before this commit
-        if (keepVersions > 1) archivePreImages(fs, parts, batchId)
+        val commit =
+          if (keepVersions > 1) Some(archivePreImages(fs, parts, batchId)) else None
         persistSchema(fs, merged.schema)
         writeFinal(merged)
+        markCommitComplete(fs, commit)
       }
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
         compactPartitions(spark)
@@ -574,7 +599,8 @@ final case class ParquetUpsertSink(
       .filter(!coalesce(cond, lit(false)))
       .localCheckpoint(true)
     try {
-      if (keepVersions > 1) archivePreImages(fs, matched, batchId)
+      val commit =
+        if (keepVersions > 1) Some(archivePreImages(fs, matched, batchId)) else None
       val surviving: Set[String] = mat
         .select(col(partitionCol)).distinct()
         .collect().map(_.getString(0)).toSet
@@ -582,6 +608,7 @@ final case class ParquetUpsertSink(
       matched.filterNot(surviving.contains).foreach { v =>
         fs.delete(new Path(s"$path/$partitionCol=${dirName(v)}"), true)
       }
+      markCommitComplete(fs, commit)
     } finally mat.unpersist(false)
     matched.toSeq
   }
@@ -615,7 +642,8 @@ final case class ParquetUpsertSink(
       .select(col(partitionCol)).distinct().collect().map(_.getString(0))
     val touched = (replaced ++ rowParts).distinct.toArray
     if (touched.isEmpty) return
-    if (keepVersions > 1) archivePreImages(fs, touched, batchId)
+    val commit =
+      if (keepVersions > 1) Some(archivePreImages(fs, touched, batchId)) else None
     val replacedDirs = replaced.map(dirName).toSet
     val (ovwParts, appParts) = rowParts.partition(v => replacedDirs.contains(dirName(v)))
     // dir-name-normalized key: null partitions compare via the Hive
@@ -636,6 +664,7 @@ final case class ParquetUpsertSink(
       fs.delete(new Path(s"$path/$partitionCol=${dirName(v)}"), true)
     }
     persistSchema(fs, norm.schema)
+    markCommitComplete(fs, commit)
   }
 
   // ——— retention (Hudi cleaner analog) ———
@@ -660,8 +689,23 @@ final case class ParquetUpsertSink(
     * would sort `_10` before `_9` within one millisecond and prune the
     * wrong "oldest").
     */
+  /** Mark `commit`'s mutation as fully applied to the live tree. The
+    * archive commit dir necessarily EXISTS before the overwrite it
+    * pre-images (crash safety), so anything that treats commits as a
+    * log of applied changes — the streaming read path's offsets — must
+    * see a commit only once this marker lands, or it will plan live
+    * files mid-rewrite (TOCTOU). Time-travel reads are unaffected: an
+    * unmarked head commit's pre-image is complete by construction.
+    */
+  private def markCommitComplete(fs: org.apache.hadoop.fs.FileSystem,
+      commit: Option[String]): Unit = commit.foreach { c =>
+    val f = new Path(new Path(archiveRoot, c), ParquetUpsertSink.CommitCompleteMarker)
+    val out = fs.create(f, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+  }
+
   private def archivePreImages(fs: org.apache.hadoop.fs.FileSystem,
-      parts: Array[String], batchId: Long): Unit = {
+      parts: Array[String], batchId: Long): String = {
     // the token in the COMMIT name too: two writers replaying the same
     // batch id in the same millisecond must not rename into one dir
     // (rename-into-existing nests silently on most FileSystems)
@@ -708,6 +752,7 @@ final case class ParquetUpsertSink(
       partials.filter(_.getName.endsWith(tmpSuffix)).foreach(fs.delete(_, true))
       commits.sortBy(_.getName).dropRight(keepVersions - 1).foreach(fs.delete(_, true))
     }
+    commit
   }
 
   // ——— compaction (Hudi inline-compact analog) ———
@@ -793,6 +838,12 @@ object ParquetUpsertSink {
     */
   val ArchiveTmpSuffix = "._tmp"
 
+  /** Marker file inside a commit dir, written once the commit's live
+    * mutation has fully applied — the streaming read path advances its
+    * offset only over marked commits ([[UpsertMicroBatchStream]]).
+    */
+  val CommitCompleteMarker = "_commit.complete"
+
   /** Per-commit manifest file listing ALL partitions the commit
     * touched (escaped dir-name form, one per line) — including
     * creations, which leave no pre-image dir. The leading underscore
@@ -811,6 +862,21 @@ object ParquetUpsertSink {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).map(_.getPath.getName)
       .filterNot(_.endsWith(ArchiveTmpSuffix)).sorted.toSeq
+  }
+
+  /** Retained commits whose live mutation has fully applied (the
+    * `_commit.complete` marker landed) — the only commits the streaming
+    * read path may use as offsets: an unmarked commit's overwrite may
+    * still be in flight, and planning live files against it would race
+    * the rewrite. One marker-existence probe per retained commit
+    * (bounded by keepVersions).
+    */
+  def listCompletedCommits(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val root = new Path(s"$path/$ArchiveDirName")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listArchivedCommits(spark, path)
+      .filter(c => fs.exists(new Path(new Path(root, c), CommitCompleteMarker)))
   }
 
   /** Delete staging dirs orphaned by crashed runs (`<path>__staging_*`)

@@ -1,0 +1,87 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+/** Offset of the upsert-table change stream: the newest archive commit
+  * id consumed so far ("" = before the oldest retained commit). Commit
+  * ids are zero-padded epoch-millis + batch id, so lexicographic order
+  * IS commit order and offset comparison is plain string comparison.
+  */
+final case class UpsertCommitOffset(commit: String) extends Offset {
+  override def json(): String = commit
+}
+
+/** Streaming READ path for upsert tables — the table as an incremental
+  * change stream (Hudi incremental query / Delta CDF analog):
+  *
+  * {{{
+  *   spark.readStream.format("graft-upsert")
+  *     .option("startingOffset", "earliest")   // or "latest"
+  *     .load(tablePath)
+  * }}}
+  *
+  * Each micro-batch `(start, end]` emits the POST-image, as of commit
+  * `end`, of every partition touched by a commit in the range — UPSERT
+  * change semantics: a downstream consumer folds batches by record key
+  * and converges to the table (tombstoned partitions simply stop
+  * appearing, exactly like [[ParquetUpsertSink.readChangesSince]]).
+  * Offsets are archive commit ids, so the stream REQUIRES the table's
+  * writers to run with `keepVersions` > 1 (the archive is the commit
+  * log) and deep enough that no commit in an unconsumed range is
+  * pruned; a pruned `end` fails fast via the shared as-of planner
+  * rather than silently collapsing the range.
+  *
+  * Scale shape: offset discovery is one archive-dir listing; batch
+  * planning is metadata-only (manifest reads + one listing per touched
+  * partition); batch I/O is the touched partitions' live-or-archived
+  * file sets — an idle table streams for free, a busy one streams
+  * proportionally to what changed. Replays of a checkpointed range
+  * reconstruct the same post-image from the archive (deterministic
+  * while retention covers it).
+  */
+final class UpsertMicroBatchStream(path: String, required: StructType,
+    partitionCol: String, startingOffset: String) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private def sink = ParquetUpsertSink(path, Seq("_unused"), "_unused", partitionCol)
+
+  override def initialOffset(): Offset = startingOffset match {
+    case "latest" => UpsertCommitOffset(
+      ParquetUpsertSink.listCompletedCommits(spark, path).lastOption.getOrElse(""))
+    case "earliest" | "" => UpsertCommitOffset("")
+    case other => throw new IllegalArgumentException(
+      s"graft-upsert: startingOffset must be 'earliest' or 'latest', got '$other'")
+  }
+
+  // only COMPLETED commits are streamable: the archive dir of an
+  // in-flight mutation exists before its overwrite lands (crash
+  // safety), and planning live files against it would read mid-rewrite
+  override def latestOffset(): Offset = UpsertCommitOffset(
+    ParquetUpsertSink.listCompletedCommits(spark, path).lastOption.getOrElse(""))
+
+  override def deserializeOffset(json: String): Offset = UpsertCommitOffset(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val since = start.asInstanceOf[UpsertCommitOffset].commit
+    val until = end.asInstanceOf[UpsertCommitOffset].commit
+    if (until <= since) return Array.empty
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sink.changedPartitionDirsBetween(spark, since, until)
+      .flatMap { case (escaped, dir) =>
+        val v = UpsertTableSource.dirValue(escaped)
+        UpsertTableSource.dataFiles(fs, dir).map(f => UpsertFilePartition(f.toString, v))
+      }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new UpsertReaderFactory(required, Some(partitionCol))
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

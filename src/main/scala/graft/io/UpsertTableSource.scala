@@ -117,13 +117,14 @@ final class UpsertTable(path: String, schema: StructType,
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
   override def partitioning(): Array[Transform] =
     partitionCol.map(c => Array[Transform](Expressions.identity(c))).getOrElse(Array.empty)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new UpsertScanBuilder(path, schema, partitionCol,
-      Option(options.get("asOf")).orElse(asOf))
+      Option(options.get("asOf")).orElse(asOf),
+      startingOffset = Option(options.get("startingOffset")))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -173,7 +174,8 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
     partitionCol: Option[String], asOf: Option[String],
     // row-level operations capture their configured scan here, to learn
     // at commit time which groups the rewrite query actually planned
-    onBuild: UpsertScan => Unit = _ => ()) extends ScanBuilder
+    onBuild: UpsertScan => Unit = _ => (),
+    startingOffset: Option[String] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = tableSchema
@@ -202,8 +204,8 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
     required = requiredSchema
 
   override def build(): Scan = {
-    val scan =
-      new UpsertScan(path, tableSchema, required, partitionCol, partitionFilters, asOf)
+    val scan = new UpsertScan(path, tableSchema, required, partitionCol,
+      partitionFilters, asOf, startingOffset)
     onBuild(scan)
     scan
   }
@@ -214,7 +216,8 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
   */
 final class UpsertScan(path: String, tableSchema: StructType,
     required: StructType, partitionCol: Option[String],
-    partitionFilters: Array[Filter], asOf: Option[String])
+    partitionFilters: Array[Filter], asOf: Option[String],
+    startingOffset: Option[String] = None)
   extends Scan with Batch with SupportsRuntimeFiltering {
 
   // runtime (dynamic-partition-pruning) predicates Spark derives from
@@ -294,6 +297,21 @@ final class UpsertScan(path: String, tableSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new UpsertReaderFactory(required, partitionCol)
+
+  /** `spark.readStream.format("graft-upsert")`: the table as an
+    * incremental per-commit change stream ([[UpsertMicroBatchStream]]).
+    * Column pruning applies (`required`); time-travel scans have no
+    * stream (the past does not change).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOf.isEmpty,
+      "graft-upsert: a time-travel (asOf) scan cannot be streamed")
+    val pc = partitionCol.getOrElse(throw new UnsupportedOperationException(
+      "graft-upsert: streaming reads require a partitioned table layout"))
+    new UpsertMicroBatchStream(path, required, pc,
+      startingOffset.getOrElse("earliest"))
+  }
 }
 
 /** One live data file plus its partition-dir value (null = the
