@@ -1,0 +1,114 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for upsert-table maintenance — the table
+  * services as `CALL` statements (the Iceberg `CALL catalog.system.*`
+  * surface, on Spark 4.x's DSv2 procedure API):
+  *
+  * {{{
+  *   CALL graft.system.compact('/data/t')
+  *   CALL graft.system.optimize_zorder('/data/t', 'user_id', 'amount')
+  *   CALL graft.system.expire_commits('/data/t', 3)
+  *   CALL graft.system.sweep_staging('/data/t')
+  * }}}
+  *
+  * Each returns its effect as rows (rewritten partitions, removed
+  * commits, reclaimed dir count), so maintenance jobs are auditable
+  * from plain SQL. All driver-side work here is metadata-scale; the
+  * data I/O is the service's own (compaction/Z-order rewrite read the
+  * affected partitions once, exactly like an upsert touch).
+  */
+object GraftProcedures {
+
+  private def spark = SparkSession.active
+
+  private def sinkFor(path: String): ParquetUpsertSink = {
+    val pc = UpsertTableSource.partitionColOf(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft.system: no partitioned graft-upsert table at $path"))
+    ParquetUpsertSink(path, Seq("_unused"), "_unused", pc)
+  }
+
+  private def str(v: String): AnyRef = UTF8String.fromString(v)
+
+  val names: Seq[String] =
+    Seq("compact", "optimize_zorder", "expire_commits", "sweep_staging")
+
+  def load(name: String): UnboundProcedure = name match {
+    case "compact" => proc("compact",
+      Seq("table" -> StringType),
+      StructType(Seq(StructField("compacted_partition", StringType))),
+      "coalesce partitions whose live file count exceeds the layout") { in =>
+      sinkFor(in.getUTF8String(0).toString)
+        .compactPartitions(spark)
+        .map(p => new GenericInternalRow(Array[Any](str(p))))
+    }
+    case "optimize_zorder" => proc("optimize_zorder",
+      Seq("table" -> StringType, "x_col" -> StringType, "y_col" -> StringType),
+      StructType(Seq(StructField("rewritten_partition", StringType))),
+      "rewrite partitions in Z-order of two filter columns (row-group skipping)") { in =>
+      sinkFor(in.getUTF8String(0).toString)
+        .optimizeZorder(spark,
+          col(in.getUTF8String(1).toString), col(in.getUTF8String(2).toString))
+        .map(p => new GenericInternalRow(Array[Any](str(p))))
+    }
+    case "expire_commits" => proc("expire_commits",
+      Seq("table" -> StringType, "retain_last" -> IntegerType),
+      StructType(Seq(StructField("removed_commit", StringType))),
+      "prune the pre-image archive to the newest N commits") { in =>
+      val path = in.getUTF8String(0).toString
+      val retain = in.getInt(1)
+      require(retain >= 0, s"retain_last must be >= 0, got $retain")
+      val commits = ParquetUpsertSink.listArchivedCommits(spark, path)
+      val removed = commits.dropRight(retain)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      removed.foreach(c => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/${ParquetUpsertSink.ArchiveDirName}/$c"), true))
+      removed.map(c => new GenericInternalRow(Array[Any](str(c))))
+    }
+    case "sweep_staging" => proc("sweep_staging",
+      Seq("table" -> StringType),
+      StructType(Seq(StructField("reclaimed", IntegerType))),
+      "delete staging dirs and partial archive copies orphaned by crashed runs") { in =>
+      val n = ParquetUpsertSink.sweepStaging(spark, in.getUTF8String(0).toString)
+      Seq(new GenericInternalRow(Array[Any](n)))
+    }
+    case other => throw new IllegalArgumentException(
+      s"graft.system: unknown procedure '$other' (have: ${names.mkString(", ")})")
+  }
+
+  /** An IN-parameter procedure whose body returns result rows as one
+    * [[LocalScan]] (driver-side rows; every procedure here returns a
+    * metadata-scale effect summary).
+    */
+  private def proc(procName: String, params: Seq[(String, DataType)],
+      resultSchema: StructType, doc: String)(
+      body: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = doc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = doc
+        override def parameters(): Array[ProcedureParameter] =
+          params.map { case (n, dt) => ProcedureParameter.in(n, dt).build() }.toArray
+        override def isDeterministic: Boolean = false // side-effecting maintenance
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val out = body(input).toArray
+          java.util.Collections.singletonList[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = out
+            override def readSchema(): StructType = resultSchema
+          }).iterator()
+        }
+      }
+    }
+}

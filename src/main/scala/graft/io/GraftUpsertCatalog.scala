@@ -46,7 +46,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * small files, a DROP removes one directory tree, a load reads
   * `_schema.json` — nothing here scans data.
   */
-final class GraftUpsertCatalog extends TableCatalog {
+final class GraftUpsertCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Option[String] = None
@@ -193,6 +194,23 @@ final class GraftUpsertCatalog extends TableCatalog {
             tableExists(Identifier.of(namespace, st.getPath.getName)))
           .map(st => Identifier.of(namespace, st.getPath.getName))
     }
+
+  /** `CALL graft.system.<proc>(...)` — table-service maintenance as SQL
+    * ([[GraftProcedures]]: compact, optimize_zorder, expire_commits,
+    * sweep_staging).
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"graft catalog: procedures live in the 'system' namespace, got " +
+        ident.namespace.mkString("."))
+    GraftProcedures.load(ident.name)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   private def writeFile(fs: org.apache.hadoop.fs.FileSystem, p: Path,
       content: String): Unit = {

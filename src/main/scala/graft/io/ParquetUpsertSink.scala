@@ -785,6 +785,41 @@ final case class ParquetUpsertSink(
     oversized.map(_.getName).toSeq
   }
 
+  /** Rewrite every live partition with rows ordered by the Z-order
+    * (Morton) code of two filter columns — the Delta/Iceberg
+    * `OPTIMIZE ... ZORDER BY (x, y)` move as a table service. With the
+    * sink's one-file-per-partition layout the win is ROW-GROUP-level
+    * skipping: parquet keeps min/max per row group, and Morton order
+    * makes both columns' per-row-group ranges tight 2-D tiles, so a
+    * selective predicate on EITHER column skips most of each file.
+    * Same replay-safe shape as compaction (checkpoint, then dynamic
+    * overwrite). Returns the rewritten partition dir names.
+    */
+  def optimizeZorder(spark: org.apache.spark.sql.SparkSession,
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return Seq.empty
+    val partDirs = fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(p => p.getName.startsWith(s"$partitionCol=") && hasDataFiles(fs, p))
+    if (partDirs.isEmpty) return Seq.empty
+    val mat = readStringPartitioned(spark, partDirs.toSeq).localCheckpoint(true)
+    try {
+      val z = graft.functions.ZOrderExpressions.mortonCode(
+        x.cast("long"), y.cast("long"))
+      // partition column FIRST: the partitioned write requires tasks
+      // sorted by partition expressions and would otherwise inject its
+      // own partition-cols-only sort, destroying the Morton order
+      mat.repartition(col(partitionCol))
+        .sortWithinPartitions(col(partitionCol), z)
+        .write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(path)
+    } finally mat.unpersist(false)
+    partDirs.map(_.getName).toSeq
+  }
+
   // ——— catalog sync (Hive-sync analog) ———
 
   /** Register `name` as an external partitioned parquet table over

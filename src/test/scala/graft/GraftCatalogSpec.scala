@@ -253,6 +253,65 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/dept=ops")))
   }
 
+  // ——— stored procedures (CALL graft.system.*) ———
+
+  test("CALL graft.system.compact coalesces over-filed partitions") {
+    val dir = tmp("pcompact")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept", filesPerPartition = 1)
+    sink.upsert(Seq((1L, 1L, "a"), (2L, 1L, "a")).toDF("id", "seq", "dept"), 0)
+    // plant a second live file in dept=a so the partition is over-filed
+    Seq((3L, 1L, "a")).toDF("id", "seq", "dept").write.mode("append")
+      .parquet(s"$dir/extra_stage")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val extra = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/extra_stage"))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.rename(extra, new org.apache.hadoop.fs.Path(s"$dir/dept=a/part-extra.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/extra_stage"), true)
+    val out = spark.sql(s"CALL graft.system.compact('$dir')")
+      .as[String].collect().toSeq
+    assert(out == Seq("dept=a"))
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/dept=a"))
+      .count(f => f.getPath.getName.startsWith("part-") && f.getLen > 0) == 1)
+  }
+
+  test("CALL graft.system.optimize_zorder rewrites partitions, preserves rows") {
+    val dir = tmp("pzorder")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")
+    val rows = (1L to 100L).map(i => (i, 1L, if (i % 2 == 0) "a" else "b",
+      i % 10, (i * 7) % 10))
+    sink.upsert(rows.toDF("id", "seq", "dept", "x", "y"), 0)
+    val before = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    val rewritten = spark.sql(s"CALL graft.system.optimize_zorder('$dir', 'x', 'y')")
+      .as[String].collect().toSeq.sorted
+    assert(rewritten == Seq("dept=a", "dept=b"))
+    val after = spark.read.parquet(dir)
+    assert(after.select("id").as[Long].collect().toSet == before)
+    // rows inside each partition now follow Morton order of (x, y)
+    val zs = after.filter($"dept" === "a")
+      .select(graft.functions.ZOrderExpressions.mortonCode(
+        $"x".cast("long"), $"y".cast("long")).as("z"))
+      .as[Long].collect().toSeq
+    assert(zs == zs.sorted)
+  }
+
+  test("CALL graft.system.expire_commits prunes the archive; sweep_staging reports") {
+    val dir = tmp("pexpire")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept", keepVersions = 10)
+    (0 to 3).foreach(i =>
+      sink.upsert(Seq((i.toLong, i.toLong, "a")).toDF("id", "seq", "dept"), i))
+    assert(ParquetUpsertSink.listArchivedCommits(spark, dir).size == 4)
+    val removed = spark.sql(s"CALL graft.system.expire_commits('$dir', 2)")
+      .as[String].collect().toSeq
+    assert(removed.size == 2)
+    assert(ParquetUpsertSink.listArchivedCommits(spark, dir).size == 2)
+    val swept = spark.sql(s"CALL graft.system.sweep_staging('$dir')")
+      .as[Int].collect().toSeq
+    assert(swept == Seq(0))
+  }
+
   test("catalog-created table also works option-less through the path API") {
     val dir = tmp("props")
     val t = s"graft.`$dir`"
