@@ -1,0 +1,291 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pushed-down aggregate shapes the upsert table can answer from
+  * parquet FOOTER metadata — `COUNT(*)` from block row counts,
+  * `COUNT(col)` from row counts minus null counts, `MIN/MAX(col)` from
+  * column-chunk statistics. At 100 TB this is the difference between a
+  * full scan and a metadata pass: one footer read per live file.
+  */
+sealed trait PushedAgg { def resultField: StructField }
+/** COUNT(*) — always answerable from block metadata. */
+case object AggRowCount extends PushedAgg {
+  val resultField = StructField("cnt", LongType)
+}
+/** COUNT(col): rows minus nulls (footer null counts). */
+final case class AggColCount(col: String) extends PushedAgg {
+  val resultField = StructField(s"cnt_$col", LongType)
+}
+/** COUNT(partitionCol): the dir value decides null-ness for the whole
+  * file, no footer stat involved.
+  */
+case object AggPartitionCount extends PushedAgg {
+  val resultField = StructField("cnt_part", LongType)
+}
+final case class AggMin(col: String, dt: DataType) extends PushedAgg {
+  val resultField = StructField(s"min_$col", dt)
+}
+final case class AggMax(col: String, dt: DataType) extends PushedAgg {
+  val resultField = StructField(s"max_$col", dt)
+}
+
+object UpsertAggPushdown {
+
+  /** Column types whose footer min/max we trust and can decode:
+    * numerics, date, timestamp. Strings are excluded (parquet writers
+    * may truncate binary statistics), booleans add nothing.
+    */
+  def statType(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | FloatType | DoubleType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+}
+
+/** The aggregate-pushdown scan: one input partition per live file;
+  * each reader emits ONE row of per-file partial aggregates computed
+  * from the footer (falling back to scanning just that file's needed
+  * columns when a statistic is absent), and Spark's final aggregation
+  * folds them (SUM of counts, MIN of mins, MAX of maxes). Partition
+  * pruning composes — pushed partition predicates restrict the file
+  * set exactly as in the row scan.
+  */
+final class UpsertAggScan(path: String, tableSchema: StructType,
+    partitionCol: Option[String], partitionFilters: Array[Filter],
+    aggs: Seq[PushedAgg], groupByPartition: Boolean) extends Scan with Batch {
+
+  override def readSchema(): StructType = {
+    val aggFields = aggs.map(_.resultField)
+    StructType(
+      if (groupByPartition) StructField(partitionCol.get, StringType) +: aggFields
+      else aggFields)
+  }
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-upsert $path [pushed aggregates: ${aggs.mkString(", ")}]"
+
+  private def matches(value: String): Boolean = {
+    import org.apache.spark.sql.sources._
+    partitionFilters.forall {
+      case EqualTo(_, v) => value != null && value == String.valueOf(v)
+      case EqualNullSafe(_, null) => value == null
+      case EqualNullSafe(_, v) => value != null && value == String.valueOf(v)
+      case In(_, vs) => value != null && vs.exists(v => v != null && String.valueOf(v) == value)
+      case IsNull(_) => value == null
+      case IsNotNull(_) => value != null
+      case _ => true
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    if (!fs.exists(root)) return Array.empty
+    partitionCol match {
+      case Some(c) =>
+        fs.listStatus(root).iterator
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith(s"$c="))
+          .map(p => p -> UpsertTableSource.dirValue(p.getName.drop(c.length + 1)))
+          .filter { case (_, v) => matches(v) }
+          .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
+            .map(f => UpsertFilePartition(f.toString, v)) }
+          .toArray
+      case None =>
+        UpsertTableSource.dataFiles(fs, root)
+          .map(f => UpsertFilePartition(f.toString, null)).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new UpsertAggReaderFactory(tableSchema, partitionCol, aggs, groupByPartition)
+}
+
+final class UpsertAggReaderFactory(tableSchema: StructType,
+    partitionCol: Option[String], aggs: Seq[PushedAgg], groupByPartition: Boolean)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new UpsertAggReader(partition.asInstanceOf[UpsertFilePartition],
+      tableSchema, partitionCol, aggs, groupByPartition)
+}
+
+/** Executor-side: aggregate ONE file from its footer; scan the file's
+  * needed columns only if a required statistic is missing.
+  */
+final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
+    partitionCol: Option[String], aggs: Seq[PushedAgg], groupByPartition: Boolean)
+  extends PartitionReader[InternalRow] {
+
+  private var done = false
+
+  override def next(): Boolean = !done
+
+  override def get(): InternalRow = {
+    done = true
+    val values = computeFromFooter().getOrElse(computeByScan())
+    val out =
+      if (groupByPartition)
+        (if (part.partValue == null) null else UTF8String.fromString(part.partValue)) +: values
+      else values
+    new GenericInternalRow(out.toArray)
+  }
+
+  override def close(): Unit = ()
+
+  /** All aggregates from the footer; None when any needed statistic is
+    * absent or untrustworthy (then the per-file scan path answers).
+    */
+  private def computeFromFooter(): Option[Seq[Any]] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.filePath), new Configuration()))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val rowCount: Long = {
+        var s = 0L; val it = blocks.iterator(); while (it.hasNext) s += it.next().getRowCount; s
+      }
+      def chunks(col: String) = {
+        if (!schema.containsField(col)) None // evolved-in column: all null in this file
+        else {
+          val idx = schema.getFieldIndex(col)
+          val cs = new Array[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData](blocks.size())
+          var i = 0; val it = blocks.iterator()
+          while (it.hasNext) { cs(i) = it.next().getColumns.get(idx); i += 1 }
+          Some(cs.toSeq)
+        }
+      }
+      def nonNullCount(col: String): Option[Long] = chunks(col) match {
+        case None => Some(0L) // column absent from this file = all null
+        case Some(cs) =>
+          var n = 0L
+          for (c <- cs) {
+            val st = c.getStatistics
+            if (st == null || !st.isNumNullsSet) return None
+            n += c.getValueCount - st.getNumNulls
+          }
+          Some(n)
+      }
+      def minMax(col: String, dt: DataType, wantMin: Boolean): Option[Option[Any]] = chunks(col) match {
+        case None => Some(None) // all null -> no value contributes
+        case Some(cs) =>
+          var acc: Option[Any] = None
+          for (c <- cs) {
+            val st = c.getStatistics
+            if (st == null || st.isEmpty) return None
+            if (st.hasNonNullValue) {
+              val raw = if (wantMin) st.genericGetMin() else st.genericGetMax()
+              val v = decode(raw, c.getPrimitiveType, dt).getOrElse(return None)
+              acc = Some(acc match {
+                case None => v
+                case Some(a) => if (wantMin ^ (cmp(a, v, dt) < 0)) a else v
+              })
+            } else if (!st.isNumNullsSet || st.getNumNulls != c.getValueCount) {
+              return None // can't prove the chunk is all-null
+            }
+          }
+          Some(acc)
+      }
+      val out = aggs.map {
+        case AggRowCount => rowCount
+        case AggPartitionCount => if (part.partValue == null) 0L else rowCount
+        case AggColCount(col) => nonNullCount(col).getOrElse(return None)
+        case AggMin(col, dt) => minMax(col, dt, wantMin = true).getOrElse(return None).orNull
+        case AggMax(col, dt) => minMax(col, dt, wantMin = false).getOrElse(return None).orNull
+      }
+      Some(out)
+    } finally reader.close()
+  }
+
+  /** Footer statistic value → Spark internal value; None = a physical
+    * layout whose stats we do not decode (e.g. INT96 timestamps).
+    */
+  private def decode(raw: Comparable[_],
+      prim: org.apache.parquet.schema.PrimitiveType, dt: DataType): Option[Any] =
+    (prim.getPrimitiveTypeName, dt) match {
+      case (PrimitiveTypeName.INT32, IntegerType | DateType) =>
+        Some(raw.asInstanceOf[java.lang.Integer].intValue())
+      case (PrimitiveTypeName.INT64, LongType) =>
+        Some(raw.asInstanceOf[java.lang.Long].longValue())
+      case (PrimitiveTypeName.INT64, TimestampType | TimestampNTZType) =>
+        val v = raw.asInstanceOf[java.lang.Long].longValue()
+        prim.getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => Some(v * 1000L)
+          case t: TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => Some(v / 1000L)
+          case _ => Some(v)
+        }
+      case (PrimitiveTypeName.FLOAT, FloatType) =>
+        Some(raw.asInstanceOf[java.lang.Float].floatValue())
+      case (PrimitiveTypeName.DOUBLE, DoubleType) =>
+        Some(raw.asInstanceOf[java.lang.Double].doubleValue())
+      case _ => None
+    }
+
+  private def cmp(a: Any, b: Any, dt: DataType): Int = dt match {
+    case IntegerType | DateType => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case LongType | TimestampType | TimestampNTZType =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case FloatType => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case other => throw new IllegalStateException(s"unexpected stat type $other")
+  }
+
+  /** Fallback: scan only the aggregated columns of THIS file and fold
+    * the partials in a tight loop — still never reads unrelated
+    * columns, and only files with unusable statistics pay it.
+    */
+  private def computeByScan(): Seq[Any] = {
+    val needed = aggs.collect {
+      case AggColCount(c) => c
+      case AggMin(c, _) => c
+      case AggMax(c, _) => c
+    }.distinct
+    val projected = StructType(tableSchema.fields.filter(f => needed.contains(f.name)))
+    val idx = projected.fieldNames.zipWithIndex.toMap
+    val counts = new java.util.HashMap[String, Long]()
+    val mins = new java.util.HashMap[String, Any]()
+    val maxs = new java.util.HashMap[String, Any]()
+    var rowCount = 0L
+    val reader = new UpsertPartitionReader(part, projected, None)
+    try {
+      while (reader.next()) {
+        val row = reader.get()
+        rowCount += 1
+        for (c <- needed; i = idx(c) if !row.isNullAt(i)) {
+          counts.merge(c, 1L, (a, b) => a + b)
+          val dt = projected.fields(i).dataType
+          val v = row.get(i, dt)
+          val curMin = mins.get(c)
+          if (curMin == null || cmp(v, curMin, dt) < 0) mins.put(c, v)
+          val curMax = maxs.get(c)
+          if (curMax == null || cmp(v, curMax, dt) > 0) maxs.put(c, v)
+        }
+      }
+    } finally reader.close()
+    aggs.map {
+      case AggRowCount => rowCount
+      case AggPartitionCount => if (part.partValue == null) 0L else rowCount
+      case AggColCount(c) => counts.getOrDefault(c, 0L)
+      case AggMin(c, _) => mins.get(c)
+      case AggMax(c, _) => maxs.get(c)
+    }
+  }
+}

@@ -176,10 +176,12 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
     // at commit time which groups the rewrite query actually planned
     onBuild: UpsertScan => Unit = _ => (),
     startingOffset: Option[String] = None) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var partitionFilters: Array[Filter] = Array.empty
+  private var pushedAggs: Option[(Seq[PushedAgg], Boolean)] = None
 
   private def isPartitionFilter(f: Filter): Boolean = partitionCol.exists { c =>
     f match {
@@ -203,11 +205,64 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val scan = new UpsertScan(path, tableSchema, required, partitionCol,
-      partitionFilters, asOf, startingOffset)
-    onBuild(scan)
-    scan
+  /** Aggregate pushdown: COUNT(*)/COUNT(col)/MIN/MAX answered from
+    * parquet footer metadata ([[UpsertAggScan]] — one footer read per
+    * live file instead of a scan). Partial pushdown: each file emits
+    * its partials and Spark's final aggregation folds them, so the
+    * semantics are exact. Spark only offers aggregates here when every
+    * filter was fully pushed (i.e. partition predicates only), so
+    * pruning composes and no residual predicate can be lost. Grouping
+    * by the partition column is supported (a file belongs to exactly
+    * one group); anything else declines and the row scan answers.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (asOf.isDefined) return false // time travel answers from the row scan
+    def fieldOf(e: VExpr): Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(nr.fieldNames()(0)))
+      case _ => None
+    }
+    def isPartition(f: StructField): Boolean =
+      partitionCol.exists(_.equalsIgnoreCase(f.name))
+    val gb = agg.groupByExpressions
+    val groupByPart = gb.length == 1 && gb(0).isInstanceOf[NamedReference] &&
+      fieldOf(gb(0)).exists(isPartition)
+    if (!(gb.isEmpty || groupByPart)) return false
+    val translated: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggRowCount)
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).map(f =>
+          if (isPartition(f)) AggPartitionCount else AggColCount(f.name))
+      case m: Min => fieldOf(m.column).collect {
+        case f if UpsertAggPushdown.statType(f.dataType) && !isPartition(f) =>
+          AggMin(f.name, f.dataType)
+      }
+      case m: Max => fieldOf(m.column).collect {
+        case f if UpsertAggPushdown.statType(f.dataType) && !isPartition(f) =>
+          AggMax(f.name, f.dataType)
+      }
+      case _ => None
+    }
+    if (translated.isEmpty || translated.exists(_.isEmpty)) return false
+    pushedAggs = Some((translated.flatten, groupByPart))
+    true
+  }
+
+  override def build(): Scan = pushedAggs match {
+    case Some((aggs, groupByPart)) =>
+      new UpsertAggScan(path, tableSchema, partitionCol, partitionFilters,
+        aggs, groupByPart)
+    case None =>
+      val scan = new UpsertScan(path, tableSchema, required, partitionCol,
+        partitionFilters, asOf, startingOffset)
+      onBuild(scan)
+      scan
   }
 }
 
@@ -218,7 +273,8 @@ final class UpsertScan(path: String, tableSchema: StructType,
     required: StructType, partitionCol: Option[String],
     partitionFilters: Array[Filter], asOf: Option[String],
     startingOffset: Option[String] = None)
-  extends Scan with Batch with SupportsRuntimeFiltering {
+  extends Scan with Batch with SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // runtime (dynamic-partition-pruning) predicates Spark derives from
   // join keys at execution time — same value semantics as the static
@@ -230,8 +286,58 @@ final class UpsertScan(path: String, tableSchema: StructType,
   // commit must replace ([[UpsertReplaceGroupsWrite]])
   @volatile private[io] var plannedPartitionValues: Option[Seq[String]] = None
 
+  // Storage-partitioned-join mode (opt-in per session/query via
+  // spark.graft.upsert.spj.enabled — NOT Spark's
+  // spark.sql.sources.v2.bucketing.enabled, which defaults to TRUE in
+  // 4.x and would silently put every scan in this mode): plan ONE
+  // input partition per partition VALUE (HasPartitionKey) and report
+  // KeyGroupedPartitioning, so two graft-upsert tables partitioned on
+  // the same column join WITHOUT a shuffle. Runtime filtering is
+  // disabled in this mode — the reported partition count is part of
+  // the partitioning contract and must not change between planning and
+  // execution — which is exactly why it is opt-in: dynamic partition
+  // pruning is the better default for star-shaped plans.
+  private def spjMode: Boolean =
+    partitionCol.isDefined && asOf.isEmpty &&
+      SparkSession.active.conf
+        .get(UpsertTableSource.SpjConfKey, "false") == "true"
+
+  // grouped (one-per-value) plan for SPJ mode: computed once — the
+  // reported numPartitions and the executed partitions must agree
+  private lazy val groupedPlan: Array[InputPartition] = {
+    val spark = SparkSession.active
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val c = partitionCol.get
+    if (!fs.exists(root)) Array.empty
+    else {
+      val matched = fs.listStatus(root).iterator
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith(s"$c="))
+        .map(p => p -> UpsertTableSource.dirValue(p.getName.drop(c.length + 1)))
+        .filter { case (_, v) => matches(v) }
+        .toList
+      plannedPartitionValues = Some(matched.map(_._2))
+      matched.iterator
+        .map { case (dir, v) =>
+          UpsertFilesPartition(
+            UpsertTableSource.dataFiles(fs, dir).map(_.toString), v) }
+        .filter(_.files.nonEmpty)
+        .toArray[InputPartition]
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjMode)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.identity(partitionCol.get)), groupedPlan.length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
   override def filterAttributes(): Array[NamedReference] =
-    partitionCol.map(c => Array[NamedReference](Expressions.column(c)))
+    if (spjMode) Array.empty // see spjMode: stable partition contract
+    else partitionCol.map(c => Array[NamedReference](Expressions.column(c)))
       .getOrElse(Array.empty)
 
   override def filter(filters: Array[Filter]): Unit =
@@ -261,6 +367,7 @@ final class UpsertScan(path: String, tableSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (spjMode) return groupedPlan
     val spark = SparkSession.active
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
@@ -320,11 +427,52 @@ final class UpsertScan(path: String, tableSchema: StructType,
 final case class UpsertFilePartition(filePath: String, partValue: String)
   extends InputPartition
 
+/** All live files of ONE partition value — the SPJ planning unit; the
+  * partition key row is what Spark aligns across join sides.
+  */
+final case class UpsertFilesPartition(files: Seq[String], partValue: String)
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](
+      if (partValue == null) null else UTF8String.fromString(partValue)))
+}
+
 final class UpsertReaderFactory(required: StructType, partitionCol: Option[String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new UpsertPartitionReader(partition.asInstanceOf[UpsertFilePartition],
-      required, partitionCol)
+    partition match {
+      case f: UpsertFilePartition =>
+        new UpsertPartitionReader(f, required, partitionCol)
+      case g: UpsertFilesPartition =>
+        new UpsertMultiFileReader(g, required, partitionCol)
+    }
+}
+
+/** Sequential reader over one partition value's file set (SPJ mode). */
+final class UpsertMultiFileReader(part: UpsertFilesPartition,
+    required: StructType, partitionCol: Option[String])
+  extends PartitionReader[InternalRow] {
+
+  private val files = part.files.iterator
+  private var current: UpsertPartitionReader = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (current == null) {
+        if (!files.hasNext) return false
+        current = new UpsertPartitionReader(
+          UpsertFilePartition(files.next(), part.partValue), required, partitionCol)
+      }
+      if (current.next()) return true
+      current.close()
+      current = null
+    }
+    false
+  }
+
+  override def get(): InternalRow = current.get()
+
+  override def close(): Unit = if (current != null) current.close()
 }
 
 /** Executor-side reader: parquet-mr record materialization of exactly
@@ -393,6 +541,13 @@ final class UpsertPartitionReader(part: UpsertFilePartition,
 }
 
 object UpsertTableSource {
+
+  /** Opt-in session conf for storage-partitioned-join planning (one
+    * input partition per partition value + KeyGroupedPartitioning).
+    * Spark's own `spark.sql.sources.v2.bucketing.enabled` must also be
+    * on (it is by default in 4.x) for the planner to exploit it.
+    */
+  val SpjConfKey = "spark.graft.upsert.spj.enabled"
 
   private[io] def tablePath(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path")).orElse(Option(options.get("paths")))

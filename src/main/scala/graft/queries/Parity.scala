@@ -505,6 +505,39 @@ object Parity {
       .transform(graft.Present.sortSmall(_, col("o_orderstatus"), col("o_orderpriority")))
   }
 
+  /** Footer-stats aggregate pushdown on the upsert table: COUNT(*),
+    * COUNT(col), MIN/MAX grouped by the partition column answer from
+    * parquet metadata (one footer read per file — no row scan). The
+    * oracle computes the same aggregates from the raw rows, so
+    * equality proves the metadata path is exact.
+    */
+  def aggPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggpd").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq", "o_orderpriority")
+    sink.upsert(Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 3 === 2).withColumn("seq", lit(0L)), 0)
+    spark.read.format("graft-upsert").load(dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_custkey")).as("n_cust"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        max(col("o_orderdate")).as("last_date"))
+      .transform(graft.Present.sortSmall(_, col("o_orderpriority")))
+  }
+
+  val aggPushdownSql: String =
+    """SELECT o_orderpriority,
+      |       count(*) AS n,
+      |       count(o_custkey) AS n_cust,
+      |       min(o_totalprice) AS lo,
+      |       max(o_totalprice) AS hi,
+      |       max(o_orderdate) AS last_date
+      |FROM orders
+      |WHERE o_orderkey % 3 = 2
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val sqlMergeSql: String =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
       |       round(sum(price), 2) AS total

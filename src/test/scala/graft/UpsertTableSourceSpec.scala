@@ -238,6 +238,94 @@ class UpsertTableSourceSpec extends SparkSpec {
     assert(leftovers.isEmpty)
   }
 
+  test("storage-partitioned join: co-partitioned tables join with NO shuffle") {
+    import graft.io.ParquetUpsertSink
+    val dirA = Files.createTempDirectory("spja").toString + "/t"
+    val dirB = Files.createTempDirectory("spjb").toString + "/t"
+    val a = ParquetUpsertSink(dirA, Seq("id"), "seq", "dept")
+    val b = ParquetUpsertSink(dirB, Seq("id"), "seq", "dept")
+    a.upsert(Seq((1L, 1L, "eng", 10.0), (2L, 1L, "ops", 20.0), (3L, 1L, "hr", 30.0))
+      .toDF("id", "seq", "dept", "amount"), 0)
+    b.upsert(Seq((7L, 1L, "eng", 1.0), (8L, 1L, "ops", 2.0), (9L, 1L, "fin", 9.0))
+      .toDF("id", "seq", "dept", "budget"), 0)
+    val confs = Seq(
+      graft.io.UpsertTableSource.SpjConfKey -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    // NOTE: getOption resolves REGISTERED defaults for Spark's own
+    // keys, so restoring it can pin a floating default; fine here
+    // because all three keys are restored to the values they resolve
+    // to today, and the graft key is unregistered (None when unset)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val l = spark.read.format("graft-upsert").load(dirA).select("dept", "amount")
+      val r = spark.read.format("graft-upsert").load(dirB).select("dept", "budget")
+      val j = l.join(r, Seq("dept"))
+      val rows = j.select("dept", "amount", "budget")
+        .as[(String, Double, Double)].collect().toSeq.sorted
+      assert(rows == Seq(("eng", 10.0, 1.0), ("ops", 20.0, 2.0)))
+      // the join itself runs on the reported KeyGroupedPartitioning:
+      // sorts, yes — exchanges, no
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"expected shuffle-free SPJ plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("aggregate pushdown: COUNT/MIN/MAX answered from parquet footers") {
+    val (dir, sink) = mkTable("dsv2agg")
+    // an evolved column absent from the seed files (null-fills) plus a
+    // second partition touch, so null-count paths are exercised
+    sink.upsert(Seq(
+      (5, "e", 9.5, 1L, java.sql.Timestamp.valueOf("2024-01-02 12:00:00"),
+        "2024-01-02", 7.25)
+    ).toDF("id", "v", "amount", "precombine", "ts", "processing_date", "extra"), 1)
+    val t = spark.read.format("graft-upsert").load(dir)
+    val agg = t.agg(
+      count(lit(1)).as("n"), count($"extra").as("n_extra"),
+      min($"amount").as("lo"), max($"amount").as("hi"),
+      max($"ts").as("ts_hi"))
+    // a pushed plan aggregates over the scan's partial-agg columns
+    val plan = agg.queryExecution.optimizedPlan.toString
+    assert(plan.contains("agg_func_0"), s"aggregates not pushed:\n$plan")
+    val r = agg.collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 1)
+    assert(r.getDouble(2) == 2.5 && r.getDouble(3) == 9.5)
+    assert(r.getTimestamp(4) == java.sql.Timestamp.valueOf("2024-01-03 08:15:00"))
+    // values identical to the unpushed plan
+    val raw = t.select($"amount", $"extra", $"ts").collect()
+    assert(raw.length == 4 && raw.map(_.getDouble(0)).max == 9.5)
+
+    // grouping by the partition column pushes too (one group per file)
+    val grouped = t.groupBy($"processing_date")
+      .agg(count(lit(1)).as("n"), max($"amount").as("hi"))
+    assert(grouped.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
+    val g = grouped.orderBy("processing_date")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(g == Seq(("2024-01-01", 1L, 2.5), ("2024-01-02", 2L, 9.5),
+      ("2024-01-03", 1L, 4.5)))
+
+    // partition pruning composes with the pushed aggregate
+    val pruned = t.where($"processing_date" === "2024-01-02")
+      .agg(count(lit(1)).as("n"), min($"amount").as("lo"))
+    assert(pruned.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
+    assert(pruned.as[(Long, Double)].collect().toSeq == Seq((2L, 3.5)))
+
+    // a residual (data) filter blocks pushdown and the row scan answers
+    val residual = t.where($"amount" > 3.0).agg(count(lit(1)))
+    assert(!residual.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
+    assert(residual.as[Long].collect().toSeq == Seq(3L))
+
+    // unsupported aggregate (avg) declines cleanly
+    val declined = t.agg(avg($"amount"))
+    assert(!declined.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
+    assert(math.abs(declined.as[Double].collect().head - (2.5 + 3.5 + 4.5 + 9.5) / 4) < 1e-9)
+  }
+
   test("empty and missing partitions behave: no dirs -> empty result with schema") {
     val (dir, _) = mkTable("dsv2m")
     val none = spark.read.format("graft-upsert").load(dir)
