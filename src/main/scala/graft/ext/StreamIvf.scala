@@ -125,14 +125,19 @@ object StreamIvf {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
     val s = sink(path)
-    def slice(b: Int): DataFrame = emb.filter(pmod(col("vec_id"), lit(4)) === b)
-    (0 until 4).foreach { b =>
+    // two ingest slices suffice for every maintenance guarantee the
+    // query proves (multi-batch build, idempotent replay, precombine
+    // refresh); each upsert rewrites every touched cell dir, so extra
+    // slices only multiply small-file I/O without changing the result
+    def slice(b: Int): DataFrame = emb.filter(pmod(col("vec_id"), lit(2)) === b)
+    (0 until 2).foreach { b =>
       s.upsert(indexRows(slice(b), centroids, seq = b.toLong), batchId = b.toLong)
     }
     // at-least-once replay of slice 1 (same seq — idempotent rewrite) …
-    s.upsert(indexRows(slice(1), centroids, seq = 1L), batchId = 4L)
-    // … and a refresh of slice 2 at a higher seq (precombine keeps it)
-    s.upsert(indexRows(slice(2), centroids, seq = 5L), batchId = 5L)
+    s.upsert(indexRows(slice(1), centroids, seq = 1L), batchId = 2L)
+    // … and a refresh of slice 0 at a higher seq (precombine keeps it;
+    // payload unchanged, so the search output stays the rebuilt index's)
+    s.upsert(indexRows(slice(0), centroids, seq = 5L), batchId = 3L)
     val queries = emb.filter(col("vec_id") % 100 === 0)
     graft.Present.sortSmall(
       search(readIndex(spark, path), queries, centroids, k = 5),

@@ -425,6 +425,67 @@ final case class ParquetUpsertSink(
     asOfPartitionDirs(spark, until).filter { case (escaped, _) => touched.contains(escaped) }
   }
 
+  /** Row-level change feed for commit range `(since, until]` — the
+    * Delta CDF / Debezium-shaped read-out of what the range did to the
+    * table, derived entirely from the pre-image archive:
+    *
+    *   - `insert`            a key absent as of `since`, present as of `until`
+    *   - `delete`            present before, gone after (tombstoned away)
+    *   - `update_preimage` / `update_postimage`  present in both with
+    *     different row content (one feed row each, Delta's convention)
+    *
+    * Output = table columns + `_change_type`. I/O is the touched
+    * partitions' file sets at the two endpoints (everything else
+    * cannot have changed — it never leaves disk); the diff itself is
+    * one full outer join on the record keys, shuffled only over rows
+    * of touched partitions. "" = before the oldest retained commit.
+    * Same retention contract as every as-of read: both endpoints must
+    * still be reconstructable (fail-fast otherwise).
+    */
+  def changeFeed(spark: org.apache.spark.sql.SparkSession,
+      since: String, until: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touched: Set[String] = ParquetUpsertSink.listArchivedCommits(spark, path)
+      .filter(c => c > since && c <= until)
+      .flatMap(c => touchedPartitions(fs, new Path(archiveRoot, c)))
+      .toSet
+    def endpoint(asOf: String): DataFrame = {
+      val restricted = asOfPartitionDirs(spark, asOf)
+        .filter { case (escaped, _) => touched.contains(escaped) }
+      val groups = restricted.map(_._2).groupBy(_.getParent).toSeq.map { case (base, ds) =>
+        if (base == new Path(path)) readStringPartitioned(spark, ds)
+        else readStringPartitioned(spark, ds, base.toString)
+      }
+      if (groups.isEmpty) emptyTable(spark, fs)
+      else groups.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    val pre = endpoint(since)
+    val post = endpoint(until)
+    // align schemas (additive evolution between the endpoints)
+    val allCols = (pre.columns ++ post.columns).distinct.toSeq
+    def aligned(df: DataFrame) =
+      df.select(allCols.map(c =>
+        if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+    val keyCols = recordKeys
+    def packed(df: DataFrame, side: String) =
+      aligned(df).select(
+        keyCols.map(col) :+
+          struct(allCols.map(col): _*).as(s"_row_$side"): _*)
+    val joined = packed(pre, "pre").join(packed(post, "post"), keyCols, "full_outer")
+    val inserts = joined.filter(col("_row_pre").isNull && col("_row_post").isNotNull)
+      .select(col("_row_post.*")).withColumn("_change_type", lit("insert"))
+    val deletes = joined.filter(col("_row_post").isNull && col("_row_pre").isNotNull)
+      .select(col("_row_pre.*")).withColumn("_change_type", lit("delete"))
+    // null-safe struct comparison: exact row-content diff, no hashing
+    val changed = joined.filter(col("_row_pre").isNotNull && col("_row_post").isNotNull
+      && !(col("_row_pre") <=> col("_row_post")))
+    val updPre = changed.select(col("_row_pre.*"))
+      .withColumn("_change_type", lit("update_preimage"))
+    val updPost = changed.select(col("_row_post.*"))
+      .withColumn("_change_type", lit("update_postimage"))
+    inserts.unionByName(deletes).unionByName(updPre).unionByName(updPost)
+  }
+
   def readChangesSince(spark: org.apache.spark.sql.SparkSession, since: String): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val touched = touchedPartitionsSince(spark, since)

@@ -505,6 +505,55 @@ object Parity {
       .transform(graft.Present.sortSmall(_, col("o_orderstatus"), col("o_orderpriority")))
   }
 
+  /** Row-level change feed (Delta CDF analog) between two commits of
+    * an upsert table: commit 1 updates some keys, tombstones others,
+    * and inserts fresh ones; the feed must classify every key exactly
+    * (insert / delete / update_preimage / update_postimage) with the
+    * endpoint row content. The oracle rebuilds the expected feed
+    * set-theoretically from the same modular key classes.
+    */
+  def changeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq",
+      "o_orderpriority", keepVersions = 4, deleteCol = Some("gone"))
+    val orders = Tables.table(spark, sfDir, "orders")
+    val k = col("o_orderkey")
+    sink.upsert(orders.filter(k % 4 === 1)
+      .withColumn("seq", lit(0L)).withColumn("gone", lit(false)), 0)
+    val updates = orders.filter(k % 4 === 1 && k % 5 === 0 && k % 7 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .withColumn("gone", lit(false))
+    val deletes = orders.filter(k % 4 === 1 && k % 7 === 0)
+      .withColumn("gone", lit(true))
+    val inserts = orders.filter(k % 4 === 2 && k % 9 === 0)
+      .withColumn("gone", lit(false))
+    sink.upsert(updates.unionByName(deletes).unionByName(inserts)
+      .withColumn("seq", lit(1L)), 1)
+    val commits = graft.io.ParquetUpsertSink.listArchivedCommits(spark, dir)
+    sink.changeFeed(spark, commits(0), commits(1))
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .transform(graft.Present.sortSmall(_, col("_change_type")))
+  }
+
+  val changeFeedSql: String =
+    """SELECT ct AS _change_type, count(*) AS n, round(sum(price), 2) AS total
+      |FROM (
+      |  SELECT 'insert' AS ct, o_totalprice AS price FROM orders
+      |  WHERE o_orderkey % 4 = 2 AND o_orderkey % 9 = 0
+      |  UNION ALL
+      |  SELECT 'delete', o_totalprice FROM orders
+      |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT 'update_preimage', o_totalprice FROM orders
+      |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', o_totalprice + 1000 FROM orders
+      |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+      |)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Footer-stats aggregate pushdown on the upsert table: COUNT(*),
     * COUNT(col), MIN/MAX grouped by the partition column answer from
     * parquet metadata (one footer read per file — no row scan). The
