@@ -127,17 +127,20 @@ object StreamIvf {
     val s = sink(path)
     // two ingest slices suffice for every maintenance guarantee the
     // query proves (multi-batch build, idempotent replay, precombine
-    // refresh); each upsert rewrites every touched cell dir, so extra
-    // slices only multiply small-file I/O without changing the result
-    def slice(b: Int): DataFrame = emb.filter(pmod(col("vec_id"), lit(2)) === b)
-    (0 until 2).foreach { b =>
-      s.upsert(indexRows(slice(b), centroids, seq = b.toLong), batchId = b.toLong)
-    }
+    // refresh). Slices cut on CELL parity, not vector id: a vector-id
+    // slice touches every cell dir every commit (uniform spread), so
+    // each upsert rewrote the whole index; cell-parity slices touch
+    // half the dirs per commit — the realistic shape (a batch clusters
+    // into SOME cells) and half the small-file I/O, same final table.
+    def slice(b: Int): DataFrame =
+      indexRows(emb, centroids, seq = b.toLong)
+        .filter(pmod(col("cent_id"), lit(2)) === b)
+    (0 until 2).foreach { b => s.upsert(slice(b), batchId = b.toLong) }
     // at-least-once replay of slice 1 (same seq — idempotent rewrite) …
-    s.upsert(indexRows(slice(1), centroids, seq = 1L), batchId = 2L)
+    s.upsert(slice(1), batchId = 2L)
     // … and a refresh of slice 0 at a higher seq (precombine keeps it;
     // payload unchanged, so the search output stays the rebuilt index's)
-    s.upsert(indexRows(slice(0), centroids, seq = 5L), batchId = 3L)
+    s.upsert(slice(0).withColumn("seq", lit(5L)), batchId = 3L)
     val queries = emb.filter(col("vec_id") % 100 === 0)
     graft.Present.sortSmall(
       search(readIndex(spark, path), queries, centroids, k = 5),

@@ -40,7 +40,7 @@ object GraftProcedures {
   private def str(v: String): AnyRef = UTF8String.fromString(v)
 
   val names: Seq[String] =
-    Seq("compact", "optimize_zorder", "expire_commits", "sweep_staging")
+    Seq("compact", "optimize_zorder", "expire_commits", "sweep_staging", "history")
 
   def load(name: String): UnboundProcedure = name match {
     case "compact" => proc("compact",
@@ -81,6 +81,31 @@ object GraftProcedures {
       "delete staging dirs and partial archive copies orphaned by crashed runs") { in =>
       val n = ParquetUpsertSink.sweepStaging(spark, in.getUTF8String(0).toString)
       Seq(new GenericInternalRow(Array[Any](n)))
+    }
+    case "history" => proc("history",
+      Seq("table" -> StringType),
+      StructType(Seq(
+        StructField("commit", StringType),
+        StructField("touched_partitions", IntegerType),
+        StructField("completed", BooleanType))),
+      "retained commits, oldest first (DESCRIBE HISTORY analog)") { in =>
+      val path = in.getUTF8String(0).toString
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val completed = ParquetUpsertSink.listCompletedCommits(spark, path).toSet
+      ParquetUpsertSink.listArchivedCommits(spark, path).map { c =>
+        val mf = new org.apache.hadoop.fs.Path(
+          s"$path/${ParquetUpsertSink.ArchiveDirName}/$c/${ParquetUpsertSink.TouchedManifest}")
+        val touched =
+          if (!fs.exists(mf)) -1
+          else {
+            val inS = fs.open(mf)
+            try scala.io.Source.fromInputStream(inS, "UTF-8").getLines()
+              .count(_.nonEmpty)
+            finally inS.close()
+          }
+        new GenericInternalRow(Array[Any](str(c), touched, completed.contains(c)))
+      }
     }
     case other => throw new IllegalArgumentException(
       s"graft.system: unknown procedure '$other' (have: ${names.mkString(", ")})")

@@ -312,6 +312,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(swept == Seq(0))
   }
 
+  test("CALL graft.system.history lists retained commits with completion flags") {
+    val dir = tmp("phist")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept", keepVersions = 10)
+    sink.upsert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "seq", "dept"), 0)
+    sink.delete(spark, col("id") === 2L, batchId = 1L)
+    val hist = spark.sql(s"CALL graft.system.history('$dir')")
+      .as[(String, Int, Boolean)].collect().toSeq
+    assert(hist.size == 2)
+    assert(hist.map(_._2) == Seq(2, 1)) // seed touched a+b; delete touched b
+    assert(hist.forall(_._3)) // both mutations completed
+    assert(hist.map(_._1) == hist.map(_._1).sorted) // oldest first
+  }
+
   test("catalog-created table also works option-less through the path API") {
     val dir = tmp("props")
     val t = s"graft.`$dir`"
