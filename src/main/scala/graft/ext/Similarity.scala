@@ -1329,16 +1329,24 @@ object Similarity {
     // |rounds|×(rounds+1) corpus passes over it otherwise)
     val (subs0, cents0) = pqSeedInputs(spark, sfDir)
     val subs = subs0.localCheckpoint(true)
-    val rows = pqRoundsSweep.map { r =>
-      bf.join(pqTop5From(spark, sfDir, subs, cents0, r)
-            .select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-        .crossJoin(truth) // one-row scalar rides along
-        .select(lit(r).as("rounds"), col("n_hits"), col("n_truth"),
-          round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
-    }
-    Present.sortSmall(rows.reduce(_ unionAll _), col("rounds"))
+    // the sweep's Lloyd collects all run inside this method (each map
+    // step executes its collects eagerly), so the checkpointed blocks
+    // can be released before returning — only the final small
+    // per-sweep-point aggregates survive as the result plan
+    try {
+      val rows = pqRoundsSweep.map { r =>
+        bf.join(pqTop5From(spark, sfDir, subs, cents0, r)
+              .select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(truth) // one-row scalar rides along
+          .select(lit(r).as("rounds"), col("n_hits"), col("n_truth"),
+            round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+          .localCheckpoint(true) // one row per sweep point: sever the
+        // lineage back to `subs` so its blocks can be freed below
+      }
+      Present.sortSmall(rows.reduce(_ unionAll _), col("rounds"))
+    } finally subs.unpersist(false)
   }
 
   /** DuckDB twin of [[annPqRounds]] — one [[pqSql]] instantiation per

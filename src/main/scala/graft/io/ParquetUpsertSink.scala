@@ -471,7 +471,13 @@ final case class ParquetUpsertSink(
       aligned(df).select(
         keyCols.map(col) :+
           struct(allCols.map(col): _*).as(s"_row_$side"): _*)
-    val joined = packed(pre, "pre").join(packed(post, "post"), keyCols, "full_outer")
+    // null-SAFE key equality: the upsert merge groups null keys as
+    // equal, so the feed must too (plain equality would misreport an
+    // unchanged null-key row as a delete + insert pair)
+    val lhs = packed(pre, "pre")
+    val rhs = packed(post, "post")
+    val keyMatch = keyCols.map(k => lhs(k) <=> rhs(k)).reduce(_ && _)
+    val joined = lhs.join(rhs, keyMatch, "full_outer")
     val inserts = joined.filter(col("_row_pre").isNull && col("_row_post").isNotNull)
       .select(col("_row_post.*")).withColumn("_change_type", lit("insert"))
     val deletes = joined.filter(col("_row_post").isNull && col("_row_pre").isNotNull)
@@ -995,6 +1001,16 @@ object ParquetUpsertSink {
         fs.listStatus(archive).filter(_.getPath.getName.endsWith(ArchiveTmpSuffix))
       else Array.empty[org.apache.hadoop.fs.FileStatus]
     partials.foreach(st => fs.delete(st.getPath, true))
-    orphans.length + partials.length
+    // DSv2 write staging (UpsertTableWrite / UpsertReplaceGroupsWrite):
+    // task files stage under <path>/.staging-write-<uuid>/ and a crash
+    // before the driver commit strands them — same no-active-writer
+    // caveat as the rest of this sweep
+    val dsv2 =
+      if (fs.exists(p))
+        fs.listStatus(p).filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith(".staging-write-"))
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    dsv2.foreach(st => fs.delete(st.getPath, true))
+    orphans.length + partials.length + dsv2.length
   }
 }

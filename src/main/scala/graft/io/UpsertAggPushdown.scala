@@ -115,23 +115,25 @@ final class UpsertAggScan(path: String, tableSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new UpsertAggReaderFactory(tableSchema, partitionCol, aggs, groupByPartition)
+    new UpsertAggReaderFactory(tableSchema, partitionCol, aggs, groupByPartition,
+      UpsertTableSource.serializableConf())
 }
 
 final class UpsertAggReaderFactory(tableSchema: StructType,
-    partitionCol: Option[String], aggs: Seq[PushedAgg], groupByPartition: Boolean)
+    partitionCol: Option[String], aggs: Seq[PushedAgg], groupByPartition: Boolean,
+    conf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new UpsertAggReader(partition.asInstanceOf[UpsertFilePartition],
-      tableSchema, partitionCol, aggs, groupByPartition)
+      tableSchema, partitionCol, aggs, groupByPartition, conf.value)
 }
 
 /** Executor-side: aggregate ONE file from its footer; scan the file's
   * needed columns only if a required statistic is missing.
   */
 final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
-    partitionCol: Option[String], aggs: Seq[PushedAgg], groupByPartition: Boolean)
-  extends PartitionReader[InternalRow] {
+    partitionCol: Option[String], aggs: Seq[PushedAgg], groupByPartition: Boolean,
+    conf: Configuration) extends PartitionReader[InternalRow] {
 
   private var done = false
 
@@ -154,7 +156,7 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
     */
   private def computeFromFooter(): Option[Seq[Any]] = {
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(part.filePath), new Configuration()))
+      HadoopInputFile.fromPath(new Path(part.filePath), conf))
     try {
       val blocks = reader.getFooter.getBlocks
       val schema = reader.getFooter.getFileMetaData.getSchema
@@ -194,7 +196,9 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
               val v = decode(raw, c.getPrimitiveType, dt).getOrElse(return None)
               acc = Some(acc match {
                 case None => v
-                case Some(a) => if (wantMin ^ (cmp(a, v, dt) < 0)) a else v
+                case Some(a) =>
+                  val keepA = if (wantMin) cmp(a, v, dt) <= 0 else cmp(a, v, dt) >= 0
+                  if (keepA) a else v
               })
             } else if (!st.isNumNullsSet || st.getNumNulls != c.getValueCount) {
               return None // can't prove the chunk is all-null
@@ -264,7 +268,7 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
     val mins = new java.util.HashMap[String, Any]()
     val maxs = new java.util.HashMap[String, Any]()
     var rowCount = 0L
-    val reader = new UpsertPartitionReader(part, projected, None)
+    val reader = new UpsertPartitionReader(part, projected, None, conf)
     try {
       while (reader.next()) {
         val row = reader.get()

@@ -79,7 +79,8 @@ final class UpsertMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new UpsertReaderFactory(required, Some(partitionCol))
+    new UpsertReaderFactory(required, Some(partitionCol),
+      UpsertTableSource.serializableConf())
 
   override def commit(end: Offset): Unit = ()
 

@@ -396,14 +396,22 @@ final class UpsertScan(path: String, tableSchema: StructType,
           .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
             .map(f => UpsertFilePartition(f.toString, v)) }
           .toArray
-      case (None, _) => // unpartitioned layout: files at the root
+      case (None, Some(_)) =>
+        // silently reading live data for a time-travel request would be
+        // a wrong-answer bug; the layout has no partition column to
+        // reconstruct from (partitionColOf also consults
+        // _table.properties, so this is genuinely unpartitioned data)
+        throw new UnsupportedOperationException(
+          s"graft-upsert: time travel (asOf) requires the partitioned table layout: $path")
+      case (None, None) => // unpartitioned layout: files at the root
         UpsertTableSource.dataFiles(fs, root)
           .map(f => UpsertFilePartition(f.toString, null)).toArray
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new UpsertReaderFactory(required, partitionCol)
+    new UpsertReaderFactory(required, partitionCol,
+      UpsertTableSource.serializableConf())
 
   /** `spark.readStream.format("graft-upsert")`: the table as an
     * incremental per-commit change stream ([[UpsertMicroBatchStream]]).
@@ -437,20 +445,22 @@ final case class UpsertFilesPartition(files: Seq[String], partValue: String)
       if (partValue == null) null else UTF8String.fromString(partValue)))
 }
 
-final class UpsertReaderFactory(required: StructType, partitionCol: Option[String])
+final class UpsertReaderFactory(required: StructType, partitionCol: Option[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case f: UpsertFilePartition =>
-        new UpsertPartitionReader(f, required, partitionCol)
+        new UpsertPartitionReader(f, required, partitionCol, conf.value)
       case g: UpsertFilesPartition =>
-        new UpsertMultiFileReader(g, required, partitionCol)
+        new UpsertMultiFileReader(g, required, partitionCol, conf.value)
     }
 }
 
 /** Sequential reader over one partition value's file set (SPJ mode). */
 final class UpsertMultiFileReader(part: UpsertFilesPartition,
-    required: StructType, partitionCol: Option[String])
+    required: StructType, partitionCol: Option[String],
+    conf: Configuration)
   extends PartitionReader[InternalRow] {
 
   private val files = part.files.iterator
@@ -461,7 +471,7 @@ final class UpsertMultiFileReader(part: UpsertFilesPartition,
       if (current == null) {
         if (!files.hasNext) return false
         current = new UpsertPartitionReader(
-          UpsertFilePartition(files.next(), part.partValue), required, partitionCol)
+          UpsertFilePartition(files.next(), part.partValue), required, partitionCol, conf)
       }
       if (current.next()) return true
       current.close()
@@ -481,10 +491,14 @@ final class UpsertMultiFileReader(part: UpsertFilesPartition,
   * the file predates null-filled.
   */
 final class UpsertPartitionReader(part: UpsertFilePartition,
-    required: StructType, partitionCol: Option[String])
+    required: StructType, partitionCol: Option[String],
+    // the SESSION's Hadoop configuration, shipped from the driver —
+    // a bare `new Configuration()` would drop every spark.hadoop.*
+    // setting (s3a credentials, endpoints) on real filesystems
+    baseConf: Configuration = new Configuration())
   extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  private val conf = new Configuration(baseConf)
   private val file = new Path(part.filePath)
 
   // data columns this FILE can serve (projection must be a subset of
@@ -519,10 +533,11 @@ final class UpsertPartitionReader(part: UpsertFilePartition,
     current != null
   }
 
+  private val presentNames: Set[String] = presentFields.map(_.name).toSet
+
   override def get(): InternalRow = {
     val values = new Array[Any](required.length)
     var pi = 0 // index into the projected group
-    val presentNames = presentFields.map(_.name).toSet
     var i = 0
     while (i < required.length) {
       val f = required.fields(i)
@@ -541,6 +556,13 @@ final class UpsertPartitionReader(part: UpsertFilePartition,
 }
 
 object UpsertTableSource {
+
+  /** The active session's Hadoop configuration, wrapped for executor
+    * shipping (factories serialize per task).
+    */
+  private[io] def serializableConf(): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
 
   /** Opt-in session conf for storage-partitioned-join planning (one
     * input partition per partition value + KeyGroupedPartitioning).
@@ -569,16 +591,21 @@ object UpsertTableSource {
     if (escaped == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
     else ExternalCatalogUtils.unescapePathName(escaped)
 
-  /** The table's partition column, inferred from the `col=value`
-    * directory layout (None = unpartitioned).
+  /** The table's partition column: inferred from the `col=value`
+    * directory layout, else the persisted `_table.properties` (which
+    * keeps a fully-tombstoned catalog table — live dirs all deleted,
+    * archive intact — partitioned for time travel and re-inserts).
+    * None = genuinely unpartitioned.
     */
   private[io] def partitionColOf(path: String): Option[String] = {
     val root = new Path(path)
     val fs = root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) None
-    else fs.listStatus(root).iterator.map(_.getPath.getName)
-      .collectFirst { case n if !n.startsWith("_") && !n.startsWith(".") && n.contains("=") =>
-        n.take(n.indexOf('=')) }
+    val fromDirs =
+      if (!fs.exists(root)) None
+      else fs.listStatus(root).iterator.map(_.getPath.getName)
+        .collectFirst { case n if !n.startsWith("_") && !n.startsWith(".") && n.contains("=") =>
+          n.take(n.indexOf('=')) }
+    fromDirs.orElse(GraftUpsertCatalog.tableProps(path).get("partitionCol"))
   }
 
   /** Table schema: the `_schema.json` writer schema when present (the

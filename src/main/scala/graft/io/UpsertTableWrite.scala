@@ -130,19 +130,24 @@ final class UpsertDataWriterFactory(stagingDir: String, schema: StructType,
     // of a group-based rewrite, and only strips it for connectors that
     // declare metadata attributes — writers here are positional, so the
     // leading tag must be skipped explicitly
-    dropOperationColumn: Boolean = false)
+    dropOperationColumn: Boolean = false,
+    conf: org.apache.spark.util.SerializableConfiguration =
+      UpsertTableSource.serializableConf())
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new UpsertDataWriter(s"$stagingDir/task-$partitionId-$taskId.parquet", schema,
-      if (dropOperationColumn) 1 else 0)
+      if (dropOperationColumn) 1 else 0, conf.value)
 }
 
 final class UpsertStreamingDataWriterFactory(stagingBase: String,
-    schema: StructType) extends StreamingDataWriterFactory {
+    schema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration =
+      UpsertTableSource.serializableConf()) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new UpsertDataWriter(
-      s"$stagingBase/e$epochId/task-$partitionId-$taskId.parquet", schema)
+      s"$stagingBase/e$epochId/task-$partitionId-$taskId.parquet", schema,
+      baseConf = conf.value)
 }
 
 /** Executor-side task writer: Spark internal rows → parquet Groups
@@ -151,9 +156,12 @@ final class UpsertStreamingDataWriterFactory(stagingBase: String,
   * leading non-data fields (the ReplaceData operation tag).
   */
 final class UpsertDataWriter(file: String, schema: StructType,
-    rowOffset: Int = 0) extends DataWriter[InternalRow] {
+    rowOffset: Int = 0,
+    // session Hadoop conf from the driver (bare `new Configuration()`
+    // would drop spark.hadoop.* on real filesystems)
+    baseConf: Configuration = new Configuration()) extends DataWriter[InternalRow] {
 
-  private val conf = new Configuration()
+  private val conf = new Configuration(baseConf)
   private val parquetSchema: MessageType = UpsertTableWrite.toParquetSchema(schema)
   GroupWriteSupport.setSchema(parquetSchema, conf)
   private val writer = ExampleParquetWriter.builder(new Path(file))

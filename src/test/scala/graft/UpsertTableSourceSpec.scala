@@ -326,6 +326,37 @@ class UpsertTableSourceSpec extends SparkSpec {
     assert(math.abs(declined.as[Double].collect().head - (2.5 + 3.5 + 4.5 + 9.5) / 4) < 1e-9)
   }
 
+  test("aggregate pushdown folds MIN/MAX correctly across many row groups") {
+    // regression: the per-file chunk fold once kept the LARGER value for
+    // MIN (and smaller for MAX) whenever a file had >1 row group —
+    // silently wrong answers on any partition above one row-group size
+    val dir = Files.createTempDirectory("dsv2aggrg").toString + "/t"
+    (1 to 5000).map(i => (i.toLong, "p"))
+      .toDF("v", "dept")
+      .repartition(1)
+      .write
+      .option("parquet.block.size", "2048") // force many tiny row groups
+      .option("parquet.page.size", "512")
+      .partitionBy("dept").parquet(dir)
+    val t = spark.read.format("graft-upsert").load(dir)
+    val agg = t.agg(min($"v").as("lo"), max($"v").as("hi"), count(lit(1)).as("n"))
+    assert(agg.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
+    val r = agg.as[(Long, Long, Long)].collect().head
+    assert(r == ((1L, 5000L, 5000L)))
+  }
+
+  test("sweepStaging reclaims crashed DSv2 write staging dirs") {
+    val (dir, _) = mkTable("dsv2sweep")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crashed = new org.apache.hadoop.fs.Path(s"$dir/.staging-write-deadbeef")
+    fs.mkdirs(crashed)
+    fs.create(new org.apache.hadoop.fs.Path(crashed, "task-0-1.parquet"), true).close()
+    assert(ParquetUpsertSink.sweepStaging(spark, dir) >= 1)
+    assert(!fs.exists(crashed))
+    assert(spark.read.format("graft-upsert").load(dir).count() == 3) // data intact
+  }
+
   test("empty and missing partitions behave: no dirs -> empty result with schema") {
     val (dir, _) = mkTable("dsv2m")
     val none = spark.read.format("graft-upsert").load(dir)
