@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The crash-safe parquet delta-store protocol shared by the streaming
+  * operators that keep first-occurrence registries on disk
+  * ([[StreamFunnel]]'s key store, [[StreamLineDedup]]'s line registry):
+  * per-batch delta dirs committed by `_SUCCESS`, folded periodically
+  * into a `base_<batch>` dir by an ASSOCIATIVE, duplicate-idempotent
+  * fold. One definition of the listing and the fold-guard/cleanup
+  * choreography, so the crash-window reasoning lives in one place.
+  */
+object DeltaStore {
+
+  /** Committed delta dirs under `root` (those with `_SUCCESS`), sorted.
+    * Uncommitted leftovers of a crashed writer are invisible. Local-FS
+    * listing — these stores are driver-local fixtures; an object-store
+    * deployment would list through the Hadoop FileSystem instead.
+    */
+  def committed(root: String): Seq[String] = {
+    val dirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    dirs.toSeq
+      .filter(d => d.isDirectory && new java.io.File(d, "_SUCCESS").exists())
+      .map(_.getAbsolutePath).sorted
+  }
+
+  /** Fold every committed delta (and any previous base — its rows fold
+    * identically) into `<root>/base_<upToBatch>`, then drop the folded
+    * inputs. Crash-safe by construction, provided `fold` is the same
+    * associative min/merge the readers compute:
+    *  - a replay that crashed between base-write and cleanup must NOT
+    *    re-fold (the committed target would be both input and
+    *    overwrite target) — the guard skips straight to cleanup;
+    *  - the base is written BEFORE the inputs are dropped, so the
+    *    crash window leaves duplicates, which the idempotent fold
+    *    absorbs on read.
+    */
+  def compact(spark: SparkSession, root: String, upToBatch: Long)(
+      fold: DataFrame => DataFrame): Unit = {
+    val target = new java.io.File(s"$root/base_$upToBatch").getAbsolutePath
+    if (!new java.io.File(target, "_SUCCESS").exists()) {
+      val folded = committed(root)
+      if (folded.isEmpty) return
+      fold(spark.read.parquet(folded: _*))
+        .write.mode("overwrite").parquet(target)
+    }
+    committed(root).filterNot(_ == target).foreach { p =>
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+  }
+}

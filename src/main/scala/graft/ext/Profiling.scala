@@ -37,7 +37,10 @@ object Profiling {
       scalarRules.zipWithIndex.map { case ((_, cond), i) =>
         sum(when(cond, 1L).otherwise(0L)).as(s"v$i")
       }
-    val base = child.agg(aggs.head, aggs.tail: _*)
+    // ONE row, materialized once: both the stack projection and the
+    // orphan branch's n_rows read the checkpointed scalar instead of
+    // re-running the fact-table scan
+    val base = child.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
     val stackArgs = scalarRules.zipWithIndex
       .map { case ((name, _), i) => s"'$name', v$i" }
       .mkString(", ")

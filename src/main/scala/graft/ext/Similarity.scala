@@ -1346,7 +1346,7 @@ object Similarity {
         // lineage back to `subs` so its blocks can be freed below
       }
       Present.sortSmall(rows.reduce(_ unionAll _), col("rounds"))
-    } finally subs.unpersist(false)
+    } finally graft.io.Checkpoints.release(subs)
   }
 
   /** DuckDB twin of [[annPqRounds]] — one [[pqSql]] instantiation per

@@ -86,13 +86,7 @@ object StreamFunnel {
     * be invisible to readers — the stream will replay it with
     * overwrite semantics.
     */
-  private def committed(root: String): Seq[String] = {
-    val dirs = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-    dirs.toSeq
-      .filter(d => d.isDirectory && new java.io.File(d, "_SUCCESS").exists())
-      .map(_.getAbsolutePath).sorted
-  }
+  private def committed(root: String): Seq[String] = DeltaStore.committed(root)
 
   /** Fold the keys/ delta store into one base table — the bounded-state
     * move for unbounded runs. Every committed delta (and any previous
@@ -114,34 +108,18 @@ object StreamFunnel {
     * key count — the same order as any dedup index).
     */
   def compactKeys(spark: SparkSession, dir: String, upToBatch: Long,
-      ttlBatches: Option[Long] = None): Unit = {
-    val target = new java.io.File(s"$dir/keys/base_$upToBatch").getAbsolutePath
-    // a replay that crashed between base-write and cleanup must NOT
-    // re-fold (the committed target would be both input and overwrite
-    // target); the committed base already holds the full fold and the
-    // surviving deltas are idempotent subsets — only cleanup remains
-    if (!new java.io.File(target, "_SUCCESS").exists()) {
-      val folded = committed(s"$dir/keys")
-      if (folded.isEmpty) return
-      val base = spark.read.parquet(folded: _*)
+      ttlBatches: Option[Long] = None): Unit =
+    DeltaStore.compact(spark, s"$dir/keys", upToBatch) { all =>
+      val base = all
         .groupBy(col("k"))
         .agg(min(struct(col("bid"), col("keeper"), col("keeper_c4"))).as("m"))
         .select(col("k"), col("m.keeper").as("keeper"),
           col("m.keeper_c4").as("keeper_c4"), col("m.bid").as("bid"))
-      val kept = ttlBatches match {
+      ttlBatches match {
         case Some(t) => base.filter(col("bid") > upToBatch - t)
         case None    => base
       }
-      // base written first; only then are the folded inputs dropped —
-      // the crash window leaves duplicates, which the min-fold absorbs
-      kept.write.mode("overwrite").parquet(target)
     }
-    committed(s"$dir/keys").filterNot(_ == target).foreach { p =>
-      val fs = new org.apache.hadoop.fs.Path(p)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(p), true)
-    }
-  }
 
   /** The funnel report over everything ingested so far — same 6-row
     * shape as [[Prep.filterFunnel]]. Before the first batch COMMITS

@@ -63,13 +63,7 @@ object StreamLineDedup {
   }
 
   /** Committed delta dirs (crashed half-writes are invisible). */
-  private def committed(root: String): Seq[String] = {
-    val dirs = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-    dirs.toSeq
-      .filter(d => d.isDirectory && new java.io.File(d, "_SUCCESS").exists())
-      .map(_.getAbsolutePath).sorted
-  }
+  private def committed(root: String): Seq[String] = DeltaStore.committed(root)
 
   /** Line keys registered by committed batches STRICTLY BEFORE
     * `beforeBatch` — the registry a replaying batch must clean
@@ -126,21 +120,9 @@ object StreamLineDedup {
     * distinct/min. (Same crash-safety argument as
     * [[StreamFunnel.compactKeys]].)
     */
-  def compactLines(spark: SparkSession, dir: String, upToBatch: Long): Unit = {
-    val target = new java.io.File(s"$dir/lines/base_$upToBatch").getAbsolutePath
-    if (!new java.io.File(target, "_SUCCESS").exists()) {
-      val folded = committed(s"$dir/lines")
-      if (folded.isEmpty) return
-      spark.read.parquet(folded: _*)
-        .groupBy(col("lh")).agg(min(col("bid")).as("bid"))
-        .write.mode("overwrite").parquet(target)
-    }
-    committed(s"$dir/lines").filterNot(_ == target).foreach { p =>
-      val fs = new org.apache.hadoop.fs.Path(p)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(p), true)
-    }
-  }
+  def compactLines(spark: SparkSession, dir: String, upToBatch: Long): Unit =
+    DeltaStore.compact(spark, s"$dir/lines", upToBatch)(
+      _.groupBy(col("lh")).agg(min(col("bid")).as("bid")))
 
   /** Everything cleaned so far (committed batches; same shape as
     * [[Dedup.lineDedup]]). Empty before the first commit.

@@ -601,7 +601,7 @@ final case class ParquetUpsertSink(
           // files in place — remove the directories explicitly
           deleteDirs(parts.filterNot(surviving.contains))
           markCommitComplete(fs, commit)
-        } finally mat.unpersist(false)
+        } finally Checkpoints.release(mat)
       } else {
         // creation-only commit (no live pre-images): still record it —
         // with its touched-partition manifest — or [[readAsOf]] could not
@@ -676,7 +676,7 @@ final case class ParquetUpsertSink(
         fs.delete(new Path(s"$path/$partitionCol=${dirName(v)}"), true)
       }
       markCommitComplete(fs, commit)
-    } finally mat.unpersist(false)
+    } finally Checkpoints.release(mat)
     matched.toSeq
   }
 
@@ -848,7 +848,7 @@ final case class ParquetUpsertSink(
     // like upsert: a crash before the overwrite leaves the table
     // untouched, after it leaves the same rows in fewer files
     val mat = readStringPartitioned(spark, oversized.toSeq).localCheckpoint(true)
-    try writeFinal(mat) finally mat.unpersist(false)
+    try writeFinal(mat) finally Checkpoints.release(mat)
     oversized.map(_.getName).toSeq
   }
 
@@ -883,7 +883,7 @@ final case class ParquetUpsertSink(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCol)
         .parquet(path)
-    } finally mat.unpersist(false)
+    } finally Checkpoints.release(mat)
     partDirs.map(_.getName).toSeq
   }
 
@@ -979,6 +979,26 @@ object ParquetUpsertSink {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     listArchivedCommits(spark, path)
       .filter(c => fs.exists(new Path(new Path(root, c), CommitCompleteMarker)))
+  }
+
+  /** The newest commit the change stream may advance to: the last of
+    * the completed PREFIX of the retained commits. Stopping at the
+    * first incomplete commit (not merely filtering it out) matters
+    * under concurrent writers: writer A can archive a smaller commit
+    * id and complete it AFTER writer B's larger id completes — if the
+    * stream's offset had already passed A's id, A's changes would be
+    * skipped forever (ranges filter `c > since`). The cost of the
+    * prefix rule is that a crashed writer's orphaned incomplete commit
+    * stalls the stream until `expire_commits` removes it — loud and
+    * recoverable, where the skip is silent data loss.
+    */
+  def streamHighWatermark(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val root = new Path(s"$path/$ArchiveDirName")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listArchivedCommits(spark, path)
+      .takeWhile(c => fs.exists(new Path(new Path(root, c), CommitCompleteMarker)))
+      .lastOption
   }
 
   /** Delete staging dirs orphaned by crashed runs (`<path>__staging_*`)

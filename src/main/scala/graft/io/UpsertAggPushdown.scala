@@ -80,38 +80,13 @@ final class UpsertAggScan(path: String, tableSchema: StructType,
   override def description(): String =
     s"graft-upsert $path [pushed aggregates: ${aggs.mkString(", ")}]"
 
-  private def matches(value: String): Boolean = {
-    import org.apache.spark.sql.sources._
-    partitionFilters.forall {
-      case EqualTo(_, v) => value != null && value == String.valueOf(v)
-      case EqualNullSafe(_, null) => value == null
-      case EqualNullSafe(_, v) => value != null && value == String.valueOf(v)
-      case In(_, vs) => value != null && vs.exists(v => v != null && String.valueOf(v) == value)
-      case IsNull(_) => value == null
-      case IsNotNull(_) => value != null
-      case _ => true
-    }
-  }
-
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = new Path(path)
-    if (!fs.exists(root)) return Array.empty
-    partitionCol match {
-      case Some(c) =>
-        fs.listStatus(root).iterator
-          .map(_.getPath)
-          .filter(p => p.getName.startsWith(s"$c="))
-          .map(p => p -> UpsertTableSource.dirValue(p.getName.drop(c.length + 1)))
-          .filter { case (_, v) => matches(v) }
-          .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
-            .map(f => UpsertFilePartition(f.toString, v)) }
-          .toArray
-      case None =>
-        UpsertTableSource.dataFiles(fs, root)
-          .map(f => UpsertFilePartition(f.toString, null)).toArray
-    }
+    // the row scan's planning walk and predicate semantics, verbatim —
+    // pushed aggregates must prune exactly like the row scan would
+    UpsertTableSource.planFilePartitions(fs, new Path(path), partitionCol,
+      partitionFilters)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -262,6 +237,13 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
       case AggMin(c, _) => c
       case AggMax(c, _) => c
     }.distinct
+    // min/max folding must run ONLY for min/max columns: a count-only
+    // column may be a string, and cmp() (rightly) has no ordering for
+    // types the pushdown never allows into AggMin/AggMax
+    val mmCols = aggs.collect {
+      case AggMin(c, _) => c
+      case AggMax(c, _) => c
+    }.toSet
     val projected = StructType(tableSchema.fields.filter(f => needed.contains(f.name)))
     val idx = projected.fieldNames.zipWithIndex.toMap
     val counts = new java.util.HashMap[String, Long]()
@@ -275,12 +257,14 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
         rowCount += 1
         for (c <- needed; i = idx(c) if !row.isNullAt(i)) {
           counts.merge(c, 1L, (a, b) => a + b)
-          val dt = projected.fields(i).dataType
-          val v = row.get(i, dt)
-          val curMin = mins.get(c)
-          if (curMin == null || cmp(v, curMin, dt) < 0) mins.put(c, v)
-          val curMax = maxs.get(c)
-          if (curMax == null || cmp(v, curMax, dt) > 0) maxs.put(c, v)
+          if (mmCols.contains(c)) {
+            val dt = projected.fields(i).dataType
+            val v = row.get(i, dt)
+            val curMin = mins.get(c)
+            if (curMin == null || cmp(v, curMin, dt) < 0) mins.put(c, v)
+            val curMax = maxs.get(c)
+            if (curMax == null || cmp(v, curMax, dt) > 0) maxs.put(c, v)
+          }
         }
       }
     } finally reader.close()

@@ -50,17 +50,18 @@ final class UpsertMicroBatchStream(path: String, required: StructType,
 
   override def initialOffset(): Offset = startingOffset match {
     case "latest" => UpsertCommitOffset(
-      ParquetUpsertSink.listCompletedCommits(spark, path).lastOption.getOrElse(""))
+      ParquetUpsertSink.streamHighWatermark(spark, path).getOrElse(""))
     case "earliest" | "" => UpsertCommitOffset("")
     case other => throw new IllegalArgumentException(
       s"graft-upsert: startingOffset must be 'earliest' or 'latest', got '$other'")
   }
 
-  // only COMPLETED commits are streamable: the archive dir of an
-  // in-flight mutation exists before its overwrite lands (crash
-  // safety), and planning live files against it would read mid-rewrite
+  // only the completed PREFIX of commits is streamable: an in-flight
+  // mutation's archive dir exists before its overwrite lands (planning
+  // live files against it would read mid-rewrite), and advancing PAST
+  // a still-incomplete smaller commit id would skip it forever
   override def latestOffset(): Offset = UpsertCommitOffset(
-    ParquetUpsertSink.listCompletedCommits(spark, path).lastOption.getOrElse(""))
+    ParquetUpsertSink.streamHighWatermark(spark, path).getOrElse(""))
 
   override def deserializeOffset(json: String): Offset = UpsertCommitOffset(json)
 

@@ -80,11 +80,9 @@ final class UpsertReplaceGroupsWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val files = messages.collect { case UpsertWriteCommit(f) if f != null => f }
-    val rows =
-      if (files.nonEmpty) spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val rows = UpsertTableWrite.readStaged(schema, messages).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     // honor the table's persisted retention/layout config — an UPDATE
     // archives pre-images exactly like an upsert commit would
     val props = GraftUpsertCatalog.tableProps(path)

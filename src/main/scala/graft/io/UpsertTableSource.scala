@@ -353,18 +353,11 @@ final class UpsertScan(path: String, tableSchema: StructType,
 
   /** Does the (unescaped, null for the default dir) partition value
     * satisfy every pushed partition predicate — static and runtime?
-    * Unknown predicate shapes are conservatively kept (no pruning).
+    * (Shared semantics: [[UpsertTableSource.matchesPartition]].)
     */
   private def matches(value: String): Boolean =
-    (partitionFilters.iterator ++ runtimeFilters.iterator).forall {
-    case EqualTo(_, v) => value != null && value == String.valueOf(v)
-    case EqualNullSafe(_, null) => value == null
-    case EqualNullSafe(_, v) => value != null && value == String.valueOf(v)
-    case In(_, vs) => value != null && vs.exists(v => v != null && String.valueOf(v) == value)
-    case IsNull(_) => value == null
-    case IsNotNull(_) => value != null
-    case _ => true
-  }
+    UpsertTableSource.matchesPartition(
+      partitionFilters.iterator ++ runtimeFilters.iterator, value)
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (spjMode) return groupedPlan
@@ -575,6 +568,46 @@ object UpsertTableSource {
     val p = Option(options.get("path")).orElse(Option(options.get("paths")))
     p.getOrElse(throw new IllegalArgumentException(
       "graft-upsert: a table path is required (.load(path))"))
+  }
+
+  /** Partition-predicate evaluation shared by every scan flavor (row,
+    * aggregate-pushdown) — ONE copy of the null semantics, so pushed
+    * aggregates can never prune differently than the row scan for the
+    * same WHERE clause. Unknown predicate shapes are conservatively
+    * kept (no pruning).
+    */
+  private[io] def matchesPartition(filters: Iterator[Filter], value: String): Boolean =
+    filters.forall {
+      case EqualTo(_, v) => value != null && value == String.valueOf(v)
+      case EqualNullSafe(_, null) => value == null
+      case EqualNullSafe(_, v) => value != null && value == String.valueOf(v)
+      case In(_, vs) => value != null && vs.exists(v => v != null && String.valueOf(v) == value)
+      case IsNull(_) => value == null
+      case IsNotNull(_) => value != null
+      case _ => true
+    }
+
+  /** One [[UpsertFilePartition]] per live data file of the partition
+    * dirs surviving `filters` — the planning walk shared by the row
+    * scan's default mode and the aggregate-pushdown scan.
+    */
+  private[io] def planFilePartitions(fs: FileSystem, root: Path,
+      partitionCol: Option[String], filters: Array[Filter]): Array[InputPartition] = {
+    if (!fs.exists(root)) return Array.empty
+    partitionCol match {
+      case Some(c) =>
+        fs.listStatus(root).iterator
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith(s"$c="))
+          .map(p => p -> dirValue(p.getName.drop(c.length + 1)))
+          .filter { case (_, v) => matchesPartition(filters.iterator, v) }
+          .flatMap { case (dir, v) => dataFiles(fs, dir)
+            .map(f => UpsertFilePartition(f.toString, v)) }
+          .toArray[InputPartition]
+      case None =>
+        dataFiles(fs, root)
+          .map(f => UpsertFilePartition(f.toString, null)).toArray[InputPartition]
+    }
   }
 
   /** Live data files of a directory (the sink's part-* naming). */

@@ -199,18 +199,25 @@ final class UpsertDataWriter(file: String, schema: StructType,
 
 object UpsertTableWrite {
 
+  /** The staged task files of a commit as one frame (None = no tasks
+    * produced data). The single definition of how a driver-side commit
+    * reads its staging — shared by upsert commits and the row-level
+    * ReplaceData commit.
+    */
+  private[io] def readStaged(schema: StructType,
+      messages: Array[WriterCommitMessage]): Option[org.apache.spark.sql.DataFrame] = {
+    val files = messages.collect { case UpsertWriteCommit(f) if f != null => f }
+    if (files.isEmpty) None
+    else Some(SparkSession.active.read.schema(schema)
+      .parquet(files.toIndexedSeq: _*))
+  }
+
   /** Driver-side commit: read the staged task files, run them through
     * the sink's upsert merge. Shared by the batch and streaming writes.
     */
   private[io] def mergeStaged(schema: StructType, sink: ParquetUpsertSink,
-      messages: Array[WriterCommitMessage], batchId: Long): Unit = {
-    val files = messages.collect { case UpsertWriteCommit(f) if f != null => f }
-    if (files.nonEmpty) {
-      val staged = SparkSession.active.read.schema(schema)
-        .parquet(files.toIndexedSeq: _*)
-      sink.upsert(staged, batchId)
-    }
-  }
+      messages: Array[WriterCommitMessage], batchId: Long): Unit =
+    readStaged(schema, messages).foreach(sink.upsert(_, batchId))
 
   private[io] def drop(dir: String): Unit = {
     val fs = new Path(dir)
