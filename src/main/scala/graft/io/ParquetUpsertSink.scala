@@ -66,7 +66,16 @@ final case class ParquetUpsertSink(
     // Hive-sync intent (reference py:271-274): register the table under
     // this name in the session catalog after each batch and sync newly
     // appeared partitions, so downstream `spark.sql` reads it by name.
-    syncTable: Option[String] = None) {
+    syncTable: Option[String] = None,
+    // CHECK-constraint expectations (Delta constraints analog, with
+    // dead-letter capture instead of batch rejection): each (name,
+    // condition) must HOLD for a row to merge — rows where a condition
+    // is FALSE split out of the batch BEFORE the merge and append to
+    // `<path>/_quarantine/` with the violated rule names and batch id
+    // (the `_` prefix hides them from readers of the table root). A
+    // NULL condition PASSES (Delta CHECK semantics). Screening is
+    // per-row codegen'd predicates — scan-speed, no extra shuffle.
+    expectations: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty) {
 
   require(filesPerPartition >= 1, s"filesPerPartition must be >= 1, got $filesPerPartition")
   require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
@@ -501,8 +510,51 @@ final case class ParquetUpsertSink(
     else readStringPartitioned(spark, liveDirs)
   }
 
+  /** Rows captured by the write-time expectations, with `_violations`
+    * (comma-joined rule names) and `_batch_id` columns. Empty frame
+    * with just those columns when nothing was ever quarantined.
+    */
+  def readQuarantine(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val q = new Path(s"$path/${ParquetUpsertSink.QuarantineDirName}")
+    val fs = q.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(q) && fs.listStatus(q).exists(_.getPath.getName.startsWith("part-")))
+      spark.read.parquet(q.toString)
+    else
+      spark.range(0).select(
+        lit("").as("_violations"), lit(0L).as("_batch_id"))
+  }
+
+  /** Split `batch` by the expectations: quarantine the violating rows
+    * (append-once per batch), return the clean subset. The flagged
+    * frame is persisted for the two consumers and released by `done()`.
+    */
+  private def screen(batch: DataFrame, batchId: Long): (DataFrame, () => Unit) = {
+    if (expectations.isEmpty) return (batch, () => ())
+    val viol = array(expectations.map { case (n, c) =>
+      when(!coalesce(c, lit(true)), lit(n))
+    }: _*)
+    val flagged = batch
+      .withColumn("_viol", filter(viol, v => v.isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bad = flagged.filter(size(col("_viol")) > 0)
+    if (!bad.isEmpty) {
+      bad.withColumn("_violations", array_join(col("_viol"), ","))
+        .withColumn("_batch_id", lit(batchId))
+        .drop("_viol")
+        .write.mode(SaveMode.Append)
+        .parquet(s"$path/${ParquetUpsertSink.QuarantineDirName}")
+    }
+    (flagged.filter(size(col("_viol")) === 0).drop("_viol"),
+      () => { flagged.unpersist(false); () })
+  }
+
   /** foreachBatch body. */
-  def upsert(batch: DataFrame, batchId: Long): Unit = {
+  def upsert(batch0: DataFrame, batchId: Long): Unit = {
+    val (batch, screenDone) = screen(batch0, batchId)
+    try upsertScreened(batch, batchId) finally screenDone()
+  }
+
+  private def upsertScreened(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the batch feeds two actions (partition discovery, then the merge
@@ -939,6 +991,24 @@ object ParquetUpsertSink {
     * as commits, swept as garbage by the next archiving pass.
     */
   val ArchiveTmpSuffix = "._tmp"
+
+  /** Parse the persisted/option form of write-time expectations:
+    * `"name: <sql expr>; name2: <sql expr>"` — rule names then a SQL
+    * boolean expression, `;`-separated (so a catalog table can carry
+    * its CHECK constraints in `_table.properties`).
+    */
+  def parseExpectations(spec: String): Seq[(String, org.apache.spark.sql.Column)] =
+    spec.split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { item =>
+      val i = item.indexOf(':')
+      require(i > 0, s"expectation '$item' is not 'name: <sql expr>'")
+      (item.take(i).trim, org.apache.spark.sql.functions.expr(item.drop(i + 1).trim))
+    }
+
+  /** Dead-letter store for write-time expectation violations; the
+    * leading underscore hides it from parquet readers of the table
+    * root, like the archive.
+    */
+  val QuarantineDirName = "_quarantine"
 
   /** Marker file inside a commit dir, written once the commit's live
     * mutation has fully applied — the streaming read path advances its

@@ -70,7 +70,9 @@ final class UpsertWriteBuilder(path: String, info: LogicalWriteInfo)
       filesPerPartition = opt("filesPerPartition").map(_.toInt).getOrElse(1),
       deleteCol = opt("deleteCol"),
       keepVersions = opt("keepVersions").map(_.toInt).getOrElse(1),
-      compactEvery = opt("compactEvery").map(_.toInt).getOrElse(0))
+      compactEvery = opt("compactEvery").map(_.toInt).getOrElse(0),
+      expectations = opt("expectations")
+        .map(ParquetUpsertSink.parseExpectations).getOrElse(Seq.empty))
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =

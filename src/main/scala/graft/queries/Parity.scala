@@ -554,6 +554,38 @@ object Parity {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Write-time CHECK expectations with dead-letter capture (Delta
+    * constraints + quarantine): rows violating `price_cap` split to
+    * `_quarantine/` before the merge, clean rows upsert normally. The
+    * oracle partitions the same input by the same predicate — equality
+    * proves no row is lost, duplicated, or mis-routed.
+    */
+  def upsertExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_expect").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq",
+      "o_orderpriority",
+      expectations = Seq("price_cap" -> (col("o_totalprice") <= 250000)))
+    sink.upsert(Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 5 === 3).withColumn("seq", lit(0L)), 0)
+    val merged = spark.read.format("graft-upsert").load(dir)
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(lit("merged").as("bucket"), col("n"), col("total"))
+    val quarantined = sink.readQuarantine(spark)
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(lit("quarantined").as("bucket"), col("n"), col("total"))
+    merged.unionByName(quarantined)
+      .transform(graft.Present.sortSmall(_, col("bucket")))
+  }
+
+  val upsertExpectationsSql: String =
+    """SELECT 'merged' AS bucket, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderkey % 5 = 3 AND o_totalprice <= 250000
+      |UNION ALL
+      |SELECT 'quarantined', count(*), round(sum(o_totalprice), 2)
+      |FROM orders WHERE o_orderkey % 5 = 3 AND o_totalprice > 250000
+      |ORDER BY 1""".stripMargin
+
   /** Footer-stats aggregate pushdown on the upsert table: COUNT(*),
     * COUNT(col), MIN/MAX grouped by the partition column answer from
     * parquet metadata (one footer read per file — no row scan). The

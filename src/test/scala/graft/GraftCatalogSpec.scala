@@ -325,6 +325,47 @@ class GraftCatalogSpec extends SparkSpec {
     assert(hist.map(_._1) == hist.map(_._1).sorted) // oldest first
   }
 
+  // ——— write-time expectations (CHECK constraints + quarantine) ———
+
+  test("expectations quarantine violating rows; NULL conditions pass") {
+    val dir = tmp("expect")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept",
+      expectations = Seq(
+        "amount_positive" -> (col("amount") > 0),
+        "dept_known" -> col("dept").isin("eng", "ops")))
+    sink.upsert(Seq(
+      (1L, 1L, "eng", Some(10.0)),   // clean
+      (2L, 1L, "eng", Some(-5.0)),   // violates amount_positive
+      (3L, 1L, "hr", Some(3.0)),     // violates dept_known
+      (4L, 1L, "hr", Some(-1.0)),    // violates both
+      (5L, 1L, "ops", None)          // NULL condition passes (Delta CHECK)
+    ).toDF("id", "seq", "dept", "amount"), 0)
+    val live = spark.read.format("graft-upsert").load(dir)
+      .select("id").as[Long].collect().toSet
+    assert(live == Set(1L, 5L))
+    val q = sink.readQuarantine(spark)
+      .select(col("id"), col("_violations")).as[(Long, String)]
+      .collect().toMap
+    assert(q.keySet == Set(2L, 3L, 4L))
+    assert(q(4L) == "amount_positive,dept_known")
+    assert(q(2L) == "amount_positive" && q(3L) == "dept_known")
+  }
+
+  test("catalog tables carry expectations in TBLPROPERTIES; INSERT quarantines") {
+    val dir = tmp("expectsql")
+    val t = s"graft.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, seq BIGINT, dept STRING, amount DOUBLE)
+         |PARTITIONED BY (dept)
+         |TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq',
+         |  'expectations'='amount_positive: amount > 0')""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'a', 5.0), (2, 1, 'a', -2.0)")
+    assert(spark.sql(s"SELECT id FROM $t").as[Long].collect().toSeq == Seq(1L))
+    val q = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")
+      .readQuarantine(spark)
+    assert(q.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("catalog-created table also works option-less through the path API") {
     val dir = tmp("props")
     val t = s"graft.`$dir`"
