@@ -153,9 +153,26 @@ final class GraftUpsertCatalog extends TableCatalog
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "graft-upsert: nested columns are out of scope for this table format")
+        val colName = add.fieldNames()(0)
         val cur = UpsertTableSource.tableSchema(path)
+        // a duplicate (case-insensitive, like every lookup in this
+        // format) would write a two-field-one-name schema that breaks
+        // every subsequent read — mirror createTable's column check
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
+          s"graft-upsert: column '$colName' already exists in the table schema")
+        // evolution is append-at-end only: files written before the
+        // change lack the column and null-fill by NAME, so a position
+        // request cannot be honored physically
+        require(add.position() == null,
+          "graft-upsert: ADD COLUMN position (FIRST/AFTER) is not supported — " +
+            "new columns append at the end of the schema")
+        // files written before the evolution null-fill the column, so a
+        // NOT NULL add is unsatisfiable on existing data (Delta's rule)
+        require(add.isNullable,
+          s"graft-upsert: ADD COLUMN '$colName' must be nullable — " +
+            "pre-evolution files null-fill it")
         val evolved = StructType(
-          cur.fields :+ StructField(add.fieldNames()(0), add.dataType, nullable = true))
+          cur.fields :+ StructField(colName, add.dataType, nullable = true))
         writeFile(fs, new Path(root, ParquetUpsertSink.SchemaFileName), evolved.json)
       case set: TableChange.SetProperty =>
         updateProps(fs, root)(_.setProperty(set.property, set.value))

@@ -511,22 +511,54 @@ final case class ParquetUpsertSink(
   }
 
   /** Rows captured by the write-time expectations, with `_violations`
-    * (comma-joined rule names) and `_batch_id` columns. Empty frame
-    * with just those columns when nothing was ever quarantined.
+    * (comma-joined rule names) and `_batch_id` columns. When nothing
+    * was ever quarantined the empty frame carries the PERSISTED table
+    * schema (`_schema.json`) plus the two metadata columns, so a
+    * consumer selecting a data column works identically on a clean
+    * table (falling back to the two metadata columns alone only for
+    * tables with no persisted schema).
     */
   def readQuarantine(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val q = new Path(s"$path/${ParquetUpsertSink.QuarantineDirName}")
     val fs = q.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(q) && fs.listStatus(q).exists(_.getPath.getName.startsWith("part-")))
-      spark.read.parquet(q.toString)
-    else
-      spark.range(0).select(
-        lit("").as("_violations"), lit(0L).as("_batch_id"))
+    // per-batch subdirs (`b<batchId>/part-*`, the replay-idempotent
+    // layout) and legacy flat `part-*` files both read; mergeSchema
+    // covers additive evolution between batches
+    def hasData(dir: Path): Boolean =
+      fs.exists(dir) && fs.listStatus(dir).exists(st =>
+        (st.getPath.getName.startsWith("part-") && st.getLen > 0) ||
+          (st.isDirectory && st.getPath.getName.startsWith("b") && hasData(st.getPath)))
+    if (hasData(q))
+      spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true").parquet(q.toString)
+    else {
+      val base: Seq[org.apache.spark.sql.types.StructField] =
+        cachedSchema.orElse {
+          if (fs.exists(schemaFile)) scala.util.Try {
+            val in = fs.open(schemaFile)
+            try org.apache.spark.sql.types.DataType
+              .fromJson(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            finally in.close()
+          }.toOption
+          else None
+        }.map(_.fields.toSeq).getOrElse(Seq.empty)
+      val schema = org.apache.spark.sql.types.StructType(base ++ Seq(
+        org.apache.spark.sql.types.StructField("_violations",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_batch_id",
+          org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
-  /** Split `batch` by the expectations: quarantine the violating rows
-    * (append-once per batch), return the clean subset. The flagged
-    * frame is persisted for the two consumers and released by `done()`.
+  /** Split `batch` by the expectations: quarantine the violating rows,
+    * return the clean subset. Each batch's violations OVERWRITE that
+    * batch's own quarantine subdir (`_quarantine/b<batchId>/` — the
+    * DeltaStore delta discipline), so an at-least-once replay rewrites
+    * the dir byte-identically instead of appending duplicate
+    * dead-letter rows. The flagged frame is persisted for the two
+    * consumers and released by `done()`.
     */
   private def screen(batch: DataFrame, batchId: Long): (DataFrame, () => Unit) = {
     if (expectations.isEmpty) return (batch, () => ())
@@ -541,11 +573,43 @@ final case class ParquetUpsertSink(
       bad.withColumn("_violations", array_join(col("_viol"), ","))
         .withColumn("_batch_id", lit(batchId))
         .drop("_viol")
-        .write.mode(SaveMode.Append)
-        .parquet(s"$path/${ParquetUpsertSink.QuarantineDirName}")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/${ParquetUpsertSink.QuarantineDirName}/b$batchId")
     }
     (flagged.filter(size(col("_viol")) === 0).drop("_viol"),
       () => { flagged.unpersist(false); () })
+  }
+
+  // write-time config persisted into `_table.properties` once per sink
+  // lifetime (fill-missing-keys only — catalog-set properties win), so
+  // SQL row-level DML against a table maintained by option-passing
+  // writers sees the SAME retention/key config the writers use instead
+  // of silently defaulting (keepVersions=1 would rewrite partitions
+  // without archiving pre-images, breaking VERSION AS OF / change feed)
+  @volatile private var writeConfigPersisted = false
+
+  private def persistWriteConfig(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    if (writeConfigPersisted || recordKeys == Seq("_unused")) return
+    val wanted: Seq[(String, String)] = Seq(
+      "recordKeys" -> recordKeys.mkString(","),
+      "precombine" -> precombine,
+      "partitionCol" -> partitionCol,
+      "filesPerPartition" -> filesPerPartition.toString,
+      "keepVersions" -> keepVersions.toString) ++
+      deleteCol.map("deleteCol" -> _)
+    val propsPath = new Path(s"$path/${GraftUpsertCatalog.TablePropsFileName}")
+    val props = new java.util.Properties()
+    if (fs.exists(propsPath)) {
+      val in = fs.open(propsPath)
+      try props.load(in) finally in.close()
+    }
+    val missing = wanted.filterNot { case (k, _) => props.containsKey(k) }
+    if (missing.nonEmpty) {
+      missing.foreach { case (k, v) => props.setProperty(k, v) }
+      val out = fs.create(propsPath, true)
+      try props.store(out, null) finally out.close()
+    }
+    writeConfigPersisted = true
   }
 
   /** foreachBatch body. */
@@ -664,6 +728,7 @@ final case class ParquetUpsertSink(
         writeFinal(merged)
         markCommitComplete(fs, commit)
       }
+      persistWriteConfig(fs)
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
         compactPartitions(spark)
       syncTable.foreach(registerAndSync(spark, _, merged.schema))
@@ -1022,6 +1087,24 @@ object ParquetUpsertSink {
     * hides it from parquet readers of a commit dir.
     */
   val TouchedManifest = "_touched.manifest"
+
+  /** Retention depth for a maintenance/DML commit on an EXISTING table:
+    * the persisted `keepVersions` table property when at least as deep
+    * as the observed archive, else (archive size + 1) — a table whose
+    * writers archived pre-images must keep archiving through SQL
+    * UPDATE/DELETE/MERGE even when the writers passed `keepVersions`
+    * per-write and never persisted it (steady state holds
+    * keepVersions-1 commits, so archiveSize+1 recovers the writers'
+    * setting exactly). A table with no archive and no property stays
+    * at 1 (live-only), matching its writers' intent.
+    */
+  def effectiveKeepVersions(spark: org.apache.spark.sql.SparkSession,
+      path: String, fromProps: Option[Int]): Int =
+    math.max(fromProps.getOrElse(1),
+      listArchivedCommits(spark, path) match {
+        case cs if cs.nonEmpty => cs.size + 1
+        case _ => 1
+      })
 
   /** Retained pre-image commits under `<path>/_archive`, oldest first.
     * Each holds the touched partitions' file sets as they were BEFORE

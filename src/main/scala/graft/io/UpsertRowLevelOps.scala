@@ -84,14 +84,18 @@ final class UpsertReplaceGroupsWrite(path: String, schema: StructType,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     // honor the table's persisted retention/layout config — an UPDATE
-    // archives pre-images exactly like an upsert commit would
+    // archives pre-images exactly like an upsert commit would; when
+    // writers passed keepVersions per-write without persisting it, the
+    // observed archive depth stands in
+    // ([[ParquetUpsertSink.effectiveKeepVersions]])
     val props = GraftUpsertCatalog.tableProps(path)
     val keys = props.get("recordKeys").map(_.split(',').map(_.trim).toSeq)
     val sink = ParquetUpsertSink(path,
       keys.getOrElse(Seq("_unused")), "_unused", partitionCol,
       filesPerPartition =
         if (keys.isDefined) props.get("filesPerPartition").map(_.toInt).getOrElse(1) else 1,
-      keepVersions = props.get("keepVersions").map(_.toInt).getOrElse(1))
+      keepVersions = ParquetUpsertSink.effectiveKeepVersions(spark, path,
+        props.get("keepVersions").map(_.toInt)))
     try sink.replaceGroups(spark, replacedPartitions(), rows)
     finally UpsertTableWrite.drop(stagingDir)
   }

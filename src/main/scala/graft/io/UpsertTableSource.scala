@@ -159,11 +159,14 @@ final class UpsertTable(path: String, schema: StructType,
         s"graft-upsert: cannot execute DELETE condition ${filters.mkString(" AND ")}"))
     // record keys play no part in a delete rewrite; the sink instance
     // exists for its partition-rewrite machinery. The table's retention
-    // config applies — a delete archives pre-images like any commit.
-    val keep = GraftUpsertCatalog.tableProps(path)
-      .get("keepVersions").map(_.toInt).getOrElse(1)
+    // config applies — a delete archives pre-images like any commit —
+    // derived from the observed archive when writers never persisted
+    // keepVersions ([[ParquetUpsertSink.effectiveKeepVersions]])
+    val spark = SparkSession.active
+    val keep = ParquetUpsertSink.effectiveKeepVersions(spark, path,
+      GraftUpsertCatalog.tableProps(path).get("keepVersions").map(_.toInt))
     ParquetUpsertSink(path, Seq("_unused"), "_unused", pc, keepVersions = keep)
-      .delete(SparkSession.active, cond)
+      .delete(spark, cond)
   }
 }
 

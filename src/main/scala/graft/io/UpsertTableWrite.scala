@@ -75,8 +75,12 @@ final class UpsertWriteBuilder(path: String, info: LogicalWriteInfo)
         .map(ParquetUpsertSink.parseExpectations).getOrElse(Seq.empty))
 
   override def build(): Write = new Write {
+    // inline compaction is a streaming-cadence feature (every Nth
+    // micro-batch); a one-shot batch write has no batch sequence to
+    // count, so compactEvery is inert here — `CALL graft.system.compact`
+    // is the batch-path equivalent
     override def toBatch: BatchWrite =
-      new UpsertBatchWrite(path, info.schema(), mkSink())
+      new UpsertBatchWrite(path, info.schema(), mkSink().copy(compactEvery = 0))
     override def toStreaming: StreamingWrite =
       new UpsertStreamingWrite(path, info.schema(), mkSink())
   }
@@ -92,7 +96,11 @@ final class UpsertBatchWrite(path: String, schema: StructType,
     new UpsertDataWriterFactory(stagingDir, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    UpsertTableWrite.mergeStaged(schema, sink, messages, batchId = 0L)
+    // batch writes have no epoch sequence; a monotone per-JVM id keeps
+    // quarantine `_batch_id` values (and their per-batch dirs) distinct
+    // across successive one-shot writes instead of all colliding on 0
+    UpsertTableWrite.mergeStaged(schema, sink, messages,
+      batchId = UpsertTableWrite.nextBatchId())
     UpsertTableWrite.drop(stagingDir)
   }
 
@@ -200,6 +208,14 @@ final class UpsertDataWriter(file: String, schema: StructType,
 }
 
 object UpsertTableWrite {
+
+  // monotone batch ids for one-shot DSv2 batch writes: epoch-millis
+  // seeded so ids also order ACROSS driver restarts, incremented so two
+  // commits in one millisecond stay distinct
+  private val batchIdCounter =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+
+  private[io] def nextBatchId(): Long = batchIdCounter.getAndIncrement()
 
   /** The staged task files of a commit as one frame (None = no tasks
     * produced data). The single definition of how a driver-side commit

@@ -366,6 +366,85 @@ class GraftCatalogSpec extends SparkSpec {
     assert(q.select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("quarantine replay is idempotent: re-running a batch does not duplicate dead letters") {
+    val dir = tmp("expectreplay")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept",
+      expectations = Seq("amount_positive" -> (col("amount") > 0)))
+    val batch = Seq((1L, 1L, "a", 5.0), (2L, 1L, "a", -2.0))
+      .toDF("id", "seq", "dept", "amount")
+    sink.upsert(batch, 7)
+    sink.upsert(batch, 7) // at-least-once replay of the same micro-batch
+    val q = sink.readQuarantine(spark)
+    assert(q.count() == 1) // one violation, not two (per-batch dir overwritten)
+    assert(q.select("_batch_id").as[Long].collect().toSeq == Seq(7L))
+    // a DIFFERENT batch's violations land in their own dir and accumulate
+    sink.upsert(Seq((3L, 1L, "a", -9.0)).toDF("id", "seq", "dept", "amount"), 8)
+    assert(sink.readQuarantine(spark).count() == 2)
+  }
+
+  test("readQuarantine on a clean table carries the table schema (stable frame)") {
+    val dir = tmp("expectclean")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept",
+      expectations = Seq("amount_positive" -> (col("amount") > 0)))
+    sink.upsert(Seq((1L, 1L, "a", 5.0)).toDF("id", "seq", "dept", "amount"), 0)
+    val q = sink.readQuarantine(spark)
+    // selecting a DATA column must work identically on a clean table
+    assert(q.select("amount", "_violations", "_batch_id").count() == 0)
+  }
+
+  test("ALTER TABLE ADD COLUMN rejects duplicate names (case-insensitive)") {
+    val dir = tmp("alterdup")
+    val t = s"graft.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, seq BIGINT, dept STRING)
+         |PARTITIONED BY (dept)
+         |TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq')""".stripMargin)
+    val e = intercept[Exception] { spark.sql(s"ALTER TABLE $t ADD COLUMN SEQ DOUBLE") }
+    assert(e.getMessage.contains("already exists"))
+    // schema on disk is untouched — subsequent reads still work
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'a')")
+    assert(spark.sql(s"SELECT id FROM $t").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("sink upsert persists write config; SQL DML then archives like the writers") {
+    val dir = tmp("persistcfg")
+    // a PATH-ONLY table (no catalog CREATE) whose writer passes
+    // keepVersions per-write — previously SQL DML saw keepVersions=1
+    // and rewrote without archiving, silently corrupting time travel
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept", keepVersions = 3)
+    sink.upsert(Seq(
+      (1L, 1L, "eng", 10.0), (2L, 1L, "ops", 20.0)
+    ).toDF("id", "seq", "dept", "amount"), 0)
+    val props = GraftUpsertCatalog.tableProps(dir)
+    assert(props.get("recordKeys").contains("id"))
+    assert(props.get("keepVersions").contains("3"))
+    val preDelete = ParquetUpsertSink.listArchivedCommits(spark, dir).last
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE amount > 15.0")
+    // the delete archived its pre-image: time travel still sees id=2
+    val asOf = spark.sql(
+      s"SELECT id FROM graft.`$dir` VERSION AS OF '$preDelete' ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(asOf == Seq(1L, 2L))
+    assert(spark.sql(s"SELECT id FROM graft.`$dir`").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("effectiveKeepVersions falls back to the observed archive depth") {
+    val dir = tmp("effkeep")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept", keepVersions = 4)
+    (0 to 2).foreach(i =>
+      sink.upsert(Seq((i.toLong, i.toLong, "a")).toDF("id", "seq", "dept"), i))
+    // simulate a legacy table: writers archived but never persisted config
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/${GraftUpsertCatalog.TablePropsFileName}"), false)
+    val n = ParquetUpsertSink.listArchivedCommits(spark, dir).size
+    assert(ParquetUpsertSink.effectiveKeepVersions(spark, dir, None) == n + 1)
+    // an explicit DEEPER property wins; a stale shallower one does not
+    assert(ParquetUpsertSink.effectiveKeepVersions(spark, dir, Some(10)) == 10)
+    assert(ParquetUpsertSink.effectiveKeepVersions(spark, dir, Some(1)) == n + 1)
+  }
+
   test("catalog-created table also works option-less through the path API") {
     val dir = tmp("props")
     val t = s"graft.`$dir`"
