@@ -29,6 +29,11 @@ object GraftSession {
       // DELETE/VERSION AS OF against `graft.`<path>``)
       .config("spark.sql.catalog.graft", "graft.io.GraftUpsertCatalog")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT64 micros, not legacy INT96: INT96 carries NO usable footer
+      // statistics, which blanks min/max data skipping and aggregate
+      // pushdown on every timestamp column the engine writes (the
+      // read path still decodes INT96 for externally-written files)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -34,7 +34,19 @@ object GraftProcedures {
     val pc = UpsertTableSource.partitionColOf(path).getOrElse(
       throw new IllegalArgumentException(
         s"graft.system: no partitioned graft-upsert table at $path"))
-    ParquetUpsertSink(path, Seq("_unused"), "_unused", pc)
+    // persisted table config (written at CREATE time or by the first
+    // sink commit): real record keys/precombine let maintenance run
+    // MERGE semantics (MOR fold); tables without it still support the
+    // key-free services (file compaction, Z-order, retention)
+    val props = GraftUpsertCatalog.tableProps(path)
+    ParquetUpsertSink(path,
+      props.get("recordKeys").map(_.split(',').map(_.trim).toSeq)
+        .getOrElse(Seq("_unused")),
+      props.getOrElse("precombine", "_unused"), pc,
+      filesPerPartition = props.get("filesPerPartition").map(_.toInt).getOrElse(1),
+      deleteCol = props.get("deleteCol"),
+      keepVersions = props.get("keepVersions").map(_.toInt).getOrElse(1),
+      writeMode = props.getOrElse("writeMode", ParquetUpsertSink.ModeCow))
   }
 
   private def str(v: String): AnyRef = UTF8String.fromString(v)
@@ -46,9 +58,20 @@ object GraftProcedures {
     case "compact" => proc("compact",
       Seq("table" -> StringType),
       StructType(Seq(StructField("compacted_partition", StringType))),
-      "coalesce partitions whose live file count exceeds the layout") { in =>
-      sinkFor(in.getUTF8String(0).toString)
-        .compactPartitions(spark)
+      "fold MOR delta commits into the base, then coalesce over-filed partitions") { in =>
+      val path = in.getUTF8String(0).toString
+      val sink = sinkFor(path)
+      // MOR fold first (needs the persisted record keys — fail loudly
+      // rather than fold with wrong merge semantics), then the file
+      // count compaction every table supports
+      val folded =
+        if (ParquetUpsertSink.listDeltaCommits(spark, path).nonEmpty) {
+          require(GraftUpsertCatalog.tableProps(path).contains("recordKeys"),
+            s"graft.system.compact: $path has MOR delta commits but no persisted " +
+              "recordKeys/precombine in _table.properties — cannot merge")
+          sink.compactMor(spark).map(c => s"delta:$c")
+        } else Seq.empty
+      (folded ++ sink.compactPartitions(spark))
         .map(p => new GenericInternalRow(Array[Any](str(p))))
     }
     case "optimize_zorder" => proc("optimize_zorder",

@@ -75,11 +75,32 @@ final case class ParquetUpsertSink(
     // (the `_` prefix hides them from readers of the table root). A
     // NULL condition PASSES (Delta CHECK semantics). Screening is
     // per-row codegen'd predicates — scan-speed, no extra shuffle.
-    expectations: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty) {
+    expectations: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty,
+    // Write mode (Hudi table-type analog; the reference pins
+    // COPY_ON_WRITE — multi_source_streaming_processor.py:265 — so MOR
+    // is the 100 TB extension):
+    //  - "cow" (default): each commit REWRITES the touched partitions
+    //    (read-optimal; write cost O(touched partitions));
+    //  - "mor" (merge-on-read): each commit APPENDS a delta file set
+    //    under `<path>/_delta/<commit>/` (write cost O(batch)); reads
+    //    merge base + deltas by record key at query time
+    //    ([[readMor]]), and [[compactMor]] folds the deltas into the
+    //    base (Hudi compaction). At 100 TB with frequent small
+    //    upserts, MOR turns a per-commit partition rewrite into a
+    //    per-commit delta append — the write-amplification fix.
+    // Merge semantics are EVENT-TIME ordering (Hudi's
+    // RecordMergeMode.EVENT_TIME_ORDERING): the globally highest
+    // precombine value wins regardless of commit order, so MOR-read ≡
+    // COW-read whenever precombine values are non-decreasing per key
+    // across commits (the CDC-normal case; a tombstone revived by a
+    // LOWER-precombine later insert is the one divergence, documented).
+    writeMode: String = ParquetUpsertSink.ModeCow) {
 
   require(filesPerPartition >= 1, s"filesPerPartition must be >= 1, got $filesPerPartition")
   require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
   require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
+  require(writeMode == ParquetUpsertSink.ModeCow || writeMode == ParquetUpsertSink.ModeMor,
+    s"writeMode must be '${ParquetUpsertSink.ModeCow}' or '${ParquetUpsertSink.ModeMor}', got '$writeMode'")
 
   private val nullDir = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
@@ -143,11 +164,16 @@ final case class ParquetUpsertSink(
     spark.read.schema(schema).option("basePath", base)
       .parquet(partDirs.map(_.toString): _*)
 
+  // every field nullable: a batch's non-nullable column (a literal, a
+  // case-class field) must not pin the TABLE schema non-nullable —
+  // pre-evolution files null-fill the column, and a non-nullable
+  // `_schema.json` would let Catalyst constant-fold `col IS NULL`
+  // to false over rows that are in fact null
   private def pinString(s: org.apache.spark.sql.types.StructType) =
     org.apache.spark.sql.types.StructType(s.map(f =>
       if (f.name == partitionCol)
-        f.copy(dataType = org.apache.spark.sql.types.StringType)
-      else f))
+        f.copy(dataType = org.apache.spark.sql.types.StringType, nullable = true)
+      else f.copy(nullable = true)))
 
   // ——— table schema metadata (Hudi keeps the writer schema in commit
   // metadata rather than re-scanning parquet footers every batch;
@@ -595,7 +621,8 @@ final case class ParquetUpsertSink(
       "precombine" -> precombine,
       "partitionCol" -> partitionCol,
       "filesPerPartition" -> filesPerPartition.toString,
-      "keepVersions" -> keepVersions.toString) ++
+      "keepVersions" -> keepVersions.toString,
+      "writeMode" -> writeMode) ++
       deleteCol.map("deleteCol" -> _)
     val propsPath = new Path(s"$path/${GraftUpsertCatalog.TablePropsFileName}")
     val props = new java.util.Properties()
@@ -615,7 +642,190 @@ final case class ParquetUpsertSink(
   /** foreachBatch body. */
   def upsert(batch0: DataFrame, batchId: Long): Unit = {
     val (batch, screenDone) = screen(batch0, batchId)
-    try upsertScreened(batch, batchId) finally screenDone()
+    try {
+      if (writeMode == ParquetUpsertSink.ModeMor) morAppend(batch, batchId)
+      else upsertScreened(batch, batchId)
+    } finally screenDone()
+  }
+
+  // ——— merge-on-read mode ———
+
+  private def deltaRoot = new Path(s"$path/${ParquetUpsertSink.DeltaDirName}")
+
+  /** Live MOR delta commits of this table, oldest first (same padded
+    * commit-id naming as the archive, so lexicographic order is commit
+    * order).
+    */
+  private def deltaCommits(fs: org.apache.hadoop.fs.FileSystem): Seq[String] =
+    if (!fs.exists(deltaRoot)) Seq.empty
+    else fs.listStatus(deltaRoot).map(_.getPath.getName)
+      .filterNot(_.contains(ParquetUpsertSink.ArchiveTmpSuffix)).sorted.toSeq
+
+  /** MOR commit: dedupe the batch by record key and APPEND it as one
+    * delta file set under `_delta/<commit>/` — a write of O(batch)
+    * bytes that never touches the base partitions. Tombstone rows are
+    * KEPT in the delta (the read-side merge applies them); the staged
+    * dir renames into place atomically, so a crash mid-write leaves
+    * only a `._tmp` dir for the sweeper. At-least-once replay appends
+    * a second, content-identical delta commit; the read merge's
+    * precombine dedup makes that harmless.
+    */
+  private def morAppend(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deduped = Precombine.latest(batch, recordKeys, precombine)
+    val commit = f"${System.currentTimeMillis()}%013d_$batchId%06d" + s"_$stagingToken"
+    val tmpDir = new Path(deltaRoot,
+      commit + s".$stagingToken${ParquetUpsertSink.ArchiveTmpSuffix}")
+    deduped
+      .withColumn(partitionCol, col(partitionCol).cast("string"))
+      .repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(tmpDir.toString)
+    persistSchemaAdditive(spark, fs, deduped.schema)
+    if (!fs.rename(tmpDir, new Path(deltaRoot, commit)))
+      throw new java.io.IOException(
+        s"MOR delta commit rename failed: $tmpDir -> ${new Path(deltaRoot, commit)}")
+    // sweep OUR crashed partial deltas (same discipline as the archive)
+    fs.listStatus(deltaRoot).map(_.getPath)
+      .filter(_.getName.endsWith(s".$stagingToken${ParquetUpsertSink.ArchiveTmpSuffix}"))
+      .foreach(fs.delete(_, true))
+    persistWriteConfig(fs)
+  }
+
+  /** The MOR read: base partitions ∪ every live delta commit, merged
+    * by record key (highest precombine wins — event-time ordering),
+    * tombstones applied last. This is Hudi's real-time view; the plain
+    * parquet read of the table root is the read-optimized view (base
+    * files only, deltas invisible under the `_delta` prefix). I/O is
+    * the base + delta file sets; the merge is one hash aggregation
+    * keyed by the record keys — no driver-side state.
+    */
+  def readMor(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partDirs(root: Path): Seq[Path] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith(s"$partitionCol=") && hasDataFiles(fs, p)).toSeq
+    val baseDirs = partDirs(new Path(path))
+    val deltaFrames = deltaCommits(fs).map { c =>
+      val cd = new Path(deltaRoot, c)
+      readStringPartitioned(spark, partDirs(cd), cd.toString)
+    }
+    val frames =
+      (if (baseDirs.nonEmpty) Seq(readStringPartitioned(spark, baseDirs)) else Seq.empty) ++
+        deltaFrames
+    if (frames.isEmpty) return emptyTable(spark, fs)
+    val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    // PARTITION-SCOPED merge keys (recordKey within partition), exactly
+    // like the COW upsert's touched-partition merge (Hudi's non-global
+    // index): a key whose later version changed partitions has a row in
+    // BOTH partitions, in both modes — MOR must not "globalize" it away
+    val merged = Precombine.latest(unioned,
+      (recordKeys :+ partitionCol).distinct, precombine)
+    deleteCol match {
+      case Some(d) => merged.filter(!coalesce(col(d), lit(false)))
+      case None => merged
+    }
+  }
+
+  /** Fold every live delta commit into the base (Hudi compaction):
+    * rewrite exactly the partitions the deltas touch with the merged
+    * result, delete the folded delta dirs, archive pre-images under
+    * the retention contract like any commit. Untouched base partitions
+    * never leave disk. Crash-safe: a crash after the rewrite but
+    * before the delta deletion re-merges idempotently (the delta rows
+    * are already IN the base; precombine picks the same winners).
+    * Returns the folded delta commit ids.
+    */
+  def compactMor(spark: org.apache.spark.sql.SparkSession,
+      batchId: Long = 0L): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folding = deltaCommits(fs)
+    if (folding.isEmpty) return Seq.empty
+    def partDirsOf(root: Path): Seq[Path] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith(s"$partitionCol=") && hasDataFiles(fs, p)).toSeq
+    val deltaDirsByCommit = folding.map(c => new Path(deltaRoot, c)).map(partDirsOf)
+    val touchedEscaped: Seq[String] = deltaDirsByCommit.flatten
+      .map(_.getName.stripPrefix(s"$partitionCol=")).distinct
+    val touchedValues = touchedEscaped.map(UpsertTableSource.dirValue)
+    val baseTouched = touchedEscaped
+      .map(e => new Path(s"$path/$partitionCol=$e")).filter(hasDataFiles(fs, _))
+    val frames =
+      (if (baseTouched.nonEmpty) Seq(readStringPartitioned(spark, baseTouched))
+       else Seq.empty) ++
+        deltaDirsByCommit.zip(folding).collect { case (dirs, c) if dirs.nonEmpty =>
+          readStringPartitioned(spark, dirs, new Path(deltaRoot, c).toString) }
+    if (frames.isEmpty) { // empty delta commits: nothing to fold
+      folding.foreach(c => fs.delete(new Path(deltaRoot, c), true))
+      return folding
+    }
+    val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    // partition-scoped merge keys, mirroring readMor — the fold must
+    // materialize exactly what the real-time view serves
+    val mergedAll = Precombine.latest(unioned,
+      (recordKeys :+ partitionCol).distinct, precombine)
+    val merged = deleteCol match {
+      case Some(d) => mergedAll.filter(!coalesce(col(d), lit(false)))
+      case None => mergedAll
+    }
+    val mat = merged.localCheckpoint(true)
+    try {
+      val commit =
+        if (keepVersions > 1)
+          Some(archivePreImages(fs, touchedValues.toArray, batchId))
+        else None
+      val surviving: Set[String] = mat
+        .select(col(partitionCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (surviving.nonEmpty) {
+        // ADDITIVE persist: the touched-partition merge may lack
+        // columns that exist only in untouched base partitions — the
+        // table schema must never narrow
+        persistSchemaAdditive(spark, fs, mat.schema)
+        writeFinal(mat)
+      }
+      // partitions whose every key tombstoned away lose their base dirs
+      touchedValues.filterNot(surviving.contains).foreach { v =>
+        fs.delete(new Path(s"$path/$partitionCol=${dirName(v)}"), true)
+      }
+      folding.foreach(c => fs.delete(new Path(deltaRoot, c), true))
+      markCommitComplete(fs, commit)
+    } finally Checkpoints.release(mat)
+    folding
+  }
+
+  /** Loud guard for paths that operate on the BASE file set only: with
+    * live MOR deltas their answer would silently miss the deltas.
+    */
+  private[io] def requireNoLiveDeltas(fs: org.apache.hadoop.fs.FileSystem,
+      op: String): Unit = {
+    val live = deltaCommits(fs)
+    require(live.isEmpty,
+      s"graft-upsert: $op reads the base file set, but $path has ${live.size} " +
+        "unmerged MOR delta commit(s) — run compactMor/CALL graft.system.compact " +
+        "first, or read via readMor")
+  }
+
+  /** Persist the table schema grown ADDITIVELY by `newSchema`'s fields
+    * — the current persisted schema's columns always survive, so a
+    * narrow batch (or a touched-partition merge) can never shrink the
+    * table schema on disk.
+    */
+  private def persistSchemaAdditive(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      newSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val pinnedNew = pinString(newSchema)
+    val union = mergeReadSchema(spark, fs, Seq.empty) match {
+      case Some(cur) => org.apache.spark.sql.types.StructType(
+        cur.fields ++ pinnedNew.fields.filterNot(f =>
+          cur.fieldNames.exists(_.equalsIgnoreCase(f.name))))
+      case None => pinnedNew
+    }
+    persistSchema(fs, union)
   }
 
   private def upsertScreened(batch: DataFrame, batchId: Long): Unit = {
@@ -757,6 +967,7 @@ final case class ParquetUpsertSink(
   def delete(spark: org.apache.spark.sql.SparkSession, cond: org.apache.spark.sql.Column,
       batchId: Long = 0L): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoLiveDeltas(fs, "DELETE")
     val liveDataDirs: Set[String] =
       fs.globStatus(new Path(s"$path/$partitionCol=*/part-*"))
         .filter(_.getLen > 0)
@@ -820,6 +1031,7 @@ final case class ParquetUpsertSink(
   def replaceGroups(spark: org.apache.spark.sql.SparkSession, replaced: Seq[String],
       rows: DataFrame, batchId: Long = 0L): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoLiveDeltas(fs, "the row-level rewrite")
     // string partition identity (dir-name basis), like every sink path
     val norm = rows.withColumn(partitionCol, col(partitionCol).cast("string"))
     val rowParts: Array[String] = norm
@@ -1074,6 +1286,32 @@ object ParquetUpsertSink {
     * root, like the archive.
     */
   val QuarantineDirName = "_quarantine"
+
+  /** Copy-on-write mode: commits rewrite touched partitions. */
+  val ModeCow = "cow"
+
+  /** Merge-on-read mode: commits append delta file sets under
+    * `_delta/<commit>/`; reads merge ([[ParquetUpsertSink.readMor]]),
+    * compaction folds ([[ParquetUpsertSink.compactMor]]).
+    */
+  val ModeMor = "mor"
+
+  /** MOR delta commits root; `_`-prefixed so plain parquet readers of
+    * the table root see only the base (the Hudi read-optimized view).
+    */
+  val DeltaDirName = "_delta"
+
+  /** Live MOR delta commits of a table, oldest first (empty for COW
+    * tables and fully-compacted MOR tables).
+    */
+  def listDeltaCommits(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val root = new Path(s"$path/$DeltaDirName")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filterNot(_.contains(ArchiveTmpSuffix)).sorted.toSeq
+  }
 
   /** Marker file inside a commit dir, written once the commit's live
     * mutation has fully applied — the streaming read path advances its

@@ -54,6 +54,45 @@ object UpsertAggPushdown {
          TimestampType | TimestampNTZType => true
     case _ => false
   }
+
+  /** Footer statistic value → Spark internal value; None = a physical
+    * layout whose stats we do not decode (e.g. INT96 timestamps).
+    * Shared by the aggregate pushdown and the data-skipping planner —
+    * min/max must decode identically wherever they are consulted.
+    */
+  private[io] def decodeStat(raw: Comparable[_],
+      prim: org.apache.parquet.schema.PrimitiveType, dt: DataType): Option[Any] =
+    (prim.getPrimitiveTypeName, dt) match {
+      case (PrimitiveTypeName.INT32, IntegerType | DateType) =>
+        Some(raw.asInstanceOf[java.lang.Integer].intValue())
+      case (PrimitiveTypeName.INT64, LongType) =>
+        Some(raw.asInstanceOf[java.lang.Long].longValue())
+      case (PrimitiveTypeName.INT64, TimestampType | TimestampNTZType) =>
+        val v = raw.asInstanceOf[java.lang.Long].longValue()
+        prim.getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => Some(v * 1000L)
+          case t: TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => Some(v / 1000L)
+          case _ => Some(v)
+        }
+      case (PrimitiveTypeName.FLOAT, FloatType) =>
+        Some(raw.asInstanceOf[java.lang.Float].floatValue())
+      case (PrimitiveTypeName.DOUBLE, DoubleType) =>
+        Some(raw.asInstanceOf[java.lang.Double].doubleValue())
+      case _ => None
+    }
+
+  /** Ordering for decoded stat values (only the [[statType]] set). */
+  private[io] def cmpStat(a: Any, b: Any, dt: DataType): Int = dt match {
+    case IntegerType | DateType =>
+      java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case LongType | TimestampType | TimestampNTZType =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case FloatType => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case other => throw new IllegalStateException(s"unexpected stat type $other")
+  }
 }
 
 /** The aggregate-pushdown scan: one input partition per live file;
@@ -82,6 +121,9 @@ final class UpsertAggScan(path: String, tableSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
+    // same MOR guard as the row scan: footer aggregates over the base
+    // alone would silently miss unmerged delta commits
+    UpsertTableSource.requireNoLiveDeltas(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the row scan's planning walk and predicate semantics, verbatim —
     // pushed aggregates must prune exactly like the row scan would
@@ -168,7 +210,8 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
             if (st == null || st.isEmpty) return None
             if (st.hasNonNullValue) {
               val raw = if (wantMin) st.genericGetMin() else st.genericGetMax()
-              val v = decode(raw, c.getPrimitiveType, dt).getOrElse(return None)
+              val v = UpsertAggPushdown.decodeStat(raw, c.getPrimitiveType, dt)
+                .getOrElse(return None)
               acc = Some(acc match {
                 case None => v
                 case Some(a) =>
@@ -192,40 +235,8 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
     } finally reader.close()
   }
 
-  /** Footer statistic value → Spark internal value; None = a physical
-    * layout whose stats we do not decode (e.g. INT96 timestamps).
-    */
-  private def decode(raw: Comparable[_],
-      prim: org.apache.parquet.schema.PrimitiveType, dt: DataType): Option[Any] =
-    (prim.getPrimitiveTypeName, dt) match {
-      case (PrimitiveTypeName.INT32, IntegerType | DateType) =>
-        Some(raw.asInstanceOf[java.lang.Integer].intValue())
-      case (PrimitiveTypeName.INT64, LongType) =>
-        Some(raw.asInstanceOf[java.lang.Long].longValue())
-      case (PrimitiveTypeName.INT64, TimestampType | TimestampNTZType) =>
-        val v = raw.asInstanceOf[java.lang.Long].longValue()
-        prim.getLogicalTypeAnnotation match {
-          case t: TimestampLogicalTypeAnnotation
-              if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => Some(v * 1000L)
-          case t: TimestampLogicalTypeAnnotation
-              if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => Some(v / 1000L)
-          case _ => Some(v)
-        }
-      case (PrimitiveTypeName.FLOAT, FloatType) =>
-        Some(raw.asInstanceOf[java.lang.Float].floatValue())
-      case (PrimitiveTypeName.DOUBLE, DoubleType) =>
-        Some(raw.asInstanceOf[java.lang.Double].doubleValue())
-      case _ => None
-    }
-
-  private def cmp(a: Any, b: Any, dt: DataType): Int = dt match {
-    case IntegerType | DateType => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
-    case LongType | TimestampType | TimestampNTZType =>
-      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
-    case FloatType => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
-    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
-    case other => throw new IllegalStateException(s"unexpected stat type $other")
-  }
+  private def cmp(a: Any, b: Any, dt: DataType): Int =
+    UpsertAggPushdown.cmpStat(a, b, dt)
 
   /** Fallback: scan only the aggregated columns of THIS file and fold
     * the partials in a tight loop — still never reads unrelated

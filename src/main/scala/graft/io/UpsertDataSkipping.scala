@@ -1,0 +1,403 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Min/max data skipping for the `graft-upsert` scan — residual
+  * (non-partition) predicates pruning I/O at two levels:
+  *
+  *  1. **File level, at planning time** (driver): each candidate file's
+  *     parquet footer column statistics decide whether the file MIGHT
+  *     contain a matching row; provably-empty files never become input
+  *     partitions. Footer reads are cached per (path, mtime, length),
+  *     so a table scanned repeatedly under changing predicates pays
+  *     one footer read per file version, not per query.
+  *  2. **Row-group level, at read time** (executor): the same
+  *     predicates translate to parquet-mr `FilterPredicate`s
+  *     ([[FilterApi]]) handed to the reader, which then skips whole
+  *     row groups whose statistics cannot match (plus dictionary-page
+  *     and record-level filtering for free).
+  *
+  * Together these are what make `optimize_zorder`'s layout real at
+  * read time: Morton order gives every row group a tight 2-D min/max
+  * tile, and a selective predicate on either Z-order column now skips
+  * the row groups (and whole files) outside its range instead of
+  * decoding them. At 100 TB this is the difference between reading a
+  * partition and reading three row groups of it.
+  *
+  * Correctness stance: skipping is advisory-only — every residual
+  * predicate is ALSO returned to Spark (`pushFilters` keeps them as
+  * post-scan filters), so a conservative "might match" here can never
+  * change an answer, only cost. All pruning decisions follow the same
+  * rule: prune only what the footer statistics PROVE empty; any
+  * missing/undecodable statistic keeps the file/row group. A column
+  * absent from a file's schema (written before an additive evolution)
+  * is all-null in that file, which IS provable: value predicates on it
+  * match nothing, `IsNull` matches everything.
+  *
+  * Supported predicate shapes: =, <, <=, >, >=, IN, IS [NOT] NULL and
+  * AND/OR combinations, over the footer-stat type set
+  * ([[UpsertAggPushdown.statType]]: int, long, float, double, date,
+  * timestamp). Strings are excluded deliberately — parquet writers may
+  * truncate binary statistics, and a truncated max would make an
+  * equality prune unsound.
+  */
+object UpsertDataSkipping {
+
+  /** Per-column footer statistics of ONE file, aggregated over its row
+    * groups: decoded min/max (None = no non-null value or undecodable),
+    * null count (None = some chunk did not record it), total values.
+    */
+  final case class ColStats(min: Option[Any], max: Option[Any],
+      nullCount: Option[Long], valueCount: Long, decodable: Boolean)
+
+  /** Everything the file-level pruner knows about one file. `absent`
+    * columns (not in the file schema) are all-null by construction.
+    */
+  final case class FileStats(cols: Map[String, ColStats], present: Set[String])
+
+  // ——— shape support (drives both capture and translation) ———
+
+  /** Is `f` a predicate data skipping can use? Requires every referenced
+    * column to be a non-partition column of a stat-decodable type.
+    */
+  def supportedShape(f: Filter, schema: StructType,
+      partitionCol: Option[String]): Boolean = {
+    def field(a: String): Option[StructField] =
+      schema.fields.find(_.name.equalsIgnoreCase(a))
+        .filterNot(fd => partitionCol.exists(_.equalsIgnoreCase(fd.name)))
+    def ok(a: String): Boolean = field(a).exists(fd => UpsertAggPushdown.statType(fd.dataType))
+    f match {
+      case EqualTo(a, v) => v != null && ok(a)
+      case GreaterThan(a, v) => v != null && ok(a)
+      case GreaterThanOrEqual(a, v) => v != null && ok(a)
+      case LessThan(a, v) => v != null && ok(a)
+      case LessThanOrEqual(a, v) => v != null && ok(a)
+      case In(a, vs) => vs != null && vs.nonEmpty && vs.forall(_ != null) && ok(a)
+      case IsNull(a) => ok(a)
+      case IsNotNull(a) => ok(a)
+      case And(l, r) => supportedShape(l, schema, partitionCol) &&
+        supportedShape(r, schema, partitionCol)
+      case Or(l, r) => supportedShape(l, schema, partitionCol) &&
+        supportedShape(r, schema, partitionCol)
+      case _ => false
+    }
+  }
+
+  // ——— value conversion: Spark filter literal → internal stat value ———
+
+  /** Spark hands filter literals in external form (java.sql.Date /
+    * LocalDate, java.sql.Timestamp / Instant, boxed numerics); stats
+    * compare in Spark's internal form (days-since-epoch Int, micros
+    * Long). None = a literal this column type cannot compare.
+    */
+  def toInternal(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (x: java.lang.Integer, IntegerType) => Some(x.intValue())
+    case (x: java.lang.Long, LongType) => Some(x.longValue())
+    case (x: java.lang.Float, FloatType) => Some(x.floatValue())
+    case (x: java.lang.Double, DoubleType) => Some(x.doubleValue())
+    case (x: java.sql.Date, DateType) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(x))
+    case (x: java.time.LocalDate, DateType) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(x))
+    case (x: java.sql.Timestamp, TimestampType | TimestampNTZType) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(x))
+    case (x: java.time.Instant, TimestampType | TimestampNTZType) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(x))
+    case (x: java.time.LocalDateTime, TimestampNTZType) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(x))
+    case _ => None
+  }
+
+  // ——— file-level pruning (driver, planning time) ———
+
+  /** Might `stats`'s file contain a row satisfying ALL of `filters`?
+    * Conservative: true unless some conjunct is PROVABLY empty.
+    */
+  def fileMightMatch(stats: FileStats, filters: Seq[Filter],
+      schema: StructType): Boolean =
+    filters.forall(f => mightMatch(stats, f, schema))
+
+  private def mightMatch(stats: FileStats, f: Filter, schema: StructType): Boolean = {
+    def dtOf(a: String): Option[DataType] =
+      schema.fields.find(_.name.equalsIgnoreCase(a)).map(_.dataType)
+    def col(a: String): Option[ColStats] =
+      stats.cols.find { case (n, _) => n.equalsIgnoreCase(a) }.map(_._2)
+    def absent(a: String): Boolean = !stats.present.exists(_.equalsIgnoreCase(a))
+    // range test against the file's [min, max]; unknown stats → true
+    def range(a: String)(test: (Any, Any, DataType) => Boolean): Boolean = {
+      if (absent(a)) return false // all-null: no value predicate matches
+      (col(a), dtOf(a)) match {
+        case (Some(cs), Some(dt)) if cs.decodable =>
+          (cs.min, cs.max) match {
+            case (Some(mn), Some(mx)) => test(mn, mx, dt)
+            case _ => cs.nullCount match {
+              // no non-null value in the file — provably empty for a
+              // value predicate only when the null count confirms it
+              case Some(n) if n == cs.valueCount => false
+              case _ => true
+            }
+          }
+        case _ => true
+      }
+    }
+    def cmp(a: Any, b: Any, dt: DataType) = UpsertAggPushdown.cmpStat(a, b, dt)
+    def lit(a: String, v: Any): Option[Any] = dtOf(a).flatMap(toInternal(v, _))
+    f match {
+      case EqualTo(a, v) => range(a) { (mn, mx, dt) =>
+        lit(a, v).forall(x => cmp(x, mn, dt) >= 0 && cmp(x, mx, dt) <= 0) }
+      case GreaterThan(a, v) => range(a) { (_, mx, dt) =>
+        lit(a, v).forall(x => cmp(mx, x, dt) > 0) }
+      case GreaterThanOrEqual(a, v) => range(a) { (_, mx, dt) =>
+        lit(a, v).forall(x => cmp(mx, x, dt) >= 0) }
+      case LessThan(a, v) => range(a) { (mn, _, dt) =>
+        lit(a, v).forall(x => cmp(mn, x, dt) < 0) }
+      case LessThanOrEqual(a, v) => range(a) { (mn, _, dt) =>
+        lit(a, v).forall(x => cmp(mn, x, dt) <= 0) }
+      case In(a, vs) => range(a) { (mn, mx, dt) =>
+        vs.exists(v => lit(a, v).forall(x => cmp(x, mn, dt) >= 0 && cmp(x, mx, dt) <= 0)) }
+      case IsNull(a) =>
+        if (absent(a)) true // evolved-in column: all null in this file
+        else col(a) match {
+          case Some(cs) => cs.nullCount.forall(_ > 0)
+          case None => true
+        }
+      case IsNotNull(a) =>
+        if (absent(a)) false
+        else col(a) match {
+          case Some(cs) => cs.nullCount.forall(_ < cs.valueCount)
+          case None => true
+        }
+      case And(l, r) => mightMatch(stats, l, schema) && mightMatch(stats, r, schema)
+      case Or(l, r) => mightMatch(stats, l, schema) || mightMatch(stats, r, schema)
+      case _ => true // unsupported shape: never prune on it
+    }
+  }
+
+  /** The column names a set of skip filters references. */
+  def referencedColumns(filters: Seq[Filter]): Set[String] =
+    filters.flatMap(_.references).map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+
+  // footer-stat cache: (path, mtime, len) → FileStats restricted to the
+  // requested columns. Bounded LRU — at 100 TB a driver plans millions
+  // of files over a session; the cache trades one footer read per file
+  // VERSION for O(1) re-planning, and the bound keeps the driver heap
+  // flat. Key includes the column set so widening predicates refresh.
+  private final case class CacheKey(path: String, mtime: Long, len: Long,
+      cols: Set[String])
+  private val MaxCacheEntries = 65536
+  private val statsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[CacheKey, FileStats](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[CacheKey, FileStats]): Boolean =
+          size() > MaxCacheEntries
+      })
+
+  /** Footer statistics of `file` for `cols` (lower-cased names), via
+    * the cache. Any footer-read failure degrades to "no stats" (never
+    * prunes) rather than failing the plan.
+    */
+  def fileStats(fs: FileSystem, file: Path, cols: Set[String],
+      schema: StructType, conf: Configuration): FileStats = {
+    val st =
+      try fs.getFileStatus(file)
+      catch { case _: java.io.IOException =>
+        return FileStats(Map.empty, schema.fieldNames.toSet) }
+    val key = CacheKey(file.toString, st.getModificationTime, st.getLen, cols)
+    val cached = statsCache.get(key)
+    if (cached != null) return cached
+    val computed =
+      try readFooterStats(file, cols, schema, conf)
+      catch { case _: Exception =>
+        FileStats(Map.empty, schema.fieldNames.toSet) }
+    statsCache.put(key, computed)
+    computed
+  }
+
+  private def readFooterStats(file: Path, cols: Set[String],
+      schema: StructType, conf: Configuration): FileStats = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      val present = (0 until fileSchema.getFieldCount)
+        .map(i => fileSchema.getFieldName(i)).toSet
+      val blocks = reader.getFooter.getBlocks
+      val out = Map.newBuilder[String, ColStats]
+      cols.foreach { c =>
+        val name = present.find(_.equalsIgnoreCase(c))
+        val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        (name, dt) match {
+          case (Some(n), Some(d)) =>
+            val idx = fileSchema.getFieldIndex(n)
+            var mn: Option[Any] = None
+            var mx: Option[Any] = None
+            var nulls: Option[Long] = Some(0L)
+            var values = 0L
+            var decodable = true
+            val it = blocks.iterator()
+            while (it.hasNext) {
+              val chunk = it.next().getColumns.get(idx)
+              values += chunk.getValueCount
+              val s = chunk.getStatistics
+              if (s == null || s.isEmpty) { decodable = false; nulls = None }
+              else {
+                nulls = (nulls, s.isNumNullsSet) match {
+                  case (Some(acc), true) => Some(acc + s.getNumNulls)
+                  case _ => None
+                }
+                if (s.hasNonNullValue) {
+                  (UpsertAggPushdown.decodeStat(s.genericGetMin(), chunk.getPrimitiveType, d),
+                    UpsertAggPushdown.decodeStat(s.genericGetMax(), chunk.getPrimitiveType, d)) match {
+                    case (Some(lo), Some(hi)) =>
+                      mn = Some(mn.fold(lo)(a =>
+                        if (UpsertAggPushdown.cmpStat(a, lo, d) <= 0) a else lo))
+                      mx = Some(mx.fold(hi)(a =>
+                        if (UpsertAggPushdown.cmpStat(a, hi, d) >= 0) a else hi))
+                    case _ => decodable = false
+                  }
+                } else if (!s.isNumNullsSet || s.getNumNulls != chunk.getValueCount) {
+                  decodable = false // cannot prove the chunk is all-null
+                }
+              }
+            }
+            out += c -> ColStats(mn, mx, nulls, values, decodable)
+          case _ => // column absent from the file: recorded via `present`
+        }
+      }
+      FileStats(out.result(), present)
+    } finally reader.close()
+  }
+
+  // ——— row-group filtering (executor, read time) ———
+
+  /** Translate the skip filters into ONE parquet-mr [[FilterPredicate]]
+    * over `fileSchema` — conjuncts that reference a column missing from
+    * the file (or with an untranslatable physical layout) drop out
+    * (Spark still evaluates them above the scan). None = nothing
+    * translatable for this file.
+    */
+  def parquetPredicate(filters: Seq[Filter], fileSchema: MessageType,
+      schema: StructType): Option[FilterPredicate] = {
+    val parts = filters.flatMap(translate(_, fileSchema, schema))
+    parts.reduceOption(FilterApi.and)
+  }
+
+  /** The physical column kind a filter literal can bind to, or None. */
+  private def translate(f: Filter, fileSchema: MessageType,
+      schema: StructType): Option[FilterPredicate] = {
+    def prim(a: String) = {
+      val name = (0 until fileSchema.getFieldCount)
+        .map(fileSchema.getFieldName)
+        .find(_.equalsIgnoreCase(a))
+      name.map(n => n -> fileSchema.getType(fileSchema.getFieldIndex(n)).asPrimitiveType())
+    }
+    def dtOf(a: String): Option[DataType] =
+      schema.fields.find(_.name.equalsIgnoreCase(a)).map(_.dataType)
+    // bind (column, literal) → type-homogeneous ops; timestamps only
+    // translate for MICROS INT64 layouts (our writer's layout) — a
+    // MILLIS/NANOS file would need a different literal scale, so it
+    // conservatively skips row-group filtering for that conjunct
+    sealed trait Bound {
+      def eq(): FilterPredicate; def gt(): FilterPredicate
+      def gtEq(): FilterPredicate; def lt(): FilterPredicate
+      def ltEq(): FilterPredicate
+    }
+    def bind(a: String, v: Any): Option[Bound] = {
+      val p = prim(a)
+      val dt = dtOf(a)
+      if (p.isEmpty || dt.isEmpty) return None
+      val (name, pt) = p.get
+      (pt.getPrimitiveTypeName, dt.get) match {
+        case (PrimitiveTypeName.INT32, IntegerType | DateType) =>
+          toInternal(v, dt.get).map { x =>
+            val c = FilterApi.intColumn(name)
+            val l = java.lang.Integer.valueOf(x.asInstanceOf[Int])
+            new Bound {
+              def eq() = FilterApi.eq(c, l); def gt() = FilterApi.gt(c, l)
+              def gtEq() = FilterApi.gtEq(c, l); def lt() = FilterApi.lt(c, l)
+              def ltEq() = FilterApi.ltEq(c, l)
+            }
+          }
+        case (PrimitiveTypeName.INT64, LongType) =>
+          toInternal(v, dt.get).map { x =>
+            val c = FilterApi.longColumn(name)
+            val l = java.lang.Long.valueOf(x.asInstanceOf[Long])
+            new Bound {
+              def eq() = FilterApi.eq(c, l); def gt() = FilterApi.gt(c, l)
+              def gtEq() = FilterApi.gtEq(c, l); def lt() = FilterApi.lt(c, l)
+              def ltEq() = FilterApi.ltEq(c, l)
+            }
+          }
+        case (PrimitiveTypeName.INT64, TimestampType | TimestampNTZType)
+            if (pt.getLogicalTypeAnnotation match {
+              case t: TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+              case _ => true // plain INT64 written as micros (our writer)
+            }) =>
+          toInternal(v, dt.get).map { x =>
+            val c = FilterApi.longColumn(name)
+            val l = java.lang.Long.valueOf(x.asInstanceOf[Long])
+            new Bound {
+              def eq() = FilterApi.eq(c, l); def gt() = FilterApi.gt(c, l)
+              def gtEq() = FilterApi.gtEq(c, l); def lt() = FilterApi.lt(c, l)
+              def ltEq() = FilterApi.ltEq(c, l)
+            }
+          }
+        case (PrimitiveTypeName.FLOAT, FloatType) =>
+          toInternal(v, dt.get).map { x =>
+            val c = FilterApi.floatColumn(name)
+            val l = java.lang.Float.valueOf(x.asInstanceOf[Float])
+            new Bound {
+              def eq() = FilterApi.eq(c, l); def gt() = FilterApi.gt(c, l)
+              def gtEq() = FilterApi.gtEq(c, l); def lt() = FilterApi.lt(c, l)
+              def ltEq() = FilterApi.ltEq(c, l)
+            }
+          }
+        case (PrimitiveTypeName.DOUBLE, DoubleType) =>
+          toInternal(v, dt.get).map { x =>
+            val c = FilterApi.doubleColumn(name)
+            val l = java.lang.Double.valueOf(x.asInstanceOf[Double])
+            new Bound {
+              def eq() = FilterApi.eq(c, l); def gt() = FilterApi.gt(c, l)
+              def gtEq() = FilterApi.gtEq(c, l); def lt() = FilterApi.lt(c, l)
+              def ltEq() = FilterApi.ltEq(c, l)
+            }
+          }
+        case _ => None
+      }
+    }
+    f match {
+      case EqualTo(a, v) if v != null => bind(a, v).map(_.eq())
+      case GreaterThan(a, v) if v != null => bind(a, v).map(_.gt())
+      case GreaterThanOrEqual(a, v) if v != null => bind(a, v).map(_.gtEq())
+      case LessThan(a, v) if v != null => bind(a, v).map(_.lt())
+      case LessThanOrEqual(a, v) if v != null => bind(a, v).map(_.ltEq())
+      case In(a, vs) if vs != null && vs.nonEmpty && vs.forall(_ != null) =>
+        val eqs = vs.toSeq.map(v => bind(a, v).map(_.eq()))
+        if (eqs.exists(_.isEmpty)) None
+        else eqs.flatten.reduceOption(FilterApi.or)
+      case And(l, r) =>
+        // partial And is sound (a weaker predicate keeps more rows)
+        (translate(l, fileSchema, schema), translate(r, fileSchema, schema)) match {
+          case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+          case (a, b) => a.orElse(b)
+        }
+      case Or(l, r) =>
+        // partial Or is NOT sound — both branches or nothing
+        for {
+          a <- translate(l, fileSchema, schema)
+          b <- translate(r, fileSchema, schema)
+        } yield FilterApi.or(a, b)
+      case _ => None // IsNull/IsNotNull stay driver-side (null-count pruning)
+    }
+  }
+}

@@ -48,7 +48,11 @@ final class UpsertRowLevelOperation(path: String, tableSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new UpsertScanBuilder(path, tableSchema, Some(partitionCol), None,
-      onBuild = s => configuredScan = s)
+      onBuild = s => configuredScan = s,
+      // the rewrite reads ALL rows of the planned groups — sub-group
+      // data skipping on the command's condition would drop the
+      // survivor rows the copy-on-write must carry over
+      forRowLevelOp = true)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -178,12 +178,19 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
     // row-level operations capture their configured scan here, to learn
     // at commit time which groups the rewrite query actually planned
     onBuild: UpsertScan => Unit = _ => (),
-    startingOffset: Option[String] = None) extends ScanBuilder
+    startingOffset: Option[String] = None,
+    // true for a row-level operation's rewrite scan: its contract is to
+    // read ALL rows of the planned groups (survivors are copied), so
+    // residual-predicate data skipping — which drops files/row groups
+    // WITHIN a group — would silently lose the non-matching rows of a
+    // rewritten partition. Group-level (partition) pruning stays on.
+    forRowLevelOp: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var partitionFilters: Array[Filter] = Array.empty
+  private var skipFilters: Array[Filter] = Array.empty
   private var pushedAggs: Option[(Seq[PushedAgg], Boolean)] = None
 
   private def isPartitionFilter(f: Filter): Boolean = partitionCol.exists { c =>
@@ -200,10 +207,21 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (part, residual) = filters.partition(isPartitionFilter)
     partitionFilters = part
+    // residual predicates over footer-stat columns drive DATA SKIPPING
+    // (file-level min/max pruning at planning, row-group filtering at
+    // read — [[UpsertDataSkipping]]); they are ALSO returned to Spark,
+    // which re-evaluates them above the scan, so skipping is advisory
+    // and can never change an answer
+    skipFilters =
+      if (forRowLevelOp) Array.empty // rewrite scans read whole groups
+      else residual.filter(
+        UpsertDataSkipping.supportedShape(_, tableSchema, partitionCol))
     residual // Spark evaluates everything else above the scan
   }
 
-  override def pushedFilters(): Array[Filter] = partitionFilters
+  // partition filters are CONSUMED (pruning is exact); skip filters are
+  // reported too so `.explain` shows what drives the min/max skipping
+  override def pushedFilters(): Array[Filter] = partitionFilters ++ skipFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -262,8 +280,11 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
       new UpsertAggScan(path, tableSchema, partitionCol, partitionFilters,
         aggs, groupByPart)
     case None =>
+      val skipping = SparkSession.active.conf
+        .get(UpsertTableSource.DataSkippingConfKey, "true") == "true"
       val scan = new UpsertScan(path, tableSchema, required, partitionCol,
-        partitionFilters, asOf, startingOffset)
+        partitionFilters, asOf, startingOffset,
+        if (skipping) skipFilters else Array.empty)
       onBuild(scan)
       scan
   }
@@ -275,7 +296,10 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
 final class UpsertScan(path: String, tableSchema: StructType,
     required: StructType, partitionCol: Option[String],
     partitionFilters: Array[Filter], asOf: Option[String],
-    startingOffset: Option[String] = None)
+    startingOffset: Option[String] = None,
+    // residual predicates usable for min/max data skipping — advisory
+    // only (Spark re-evaluates them above the scan)
+    skipFilters: Array[Filter] = Array.empty)
   extends Scan with Batch with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -350,9 +374,33 @@ final class UpsertScan(path: String, tableSchema: StructType,
   override def toBatch: Batch = this
   override def description(): String = {
     val pf = partitionFilters.mkString(", ")
+    val sk = skipFilters.mkString(", ")
     s"graft-upsert $path${asOf.map(c => s" asOf=$c").getOrElse("")}" +
-      (if (pf.nonEmpty) s" [pruned: $pf]" else "")
+      (if (pf.nonEmpty) s" [pruned: $pf]" else "") +
+      (if (sk.nonEmpty) s" [skipping: $sk]" else "")
   }
+
+  /** File-level data skipping: drop candidate files whose footer
+    * min/max statistics PROVE no row can satisfy the skip filters.
+    * Conservative (missing/undecodable stats keep the file) and
+    * advisory (Spark re-evaluates the predicates above the scan).
+    * SPJ mode bypasses this — its reported partition count is part of
+    * the partitioning contract — but keeps row-group filtering.
+    */
+  private def pruneByStats(fs: FileSystem,
+      files: Array[InputPartition]): Array[InputPartition] =
+    if (skipFilters.isEmpty) files
+    else {
+      val cols = UpsertDataSkipping.referencedColumns(skipFilters.toSeq)
+      files.filter {
+        case p: UpsertFilePartition =>
+          UpsertDataSkipping.fileMightMatch(
+            UpsertDataSkipping.fileStats(fs, new Path(p.filePath), cols,
+              tableSchema, fs.getConf),
+            skipFilters.toSeq, tableSchema)
+        case _ => true
+      }
+    }
 
   /** Does the (unescaped, null for the default dir) partition value
     * satisfy every pushed partition predicate — static and runtime?
@@ -365,10 +413,15 @@ final class UpsertScan(path: String, tableSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     if (spjMode) return groupedPlan
     val spark = SparkSession.active
+    // serving the base file set of a MOR table with unmerged deltas
+    // would silently return stale rows — fail loudly instead (the
+    // Hudi real-time view is ParquetUpsertSink.readMor; compaction
+    // restores connector reads)
+    UpsertTableSource.requireNoLiveDeltas(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
     if (!fs.exists(root)) { plannedPartitionValues = Some(Seq.empty); return Array.empty }
-    (partitionCol, asOf) match {
+    val planned: Array[InputPartition] = (partitionCol, asOf) match {
       case (Some(c), Some(commit)) =>
         // time travel: the authoritative dir per partition as of the
         // commit — live when untouched since, archived pre-image
@@ -403,11 +456,12 @@ final class UpsertScan(path: String, tableSchema: StructType,
         UpsertTableSource.dataFiles(fs, root)
           .map(f => UpsertFilePartition(f.toString, null)).toArray
     }
+    pruneByStats(fs, planned)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new UpsertReaderFactory(required, partitionCol,
-      UpsertTableSource.serializableConf())
+      UpsertTableSource.serializableConf(), skipFilters)
 
   /** `spark.readStream.format("graft-upsert")`: the table as an
     * incremental per-commit change stream ([[UpsertMicroBatchStream]]).
@@ -442,21 +496,22 @@ final case class UpsertFilesPartition(files: Seq[String], partValue: String)
 }
 
 final class UpsertReaderFactory(required: StructType, partitionCol: Option[String],
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    skipFilters: Array[Filter] = Array.empty)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case f: UpsertFilePartition =>
-        new UpsertPartitionReader(f, required, partitionCol, conf.value)
+        new UpsertPartitionReader(f, required, partitionCol, conf.value, skipFilters)
       case g: UpsertFilesPartition =>
-        new UpsertMultiFileReader(g, required, partitionCol, conf.value)
+        new UpsertMultiFileReader(g, required, partitionCol, conf.value, skipFilters)
     }
 }
 
 /** Sequential reader over one partition value's file set (SPJ mode). */
 final class UpsertMultiFileReader(part: UpsertFilesPartition,
     required: StructType, partitionCol: Option[String],
-    conf: Configuration)
+    conf: Configuration, skipFilters: Array[Filter] = Array.empty)
   extends PartitionReader[InternalRow] {
 
   private val files = part.files.iterator
@@ -467,7 +522,8 @@ final class UpsertMultiFileReader(part: UpsertFilesPartition,
       if (current == null) {
         if (!files.hasNext) return false
         current = new UpsertPartitionReader(
-          UpsertFilePartition(files.next(), part.partValue), required, partitionCol, conf)
+          UpsertFilePartition(files.next(), part.partValue), required, partitionCol,
+          conf, skipFilters)
       }
       if (current.next()) return true
       current.close()
@@ -491,7 +547,10 @@ final class UpsertPartitionReader(part: UpsertFilePartition,
     // the SESSION's Hadoop configuration, shipped from the driver —
     // a bare `new Configuration()` would drop every spark.hadoop.*
     // setting (s3a credentials, endpoints) on real filesystems
-    baseConf: Configuration = new Configuration())
+    baseConf: Configuration = new Configuration(),
+    // residual predicates for row-group skipping ([[UpsertDataSkipping]])
+    // — advisory: Spark re-evaluates them above the scan
+    skipFilters: Array[Filter] = Array.empty)
   extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration(baseConf)
@@ -519,7 +578,21 @@ final class UpsertPartitionReader(part: UpsertFilePartition,
     }
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       projection.toString)
-    ParquetReader.builder(new GroupReadSupport(), file).withConf(conf).build()
+    val builder = ParquetReader.builder(new GroupReadSupport(), file).withConf(conf)
+    // row-group min/max skipping (plus dictionary and record filtering):
+    // translated only over columns present in THIS file's projection, so
+    // evolved tables and filter-shape gaps degrade to a plain scan.
+    // parquet-mr validates predicate columns against the read schema,
+    // hence the StructType(presentFields) restriction — a filter column
+    // outside the projection cannot occur (Spark includes every residual
+    // filter's references in the required schema) but must not throw.
+    val withFilter = UpsertDataSkipping.parquetPredicate(
+      skipFilters.toSeq, projection, StructType(presentFields)) match {
+      case Some(pred) => builder.withFilter(
+        org.apache.parquet.filter2.compat.FilterCompat.get(pred))
+      case None => builder
+    }
+    withFilter.build()
   }
 
   private var current: Group = _
@@ -566,6 +639,27 @@ object UpsertTableSource {
     * on (it is by default in 4.x) for the planner to exploit it.
     */
   val SpjConfKey = "spark.graft.upsert.spj.enabled"
+
+  /** Session conf gating min/max data skipping (file-level pruning at
+    * planning + row-group filtering at read) on residual predicates —
+    * default ON; skipping is advisory (Spark re-evaluates the
+    * predicates), so the switch exists for debugging/measurement, not
+    * correctness.
+    */
+  val DataSkippingConfKey = "spark.graft.upsert.dataSkipping.enabled"
+
+  /** Fail loudly when a base-only read targets a MOR table with live
+    * (unmerged) delta commits — shared by the row scan and the
+    * aggregate-pushdown scan.
+    */
+  private[io] def requireNoLiveDeltas(spark: SparkSession, path: String): Unit = {
+    val live = ParquetUpsertSink.listDeltaCommits(spark, path)
+    if (live.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft-upsert: $path has ${live.size} unmerged MOR delta commit(s); " +
+          "run CALL graft.system.compact (or ParquetUpsertSink.compactMor) to fold " +
+          "them, or read the real-time view via ParquetUpsertSink.readMor")
+  }
 
   private[io] def tablePath(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path")).orElse(Option(options.get("paths")))

@@ -72,7 +72,8 @@ final class UpsertWriteBuilder(path: String, info: LogicalWriteInfo)
       keepVersions = opt("keepVersions").map(_.toInt).getOrElse(1),
       compactEvery = opt("compactEvery").map(_.toInt).getOrElse(0),
       expectations = opt("expectations")
-        .map(ParquetUpsertSink.parseExpectations).getOrElse(Seq.empty))
+        .map(ParquetUpsertSink.parseExpectations).getOrElse(Seq.empty),
+      writeMode = opt("writeMode").getOrElse(ParquetUpsertSink.ModeCow))
 
   override def build(): Write = new Write {
     // inline compaction is a streaming-cadence feature (every Nth

@@ -321,6 +321,89 @@ object Parity {
       .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
   }
 
+  /** Residual-predicate DATA SKIPPING through the DSv2 scan, on a
+    * Z-ordered table: load an orders subset into an upsert table,
+    * `optimize_zorder` it on (o_custkey, o_totalprice), then read back
+    * through `format("graft-upsert")` under selective predicates on
+    * BOTH Z-order columns — exactly the read pattern the layout
+    * service exists for. Planning consults parquet footer min/max to
+    * drop provably-empty files; the reader hands the same predicates
+    * to parquet-mr for row-group skipping; Spark re-evaluates them
+    * above the scan, so the hash match proves skipping changed I/O,
+    * never the answer. The oracle applies identical predicates to the
+    * raw orders rows.
+    */
+  def dataSkippingScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq", "o_orderpriority")
+    val orders = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 4 === 2)
+    sink.upsert(orders.withColumn("seq", lit(0L)), 0)
+    sink.optimizeZorder(spark, col("o_custkey"), col("o_totalprice"))
+    spark.read.format("graft-upsert").load(dir)
+      .filter(col("o_custkey") < 800 && col("o_totalprice") > 150000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        min(col("o_custkey")).as("first_cust"))
+      .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
+  }
+
+  val dataSkippingScanSql: String =
+    """SELECT o_orderstatus,
+      |       count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total,
+      |       min(o_custkey) AS first_cust
+      |FROM orders
+      |WHERE o_orderkey % 4 = 2
+      |  AND o_custkey < 800
+      |  AND o_totalprice > 150000.0
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** Merge-on-read table mode end to end: three MOR commits (seed,
+    * update wave, tombstone wave) append DELTA file sets instead of
+    * rewriting partitions; `compactMor` folds them into the base; the
+    * DSv2 connector then reads the compacted table. The oracle
+    * reproduces the final state from raw orders (updates as a CASE,
+    * tombstones as a NOT filter) — a hash match proves the delta
+    * append + read-merge + fold pipeline lands exactly where COW
+    * would.
+    */
+  def morParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mor").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq",
+      "o_orderpriority", deleteCol = Some("gone"),
+      writeMode = graft.io.ParquetUpsertSink.ModeMor)
+    val orders = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 5 === 1)
+    sink.upsert(orders.withColumn("seq", lit(0L)).withColumn("gone", lit(false)), 0)
+    sink.upsert(
+      orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500)
+        .withColumn("seq", lit(1L)).withColumn("gone", lit(false)), 1)
+    sink.upsert(
+      orders.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("seq", lit(2L)).withColumn("gone", lit(true)), 2)
+    sink.compactMor(spark)
+    spark.read.format("graft-upsert").load(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
+  }
+
+  val morParitySql: String =
+    """SELECT o_orderstatus,
+      |       count(*) AS n,
+      |       round(sum(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500
+      |                      ELSE o_totalprice END), 2) AS total
+      |FROM orders
+      |WHERE o_orderkey % 5 = 1
+      |  AND o_orderkey % 11 <> 0
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val upsertTableReadSql: String =
     """SELECT o_orderstatus,
       |       count(*) AS n,

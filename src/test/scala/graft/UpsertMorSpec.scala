@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.ParquetUpsertSink
+
+/** Merge-on-read mode for the upsert table: delta-append commits,
+  * real-time read (base ∪ deltas merged by key), compaction fold,
+  * COW-equivalence over the same commit sequence, O(delta) write cost,
+  * and the loud guards that keep base-only readers from serving stale
+  * rows.
+  */
+class UpsertMorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  /** The shared commit sequence: seed, update+insert wave, tombstone
+    * wave — monotone precombine per key (the CDC-normal case where
+    * MOR ≡ COW is exact).
+    */
+  private def commits: Seq[DataFrame] = Seq(
+    Seq((1L, 1L, "eng", 10.0, false), (2L, 1L, "ops", 20.0, false),
+        (3L, 1L, "eng", 30.0, false))
+      .toDF("id", "seq", "dept", "amount", "gone"),
+    Seq((2L, 2L, "ops", 25.0, false), (4L, 2L, "hr", 40.0, false))
+      .toDF("id", "seq", "dept", "amount", "gone"),
+    Seq((1L, 3L, "eng", 0.0, true), (4L, 3L, "hr", 44.0, false))
+      .toDF("id", "seq", "dept", "amount", "gone"))
+
+  private def mkSink(dir: String, mode: String): ParquetUpsertSink =
+    ParquetUpsertSink(dir, Seq("id"), "seq", "dept",
+      deleteCol = Some("gone"), writeMode = mode)
+
+  private def contents(df: DataFrame): Set[(Long, Long, String, Double)] =
+    df.select($"id", $"seq", $"dept", $"amount")
+      .as[(Long, Long, String, Double)].collect().toSet
+
+  test("MOR read equals COW read over the same commit sequence") {
+    val cowDir = tmp("morcow"); val morDir = tmp("mormor")
+    val cow = mkSink(cowDir, ParquetUpsertSink.ModeCow)
+    val mor = mkSink(morDir, ParquetUpsertSink.ModeMor)
+    commits.zipWithIndex.foreach { case (b, i) =>
+      cow.upsert(b, i); mor.upsert(b, i)
+    }
+    val expected = Set((2L, 2L, "ops", 25.0), (3L, 1L, "eng", 30.0),
+      (4L, 3L, "hr", 44.0)) // id 1 tombstoned; id 4's later version wins
+    assert(contents(spark.read.format("graft-upsert").load(cowDir)) == expected)
+    assert(contents(mor.readMor(spark)) == expected)
+    // each MOR commit is one delta dir; the base holds nothing
+    assert(ParquetUpsertSink.listDeltaCommits(spark, morDir).size == 3)
+  }
+
+  test("a small MOR upsert writes O(delta) bytes; the base never moves") {
+    val dir = tmp("morbytes")
+    val mor = mkSink(dir, ParquetUpsertSink.ModeMor)
+    // seed a big-ish base the COW way, then switch the writer to MOR —
+    // the realistic migration: existing table, new write mode
+    val seed = (0L until 20000L).map(i => (i, 1L, s"d${i % 4}", i.toDouble, false))
+    mkSink(dir, ParquetUpsertSink.ModeCow)
+      .upsert(seed.toDF("id", "seq", "dept", "amount", "gone"), 0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def baseFiles: Seq[(String, Long, Long)] =
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/dept=*/part-*"))
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+        .toSeq.sortBy(_._1)
+    val before = baseFiles
+    val baseBytes = before.map(_._2).sum
+    mor.upsert(Seq((7L, 2L, "d3", 777.0, false))
+      .toDF("id", "seq", "dept", "amount", "gone"), 1)
+    // base files byte-identical and untouched — the commit was a delta
+    assert(baseFiles == before)
+    val deltas = ParquetUpsertSink.listDeltaCommits(spark, dir)
+    assert(deltas.size == 1)
+    val deltaBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(
+      s"$dir/${ParquetUpsertSink.DeltaDirName}/${deltas.head}")).getLength
+    // O(delta), not O(partition): one row's delta is a sliver of the base
+    assert(deltaBytes < baseBytes / 10,
+      s"delta $deltaBytes bytes vs base $baseBytes")
+    // and the real-time view serves the update
+    val row7 = mor.readMor(spark).filter($"id" === 7L)
+      .select($"amount").as[Double].collect().toSeq
+    assert(row7 == Seq(777.0))
+  }
+
+  test("compactMor folds deltas into the base; connector read matches the real-time view") {
+    val dir = tmp("morfold")
+    val mor = mkSink(dir, ParquetUpsertSink.ModeMor)
+    commits.zipWithIndex.foreach { case (b, i) => mor.upsert(b, i) }
+    val rt = contents(mor.readMor(spark))
+    val folded = mor.compactMor(spark)
+    assert(folded.size == 3)
+    assert(ParquetUpsertSink.listDeltaCommits(spark, dir).isEmpty)
+    assert(contents(mor.readMor(spark)) == rt) // fold is a no-op for readers
+    assert(contents(spark.read.format("graft-upsert").load(dir)) == rt)
+    // idempotent: nothing left to fold
+    assert(mor.compactMor(spark).isEmpty)
+  }
+
+  test("base-only readers fail loudly while deltas are unmerged") {
+    val dir = tmp("morguard")
+    val mor = mkSink(dir, ParquetUpsertSink.ModeMor)
+    mor.upsert(commits.head, 0)
+    val e = intercept[Exception] {
+      spark.read.format("graft-upsert").load(dir).collect()
+    }
+    assert(e.getMessage.contains("unmerged MOR delta"))
+    val e2 = intercept[Exception] { mor.delete(spark, $"id" === 1L) }
+    assert(e2.getMessage.contains("unmerged MOR delta"))
+    // after compaction the guards lift
+    mor.compactMor(spark)
+    assert(spark.read.format("graft-upsert").load(dir).count() == 3)
+  }
+
+  test("MOR replay is idempotent through the read merge") {
+    val dir = tmp("morreplay")
+    val mor = mkSink(dir, ParquetUpsertSink.ModeMor)
+    mor.upsert(commits.head, 0)
+    mor.upsert(commits.head, 0) // at-least-once replay
+    assert(ParquetUpsertSink.listDeltaCommits(spark, dir).size == 2)
+    assert(contents(mor.readMor(spark)) == Set(
+      (1L, 1L, "eng", 10.0), (2L, 1L, "ops", 20.0), (3L, 1L, "eng", 30.0)))
+    // compaction folds both replica deltas to the same rows
+    mor.compactMor(spark)
+    assert(contents(spark.read.format("graft-upsert").load(dir)) == Set(
+      (1L, 1L, "eng", 10.0), (2L, 1L, "ops", 20.0), (3L, 1L, "eng", 30.0)))
+  }
+
+  test("CALL graft.system.compact folds MOR deltas via the persisted table config") {
+    val dir = tmp("morproc")
+    val mor = mkSink(dir, ParquetUpsertSink.ModeMor)
+    commits.take(2).zipWithIndex.foreach { case (b, i) => mor.upsert(b, i) }
+    // persistWriteConfig ran on the first commit: the procedure can
+    // reconstruct merge semantics from _table.properties alone
+    val out = spark.sql(s"CALL graft.system.compact('$dir')")
+      .as[String].collect().toSeq
+    assert(out.count(_.startsWith("delta:")) == 2)
+    assert(ParquetUpsertSink.listDeltaCommits(spark, dir).isEmpty)
+    assert(contents(spark.read.format("graft-upsert").load(dir)) == Set(
+      (1L, 1L, "eng", 10.0), (2L, 2L, "ops", 25.0),
+      (3L, 1L, "eng", 30.0), (4L, 2L, "hr", 40.0)))
+  }
+}
