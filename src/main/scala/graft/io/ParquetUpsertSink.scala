@@ -639,13 +639,96 @@ final case class ParquetUpsertSink(
     writeConfigPersisted = true
   }
 
+  // ——— single-writer commit fence ———
+  //
+  // Commits are SINGLE-WRITER per table: the driver-side merge reads
+  // live state, decides, then overwrites — two interleaved writers
+  // would silently last-writer-win (lost commit). The fence makes that
+  // loud: every mutation entry point takes `_commit.lock` (atomic
+  // create-if-absent — atomic on HDFS/local; object stores need their
+  // conditional-put flavor) and a second writer fails with the
+  // holder's identity instead of corrupting the table. A crashed
+  // writer's orphan lock is broken after a staleness timeout, so the
+  // failure mode is bounded delay, never a wedged table.
+
+  private val lockDepth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+
+  private def lockPath = new Path(s"$path/${ParquetUpsertSink.CommitLockFileName}")
+
+  private def readLock(fs: org.apache.hadoop.fs.FileSystem): Option[(String, Long)] =
+    scala.util.Try {
+      val in = fs.open(lockPath)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val parts = s.split(' ')
+      (parts(0), parts(1).toLong)
+    }.toOption
+
+  private def acquireCommitLock(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    fs.mkdirs(new Path(path)) // first commit on a fresh table
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lockPath, false)
+        try out.write(s"$stagingToken ${System.currentTimeMillis()}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return
+    // held — by a live writer, or orphaned by a crash?
+    readLock(fs) match {
+      case Some((token, since))
+          if System.currentTimeMillis() - since > ParquetUpsertSink.LockTimeoutMs =>
+        fs.delete(lockPath, false) // stale: break and retry once
+        if (tryCreate()) return
+        throw new java.util.ConcurrentModificationException(
+          s"graft-upsert: lost the race re-taking a stale commit lock on $path " +
+            s"(was held by writer $token)")
+      case Some((token, since)) =>
+        throw new java.util.ConcurrentModificationException(
+          s"graft-upsert: $path is locked by concurrent writer $token " +
+            s"(held ${System.currentTimeMillis() - since} ms; lock $lockPath). " +
+            "Commits are single-writer per table — serialize the writers, or " +
+            "remove the lock file if the holder is known dead")
+      case None =>
+        // lock vanished between create-fail and read: one retry
+        if (!tryCreate()) throw new java.util.ConcurrentModificationException(
+          s"graft-upsert: could not acquire the commit lock on $path")
+    }
+  }
+
+  /** Run `body` holding the table's commit lock. Reentrant within a
+    * thread (inline compaction runs inside an upsert's fence).
+    */
+  private def withCommitLock[T](fs: org.apache.hadoop.fs.FileSystem)(body: => T): T =
+    if (lockDepth.get > 0) body
+    else {
+      acquireCommitLock(fs)
+      lockDepth.set(1)
+      try body
+      finally {
+        lockDepth.set(0)
+        // release only OUR lock: a broken-then-retaken lock belongs to
+        // the new holder
+        try {
+          if (readLock(fs).exists(_._1 == stagingToken)) fs.delete(lockPath, false)
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+
   /** foreachBatch body. */
   def upsert(batch0: DataFrame, batchId: Long): Unit = {
-    val (batch, screenDone) = screen(batch0, batchId)
-    try {
-      if (writeMode == ParquetUpsertSink.ModeMor) morAppend(batch, batchId)
-      else upsertScreened(batch, batchId)
-    } finally screenDone()
+    val fs = new Path(path).getFileSystem(
+      batch0.sparkSession.sparkContext.hadoopConfiguration)
+    withCommitLock(fs) {
+      val (batch, screenDone) = screen(batch0, batchId)
+      try {
+        if (writeMode == ParquetUpsertSink.ModeMor) morAppend(batch, batchId)
+        else upsertScreened(batch, batchId)
+      } finally screenDone()
+    }
   }
 
   // ——— merge-on-read mode ———
@@ -742,6 +825,11 @@ final case class ParquetUpsertSink(
   def compactMor(spark: org.apache.spark.sql.SparkSession,
       batchId: Long = 0L): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withCommitLock(fs) { compactMorLocked(spark, fs, batchId) }
+  }
+
+  private def compactMorLocked(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, batchId: Long): Seq[String] = {
     val folding = deltaCommits(fs)
     if (folding.isEmpty) return Seq.empty
     def partDirsOf(root: Path): Seq[Path] =
@@ -968,6 +1056,12 @@ final case class ParquetUpsertSink(
       batchId: Long = 0L): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNoLiveDeltas(fs, "DELETE")
+    withCommitLock(fs) { deleteLocked(spark, fs, cond, batchId) }
+  }
+
+  private def deleteLocked(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, cond: org.apache.spark.sql.Column,
+      batchId: Long): Seq[String] = {
     val liveDataDirs: Set[String] =
       fs.globStatus(new Path(s"$path/$partitionCol=*/part-*"))
         .filter(_.getLen > 0)
@@ -1032,6 +1126,12 @@ final case class ParquetUpsertSink(
       rows: DataFrame, batchId: Long = 0L): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNoLiveDeltas(fs, "the row-level rewrite")
+    withCommitLock(fs) { replaceGroupsLocked(spark, fs, replaced, rows, batchId) }
+  }
+
+  private def replaceGroupsLocked(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, replaced: Seq[String],
+      rows: DataFrame, batchId: Long): Unit = {
     // string partition identity (dir-name basis), like every sink path
     val norm = rows.withColumn(partitionCol, col(partitionCol).cast("string"))
     val rowParts: Array[String] = norm
@@ -1164,6 +1264,11 @@ final case class ParquetUpsertSink(
   def compactPartitions(spark: org.apache.spark.sql.SparkSession): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return Seq.empty
+    withCommitLock(fs) { compactPartitionsLocked(spark, fs) }
+  }
+
+  private def compactPartitionsLocked(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
     val partDirs = fs.listStatus(new Path(path))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
     val oversized = partDirs.filter { st =>
@@ -1195,6 +1300,12 @@ final case class ParquetUpsertSink(
       x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return Seq.empty
+    withCommitLock(fs) { optimizeZorderLocked(spark, fs, x, y) }
+  }
+
+  private def optimizeZorderLocked(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): Seq[String] = {
     val partDirs = fs.listStatus(new Path(path)).map(_.getPath)
       .filter(p => p.getName.startsWith(s"$partitionCol=") && hasDataFiles(fs, p))
     if (partDirs.isEmpty) return Seq.empty
@@ -1286,6 +1397,18 @@ object ParquetUpsertSink {
     * root, like the archive.
     */
   val QuarantineDirName = "_quarantine"
+
+  /** Single-writer commit fence at the table root (`_`-prefixed: plain
+    * parquet readers never see it). Content: `<writerToken> <epochMs>`.
+    */
+  val CommitLockFileName = "_commit.lock"
+
+  /** A commit lock older than this is treated as a crashed writer's
+    * orphan and broken (the next committer takes over). Generous: a
+    * healthy commit holds the lock for one merge + overwrite, far
+    * below this at any partition size a single commit should touch.
+    */
+  val LockTimeoutMs: Long = 15L * 60 * 1000
 
   /** Copy-on-write mode: commits rewrite touched partitions. */
   val ModeCow = "cow"

@@ -361,6 +361,68 @@ object Parity {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** The table's incremental STREAMING read, oracle-checked end to
+    * end: `spark.readStream.format("graft-upsert")` turns the commit
+    * archive into a change stream; a downstream consumer folds each
+    * micro-batch by partition replace (dynamic overwrite of exactly
+    * the partitions the batch carries — the documented fold for
+    * post-image change semantics) into its own parquet table. Two
+    * stream passes bracket a live commit, so the fold exercises a real
+    * multi-batch offset advance, not one catch-up batch. The folded
+    * table must converge to the source table, whose expected content
+    * the oracle reproduces from raw orders — update arithmetic and
+    * all.
+    */
+  def streamReadFold(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_streamfold")
+    val dir = s"$base/t"; val acc = s"$base/acc"; val ckpt = s"$base/ckpt"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq",
+      "o_orderpriority", keepVersions = 6)
+    val orders = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 5 === 3)
+    sink.upsert(orders.withColumn("seq", lit(0L)), 0)
+    sink.upsert(
+      orders.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("seq", lit(1L)), 1)
+    val q = spark.readStream.format("graft-upsert").load(dir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("o_orderpriority").parquet(acc)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: catch up over the two commits
+      sink.upsert(
+        orders.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .withColumn("seq", lit(2L)), 2)
+      q.processAllAvailable() // batch 2: just the third commit's partitions
+    } finally q.stop()
+    spark.read.parquet(acc)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        min(col("o_orderkey")).as("first_key"))
+      .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
+  }
+
+  val streamReadFoldSql: String =
+    """SELECT o_orderstatus,
+      |       count(*) AS n,
+      |       round(sum(CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice + 100
+      |                      WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+      |                      ELSE o_totalprice END), 2) AS total,
+      |       min(o_orderkey) AS first_key
+      |FROM orders
+      |WHERE o_orderkey % 5 = 3
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Merge-on-read table mode end to end: three MOR commits (seed,
     * update wave, tombstone wave) append DELTA file sets instead of
     * rewriting partitions; `compactMor` folds them into the base; the
