@@ -45,7 +45,10 @@ object GraftProcedures {
       props.getOrElse("precombine", "_unused"), pc,
       filesPerPartition = props.get("filesPerPartition").map(_.toInt).getOrElse(1),
       deleteCol = props.get("deleteCol"),
-      keepVersions = props.get("keepVersions").map(_.toInt).getOrElse(1),
+      // archive-derived fallback, like SQL DML: maintenance commits on
+      // a table with retained pre-images must keep archiving
+      keepVersions = ParquetUpsertSink.effectiveKeepVersions(spark, path,
+        props.get("keepVersions").map(_.toInt)),
       writeMode = props.getOrElse("writeMode", ParquetUpsertSink.ModeCow))
   }
 

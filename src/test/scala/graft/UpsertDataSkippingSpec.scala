@@ -168,6 +168,24 @@ class UpsertDataSkippingSpec extends SparkSpec {
     assert(rows == 1L)
   }
 
+  test("skipping composes with time travel (archived pre-images prune too)") {
+    val dir = tmp("skipasof")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p", keepVersions = 3)
+    val rows = (0L until 200L).map(i => (i, 1L, i, s"p${i / 100}"))
+    sink.upsert(rows.toDF("id", "seq", "v", "p"), 0)
+    // commit 1 doubles v in p0 — as-of commit 0 must see the ORIGINAL
+    sink.upsert(rows.filter(_._4 == "p0").map { case (id, _, v, p) => (id, 2L, v + 1000, p) }
+      .toDF("id", "seq", "v", "p"), 1)
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    val asOf = spark.read.format("graft-upsert").option("asOf", commits.head).load(dir)
+      .where($"v" === 150L)
+    assert(asOf.rdd.getNumPartitions == 1) // archived p0 pre-image pruned by stats
+    assert(asOf.select("id").as[Long].collect().toSeq == Seq(150L))
+    val asOfLow = spark.read.format("graft-upsert").option("asOf", commits.head).load(dir)
+      .where($"v" === 50L)
+    assert(asOfLow.select("id").as[Long].collect().toSeq == Seq(50L))
+  }
+
   test("file pruner semantics directly: shapes, Or, unknown stats keep the file") {
     val schema = StructType(Seq(StructField("v", LongType)))
     def stats(mn: Long, mx: Long, nulls: Long = 0, values: Long = 100) =

@@ -131,6 +131,20 @@ class UpsertMorSpec extends SparkSpec {
       (1L, 1L, "eng", 10.0), (2L, 1L, "ops", 20.0), (3L, 1L, "eng", 30.0)))
   }
 
+  test("MOR rides the DSv2 write path via the writeMode option") {
+    val dir = tmp("mordsv2")
+    Seq((1L, 1L, "a", 1.0, false), (2L, 1L, "b", 2.0, false))
+      .toDF("id", "seq", "dept", "amount", "gone")
+      .write.format("graft-upsert")
+      .option("recordKeys", "id").option("precombine", "seq")
+      .option("partitionCol", "dept").option("deleteCol", "gone")
+      .option("writeMode", "mor")
+      .mode("append").save(dir)
+    assert(ParquetUpsertSink.listDeltaCommits(spark, dir).size == 1)
+    val mor = mkSink(dir, ParquetUpsertSink.ModeMor)
+    assert(contents(mor.readMor(spark)) == Set((1L, 1L, "a", 1.0), (2L, 1L, "b", 2.0)))
+  }
+
   test("CALL graft.system.compact folds MOR deltas via the persisted table config") {
     val dir = tmp("morproc")
     val mor = mkSink(dir, ParquetUpsertSink.ModeMor)
