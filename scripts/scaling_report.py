@@ -25,6 +25,11 @@ def main():
     b001, b01, b1 = (load(p) for p in sys.argv[1:4])
     qs = sorted(b1["queries"])
     calib = set(b1.get("calibration_queries", []))
+    # write-pipeline tier: fixture-building queries (fresh upsert table
+    # per run) — tagged in the table and totals so their COW-commit
+    # floors don't read as scan costs; still flag-ELIGIBLE (a
+    # super-linear commit path would be a real bug)
+    wp = set(b1.get("write_pipeline_queries", []))
 
     rows = []
     flagged = []
@@ -59,6 +64,7 @@ def main():
     for b, name in ((b001, "sf0.001"), (b01, "sf0.01"), (b1, "sf0.1")):
         print(f"- {name}: total {b['value']:.1f} s "
               f"(staging {b.get('staging_sec', 0):.1f} + headline {b['headline_sec']:.1f} "
+              f"+ write-pipeline {b.get('write_pipeline_sec', 0):.1f} "
               f"+ calibration {b['calibration_sec']:.1f}), failures {b['failures']}")
     tot_r = b1["headline_sec"] / b01["headline_sec"]
     print(f"- headline total ratio sf0.01->sf0.1: **{tot_r:.2f}x** on 10x data")
@@ -79,7 +85,7 @@ def main():
     print("| query | sf0.001 | sf0.01 | sf0.1 | 0.01->0.1 ratio | slope |")
     print("|---|---|---|---|---|---|")
     for q, t0, t1, t2, r, slope in sorted(rows, key=lambda x: -(x[4] if x[4] == x[4] else -1)):
-        tier = " (calib)" if q in calib else ""
+        tier = " (calib)" if q in calib else (" (wp)" if q in wp else "")
         print(f"| `{q}`{tier} | {fmt(t0, '.3f')} | {fmt(t1, '.3f')} | {fmt(t2, '.3f')} "
               f"| {fmt(r)} | {fmt(slope)} |")
 
