@@ -66,8 +66,10 @@ object UpsertDataSkipping {
 
   // ——— shape support (drives both capture and translation) ———
 
-  /** Is `f` a predicate data skipping can use? Requires every referenced
-    * column to be a non-partition column of a stat-decodable type.
+  /** Is `f` a predicate data skipping can use? Value comparisons need
+    * a stat-decodable column type; null tests only consult NULL COUNTS
+    * (never the possibly-truncated binary min/max), so they are sound
+    * on EVERY non-partition column type — including strings.
     */
   def supportedShape(f: Filter, schema: StructType,
       partitionCol: Option[String]): Boolean = {
@@ -75,15 +77,20 @@ object UpsertDataSkipping {
       schema.fields.find(_.name.equalsIgnoreCase(a))
         .filterNot(fd => partitionCol.exists(_.equalsIgnoreCase(fd.name)))
     def ok(a: String): Boolean = field(a).exists(fd => UpsertAggPushdown.statType(fd.dataType))
+    def anyCol(a: String): Boolean = field(a).isDefined
     f match {
       case EqualTo(a, v) => v != null && ok(a)
+      // null-safe equality: the null case is a pure null-count test,
+      // the non-null case prunes exactly like EqualTo
+      case EqualNullSafe(a, null) => anyCol(a)
+      case EqualNullSafe(a, _) => ok(a)
       case GreaterThan(a, v) => v != null && ok(a)
       case GreaterThanOrEqual(a, v) => v != null && ok(a)
       case LessThan(a, v) => v != null && ok(a)
       case LessThanOrEqual(a, v) => v != null && ok(a)
       case In(a, vs) => vs != null && vs.nonEmpty && vs.forall(_ != null) && ok(a)
-      case IsNull(a) => ok(a)
-      case IsNotNull(a) => ok(a)
+      case IsNull(a) => anyCol(a)
+      case IsNotNull(a) => anyCol(a)
       case And(l, r) => supportedShape(l, schema, partitionCol) &&
         supportedShape(r, schema, partitionCol)
       case Or(l, r) => supportedShape(l, schema, partitionCol) &&
@@ -154,6 +161,10 @@ object UpsertDataSkipping {
     f match {
       case EqualTo(a, v) => range(a) { (mn, mx, dt) =>
         lit(a, v).forall(x => cmp(x, mn, dt) >= 0 && cmp(x, mx, dt) <= 0) }
+      case EqualNullSafe(a, null) => // `col <=> null` ≡ IS NULL
+        mightMatch(stats, IsNull(a), schema)
+      case EqualNullSafe(a, v) => // non-null rhs prunes exactly like =
+        mightMatch(stats, EqualTo(a, v), schema)
       case GreaterThan(a, v) => range(a) { (_, mx, dt) =>
         lit(a, v).forall(x => cmp(mx, x, dt) > 0) }
       case GreaterThanOrEqual(a, v) => range(a) { (_, mx, dt) =>
@@ -377,6 +388,10 @@ object UpsertDataSkipping {
     }
     f match {
       case EqualTo(a, v) if v != null => bind(a, v).map(_.eq())
+      // null-safe equality with a NON-null rhs matches exactly the rows
+      // `=` matches (nulls fail both); the null-rhs case stays
+      // driver-side (null-count file pruning)
+      case EqualNullSafe(a, v) if v != null => bind(a, v).map(_.eq())
       case GreaterThan(a, v) if v != null => bind(a, v).map(_.gt())
       case GreaterThanOrEqual(a, v) if v != null => bind(a, v).map(_.gtEq())
       case LessThan(a, v) if v != null => bind(a, v).map(_.lt())

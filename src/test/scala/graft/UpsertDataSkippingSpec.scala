@@ -186,6 +186,50 @@ class UpsertDataSkippingSpec extends SparkSpec {
     assert(asOfLow.select("id").as[Long].collect().toSeq == Seq(50L))
   }
 
+  test("randomized parity: skipping never changes answers vs the plain parquet scan") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val dir = tmp("skipprop")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    val rows = (0 until 400).map { i =>
+      (i.toLong, 1L,
+        if (i % 7 == 0) None else Some((i % 50).toLong),
+        if (i % 11 == 0) None else Some((i % 30) * 1.5),
+        if (i % 5 == 0) None else Some(s"s${i % 20}"),
+        s"p${i % 4}")
+    }
+    sink.upsert(rows.toDF("id", "seq", "v", "d", "s", "p"), 0)
+    val atom: Gen[org.apache.spark.sql.Column] = Gen.oneOf(
+      Gen.chooseNum(0L, 55L).map($"v" === _),
+      Gen.chooseNum(0L, 55L).map($"v" > _),
+      Gen.chooseNum(0L, 55L).map($"v" <= _),
+      Gen.const($"v".isNull),
+      Gen.const($"v".isNotNull),
+      Gen.chooseNum(0, 50).map(x => $"d" > x * 1.0),
+      Gen.chooseNum(0, 50).map(x => $"d" === x * 1.5),
+      Gen.chooseNum(0, 25).map(x => $"s" === s"s$x"),
+      Gen.const($"s".isNull),
+      Gen.const($"s".isNotNull),
+      Gen.const($"s" <=> lit(null: String)),
+      Gen.chooseNum(0, 25).map(x => $"s" <=> s"s$x"),
+      Gen.listOfN(3, Gen.chooseNum(0L, 55L)).map(ks => $"v".isin(ks: _*)),
+      Gen.chooseNum(0, 3).map(x => $"p" === s"p$x"))
+    val pred: Gen[org.apache.spark.sql.Column] = Gen.oneOf(
+      atom,
+      Gen.zip(atom, atom).map { case (a, b) => a && b },
+      Gen.zip(atom, atom).map { case (a, b) => a || b },
+      Gen.zip(atom, atom, atom).map { case (a, b, c) => (a && b) || c })
+    val preds = (0 until 40).flatMap(i =>
+      pred.apply(Gen.Parameters.default, Seed(1000L + i)))
+    val v2 = spark.read.format("graft-upsert").load(dir)
+    val v1 = spark.read.parquet(dir)
+    preds.foreach { c =>
+      val a = v2.filter(c).select("id").as[Long].collect().sorted.toSeq
+      val b = v1.filter(c).select("id").as[Long].collect().sorted.toSeq
+      assert(a == b, s"predicate $c: connector $a vs parquet $b")
+    }
+  }
+
   test("file pruner semantics directly: shapes, Or, unknown stats keep the file") {
     val schema = StructType(Seq(StructField("v", LongType)))
     def stats(mn: Long, mx: Long, nulls: Long = 0, values: Long = 100) =
