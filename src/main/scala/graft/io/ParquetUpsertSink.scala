@@ -775,6 +775,12 @@ final case class ParquetUpsertSink(
       .filter(_.getName.endsWith(s".$stagingToken${ParquetUpsertSink.ArchiveTmpSuffix}"))
       .foreach(fs.delete(_, true))
     persistWriteConfig(fs)
+    // inline compaction cadence applies in MOR mode too — this is the
+    // actual Hudi story (reference py:278-280: compact every 5 delta
+    // commits): every Nth batch the accumulated deltas fold into the
+    // base, bounding how many delta files a real-time read must merge
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      compactMorLocked(batch.sparkSession, fs, batchId)
   }
 
   /** The MOR read: base partitions ∪ every live delta commit, merged

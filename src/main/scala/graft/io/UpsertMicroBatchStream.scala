@@ -41,6 +41,12 @@ final case class UpsertCommitOffset(commit: String) extends Offset {
   * proportionally to what changed. Replays of a checkpointed range
   * reconstruct the same post-image from the archive (deterministic
   * while retention covers it).
+  *
+  * MOR tables: delta commits do NOT archive, so the change stream
+  * advances only at COMPACTION commits (which do) — the stream lags
+  * unmerged deltas by design, exactly Hudi's incremental query over a
+  * MOR table's read-optimized timeline. Writers that need low-latency
+  * change streams set an inline `compactEvery` cadence or run COW.
   */
 final class UpsertMicroBatchStream(path: String, required: StructType,
     partitionCol: String, startingOffset: String) extends MicroBatchStream {

@@ -131,6 +131,22 @@ class UpsertMorSpec extends SparkSpec {
       (1L, 1L, "eng", 10.0), (2L, 1L, "ops", 20.0), (3L, 1L, "eng", 30.0)))
   }
 
+  test("MOR inline compaction cadence folds every Nth commit") {
+    val dir = tmp("morinline")
+    val mor = ParquetUpsertSink(dir, Seq("id"), "seq", "dept",
+      deleteCol = Some("gone"), writeMode = ParquetUpsertSink.ModeMor,
+      compactEvery = 2, keepVersions = 4)
+    commits.zipWithIndex.foreach { case (b, i) => mor.upsert(b, i) }
+    // batches 0,1,2: fold fires after batch 1 (2 deltas -> base),
+    // batch 2's delta remains live
+    assert(ParquetUpsertSink.listDeltaCommits(spark, dir).size == 1)
+    // the fold archived pre-images: it is a time-travel-visible commit
+    assert(ParquetUpsertSink.listArchivedCommits(spark, dir).nonEmpty)
+    // real-time view unchanged by the fold
+    assert(contents(mor.readMor(spark)) == Set(
+      (2L, 2L, "ops", 25.0), (3L, 1L, "eng", 30.0), (4L, 3L, "hr", 44.0)))
+  }
+
   test("MOR rides the DSv2 write path via the writeMode option") {
     val dir = tmp("mordsv2")
     Seq((1L, 1L, "a", 1.0, false), (2L, 1L, "b", 2.0, false))
