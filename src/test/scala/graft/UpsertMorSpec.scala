@@ -131,6 +131,63 @@ class UpsertMorSpec extends SparkSpec {
       (1L, 1L, "eng", 10.0), (2L, 1L, "ops", 20.0), (3L, 1L, "eng", 30.0)))
   }
 
+  test("randomized MOR ≡ COW over arbitrary commit sequences (monotone precombine)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // per round: a batch of (key, op) where op upserts a fresh amount
+    // or tombstones; seq = commit index (monotone per key — the CDC
+    // contract under which MOR's event-time merge is exactly COW)
+    val batchGen: Gen[List[(Long, Boolean, Double)]] =
+      Gen.listOfN(12, Gen.zip(
+        Gen.chooseNum(1L, 15L),
+        Gen.frequency(4 -> false, 1 -> true),
+        Gen.chooseNum(1, 999).map(_ * 1.0)))
+    (0 until 8).foreach { trial =>
+      val cowDir = tmp(s"propcow$trial"); val morDir = tmp(s"propmor$trial")
+      val cow = mkSink(cowDir, ParquetUpsertSink.ModeCow)
+      val mor = mkSink(morDir, ParquetUpsertSink.ModeMor)
+      val nCommits = 3
+      (0 until nCommits).foreach { c =>
+        val rows = batchGen(Gen.Parameters.default, Seed(trial * 100L + c)).get
+          .map { case (k, del, amt) =>
+            (k, c.toLong, s"d${k % 3}", amt, del) }
+        val df = rows.toDF("id", "seq", "dept", "amount", "gone")
+        cow.upsert(df, c); mor.upsert(df, c)
+      }
+      val a = contents(spark.read.format("graft-upsert").load(cowDir))
+      val b = contents(mor.readMor(spark))
+      assert(a == b, s"trial $trial: COW $a vs MOR $b")
+      // and the fold materializes the same rows
+      mor.compactMor(spark)
+      assert(contents(spark.read.format("graft-upsert").load(morDir)) == a,
+        s"trial $trial post-fold")
+    }
+  }
+
+  test("re-folding an already-folded delta is idempotent (crash between fold and delta delete)") {
+    val dir = tmp("morcrash")
+    val mor = mkSink(dir, ParquetUpsertSink.ModeMor)
+    commits.zipWithIndex.foreach { case (b, i) => mor.upsert(b, i) }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // save a copy of the last delta commit, as if the fold crashed
+    // AFTER the base rewrite but BEFORE removing this delta dir
+    val deltas = ParquetUpsertSink.listDeltaCommits(spark, dir)
+    val saved = new org.apache.hadoop.fs.Path(s"$dir/.saved_delta")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/${ParquetUpsertSink.DeltaDirName}/${deltas.last}"),
+      fs, saved, false, fs.getConf)
+    mor.compactMor(spark)
+    val folded = contents(spark.read.format("graft-upsert").load(dir))
+    // "crash replay": the folded delta reappears; a second fold must
+    // converge to the same table (its rows are already in the base)
+    org.apache.hadoop.fs.FileUtil.copy(fs, saved, fs,
+      new org.apache.hadoop.fs.Path(s"$dir/${ParquetUpsertSink.DeltaDirName}/${deltas.last}"),
+      false, fs.getConf)
+    assert(mor.compactMor(spark).nonEmpty)
+    assert(contents(spark.read.format("graft-upsert").load(dir)) == folded)
+  }
+
   test("MOR inline compaction cadence folds every Nth commit") {
     val dir = tmp("morinline")
     val mor = ParquetUpsertSink(dir, Seq("id"), "seq", "dept",
