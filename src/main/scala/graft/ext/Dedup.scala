@@ -265,17 +265,26 @@ object Dedup {
       Seq("s"))
       .localCheckpoint()
     val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    // UNORDERED pairs only (doc_a < doc_b): containment is asymmetric,
+    // but both directions derive from the one shared-shingle count and
+    // the two sizes — half the rows through the heaviest shuffle (the
+    // pair aggregation) vs materializing both orientations
     val shared = rare.select(col("s"), col("doc_id").as("doc_a"))
       .join(rare.select(col("s"), col("doc_id").as("doc_b")), Seq("s"))
-      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    val cont = round(col("shared").cast("double") / col("na"), 4)
+    val withSizes = shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("na").as("na_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("na").as("na_b")), Seq("doc_b"))
+    def dir(contained: String, container: String, size: String) = {
+      val c = round(col("shared").cast("double") / col(size), 4)
+      withSizes.filter(c >= containmentThreshold)
+        .select(col(contained).as("contained_doc"), col(container).as("container_doc"),
+          c.as("containment"))
+    }
     Present.sortSmall(
-      shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
-        .filter(cont >= containmentThreshold)
-        .select(col("doc_a").as("contained_doc"), col("doc_b").as("container_doc"),
-          cont.as("containment")),
+      dir("doc_a", "doc_b", "na_a").unionAll(dir("doc_b", "doc_a", "na_b")),
       col("contained_doc"), col("container_doc"))
   }
 
