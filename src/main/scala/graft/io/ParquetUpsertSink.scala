@@ -94,6 +94,8 @@ final case class ParquetUpsertSink(
     // COW-read whenever precombine values are non-decreasing per key
     // across commits (the CDC-normal case; a tombstone revived by a
     // LOWER-precombine later insert is the one divergence, documented).
+    // `syncTable` fires at COMPACTION in this mode (the registered name
+    // is the read-optimized view; delta appends don't change it).
     writeMode: String = ParquetUpsertSink.ModeCow) {
 
   require(filesPerPartition >= 1, s"filesPerPartition must be >= 1, got $filesPerPartition")
@@ -262,6 +264,15 @@ final case class ParquetUpsertSink(
     fs.exists(dir) && fs.listStatus(dir)
       .exists(f => f.getPath.getName.startsWith("part-") && f.getLen > 0)
 
+  /** The `partitionCol=` dirs under `root` holding at least one data
+    * file — THE definition of partition-dir discovery (live table,
+    * archive commit, and MOR delta commit roots all share it).
+    */
+  private def livePartDirs(fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith(s"$partitionCol=") && hasDataFiles(fs, p)).toSeq
+
   /** Full pinned schema of the table: inferred from the live partition
     * dirs when any hold data, else from the NEWEST archived pre-image
     * that does. Lets an empty change-set / time-travel read return zero
@@ -271,16 +282,11 @@ final case class ParquetUpsertSink(
     */
   private def tableSchema(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem): Option[org.apache.spark.sql.types.StructType] = {
-    def partDirs(root: Path): Seq[Path] =
-      if (fs.exists(root))
-        fs.listStatus(root).map(_.getPath)
-          .filter(p => p.getName.startsWith(s"$partitionCol=") && hasDataFiles(fs, p)).toSeq
-      else Seq.empty
-    val live = partDirs(new Path(path))
+    val live = livePartDirs(fs, new Path(path))
     if (live.nonEmpty) Some(readStringPartitioned(spark, live).schema)
     else ParquetUpsertSink.listArchivedCommits(spark, path).reverse.iterator
       .map(c => new Path(archiveRoot, c))
-      .map(cd => cd -> partDirs(cd))
+      .map(cd => cd -> livePartDirs(fs, cd))
       .collectFirst { case (cd, dirs) if dirs.nonEmpty =>
         readStringPartitioned(spark, dirs, cd.toString).schema
       }
@@ -558,17 +564,11 @@ final case class ParquetUpsertSink(
       spark.read.option("mergeSchema", "true")
         .option("recursiveFileLookup", "true").parquet(q.toString)
     else {
+      // ONE definition of the persisted-schema load (cache + file +
+      // corruption fallback): mergeReadSchema, with no inference dirs
       val base: Seq[org.apache.spark.sql.types.StructField] =
-        cachedSchema.orElse {
-          if (fs.exists(schemaFile)) scala.util.Try {
-            val in = fs.open(schemaFile)
-            try org.apache.spark.sql.types.DataType
-              .fromJson(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-              .asInstanceOf[org.apache.spark.sql.types.StructType]
-            finally in.close()
-          }.toOption
-          else None
-        }.map(_.fields.toSeq).getOrElse(Seq.empty)
+        mergeReadSchema(spark, fs, Seq.empty)
+          .map(_.fields.toSeq).getOrElse(Seq.empty)
       val schema = org.apache.spark.sql.types.StructType(base ++ Seq(
         org.apache.spark.sql.types.StructField("_violations",
           org.apache.spark.sql.types.StringType),
@@ -681,8 +681,20 @@ final case class ParquetUpsertSink(
     readLock(fs) match {
       case Some((token, since))
           if System.currentTimeMillis() - since > ParquetUpsertSink.LockTimeoutMs =>
-        fs.delete(lockPath, false) // stale: break and retry once
-        if (tryCreate()) return
+        // break by ATOMIC RENAME to a breaker-unique name: of N writers
+        // contending over the same stale lock, exactly one rename
+        // succeeds — an unconditional delete would let a second breaker
+        // delete the first breaker's freshly-created lock and both
+        // would "hold" the fence (the lost-commit scenario it prevents)
+        val broken = new Path(s"$path/.${ParquetUpsertSink.CommitLockFileName}" +
+          s".broken.$stagingToken")
+        val won = try fs.rename(lockPath, broken) catch {
+          case _: java.io.IOException => false
+        }
+        if (won) {
+          fs.delete(broken, false)
+          if (tryCreate()) return
+        }
         throw new java.util.ConcurrentModificationException(
           s"graft-upsert: lost the race re-taking a stale commit lock on $path " +
             s"(was held by writer $token)")
@@ -757,6 +769,11 @@ final case class ParquetUpsertSink(
     val spark = batch.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val deduped = Precombine.latest(batch, recordKeys, precombine)
+    // empty micro-batch (routine under streaming triggers, or a batch
+    // fully quarantined by expectations): no delta commit — an empty
+    // delta dir would make every real-time read's per-commit
+    // readStringPartitioned throw on zero paths
+    if (deduped.isEmpty) return
     val commit = f"${System.currentTimeMillis()}%013d_$batchId%06d" + s"_$stagingToken"
     val tmpDir = new Path(deltaRoot,
       commit + s".$stagingToken${ParquetUpsertSink.ArchiveTmpSuffix}")
@@ -793,14 +810,13 @@ final case class ParquetUpsertSink(
     */
   def readMor(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def partDirs(root: Path): Seq[Path] =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).map(_.getPath)
-        .filter(p => p.getName.startsWith(s"$partitionCol=") && hasDataFiles(fs, p)).toSeq
-    val baseDirs = partDirs(new Path(path))
-    val deltaFrames = deltaCommits(fs).map { c =>
+    val baseDirs = livePartDirs(fs, new Path(path))
+    // a delta commit with no data dirs (legacy empty commit, crashed
+    // tombstone sweep) contributes nothing rather than a zero-path read
+    val deltaFrames = deltaCommits(fs).flatMap { c =>
       val cd = new Path(deltaRoot, c)
-      readStringPartitioned(spark, partDirs(cd), cd.toString)
+      val dirs = livePartDirs(fs, cd)
+      if (dirs.isEmpty) None else Some(readStringPartitioned(spark, dirs, cd.toString))
     }
     val frames =
       (if (baseDirs.nonEmpty) Seq(readStringPartitioned(spark, baseDirs)) else Seq.empty) ++
@@ -838,11 +854,7 @@ final case class ParquetUpsertSink(
       fs: org.apache.hadoop.fs.FileSystem, batchId: Long): Seq[String] = {
     val folding = deltaCommits(fs)
     if (folding.isEmpty) return Seq.empty
-    def partDirsOf(root: Path): Seq[Path] =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).map(_.getPath)
-        .filter(p => p.getName.startsWith(s"$partitionCol=") && hasDataFiles(fs, p)).toSeq
-    val deltaDirsByCommit = folding.map(c => new Path(deltaRoot, c)).map(partDirsOf)
+    val deltaDirsByCommit = folding.map(c => livePartDirs(fs, new Path(deltaRoot, c)))
     val touchedEscaped: Seq[String] = deltaDirsByCommit.flatten
       .map(_.getName.stripPrefix(s"$partitionCol=")).distinct
     val touchedValues = touchedEscaped.map(UpsertTableSource.dirValue)
@@ -888,6 +900,11 @@ final case class ParquetUpsertSink(
       }
       folding.foreach(c => fs.delete(new Path(deltaRoot, c), true))
       markCommitComplete(fs, commit)
+      // hive-sync fires at COMPACTION in MOR mode — the point where the
+      // registered (read-optimized, base-files) table's content
+      // actually changes; syncing on delta append would register a
+      // name whose reads silently exclude the very rows just written
+      syncTable.foreach(registerAndSync(spark, _, mat.schema))
     } finally Checkpoints.release(mat)
     folding
   }
@@ -1061,8 +1078,12 @@ final case class ParquetUpsertSink(
   def delete(spark: org.apache.spark.sql.SparkSession, cond: org.apache.spark.sql.Column,
       batchId: Long = 0L): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireNoLiveDeltas(fs, "DELETE")
-    withCommitLock(fs) { deleteLocked(spark, fs, cond, batchId) }
+    withCommitLock(fs) {
+      // checked INSIDE the fence: a delta appended between an outside
+      // check and the lock would be silently missed by the base rewrite
+      requireNoLiveDeltas(fs, "DELETE")
+      deleteLocked(spark, fs, cond, batchId)
+    }
   }
 
   private def deleteLocked(spark: org.apache.spark.sql.SparkSession,
@@ -1131,8 +1152,11 @@ final case class ParquetUpsertSink(
   def replaceGroups(spark: org.apache.spark.sql.SparkSession, replaced: Seq[String],
       rows: DataFrame, batchId: Long = 0L): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireNoLiveDeltas(fs, "the row-level rewrite")
-    withCommitLock(fs) { replaceGroupsLocked(spark, fs, replaced, rows, batchId) }
+    withCommitLock(fs) {
+      // inside the fence — see delete()
+      requireNoLiveDeltas(fs, "the row-level rewrite")
+      replaceGroupsLocked(spark, fs, replaced, rows, batchId)
+    }
   }
 
   private def replaceGroupsLocked(spark: org.apache.spark.sql.SparkSession,

@@ -197,13 +197,14 @@ object UpsertDataSkipping {
   def referencedColumns(filters: Seq[Filter]): Set[String] =
     filters.flatMap(_.references).map(_.toLowerCase(java.util.Locale.ROOT)).toSet
 
-  // footer-stat cache: (path, mtime, len) → FileStats restricted to the
-  // requested columns. Bounded LRU — at 100 TB a driver plans millions
-  // of files over a session; the cache trades one footer read per file
-  // VERSION for O(1) re-planning, and the bound keeps the driver heap
-  // flat. Key includes the column set so widening predicates refresh.
-  private final case class CacheKey(path: String, mtime: Long, len: Long,
-      cols: Set[String])
+  // footer-stat cache: (path, mtime, len) → FileStats over EVERY table
+  // column (extraction per extra column is a metadata walk — the footer
+  // open dominates — so caching the full set means a later query on a
+  // DIFFERENT column never re-reads the footer). Bounded LRU — at
+  // 100 TB a driver plans millions of files over a session; the cache
+  // trades one footer read per file VERSION for O(1) re-planning, and
+  // the bound keeps the driver heap flat.
+  private final case class CacheKey(path: String, mtime: Long, len: Long)
   private val MaxCacheEntries = 65536
   private val statsCache =
     java.util.Collections.synchronizedMap(
@@ -213,28 +214,52 @@ object UpsertDataSkipping {
           size() > MaxCacheEntries
       })
 
-  /** Footer statistics of `file` for `cols` (lower-cased names), via
-    * the cache. Any footer-read failure degrades to "no stats" (never
+  /** Footer statistics of `file` for every column of `schema`, via the
+    * cache. Any footer-read failure degrades to "no stats" (never
     * prunes) rather than failing the plan.
     */
-  def fileStats(fs: FileSystem, file: Path, cols: Set[String],
+  def fileStats(fs: FileSystem, file: Path,
       schema: StructType, conf: Configuration): FileStats = {
     val st =
       try fs.getFileStatus(file)
       catch { case _: java.io.IOException =>
         return FileStats(Map.empty, schema.fieldNames.toSet) }
-    val key = CacheKey(file.toString, st.getModificationTime, st.getLen, cols)
+    val key = CacheKey(file.toString, st.getModificationTime, st.getLen)
     val cached = statsCache.get(key)
     if (cached != null) return cached
     val computed =
-      try readFooterStats(file, cols, schema, conf)
+      try readFooterStats(file, schema, conf)
       catch { case _: Exception =>
         FileStats(Map.empty, schema.fieldNames.toSet) }
     statsCache.put(key, computed)
     computed
   }
 
-  private def readFooterStats(file: Path, cols: Set[String],
+  /** Fetch [[fileStats]] for many files CONCURRENTLY (bounded pool):
+    * planning-time file pruning over a cold table is footer-I/O bound,
+    * and serializing those reads on the driver would stall planning at
+    * exactly the file counts the feature targets. Cache hits return
+    * without touching the pool's queue semantics (fileStats itself
+    * checks the cache).
+    */
+  def fileStatsAll(fs: FileSystem, files: Seq[Path],
+      schema: StructType, conf: Configuration): Map[String, FileStats] = {
+    if (files.isEmpty) return Map.empty
+    if (files.lengthCompare(2) < 0)
+      return files.map(f => f.toString -> fileStats(fs, f, schema, conf)).toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(2, Runtime.getRuntime.availableProcessors())))
+    try {
+      val futures = files.map { f =>
+        f.toString -> pool.submit(new java.util.concurrent.Callable[FileStats] {
+          override def call(): FileStats = fileStats(fs, f, schema, conf)
+        })
+      }
+      futures.map { case (p, fut) => p -> fut.get() }.toMap
+    } finally pool.shutdown()
+  }
+
+  private def readFooterStats(file: Path,
       schema: StructType, conf: Configuration): FileStats = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
@@ -243,7 +268,7 @@ object UpsertDataSkipping {
         .map(i => fileSchema.getFieldName(i)).toSet
       val blocks = reader.getFooter.getBlocks
       val out = Map.newBuilder[String, ColStats]
-      cols.foreach { c =>
+      schema.fields.map(_.name.toLowerCase(java.util.Locale.ROOT)).foreach { c =>
         val name = present.find(_.equalsIgnoreCase(c))
         val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
         (name, dt) match {

@@ -391,13 +391,15 @@ final class UpsertScan(path: String, tableSchema: StructType,
       files: Array[InputPartition]): Array[InputPartition] =
     if (skipFilters.isEmpty) files
     else {
-      val cols = UpsertDataSkipping.referencedColumns(skipFilters.toSeq)
+      // footer stats fetched CONCURRENTLY (cached per file version) —
+      // cold-table planning must not serialize one footer RPC per file
+      val stats = UpsertDataSkipping.fileStatsAll(fs,
+        files.collect { case p: UpsertFilePartition => new Path(p.filePath) }.toSeq,
+        tableSchema, fs.getConf)
       files.filter {
         case p: UpsertFilePartition =>
-          UpsertDataSkipping.fileMightMatch(
-            UpsertDataSkipping.fileStats(fs, new Path(p.filePath), cols,
-              tableSchema, fs.getConf),
-            skipFilters.toSeq, tableSchema)
+          stats.get(p.filePath).forall(
+            UpsertDataSkipping.fileMightMatch(_, skipFilters.toSeq, tableSchema))
         case _ => true
       }
     }
@@ -416,8 +418,11 @@ final class UpsertScan(path: String, tableSchema: StructType,
     // serving the base file set of a MOR table with unmerged deltas
     // would silently return stale rows — fail loudly instead (the
     // Hudi real-time view is ParquetUpsertSink.readMor; compaction
-    // restores connector reads)
-    UpsertTableSource.requireNoLiveDeltas(spark, path)
+    // restores connector reads). Time travel is EXEMPT: an archived
+    // commit's state is archive+base-derived, and pending deltas only
+    // enter the timeline at their compaction commit — history cannot
+    // change under them.
+    if (asOf.isEmpty) UpsertTableSource.requireNoLiveDeltas(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
     if (!fs.exists(root)) { plannedPartitionValues = Some(Seq.empty); return Array.empty }

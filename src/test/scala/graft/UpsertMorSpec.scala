@@ -188,6 +188,40 @@ class UpsertMorSpec extends SparkSpec {
     assert(contents(spark.read.format("graft-upsert").load(dir)) == folded)
   }
 
+  test("an empty MOR batch writes no delta; the real-time view keeps working") {
+    val dir = tmp("morempty")
+    val mor = mkSink(dir, ParquetUpsertSink.ModeMor)
+    mor.upsert(commits.head, 0)
+    mor.upsert(commits.head.limit(0), 1) // routine empty micro-batch
+    assert(ParquetUpsertSink.listDeltaCommits(spark, dir).size == 1)
+    assert(mor.readMor(spark).count() == 3)
+    // a fully-quarantined batch is empty AFTER screening, same path
+    val screened = ParquetUpsertSink(dir, Seq("id"), "seq", "dept",
+      deleteCol = Some("gone"), writeMode = ParquetUpsertSink.ModeMor,
+      expectations = Seq("never" -> org.apache.spark.sql.functions.lit(false)))
+    screened.upsert(Seq((9L, 9L, "zz", 1.0, false))
+      .toDF("id", "seq", "dept", "amount", "gone"), 2)
+    assert(ParquetUpsertSink.listDeltaCommits(spark, dir).size == 1)
+    assert(mor.readMor(spark).count() == 3)
+  }
+
+  test("time travel stays readable while MOR deltas are pending (history is delta-independent)") {
+    val dir = tmp("morasof")
+    // COW phase with retention builds history, then the writer switches
+    // to MOR and leaves a pending delta
+    val cow = ParquetUpsertSink(dir, Seq("id"), "seq", "dept",
+      deleteCol = Some("gone"), keepVersions = 4)
+    cow.upsert(commits.head, 0)
+    cow.upsert(commits(1), 1)
+    val firstCommit = ParquetUpsertSink.listArchivedCommits(spark, dir).head
+    mkSink(dir, ParquetUpsertSink.ModeMor).upsert(commits(2), 2)
+    assert(ParquetUpsertSink.listDeltaCommits(spark, dir).nonEmpty)
+    // live read fails loudly, but VERSION AS OF still answers
+    intercept[Exception] { spark.read.format("graft-upsert").load(dir).collect() }
+    val asOf = spark.read.format("graft-upsert").option("asOf", firstCommit).load(dir)
+    assert(asOf.select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("MOR inline compaction cadence folds every Nth commit") {
     val dir = tmp("morinline")
     val mor = ParquetUpsertSink(dir, Seq("id"), "seq", "dept",
