@@ -55,7 +55,8 @@ object GraftProcedures {
   private def str(v: String): AnyRef = UTF8String.fromString(v)
 
   val names: Seq[String] =
-    Seq("compact", "optimize_zorder", "expire_commits", "sweep_staging", "history")
+    Seq("compact", "optimize_zorder", "expire_commits", "sweep_staging", "history",
+      "detail")
 
   def load(name: String): UnboundProcedure = name match {
     case "compact" => proc("compact",
@@ -132,6 +133,38 @@ object GraftProcedures {
           }
         new GenericInternalRow(Array[Any](str(c), touched, completed.contains(c)))
       }
+    }
+    case "detail" => proc("detail",
+      Seq("table" -> StringType),
+      StructType(Seq(
+        StructField("partition_col", StringType),
+        StructField("write_mode", StringType),
+        StructField("partitions", IntegerType),
+        StructField("data_files", IntegerType),
+        StructField("data_bytes", LongType),
+        StructField("retained_commits", IntegerType),
+        StructField("live_delta_commits", IntegerType),
+        StructField("quarantined", BooleanType))),
+      "table layout + timeline summary (DESCRIBE DETAIL analog; metadata-only)") { in =>
+      val path = in.getUTF8String(0).toString
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pc = UpsertTableSource.partitionColOf(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft.system: no partitioned graft-upsert table at $path"))
+      val dataFiles = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$path/$pc=*/part-*")).filter(_.getLen > 0)
+      val props = GraftUpsertCatalog.tableProps(path)
+      Seq(new GenericInternalRow(Array[Any](
+        str(pc),
+        str(props.getOrElse("writeMode", ParquetUpsertSink.ModeCow)),
+        dataFiles.map(_.getPath.getParent.getName).distinct.length,
+        dataFiles.length,
+        dataFiles.map(_.getLen).sum,
+        ParquetUpsertSink.listArchivedCommits(spark, path).size,
+        ParquetUpsertSink.listDeltaCommits(spark, path).size,
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/${ParquetUpsertSink.QuarantineDirName}")))))
     }
     case other => throw new IllegalArgumentException(
       s"graft.system: unknown procedure '$other' (have: ${names.mkString(", ")})")

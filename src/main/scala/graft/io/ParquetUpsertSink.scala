@@ -76,6 +76,12 @@ final case class ParquetUpsertSink(
     // NULL condition PASSES (Delta CHECK semantics). Screening is
     // per-row codegen'd predicates — scan-speed, no extra shuffle.
     expectations: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty,
+    // What a violation does: "quarantine" (default — dead-letter the
+    // rows, merge the rest) or "fail" (Delta's CHECK behavior: abort
+    // the whole batch with the violated rule names; nothing merges,
+    // nothing quarantines — the streaming retry resurfaces the error
+    // until the producer or the rule is fixed).
+    expectationsMode: String = ParquetUpsertSink.ExpectQuarantine,
     // Write mode (Hudi table-type analog; the reference pins
     // COPY_ON_WRITE — multi_source_streaming_processor.py:265 — so MOR
     // is the 100 TB extension):
@@ -103,6 +109,10 @@ final case class ParquetUpsertSink(
   require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
   require(writeMode == ParquetUpsertSink.ModeCow || writeMode == ParquetUpsertSink.ModeMor,
     s"writeMode must be '${ParquetUpsertSink.ModeCow}' or '${ParquetUpsertSink.ModeMor}', got '$writeMode'")
+  require(expectationsMode == ParquetUpsertSink.ExpectQuarantine ||
+      expectationsMode == ParquetUpsertSink.ExpectFail,
+    s"expectationsMode must be '${ParquetUpsertSink.ExpectQuarantine}' or " +
+      s"'${ParquetUpsertSink.ExpectFail}', got '$expectationsMode'")
 
   private val nullDir = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
@@ -596,6 +606,18 @@ final case class ParquetUpsertSink(
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bad = flagged.filter(size(col("_viol")) > 0)
     if (!bad.isEmpty) {
+      if (expectationsMode == ParquetUpsertSink.ExpectFail) {
+        // Delta CHECK behavior: abort the batch before anything merges.
+        // Violation counts per rule (metadata-scale) make the error
+        // actionable without a quarantine read.
+        val byRule = bad.select(explode(col("_viol")).as("rule"))
+          .groupBy(col("rule")).agg(count(lit(1)).as("n"))
+          .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+        flagged.unpersist(false)
+        throw new IllegalStateException(
+          s"graft-upsert: batch $batchId violates CHECK expectation(s) " +
+            s"[${byRule.mkString(", ")}] and expectationsMode=fail — nothing merged")
+      }
       bad.withColumn("_violations", array_join(col("_viol"), ","))
         .withColumn("_batch_id", lit(batchId))
         .drop("_viol")
@@ -1439,6 +1461,12 @@ object ParquetUpsertSink {
     * below this at any partition size a single commit should touch.
     */
   val LockTimeoutMs: Long = 15L * 60 * 1000
+
+  /** Expectation-violation policy: dead-letter the rows, merge the rest. */
+  val ExpectQuarantine = "quarantine"
+
+  /** Expectation-violation policy: abort the whole batch (Delta CHECK). */
+  val ExpectFail = "fail"
 
   /** Copy-on-write mode: commits rewrite touched partitions. */
   val ModeCow = "cow"

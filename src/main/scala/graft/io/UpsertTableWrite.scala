@@ -73,6 +73,8 @@ final class UpsertWriteBuilder(path: String, info: LogicalWriteInfo)
       compactEvery = opt("compactEvery").map(_.toInt).getOrElse(0),
       expectations = opt("expectations")
         .map(ParquetUpsertSink.parseExpectations).getOrElse(Seq.empty),
+      expectationsMode = opt("expectationsMode")
+        .getOrElse(ParquetUpsertSink.ExpectQuarantine),
       writeMode = opt("writeMode").getOrElse(ParquetUpsertSink.ModeCow))
 
   override def build(): Write = new Write {

@@ -445,6 +445,49 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ParquetUpsertSink.effectiveKeepVersions(spark, dir, Some(1)) == n + 1)
   }
 
+  test("expectationsMode=fail aborts the batch (Delta CHECK); nothing merges or quarantines") {
+    val dir = tmp("expectfail")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept",
+      expectations = Seq(
+        "amount_positive" -> (col("amount") > 0),
+        "dept_known" -> col("dept").isin("eng", "ops")),
+      expectationsMode = ParquetUpsertSink.ExpectFail)
+    sink.upsert(Seq((1L, 1L, "eng", 5.0)).toDF("id", "seq", "dept", "amount"), 0)
+    val e = intercept[IllegalStateException] {
+      sink.upsert(Seq(
+        (2L, 1L, "eng", -1.0), (3L, 1L, "hr", 2.0), (4L, 1L, "eng", 9.0)
+      ).toDF("id", "seq", "dept", "amount"), 1)
+    }
+    assert(e.getMessage.contains("amount_positive=1"))
+    assert(e.getMessage.contains("dept_known=1"))
+    // the whole batch aborted: the clean row 4 did NOT merge either
+    assert(spark.read.format("graft-upsert").load(dir)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(sink.readQuarantine(spark).count() == 0)
+  }
+
+  test("CALL graft.system.detail summarizes layout and timeline") {
+    val dir = tmp("pdetail")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept", keepVersions = 3)
+    sink.upsert(Seq((1L, 1L, "a", 1.0), (2L, 1L, "b", 2.0))
+      .toDF("id", "seq", "dept", "amount"), 0)
+    sink.upsert(Seq((3L, 2L, "a", 3.0)).toDF("id", "seq", "dept", "amount"), 1)
+    val row = spark.sql(s"CALL graft.system.detail('$dir')")
+      .as[(String, String, Int, Int, Long, Int, Int, Boolean)].collect().head
+    val (pc, mode, parts, files, bytes, commits, deltas, quarantined) = row
+    assert(pc == "dept" && mode == "cow")
+    assert(parts == 2 && files == 2 && bytes > 0)
+    assert(commits == 2 && deltas == 0 && !quarantined)
+    // MOR table: delta count surfaces
+    val morDir = tmp("pdetailmor")
+    ParquetUpsertSink(morDir, Seq("id"), "seq", "dept",
+      writeMode = ParquetUpsertSink.ModeMor)
+      .upsert(Seq((1L, 1L, "a")).toDF("id", "seq", "dept"), 0)
+    val morRow = spark.sql(s"CALL graft.system.detail('$morDir')")
+      .as[(String, String, Int, Int, Long, Int, Int, Boolean)].collect().head
+    assert(morRow._2 == "mor" && morRow._7 == 1 && morRow._4 == 0)
+  }
+
   test("catalog-created table also works option-less through the path API") {
     val dir = tmp("props")
     val t = s"graft.`$dir`"
