@@ -152,8 +152,9 @@ object GraftProcedures {
       val pc = UpsertTableSource.partitionColOf(path).getOrElse(
         throw new IllegalArgumentException(
           s"graft.system: no partitioned graft-upsert table at $path"))
-      val dataFiles = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$path/$pc=*/part-*")).filter(_.getLen > 0)
+      // the sink's own live-file definition — detail must count exactly
+      // what the merge/delete paths see
+      val dataFiles = ParquetUpsertSink.liveDataFileStatuses(fs, path, pc)
       val props = GraftUpsertCatalog.tableProps(path)
       Seq(new GenericInternalRow(Array[Any](
         str(pc),

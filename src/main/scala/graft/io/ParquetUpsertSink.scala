@@ -680,8 +680,12 @@ final case class ParquetUpsertSink(
   private def lockPath = new Path(s"$path/${ParquetUpsertSink.CommitLockFileName}")
 
   private def readLock(fs: org.apache.hadoop.fs.FileSystem): Option[(String, Long)] =
+    readLockFile(fs, lockPath)
+
+  private def readLockFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[(String, Long)] =
     scala.util.Try {
-      val in = fs.open(lockPath)
+      val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       val parts = s.split(' ')
@@ -703,19 +707,28 @@ final case class ParquetUpsertSink(
     readLock(fs) match {
       case Some((token, since))
           if System.currentTimeMillis() - since > ParquetUpsertSink.LockTimeoutMs =>
-        // break by ATOMIC RENAME to a breaker-unique name: of N writers
-        // contending over the same stale lock, exactly one rename
-        // succeeds — an unconditional delete would let a second breaker
-        // delete the first breaker's freshly-created lock and both
-        // would "hold" the fence (the lost-commit scenario it prevents)
-        val broken = new Path(s"$path/.${ParquetUpsertSink.CommitLockFileName}" +
-          s".broken.$stagingToken")
+        // break by ATOMIC RENAME to a breaker-unique name, then VERIFY
+        // the renamed file really is the stale lock we observed: a
+        // second breaker arriving after the first already replaced the
+        // lock would otherwise rename away the FRESH lock and both
+        // writers would "hold" the fence (the lost-commit scenario the
+        // fence prevents). A mismatched grab renames the fresh lock
+        // straight back.
+        val broken = new Path(path,
+          s"${ParquetUpsertSink.BrokenLockPrefix}$stagingToken")
         val won = try fs.rename(lockPath, broken) catch {
           case _: java.io.IOException => false
         }
         if (won) {
-          fs.delete(broken, false)
-          if (tryCreate()) return
+          if (readLockFile(fs, broken).contains((token, since))) {
+            fs.delete(broken, false)
+            if (tryCreate()) return
+          } else {
+            // we grabbed another breaker's fresh lock — restore it
+            // (best-effort: if this rename fails the other writer's
+            // release no-ops on the ownership check and errs loudly)
+            fs.rename(broken, lockPath)
+          }
         }
         throw new java.util.ConcurrentModificationException(
           s"graft-upsert: lost the race re-taking a stale commit lock on $path " +
@@ -791,11 +804,18 @@ final case class ParquetUpsertSink(
     val spark = batch.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val deduped = Precombine.latest(batch, recordKeys, precombine)
+    // inline-compaction cadence is positional (every Nth BATCH), so it
+    // must fire even when this batch carries no rows — an empty batch
+    // landing on the compaction slot would otherwise push the fold a
+    // whole cycle out and let deltas accumulate past the bound
+    def maybeInlineCompact(): Unit =
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        compactMorLocked(spark, fs, batchId)
     // empty micro-batch (routine under streaming triggers, or a batch
     // fully quarantined by expectations): no delta commit — an empty
     // delta dir would make every real-time read's per-commit
     // readStringPartitioned throw on zero paths
-    if (deduped.isEmpty) return
+    if (deduped.isEmpty) { maybeInlineCompact(); return }
     val commit = f"${System.currentTimeMillis()}%013d_$batchId%06d" + s"_$stagingToken"
     val tmpDir = new Path(deltaRoot,
       commit + s".$stagingToken${ParquetUpsertSink.ArchiveTmpSuffix}")
@@ -818,8 +838,7 @@ final case class ParquetUpsertSink(
     // actual Hudi story (reference py:278-280: compact every 5 delta
     // commits): every Nth batch the accumulated deltas fold into the
     // base, bounding how many delta files a real-time read must merge
-    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-      compactMorLocked(batch.sparkSession, fs, batchId)
+    maybeInlineCompact()
   }
 
   /** The MOR read: base partitions ∪ every live delta commit, merged
@@ -925,8 +944,12 @@ final case class ParquetUpsertSink(
       // hive-sync fires at COMPACTION in MOR mode — the point where the
       // registered (read-optimized, base-files) table's content
       // actually changes; syncing on delta append would register a
-      // name whose reads silently exclude the very rows just written
-      syncTable.foreach(registerAndSync(spark, _, mat.schema))
+      // name whose reads silently exclude the very rows just written.
+      // Sync the PERSISTED superset schema, not mat.schema: the fold
+      // reads only touched partitions, and a column living solely in
+      // untouched ones would otherwise vanish from the catalog entry.
+      syncTable.foreach(registerAndSync(spark, _,
+        mergeReadSchema(spark, fs, Seq.empty).getOrElse(pinString(mat.schema))))
     } finally Checkpoints.release(mat)
     folding
   }
@@ -990,8 +1013,7 @@ final case class ParquetUpsertSink(
       // schema inference over zero files throws, and the replay would
       // crash-loop where the correct answer is "no existing rows"
       val liveDataDirs: Set[String] =
-        fs.globStatus(new Path(s"$path/$partitionCol=*/part-*"))
-          .filter(_.getLen > 0)
+        ParquetUpsertSink.liveDataFileStatuses(fs, path, partitionCol)
           .map(_.getPath.getParent.getName)
           .toSet
 
@@ -1112,8 +1134,7 @@ final case class ParquetUpsertSink(
       fs: org.apache.hadoop.fs.FileSystem, cond: org.apache.spark.sql.Column,
       batchId: Long): Seq[String] = {
     val liveDataDirs: Set[String] =
-      fs.globStatus(new Path(s"$path/$partitionCol=*/part-*"))
-        .filter(_.getLen > 0)
+      ParquetUpsertSink.liveDataFileStatuses(fs, path, partitionCol)
         .map(_.getPath.getParent.getName)
         .toSet
     if (liveDataDirs.isEmpty) return Seq.empty
@@ -1455,6 +1476,12 @@ object ParquetUpsertSink {
     */
   val CommitLockFileName = "_commit.lock"
 
+  /** Prefix of a stale lock mid-break (renamed by the breaking writer;
+    * deleted on success, restored on a mismatched grab, swept by
+    * [[sweepStaging]] if the breaker crashed in between).
+    */
+  val BrokenLockPrefix = "._commit.lock.broken."
+
   /** A commit lock older than this is treated as a crashed writer's
     * orphan and broken (the next committer takes over). Generous: a
     * healthy commit holds the lock for one merge + overwrite, far
@@ -1481,6 +1508,16 @@ object ParquetUpsertSink {
     * the table root see only the base (the Hudi read-optimized view).
     */
   val DeltaDirName = "_delta"
+
+  /** Live data files of a partitioned table — THE one-glob discovery
+    * (pattern: path, partition dir wildcard, `part-` prefix, length >
+    * 0) shared by the upsert merge, the delete match scan, and
+    * `graft.system.detail`; partition values are Hive-escaped on disk,
+    * so the pattern is literal-safe.
+    */
+  def liveDataFileStatuses(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      partitionCol: String): Array[org.apache.hadoop.fs.FileStatus] =
+    fs.globStatus(new Path(s"$path/$partitionCol=*/part-*")).filter(_.getLen > 0)
 
   /** Live MOR delta commits of a table, oldest first (empty for COW
     * tables and fully-compacted MOR tables).
@@ -1603,6 +1640,13 @@ object ParquetUpsertSink {
           st.isDirectory && st.getPath.getName.startsWith(".staging-write-"))
       else Array.empty[org.apache.hadoop.fs.FileStatus]
     dsv2.foreach(st => fs.delete(st.getPath, true))
-    orphans.length + partials.length + dsv2.length
+    // a breaker that crashed between renaming a stale lock and deleting
+    // the renamed file strands a BrokenLockPrefix file at the root
+    val brokenLocks =
+      if (fs.exists(p))
+        fs.listStatus(p).filter(_.getPath.getName.startsWith(BrokenLockPrefix))
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    brokenLocks.foreach(st => fs.delete(st.getPath, false))
+    orphans.length + partials.length + dsv2.length + brokenLocks.length
   }
 }

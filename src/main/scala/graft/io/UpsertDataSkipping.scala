@@ -242,21 +242,33 @@ object UpsertDataSkipping {
     * without touching the pool's queue semantics (fileStats itself
     * checks the cache).
     */
+  // ONE JVM-lifetime daemon pool for footer I/O: planning may call
+  // fileStatsAll several times per query (runtime filters re-plan), and
+  // per-call pool churn on a busy driver is avoidable overhead. Daemon
+  // threads never block JVM exit; idle threads cost nothing.
+  private lazy val statsPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(2, Runtime.getRuntime.availableProcessors())),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-skip-stats-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
   def fileStatsAll(fs: FileSystem, files: Seq[Path],
       schema: StructType, conf: Configuration): Map[String, FileStats] = {
     if (files.isEmpty) return Map.empty
     if (files.lengthCompare(2) < 0)
       return files.map(f => f.toString -> fileStats(fs, f, schema, conf)).toMap
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(2, Runtime.getRuntime.availableProcessors())))
-    try {
-      val futures = files.map { f =>
-        f.toString -> pool.submit(new java.util.concurrent.Callable[FileStats] {
-          override def call(): FileStats = fileStats(fs, f, schema, conf)
-        })
-      }
-      futures.map { case (p, fut) => p -> fut.get() }.toMap
-    } finally pool.shutdown()
+    val futures = files.map { f =>
+      f.toString -> statsPool.submit(new java.util.concurrent.Callable[FileStats] {
+        override def call(): FileStats = fileStats(fs, f, schema, conf)
+      })
+    }
+    futures.map { case (p, fut) => p -> fut.get() }.toMap
   }
 
   private def readFooterStats(file: Path,

@@ -413,16 +413,17 @@ final class UpsertScan(path: String, tableSchema: StructType,
       partitionFilters.iterator ++ runtimeFilters.iterator, value)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (spjMode) return groupedPlan
     val spark = SparkSession.active
     // serving the base file set of a MOR table with unmerged deltas
     // would silently return stale rows — fail loudly instead (the
     // Hudi real-time view is ParquetUpsertSink.readMor; compaction
-    // restores connector reads). Time travel is EXEMPT: an archived
-    // commit's state is archive+base-derived, and pending deltas only
-    // enter the timeline at their compaction commit — history cannot
-    // change under them.
+    // restores connector reads). The guard runs BEFORE the SPJ branch
+    // (a storage-partitioned join over stale base files is just as
+    // wrong). Time travel is EXEMPT: an archived commit's state is
+    // archive+base-derived, and pending deltas only enter the timeline
+    // at their compaction commit — history cannot change under them.
     if (asOf.isEmpty) UpsertTableSource.requireNoLiveDeltas(spark, path)
+    if (spjMode) return groupedPlan
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
     if (!fs.exists(root)) { plannedPartitionValues = Some(Seq.empty); return Array.empty }

@@ -236,6 +236,10 @@ class UpsertMorSpec extends SparkSpec {
     // real-time view unchanged by the fold
     assert(contents(mor.readMor(spark)) == Set(
       (2L, 2L, "ops", 25.0), (3L, 1L, "eng", 30.0), (4L, 3L, "hr", 44.0)))
+    // an EMPTY batch landing on the cadence slot still folds — the
+    // schedule is positional, not data-driven
+    mor.upsert(commits.head.limit(0), 3)
+    assert(ParquetUpsertSink.listDeltaCommits(spark, dir).isEmpty)
   }
 
   test("MOR rides the DSv2 write path via the writeMode option") {
