@@ -36,11 +36,19 @@ for name, sql in sorted(oracle.items()):
     ok = True
     for c in exp.columns:
         e, g = exp[c], got[c]
-        # normalize timestamp-like dtypes for compare
+        # timestamp compare: the DRIVER is strict about tz-awareness (a
+        # tz-aware engine column vs the oracle's naive one is a schema
+        # mismatch there — the round-10 regression), so flag any awareness
+        # disagreement as a FAIL instead of normalizing it away
         if str(e.dtype).startswith("datetime") or str(g.dtype).startswith("datetime"):
             e = pd.to_datetime(e); g = pd.to_datetime(g)
-            if getattr(e.dtype, "tz", None) is not None: e = e.dt.tz_localize(None)
-            if getattr(g.dtype, "tz", None) is not None: g = g.dt.tz_localize(None)
+            e_tz = getattr(e.dtype, "tz", None); g_tz = getattr(g.dtype, "tz", None)
+            if (e_tz is None) != (g_tz is None):
+                print(f"FAIL {name}: col {c} tz-awareness differs "
+                      f"(exp_dtype={e.dtype} got_dtype={g.dtype}) — driver schema mismatch")
+                ok = False; continue
+            if e_tz is not None: e = e.dt.tz_localize(None)
+            if g_tz is not None: g = g.dt.tz_localize(None)
             e = e.astype("datetime64[ns]"); g = g.astype("datetime64[ns]")
             same = e.equals(g)
         elif e.dtype.kind == "f" or g.dtype.kind == "f":

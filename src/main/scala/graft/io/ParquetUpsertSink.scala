@@ -655,8 +655,21 @@ final case class ParquetUpsertSink(
     val missing = wanted.filterNot { case (k, _) => props.containsKey(k) }
     if (missing.nonEmpty) {
       missing.foreach { case (k, v) => props.setProperty(k, v) }
-      val out = fs.create(propsPath, true)
+      // tmp + delete + rename, matching [[persistSchema]]: an in-place
+      // overwrite (create(overwrite=true)) lets a concurrent
+      // `tableProps` reader (SQL DML deriving recordKeys/keepVersions)
+      // observe a TRUNCATED file and silently fall back to defaults —
+      // e.g. keepVersions=1 rewriting partitions without archiving. A
+      // reader hitting the tiny delete→rename gap instead sees ABSENT
+      // and falls back exactly like a fresh table does.
+      val tmp = new Path(
+        s"$path/.${GraftUpsertCatalog.TablePropsFileName}.$stagingToken.tmp")
+      val out = fs.create(tmp, true)
       try props.store(out, null) finally out.close()
+      fs.delete(propsPath, false)
+      if (!fs.rename(tmp, propsPath))
+        throw new java.io.IOException(
+          s"table properties rename failed: $tmp -> $propsPath")
     }
     writeConfigPersisted = true
   }
@@ -724,10 +737,24 @@ final case class ParquetUpsertSink(
             fs.delete(broken, false)
             if (tryCreate()) return
           } else {
-            // we grabbed another breaker's fresh lock — restore it
-            // (best-effort: if this rename fails the other writer's
-            // release no-ops on the ownership check and errs loudly)
-            fs.rename(broken, lockPath)
+            // we grabbed another breaker's fresh lock — restore it. If
+            // the restore rename FAILS (a third writer created a new
+            // lock in the gap), the grabbed holder and that third
+            // writer both believe they hold the fence: surface it
+            // loudly and LEAVE the broken-lock file as a forensic
+            // marker — the grabbed holder's own pre-destructive
+            // [[verifyLockOwnership]] check will abort it before any
+            // overwrite, and the marker names both parties.
+            val restored = try fs.rename(broken, lockPath) catch {
+              case _: java.io.IOException => false
+            }
+            if (!restored)
+              throw new IllegalStateException(
+                s"graft-upsert: broke writer ${readLockFile(fs, broken)
+                  .map(_._1).getOrElse("?")}'s FRESH commit lock on $path and " +
+                  s"could not restore it ($broken left in place as a marker) — " +
+                  "a third writer re-locked concurrently; that holder's " +
+                  "pre-overwrite ownership check will abort it")
           }
         }
         throw new java.util.ConcurrentModificationException(
@@ -746,17 +773,77 @@ final case class ParquetUpsertSink(
     }
   }
 
+  /** Heartbeat: while the lock is held, a daemon thread refreshes the
+    * lock file's timestamp every LockTimeoutMs/3, so a commit that
+    * legitimately outlives the staleness timeout (a compactMor folding
+    * many partitions at the 100 TB scale) is never broken as an orphan
+    * mid-flight — staleness is judged off the REFRESHED timestamp. The
+    * refresh is a guarded in-place rewrite (verify our token, then
+    * overwrite): a concurrent reader hitting the tiny truncation window
+    * parses nothing and fails its acquire LOUDLY (the `case None` retry
+    * path), never silently. Three missed beats (executor stall, FS
+    * outage) fall back to exactly the old behavior — breakable after
+    * LockTimeoutMs — which [[verifyLockOwnership]] then catches before
+    * anything destructive.
+    */
+  private def startLockHeartbeat(
+      fs: org.apache.hadoop.fs.FileSystem): java.util.concurrent.ScheduledExecutorService = {
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-lock-heartbeat-$stagingToken")
+        t.setDaemon(true); t
+      })
+    val period = ParquetUpsertSink.LockTimeoutMs / 3
+    ex.scheduleAtFixedRate(() => {
+      try {
+        if (readLock(fs).exists(_._1 == stagingToken)) {
+          val out = fs.create(lockPath, true)
+          try out.write(s"$stagingToken ${System.currentTimeMillis()}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      } catch { case _: Throwable => () } // next beat retries; margin is 3 beats
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    ex
+  }
+
+  /** Assert THIS writer still owns the commit lock — called immediately
+    * before each commit's first destructive step (live-tree overwrite,
+    * partition delete, delta rename). If the lock was broken and
+    * re-taken while we ran (heartbeat stalled past LockTimeoutMs, or a
+    * failed lock-break restore), abort loudly BEFORE corrupting the new
+    * holder's view instead of racing its rewrite. One small-file read;
+    * noise against partition-scale I/O.
+    */
+  private def verifyLockOwnership(fs: org.apache.hadoop.fs.FileSystem): Unit =
+    readLock(fs) match {
+      case Some((token, _)) if token == stagingToken => ()
+      case other =>
+        throw new java.util.ConcurrentModificationException(
+          s"graft-upsert: writer $stagingToken lost the commit lock on $path " +
+            s"mid-commit (now ${other.map(_._1).getOrElse("absent")}) — " +
+            "aborting before the destructive phase; the batch is replayable")
+    }
+
   /** Run `body` holding the table's commit lock. Reentrant within a
-    * thread (inline compaction runs inside an upsert's fence).
+    * thread (inline compaction runs inside an upsert's fence). A
+    * heartbeat refreshes the lock's timestamp for the duration, so
+    * long-running commits stay unbreakable (see [[startLockHeartbeat]]).
     */
   private def withCommitLock[T](fs: org.apache.hadoop.fs.FileSystem)(body: => T): T =
     if (lockDepth.get > 0) body
     else {
       acquireCommitLock(fs)
+      val hb = startLockHeartbeat(fs)
       lockDepth.set(1)
       try body
       finally {
         lockDepth.set(0)
+        // stop refreshing BEFORE the release read-check, or a beat
+        // could resurrect the lock file after our delete
+        hb.shutdownNow()
+        try hb.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
         // release only OUR lock: a broken-then-retaken lock belongs to
         // the new holder
         try {
@@ -826,6 +913,7 @@ final case class ParquetUpsertSink(
       .partitionBy(partitionCol)
       .parquet(tmpDir.toString)
     persistSchemaAdditive(spark, fs, deduped.schema)
+    verifyLockOwnership(fs)
     if (!fs.rename(tmpDir, new Path(deltaRoot, commit)))
       throw new java.io.IOException(
         s"MOR delta commit rename failed: $tmpDir -> ${new Path(deltaRoot, commit)}")
@@ -921,6 +1009,7 @@ final case class ParquetUpsertSink(
     }
     val mat = merged.localCheckpoint(true)
     try {
+      verifyLockOwnership(fs)
       val commit =
         if (keepVersions > 1)
           Some(archivePreImages(fs, touchedValues.toArray, batchId))
@@ -1069,6 +1158,7 @@ final case class ParquetUpsertSink(
         // this idempotent upsert, exactly like a lost staging file did.
         val mat = merged.localCheckpoint(true)
         try {
+          verifyLockOwnership(fs)
           // the live pre-images of the touched partitions move to the
           // archive only once the merge result is safely materialized
           val commit =
@@ -1158,6 +1248,7 @@ final case class ParquetUpsertSink(
       .filter(!coalesce(cond, lit(false)))
       .localCheckpoint(true)
     try {
+      verifyLockOwnership(fs)
       val commit =
         if (keepVersions > 1) Some(archivePreImages(fs, matched, batchId)) else None
       val surviving: Set[String] = mat
@@ -1211,6 +1302,7 @@ final case class ParquetUpsertSink(
       .select(col(partitionCol)).distinct().collect().map(_.getString(0))
     val touched = (replaced ++ rowParts).distinct.toArray
     if (touched.isEmpty) return
+    verifyLockOwnership(fs)
     val commit =
       if (keepVersions > 1) Some(archivePreImages(fs, touched, batchId)) else None
     val replacedDirs = replaced.map(dirName).toSet
@@ -1355,7 +1447,8 @@ final case class ParquetUpsertSink(
     // like upsert: a crash before the overwrite leaves the table
     // untouched, after it leaves the same rows in fewer files
     val mat = readStringPartitioned(spark, oversized.toSeq).localCheckpoint(true)
-    try writeFinal(mat) finally Checkpoints.release(mat)
+    try { verifyLockOwnership(fs); writeFinal(mat) }
+    finally Checkpoints.release(mat)
     oversized.map(_.getName).toSeq
   }
 
@@ -1384,6 +1477,7 @@ final case class ParquetUpsertSink(
     if (partDirs.isEmpty) return Seq.empty
     val mat = readStringPartitioned(spark, partDirs.toSeq).localCheckpoint(true)
     try {
+      verifyLockOwnership(fs)
       val z = graft.functions.ZOrderExpressions.mortonCode(
         x.cast("long"), y.cast("long"))
       // partition column FIRST: the partitioned write requires tasks
@@ -1482,12 +1576,17 @@ object ParquetUpsertSink {
     */
   val BrokenLockPrefix = "._commit.lock.broken."
 
-  /** A commit lock older than this is treated as a crashed writer's
-    * orphan and broken (the next committer takes over). Generous: a
-    * healthy commit holds the lock for one merge + overwrite, far
-    * below this at any partition size a single commit should touch.
+  /** A commit lock whose TIMESTAMP is older than this is treated as a
+    * crashed writer's orphan and broken (the next committer takes
+    * over). A live holder's heartbeat refreshes the timestamp every
+    * third of this, so only a writer that actually died — or stalled
+    * for three straight beats — ever looks stale, regardless of how
+    * long its commit legitimately runs. Overridable via system property
+    * (tests exercise the heartbeat at sub-second timeouts).
     */
-  val LockTimeoutMs: Long = 15L * 60 * 1000
+  def LockTimeoutMs: Long =
+    sys.props.get("graft.lock.timeout.ms").map(_.toLong)
+      .getOrElse(15L * 60 * 1000)
 
   /** Expectation-violation policy: dead-letter the rows, merge the rest. */
   val ExpectQuarantine = "quarantine"
@@ -1545,18 +1644,22 @@ object ParquetUpsertSink {
   val TouchedManifest = "_touched.manifest"
 
   /** Retention depth for a maintenance/DML commit on an EXISTING table:
-    * the persisted `keepVersions` table property when at least as deep
-    * as the observed archive, else (archive size + 1) — a table whose
-    * writers archived pre-images must keep archiving through SQL
-    * UPDATE/DELETE/MERGE even when the writers passed `keepVersions`
-    * per-write and never persisted it (steady state holds
-    * keepVersions-1 commits, so archiveSize+1 recovers the writers'
-    * setting exactly). A table with no archive and no property stays
-    * at 1 (live-only), matching its writers' intent.
+    * the persisted `keepVersions` table property when one exists — the
+    * user's explicit setting wins, including a DELIBERATELY LOWERED one
+    * (5 → 2 must start expiring, not be silently overridden by the
+    * still-deep archive until old commits are manually removed). Only
+    * when no property was ever persisted is the depth inferred from the
+    * observed archive as (size + 1): a table whose writers archived
+    * pre-images must keep archiving through SQL UPDATE/DELETE/MERGE
+    * even when the writers passed `keepVersions` per-write and never
+    * persisted it (steady state holds keepVersions-1 commits, so
+    * archiveSize+1 recovers the writers' setting exactly). A table with
+    * no archive and no property stays at 1 (live-only), matching its
+    * writers' intent.
     */
   def effectiveKeepVersions(spark: org.apache.spark.sql.SparkSession,
       path: String, fromProps: Option[Int]): Int =
-    math.max(fromProps.getOrElse(1),
+    fromProps.getOrElse(
       listArchivedCommits(spark, path) match {
         case cs if cs.nonEmpty => cs.size + 1
         case _ => 1

@@ -285,7 +285,6 @@ object UpsertDataSkipping {
         val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
         (name, dt) match {
           case (Some(n), Some(d)) =>
-            val idx = fileSchema.getFieldIndex(n)
             var mn: Option[Any] = None
             var mx: Option[Any] = None
             var nulls: Option[Long] = Some(0L)
@@ -293,7 +292,25 @@ object UpsertDataSkipping {
             var decodable = true
             val it = blocks.iterator()
             while (it.hasNext) {
-              val chunk = it.next().getColumns.get(idx)
+              // resolve the chunk by COLUMN PATH, never by top-level
+              // field index: getColumns is in LEAF order, and for a file
+              // holding any nested group column (e.g. written externally
+              // into the table path) leaf positions diverge from field
+              // positions — a positional lookup would read the WRONG
+              // column's statistics and prune soundly-looking files that
+              // actually contain matches. A top-level primitive's path
+              // is exactly [name]; a group field resolves to no single
+              // leaf chunk and degrades to "no stats" (never prunes).
+              val cols = it.next().getColumns
+              var chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+              var i = 0
+              while (i < cols.size() && chunk == null) {
+                val cc = cols.get(i)
+                if (cc.getPath.size() == 1 && cc.getPath.toDotString == n) chunk = cc
+                i += 1
+              }
+              if (chunk == null) { decodable = false; nulls = None }
+              else {
               values += chunk.getValueCount
               val s = chunk.getStatistics
               if (s == null || s.isEmpty) { decodable = false; nulls = None }
@@ -315,6 +332,7 @@ object UpsertDataSkipping {
                 } else if (!s.isNumNullsSet || s.getNumNulls != chunk.getValueCount) {
                   decodable = false // cannot prove the chunk is all-null
                 }
+              }
               }
             }
             out += c -> ColStats(mn, mx, nulls, values, decodable)
@@ -346,7 +364,11 @@ object UpsertDataSkipping {
       val name = (0 until fileSchema.getFieldCount)
         .map(fileSchema.getFieldName)
         .find(_.equalsIgnoreCase(a))
-      name.map(n => n -> fileSchema.getType(fileSchema.getFieldIndex(n)).asPrimitiveType())
+      // a GROUP field with the filter's name (externally-written nested
+      // file) has no primitive layout to bind — skip the conjunct
+      // rather than throw from asPrimitiveType
+      name.map(n => n -> fileSchema.getType(fileSchema.getFieldIndex(n)))
+        .collect { case (n, t) if t.isPrimitive => n -> t.asPrimitiveType() }
     }
     def dtOf(a: String): Option[DataType] =
       schema.fields.find(_.name.equalsIgnoreCase(a)).map(_.dataType)

@@ -69,6 +69,91 @@ class CommitLockSpec extends SparkSpec {
       s"$dir/${ParquetUpsertSink.CommitLockFileName}")))
   }
 
+  private def readLockTs(dir: String): Long = {
+    val fs = fsOf(dir)
+    val in = fs.open(new org.apache.hadoop.fs.Path(
+      s"$dir/${ParquetUpsertSink.CommitLockFileName}"))
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    s.split(' ')(1).toLong
+  }
+
+  test("heartbeat refreshes a held lock: long commits are never broken as stale") {
+    val dir = tmp("lockhb")
+    // sub-second staleness so the commit below legitimately OUTLIVES the
+    // timeout — the exact scenario that silently lost commits before the
+    // heartbeat (a second writer would break the still-held lock)
+    System.setProperty("graft.lock.timeout.ms", "900")
+    try {
+      // a slow expectation stretches the commit (screen runs inside the
+      // fence) well past the timeout
+      val slowCheck = udf { (_: Long) => Thread.sleep(30); true }
+      val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept",
+        expectations = Seq("slow" -> slowCheck(col("id"))))
+      val lockP = new org.apache.hadoop.fs.Path(
+        s"$dir/${ParquetUpsertSink.CommitLockFileName}")
+      val fs = fsOf(dir)
+      @volatile var err: Throwable = null
+      val t = new Thread(() => {
+        // coalesce(1): the sleeps must run SEQUENTIALLY (one task) so the
+        // commit reliably outlives the 900ms timeout on any core count
+        try sink.upsert((1L to 100L).map(i => (i, 1L, "a"))
+          .toDF("id", "seq", "dept").coalesce(1), 0)
+        catch { case e: Throwable => err = e }
+      }, "slow-committer")
+      t.start()
+      val deadline = System.currentTimeMillis() + 30000
+      while (!fs.exists(lockP) && System.currentTimeMillis() < deadline)
+        Thread.sleep(5)
+      assert(fs.exists(lockP), "commit never acquired the lock")
+      val ts1 = readLockTs(dir)
+      Thread.sleep(1300) // > timeout; heartbeat period is timeout/3 = 300ms
+      if (t.isAlive) {
+        // mid-commit, past the nominal staleness bound: the lock must
+        // still be held AND its timestamp refreshed (i.e. NOT breakable
+        // as stale by a rival's staleness check)
+        assert(fs.exists(lockP), "lock vanished while the commit was running")
+        val ts2 = readLockTs(dir)
+        assert(ts2 > ts1, s"heartbeat never refreshed the lock ($ts1 -> $ts2)")
+        assert(System.currentTimeMillis() - ts2 <= 900,
+          "refreshed timestamp is itself stale")
+      }
+      t.join(120000)
+      assert(err == null, s"commit failed: $err")
+      assert(spark.read.parquet(dir).count() == 100)
+      assert(!fs.exists(lockP)) // released cleanly, not resurrected by a late beat
+    } finally System.clearProperty("graft.lock.timeout.ms")
+  }
+
+  test("a commit whose lock is stolen mid-flight aborts before the destructive phase") {
+    val dir = tmp("locktheft")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")
+    sink.upsert(Seq((1L, 1L, "a")).toDF("id", "seq", "dept"), 0)
+    val fs = fsOf(dir)
+    val lockP = new org.apache.hadoop.fs.Path(
+      s"$dir/${ParquetUpsertSink.CommitLockFileName}")
+    // rival thread: the moment the commit's lock appears, replace it
+    // with a foreign token (models a failed lock-break restore / a
+    // GC-stalled holder whose lock was legitimately broken and re-taken)
+    val thief = new Thread(() => {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!fs.exists(lockP) && System.currentTimeMillis() < deadline)
+        Thread.sleep(1)
+      writeLock(dir, "thief", System.currentTimeMillis())
+    }, "lock-thief")
+    thief.start()
+    val e = intercept[java.util.ConcurrentModificationException] {
+      sink.upsert(Seq((1L, 2L, "a"), (2L, 1L, "a")).toDF("id", "seq", "dept"), 1)
+    }
+    thief.join(30000)
+    assert(e.getMessage.contains("lost the commit lock"))
+    // the aborted commit changed NOTHING: no merge, no archive churn
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSeq == Seq(1L))
+    // and it did not delete the thief's lock on the way out
+    assert(fs.exists(lockP))
+    fs.delete(lockP, false)
+  }
+
   test("delete and maintenance honor the fence too") {
     val dir = tmp("lockdel")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")

@@ -440,9 +440,11 @@ class GraftCatalogSpec extends SparkSpec {
       s"$dir/${GraftUpsertCatalog.TablePropsFileName}"), false)
     val n = ParquetUpsertSink.listArchivedCommits(spark, dir).size
     assert(ParquetUpsertSink.effectiveKeepVersions(spark, dir, None) == n + 1)
-    // an explicit DEEPER property wins; a stale shallower one does not
+    // an explicit persisted property ALWAYS wins — deeper or deliberately
+    // lowered (a 5→2 retention cut must start expiring, not be silently
+    // overridden by the still-deep archive)
     assert(ParquetUpsertSink.effectiveKeepVersions(spark, dir, Some(10)) == 10)
-    assert(ParquetUpsertSink.effectiveKeepVersions(spark, dir, Some(1)) == n + 1)
+    assert(ParquetUpsertSink.effectiveKeepVersions(spark, dir, Some(1)) == 1)
   }
 
   test("expectationsMode=fail aborts the batch (Delta CHECK); nothing merges or quarantines") {

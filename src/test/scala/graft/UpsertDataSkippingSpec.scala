@@ -254,4 +254,36 @@ class UpsertDataSkippingSpec extends SparkSpec {
     assert(!UpsertDataSkipping.fileMightMatch(absent, Seq(EqualTo("v", 5L)), schema))
     assert(UpsertDataSkipping.fileMightMatch(absent, Seq(IsNull("v")), schema))
   }
+
+  test("nested group columns: footer stats resolve by column path, not field position") {
+    // a file whose leaf-column order diverges from its top-level field
+    // order: fields are (s struct<a,b>, v) but the leaves are
+    // (s.a, s.b, v) — a positional getColumns lookup for v (field index
+    // 1) would read s.b's statistics and prune UNSOUNDLY. The path-based
+    // resolution must return v's true range and, for the struct field
+    // itself, degrade to "no stats".
+    val dir = tmp("skipnested")
+    val df = spark.range(100, 200)
+      .select(struct((col("id") * 1000).as("a"), lit(7L).as("b")).as("s"),
+        col("id").as("v"))
+    df.coalesce(1).write.parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file = fs.globStatus(new Path(s"$dir/part-*")).head.getPath
+    val readSchema = StructType(Seq(
+      StructField("s", StructType(Seq(
+        StructField("a", LongType), StructField("b", LongType)))),
+      StructField("v", LongType)))
+    val st = UpsertDataSkipping.fileStats(fs, file, readSchema,
+      spark.sparkContext.hadoopConfiguration)
+    val vStats = st.cols("v")
+    assert(vStats.decodable)
+    assert(vStats.min.contains(100L) && vStats.max.contains(199L))
+    // the struct field has no single leaf chunk: unusable, never pruned on
+    assert(!st.cols("s").decodable)
+    // the pruning decision the misresolution would get wrong: v=150 is in
+    // range (s.b's stats would claim [7,7] and prune it)
+    val vOnly = StructType(Seq(StructField("v", LongType)))
+    assert(UpsertDataSkipping.fileMightMatch(st, Seq(EqualTo("v", 150L)), vOnly))
+    assert(!UpsertDataSkipping.fileMightMatch(st, Seq(EqualTo("v", 7L)), vOnly))
+  }
 }
