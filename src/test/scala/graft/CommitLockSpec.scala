@@ -69,14 +69,30 @@ class CommitLockSpec extends SparkSpec {
       s"$dir/${ParquetUpsertSink.CommitLockFileName}")))
   }
 
-  private def readLockTs(dir: String): Long = {
+  // the lock FILE becomes visible at create() before its token bytes
+  // land (production readers tolerate the torn window via Try and fail
+  // conservatively); a raw read here can see "" or a token-only prefix
+  // — retry until the content is well-formed, like production does
+  private def readLockWellFormed(dir: String): (String, Long) = {
     val fs = fsOf(dir)
-    val in = fs.open(new org.apache.hadoop.fs.Path(
-      s"$dir/${ParquetUpsertSink.CommitLockFileName}"))
-    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    s.split(' ')(1).toLong
+    val p = new org.apache.hadoop.fs.Path(
+      s"$dir/${ParquetUpsertSink.CommitLockFileName}")
+    val deadline = System.currentTimeMillis() + 10000
+    var out: Option[(String, Long)] = None
+    while (out.isEmpty && System.currentTimeMillis() < deadline) {
+      out = scala.util.Try {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val parts = s.split(' ')
+        (parts(0), parts(1).toLong)
+      }.toOption
+      if (out.isEmpty) Thread.sleep(2)
+    }
+    out.getOrElse(fail(s"lock file at $p never became well-formed"))
   }
+
+  private def readLockTs(dir: String): Long = readLockWellFormed(dir)._2
 
   test("heartbeat refreshes a held lock: long commits are never broken as stale") {
     val dir = tmp("lockhb")
@@ -132,13 +148,26 @@ class CommitLockSpec extends SparkSpec {
     val fs = fsOf(dir)
     val lockP = new org.apache.hadoop.fs.Path(
       s"$dir/${ParquetUpsertSink.CommitLockFileName}")
-    // rival thread: the moment the commit's lock appears, replace it
-    // with a foreign token (models a failed lock-break restore / a
-    // GC-stalled holder whose lock was legitimately broken and re-taken)
+    // rival thread: the moment the commit's lock is FULLY WRITTEN,
+    // replace it with a foreign token (models a failed lock-break
+    // restore / a GC-stalled holder whose lock was legitimately broken
+    // and re-taken). Waiting for well-formed content matters: stealing
+    // inside the create→write window would race the committer's own
+    // still-open stream, whose 22-byte payload then exactly covers the
+    // theft — the scenario under test is a steal of a HELD lock, not a
+    // torn acquire
     val thief = new Thread(() => {
       val deadline = System.currentTimeMillis() + 30000
-      while (!fs.exists(lockP) && System.currentTimeMillis() < deadline)
-        Thread.sleep(1)
+      var seen = false
+      while (!seen && System.currentTimeMillis() < deadline) {
+        seen = scala.util.Try {
+          val in = fs.open(lockP)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          val parts = s.split(' '); parts(0).nonEmpty && parts(1).toLong > 0
+        }.getOrElse(false)
+        if (!seen) Thread.sleep(1)
+      }
       writeLock(dir, "thief", System.currentTimeMillis())
     }, "lock-thief")
     thief.start()
