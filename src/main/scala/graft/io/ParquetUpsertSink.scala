@@ -129,6 +129,44 @@ final case class ParquetUpsertSink(
   private def dirName(v: String): String =
     if (v == null) nullDir else ExternalCatalogUtils.escapePathName(v)
 
+  /** The columns this table writes parquet BLOOM FILTERS for: the
+    * persisted `bloomColumns` table property when set, else this sink's
+    * record keys (minus the partition column, whose values live in the
+    * directory name, not the file). Blooms are what make record-key
+    * point lookups prune FILES at planning time
+    * ([[UpsertDataSkipping.fileMightMatchBlooms]]) — min/max ranges on
+    * a high-cardinality key overlap across every file, so only a
+    * membership structure can prove absence. The property indirection
+    * matters for maintenance sinks constructed without key knowledge
+    * (SQL DELETE's `recordKeys = Seq("_unused")`): they read the real
+    * key list from `_table.properties`, so a delete rewrite never
+    * silently drops the blooms the read path relies on.
+    */
+  private def bloomColumnsForWrite: Seq[String] =
+    GraftUpsertCatalog.tableProps(path).get("bloomColumns") match {
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => recordKeys.filterNot(c =>
+        c.equalsIgnoreCase(partitionCol) || c == "_unused")
+    }
+
+  /** Standard parquet-mr per-column bloom options, forwarded into the
+    * write's Hadoop configuration. NDV sizes the filter (~1.2 KB per
+    * 1000 distinct keys at the 1% false-positive default); tune the
+    * `bloomNdv` table property to the expected keys PER FILE — an
+    * undersized bloom just prunes less, never wrongly.
+    */
+  private def bloomWriteOptions: Map[String, String] = {
+    val cols = bloomColumnsForWrite
+    if (cols.isEmpty) Map.empty
+    else {
+      val ndv = GraftUpsertCatalog.tableProps(path)
+        .getOrElse("bloomNdv", ParquetUpsertSink.DefaultBloomNdv.toString)
+      cols.flatMap(c => Seq(
+        s"parquet.bloom.filter.enabled#$c" -> "true",
+        s"parquet.bloom.filter.expected.ndv#$c" -> ndv)).toMap
+    }
+  }
+
   /** Rewrite `df`'s partitions in place via per-writer dynamic
     * partition overwrite (no session-conf mutation — concurrent upsert
     * streams in one session must not race each other's conf).
@@ -142,6 +180,7 @@ final case class ParquetUpsertSink(
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic") // per-writer, race-free
+      .options(bloomWriteOptions)
       .partitionBy(partitionCol)
       .parquet(path)
   }
@@ -645,7 +684,11 @@ final case class ParquetUpsertSink(
       "filesPerPartition" -> filesPerPartition.toString,
       "keepVersions" -> keepVersions.toString,
       "writeMode" -> writeMode) ++
-      deleteCol.map("deleteCol" -> _)
+      deleteCol.map("deleteCol" -> _) ++
+      // persist the bloom column set so maintenance writers constructed
+      // without key knowledge (SQL DELETE) keep writing the same blooms
+      Some(bloomColumnsForWrite).filter(_.nonEmpty)
+        .map(cs => "bloomColumns" -> cs.mkString(","))
     val propsPath = new Path(s"$path/${GraftUpsertCatalog.TablePropsFileName}")
     val props = new java.util.Properties()
     if (fs.exists(propsPath)) {
@@ -1564,6 +1607,14 @@ object ParquetUpsertSink {
     * root, like the archive.
     */
   val QuarantineDirName = "_quarantine"
+
+  /** Default expected-distinct-values sizing for the per-column parquet
+    * bloom filters the sink writes on its record keys (~1.2 KB per 1000
+    * keys at parquet-mr's 1% false-positive target). Override per table
+    * via the `bloomNdv` property to the expected keys per FILE — an
+    * undersized bloom prunes less, never wrongly.
+    */
+  val DefaultBloomNdv = 100000
 
   /** Single-writer commit fence at the table root (`_`-prefixed: plain
     * parquet readers never see it). Content: `<writerToken> <epochMs>`.

@@ -61,15 +61,25 @@ object UpsertDataSkipping {
 
   /** Everything the file-level pruner knows about one file. `absent`
     * columns (not in the file schema) are all-null by construction.
+    * `rowCount` (sum of row-group row counts) feeds the scan's
+    * [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]
+    * estimate; None = the footer was unreadable.
     */
-  final case class FileStats(cols: Map[String, ColStats], present: Set[String])
+  final case class FileStats(cols: Map[String, ColStats], present: Set[String],
+      rowCount: Option[Long] = None)
 
   // ——— shape support (drives both capture and translation) ———
 
-  /** Is `f` a predicate data skipping can use? Value comparisons need
+  /** Is `f` a predicate data skipping can use? Range comparisons need
     * a stat-decodable column type; null tests only consult NULL COUNTS
     * (never the possibly-truncated binary min/max), so they are sound
-    * on EVERY non-partition column type — including strings.
+    * on EVERY non-partition column type — including strings. EQUALITY
+    * additionally admits STRING columns: the min/max path keeps them
+    * conservatively (binary stats stay untouched), but the bloom-filter
+    * pruner ([[fileMightMatchBlooms]]) and parquet-mr's own row-group
+    * bloom/dictionary filtering both prove string-equality emptiness
+    * without ever consulting a truncatable statistic — the record-key
+    * point-lookup path at 100 TB.
     */
   def supportedShape(f: Filter, schema: StructType,
       partitionCol: Option[String]): Boolean = {
@@ -77,18 +87,20 @@ object UpsertDataSkipping {
       schema.fields.find(_.name.equalsIgnoreCase(a))
         .filterNot(fd => partitionCol.exists(_.equalsIgnoreCase(fd.name)))
     def ok(a: String): Boolean = field(a).exists(fd => UpsertAggPushdown.statType(fd.dataType))
+    def eqOk(a: String): Boolean = field(a).exists(fd =>
+      UpsertAggPushdown.statType(fd.dataType) || fd.dataType == StringType)
     def anyCol(a: String): Boolean = field(a).isDefined
     f match {
-      case EqualTo(a, v) => v != null && ok(a)
+      case EqualTo(a, v) => v != null && eqOk(a)
       // null-safe equality: the null case is a pure null-count test,
       // the non-null case prunes exactly like EqualTo
       case EqualNullSafe(a, null) => anyCol(a)
-      case EqualNullSafe(a, _) => ok(a)
+      case EqualNullSafe(a, _) => eqOk(a)
       case GreaterThan(a, v) => v != null && ok(a)
       case GreaterThanOrEqual(a, v) => v != null && ok(a)
       case LessThan(a, v) => v != null && ok(a)
       case LessThanOrEqual(a, v) => v != null && ok(a)
-      case In(a, vs) => vs != null && vs.nonEmpty && vs.forall(_ != null) && ok(a)
+      case In(a, vs) => vs != null && vs.nonEmpty && vs.forall(_ != null) && eqOk(a)
       case IsNull(a) => anyCol(a)
       case IsNotNull(a) => anyCol(a)
       case And(l, r) => supportedShape(l, schema, partitionCol) &&
@@ -271,6 +283,26 @@ object UpsertDataSkipping {
     futures.map { case (p, fut) => p -> fut.get() }.toMap
   }
 
+  /** [[fileMightMatchBlooms]] for many files CONCURRENTLY (same bounded
+    * pool as the footer-stat fetch — bloom reads are footer-offset
+    * seeks and must not serialize on the driver either).
+    */
+  def fileMightMatchBloomsAll(fs: FileSystem, files: Seq[Path], conf: Configuration,
+      targets: Seq[(String, Seq[Any])], schema: StructType): Map[String, Boolean] = {
+    if (files.isEmpty || targets.isEmpty)
+      return files.map(_.toString -> true).toMap
+    if (files.lengthCompare(2) < 0)
+      return files.map(f =>
+        f.toString -> fileMightMatchBlooms(fs, f, conf, targets, schema)).toMap
+    val futures = files.map { f =>
+      f.toString -> statsPool.submit(new java.util.concurrent.Callable[Boolean] {
+        override def call(): Boolean =
+          fileMightMatchBlooms(fs, f, conf, targets, schema)
+      })
+    }
+    futures.map { case (p, fut) => p -> fut.get() }.toMap
+  }
+
   private def readFooterStats(file: Path,
       schema: StructType, conf: Configuration): FileStats = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
@@ -279,6 +311,11 @@ object UpsertDataSkipping {
       val present = (0 until fileSchema.getFieldCount)
         .map(i => fileSchema.getFieldName(i)).toSet
       val blocks = reader.getFooter.getBlocks
+      var totalRows = 0L
+      locally {
+        val it = blocks.iterator()
+        while (it.hasNext) totalRows += it.next().getRowCount
+      }
       val out = Map.newBuilder[String, ColStats]
       schema.fields.map(_.name.toLowerCase(java.util.Locale.ROOT)).foreach { c =>
         val name = present.find(_.equalsIgnoreCase(c))
@@ -339,8 +376,159 @@ object UpsertDataSkipping {
           case _ => // column absent from the file: recorded via `present`
         }
       }
-      FileStats(out.result(), present)
+      FileStats(out.result(), present, Some(totalRows))
     } finally reader.close()
+  }
+
+  // ——— bloom-filter file pruning (driver, planning time) ———
+
+  /** Equality conjuncts usable for bloom pruning: (column → candidate
+    * values). Only top-level =, null-safe-= (non-null) and IN qualify —
+    * OR/AND-nested equalities stay with the min/max walk, which is
+    * already conservative for them.
+    */
+  def bloomEqTargets(filters: Seq[Filter], schema: StructType,
+      partitionCol: Option[String]): Seq[(String, Seq[Any])] = {
+    def dataCol(a: String): Boolean =
+      schema.fields.exists(_.name.equalsIgnoreCase(a)) &&
+        !partitionCol.exists(_.equalsIgnoreCase(a))
+    filters.collect {
+      case EqualTo(a, v) if v != null && dataCol(a) => a -> Seq(v)
+      case EqualNullSafe(a, v) if v != null && dataCol(a) => a -> Seq(v)
+      case In(a, vs) if vs != null && vs.nonEmpty && vs.forall(_ != null) &&
+        dataCol(a) => a -> vs.toSeq
+    }
+  }
+
+  /** One column's bloom filters, one per row group, plus the physical
+    * type literals must hash as. Cached per file VERSION — a bloom read
+    * is a footer-offset seek per row group, and point-lookup workloads
+    * re-probe the same files with different literals.
+    */
+  private final case class ColBlooms(
+      blooms: Seq[org.apache.parquet.column.values.bloomfilter.BloomFilter],
+      prim: org.apache.parquet.schema.PrimitiveType)
+
+  private final case class BloomKey(path: String, mtime: Long, len: Long,
+      col: String)
+
+  // bounded LRU: a loaded bloom filter is ~ndv-sized (default config
+  // ~150 KB per column chunk), so the bound is deliberately small —
+  // 64 entries ≈ single-digit MB of driver heap, refilled on miss
+  private val MaxBloomCacheEntries = 64
+  private val bloomCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[BloomKey, Option[ColBlooms]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[BloomKey, Option[ColBlooms]]): Boolean =
+          size() > MaxBloomCacheEntries
+      })
+
+  /** Might `file` contain a row satisfying EVERY (col = one-of-values)
+    * conjunct, judged by the parquet bloom filters the sink writes on
+    * its record-key columns? Conservative: a column with no bloom in
+    * some row group, an unhashable physical layout, or any read failure
+    * keeps the file. A definite prune needs EVERY candidate value to
+    * miss in EVERY row group's bloom — exactly the Hudi bloom-index
+    * contract, with the filters living in the standard parquet footer
+    * instead of a sidecar.
+    */
+  def fileMightMatchBlooms(fs: FileSystem, file: Path, conf: Configuration,
+      targets: Seq[(String, Seq[Any])], schema: StructType): Boolean = {
+    if (targets.isEmpty) return true
+    val st =
+      try fs.getFileStatus(file)
+      catch { case _: java.io.IOException => return true }
+    def key(c: String) = BloomKey(file.toString, st.getModificationTime,
+      st.getLen, c.toLowerCase(java.util.Locale.ROOT))
+    val missing = targets.map(_._1).distinct.filter(c => bloomCache.get(key(c)) == null)
+    if (missing.nonEmpty) loadBlooms(file, conf, missing, key)
+    targets.forall { case (c, values) =>
+      bloomCache.get(key(c)) match {
+        case null | None => true // unusable: never prune on it
+        case Some(cb) =>
+          val hashed = values.map(bloomHash(cb, _, colType(schema, c)))
+          if (hashed.exists(_.isEmpty)) true // some literal unhashable
+          else hashed.flatten.exists(h => cb.blooms.exists(_.findHash(h)))
+      }
+    }
+  }
+
+  private def colType(schema: StructType, a: String): Option[DataType] =
+    schema.fields.find(_.name.equalsIgnoreCase(a)).map(_.dataType)
+
+  /** Load (and cache) the per-row-group blooms of `cols` in one footer
+    * open. A column lacking a bloom in ANY row group caches as None —
+    * unusable for file-level pruning (that row group could hold the
+    * value).
+    */
+  private def loadBlooms(file: Path, conf: Configuration, cols: Seq[String],
+      key: String => BloomKey): Unit = {
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        cols.foreach { c =>
+          var prim: org.apache.parquet.schema.PrimitiveType = null
+          var ok = true
+          val acc = Seq.newBuilder[org.apache.parquet.column.values.bloomfilter.BloomFilter]
+          val it = blocks.iterator()
+          while (ok && it.hasNext) {
+            val block = it.next()
+            val chunks = block.getColumns
+            var chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+            var i = 0
+            while (i < chunks.size() && chunk == null) {
+              val cc = chunks.get(i)
+              if (cc.getPath.size() == 1 &&
+                cc.getPath.toDotString.equalsIgnoreCase(c)) chunk = cc
+              i += 1
+            }
+            val bf = if (chunk == null) null
+              else reader.getBloomFilterDataReader(block).readBloomFilter(chunk)
+            if (bf == null) ok = false
+            else { prim = chunk.getPrimitiveType; acc += bf }
+          }
+          bloomCache.put(key(c), if (ok && prim != null) Some(ColBlooms(acc.result(), prim)) else None)
+        }
+      } finally reader.close()
+    } catch {
+      case _: Exception => cols.foreach(c => bloomCache.put(key(c), None))
+    }
+  }
+
+  /** Hash a Spark filter literal the way the WRITER hashed the column's
+    * values — physical-layout-gated exactly like [[translate]]'s type
+    * matrix, so a mismatched encoding (INT96 timestamps, MILLIS files)
+    * degrades to "keep" instead of hashing the wrong representation.
+    */
+  private def bloomHash(cb: ColBlooms, v: Any, dt: Option[DataType]): Option[Long] = {
+    val bf = cb.blooms.head
+    (cb.prim.getPrimitiveTypeName, dt) match {
+      case (PrimitiveTypeName.BINARY, Some(StringType)) => v match {
+        case s: String =>
+          Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          Some(bf.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(u.getBytes)))
+        case _ => None
+      }
+      case (PrimitiveTypeName.INT32, Some(t @ (IntegerType | DateType))) =>
+        toInternal(v, t).map(x => bf.hash(x.asInstanceOf[Int]))
+      case (PrimitiveTypeName.INT64, Some(LongType)) =>
+        toInternal(v, LongType).map(x => bf.hash(x.asInstanceOf[Long]))
+      case (PrimitiveTypeName.INT64, Some(t @ (TimestampType | TimestampNTZType)))
+          if (cb.prim.getLogicalTypeAnnotation match {
+            case a: TimestampLogicalTypeAnnotation =>
+              a.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+            case _ => true // plain INT64 written as micros (our writer)
+          }) =>
+        toInternal(v, t).map(x => bf.hash(x.asInstanceOf[Long]))
+      case (PrimitiveTypeName.FLOAT, Some(FloatType)) =>
+        toInternal(v, FloatType).map(x => bf.hash(x.asInstanceOf[Float]))
+      case (PrimitiveTypeName.DOUBLE, Some(DoubleType)) =>
+        toInternal(v, DoubleType).map(x => bf.hash(x.asInstanceOf[Double]))
+      case _ => None
+    }
   }
 
   // ——— row-group filtering (executor, read time) ———
@@ -421,6 +609,24 @@ object UpsertDataSkipping {
               def gtEq() = FilterApi.gtEq(c, l); def lt() = FilterApi.lt(c, l)
               def ltEq() = FilterApi.ltEq(c, l)
             }
+          }
+        case (PrimitiveTypeName.BINARY, StringType) =>
+          // equality only reaches here (supportedShape gates string
+          // shapes to =/IN): parquet-mr evaluates it against row-group
+          // statistics with truncation-aware bounds, the dictionary
+          // page, AND the column's bloom filter — so a point lookup
+          // inside a surviving file still skips every row group that
+          // provably lacks the key
+          v match {
+            case s: String =>
+              val c = FilterApi.binaryColumn(name)
+              val l = org.apache.parquet.io.api.Binary.fromString(s)
+              Some(new Bound {
+                def eq() = FilterApi.eq(c, l); def gt() = FilterApi.gt(c, l)
+                def gtEq() = FilterApi.gtEq(c, l); def lt() = FilterApi.lt(c, l)
+                def ltEq() = FilterApi.ltEq(c, l)
+              })
+            case _ => None
           }
         case (PrimitiveTypeName.FLOAT, FloatType) =>
           toInternal(v, dt.get).map { x =>

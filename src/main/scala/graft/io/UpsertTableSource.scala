@@ -301,7 +301,8 @@ final class UpsertScan(path: String, tableSchema: StructType,
     // only (Spark re-evaluates them above the scan)
     skipFilters: Array[Filter] = Array.empty)
   extends Scan with Batch with SupportsRuntimeFiltering
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   // runtime (dynamic-partition-pruning) predicates Spark derives from
   // join keys at execution time — same value semantics as the static
@@ -364,11 +365,77 @@ final class UpsertScan(path: String, tableSchema: StructType,
 
   override def filterAttributes(): Array[NamedReference] =
     if (spjMode) Array.empty // see spjMode: stable partition contract
-    else partitionCol.map(c => Array[NamedReference](Expressions.column(c)))
+    // advertise the partition column for runtime (DPP) filtering only
+    // when the projection KEEPS it: Spark's PartitionPruning resolves
+    // these refs against the scan's output and throws on a pruned-out
+    // column — and a join that never selects the partition column
+    // cannot drive DPP through it anyway
+    else partitionCol
+      .filter(c => required.fields.exists(_.name.equalsIgnoreCase(c)))
+      .map(c => Array[NamedReference](Expressions.column(c)))
       .getOrElse(Array.empty)
 
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters
+
+  /** Filter-aware statistics for Catalyst's join planning. Without
+    * this, a DSv2 relation costs `spark.sql.defaultSizeInBytes`
+    * (= Long.MaxValue), so NO graft-upsert table would ever broadcast —
+    * every dimension join pays a shuffle. The estimate is the POST-
+    * PRUNING file set: partition predicates drop directories, then
+    * min/max + bloom skipping drop files, so a selective predicate on a
+    * big table reports a small scan and Spark plans the broadcast that
+    * predicate earned. Advisory like all stats — a wrong estimate can
+    * cost, never corrupt. sizeInBytes sums surviving parquet byte
+    * lengths (the same convention Spark's file-source relations use);
+    * numRows sums footer row counts through the bounded stats cache,
+    * skipped above [[UpsertTableSource.MaxStatFooterFiles]] files so a
+    * 100 TB table's planning never serializes a million footer reads
+    * for a full-scan estimate. Memoized per scan (the optimizer
+    * re-costs plans repeatedly); runtime (DPP) filters arrive after
+    * costing and only shrink the true read further.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    statsMemo
+
+  private lazy val statsMemo: org.apache.spark.sql.connector.read.Statistics = {
+    def stats(size: Option[Long], rows: Option[Long]) =
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          size.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+        override def numRows(): java.util.OptionalLong =
+          rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+      }
+    try {
+      val spark = SparkSession.active
+      val enabled = spark.conf
+        .get(UpsertTableSource.ReportStatsConfKey, "true") == "true"
+      // live MOR deltas: the base file set understates the table — and
+      // estimation must never throw where execution would guard loudly
+      if (!enabled ||
+        (asOf.isEmpty && ParquetUpsertSink.listDeltaCommits(spark, path).nonEmpty))
+        stats(None, None)
+      else {
+        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val candidates: Seq[Path] = planInputPartitions().toSeq.flatMap {
+          case p: UpsertFilePartition => Seq(new Path(p.filePath))
+          case g: UpsertFilesPartition => g.files.map(new Path(_))
+          case _ => Seq.empty
+        }
+        val size = Some(candidates.map { f =>
+          try fs.getFileStatus(f).getLen catch { case _: java.io.IOException => 0L }
+        }.sum)
+        val rows =
+          if (candidates.length > UpsertTableSource.MaxStatFooterFiles) None
+          else {
+            val st = UpsertDataSkipping.fileStatsAll(fs, candidates, tableSchema, fs.getConf)
+            val counts = candidates.map(f => st.get(f.toString).flatMap(_.rowCount))
+            if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+          }
+        stats(size, rows)
+      }
+    } catch { case scala.util.control.NonFatal(_) => stats(None, None) }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -381,11 +448,16 @@ final class UpsertScan(path: String, tableSchema: StructType,
   }
 
   /** File-level data skipping: drop candidate files whose footer
-    * min/max statistics PROVE no row can satisfy the skip filters.
-    * Conservative (missing/undecodable stats keep the file) and
-    * advisory (Spark re-evaluates the predicates above the scan).
-    * SPJ mode bypasses this — its reported partition count is part of
-    * the partitioning contract — but keeps row-group filtering.
+    * min/max statistics — or, for equality predicates, whose per-column
+    * BLOOM FILTERS (written by the sink on its record keys) — PROVE no
+    * row can satisfy the skip filters. Blooms are what make a
+    * high-cardinality point lookup (`key = x`) prune files: every
+    * file's [min, max] spans such keys, but a bloom miss in every row
+    * group is proof of absence. Conservative (missing/undecodable
+    * stats or absent blooms keep the file) and advisory (Spark
+    * re-evaluates the predicates above the scan). SPJ mode bypasses
+    * this — its reported partition count is part of the partitioning
+    * contract — but keeps row-group filtering.
     */
   private def pruneByStats(fs: FileSystem,
       files: Array[InputPartition]): Array[InputPartition] =
@@ -396,11 +468,25 @@ final class UpsertScan(path: String, tableSchema: StructType,
       val stats = UpsertDataSkipping.fileStatsAll(fs,
         files.collect { case p: UpsertFilePartition => new Path(p.filePath) }.toSeq,
         tableSchema, fs.getConf)
-      files.filter {
+      val statsSurvivors = files.filter {
         case p: UpsertFilePartition =>
           stats.get(p.filePath).forall(
             UpsertDataSkipping.fileMightMatch(_, skipFilters.toSeq, tableSchema))
         case _ => true
+      }
+      val bloomTargets = UpsertDataSkipping.bloomEqTargets(
+        skipFilters.toSeq, tableSchema, partitionCol)
+      if (bloomTargets.isEmpty) statsSurvivors
+      else {
+        // bloom probe only over the files min/max could NOT prune
+        val verdicts = UpsertDataSkipping.fileMightMatchBloomsAll(fs,
+          statsSurvivors.collect {
+            case p: UpsertFilePartition => new Path(p.filePath) }.toSeq,
+          fs.getConf, bloomTargets, tableSchema)
+        statsSurvivors.filter {
+          case p: UpsertFilePartition => verdicts.getOrElse(p.filePath, true)
+          case _ => true
+        }
       }
     }
 
@@ -653,6 +739,21 @@ object UpsertTableSource {
     * correctness.
     */
   val DataSkippingConfKey = "spark.graft.upsert.dataSkipping.enabled"
+
+  /** Session conf gating filter-aware statistics reporting
+    * ([[UpsertScan.estimateStatistics]]) — default ON. Off, a
+    * graft-upsert relation costs Long.MaxValue and never broadcasts;
+    * the switch exists to demonstrate/debug exactly that plan flip.
+    */
+  val ReportStatsConfKey = "spark.graft.upsert.reportStats.enabled"
+
+  /** Above this many surviving files, the statistics estimate skips the
+    * per-footer row-count sum (sizeInBytes still reports from the
+    * listing): keeps a full-table cost estimate at 100 TB from
+    * serializing millions of footer reads through the driver. The
+    * cap is per SCAN, after pruning — selective queries stay exact.
+    */
+  val MaxStatFooterFiles = 4096
 
   /** Fail loudly when a base-only read targets a MOR table with live
     * (unmerged) delta commits — shared by the row scan and the

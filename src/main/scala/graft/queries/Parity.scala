@@ -361,6 +361,70 @@ object Parity {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Record-key BLOOM skipping through the DSv2 scan: load documents
+    * into an upsert table keyed by a STRING doc key (two files per
+    * language partition), then point-look-up a handful of keys through
+    * `format("graft-upsert")`. String min/max is never consulted
+    * (binary footer stats may truncate), so the file pruning here is
+    * PURELY the parquet bloom filters the sink writes on its record
+    * keys — the Hudi bloom-index shape, and at 100 TB the difference
+    * between probing three files and scanning a partition. Advisory as
+    * always: Spark re-evaluates the predicate, the oracle applies the
+    * same lookup to the raw rows.
+    */
+  def bloomPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("doc_key"), "seq", "lang",
+      filesPerPartition = 2)
+    val docs = Tables.table(spark, sfDir, "documents")
+      .withColumn("doc_key", concat(lit("doc_"), col("doc_id")))
+      .withColumn("seq", lit(0L))
+      .drop("text") // key/metadata table: the lookup never needs the body
+    sink.upsert(docs, 0)
+    spark.read.format("graft-upsert").load(dir)
+      .filter(col("doc_key").isin("doc_3", "doc_41", "doc_97", "doc_404"))
+      .select(col("doc_key"), col("lang"), col("source"), col("n_chars"))
+      .transform(graft.Present.sortSmall(_, col("doc_key")))
+  }
+
+  val bloomPointLookupSql: String =
+    """SELECT 'doc_' || doc_id AS doc_key, lang, source, n_chars
+      |FROM documents
+      |WHERE 'doc_' || doc_id IN ('doc_3', 'doc_41', 'doc_97', 'doc_404')
+      |ORDER BY doc_key""".stripMargin
+
+  /** Reported scan STATISTICS driving the join strategy: supplier loads
+    * into an upsert table, and the lineitem↔supplier join then
+    * BROADCASTS the dimension because the scan reports its true
+    * post-pruning size ([[graft.io.UpsertTableSource.ReportStatsConfKey]]).
+    * Without SupportsReportStatistics a DSv2 relation costs
+    * Long.MaxValue and every dimension join pays a full shuffle of the
+    * fact side — at 100 TB, the single worst default a connector can
+    * ship. The oracle re-runs the same join over the raw tables.
+    */
+  def statsBroadcastJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("s_suppkey"), "seq", "s_nationkey")
+    sink.upsert(
+      Tables.table(spark, sfDir, "supplier").withColumn("seq", lit(0L)), 0)
+    val li = Tables.table(spark, sfDir, "lineitem")
+    val dim = spark.read.format("graft-upsert").load(dir)
+      .select(col("s_suppkey"), col("s_name"))
+    li.join(dim, li("l_suppkey") === dim("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .filter(col("n") > 500)
+      .transform(graft.Present.sortSmall(_, col("s_name")))
+  }
+
+  val statsBroadcastJoinSql: String =
+    """SELECT s_name, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1
+      |HAVING count(*) > 500
+      |ORDER BY 1""".stripMargin
+
   /** The table's incremental STREAMING read, oracle-checked end to
     * end: `spark.readStream.format("graft-upsert")` turns the commit
     * archive into a change stream; a downstream consumer folds each
