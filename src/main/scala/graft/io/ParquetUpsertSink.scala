@@ -142,8 +142,8 @@ final case class ParquetUpsertSink(
     * key list from `_table.properties`, so a delete rewrite never
     * silently drops the blooms the read path relies on.
     */
-  private def bloomColumnsForWrite: Seq[String] =
-    GraftUpsertCatalog.tableProps(path).get("bloomColumns") match {
+  private def bloomColumnsFrom(props: Map[String, String]): Seq[String] =
+    props.get("bloomColumns") match {
       case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case None => recordKeys.filterNot(c =>
         c.equalsIgnoreCase(partitionCol) || c == "_unused")
@@ -153,14 +153,15 @@ final case class ParquetUpsertSink(
     * write's Hadoop configuration. NDV sizes the filter (~1.2 KB per
     * 1000 distinct keys at the 1% false-positive default); tune the
     * `bloomNdv` table property to the expected keys PER FILE — an
-    * undersized bloom just prunes less, never wrongly.
+    * undersized bloom just prunes less, never wrongly. ONE
+    * `_table.properties` read per call (a commit calls this once).
     */
   private def bloomWriteOptions: Map[String, String] = {
-    val cols = bloomColumnsForWrite
+    val props = GraftUpsertCatalog.tableProps(path)
+    val cols = bloomColumnsFrom(props)
     if (cols.isEmpty) Map.empty
     else {
-      val ndv = GraftUpsertCatalog.tableProps(path)
-        .getOrElse("bloomNdv", ParquetUpsertSink.DefaultBloomNdv.toString)
+      val ndv = props.getOrElse("bloomNdv", ParquetUpsertSink.DefaultBloomNdv.toString)
       cols.flatMap(c => Seq(
         s"parquet.bloom.filter.enabled#$c" -> "true",
         s"parquet.bloom.filter.expected.ndv#$c" -> ndv)).toMap
@@ -677,6 +678,12 @@ final case class ParquetUpsertSink(
 
   private def persistWriteConfig(fs: org.apache.hadoop.fs.FileSystem): Unit = {
     if (writeConfigPersisted || recordKeys == Seq("_unused")) return
+    val propsPath = new Path(s"$path/${GraftUpsertCatalog.TablePropsFileName}")
+    val props = new java.util.Properties()
+    if (fs.exists(propsPath)) {
+      val in = fs.open(propsPath)
+      try props.load(in) finally in.close()
+    }
     val wanted: Seq[(String, String)] = Seq(
       "recordKeys" -> recordKeys.mkString(","),
       "precombine" -> precombine,
@@ -687,14 +694,12 @@ final case class ParquetUpsertSink(
       deleteCol.map("deleteCol" -> _) ++
       // persist the bloom column set so maintenance writers constructed
       // without key knowledge (SQL DELETE) keep writing the same blooms
-      Some(bloomColumnsForWrite).filter(_.nonEmpty)
+      // (derived from the just-loaded props — no second file read)
+      Some(bloomColumnsFrom(
+        props.stringPropertyNames().toArray(Array.empty[String])
+          .map(k => k -> props.getProperty(k)).toMap))
+        .filter(_.nonEmpty)
         .map(cs => "bloomColumns" -> cs.mkString(","))
-    val propsPath = new Path(s"$path/${GraftUpsertCatalog.TablePropsFileName}")
-    val props = new java.util.Properties()
-    if (fs.exists(propsPath)) {
-      val in = fs.open(propsPath)
-      try props.load(in) finally in.close()
-    }
     val missing = wanted.filterNot { case (k, _) => props.containsKey(k) }
     if (missing.nonEmpty) {
       missing.foreach { case (k, v) => props.setProperty(k, v) }
@@ -811,8 +816,51 @@ final case class ParquetUpsertSink(
             "remove the lock file if the holder is known dead")
       case None =>
         // lock vanished between create-fail and read: one retry
-        if (!tryCreate()) throw new java.util.ConcurrentModificationException(
-          s"graft-upsert: could not acquire the commit lock on $path")
+        if (tryCreate()) return
+        // still present but UNPARSEABLE: a writer mid-acquire (its
+        // ~20-byte content lands just after the file appears), or a
+        // writer that died mid-write leaving a permanently torn file.
+        // Distinguish by file mtime — content can't tell us anything —
+        // so a torn orphan is breakable instead of wedging the table
+        // behind a lock no one can ever read.
+        val mtime = scala.util.Try(
+          fs.getFileStatus(lockPath).getModificationTime).toOption
+        val tornStale = mtime.exists(m =>
+          System.currentTimeMillis() - m > ParquetUpsertSink.LockTimeoutMs)
+        if (tornStale) {
+          val broken = new Path(path,
+            s"${ParquetUpsertSink.BrokenLockPrefix}$stagingToken")
+          val won = try fs.rename(lockPath, broken) catch {
+            case _: java.io.IOException => false
+          }
+          if (won) {
+            // verify the grab: the renamed file must STILL be torn or
+            // stale — a parseable FRESH token means a rival re-locked
+            // between our read and rename; restore it like the parsed
+            // break path does
+            readLockFile(fs, broken) match {
+              case Some((_, since))
+                  if System.currentTimeMillis() - since <=
+                    ParquetUpsertSink.LockTimeoutMs =>
+                if (!(try fs.rename(broken, lockPath) catch {
+                  case _: java.io.IOException => false
+                }))
+                  throw new IllegalStateException(
+                    s"graft-upsert: broke a writer's FRESH commit lock on $path " +
+                      s"while clearing a torn orphan and could not restore it " +
+                      s"($broken left as a marker)")
+              case _ =>
+                fs.delete(broken, false)
+                if (tryCreate()) return
+            }
+          }
+          throw new java.util.ConcurrentModificationException(
+            s"graft-upsert: lost the race re-taking a torn stale commit lock on $path")
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"graft-upsert: could not acquire the commit lock on $path " +
+            s"(unreadable lock file, last modified ${mtime.getOrElse(-1L)} — " +
+            "a concurrent writer is mid-acquire, or retry after the staleness timeout)")
     }
   }
 
@@ -883,14 +931,28 @@ final case class ParquetUpsertSink(
       finally {
         lockDepth.set(0)
         // stop refreshing BEFORE the release read-check, or a beat
-        // could resurrect the lock file after our delete
-        hb.shutdownNow()
+        // could resurrect the lock file after our delete. shutdown(),
+        // NOT shutdownNow(): interrupting a beat mid-create tears the
+        // lock file (empty data/.crc on the local FS — the interrupt
+        // surfaces inside Hadoop's create path before the close), and a
+        // torn lock is unreadable to this very release check, leaking
+        // the file. A beat in flight finishes its ~20-byte write; queued
+        // beats never start (periodic tasks are dropped at shutdown).
+        hb.shutdown()
         try hb.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
         catch { case _: InterruptedException => Thread.currentThread().interrupt() }
         // release only OUR lock: a broken-then-retaken lock belongs to
-        // the new holder
+        // the new holder. A torn read (a rival mid-acquire after
+        // breaking us as stale) retries briefly, then conservatively
+        // leaves the file — the rival's content window is tiny, and an
+        // orphaned torn lock is breakable by mtime at the next acquire.
         try {
-          if (readLock(fs).exists(_._1 == stagingToken)) fs.delete(lockPath, false)
+          var holder = readLock(fs)
+          var attempts = 0
+          while (holder.isEmpty && attempts < 40 && fs.exists(lockPath)) {
+            Thread.sleep(5); attempts += 1; holder = readLock(fs)
+          }
+          if (holder.exists(_._1 == stagingToken)) fs.delete(lockPath, false)
         } catch { case _: java.io.IOException => () }
       }
     }
@@ -1361,6 +1423,7 @@ final case class ParquetUpsertSink(
           if (v == null) nullDir else v).toIndexedSeq: _*))
         .repartition(col(partitionCol))
         .write.mode(SaveMode.Append)
+        .options(bloomWriteOptions) // new-partition files bloom too
         .partitionBy(partitionCol)
         .parquet(path)
     val rowPartDirs = rowParts.map(dirName).toSet
@@ -1531,6 +1594,10 @@ final case class ParquetUpsertSink(
         .write
         .mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
+        // the layout rewrite must keep the record-key blooms: losing
+        // them here would silently disable point-lookup file pruning
+        // on exactly the tables someone bothered to optimize
+        .options(bloomWriteOptions)
         .partitionBy(partitionCol)
         .parquet(path)
     } finally Checkpoints.release(mat)

@@ -412,17 +412,31 @@ object UpsertDataSkipping {
   private final case class BloomKey(path: String, mtime: Long, len: Long,
       col: String)
 
-  // bounded LRU: a loaded bloom filter is ~ndv-sized (default config
-  // ~150 KB per column chunk), so the bound is deliberately small —
-  // 64 entries ≈ single-digit MB of driver heap, refilled on miss
-  private val MaxBloomCacheEntries = 64
+  // byte-budget LRU: one planning pass over a point lookup probes EVERY
+  // file of the matched partitions (min/max cannot prune
+  // high-cardinality keys), so the cache must hold a pass's working set
+  // or it thrashes into per-query bloom re-reads. Entries are weighed
+  // by their actual bitset bytes (~150 KB per chunk at the default
+  // NDV); 256 MB ≈ ~1700 single-row-group files resident.
+  private val MaxBloomCacheBytes = 256L * 1024 * 1024
+  private object bloomCacheLock
   private val bloomCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[BloomKey, Option[ColBlooms]](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[BloomKey, Option[ColBlooms]]): Boolean =
-          size() > MaxBloomCacheEntries
-      })
+    new java.util.LinkedHashMap[BloomKey, Option[ColBlooms]](256, 0.75f, true)
+  private var bloomCacheBytes = 0L
+  private def bloomWeight(v: Option[ColBlooms]): Long =
+    v.map(_.blooms.iterator.map(_.getBitsetSize.toLong).sum).getOrElse(0L) + 64L
+  private def bloomCacheGet(k: BloomKey): Option[Option[ColBlooms]] =
+    bloomCacheLock.synchronized(Option(bloomCache.get(k)))
+  private def bloomCachePut(k: BloomKey, v: Option[ColBlooms]): Unit =
+    bloomCacheLock.synchronized {
+      val prev = bloomCache.put(k, v)
+      bloomCacheBytes += bloomWeight(v) - (if (prev != null) bloomWeight(prev) else 0L)
+      val it = bloomCache.entrySet().iterator()
+      while (bloomCacheBytes > MaxBloomCacheBytes && it.hasNext) {
+        val e = it.next() // access-order iteration: least recent first
+        if (e.getKey != k) { bloomCacheBytes -= bloomWeight(e.getValue); it.remove() }
+      }
+    }
 
   /** Might `file` contain a row satisfying EVERY (col = one-of-values)
     * conjunct, judged by the parquet bloom filters the sink writes on
@@ -441,11 +455,16 @@ object UpsertDataSkipping {
       catch { case _: java.io.IOException => return true }
     def key(c: String) = BloomKey(file.toString, st.getModificationTime,
       st.getLen, c.toLowerCase(java.util.Locale.ROOT))
-    val missing = targets.map(_._1).distinct.filter(c => bloomCache.get(key(c)) == null)
-    if (missing.nonEmpty) loadBlooms(file, conf, missing, key)
+    // resolve against the LOADED values, not a cache re-get: an entry
+    // evicted between load and probe must not silently weaken the prune
+    val cols = targets.map(_._1).distinct
+    val cached = cols.flatMap(c => bloomCacheGet(key(c)).map(c -> _)).toMap
+    val missing = cols.filterNot(cached.contains)
+    val resolved = cached ++
+      (if (missing.isEmpty) Map.empty else loadBlooms(file, conf, missing, key))
     targets.forall { case (c, values) =>
-      bloomCache.get(key(c)) match {
-        case null | None => true // unusable: never prune on it
+      resolved.get(c).flatten match {
+        case None => true // unusable: never prune on it
         case Some(cb) =>
           val hashed = values.map(bloomHash(cb, _, colType(schema, c)))
           if (hashed.exists(_.isEmpty)) true // some literal unhashable
@@ -463,12 +482,12 @@ object UpsertDataSkipping {
     * value).
     */
   private def loadBlooms(file: Path, conf: Configuration, cols: Seq[String],
-      key: String => BloomKey): Unit = {
+      key: String => BloomKey): Map[String, Option[ColBlooms]] = {
     try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
         val blocks = reader.getFooter.getBlocks
-        cols.foreach { c =>
+        cols.map { c =>
           var prim: org.apache.parquet.schema.PrimitiveType = null
           var ok = true
           val acc = Seq.newBuilder[org.apache.parquet.column.values.bloomfilter.BloomFilter]
@@ -489,11 +508,14 @@ object UpsertDataSkipping {
             if (bf == null) ok = false
             else { prim = chunk.getPrimitiveType; acc += bf }
           }
-          bloomCache.put(key(c), if (ok && prim != null) Some(ColBlooms(acc.result(), prim)) else None)
-        }
+          val v = if (ok && prim != null) Some(ColBlooms(acc.result(), prim)) else None
+          bloomCachePut(key(c), v)
+          c -> v
+        }.toMap
       } finally reader.close()
     } catch {
-      case _: Exception => cols.foreach(c => bloomCache.put(key(c), None))
+      case _: Exception =>
+        cols.map { c => bloomCachePut(key(c), None); c -> (None: Option[ColBlooms]) }.toMap
     }
   }
 

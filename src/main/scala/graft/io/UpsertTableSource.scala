@@ -284,7 +284,7 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
         .get(UpsertTableSource.DataSkippingConfKey, "true") == "true"
       val scan = new UpsertScan(path, tableSchema, required, partitionCol,
         partitionFilters, asOf, startingOffset,
-        if (skipping) skipFilters else Array.empty)
+        if (skipping) skipFilters else Array.empty, forRowLevelOp)
       onBuild(scan)
       scan
   }
@@ -299,7 +299,10 @@ final class UpsertScan(path: String, tableSchema: StructType,
     startingOffset: Option[String] = None,
     // residual predicates usable for min/max data skipping — advisory
     // only (Spark re-evaluates them above the scan)
-    skipFilters: Array[Filter] = Array.empty)
+    skipFilters: Array[Filter] = Array.empty,
+    // a row-level operation's rewrite scan: reports NO statistics (its
+    // cardinality is the rewrite contract, not a costing input)
+    forRowLevelOp: Boolean = false)
   extends Scan with Batch with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -331,13 +334,16 @@ final class UpsertScan(path: String, tableSchema: StructType,
         .get(UpsertTableSource.SpjConfKey, "false") == "true"
 
   // grouped (one-per-value) plan for SPJ mode: computed once — the
-  // reported numPartitions and the executed partitions must agree
-  private lazy val groupedPlan: Array[InputPartition] = {
+  // reported numPartitions and the executed partitions must agree.
+  // PURE (no state mutation): planInputPartitions records the planned
+  // values; estimateStatistics must be able to cost this plan without
+  // side effects
+  private lazy val groupedPlan: (Array[InputPartition], Seq[String]) = {
     val spark = SparkSession.active
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
     val c = partitionCol.get
-    if (!fs.exists(root)) Array.empty
+    if (!fs.exists(root)) (Array.empty[InputPartition], Seq.empty)
     else {
       val matched = fs.listStatus(root).iterator
         .map(_.getPath)
@@ -345,13 +351,13 @@ final class UpsertScan(path: String, tableSchema: StructType,
         .map(p => p -> UpsertTableSource.dirValue(p.getName.drop(c.length + 1)))
         .filter { case (_, v) => matches(v) }
         .toList
-      plannedPartitionValues = Some(matched.map(_._2))
-      matched.iterator
+      val parts = matched.iterator
         .map { case (dir, v) =>
           UpsertFilesPartition(
             UpsertTableSource.dataFiles(fs, dir).map(_.toString), v) }
         .filter(_.files.nonEmpty)
         .toArray[InputPartition]
+      (parts, matched.map(_._2))
     }
   }
 
@@ -359,7 +365,7 @@ final class UpsertScan(path: String, tableSchema: StructType,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (spjMode)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(Expressions.identity(partitionCol.get)), groupedPlan.length)
+        Array(Expressions.identity(partitionCol.get)), groupedPlan._1.length)
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
@@ -412,12 +418,17 @@ final class UpsertScan(path: String, tableSchema: StructType,
         .get(UpsertTableSource.ReportStatsConfKey, "true") == "true"
       // live MOR deltas: the base file set understates the table — and
       // estimation must never throw where execution would guard loudly
-      if (!enabled ||
+      if (!enabled || forRowLevelOp ||
         (asOf.isEmpty && ParquetUpsertSink.listDeltaCommits(spark, path).nonEmpty))
         stats(None, None)
       else {
         val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val candidates: Seq[Path] = planInputPartitions().toSeq.flatMap {
+        // the memoized PURE static plan — costing must neither mutate
+        // plannedPartitionValues (a ReplaceData commit consumes it)
+        // nor pay a second listing+prune walk at execution
+        val planned: Seq[InputPartition] =
+          if (spjMode) groupedPlan._1.toSeq else staticPlan._1.toSeq
+        val candidates: Seq[Path] = planned.flatMap {
           case p: UpsertFilePartition => Seq(new Path(p.filePath))
           case g: UpsertFilesPartition => g.files.map(new Path(_))
           case _ => Seq.empty
@@ -498,6 +509,75 @@ final class UpsertScan(path: String, tableSchema: StructType,
     UpsertTableSource.matchesPartition(
       partitionFilters.iterator ++ runtimeFilters.iterator, value)
 
+  /** The PURE planning walk: candidate files of the partition dirs
+    * surviving the static predicates (plus the runtime/DPP predicates
+    * when `useRuntime`), then min/max + bloom file pruning. Returns the
+    * planned file partitions and — for the live partitioned layout —
+    * the matched partition VALUES (the "scanned groups" a row-level
+    * operation's commit replaces). No state mutation: the optimizer's
+    * statistics estimate costs this same walk side-effect-free, so it
+    * can never pre-seed `plannedPartitionValues` with a pre-runtime
+    * superset a ReplaceData commit would then wrongly replace.
+    */
+  private def computePlan(useRuntime: Boolean)
+      : (Array[InputPartition], Option[Seq[String]]) = {
+    val spark = SparkSession.active
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    def ok(value: String): Boolean =
+      UpsertTableSource.matchesPartition(
+        partitionFilters.iterator ++
+          (if (useRuntime) runtimeFilters.iterator else Iterator.empty), value)
+    if (!fs.exists(root))
+      return (Array.empty[InputPartition], Some(Seq.empty))
+    val (planned, values): (Array[InputPartition], Option[Seq[String]]) =
+      (partitionCol, asOf) match {
+        case (Some(c), Some(commit)) =>
+          // time travel: the authoritative dir per partition as of the
+          // commit — live when untouched since, archived pre-image
+          // otherwise (metadata-only planning; pruning composes)
+          val sink = ParquetUpsertSink(path, Seq("_unused"), "_unused", c)
+          val parts = sink.asOfPartitionDirs(spark, commit)
+            .map { case (escaped, dir) => dir -> UpsertTableSource.dirValue(escaped) }
+            .filter { case (_, v) => ok(v) }
+            .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
+              .map(f => UpsertFilePartition(f.toString, v)) }
+            .toArray[InputPartition]
+          (parts, None)
+        case (Some(c), None) =>
+          val matched = fs.listStatus(root).iterator
+            .map(_.getPath)
+            .filter(p => p.getName.startsWith(s"$c="))
+            .map(p => p -> UpsertTableSource.dirValue(p.getName.drop(c.length + 1)))
+            .filter { case (_, v) => ok(v) }
+            .toList
+          val parts = matched.iterator
+            .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
+              .map(f => UpsertFilePartition(f.toString, v)) }
+            .toArray[InputPartition]
+          (parts, Some(matched.map(_._2)))
+        case (None, Some(_)) =>
+          // silently reading live data for a time-travel request would be
+          // a wrong-answer bug; the layout has no partition column to
+          // reconstruct from (partitionColOf also consults
+          // _table.properties, so this is genuinely unpartitioned data)
+          throw new UnsupportedOperationException(
+            s"graft-upsert: time travel (asOf) requires the partitioned table layout: $path")
+        case (None, None) => // unpartitioned layout: files at the root
+          (UpsertTableSource.dataFiles(fs, root)
+            .map(f => UpsertFilePartition(f.toString, null)).toArray[InputPartition],
+            None)
+      }
+    (pruneByStats(fs, planned), values)
+  }
+
+  // the static (pre-runtime-filter) plan, computed ONCE per scan and
+  // shared by the optimizer's statistics estimate and the common
+  // no-runtime-filter execution path — a query pays the listing + prune
+  // walk once, not once at costing and again at execution
+  private lazy val staticPlan: (Array[InputPartition], Option[Seq[String]]) =
+    computePlan(useRuntime = false)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     // serving the base file set of a MOR table with unmerged deltas
@@ -509,46 +589,12 @@ final class UpsertScan(path: String, tableSchema: StructType,
     // archive+base-derived, and pending deltas only enter the timeline
     // at their compaction commit — history cannot change under them.
     if (asOf.isEmpty) UpsertTableSource.requireNoLiveDeltas(spark, path)
-    if (spjMode) return groupedPlan
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = new Path(path)
-    if (!fs.exists(root)) { plannedPartitionValues = Some(Seq.empty); return Array.empty }
-    val planned: Array[InputPartition] = (partitionCol, asOf) match {
-      case (Some(c), Some(commit)) =>
-        // time travel: the authoritative dir per partition as of the
-        // commit — live when untouched since, archived pre-image
-        // otherwise (metadata-only planning; pruning composes)
-        val sink = ParquetUpsertSink(path, Seq("_unused"), "_unused", c)
-        sink.asOfPartitionDirs(spark, commit)
-          .map { case (escaped, dir) => dir -> UpsertTableSource.dirValue(escaped) }
-          .filter { case (_, v) => matches(v) }
-          .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
-            .map(f => UpsertFilePartition(f.toString, v)) }
-          .toArray
-      case (Some(c), None) =>
-        val matched = fs.listStatus(root).iterator
-          .map(_.getPath)
-          .filter(p => p.getName.startsWith(s"$c="))
-          .map(p => p -> UpsertTableSource.dirValue(p.getName.drop(c.length + 1)))
-          .filter { case (_, v) => matches(v) }
-          .toList
-        plannedPartitionValues = Some(matched.map(_._2))
-        matched.iterator
-          .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
-            .map(f => UpsertFilePartition(f.toString, v)) }
-          .toArray
-      case (None, Some(_)) =>
-        // silently reading live data for a time-travel request would be
-        // a wrong-answer bug; the layout has no partition column to
-        // reconstruct from (partitionColOf also consults
-        // _table.properties, so this is genuinely unpartitioned data)
-        throw new UnsupportedOperationException(
-          s"graft-upsert: time travel (asOf) requires the partitioned table layout: $path")
-      case (None, None) => // unpartitioned layout: files at the root
-        UpsertTableSource.dataFiles(fs, root)
-          .map(f => UpsertFilePartition(f.toString, null)).toArray
-    }
-    pruneByStats(fs, planned)
+    val (parts, values) =
+      if (spjMode) (groupedPlan._1, Some(groupedPlan._2))
+      else if (runtimeFilters.isEmpty) staticPlan
+      else computePlan(useRuntime = true)
+    values.foreach(v => plannedPartitionValues = Some(v))
+    parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

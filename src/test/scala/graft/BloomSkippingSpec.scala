@@ -161,6 +161,7 @@ class BloomSkippingSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString
     // static planner decision (AQE off isolates it): with reported
     // stats the 4-file dim is far under the broadcast threshold
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       assert(planOf(joined).contains("BroadcastHashJoin"),
@@ -177,6 +178,6 @@ class BloomSkippingSpec extends SparkSpec {
       val b = try joined.agg(sum($"m" * $"v")).as[Long].head()
         finally spark.conf.unset(UpsertTableSource.ReportStatsConfKey)
       assert(a == b)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 }

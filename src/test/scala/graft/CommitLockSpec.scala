@@ -73,11 +73,11 @@ class CommitLockSpec extends SparkSpec {
   // land (production readers tolerate the torn window via Try and fail
   // conservatively); a raw read here can see "" or a token-only prefix
   // — retry until the content is well-formed, like production does
-  private def readLockWellFormed(dir: String): (String, Long) = {
+  private def readLockWellFormedOpt(dir: String, deadlineMs: Long): Option[(String, Long)] = {
     val fs = fsOf(dir)
     val p = new org.apache.hadoop.fs.Path(
       s"$dir/${ParquetUpsertSink.CommitLockFileName}")
-    val deadline = System.currentTimeMillis() + 10000
+    val deadline = System.currentTimeMillis() + deadlineMs
     var out: Option[(String, Long)] = None
     while (out.isEmpty && System.currentTimeMillis() < deadline) {
       out = scala.util.Try {
@@ -86,13 +86,15 @@ class CommitLockSpec extends SparkSpec {
           finally in.close()
         val parts = s.split(' ')
         (parts(0), parts(1).toLong)
-      }.toOption
+      }.toOption.filter(_._1.nonEmpty)
       if (out.isEmpty) Thread.sleep(2)
     }
-    out.getOrElse(fail(s"lock file at $p never became well-formed"))
+    out
   }
 
-  private def readLockTs(dir: String): Long = readLockWellFormed(dir)._2
+  private def readLockTs(dir: String): Long =
+    readLockWellFormedOpt(dir, 10000)
+      .getOrElse(fail(s"lock file in $dir never became well-formed"))._2
 
   test("heartbeat refreshes a held lock: long commits are never broken as stale") {
     val dir = tmp("lockhb")
@@ -157,17 +159,7 @@ class CommitLockSpec extends SparkSpec {
     // theft — the scenario under test is a steal of a HELD lock, not a
     // torn acquire
     val thief = new Thread(() => {
-      val deadline = System.currentTimeMillis() + 30000
-      var seen = false
-      while (!seen && System.currentTimeMillis() < deadline) {
-        seen = scala.util.Try {
-          val in = fs.open(lockP)
-          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-          val parts = s.split(' '); parts(0).nonEmpty && parts(1).toLong > 0
-        }.getOrElse(false)
-        if (!seen) Thread.sleep(1)
-      }
+      readLockWellFormedOpt(dir, 30000) // wait out the acquire's write window
       writeLock(dir, "thief", System.currentTimeMillis())
     }, "lock-thief")
     thief.start()
@@ -179,6 +171,41 @@ class CommitLockSpec extends SparkSpec {
     // the aborted commit changed NOTHING: no merge, no archive churn
     assert(spark.read.parquet(dir).select("id").as[Long].collect().toSeq == Seq(1L))
     // and it did not delete the thief's lock on the way out
+    assert(fs.exists(lockP))
+    fs.delete(lockP, false)
+  }
+
+  // a writer that dies between creating the lock file and writing its
+  // content leaves a PERMANENTLY unparseable lock — content-based
+  // staleness can never break it, so the table would wedge behind a
+  // file nobody can read. mtime is the only signal left.
+  test("a torn orphan lock (writer died mid-write) is broken by mtime, not wedged") {
+    val dir = tmp("locktorn")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")
+    val fs = fsOf(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val lockP = new org.apache.hadoop.fs.Path(
+      s"$dir/${ParquetUpsertSink.CommitLockFileName}")
+    fs.create(lockP, true).close() // empty: unparseable forever
+    fs.setTimes(lockP,
+      System.currentTimeMillis() - ParquetUpsertSink.LockTimeoutMs - 1000, -1)
+    sink.upsert(Seq((1L, 1L, "a")).toDF("id", "seq", "dept"), 0)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(!fs.exists(lockP)) // broken, used, released
+  }
+
+  test("a torn FRESH lock (rival mid-acquire) still blocks — and is left intact") {
+    val dir = tmp("locktornfresh")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")
+    val fs = fsOf(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val lockP = new org.apache.hadoop.fs.Path(
+      s"$dir/${ParquetUpsertSink.CommitLockFileName}")
+    fs.create(lockP, true).close() // fresh mtime: a rival's write window
+    val e = intercept[java.util.ConcurrentModificationException] {
+      sink.upsert(Seq((1L, 1L, "a")).toDF("id", "seq", "dept"), 0)
+    }
+    assert(e.getMessage.contains("unreadable lock file"))
     assert(fs.exists(lockP))
     fs.delete(lockP, false)
   }
