@@ -174,6 +174,27 @@ final class GraftUpsertCatalog extends TableCatalog
         val evolved = StructType(
           cur.fields :+ StructField(colName, add.dataType, nullable = true))
         writeFile(fs, new Path(root, ParquetUpsertSink.SchemaFileName), evolved.json)
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          "graft-upsert: nested columns are out of scope for this table format")
+        val colName = upd.fieldNames()(0)
+        val cur = UpsertTableSource.tableSchema(path)
+        val f = cur.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-upsert: no column '$colName' in the table schema"))
+        // metadata-only evolution: only EXACT widenings are honorable
+        // without rewriting the files already on disk (readers promote
+        // int32→long/double, float→double). widen() returning anything
+        // but the requested type means the request narrows or is lossy.
+        require(SchemaWidening.widen(f.dataType, upd.newDataType())
+            .contains(upd.newDataType()) && f.dataType != upd.newDataType(),
+          s"graft-upsert: ALTER COLUMN '$colName' TYPE ${upd.newDataType()} from " +
+            s"${f.dataType} is not an exact widening — only metadata-only type " +
+            "promotions (e.g. int→long, float→double) are supported")
+        val evolved = StructType(cur.fields.map(x =>
+          if (x.name.equalsIgnoreCase(colName)) x.copy(dataType = upd.newDataType())
+          else x))
+        writeFile(fs, new Path(root, ParquetUpsertSink.SchemaFileName), evolved.json)
       case set: TableChange.SetProperty =>
         updateProps(fs, root)(_.setProperty(set.property, set.value))
       case rm: TableChange.RemoveProperty =>

@@ -408,7 +408,9 @@ final case class ParquetUpsertSink(
     if (groups.isEmpty) emptyTable(spark, fs)
     // additive schema evolution across commits: old pre-images may
     // lack columns the live table has gained (null-fill, like upsert)
-    else groups.reduce(_.unionByName(_, allowMissingColumns = true))
+    // or carry them at a pre-widening narrower type (promote on read)
+    else SchemaWidening.alignForMerge(groups, "time-travel read")
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The (escaped partition value, authoritative directory) pairs that
@@ -548,10 +550,13 @@ final case class ParquetUpsertSink(
         else readStringPartitioned(spark, ds, base.toString)
       }
       if (groups.isEmpty) emptyTable(spark, fs)
-      else groups.reduce(_.unionByName(_, allowMissingColumns = true))
+      else SchemaWidening.alignForMerge(groups, "change feed endpoint")
+        .reduce(_.unionByName(_, allowMissingColumns = true))
     }
-    val pre = endpoint(since)
-    val post = endpoint(until)
+    // endpoints straddling a widening commit must diff at ONE type, or
+    // the full-outer key equality below would compare int to long rows
+    val Seq(pre, post) = SchemaWidening.alignForMerge(
+      Seq(endpoint(since), endpoint(until)), "change feed")
     // align schemas (additive evolution between the endpoints)
     val allCols = (pre.columns ++ post.columns).distinct.toSeq
     def aligned(df: DataFrame) =
@@ -1056,7 +1061,10 @@ final case class ParquetUpsertSink(
       (if (baseDirs.nonEmpty) Seq(readStringPartitioned(spark, baseDirs)) else Seq.empty) ++
         deltaFrames
     if (frames.isEmpty) return emptyTable(spark, fs)
-    val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    // deltas may carry exactly-widened column types relative to the
+    // base (and vice versa after compaction) — align explicitly, loudly
+    val unioned = SchemaWidening.alignForMerge(frames, "MOR read")
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     // PARTITION-SCOPED merge keys (recordKey within partition), exactly
     // like the COW upsert's touched-partition merge (Hudi's non-global
     // index): a key whose later version changed partitions has a row in
@@ -1103,7 +1111,8 @@ final case class ParquetUpsertSink(
       folding.foreach(c => fs.delete(new Path(deltaRoot, c), true))
       return folding
     }
-    val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val unioned = SchemaWidening.alignForMerge(frames, "MOR compaction")
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     // partition-scoped merge keys, mirroring readMor — the fold must
     // materialize exactly what the real-time view serves
     val mergedAll = Precombine.latest(unioned,
@@ -1163,7 +1172,12 @@ final case class ParquetUpsertSink(
   /** Persist the table schema grown ADDITIVELY by `newSchema`'s fields
     * — the current persisted schema's columns always survive, so a
     * narrow batch (or a touched-partition merge) can never shrink the
-    * table schema on disk.
+    * table schema on disk. Shared columns WIDEN by the exact-promotion
+    * lattice (a batch carrying long where the table persisted int grows
+    * the schema to long; the narrow files promote on read) and fail
+    * loudly on a lossy type change — this is also the MOR delta
+    * append's type gate, rejecting a bad batch BEFORE its delta commit
+    * renames into the timeline.
     */
   private def persistSchemaAdditive(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
@@ -1171,8 +1185,9 @@ final case class ParquetUpsertSink(
     val pinnedNew = pinString(newSchema)
     val union = mergeReadSchema(spark, fs, Seq.empty) match {
       case Some(cur) => org.apache.spark.sql.types.StructType(
-        cur.fields ++ pinnedNew.fields.filterNot(f =>
-          cur.fieldNames.exists(_.equalsIgnoreCase(f.name))))
+        SchemaWidening.widenFields(cur, pinnedNew, "batch").fields ++
+          pinnedNew.fields.filterNot(f =>
+            cur.fieldNames.exists(_.equalsIgnoreCase(f.name))))
       case None => pinnedNew
     }
     persistSchema(fs, union)
@@ -1236,10 +1251,17 @@ final case class ParquetUpsertSink(
         // allowMissingColumns = Hudi-style additive schema evolution: a
         // batch may carry columns the table lacks (old rows null-fill)
         // and vice versa after an evolution (new rows null-fill the
-        // legacy column). Incompatible TYPE changes still fail loudly in
-        // the union — widening silently would corrupt history.
+        // legacy column). TYPE changes go through [[SchemaWidening]]:
+        // exact promotions (int→long, float→double) merge at the wide
+        // type — metadata-only evolution, the untouched narrow files
+        // promote on read — and anything lossy fails loudly BEFORE the
+        // union, never falling through to union type-coercion's silent
+        // common types (long+double→double would corrupt keys > 2^53).
         case Some(old) =>
-          Precombine.latest(old.unionByName(deduped, allowMissingColumns = true),
+          val aligned = SchemaWidening.alignForMerge(
+            Seq(old, deduped), "upsert batch")
+          Precombine.latest(
+            aligned(0).unionByName(aligned(1), allowMissingColumns = true),
             recordKeys, precombine)
         case None => deduped
       }
@@ -1281,10 +1303,15 @@ final case class ParquetUpsertSink(
       } else {
         // creation-only commit (no live pre-images): still record it —
         // with its touched-partition manifest — or [[readAsOf]] could not
-        // tell that these partitions did not exist before this commit
+        // tell that these partitions did not exist before this commit.
+        // ADDITIVE persist: the table may hold live partitions this
+        // batch did not touch (it only created NEW ones) — a plain
+        // persist of the batch schema would narrow `_schema.json` below
+        // those partitions' columns, and the next merge to read them
+        // with it would silently drop, then erase, the missing column
+        persistSchemaAdditive(spark, fs, merged.schema)
         val commit =
           if (keepVersions > 1) Some(archivePreImages(fs, parts, batchId)) else None
-        persistSchema(fs, merged.schema)
         writeFinal(merged)
         markCommitComplete(fs, commit)
       }

@@ -80,6 +80,18 @@ object UpsertAggPushdown {
         Some(raw.asInstanceOf[java.lang.Float].floatValue())
       case (PrimitiveTypeName.DOUBLE, DoubleType) =>
         Some(raw.asInstanceOf[java.lang.Double].doubleValue())
+      // widened-table promotions (files written before an exact type
+      // widening): promote the stat the way the reader promotes the
+      // values, so min/max pruning keeps working across the evolution.
+      // Gated off date-annotated INT32 — days-since-epoch under an
+      // integral table type would compare a different quantity.
+      case (PrimitiveTypeName.INT32, LongType | DoubleType)
+          if !prim.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+        val v = raw.asInstanceOf[java.lang.Integer].intValue()
+        Some(if (dt == LongType) v.toLong else v.toDouble)
+      case (PrimitiveTypeName.FLOAT, DoubleType) =>
+        Some(raw.asInstanceOf[java.lang.Float].doubleValue())
       case _ => None
     }
 

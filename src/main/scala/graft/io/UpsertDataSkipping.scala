@@ -74,12 +74,13 @@ object UpsertDataSkipping {
     * a stat-decodable column type; null tests only consult NULL COUNTS
     * (never the possibly-truncated binary min/max), so they are sound
     * on EVERY non-partition column type — including strings. EQUALITY
-    * additionally admits STRING columns: the min/max path keeps them
-    * conservatively (binary stats stay untouched), but the bloom-filter
-    * pruner ([[fileMightMatchBlooms]]) and parquet-mr's own row-group
-    * bloom/dictionary filtering both prove string-equality emptiness
-    * without ever consulting a truncatable statistic — the record-key
-    * point-lookup path at 100 TB.
+    * additionally admits STRING and BINARY columns: the min/max path
+    * keeps them conservatively (truncatable byte-string stats stay
+    * untouched), but the bloom-filter pruner ([[fileMightMatchBlooms]])
+    * and parquet-mr's own row-group bloom/dictionary filtering both
+    * prove equality emptiness without ever consulting a truncatable
+    * statistic — the record-key point-lookup path at 100 TB, and the
+    * payload-fingerprint lookup path for binary media columns.
     */
   def supportedShape(f: Filter, schema: StructType,
       partitionCol: Option[String]): Boolean = {
@@ -88,7 +89,8 @@ object UpsertDataSkipping {
         .filterNot(fd => partitionCol.exists(_.equalsIgnoreCase(fd.name)))
     def ok(a: String): Boolean = field(a).exists(fd => UpsertAggPushdown.statType(fd.dataType))
     def eqOk(a: String): Boolean = field(a).exists(fd =>
-      UpsertAggPushdown.statType(fd.dataType) || fd.dataType == StringType)
+      UpsertAggPushdown.statType(fd.dataType) ||
+        fd.dataType == StringType || fd.dataType == BinaryType)
     def anyCol(a: String): Boolean = field(a).isDefined
     f match {
       case EqualTo(a, v) => v != null && eqOk(a)
@@ -534,6 +536,11 @@ object UpsertDataSkipping {
           Some(bf.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(u.getBytes)))
         case _ => None
       }
+      case (PrimitiveTypeName.BINARY, Some(BinaryType)) => v match {
+        case b: Array[Byte] =>
+          Some(bf.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(b)))
+        case _ => None
+      }
       case (PrimitiveTypeName.INT32, Some(t @ (IntegerType | DateType))) =>
         toInternal(v, t).map(x => bf.hash(x.asInstanceOf[Int]))
       case (PrimitiveTypeName.INT64, Some(LongType)) =>
@@ -549,6 +556,17 @@ object UpsertDataSkipping {
         toInternal(v, FloatType).map(x => bf.hash(x.asInstanceOf[Float]))
       case (PrimitiveTypeName.DOUBLE, Some(DoubleType)) =>
         toInternal(v, DoubleType).map(x => bf.hash(x.asInstanceOf[Double]))
+      // widened table (long) over a pre-widening INT32 file: the bloom
+      // hashed int32 values, so probe with the int form when the long
+      // literal fits — an unrepresentable literal keeps the file (the
+      // min/max walk prunes it via the promoted stats instead)
+      case (PrimitiveTypeName.INT32, Some(LongType))
+          if !cb.prim.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+        toInternal(v, LongType).collect {
+          case x: Long if x >= Int.MinValue && x <= Int.MaxValue =>
+            bf.hash(x.toInt)
+        }
       case _ => None
     }
   }
@@ -643,6 +661,22 @@ object UpsertDataSkipping {
             case s: String =>
               val c = FilterApi.binaryColumn(name)
               val l = org.apache.parquet.io.api.Binary.fromString(s)
+              Some(new Bound {
+                def eq() = FilterApi.eq(c, l); def gt() = FilterApi.gt(c, l)
+                def gtEq() = FilterApi.gtEq(c, l); def lt() = FilterApi.lt(c, l)
+                def ltEq() = FilterApi.ltEq(c, l)
+              })
+            case _ => None
+          }
+        case (PrimitiveTypeName.BINARY, BinaryType) =>
+          // same =/IN-only gate as strings: row-group stats (with
+          // truncation-aware bounds), dictionary page, and bloom filter
+          // all prove equality emptiness for raw byte strings —
+          // payload-fingerprint point lookups on media columns
+          v match {
+            case b: Array[Byte] =>
+              val c = FilterApi.binaryColumn(name)
+              val l = org.apache.parquet.io.api.Binary.fromConstantByteArray(b)
               Some(new Bound {
                 def eq() = FilterApi.eq(c, l); def gt() = FilterApi.gt(c, l)
                 def gtEq() = FilterApi.gtEq(c, l); def lt() = FilterApi.lt(c, l)

@@ -940,12 +940,24 @@ object UpsertTableSource {
     if (g.getFieldRepetitionCount(pi) == 0) return null
     val prim = g.getType.getType(pi).asPrimitiveType()
     dt match {
-      case LongType => g.getLong(pi, 0)
+      // the widened-type reads (INT32-as-long/double, FLOAT-as-double)
+      // serve files written BEFORE an exact type widening — the
+      // metadata-only evolution depends on them (matches what Spark 4's
+      // own parquet readers promote natively)
+      case LongType => prim.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 => g.getInteger(pi, 0).toLong
+        case _ => g.getLong(pi, 0)
+      }
       case IntegerType => g.getInteger(pi, 0)
-      case DoubleType => g.getDouble(pi, 0)
+      case DoubleType => prim.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 => g.getInteger(pi, 0).toDouble
+        case PrimitiveTypeName.FLOAT => g.getFloat(pi, 0).toDouble
+        case _ => g.getDouble(pi, 0)
+      }
       case FloatType => g.getFloat(pi, 0)
       case BooleanType => g.getBoolean(pi, 0)
       case StringType => UTF8String.fromBytes(g.getBinary(pi, 0).getBytes)
+      case BinaryType => g.getBinary(pi, 0).getBytes
       case DateType => g.getInteger(pi, 0) // days since epoch, as written
       case TimestampType | TimestampNTZType =>
         prim.getPrimitiveTypeName match {

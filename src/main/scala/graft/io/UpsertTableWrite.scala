@@ -261,6 +261,7 @@ object UpsertTableWrite {
         case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
         case StringType => Types.optional(PrimitiveTypeName.BINARY)
           .as(LogicalTypeAnnotation.stringType())
+        case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
         case DateType => Types.optional(PrimitiveTypeName.INT32)
           .as(LogicalTypeAnnotation.dateType())
         case TimestampType => Types.optional(PrimitiveTypeName.INT64)
@@ -291,6 +292,8 @@ object UpsertTableWrite {
     case StringType => g.append(g.getType.getFieldName(i),
       org.apache.parquet.io.api.Binary.fromReusedByteArray(
         row.getUTF8String(ri).getBytes))
+    case BinaryType => g.append(g.getType.getFieldName(i),
+      org.apache.parquet.io.api.Binary.fromReusedByteArray(row.getBinary(ri)))
     case DateType => g.append(g.getType.getFieldName(i), row.getInt(ri))
     case TimestampType | TimestampNTZType =>
       g.append(g.getType.getFieldName(i), row.getLong(ri))

@@ -349,6 +349,61 @@ object Parity {
       .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
   }
 
+  /** Exact TYPE WIDENING as metadata-only schema evolution, end to end:
+    * batch 0 loads an orders subset with o_custkey born INT and
+    * o_totalprice born FLOAT; batch 1 re-delivers every 97th key with
+    * both columns WIDENED (long / double, totals bumped by 1000). The
+    * table schema grows to (long, double) without rewriting batch 0's
+    * int32/float files — the DSv2 read promotes them on the fly — and
+    * the aggregate over the merged table must match the oracle's
+    * arithmetic, which reproduces the narrow birth types via
+    * CAST(CAST(x AS REAL) AS DOUBLE). A hash match proves the widening
+    * changed METADATA, not values.
+    */
+  def schemaWideningRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq", "o_orderstatus")
+    val orders = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 5 === 1)
+    sink.upsert(orders.select(
+      col("o_orderkey"),
+      col("o_custkey").cast("int").as("o_custkey"),
+      col("o_totalprice").cast("float").as("o_totalprice"),
+      col("o_orderstatus")).withColumn("seq", lit(0L)), 0)
+    sink.upsert(orders.filter(col("o_orderkey") % 97 === 0).select(
+      col("o_orderkey"),
+      col("o_custkey").cast("long").as("o_custkey"),
+      (col("o_totalprice") + 1000).cast("double").as("o_totalprice"),
+      col("o_orderstatus")).withColumn("seq", lit(1L)), 1)
+    val table = spark.read.format("graft-upsert").load(dir)
+    // the widening must actually have happened (schema-level assert is
+    // part of the query's contract, not just the spec's)
+    require(table.schema("o_custkey").dataType ==
+      org.apache.spark.sql.types.LongType &&
+      table.schema("o_totalprice").dataType ==
+        org.apache.spark.sql.types.DoubleType,
+      "widened upsert table must serve long/double")
+    table
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_custkey")).as("cust_sum"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
+  }
+
+  val schemaWideningReadSql: String =
+    """SELECT o_orderstatus,
+      |       count(*) AS n,
+      |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+      |       round(sum(CASE WHEN o_orderkey % 97 = 0
+      |                      THEN o_totalprice + 1000
+      |                      ELSE CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+      |                 END), 2) AS total
+      |FROM orders
+      |WHERE o_orderkey % 5 = 1
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val dataSkippingScanSql: String =
     """SELECT o_orderstatus,
       |       count(*) AS n,

@@ -108,6 +108,32 @@ class BloomSkippingSpec extends SparkSpec {
     assert(miss.rdd.getNumPartitions == 0)
   }
 
+  test("binary fingerprint point lookup prunes files by bloom") {
+    val dir = tmp("bloombin")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir))
+    // declare the bloom column set up front (the media-dedup shape: a
+    // 16-byte payload fingerprint, where min/max can never localize)
+    val props = new java.util.Properties()
+    props.setProperty("bloomColumns", "fp")
+    val out = fs.create(new Path(s"$dir/_table.properties"), true)
+    try props.store(out, null) finally out.close()
+    def fp(n: Int): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(BigInt(n).toByteArray)
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    sink.upsert((0 until 400).map(n => (n.toLong, 1L, fp(n), s"p${n % 4}"))
+      .toDF("id", "seq", "fp", "p"), 0)
+    val hit = spark.read.format("graft-upsert").load(dir)
+      .where($"fp" === lit(fp(37)))
+    assert(hit.rdd.getNumPartitions == 1)
+    assert(hit.select("id").as[Long].collect().toSeq == Seq(37L))
+    val miss = spark.read.format("graft-upsert").load(dir)
+      .where($"fp" === lit(fp(4037)))
+    assert(miss.rdd.getNumPartitions == 0)
+    assert(miss.count() == 0)
+  }
+
   test("bloom columns follow the persisted table property through maintenance writers") {
     val dir = docTable("bloomprops")
     // the write persisted its key list as the bloom column set
