@@ -193,17 +193,29 @@ final case class ParquetUpsertSink(
     * never match the string form, the merge would silently exclude
     * (and dynamic overwrite then DELETE) the partition's existing rows
     * in upsert, and compaction would rewrite into a brand-new
-    * directory. mergeSchema runs over only these directories' footers
-    * (additive evolution: pre-evolution files lack the new column, and
-    * single-footer inference would drop it from the merge) — never a
-    * whole-table footer scan per micro-batch. Shared by both paths.
+    * directory.
+    *
+    * The read schema is the PERSISTED table schema whenever
+    * `_schema.json` exists: it is a widened superset of every live,
+    * archived, and delta file (schema evolution only adds columns and
+    * widens types), so narrow pre-widening files promote on read and
+    * pre-evolution files null-fill. Per-call mergeSchema inference —
+    * kept only as the legacy fallback for tables predating the
+    * metadata — would THROW (CANNOT_MERGE_SCHEMAS) on a dir set mixing
+    * pre- and post-widening files: Spark's schema merge refuses
+    * int+bigint even though its reader promotes either happily.
     */
   private def readStringPartitioned(spark: org.apache.spark.sql.SparkSession,
-      partDirs: Seq[Path], base: String = path): DataFrame = {
-    val inferred = spark.read.option("mergeSchema", "true").option("basePath", base)
-      .parquet(partDirs.map(_.toString): _*).schema
-    readWithSchema(spark, partDirs, pinString(inferred), base)
-  }
+      partDirs: Seq[Path], base: String = path): DataFrame =
+    persistedSchema(new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)) match {
+      case Some(s) => readWithSchema(spark, partDirs, s, base)
+      case None =>
+        val inferred = spark.read.option("mergeSchema", "true")
+          .option("basePath", base)
+          .parquet(partDirs.map(_.toString): _*).schema
+        readWithSchema(spark, partDirs, pinString(inferred), base)
+    }
 
   /** Read the given partition dirs with a KNOWN (already string-pinned)
     * schema — no footer-scan inference job. Files missing a column
@@ -252,13 +264,14 @@ final case class ParquetUpsertSink(
     * evolve the schema concurrently (one writer's cached view would
     * miss the other's new column).
     */
-  private def mergeReadSchema(spark: org.apache.spark.sql.SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem,
-      liveDirs: => Seq[Path]): Option[org.apache.spark.sql.types.StructType] = {
+  /** The persisted table schema (in-memory cache, else `_schema.json`)
+    * — NO inference fallback; None means the table predates the
+    * metadata (or a torn/corrupt file degraded the read — the next
+    * commit rewrites it).
+    */
+  private def persistedSchema(fs: org.apache.hadoop.fs.FileSystem)
+      : Option[org.apache.spark.sql.types.StructType] = {
     val s = cachedSchema.orElse {
-      // a torn/corrupt metadata file (crash inside the delete+rename
-      // window, bit rot) must degrade to the inference path, not wedge
-      // the writer — the next commit rewrites it
       val fromFile =
         if (fs.exists(schemaFile))
           scala.util.Try {
@@ -270,12 +283,20 @@ final case class ParquetUpsertSink(
           }.toOption
         else None
       schemaPersisted = fromFile.isDefined
-      fromFile.orElse {
-        val dirs = liveDirs
-        if (dirs.isEmpty) None
-        else Some(pinString(spark.read.option("mergeSchema", "true")
-          .option("basePath", path).parquet(dirs.map(_.toString): _*).schema))
-      }
+      fromFile
+    }
+    cachedSchema = s
+    s
+  }
+
+  private def mergeReadSchema(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      liveDirs: => Seq[Path]): Option[org.apache.spark.sql.types.StructType] = {
+    val s = persistedSchema(fs).orElse {
+      val dirs = liveDirs
+      if (dirs.isEmpty) None
+      else Some(pinString(spark.read.option("mergeSchema", "true")
+        .option("basePath", path).parquet(dirs.map(_.toString): _*).schema))
     }
     cachedSchema = s
     s

@@ -39,11 +39,28 @@ object SchemaWidening {
   private val intRank: Map[DataType, Int] =
     Map(ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
 
+  /** `dt` with every nested nullability flag set true — the form two
+    * types are compared in (Spark's own asNullable is private).
+    */
+  private def allNullable(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => ArrayType(allNullable(et), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(allNullable(k), allNullable(v), valueContainsNull = true)
+    case StructType(fields) => StructType(fields.map(f =>
+      f.copy(dataType = allNullable(f.dataType), nullable = true)))
+    case other => other
+  }
+
   /** The exact common supertype of `a` and `b`, or None when the pair
     * is not exactly widenable (equal types return themselves).
+    * Nullability — including nested containsNull/valueContainsNull —
+    * is NOT a type difference: the table schema is all-nullable by
+    * construction (pinString), while batches routinely carry
+    * non-nullable flavors of the same type.
     */
   def widen(a: DataType, b: DataType): Option[DataType] = (a, b) match {
     case _ if a == b => Some(a)
+    case _ if allNullable(a) == allNullable(b) => Some(allNullable(a))
     case _ if intRank.contains(a) && intRank.contains(b) =>
       Some(if (intRank(a) >= intRank(b)) a else b)
     case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)

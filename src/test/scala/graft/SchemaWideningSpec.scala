@@ -32,6 +32,12 @@ class SchemaWideningSpec extends SparkSpec {
     assert(SchemaWidening.widen(ShortType, FloatType).contains(FloatType))
     // int does not embed in float: they meet at double
     assert(SchemaWidening.widen(IntegerType, FloatType).contains(DoubleType))
+    // nullability (incl. nested containsNull) is NOT a type change —
+    // batches routinely carry non-nullable flavors of the table's type
+    assert(SchemaWidening.widen(
+      ArrayType(FloatType, containsNull = true),
+      ArrayType(FloatType, containsNull = false))
+      .contains(ArrayType(FloatType, containsNull = true)))
     // the lossy pairs union coercion would silently accept
     assert(SchemaWidening.widen(LongType, DoubleType).isEmpty)
     assert(SchemaWidening.widen(LongType, FloatType).isEmpty)
@@ -76,6 +82,38 @@ class SchemaWideningSpec extends SparkSpec {
     sink.upsert(Seq((5L, 1L, 50L, "a")).toDF("id", "seq", "v", "p"), 2)
     assert(spark.read.format("graft-upsert").load(dir).where($"p" === "a")
       .select("v").as[Long].collect().toSet == Set(10L, 50L))
+  }
+
+  test("maintenance reads spanning mixed narrow/wide partitions do not merge-clash") {
+    val dir = tmp("widenmix")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    sink.upsert(Seq((1, 1L, 10, "a"), (2, 1L, 20, "b"))
+      .toDF("id", "seq", "v", "p"), 0)
+    // widen via partition b only: the live tree now mixes an int32 dir
+    // (a) with an int64 dir (b) — mergeSchema inference over both would
+    // throw CANNOT_MERGE_SCHEMAS; the persisted-schema read must not
+    sink.upsert(Seq((2L, 2L, 8000000000L, "b")).toDF("id", "seq", "v", "p"), 1)
+    // compaction reads EVERY live dir in one pass
+    sink.compactPartitions(spark)
+    val back = spark.read.format("graft-upsert").load(dir)
+    assert(back.select("id", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 8000000000L)))
+  }
+
+  test("MOR real-time read over mixed narrow/wide base partitions") {
+    val dir = tmp("widenmixmor")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p",
+      writeMode = ParquetUpsertSink.ModeMor)
+    sink.upsert(Seq((1, 1L, 10, "a"), (2, 1L, 20, "b"))
+      .toDF("id", "seq", "v", "p"), 0)
+    sink.compactMor(spark) // int32 base, partitions a and b
+    // widen partition b through a delta + compaction: base now mixed
+    sink.upsert(Seq((2L, 2L, 8000000000L, "b")).toDF("id", "seq", "v", "p"), 1)
+    sink.compactMor(spark)
+    // a fresh delta: the real-time view reads the MIXED base + delta
+    sink.upsert(Seq((3L, 1L, 30L, "a")).toDF("id", "seq", "v", "p"), 2)
+    assert(sink.readMor(spark).select("id", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 8000000000L), (3L, 30L)))
   }
 
   test("a narrower batch into a widened table casts up silently") {
@@ -199,12 +237,12 @@ class SchemaWideningSpec extends SparkSpec {
     sink.upsert(Seq((1, 1L, 10, "a")).toDF("id", "seq", "v", "p"), 0)
     val commits0 = ParquetUpsertSink.listArchivedCommits(spark, dir)
     sink.upsert(Seq((1L, 2L, 9000000000L, "a")).toDF("id", "seq", "v", "p"), 1)
-    // as of the first commit only pre-widening files exist, so the
-    // read serves the AS-OF schema (int) — snapshot-consistent, like
-    // Delta; the value is the pre-widening one either way
+    // time travel serves the CURRENT (widened superset) schema with
+    // the AS-OF values — the persisted schema is the one read schema
+    // that can span pre- and post-widening file sets in one plan
     val asOf = sink.readAsOf(spark, commits0.last)
-    assert(asOf.select("v").collect()
-      .map(_.get(0).asInstanceOf[Number].longValue).toSeq == Seq(10L))
+    assert(asOf.schema("v").dataType == LongType)
+    assert(asOf.select("v").as[Long].collect().toSeq == Seq(10L))
     // change feed across the widening diff compares at one type
     val commits1 = ParquetUpsertSink.listArchivedCommits(spark, dir)
     val feed = sink.changeFeed(spark, commits0.last, commits1.last)
