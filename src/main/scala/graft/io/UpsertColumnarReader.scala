@@ -1,0 +1,158 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetInputFormat}
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Columnar (vectorized) read path for the `graft-upsert` scan.
+  *
+  * The row path ([[UpsertPartitionReader]]) decodes through parquet-mr's
+  * example Group API: one boxed object per value, one [[InternalRow]]
+  * per row. Correct, but at 100 TB the scan IS the workload — so the
+  * default read path hands Spark [[ColumnarBatch]]es produced by
+  * Spark's own `VectorizedParquetRecordReader` (a public Java class of
+  * spark-sql): bulk-decoded column vectors that whole-stage codegen
+  * consumes directly, exactly what `spark.read.parquet` uses. The
+  * format-specific behaviors ride along unchanged:
+  *
+  *  - **partition column**: served as a [[ConstantColumnVector]]
+  *    spliced into the batch at its projected position (the value is a
+  *    directory-name constant per input partition — no per-row work);
+  *  - **evolution**: a file missing an evolved-in column yields a
+  *    constant-null vector (Spark's reader handles clipped schemas);
+  *  - **type widening**: int32→long/double and float→double files
+  *    promote natively (Spark 4's widening reads);
+  *  - **skipping**: the same translated [[UpsertDataSkipping]]
+  *    predicate rides the Hadoop conf (`ParquetInputFormat`), so
+  *    row-group stats/dictionary/column-index skipping match the row
+  *    path.
+  *
+  * Kept OFF the columnar path (row reader serves them): SPJ's grouped
+  * multi-file partitions, and non-flat column types (the format is
+  * flat; arrays would need the nested-vector path proven first).
+  * `spark.graft.upsert.columnar.enabled=false` forces rows for
+  * debugging/measurement.
+  */
+object UpsertColumnar {
+
+  private def atomic(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | BooleanType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Types the columnar path serves: flat atomics plus single-level
+    * arrays of atomics (embedding columns — Spark's vectorized reader
+    * grew nested column vectors in 3.3, SPARK-34863). Deeper nesting
+    * falls back to the row reader.
+    */
+  def supportedSchema(required: StructType): Boolean =
+    required.fields.forall(f => f.dataType match {
+      case dt if atomic(dt) => true
+      case ArrayType(et, _) if atomic(et) => true
+      case _ => false
+    })
+}
+
+final class UpsertColumnarPartitionReader(part: UpsertFilePartition,
+    required: StructType, partitionCol: Option[String],
+    baseConf: Configuration, skipFilters: Array[Filter],
+    capacity: Int = 4096)
+  extends PartitionReader[ColumnarBatch] {
+
+  private val dataFields: Array[StructField] =
+    required.fields.filter(f => !partitionCol.exists(_.equalsIgnoreCase(f.name)))
+
+  private val conf = new Configuration(baseConf)
+  conf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
+    classOf[ParquetReadSupport].getName)
+  conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+    StructType(dataFields).json)
+  // schema-conversion switches the reader consults from the Hadoop conf
+  // (normally injected by Spark's own parquet FileFormat)
+  conf.setBoolean("spark.sql.caseSensitive", false)
+  conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+  conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+  conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+  // match GraftSession: TIMESTAMP(NANOS) physical columns surface as long
+  conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", true)
+
+  // row-group/page skipping: translate the residual predicates against
+  // THIS file's schema, restricted to the requested columns (parquet-mr
+  // validates filter references against the read schema). Advisory —
+  // Spark re-evaluates every residual above the scan.
+  locally {
+    val file = new Path(part.filePath)
+    val fileSchema = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    val present = dataFields.filter(f => fileSchema.containsField(f.name))
+    UpsertDataSkipping.parquetPredicate(
+      skipFilters.toSeq, fileSchema, StructType(present))
+      .foreach(p => ParquetInputFormat.setFilterPredicate(conf, p))
+  }
+
+  private val reader = {
+    // our writer emits modern (proleptic-Gregorian) files — CORRECTED
+    // rebase, exactly what Spark writes and assumes for its own output
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, capacity)
+    val st = new Path(part.filePath)
+      .getFileSystem(conf).getFileStatus(new Path(part.filePath))
+    // the mapred flavor: Spark's reader base casts its mapreduce
+    // InputSplit parameter down to it (mapred.FileSplit extends the
+    // mapreduce.lib.input one in modern Hadoop)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new Path(part.filePath), 0, st.getLen, Array.empty[String])
+    val ctx = new TaskAttemptContextImpl(conf,
+      new TaskAttemptID(new TaskID(new JobID("graft-upsert", 0), TaskType.MAP, 0), 0))
+    r.initialize(split, ctx)
+    r.initBatch(new StructType(), InternalRow.empty)
+    r.enableReturningBatches()
+    r
+  }
+
+  private val inner: ColumnarBatch = reader.resultBatch()
+
+  // the output batch serves `required`'s exact field order: data
+  // vectors from the inner batch, the partition column as a constant
+  // vector at its projected position
+  private val out: ColumnarBatch = {
+    var di = 0
+    val vectors: Array[ColumnVector] = required.fields.map { f =>
+      if (partitionCol.exists(_.equalsIgnoreCase(f.name))) {
+        val v = new ConstantColumnVector(capacity, StringType)
+        if (part.partValue == null) v.setNull()
+        else v.setUtf8String(UTF8String.fromString(part.partValue))
+        v: ColumnVector
+      } else {
+        val c = inner.column(di); di += 1; c
+      }
+    }
+    new ColumnarBatch(vectors)
+  }
+
+  override def next(): Boolean = {
+    val has = reader.nextKeyValue()
+    if (has) out.setNumRows(inner.numRows())
+    has
+  }
+
+  override def get(): ColumnarBatch = out
+
+  override def close(): Unit = reader.close()
+}

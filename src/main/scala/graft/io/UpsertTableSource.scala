@@ -20,6 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In, IsNotNull, IsNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -599,7 +600,9 @@ final class UpsertScan(path: String, tableSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new UpsertReaderFactory(required, partitionCol,
-      UpsertTableSource.serializableConf(), skipFilters)
+      UpsertTableSource.serializableConf(), skipFilters,
+      columnarEnabled = SparkSession.active.conf
+        .get(UpsertTableSource.ColumnarConfKey, "true") == "true")
 
   /** `spark.readStream.format("graft-upsert")`: the table as an
     * incremental per-commit change stream ([[UpsertMicroBatchStream]]).
@@ -635,8 +638,29 @@ final case class UpsertFilesPartition(files: Seq[String], partValue: String)
 
 final class UpsertReaderFactory(required: StructType, partitionCol: Option[String],
     conf: org.apache.spark.util.SerializableConfiguration,
-    skipFilters: Array[Filter] = Array.empty)
+    skipFilters: Array[Filter] = Array.empty,
+    // resolved DRIVER-side at factory construction (executors have no
+    // session): columnar unless the session conf opts out
+    columnarEnabled: Boolean = true)
   extends PartitionReaderFactory {
+
+  // Spark requires a uniform answer across a scan's partitions (it
+  // checks every one); single-file partitions + flat atomic types go
+  // columnar, SPJ's grouped partitions stay rows
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnarEnabled && partition.isInstanceOf[UpsertFilePartition] &&
+      UpsertColumnar.supportedSchema(required)
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] =
+    partition match {
+      case f: UpsertFilePartition =>
+        new UpsertColumnarPartitionReader(f, required, partitionCol,
+          conf.value, skipFilters)
+      case other => throw new IllegalStateException(
+        s"graft-upsert: no columnar reader for $other")
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case f: UpsertFilePartition =>
@@ -785,6 +809,12 @@ object UpsertTableSource {
     * correctness.
     */
   val DataSkippingConfKey = "spark.graft.upsert.dataSkipping.enabled"
+
+  /** Session conf gating the vectorized [[ColumnarBatch]] read path
+    * ([[UpsertColumnarPartitionReader]]) — default ON; off forces the
+    * row-at-a-time Group reader (debugging/measurement).
+    */
+  val ColumnarConfKey = "spark.graft.upsert.columnar.enabled"
 
   /** Session conf gating filter-aware statistics reporting
     * ([[UpsertScan.estimateStatistics]]) — default ON. Off, a
@@ -938,6 +968,23 @@ object UpsertTableSource {
     */
   private[io] def readValue(g: Group, pi: Int, dt: DataType): Any = {
     if (g.getFieldRepetitionCount(pi) == 0) return null
+    // single-level arrays of atomics (embedding columns): the standard
+    // 3-level LIST layout — optional group (LIST) { repeated group list
+    // { <optional|required> element } } — exactly what the sink (a
+    // Spark parquet write) emits. Element nulls surface as nulls.
+    dt match {
+      case ArrayType(et, _) =>
+        val lg = g.getGroup(pi, 0)
+        val n = lg.getFieldRepetitionCount(0)
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          out(i) = readValue(lg.getGroup(0, i), 0, et)
+          i += 1
+        }
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case _ => ()
+    }
     val prim = g.getType.getType(pi).asPrimitiveType()
     dt match {
       // the widened-type reads (INT32-as-long/double, FLOAT-as-double)
