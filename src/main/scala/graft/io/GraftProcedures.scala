@@ -55,8 +55,8 @@ object GraftProcedures {
   private def str(v: String): AnyRef = UTF8String.fromString(v)
 
   val names: Seq[String] =
-    Seq("compact", "optimize_zorder", "expire_commits", "sweep_staging", "history",
-      "detail")
+    Seq("compact", "optimize_zorder", "optimize_sort", "expire_commits",
+      "sweep_staging", "history", "detail")
 
   def load(name: String): UnboundProcedure = name match {
     case "compact" => proc("compact",
@@ -85,6 +85,18 @@ object GraftProcedures {
       sinkFor(in.getUTF8String(0).toString)
         .optimizeZorder(spark,
           col(in.getUTF8String(1).toString), col(in.getUTF8String(2).toString))
+        .map(p => new GenericInternalRow(Array[Any](str(p))))
+    }
+    case "optimize_sort" => proc("optimize_sort",
+      Seq("table" -> StringType, "cols" -> StringType),
+      StructType(Seq(StructField("rewritten_partition", StringType))),
+      "rewrite partitions linearly clustered on the given columns " +
+        "(comma-separated; sharpest row-group skipping for one access path)") { in =>
+      val cols = in.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty, "optimize_sort: no sort columns given")
+      sinkFor(in.getUTF8String(0).toString)
+        .optimizeSort(spark, cols.toSeq.map(col))
         .map(p => new GenericInternalRow(Array[Any](str(p))))
     }
     case "expire_commits" => proc("expire_commits",

@@ -1625,20 +1625,41 @@ final case class ParquetUpsertSink(
 
   private def optimizeZorderLocked(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
-      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): Seq[String] = {
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): Seq[String] =
+    clusterRewriteLocked(spark, fs, Seq(
+      graft.functions.ZOrderExpressions.mortonCode(x.cast("long"), y.cast("long"))))
+
+  /** Rewrite every live partition with rows ordered by `sortCols` —
+    * linear clustering, the `OPTIMIZE ... SORT BY` counterpart of
+    * [[optimizeZorder]]. The right layout when ONE access pattern
+    * dominates (point lookups / ranges on the record key): row-group
+    * min/max on the leading sort column become disjoint ranges, so a
+    * selective predicate reads one row group per file instead of all
+    * of them — where Z-order trades some of that sharpness to serve
+    * TWO columns at once. Same replay-safe shape as compaction.
+    */
+  def optimizeSort(spark: org.apache.spark.sql.SparkSession,
+      sortCols: Seq[org.apache.spark.sql.Column]): Seq[String] = {
+    require(sortCols.nonEmpty, "optimizeSort needs at least one sort column")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return Seq.empty
+    withCommitLock(fs) { clusterRewriteLocked(spark, fs, sortCols) }
+  }
+
+  private def clusterRewriteLocked(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      sortKeys: Seq[org.apache.spark.sql.Column]): Seq[String] = {
     val partDirs = fs.listStatus(new Path(path)).map(_.getPath)
       .filter(p => p.getName.startsWith(s"$partitionCol=") && hasDataFiles(fs, p))
     if (partDirs.isEmpty) return Seq.empty
     val mat = readStringPartitioned(spark, partDirs.toSeq).localCheckpoint(true)
     try {
       verifyLockOwnership(fs)
-      val z = graft.functions.ZOrderExpressions.mortonCode(
-        x.cast("long"), y.cast("long"))
       // partition column FIRST: the partitioned write requires tasks
       // sorted by partition expressions and would otherwise inject its
-      // own partition-cols-only sort, destroying the Morton order
+      // own partition-cols-only sort, destroying the clustering order
       mat.repartition(col(partitionCol))
-        .sortWithinPartitions(col(partitionCol), z)
+        .sortWithinPartitions(col(partitionCol) +: sortKeys: _*)
         .write
         .mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")

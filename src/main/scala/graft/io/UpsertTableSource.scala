@@ -318,6 +318,27 @@ final class UpsertScan(path: String, tableSchema: StructType,
   // commit must replace ([[UpsertReplaceGroupsWrite]])
   @volatile private[io] var plannedPartitionValues: Option[Seq[String]] = None
 
+  // planning-walk observability: how much partition pruning, footer
+  // min/max stats, and bloom probes each cut — surfaced as SQL-node
+  // metrics (Spark UI / plan details). At 100 TB "did the prune
+  // actually fire" must be measurable per query, not inferred from
+  // wall time. Written as ONE map at the end of a planning walk, so a
+  // re-plan (runtime filters) cleanly overwrites.
+  @volatile private var planMetrics: Map[String, Long] = Map.empty
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+    new GraftScanMetric("candidatePartitions", "candidate partition dirs"),
+    new GraftScanMetric("matchedPartitions", "partition dirs surviving partition pruning"),
+    new GraftScanMetric("candidateFiles", "data files in surviving partitions"),
+    new GraftScanMetric("statsPrunedFiles", "files pruned by footer min/max statistics"),
+    new GraftScanMetric("bloomPrunedFiles", "files pruned by bloom-filter probes"),
+    new GraftScanMetric("plannedFiles", "files actually planned for the scan"))
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    planMetrics.map { case (k, v) => GraftTaskMetric(k, v) }.toArray
+
   // Storage-partitioned-join mode (opt-in per session/query via
   // spark.graft.upsert.spj.enabled — NOT Spark's
   // spark.sql.sources.v2.bucketing.enabled, which defaults to TRUE in
@@ -471,9 +492,10 @@ final class UpsertScan(path: String, tableSchema: StructType,
     * this — its reported partition count is part of the partitioning
     * contract — but keeps row-group filtering.
     */
+  /** (survivors, prunedByStats, prunedByBlooms). */
   private def pruneByStats(fs: FileSystem,
-      files: Array[InputPartition]): Array[InputPartition] =
-    if (skipFilters.isEmpty) files
+      files: Array[InputPartition]): (Array[InputPartition], Long, Long) =
+    if (skipFilters.isEmpty) (files, 0L, 0L)
     else {
       // footer stats fetched CONCURRENTLY (cached per file version) —
       // cold-table planning must not serialize one footer RPC per file
@@ -486,19 +508,22 @@ final class UpsertScan(path: String, tableSchema: StructType,
             UpsertDataSkipping.fileMightMatch(_, skipFilters.toSeq, tableSchema))
         case _ => true
       }
+      val statsPruned = (files.length - statsSurvivors.length).toLong
       val bloomTargets = UpsertDataSkipping.bloomEqTargets(
         skipFilters.toSeq, tableSchema, partitionCol)
-      if (bloomTargets.isEmpty) statsSurvivors
+      if (bloomTargets.isEmpty) (statsSurvivors, statsPruned, 0L)
       else {
         // bloom probe only over the files min/max could NOT prune
         val verdicts = UpsertDataSkipping.fileMightMatchBloomsAll(fs,
           statsSurvivors.collect {
             case p: UpsertFilePartition => new Path(p.filePath) }.toSeq,
           fs.getConf, bloomTargets, tableSchema)
-        statsSurvivors.filter {
+        val survivors = statsSurvivors.filter {
           case p: UpsertFilePartition => verdicts.getOrElse(p.filePath, true)
           case _ => true
         }
+        (survivors, statsPruned,
+          (statsSurvivors.length - survivors.length).toLong)
       }
     }
 
@@ -531,6 +556,8 @@ final class UpsertScan(path: String, tableSchema: StructType,
           (if (useRuntime) runtimeFilters.iterator else Iterator.empty), value)
     if (!fs.exists(root))
       return (Array.empty[InputPartition], Some(Seq.empty))
+    var candidateParts = 0L
+    var matchedParts = 0L
     val (planned, values): (Array[InputPartition], Option[Seq[String]]) =
       (partitionCol, asOf) match {
         case (Some(c), Some(commit)) =>
@@ -538,20 +565,25 @@ final class UpsertScan(path: String, tableSchema: StructType,
           // commit — live when untouched since, archived pre-image
           // otherwise (metadata-only planning; pruning composes)
           val sink = ParquetUpsertSink(path, Seq("_unused"), "_unused", c)
-          val parts = sink.asOfPartitionDirs(spark, commit)
+          val all = sink.asOfPartitionDirs(spark, commit)
             .map { case (escaped, dir) => dir -> UpsertTableSource.dirValue(escaped) }
-            .filter { case (_, v) => ok(v) }
+          candidateParts = all.size
+          val kept = all.filter { case (_, v) => ok(v) }
+          matchedParts = kept.size
+          val parts = kept
             .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
               .map(f => UpsertFilePartition(f.toString, v)) }
             .toArray[InputPartition]
           (parts, None)
         case (Some(c), None) =>
-          val matched = fs.listStatus(root).iterator
+          val all = fs.listStatus(root).iterator
             .map(_.getPath)
             .filter(p => p.getName.startsWith(s"$c="))
             .map(p => p -> UpsertTableSource.dirValue(p.getName.drop(c.length + 1)))
-            .filter { case (_, v) => ok(v) }
             .toList
+          candidateParts = all.size
+          val matched = all.filter { case (_, v) => ok(v) }
+          matchedParts = matched.size
           val parts = matched.iterator
             .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
               .map(f => UpsertFilePartition(f.toString, v)) }
@@ -565,11 +597,20 @@ final class UpsertScan(path: String, tableSchema: StructType,
           throw new UnsupportedOperationException(
             s"graft-upsert: time travel (asOf) requires the partitioned table layout: $path")
         case (None, None) => // unpartitioned layout: files at the root
+          candidateParts = 1; matchedParts = 1
           (UpsertTableSource.dataFiles(fs, root)
             .map(f => UpsertFilePartition(f.toString, null)).toArray[InputPartition],
             None)
       }
-    (pruneByStats(fs, planned), values)
+    val (pruned, statsPruned, bloomPruned) = pruneByStats(fs, planned)
+    planMetrics = Map(
+      "candidatePartitions" -> candidateParts,
+      "matchedPartitions" -> matchedParts,
+      "candidateFiles" -> planned.length.toLong,
+      "statsPrunedFiles" -> statsPruned,
+      "bloomPrunedFiles" -> bloomPruned,
+      "plannedFiles" -> pruned.length.toLong)
+    (pruned, values)
   }
 
   // the static (pre-runtime-filter) plan, computed ONCE per scan and
@@ -634,6 +675,19 @@ final case class UpsertFilesPartition(files: Seq[String], partValue: String)
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](
       if (partValue == null) null else UTF8String.fromString(partValue)))
+}
+
+/** A SUM-aggregated SQL-node metric of the graft-upsert scan. */
+private[io] final class GraftScanMetric(metricName: String, desc: String)
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = metricName
+  override def description(): String = desc
+}
+
+private[io] final case class GraftTaskMetric(metricName: String, v: Long)
+  extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
 }
 
 final class UpsertReaderFactory(required: StructType, partitionCol: Option[String],

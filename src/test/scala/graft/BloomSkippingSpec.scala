@@ -149,6 +149,36 @@ class BloomSkippingSpec extends SparkSpec {
     assert(hit.count() == 1)
   }
 
+  test("scan metrics surface the planning walk: partition, stats, and bloom pruning") {
+    val dir = docTable("bloommetrics")
+    def scanMetrics(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val node = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+      node.metrics.map { case (k, m) => k -> m.value }
+    }
+    // point lookup: all 4 partitions match, blooms prune 3 of 4 files
+    val m1 = scanMetrics(spark.read.format("graft-upsert").load(dir)
+      .where($"id" === "doc_0250"))
+    assert(m1("candidatePartitions") == 4 && m1("matchedPartitions") == 4)
+    assert(m1("candidateFiles") == 4 && m1("bloomPrunedFiles") == 3 &&
+      m1("plannedFiles") == 1)
+    // partition predicate composes: one dir listed, its single file kept
+    val m2 = scanMetrics(spark.read.format("graft-upsert").load(dir)
+      .where($"p" === "p1" && $"id" === "doc_0013"))
+    assert(m2("matchedPartitions") == 1 && m2("plannedFiles") == 1)
+    // numeric range nothing matches: footer min/max prune every file
+    val m3 = scanMetrics(spark.read.format("graft-upsert").load(dir)
+      .where($"v" > 100000L))
+    assert(m3("statsPrunedFiles") == 4 && m3("plannedFiles") == 0)
+  }
+
   test("filter-aware statistics: post-pruning size, and unknown when disabled") {
     val dir = docTable("statsrep")
     def sizeOf(df: org.apache.spark.sql.DataFrame): BigInt =

@@ -297,6 +297,25 @@ class GraftCatalogSpec extends SparkSpec {
     assert(zs == zs.sorted)
   }
 
+  test("CALL graft.system.optimize_sort clusters rows linearly, preserves rows") {
+    val dir = tmp("psort")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")
+    // ids deliberately written in scrambled order
+    val rows = (1L to 100L).map(i => ((i * 37) % 101, 1L,
+      if (i % 2 == 0) "a" else "b", i % 10))
+    sink.upsert(rows.toDF("id", "seq", "dept", "x"), 0)
+    val before = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    val rewritten = spark.sql(s"CALL graft.system.optimize_sort('$dir', 'id')")
+      .as[String].collect().toSeq.sorted
+    assert(rewritten == Seq("dept=a", "dept=b"))
+    val after = spark.read.parquet(dir)
+    assert(after.select("id").as[Long].collect().toSet == before)
+    // rows inside each partition now follow id order (the layout
+    // optimize_sort exists for: disjoint row-group ranges on the key)
+    val ids = after.filter($"dept" === "a").select("id").as[Long].collect().toSeq
+    assert(ids == ids.sorted)
+  }
+
   test("CALL graft.system.expire_commits prunes the archive; sweep_staging reports") {
     val dir = tmp("pexpire")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept", keepVersions = 10)
