@@ -94,8 +94,9 @@ object Bench {
       "q_sql_delete", "q_sql_update", "q_sql_merge", "q_sql_version_asof",
       "q_change_feed", "q_upsert_table_read", "q_upsert_expectations",
       "q_agg_pushdown", "x_ann_ivf_incremental", "x_line_dedup_incremental",
-      "x_skipping_scan", "x_mor_parity", "x_stream_read_fold",
-      "x_bloom_point_lookup", "x_stats_broadcast_join")
+      "x_skipping_scan", "x_sort_layout", "x_split_scan", "x_mor_parity",
+      "x_stream_read_fold", "x_bloom_point_lookup",
+      "x_stats_broadcast_join", "q_upsert_widening")
     // a rename in SparkEntry.queries must fail HERE, not silently shift
     // a brute-force scan into the headline sum
     val unknownCalib = calibration.diff(SparkEntry.queries.keySet)

@@ -91,6 +91,22 @@ final class GraftUpsertCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     loadWith(ident, Some(version))
 
+  /** `TIMESTAMP AS OF <ts>` time travel: resolve the timestamp to the
+    * LATEST retained commit at or before it (commit ids lead with
+    * zero-padded epoch millis, so lexicographic order is time order)
+    * and plan exactly like `VERSION AS OF` that commit. A timestamp
+    * newer than the last commit reads the current state — nothing has
+    * changed since; one older than the oldest retained commit fails
+    * loudly (its pre-images are pruned, the read would silently
+    * collapse to a wrong state). Spark hands the timestamp in
+    * MICROseconds since epoch.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    loadWith(ident, Some(UpsertTableSource.resolveAsOfTimestamp(
+      pathOf(ident), timestamp / 1000L)))
+  }
+
   private def loadWith(ident: Identifier, asOf: Option[String]): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val path = pathOf(ident)

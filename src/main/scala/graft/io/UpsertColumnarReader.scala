@@ -38,9 +38,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    row-group stats/dictionary/column-index skipping match the row
   *    path.
   *
-  * Kept OFF the columnar path (row reader serves them): SPJ's grouped
-  * multi-file partitions, and non-flat column types (the format is
-  * flat; arrays would need the nested-vector path proven first).
+  * SPJ's grouped per-partition-value file sets ride the same path
+  * (batches served file by file). Kept OFF the columnar path (row
+  * reader serves them): column types beyond flat atomics and
+  * single-level arrays of atomics.
   * `spark.graft.upsert.columnar.enabled=false` forces rows for
   * debugging/measurement.
   */
@@ -64,6 +65,38 @@ object UpsertColumnar {
       case ArrayType(et, _) if atomic(et) => true
       case _ => false
     })
+}
+
+/** Sequential columnar reader over one partition value's file set
+  * (SPJ mode): batches served file by file through
+  * [[UpsertColumnarPartitionReader]].
+  */
+final class UpsertMultiFileColumnarReader(part: UpsertFilesPartition,
+    required: StructType, partitionCol: Option[String],
+    conf: Configuration, skipFilters: Array[Filter])
+  extends PartitionReader[ColumnarBatch] {
+
+  private val files = part.files.iterator
+  private var current: UpsertColumnarPartitionReader = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (current == null) {
+        if (!files.hasNext) return false
+        current = new UpsertColumnarPartitionReader(
+          UpsertFilePartition(files.next(), part.partValue), required,
+          partitionCol, conf, skipFilters)
+      }
+      if (current.next()) return true
+      current.close()
+      current = null
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = current.get()
+
+  override def close(): Unit = if (current != null) current.close()
 }
 
 final class UpsertColumnarPartitionReader(part: UpsertFilePartition,
@@ -111,13 +144,19 @@ final class UpsertColumnarPartitionReader(part: UpsertFilePartition,
     val r = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC",
       /* useOffHeap = */ false, capacity)
-    val st = new Path(part.filePath)
-      .getFileSystem(conf).getFileStatus(new Path(part.filePath))
+    // a planner-issued byte-range slice carries its length; only the
+    // whole-file shape (length = -1, e.g. SPJ's per-file chaining)
+    // pays a stat RPC. The parquet reader serves exactly the row
+    // groups whose midpoint falls inside the range.
+    val (off, len) =
+      if (part.length >= 0) (part.start, part.length)
+      else (0L, new Path(part.filePath)
+        .getFileSystem(conf).getFileStatus(new Path(part.filePath)).getLen)
     // the mapred flavor: Spark's reader base casts its mapreduce
     // InputSplit parameter down to it (mapred.FileSplit extends the
     // mapreduce.lib.input one in modern Hadoop)
     val split = new org.apache.hadoop.mapred.FileSplit(
-      new Path(part.filePath), 0, st.getLen, Array.empty[String])
+      new Path(part.filePath), off, len, Array.empty[String])
     val ctx = new TaskAttemptContextImpl(conf,
       new TaskAttemptID(new TaskID(new JobID("graft-upsert", 0), TaskType.MAP, 0), 0))
     r.initialize(split, ctx)

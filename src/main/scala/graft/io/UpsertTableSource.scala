@@ -124,8 +124,13 @@ final class UpsertTable(path: String, schema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new UpsertScanBuilder(path, schema, partitionCol,
-      Option(options.get("asOf")).orElse(asOf),
-      startingOffset = Option(options.get("startingOffset")))
+      Option(options.get("asOf"))
+        .orElse(Option(options.get("asOfTimestamp"))
+          .map(ts => UpsertTableSource.resolveAsOfTimestamp(path,
+            UpsertTableSource.parseTimestampMillis(ts))))
+        .orElse(asOf),
+      startingOffset = Option(options.get("startingOffset")),
+      splitTarget = Option(options.get("splitTargetBytes")).map(_.toLong))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -185,7 +190,10 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
     // residual-predicate data skipping — which drops files/row groups
     // WITHIN a group — would silently lose the non-matching rows of a
     // rewritten partition. Group-level (partition) pruning stays on.
-    forRowLevelOp: Boolean = false) extends ScanBuilder
+    forRowLevelOp: Boolean = false,
+    // per-read override of the byte-range split target (the
+    // `splitTargetBytes` reader option); None = session conf/default
+    splitTarget: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
@@ -285,7 +293,7 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
         .get(UpsertTableSource.DataSkippingConfKey, "true") == "true"
       val scan = new UpsertScan(path, tableSchema, required, partitionCol,
         partitionFilters, asOf, startingOffset,
-        if (skipping) skipFilters else Array.empty, forRowLevelOp)
+        if (skipping) skipFilters else Array.empty, forRowLevelOp, splitTarget)
       onBuild(scan)
       scan
   }
@@ -303,7 +311,9 @@ final class UpsertScan(path: String, tableSchema: StructType,
     skipFilters: Array[Filter] = Array.empty,
     // a row-level operation's rewrite scan: reports NO statistics (its
     // cardinality is the rewrite contract, not a costing input)
-    forRowLevelOp: Boolean = false)
+    forRowLevelOp: Boolean = false,
+    // per-read split-target override (None = session conf/default)
+    splitTarget: Option[Long] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -333,7 +343,8 @@ final class UpsertScan(path: String, tableSchema: StructType,
     new GraftScanMetric("candidateFiles", "data files in surviving partitions"),
     new GraftScanMetric("statsPrunedFiles", "files pruned by footer min/max statistics"),
     new GraftScanMetric("bloomPrunedFiles", "files pruned by bloom-filter probes"),
-    new GraftScanMetric("plannedFiles", "files actually planned for the scan"))
+    new GraftScanMetric("plannedFiles", "files actually planned for the scan"),
+    new GraftScanMetric("plannedSplits", "input splits after byte-range file splitting"))
 
   override def reportDriverMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -450,11 +461,13 @@ final class UpsertScan(path: String, tableSchema: StructType,
         // nor pay a second listing+prune walk at execution
         val planned: Seq[InputPartition] =
           if (spjMode) groupedPlan._1.toSeq else staticPlan._1.toSeq
+        // distinct: byte-range splits of one file must cost its size
+        // and row count ONCE
         val candidates: Seq[Path] = planned.flatMap {
           case p: UpsertFilePartition => Seq(new Path(p.filePath))
           case g: UpsertFilesPartition => g.files.map(new Path(_))
           case _ => Seq.empty
-        }
+        }.distinct
         val size = Some(candidates.map { f =>
           try fs.getFileStatus(f).getLen catch { case _: java.io.IOException => 0L }
         }.sum)
@@ -571,8 +584,8 @@ final class UpsertScan(path: String, tableSchema: StructType,
           val kept = all.filter { case (_, v) => ok(v) }
           matchedParts = kept.size
           val parts = kept
-            .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
-              .map(f => UpsertFilePartition(f.toString, v)) }
+            .flatMap { case (dir, v) => UpsertTableSource.dataFileStatuses(fs, dir)
+              .map(f => UpsertFilePartition(f.getPath.toString, v, 0L, f.getLen)) }
             .toArray[InputPartition]
           (parts, None)
         case (Some(c), None) =>
@@ -585,8 +598,8 @@ final class UpsertScan(path: String, tableSchema: StructType,
           val matched = all.filter { case (_, v) => ok(v) }
           matchedParts = matched.size
           val parts = matched.iterator
-            .flatMap { case (dir, v) => UpsertTableSource.dataFiles(fs, dir)
-              .map(f => UpsertFilePartition(f.toString, v)) }
+            .flatMap { case (dir, v) => UpsertTableSource.dataFileStatuses(fs, dir)
+              .map(f => UpsertFilePartition(f.getPath.toString, v, 0L, f.getLen)) }
             .toArray[InputPartition]
           (parts, Some(matched.map(_._2)))
         case (None, Some(_)) =>
@@ -598,19 +611,22 @@ final class UpsertScan(path: String, tableSchema: StructType,
             s"graft-upsert: time travel (asOf) requires the partitioned table layout: $path")
         case (None, None) => // unpartitioned layout: files at the root
           candidateParts = 1; matchedParts = 1
-          (UpsertTableSource.dataFiles(fs, root)
-            .map(f => UpsertFilePartition(f.toString, null)).toArray[InputPartition],
+          (UpsertTableSource.dataFileStatuses(fs, root)
+            .map(f => UpsertFilePartition(f.getPath.toString, null, 0L, f.getLen))
+            .toArray[InputPartition],
             None)
       }
     val (pruned, statsPruned, bloomPruned) = pruneByStats(fs, planned)
+    val split = UpsertTableSource.splitBySize(pruned, splitTarget)
     planMetrics = Map(
       "candidatePartitions" -> candidateParts,
       "matchedPartitions" -> matchedParts,
       "candidateFiles" -> planned.length.toLong,
       "statsPrunedFiles" -> statsPruned,
       "bloomPrunedFiles" -> bloomPruned,
-      "plannedFiles" -> pruned.length.toLong)
-    (pruned, values)
+      "plannedFiles" -> pruned.length.toLong,
+      "plannedSplits" -> split.length.toLong)
+    (split, values)
   }
 
   // the static (pre-runtime-filter) plan, computed ONCE per scan and
@@ -662,9 +678,16 @@ final class UpsertScan(path: String, tableSchema: StructType,
 }
 
 /** One live data file plus its partition-dir value (null = the
-  * default/null partition or an unpartitioned table).
+  * default/null partition or an unpartitioned table) — optionally a
+  * BYTE-RANGE SLICE of it. `length = -1` means the whole file (the
+  * reader stats it); a non-negative length is a planner-issued split
+  * and the reader serves exactly the row groups whose midpoint falls
+  * in `[start, start+length)` — parquet's standard split contract, so
+  * contiguous non-overlapping ranges covering the file partition its
+  * row groups exactly once.
   */
-final case class UpsertFilePartition(filePath: String, partValue: String)
+final case class UpsertFilePartition(filePath: String, partValue: String,
+    start: Long = 0L, length: Long = -1L)
   extends InputPartition
 
 /** All live files of ONE partition value — the SPJ planning unit; the
@@ -699,11 +722,11 @@ final class UpsertReaderFactory(required: StructType, partitionCol: Option[Strin
   extends PartitionReaderFactory {
 
   // Spark requires a uniform answer across a scan's partitions (it
-  // checks every one); single-file partitions + flat atomic types go
-  // columnar, SPJ's grouped partitions stay rows
+  // checks every one); supported types go columnar on both partition
+  // shapes — single files, and SPJ's grouped per-partition-value file
+  // sets (batches served file by file)
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnarEnabled && partition.isInstanceOf[UpsertFilePartition] &&
-      UpsertColumnar.supportedSchema(required)
+    columnarEnabled && UpsertColumnar.supportedSchema(required)
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] =
@@ -711,8 +734,9 @@ final class UpsertReaderFactory(required: StructType, partitionCol: Option[Strin
       case f: UpsertFilePartition =>
         new UpsertColumnarPartitionReader(f, required, partitionCol,
           conf.value, skipFilters)
-      case other => throw new IllegalStateException(
-        s"graft-upsert: no columnar reader for $other")
+      case g: UpsertFilesPartition =>
+        new UpsertMultiFileColumnarReader(g, required, partitionCol,
+          conf.value, skipFilters)
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -808,7 +832,13 @@ final class UpsertPartitionReader(part: UpsertFilePartition,
         org.apache.parquet.filter2.compat.FilterCompat.get(pred))
       case None => builder
     }
-    withFilter.build()
+    // planner-issued byte-range slice: serve only the row groups whose
+    // midpoint falls in [start, start+length) — composes with the
+    // row-group stats/dictionary filtering above
+    val ranged =
+      if (part.length >= 0) withFilter.withFileRange(part.start, part.start + part.length)
+      else withFilter
+    ranged.build()
   }
 
   private var current: Group = _
@@ -864,6 +894,39 @@ object UpsertTableSource {
     */
   val DataSkippingConfKey = "spark.graft.upsert.dataSkipping.enabled"
 
+  /** Target bytes per input split. Files larger than this are planned
+    * as multiple byte-range [[UpsertFilePartition]] slices so ONE big
+    * file no longer caps scan parallelism — at 100 TB a compacted
+    * 1 GB file becomes eight 128 MB tasks, not one straggler. Each
+    * parquet row group is served by exactly the slice containing its
+    * byte midpoint (the standard split contract), so slicing can never
+    * duplicate or drop rows. `0` disables splitting.
+    */
+  val SplitTargetConfKey = "spark.graft.upsert.split.targetBytes"
+  val DefaultSplitTargetBytes: Long = 128L * 1024 * 1024
+
+  /** Slice planned whole-file partitions at the configured target
+    * size (driver-side; reads the active session conf). SPJ never
+    * routes through this — its planning unit is the partition VALUE.
+    */
+  private[io] def splitBySize(parts: Array[InputPartition],
+      overrideTarget: Option[Long] = None): Array[InputPartition] = {
+    val target = overrideTarget.getOrElse(
+      scala.util.Try(SparkSession.active.conf
+        .get(SplitTargetConfKey, DefaultSplitTargetBytes.toString).toLong)
+        .getOrElse(DefaultSplitTargetBytes))
+    if (target <= 0) parts
+    else parts.flatMap {
+      case p: UpsertFilePartition if p.length > target =>
+        val n = ((p.length + target - 1) / target).toInt
+        (0 until n).map { i =>
+          val off = i.toLong * target
+          p.copy(start = off, length = math.min(target, p.length - off))
+        }
+      case other => Seq(other)
+    }
+  }
+
   /** Session conf gating the vectorized [[ColumnarBatch]] read path
     * ([[UpsertColumnarPartitionReader]]) — default ON; off forces the
     * row-at-a-time Group reader (debugging/measurement).
@@ -896,6 +959,42 @@ object UpsertTableSource {
         s"graft-upsert: $path has ${live.size} unmerged MOR delta commit(s); " +
           "run CALL graft.system.compact (or ParquetUpsertSink.compactMor) to fold " +
           "them, or read the real-time view via ParquetUpsertSink.readMor")
+  }
+
+  /** Timestamp-based time travel: the LATEST retained commit at or
+    * before `millis` (commit ids lead with zero-padded epoch millis,
+    * so lexicographic order is time order). Newer than the last
+    * commit = the current state; older than the oldest retained
+    * commit fails loudly (pruned pre-images would silently collapse
+    * the read to a wrong state). Shared by the catalog's
+    * `TIMESTAMP AS OF` load and the reader's `asOfTimestamp` option.
+    */
+  private[io] def resolveAsOfTimestamp(path: String, millis: Long): String = {
+    val retained = ParquetUpsertSink.listArchivedCommits(SparkSession.active, path)
+    val eligible = retained.filter(c =>
+      scala.util.Try(c.take(13).toLong).toOption.exists(_ <= millis))
+    require(eligible.nonEmpty,
+      s"graft-upsert: no retained commit at or before timestamp ${millis}ms " +
+        s"(epoch) for $path — " +
+        (if (retained.isEmpty) "the table has no archived commits"
+         else s"oldest retained commit is '${retained.head}'; older history is " +
+           "pruned (keepVersions window)"))
+    eligible.last
+  }
+
+  /** `asOfTimestamp` reader-option value: epoch milliseconds, or a
+    * `yyyy-MM-dd HH:mm:ss[.SSS]` / ISO-8601 instant interpreted in UTC
+    * (the session pin).
+    */
+  private[io] def parseTimestampMillis(ts: String): Long = {
+    val t = ts.trim
+    if (t.forall(_.isDigit) && t.nonEmpty) t.toLong
+    else scala.util.Try(java.time.Instant.parse(t).toEpochMilli).getOrElse {
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss[.SSS]")
+      java.time.LocalDateTime.parse(t, fmt)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
   }
 
   private[io] def tablePath(options: CaseInsensitiveStringMap): String = {
@@ -946,10 +1045,17 @@ object UpsertTableSource {
 
   /** Live data files of a directory (the sink's part-* naming). */
   private[io] def dataFiles(fs: FileSystem, dir: Path): Seq[Path] =
+    dataFileStatuses(fs, dir).map(_.getPath)
+
+  /** Same listing with the [[org.apache.hadoop.fs.FileStatus]] kept —
+    * planning carries byte lengths into the partitions it builds so
+    * neither split sizing nor the reader pays a second stat RPC.
+    */
+  private[io] def dataFileStatuses(fs: FileSystem,
+      dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
       .filter(f => f.getPath.getName.startsWith("part-") && f.getLen > 0)
-      .map(_.getPath)
 
   /** Unescaped partition value; the Hive default-partition dir decodes
     * to null.

@@ -416,6 +416,96 @@ object Parity {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** LINEAR clustering through the DSv2 scan — the `optimize_sort`
+    * sibling of [[dataSkippingScan]]'s Z-order case: load an orders
+    * subset, `optimize_sort` on o_custkey (one dominant access path),
+    * then read back under a selective key-range predicate. Sorted
+    * layout makes each file's row-group min/max on o_custkey disjoint
+    * ranges, so the range reads one or two groups per file; the hash
+    * match against raw-orders SQL proves the rewrite changed layout,
+    * never content.
+    */
+  def sortLayoutScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sort").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq", "o_orderpriority")
+    val orders = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 4 === 3)
+    sink.upsert(orders.withColumn("seq", lit(0L)), 0)
+    sink.optimizeSort(spark, Seq(col("o_custkey")))
+    spark.read.format("graft-upsert").load(dir)
+      .filter(col("o_custkey").between(400, 900))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        min(col("o_custkey")).as("first_cust"),
+        max(col("o_custkey")).as("last_cust"))
+      .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
+  }
+
+  val sortLayoutScanSql: String =
+    """SELECT o_orderstatus,
+      |       count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total,
+      |       min(o_custkey) AS first_cust,
+      |       max(o_custkey) AS last_cust
+      |FROM orders
+      |WHERE o_orderkey % 4 = 3
+      |  AND o_custkey BETWEEN 400 AND 900
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** Byte-range input-split planning through the DSv2 scan: load a
+    * lineitem subset as ONE data file with many small row groups
+    * (parquet.block.size pinned low for the fixture write), then read
+    * it back with a per-read `splitTargetBytes` far below the file
+    * size — the scan plans one input partition per byte range, each
+    * serving exactly the row groups whose midpoint falls in its range.
+    * The hash match proves slicing serves every row exactly once; at
+    * 100 TB this is what keeps one compacted 1 GB file from becoming a
+    * single straggler task.
+    */
+  def splitScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_split").toString + "/t"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try {
+      // record key = the full projected row: the synthetic lineitem has
+      // duplicate (orderkey, linenumber) pairs, and upsert semantics
+      // would (correctly) collapse them — identical-row keys make the
+      // merge a no-op, so the oracle is DISTINCT over the projection
+      val sink = graft.io.ParquetUpsertSink(dir,
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        "seq", "l_returnflag")
+      sink.upsert(Tables.table(spark, sfDir, "lineitem")
+        .filter(col("l_orderkey") % 3 === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .withColumn("seq", lit(0L)), 0)
+    } finally {
+      if (prev == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prev)
+    }
+    spark.read.format("graft-upsert")
+      .option("splitTargetBytes", (128 * 1024).toString).load(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .transform(graft.Present.sortSmall(_, col("l_returnflag")))
+  }
+
+  val splitScanSql: String =
+    """SELECT l_returnflag,
+      |       count(*) AS n,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_price
+      |FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_quantity,
+      |             l_extendedprice, l_returnflag
+      |      FROM lineitem
+      |      WHERE l_orderkey % 3 = 1)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Record-key BLOOM skipping through the DSv2 scan: load documents
     * into an upsert table keyed by a STRING doc key (two files per
     * language partition), then point-look-up a handful of keys through

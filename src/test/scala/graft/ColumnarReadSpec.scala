@@ -129,16 +129,18 @@ class ColumnarReadSpec extends SparkSpec {
     assert(got == Set("1|10"))
   }
 
-  test("SPJ grouped partitions stay on the row path without breaking") {
+  test("SPJ grouped partitions serve batches file by file") {
     val dir = tmp("colspj")
-    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
-    sink.upsert(Seq((1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"))
+    // filesPerPartition = 2: each SPJ group holds SEVERAL files, so the
+    // multi-file columnar reader's file chaining is actually exercised
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p", filesPerPartition = 2)
+    sink.upsert((0L until 100L).map(n => (n, 1L, n * 3, s"p${n % 2}"))
       .toDF("id", "seq", "v", "p"), 0)
     spark.conf.set(UpsertTableSource.SpjConfKey, "true")
     try {
-      val df = spark.read.format("graft-upsert").load(dir).select("p", "v")
-      assert(!planOf(df).contains("ColumnarToRow"))
-      assert(rowsOf(df) == Set("a|10", "b|20"))
+      val got = parity(spark.read.format("graft-upsert").load(dir)
+        .select("p", "v", "id"))
+      assert(got.size == 100)
     } finally spark.conf.unset(UpsertTableSource.SpjConfKey)
   }
 

@@ -129,6 +129,54 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
   }
 
+  test("TIMESTAMP AS OF resolves to the latest commit at or before the timestamp") {
+    val dir = tmp("catts")
+    val t = s"graft.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, seq BIGINT, dept STRING, amount DOUBLE)
+         |PARTITIONED BY (dept)
+         |TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq', 'keepVersions'='4')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'eng', 10.0), (2, 1, 'ops', 20.0)")
+    Thread.sleep(5) // commit ids carry epoch millis; keep them distinct
+    spark.sql(s"INSERT INTO $t VALUES (1, 2, 'eng', 11.5), (3, 1, 'hr', 30.0)")
+    Thread.sleep(5)
+    spark.sql(s"DELETE FROM $t WHERE amount > 15.0")
+
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(commits.size == 3)
+    def millisOf(c: String): Long = c.take(13).toLong
+    def utc(ms: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .format(java.time.Instant.ofEpochMilli(ms)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDateTime)
+
+    // between the 2nd insert and the delete: state after commit 2
+    val mid = utc(millisOf(commits(2)) - 1)
+    assert(spark.sql(s"SELECT id FROM $t TIMESTAMP AS OF '$mid'")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // after everything: the current state
+    val now = utc(System.currentTimeMillis())
+    assert(spark.sql(s"SELECT id FROM $t TIMESTAMP AS OF '$now'")
+      .as[Long].collect().toSet == Set(1L))
+    // before the first commit: loud failure, never a silent empty state
+    val early = utc(millisOf(commits(0)) - 1000)
+    val err = intercept[Exception](
+      spark.sql(s"SELECT id FROM $t TIMESTAMP AS OF '$early'").collect())
+    assert(err.getMessage.contains("no retained commit"))
+
+    // reader-option flavor: epoch millis and an ISO instant both work
+    val byOpt = spark.read.format("graft-upsert")
+      .option("asOfTimestamp", (millisOf(commits(2)) - 1).toString).load(dir)
+    assert(byOpt.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val byIso = spark.read.format("graft-upsert")
+      .option("asOfTimestamp",
+        java.time.Instant.ofEpochMilli(millisOf(commits(2)) - 1).toString)
+      .load(dir)
+    assert(byIso.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("TRUNCATE TABLE empties the table; schema survives for re-insert") {
     val dir = tmp("trunc")
     val t = s"graft.`$dir`"
