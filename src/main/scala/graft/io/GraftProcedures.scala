@@ -56,7 +56,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "optimize_zorder", "optimize_sort", "expire_commits",
-      "sweep_staging", "history", "detail")
+      "sweep_staging", "history", "detail", "files", "partitions")
 
   def load(name: String): UnboundProcedure = name match {
     case "compact" => proc("compact",
@@ -178,6 +178,62 @@ object GraftProcedures {
         ParquetUpsertSink.listDeltaCommits(spark, path).size,
         fs.exists(new org.apache.hadoop.fs.Path(
           s"$path/${ParquetUpsertSink.QuarantineDirName}")))))
+    }
+    case "files" => proc("files",
+      Seq("table" -> StringType),
+      StructType(Seq(
+        StructField("partition", StringType),
+        StructField("file", StringType),
+        StructField("size_bytes", LongType),
+        StructField("row_count", LongType))),
+      "one row per live data file with footer row count " +
+        "(Iceberg metadata-table analog; one cached footer read per file)") { in =>
+      val path = in.getUTF8String(0).toString
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pc = UpsertTableSource.partitionColOf(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft.system: no partitioned graft-upsert table at $path"))
+      val files = ParquetUpsertSink.liveDataFileStatuses(fs, path, pc)
+      val stats = UpsertDataSkipping.fileStatsAll(fs, files.map(_.getPath),
+        UpsertTableSource.tableSchema(path), fs.getConf)
+      files.sortBy(_.getPath.toString).map { f =>
+        val rows: Any = stats.get(f.getPath.toString)
+          .flatMap(_.rowCount).map(Long.box).orNull
+        new GenericInternalRow(Array[Any](
+          str(UpsertTableSource.dirValue(
+            f.getPath.getParent.getName.stripPrefix(s"$pc="))),
+          str(f.getPath.toString), f.getLen, rows))
+      }
+    }
+    case "partitions" => proc("partitions",
+      Seq("table" -> StringType),
+      StructType(Seq(
+        StructField("partition", StringType),
+        StructField("data_files", IntegerType),
+        StructField("size_bytes", LongType),
+        StructField("row_count", LongType))),
+      "one row per live partition: file count, bytes, footer row sum") { in =>
+      val path = in.getUTF8String(0).toString
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pc = UpsertTableSource.partitionColOf(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft.system: no partitioned graft-upsert table at $path"))
+      val files = ParquetUpsertSink.liveDataFileStatuses(fs, path, pc)
+      val stats = UpsertDataSkipping.fileStatsAll(fs, files.map(_.getPath),
+        UpsertTableSource.tableSchema(path), fs.getConf)
+      files.groupBy(_.getPath.getParent.getName).toSeq.sortBy(_._1)
+        .map { case (dir, fsOfP) =>
+          val counts = fsOfP.map(f =>
+            stats.get(f.getPath.toString).flatMap(_.rowCount))
+          // a single unreadable footer makes the partition's sum unknown
+          val rows: Any =
+            if (counts.exists(_.isEmpty)) null else Long.box(counts.flatten.sum)
+          new GenericInternalRow(Array[Any](
+            str(UpsertTableSource.dirValue(dir.stripPrefix(s"$pc="))),
+            fsOfP.length, fsOfP.map(_.getLen).sum, rows))
+        }
     }
     case other => throw new IllegalArgumentException(
       s"graft.system: unknown procedure '$other' (have: ${names.mkString(", ")})")

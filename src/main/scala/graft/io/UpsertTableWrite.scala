@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** DataSource V2 WRITE path for upsert tables — the standard
@@ -44,7 +45,43 @@ import org.apache.spark.sql.types._
   * entry with the engine-managed one.
   */
 final class UpsertWriteBuilder(path: String, info: LogicalWriteInfo)
-  extends WriteBuilder {
+  extends WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsOverwrite
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+
+  // None = append-as-upsert (the default); Some(filters) = INSERT
+  // OVERWRITE by partition predicates (AlwaysTrue = truncate-and-load);
+  // dynamic = replace exactly the partitions present in the batch
+  private var overwriteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None
+  private var overwriteDynamic: Boolean = false
+
+  /** `INSERT OVERWRITE` / `df.write.mode("overwrite")`: static
+    * overwrite of the partitions matching the delete predicates.
+    * Partition-column predicates only — a residual predicate would
+    * make this a row-level rewrite, which is what UPDATE/MERGE are
+    * for; failing loudly beats silently dropping unmatched rows.
+    */
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    val pc = GraftUpsertCatalog.tableProps(path).get("partitionCol")
+      .orElse(UpsertTableSource.partitionColOf(path))
+    val supported = filters.forall {
+      case org.apache.spark.sql.sources.AlwaysTrue() => true
+      case f => pc.exists(c => f.references.length == 1 &&
+        f.references.head.equalsIgnoreCase(c))
+    }
+    if (!supported) throw new UnsupportedOperationException(
+      s"graft-upsert: INSERT OVERWRITE supports partition-column predicates " +
+        s"only (got: ${filters.mkString(", ")}); use UPDATE/MERGE for " +
+        "row-level rewrites")
+    overwriteFilters = Some(filters)
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    overwriteDynamic = true
+    this
+  }
 
   // write options first, then the table's persisted `_table.properties`
   // (set at catalog CREATE TABLE time) — so `INSERT INTO graft.t` and
@@ -83,10 +120,78 @@ final class UpsertWriteBuilder(path: String, info: LogicalWriteInfo)
     // count, so compactEvery is inert here — `CALL graft.system.compact`
     // is the batch-path equivalent
     override def toBatch: BatchWrite =
-      new UpsertBatchWrite(path, info.schema(), mkSink().copy(compactEvery = 0))
+      if (overwriteDynamic || overwriteFilters.isDefined)
+        new UpsertOverwriteBatchWrite(path, info.schema(),
+          mkSink().copy(compactEvery = 0),
+          overwriteFilters.getOrElse(Array.empty), overwriteDynamic)
+      else new UpsertBatchWrite(path, info.schema(), mkSink().copy(compactEvery = 0))
     override def toStreaming: StreamingWrite =
-      new UpsertStreamingWrite(path, info.schema(), mkSink())
+      new UpsertStreamingWrite(path, info.schema(), mkSink(),
+        // Complete output mode truncates per epoch: each commit
+        // replaces the whole table state with the epoch's rows
+        truncatePerEpoch = overwriteDynamic ||
+          overwriteFilters.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])))
   }
+}
+
+/** `INSERT OVERWRITE` commit: ONE `replaceGroups` commit replacing
+  * (a) static mode — every live partition matching the overwrite
+  * predicates, plus the batch's own partitions; (b) dynamic mode —
+  * exactly the batch's partitions. Pre-images archive under
+  * keepVersions exactly like any other commit, so time travel spans
+  * overwrites.
+  */
+final class UpsertOverwriteBatchWrite(path: String, schema: StructType,
+    sink: ParquetUpsertSink,
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    dynamic: Boolean) extends BatchWrite {
+
+  private val stagingDir =
+    s"$path/.staging-write-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new UpsertDataWriterFactory(stagingDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    // an empty staged batch must still clear the matched partitions —
+    // `INSERT OVERWRITE t SELECT ... WHERE false` truncates
+    val df = UpsertTableWrite.readStaged(schema, messages).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    val pc = sink.partitionCol
+    val batchParts: Seq[String] = df.select(col(pc).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val replaced: Seq[String] =
+      if (dynamic) batchParts
+      else {
+        // static mode: every live partition value matching the
+        // predicates is replaced (gone unless the batch refills it)
+        if (!dynamic && filters.nonEmpty) {
+          val bad = batchParts.filterNot(v =>
+            UpsertTableSource.matchesPartition(filters.iterator, v))
+          require(bad.isEmpty,
+            s"graft-upsert: INSERT OVERWRITE batch contains partitions outside " +
+              s"the overwrite predicates: ${bad.mkString(", ")}")
+        }
+        val fs = new Path(path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val live: Seq[String] =
+          if (!fs.exists(new Path(path))) Seq.empty
+          else fs.listStatus(new Path(path)).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith(s"$pc="))
+            .map(n => UpsertTableSource.dirValue(n.drop(pc.length + 1)))
+            .filter(v => UpsertTableSource.matchesPartition(filters.iterator, v))
+        (live ++ batchParts).distinct
+      }
+    sink.replaceGroups(spark, replaced, df,
+      batchId = UpsertTableWrite.nextBatchId())
+    UpsertTableWrite.drop(stagingDir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    UpsertTableWrite.drop(stagingDir)
 }
 
 final class UpsertBatchWrite(path: String, schema: StructType,
@@ -117,7 +222,11 @@ final class UpsertBatchWrite(path: String, schema: StructType,
   * (a replayed epoch re-merges idempotently through precombine).
   */
 final class UpsertStreamingWrite(path: String, schema: StructType,
-    sink: ParquetUpsertSink) extends StreamingWrite {
+    sink: ParquetUpsertSink,
+    // Complete output mode: each epoch REPLACES the whole table state
+    // (one replaceGroups commit over live ∪ epoch partitions) instead
+    // of merging into it
+    truncatePerEpoch: Boolean = false) extends StreamingWrite {
 
   private val stagingBase =
     s"$path/.staging-write-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -127,7 +236,24 @@ final class UpsertStreamingWrite(path: String, schema: StructType,
     new UpsertStreamingDataWriterFactory(stagingBase, schema)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    UpsertTableWrite.mergeStaged(schema, sink, messages, batchId = epochId)
+    if (truncatePerEpoch) {
+      val spark = SparkSession.active
+      val df = UpsertTableWrite.readStaged(schema, messages).getOrElse(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      val pc = sink.partitionCol
+      val batchParts = df.select(
+          org.apache.spark.sql.functions.col(pc).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      val fs = new Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val live: Seq[String] =
+        if (!fs.exists(new Path(path))) Seq.empty
+        else fs.listStatus(new Path(path)).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith(s"$pc="))
+          .map(n => UpsertTableSource.dirValue(n.drop(pc.length + 1)))
+      sink.replaceGroups(spark, (live ++ batchParts).distinct, df, batchId = epochId)
+    } else UpsertTableWrite.mergeStaged(schema, sink, messages, batchId = epochId)
     UpsertTableWrite.drop(s"$stagingBase/e$epochId")
   }
 

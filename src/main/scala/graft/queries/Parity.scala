@@ -821,6 +821,49 @@ object Parity {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** `INSERT OVERWRITE` (dynamic partition mode) through the DSv2
+    * write: seed a partitioned table, then `overwritePartitions()` a
+    * batch holding ONLY the 1-URGENT partition — exactly that
+    * partition is replaced (and shrinks to the batch), every other
+    * partition is untouched, all in one archived commit. The oracle
+    * reconstructs the post-overwrite state set-theoretically.
+    */
+  def sqlOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlovw").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq", "o_orderpriority")
+    val orders = Tables.table(spark, sfDir, "orders")
+    sink.upsert(orders.filter(col("o_orderkey") % 6 === 5)
+      .withColumn("seq", lit(0L)), 0)
+    orders.filter(col("o_orderkey") % 12 === 5 &&
+        col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", col("o_totalprice") + 250.0)
+      .withColumn("seq", lit(2L))
+      .writeTo(s"graft.`$dir`").overwritePartitions()
+    spark.read.format("graft-upsert").load(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        sum(col("seq")).as("replaced"))
+      .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
+  }
+
+  val sqlOverwriteSql: String =
+    """SELECT o_orderstatus,
+      |       count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total,
+      |       CAST(sum(seq) AS BIGINT) AS replaced
+      |FROM (
+      |  SELECT o_orderstatus, o_totalprice, 0 AS seq
+      |  FROM orders
+      |  WHERE o_orderkey % 6 = 5 AND o_orderpriority <> '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice + 250.0, 2 AS seq
+      |  FROM orders
+      |  WHERE o_orderkey % 12 = 5 AND o_orderpriority = '1-URGENT'
+      |)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** SQL `MERGE INTO` through the row-level rewrite: matched-and-delete,
     * matched-update, and not-matched-insert clauses in one statement
     * against a seeded table, source rows derived from the same orders

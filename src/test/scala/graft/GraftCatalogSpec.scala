@@ -392,6 +392,77 @@ class GraftCatalogSpec extends SparkSpec {
     assert(hist.map(_._1) == hist.map(_._1).sorted) // oldest first
   }
 
+  test("INSERT OVERWRITE: static truncate-and-load, partition-scoped, dynamic") {
+    val dir = tmp("ovw")
+    val t = s"graft.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, seq BIGINT, dept STRING, amount DOUBLE)
+         |PARTITIONED BY (dept)
+         |TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq', 'keepVersions'='6')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'eng', 10.0), (2, 1, 'ops', 20.0), (3, 1, 'hr', 30.0)")
+
+    // static, no partition spec: the WHOLE table is replaced
+    spark.sql(s"INSERT OVERWRITE $t VALUES (7, 1, 'eng', 70.0), (8, 1, 'fin', 80.0)")
+    assert(spark.sql(s"SELECT id FROM $t").as[Long].collect().toSet == Set(7L, 8L))
+
+    // static with a partition spec: only that partition is replaced
+    spark.sql(s"INSERT OVERWRITE $t PARTITION (dept='eng') VALUES (9, 1, 90.0)")
+    assert(spark.sql(s"SELECT id, dept FROM $t ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((8L, "fin"), (9L, "eng")))
+
+    // dynamic: exactly the batch's partitions are replaced, others kept
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql(s"INSERT OVERWRITE $t VALUES (11, 1, 'eng', 1.0), (12, 1, 'eng', 2.0)")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    assert(spark.sql(s"SELECT id, dept FROM $t ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((8L, "fin"), (11L, "eng"), (12L, "eng")))
+
+    // overwrites are commits like any other: time travel spans them
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(commits.size == 4)
+    assert(spark.sql(
+      s"SELECT id FROM $t VERSION AS OF '${commits(1)}'")
+      .as[Long].collect().toSet == Set(7L, 8L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("df.write.mode(overwrite) truncates-and-loads through the DSv2 write") {
+    val dir = tmp("ovwdf")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")
+    sink.upsert(Seq((1L, 1L, "eng", 10.0), (2L, 1L, "ops", 20.0))
+      .toDF("id", "seq", "dept", "amount"), 0)
+    Seq((5L, 1L, "hr", 50.0)).toDF("id", "seq", "dept", "amount")
+      .write.format("graft-upsert")
+      .option("recordKeys", "id").option("precombine", "seq")
+      .option("partitionCol", "dept")
+      .mode("overwrite").save(dir)
+    val got = spark.read.format("graft-upsert").load(dir)
+      .select("id", "dept").as[(Long, String)].collect().toSet
+    assert(got == Set((5L, "hr")))
+  }
+
+  test("CALL graft.system.files / partitions expose the live layout with row counts") {
+    val dir = tmp("pfiles")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept", filesPerPartition = 2)
+    sink.upsert((0L until 100L).map(n => (n, 1L, if (n < 70) "eng" else "ops"))
+      .toDF("id", "seq", "dept"), 0)
+
+    val files = spark.sql(s"CALL graft.system.files('$dir')")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(files.map(_._1).distinct.sorted == Seq("eng", "ops"))
+    assert(files.forall(f => f._3 > 0 && f._2.contains(s"dept=${f._1}")))
+    assert(files.map(_._4).sum == 100L) // footer row counts cover every row
+
+    val parts = spark.sql(s"CALL graft.system.partitions('$dir')")
+      .as[(String, Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(parts.map(p => (p._1, p._4)) == Seq(("eng", 70L), ("ops", 30L)))
+    assert(parts.map(_._2).sum == files.size)
+    assert(parts.map(_._3).sum == files.map(_._3).sum)
+  }
+
   // ——— write-time expectations (CHECK constraints + quarantine) ———
 
   test("expectations quarantine violating rows; NULL conditions pass") {
