@@ -30,7 +30,7 @@ object GraftProcedures {
 
   private def spark = SparkSession.active
 
-  private def sinkFor(path: String): ParquetUpsertSink = {
+  private[io] def sinkFor(path: String): ParquetUpsertSink = {
     val pc = UpsertTableSource.partitionColOf(path).getOrElse(
       throw new IllegalArgumentException(
         s"graft.system: no partitioned graft-upsert table at $path"))

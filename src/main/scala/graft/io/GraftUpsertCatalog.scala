@@ -176,6 +176,13 @@ final class GraftUpsertCatalog extends TableCatalog
         // every subsequent read — mirror createTable's column check
         require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
           s"graft-upsert: column '$colName' already exists in the table schema")
+        // a dropped or renamed-away name is retired: old files still
+        // physically store values under it, and by-name resolution
+        // would resurrect them into the "new" column
+        require(!ColumnAliases.retiredNames(GraftUpsertCatalog.tableProps(path))
+            .contains(colName.toLowerCase(java.util.Locale.ROOT)),
+          s"graft-upsert: cannot ADD COLUMN '$colName' — old files still " +
+            "physically store values under that retired (dropped/renamed) name")
         // evolution is append-at-end only: files written before the
         // change lack the column and null-fill by NAME, so a position
         // request cannot be honored physically
@@ -211,6 +218,46 @@ final class GraftUpsertCatalog extends TableCatalog
           if (x.name.equalsIgnoreCase(colName)) x.copy(dataType = upd.newDataType())
           else x))
         writeFile(fs, new Path(root, ParquetUpsertSink.SchemaFileName), evolved.json)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft-upsert: nested columns are out of scope for this table format")
+        val colName = del.fieldNames()(0)
+        val cur = UpsertTableSource.tableSchema(path)
+        val f = cur.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-upsert: no column '$colName' in the table schema"))
+        requireNotStructural(path, colName, "DROP")
+        // metadata-only: files keep the physical column, the schema
+        // stops projecting it. The name retires permanently
+        // (droppedColumns) — re-adding it would resurrect dead values
+        // from files that still store it.
+        val evolved = StructType(cur.fields.filterNot(_ eq f))
+        writeFile(fs, new Path(root, ParquetUpsertSink.SchemaFileName), evolved.json)
+        updateProps(fs, root) { props =>
+          val m = props.asScala.toMap
+          props.setProperty(ColumnAliases.DroppedProp,
+            ColumnAliases.appendDropped(m, f.name))
+        }
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          "graft-upsert: nested columns are out of scope for this table format")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        val cur = UpsertTableSource.tableSchema(path)
+        require(cur.fieldNames.exists(_.equalsIgnoreCase(from)),
+          s"graft-upsert: no column '$from' in the table schema")
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"graft-upsert: column '$to' already exists in the table schema")
+        requireNotStructural(path, from, "RENAME")
+        require(!ColumnAliases.retiredNames(GraftUpsertCatalog.tableProps(path))
+            .contains(to.toLowerCase(java.util.Locale.ROOT)),
+          s"graft-upsert: cannot rename to '$to' — old files still physically " +
+            "store values under that retired name; reusing it would resurrect them")
+        // rewriting ALTER: live files rewrite under the new name in one
+        // locked pass (Delta's pre-column-mapping semantics); archived
+        // history keeps the old name and readers resolve it through the
+        // recorded alias (ColumnAliases)
+        GraftProcedures.sinkFor(path).renameColumn(SparkSession.active, from, to)
       case set: TableChange.SetProperty =>
         updateProps(fs, root)(_.setProperty(set.property, set.value))
       case rm: TableChange.RemoveProperty =>
@@ -271,6 +318,22 @@ final class GraftUpsertCatalog extends TableCatalog
     val out = fs.create(p, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** DROP/RENAME must not touch the columns the format is built on:
+    * the partition column (directory layout), record keys and
+    * precombine (merge semantics), and the tombstone column.
+    */
+  private def requireNotStructural(path: String, colName: String,
+      what: String): Unit = {
+    val props = GraftUpsertCatalog.tableProps(path)
+    val structural: Seq[String] =
+      UpsertTableSource.partitionColOf(path).toSeq ++
+        props.get("recordKeys").toSeq.flatMap(_.split(',').map(_.trim)) ++
+        props.get("precombine").toSeq ++ props.get("deleteCol").toSeq
+    require(!structural.exists(_.equalsIgnoreCase(colName)),
+      s"graft-upsert: cannot $what column '$colName' — it is structural " +
+        s"(partition/recordKey/precombine/deleteCol: ${structural.mkString(", ")})")
   }
 
   private def updateProps(fs: org.apache.hadoop.fs.FileSystem, root: Path)(

@@ -209,13 +209,63 @@ final case class ParquetUpsertSink(
       partDirs: Seq[Path], base: String = path): DataFrame =
     persistedSchema(new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)) match {
-      case Some(s) => readWithSchema(spark, partDirs, s, base)
+      case Some(s) => readAliasNormalized(spark, partDirs, s, base)
       case None =>
         val inferred = spark.read.option("mergeSchema", "true")
           .option("basePath", base)
           .parquet(partDirs.map(_.toString): _*).schema
         readWithSchema(spark, partDirs, pinString(inferred), base)
     }
+
+  /** [[readWithSchema]], resolving column RENAMES against old files:
+    * archived pre-rename dirs store a current column under a
+    * historical name ([[ColumnAliases]]), and a plain current-schema
+    * read would silently null-fill it. Dirs are era-uniform (a rename
+    * rewrites every live file under one lock; archives snapshot whole
+    * dirs), so one footer peek per dir classifies it; dirs sharing a
+    * rename vector read together and normalize back to current names.
+    * Zero-cost when the table never renamed (empty alias map).
+    */
+  private def readAliasNormalized(spark: org.apache.spark.sql.SparkSession,
+      partDirs: Seq[Path], schema: org.apache.spark.sql.types.StructType,
+      base: String): DataFrame = {
+    val aliasMap = ColumnAliases.parse(GraftUpsertCatalog.tableProps(path))
+    if (aliasMap.isEmpty || partDirs.isEmpty)
+      return readWithSchema(spark, partDirs, schema, base)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def eraOf(dir: Path): Map[String, String] = { // current name -> file name
+      fs.listStatus(dir)
+        .find(f => f.getPath.getName.startsWith("part-") && f.getLen > 0) match {
+        case None => Map.empty
+        case Some(st) =>
+          val names: Set[String] = {
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(st.getPath, fs.getConf))
+            try {
+              import scala.collection.JavaConverters._
+              r.getFooter.getFileMetaData.getSchema.getFields.asScala
+                .map(_.getName).toSet
+            } finally r.close()
+          }
+          schema.fields.iterator.flatMap { f =>
+            if (names.contains(f.name)) None
+            else aliasMap.getOrElse(f.name.toLowerCase(java.util.Locale.ROOT), Nil)
+              .find(names.contains).map(f.name -> _)
+          }.toMap
+      }
+    }
+    partDirs.groupBy(eraOf).map { case (renames, dirs) =>
+      if (renames.isEmpty) readWithSchema(spark, dirs, schema, base)
+      else {
+        val eraSchema = org.apache.spark.sql.types.StructType(schema.map(f =>
+          renames.get(f.name).map(o => f.copy(name = o)).getOrElse(f)))
+        renames.foldLeft(readWithSchema(spark, dirs, eraSchema, base)) {
+          case (df, (cur, old)) => df.withColumnRenamed(old, cur)
+        }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      }
+    }.reduce(_.unionByName(_))
+  }
 
   /** Read the given partition dirs with a KNOWN (already string-pinned)
     * schema — no footer-scan inference job. Files missing a column
@@ -249,8 +299,27 @@ final case class ParquetUpsertSink(
   // the legacy-table inference fallback (and after a corrupt read), so
   // the next commit re-establishes the metadata on disk
   @volatile private var schemaPersisted: Boolean = false
+  // modification time of `_schema.json` when cachedSchema was loaded
+  // from it: lets the cache detect an EXTERNAL schema change (another
+  // sink instance running ALTER TABLE) — a stale cached view would
+  // read post-rename files with the old name and silently null-fill
+  @volatile private var cachedSchemaMtime: Long = -1L
 
   private def schemaFile = new Path(s"$path/${ParquetUpsertSink.SchemaFileName}")
+
+  /** Drop the in-memory schema cache when `_schema.json` changed under
+    * this instance (mtime mismatch). One stat per call — metadata-scale.
+    */
+  private def invalidateStaleSchema(fs: org.apache.hadoop.fs.FileSystem): Unit =
+    if (cachedSchema.isDefined && schemaPersisted) {
+      val onDisk =
+        scala.util.Try(fs.getFileStatus(schemaFile).getModificationTime)
+          .getOrElse(-1L)
+      if (onDisk != cachedSchemaMtime) {
+        cachedSchema = None
+        schemaPersisted = false
+      }
+    }
 
   /** The schema to read existing partitions with during a merge:
     * in-memory cache, else `_schema.json`, else (legacy tables written
@@ -271,15 +340,20 @@ final case class ParquetUpsertSink(
     */
   private def persistedSchema(fs: org.apache.hadoop.fs.FileSystem)
       : Option[org.apache.spark.sql.types.StructType] = {
+    invalidateStaleSchema(fs)
     val s = cachedSchema.orElse {
       val fromFile =
         if (fs.exists(schemaFile))
           scala.util.Try {
+            val mtime = fs.getFileStatus(schemaFile).getModificationTime
             val in = fs.open(schemaFile)
-            try org.apache.spark.sql.types.DataType
-              .fromJson(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-              .asInstanceOf[org.apache.spark.sql.types.StructType]
-            finally in.close()
+            val parsed =
+              try org.apache.spark.sql.types.DataType
+                .fromJson(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+              finally in.close()
+            cachedSchemaMtime = mtime
+            parsed
           }.toOption
         else None
       schemaPersisted = fromFile.isDefined
@@ -324,6 +398,9 @@ final case class ParquetUpsertSink(
         throw new java.io.IOException(s"schema metadata rename failed: $tmp -> $schemaFile")
       cachedSchema = Some(pinned)
       schemaPersisted = true
+      cachedSchemaMtime =
+        scala.util.Try(fs.getFileStatus(schemaFile).getModificationTime)
+          .getOrElse(-1L)
     }
   }
 
@@ -1671,6 +1748,81 @@ final case class ParquetUpsertSink(
         .parquet(path)
     } finally Checkpoints.release(mat)
     partDirs.map(_.getName).toSeq
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN` executor: rewrite every live
+    * partition with the column under its new name, persist the renamed
+    * schema, and record the old→new pair in `_table.properties`
+    * (`columnRenames`) so readers of immutable history — archived
+    * pre-image commits still storing the old name — resolve it through
+    * [[ColumnAliases]]. Content-identical like compaction/Z-order, so
+    * no timeline commit is written; clustering order is NOT preserved
+    * (re-run `optimize_sort`/`optimize_zorder` afterwards if the table
+    * was clustered). Live MOR deltas must be folded first — their
+    * files would keep the old name but live OUTSIDE the archive, where
+    * nothing re-reads them through the alias map.
+    */
+  def renameColumn(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return Seq.empty
+    withCommitLock(fs) {
+      requireNoLiveDeltas(fs, "a column rename")
+      // the persisted schema keeps its FIELD ORDER through the rename
+      // (positional writes — INSERT INTO ... VALUES — resolve against
+      // it); a partitioned read would report the partition column last
+      val schemaNow = org.apache.spark.sql.types.StructType(
+        persistedSchema(fs).getOrElse(throw new IllegalStateException(
+          s"graft-upsert: cannot rename a column of $path — no _schema.json"))
+          .map(f => if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
+      val partDirs = livePartDirs(fs, new Path(path))
+      if (partDirs.nonEmpty) {
+        val mat = readStringPartitioned(spark, partDirs)
+          .withColumnRenamed(from, to).localCheckpoint(true)
+        try {
+          verifyLockOwnership(fs)
+          mat.repartition(col(partitionCol))
+            .sortWithinPartitions(col(partitionCol))
+            .write
+            .mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .options(bloomWriteOptions)
+            .partitionBy(partitionCol)
+            .parquet(path)
+        } finally Checkpoints.release(mat)
+      }
+      persistSchema(fs, schemaNow)
+      updateTableProps(fs) { props =>
+        val cur = props.stringPropertyNames().toArray(Array.empty[String])
+          .map(k => k -> props.getProperty(k)).toMap
+        props.setProperty(ColumnAliases.RenamesProp,
+          ColumnAliases.appendRename(cur, from, to))
+      }
+      partDirs.map(_.getName)
+    }
+  }
+
+  /** Read-modify-write `_table.properties` with the tmp+delete+rename
+    * discipline of [[persistWriteConfig]] (a concurrent `tableProps`
+    * reader sees old-complete or absent, never truncated).
+    */
+  private def updateTableProps(fs: org.apache.hadoop.fs.FileSystem)(
+      f: java.util.Properties => Unit): Unit = {
+    val propsPath = new Path(s"$path/${GraftUpsertCatalog.TablePropsFileName}")
+    val props = new java.util.Properties()
+    if (fs.exists(propsPath)) {
+      val in = fs.open(propsPath)
+      try props.load(in) finally in.close()
+    }
+    f(props)
+    val tmp = new Path(
+      s"$path/.${GraftUpsertCatalog.TablePropsFileName}.$stagingToken.tmp")
+    val out = fs.create(tmp, true)
+    try props.store(out, null) finally out.close()
+    fs.delete(propsPath, false)
+    if (!fs.rename(tmp, propsPath))
+      throw new java.io.IOException(
+        s"table properties rename failed: $tmp -> $propsPath")
   }
 
   // ——— catalog sync (Hive-sync analog) ———

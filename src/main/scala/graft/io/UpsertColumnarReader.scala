@@ -73,7 +73,8 @@ object UpsertColumnar {
   */
 final class UpsertMultiFileColumnarReader(part: UpsertFilesPartition,
     required: StructType, partitionCol: Option[String],
-    conf: Configuration, skipFilters: Array[Filter])
+    conf: Configuration, skipFilters: Array[Filter],
+    aliases: Map[String, List[String]] = Map.empty)
   extends PartitionReader[ColumnarBatch] {
 
   private val files = part.files.iterator
@@ -85,7 +86,7 @@ final class UpsertMultiFileColumnarReader(part: UpsertFilesPartition,
         if (!files.hasNext) return false
         current = new UpsertColumnarPartitionReader(
           UpsertFilePartition(files.next(), part.partValue), required,
-          partitionCol, conf, skipFilters)
+          partitionCol, conf, skipFilters, aliases = aliases)
       }
       if (current.next()) return true
       current.close()
@@ -102,7 +103,8 @@ final class UpsertMultiFileColumnarReader(part: UpsertFilesPartition,
 final class UpsertColumnarPartitionReader(part: UpsertFilePartition,
     required: StructType, partitionCol: Option[String],
     baseConf: Configuration, skipFilters: Array[Filter],
-    capacity: Int = 4096)
+    capacity: Int = 4096,
+    aliases: Map[String, List[String]] = Map.empty)
   extends PartitionReader[ColumnarBatch] {
 
   private val dataFields: Array[StructField] =
@@ -111,8 +113,6 @@ final class UpsertColumnarPartitionReader(part: UpsertFilePartition,
   private val conf = new Configuration(baseConf)
   conf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
     classOf[ParquetReadSupport].getName)
-  conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
-    StructType(dataFields).json)
   // schema-conversion switches the reader consults from the Hadoop conf
   // (normally injected by Spark's own parquet FileFormat)
   conf.setBoolean("spark.sql.caseSensitive", false)
@@ -122,16 +122,29 @@ final class UpsertColumnarPartitionReader(part: UpsertFilePartition,
   // match GraftSession: TIMESTAMP(NANOS) physical columns surface as long
   conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", true)
 
-  // row-group/page skipping: translate the residual predicates against
-  // THIS file's schema, restricted to the requested columns (parquet-mr
-  // validates filter references against the read schema). Advisory —
-  // Spark re-evaluates every residual above the scan.
+  // One footer read serves two per-file decisions:
+  //  - the REQUESTED schema: a field an archived pre-rename file
+  //    stores under a historical name is requested under that name
+  //    (the output maps positionally, so the current-schema batch is
+  //    unchanged); fields under neither name null-fill as before
+  //  - row-group/page skipping: residual predicates translated against
+  //    this file's schema, restricted to columns present under their
+  //    CURRENT name (alias-resolved columns skip conservatively).
+  //    Advisory — Spark re-evaluates every residual above the scan.
   locally {
     val file = new Path(part.filePath)
     val fileSchema = {
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try r.getFooter.getFileMetaData.getSchema finally r.close()
     }
+    val requested = dataFields.map { f =>
+      if (fileSchema.containsField(f.name)) f
+      else aliases.getOrElse(f.name.toLowerCase(java.util.Locale.ROOT), Nil)
+        .find(fileSchema.containsField)
+        .map(old => f.copy(name = old)).getOrElse(f)
+    }
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+      StructType(requested).json)
     val present = dataFields.filter(f => fileSchema.containsField(f.name))
     UpsertDataSkipping.parquetPredicate(
       skipFilters.toSeq, fileSchema, StructType(present))

@@ -661,7 +661,11 @@ final class UpsertScan(path: String, tableSchema: StructType,
     new UpsertReaderFactory(required, partitionCol,
       UpsertTableSource.serializableConf(), skipFilters,
       columnarEnabled = SparkSession.active.conf
-        .get(UpsertTableSource.ColumnarConfKey, "true") == "true")
+        .get(UpsertTableSource.ColumnarConfKey, "true") == "true",
+      // column-rename lineage: archived (time-travel) files may store a
+      // required column under a historical name — readers resolve
+      // through this map (driver-side props read, shipped per task)
+      aliases = ColumnAliases.parse(GraftUpsertCatalog.tableProps(path)))
 
   /** `spark.readStream.format("graft-upsert")`: the table as an
     * incremental per-commit change stream ([[UpsertMicroBatchStream]]).
@@ -720,7 +724,10 @@ final class UpsertReaderFactory(required: StructType, partitionCol: Option[Strin
     skipFilters: Array[Filter] = Array.empty,
     // resolved DRIVER-side at factory construction (executors have no
     // session): columnar unless the session conf opts out
-    columnarEnabled: Boolean = true)
+    columnarEnabled: Boolean = true,
+    // current column name (lower-cased) → historical names, newest
+    // first ([[ColumnAliases]]) — empty unless the table ever renamed
+    aliases: Map[String, List[String]] = Map.empty)
   extends PartitionReaderFactory {
 
   // Spark requires a uniform answer across a scan's partitions (it
@@ -735,25 +742,28 @@ final class UpsertReaderFactory(required: StructType, partitionCol: Option[Strin
     partition match {
       case f: UpsertFilePartition =>
         new UpsertColumnarPartitionReader(f, required, partitionCol,
-          conf.value, skipFilters)
+          conf.value, skipFilters, aliases = aliases)
       case g: UpsertFilesPartition =>
         new UpsertMultiFileColumnarReader(g, required, partitionCol,
-          conf.value, skipFilters)
+          conf.value, skipFilters, aliases)
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case f: UpsertFilePartition =>
-        new UpsertPartitionReader(f, required, partitionCol, conf.value, skipFilters)
+        new UpsertPartitionReader(f, required, partitionCol, conf.value,
+          skipFilters, aliases)
       case g: UpsertFilesPartition =>
-        new UpsertMultiFileReader(g, required, partitionCol, conf.value, skipFilters)
+        new UpsertMultiFileReader(g, required, partitionCol, conf.value,
+          skipFilters, aliases)
     }
 }
 
 /** Sequential reader over one partition value's file set (SPJ mode). */
 final class UpsertMultiFileReader(part: UpsertFilesPartition,
     required: StructType, partitionCol: Option[String],
-    conf: Configuration, skipFilters: Array[Filter] = Array.empty)
+    conf: Configuration, skipFilters: Array[Filter] = Array.empty,
+    aliases: Map[String, List[String]] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   private val files = part.files.iterator
@@ -765,7 +775,7 @@ final class UpsertMultiFileReader(part: UpsertFilesPartition,
         if (!files.hasNext) return false
         current = new UpsertPartitionReader(
           UpsertFilePartition(files.next(), part.partValue), required, partitionCol,
-          conf, skipFilters)
+          conf, skipFilters, aliases)
       }
       if (current.next()) return true
       current.close()
@@ -791,8 +801,10 @@ final class UpsertPartitionReader(part: UpsertFilePartition,
     // setting (s3a credentials, endpoints) on real filesystems
     baseConf: Configuration = new Configuration(),
     // residual predicates for row-group skipping ([[UpsertDataSkipping]])
-    // — advisory: Spark re-evaluates them above the scan
-    skipFilters: Array[Filter] = Array.empty)
+    // — advisory: Spark re-evaluates them above the scan; plus the
+    // rename lineage for resolving current names against old files
+    skipFilters: Array[Filter] = Array.empty,
+    aliases: Map[String, List[String]] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration(baseConf)
@@ -808,14 +820,21 @@ final class UpsertPartitionReader(part: UpsertFilePartition,
   private val dataFields: Array[StructField] =
     required.fields.filter(f => !partitionCol.exists(_.equalsIgnoreCase(f.name)))
 
-  private val presentFields: Array[StructField] =
-    dataFields.filter(f => fileSchema.containsField(f.name))
+  // the name THIS file stores the field under: the current name, else
+  // (archived pre-rename files) the newest historical alias present
+  private def fileNameOf(f: StructField): Option[String] =
+    if (fileSchema.containsField(f.name)) Some(f.name)
+    else aliases.getOrElse(f.name.toLowerCase(java.util.Locale.ROOT), Nil)
+      .find(fileSchema.containsField)
+
+  private val presentFields: Array[(StructField, String)] =
+    dataFields.flatMap(f => fileNameOf(f).map(f -> _))
 
   private val reader: ParquetReader[Group] = {
     val projection: MessageType = {
       val b = Types.buildMessage()
-      presentFields.foreach(f =>
-        b.addField(fileSchema.getType(fileSchema.getFieldIndex(f.name))))
+      presentFields.foreach { case (_, fileName) =>
+        b.addField(fileSchema.getType(fileSchema.getFieldIndex(fileName))) }
       b.named(fileSchema.getName)
     }
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
@@ -825,11 +844,14 @@ final class UpsertPartitionReader(part: UpsertFilePartition,
     // translated only over columns present in THIS file's projection, so
     // evolved tables and filter-shape gaps degrade to a plain scan.
     // parquet-mr validates predicate columns against the read schema,
-    // hence the StructType(presentFields) restriction — a filter column
-    // outside the projection cannot occur (Spark includes every residual
-    // filter's references in the required schema) but must not throw.
+    // hence the restriction to fields present UNDER THEIR CURRENT NAME
+    // — a filter column outside the projection cannot occur (Spark
+    // includes every residual filter's references in the required
+    // schema) but must not throw; alias-resolved (renamed) columns
+    // skip predicates conservatively (Spark re-evaluates above).
     val withFilter = UpsertDataSkipping.parquetPredicate(
-      skipFilters.toSeq, projection, StructType(presentFields)) match {
+      skipFilters.toSeq, projection,
+      StructType(presentFields.collect { case (f, n) if n == f.name => f })) match {
       case Some(pred) => builder.withFilter(
         org.apache.parquet.filter2.compat.FilterCompat.get(pred))
       case None => builder
@@ -850,7 +872,7 @@ final class UpsertPartitionReader(part: UpsertFilePartition,
     current != null
   }
 
-  private val presentNames: Set[String] = presentFields.map(_.name).toSet
+  private val presentNames: Set[String] = presentFields.map(_._1.name).toSet
 
   override def get(): InternalRow = {
     val values = new Array[Any](required.length)

@@ -349,6 +349,46 @@ object Parity {
       .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
   }
 
+  /** COLUMN RENAME as schema evolution, end to end: seed an orders
+    * subset, `ALTER TABLE ... RENAME COLUMN o_totalprice TO price`
+    * (live files rewrite under the new name; the old name stays
+    * readable in archived history via the recorded alias), then merge
+    * a second wave addressed by the NEW name and aggregate over it.
+    * The oracle reproduces the post-rename state from raw orders with
+    * plain column aliases — a hash match proves the rename moved a
+    * NAME, never a value.
+    */
+  def sqlRenameEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rename").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq", "o_orderpriority")
+    val orders = Tables.table(spark, sfDir, "orders")
+    sink.upsert(orders.filter(col("o_orderkey") % 7 === 2)
+      .withColumn("seq", lit(0L)), 0)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN o_totalprice TO price")
+    sink.upsert(orders.filter(col("o_orderkey") % 21 === 2)
+      .withColumnRenamed("o_totalprice", "price")
+      .withColumn("price", col("price") + 100.0)
+      .withColumn("seq", lit(1L)), 1)
+    spark.read.format("graft-upsert").load(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("price")), 2).as("total"),
+        sum(col("seq")).as("remerged"))
+      .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
+  }
+
+  val sqlRenameEvolutionSql: String =
+    """SELECT o_orderstatus,
+      |       count(*) AS n,
+      |       round(sum(CASE WHEN o_orderkey % 21 = 2 THEN o_totalprice + 100.0
+      |                      ELSE o_totalprice END), 2) AS total,
+      |       CAST(sum(CASE WHEN o_orderkey % 21 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS remerged
+      |FROM orders
+      |WHERE o_orderkey % 7 = 2
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Exact TYPE WIDENING as metadata-only schema evolution, end to end:
     * batch 0 loads an orders subset with o_custkey born INT and
     * o_totalprice born FLOAT; batch 1 re-delivers every 97th key with
