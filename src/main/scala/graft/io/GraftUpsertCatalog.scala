@@ -257,6 +257,9 @@ final class GraftUpsertCatalog extends TableCatalog
         // locked pass (Delta's pre-column-mapping semantics); archived
         // history keeps the old name and readers resolve it through the
         // recorded alias (ColumnAliases)
+        require(UpsertTableSource.partitionColOf(path).isDefined,
+          s"graft-upsert: RENAME COLUMN requires the partitioned table " +
+            s"layout (the rewrite works partition by partition): $path")
         GraftProcedures.sinkFor(path).renameColumn(SparkSession.active, from, to)
       case set: TableChange.SetProperty =>
         updateProps(fs, root)(_.setProperty(set.property, set.value))

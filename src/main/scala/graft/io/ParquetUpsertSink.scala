@@ -1750,6 +1750,59 @@ final case class ParquetUpsertSink(
     partDirs.map(_.getName).toSeq
   }
 
+  /** `INSERT OVERWRITE` executor: replace every live partition
+    * satisfying `matches` — plus the batch's own partitions — with the
+    * batch's rows, in ONE archived commit. The live listing happens
+    * INSIDE the commit lock (a partition created concurrently must not
+    * survive a truncate), and the batch passes through the write-time
+    * CHECK expectations exactly like an upsert (quarantine/fail —
+    * constraint enforcement must not depend on which ingest statement
+    * ran). `enforceRowsMatch` fails the commit when batch rows fall
+    * outside the overwrite predicate (Delta's replaceWhere rule).
+    */
+  def overwriteWhere(spark: org.apache.spark.sql.SparkSession,
+      matches: String => Boolean, rows: DataFrame, batchId: Long = 0L,
+      enforceRowsMatch: Boolean = false): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (clean, done) = screen(rows, batchId)
+    try withCommitLock(fs) {
+      requireNoLiveDeltas(fs, "the overwrite")
+      persistWriteConfig(fs)
+      val rowParts: Seq[String] = clean
+        .withColumn(partitionCol, col(partitionCol).cast("string"))
+        .select(col(partitionCol)).distinct().collect().map(_.getString(0)).toSeq
+      if (enforceRowsMatch) {
+        val bad = rowParts.filterNot(matches)
+        require(bad.isEmpty,
+          s"graft-upsert: INSERT OVERWRITE batch contains partitions outside " +
+            s"the overwrite predicates: ${bad.mkString(", ")}")
+      }
+      val live: Seq[String] = livePartDirs(fs, new Path(path))
+        .map(p => UpsertTableSource.dirValue(
+          p.getName.stripPrefix(s"$partitionCol=")))
+        .filter(matches)
+      replaceGroupsLocked(spark, fs, (live ++ rowParts).distinct, clean, batchId)
+    } finally done()
+  }
+
+  /** Dynamic `INSERT OVERWRITE`: replace exactly the partitions present
+    * in the (expectation-screened) batch. No table listing needed — the
+    * replaced set derives from the batch alone.
+    */
+  def overwriteDynamic(spark: org.apache.spark.sql.SparkSession,
+      rows: DataFrame, batchId: Long = 0L): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (clean, done) = screen(rows, batchId)
+    try withCommitLock(fs) {
+      requireNoLiveDeltas(fs, "the overwrite")
+      persistWriteConfig(fs)
+      val rowParts: Seq[String] = clean
+        .withColumn(partitionCol, col(partitionCol).cast("string"))
+        .select(col(partitionCol)).distinct().collect().map(_.getString(0)).toSeq
+      replaceGroupsLocked(spark, fs, rowParts, clean, batchId)
+    } finally done()
+  }
+
   /** `ALTER TABLE ... RENAME COLUMN` executor: rewrite every live
     * partition with the column under its new name, persist the renamed
     * schema, and record the old→new pair in `_table.properties`
@@ -1770,15 +1823,34 @@ final case class ParquetUpsertSink(
       requireNoLiveDeltas(fs, "a column rename")
       // the persisted schema keeps its FIELD ORDER through the rename
       // (positional writes — INSERT INTO ... VALUES — resolve against
-      // it); a partitioned read would report the partition column last
+      // it); a partitioned read would report the partition column last.
+      // The alias records the field's ACTUAL schema case, not the
+      // user-typed spelling — readers resolve aliases against parquet
+      // footers case-SENSITIVELY.
+      val old = persistedSchema(fs).getOrElse(throw new IllegalStateException(
+        s"graft-upsert: cannot rename a column of $path — no _schema.json"))
+      val field = old.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-upsert: no column '$from' in the table schema"))
       val schemaNow = org.apache.spark.sql.types.StructType(
-        persistedSchema(fs).getOrElse(throw new IllegalStateException(
-          s"graft-upsert: cannot rename a column of $path — no _schema.json"))
-          .map(f => if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
+        old.map(f => if (f eq field) f.copy(name = to) else f))
+      // CRASH-SAFE ORDER: alias, then schema, then rewrite. Every
+      // interruption point reads correctly — alias alone is inert
+      // (the current name still resolves directly); alias+new-schema
+      // serves the still-old live files through the alias; the rewrite
+      // is the final optimization that retires the alias for live data.
+      updateTableProps(fs) { props =>
+        val cur = props.stringPropertyNames().toArray(Array.empty[String])
+          .map(k => k -> props.getProperty(k)).toMap
+        props.setProperty(ColumnAliases.RenamesProp,
+          ColumnAliases.appendRename(cur, field.name, to))
+      }
+      persistSchema(fs, schemaNow)
       val partDirs = livePartDirs(fs, new Path(path))
       if (partDirs.nonEmpty) {
-        val mat = readStringPartitioned(spark, partDirs)
-          .withColumnRenamed(from, to).localCheckpoint(true)
+        // readStringPartitioned alias-normalizes: old-name files come
+        // back under the NEW name already
+        val mat = readStringPartitioned(spark, partDirs).localCheckpoint(true)
         try {
           verifyLockOwnership(fs)
           mat.repartition(col(partitionCol))
@@ -1790,13 +1862,6 @@ final case class ParquetUpsertSink(
             .partitionBy(partitionCol)
             .parquet(path)
         } finally Checkpoints.release(mat)
-      }
-      persistSchema(fs, schemaNow)
-      updateTableProps(fs) { props =>
-        val cur = props.stringPropertyNames().toArray(Array.empty[String])
-          .map(k => k -> props.getProperty(k)).toMap
-        props.setProperty(ColumnAliases.RenamesProp,
-          ColumnAliases.appendRename(cur, from, to))
       }
       partDirs.map(_.getName)
     }

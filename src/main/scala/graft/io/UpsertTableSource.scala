@@ -942,9 +942,15 @@ object UpsertTableSource {
     if (target <= 0) parts
     else parts.flatMap {
       case p: UpsertFilePartition if p.length > target =>
-        val n = ((p.length + target - 1) / target).toInt
-        (0 until n).map { i =>
-          val off = i.toLong * target
+        // Long arithmetic end to end: a pathologically small target
+        // against a big file must fail loudly, never wrap negative and
+        // silently drop the file from the scan
+        val n = (p.length + target - 1) / target
+        require(n <= Int.MaxValue,
+          s"graft-upsert: split target ${target}B yields $n slices of " +
+            s"${p.filePath} (${p.length}B) — raise $SplitTargetConfKey")
+        (0L until n).map { i =>
+          val off = i * target
           p.copy(start = off, length = math.min(target, p.length - off))
         }
       case other => Seq(other)

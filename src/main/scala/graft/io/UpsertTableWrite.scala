@@ -65,15 +65,26 @@ final class UpsertWriteBuilder(path: String, info: LogicalWriteInfo)
       filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
     val pc = GraftUpsertCatalog.tableProps(path).get("partitionCol")
       .orElse(UpsertTableSource.partitionColOf(path))
+    // accept ONLY the shapes matchesPartition evaluates EXACTLY: its
+    // unknown-shape fallback is keep=true (correct for scans, where
+    // keeping reads more), but overwrite DELETES what matches — an
+    // Or/Not/range predicate falling through to "true" would replace
+    // every live partition (silent data loss)
+    import org.apache.spark.sql.sources._
+    def onPartition(a: String) = pc.exists(a.equalsIgnoreCase)
     val supported = filters.forall {
-      case org.apache.spark.sql.sources.AlwaysTrue() => true
-      case f => pc.exists(c => f.references.length == 1 &&
-        f.references.head.equalsIgnoreCase(c))
+      case AlwaysTrue() => true
+      case EqualTo(a, _) => onPartition(a)
+      case EqualNullSafe(a, _) => onPartition(a)
+      case In(a, _) => onPartition(a)
+      case IsNull(a) => onPartition(a)
+      case IsNotNull(a) => onPartition(a)
+      case _ => false
     }
     if (!supported) throw new UnsupportedOperationException(
-      s"graft-upsert: INSERT OVERWRITE supports partition-column predicates " +
-        s"only (got: ${filters.mkString(", ")}); use UPDATE/MERGE for " +
-        "row-level rewrites")
+      s"graft-upsert: INSERT OVERWRITE supports partition-column equality/IN/" +
+        s"null predicates only (got: ${filters.mkString(", ")}); use " +
+        "UPDATE/MERGE for row-level rewrites")
     overwriteFilters = Some(filters)
     this
   }
@@ -160,33 +171,14 @@ final class UpsertOverwriteBatchWrite(path: String, schema: StructType,
     val df = UpsertTableWrite.readStaged(schema, messages).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-    val pc = sink.partitionCol
-    val batchParts: Seq[String] = df.select(col(pc).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val replaced: Seq[String] =
-      if (dynamic) batchParts
-      else {
-        // static mode: every live partition value matching the
-        // predicates is replaced (gone unless the batch refills it)
-        if (!dynamic && filters.nonEmpty) {
-          val bad = batchParts.filterNot(v =>
-            UpsertTableSource.matchesPartition(filters.iterator, v))
-          require(bad.isEmpty,
-            s"graft-upsert: INSERT OVERWRITE batch contains partitions outside " +
-              s"the overwrite predicates: ${bad.mkString(", ")}")
-        }
-        val fs = new Path(path).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val live: Seq[String] =
-          if (!fs.exists(new Path(path))) Seq.empty
-          else fs.listStatus(new Path(path)).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith(s"$pc="))
-            .map(n => UpsertTableSource.dirValue(n.drop(pc.length + 1)))
-            .filter(v => UpsertTableSource.matchesPartition(filters.iterator, v))
-        (live ++ batchParts).distinct
-      }
-    sink.replaceGroups(spark, replaced, df,
-      batchId = UpsertTableWrite.nextBatchId())
+    val batchId = UpsertTableWrite.nextBatchId()
+    // the sink's overwrite entries screen expectations and list live
+    // partitions INSIDE the commit lock — see overwriteWhere
+    if (dynamic) sink.overwriteDynamic(spark, df, batchId)
+    else sink.overwriteWhere(spark,
+      v => UpsertTableSource.matchesPartition(filters.iterator, v), df,
+      batchId, enforceRowsMatch = filters.nonEmpty &&
+        !filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
     UpsertTableWrite.drop(stagingDir)
   }
 
@@ -241,18 +233,7 @@ final class UpsertStreamingWrite(path: String, schema: StructType,
       val df = UpsertTableWrite.readStaged(schema, messages).getOrElse(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-      val pc = sink.partitionCol
-      val batchParts = df.select(
-          org.apache.spark.sql.functions.col(pc).cast("string"))
-        .distinct().collect().map(_.getString(0)).toSeq
-      val fs = new Path(path).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      val live: Seq[String] =
-        if (!fs.exists(new Path(path))) Seq.empty
-        else fs.listStatus(new Path(path)).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith(s"$pc="))
-          .map(n => UpsertTableSource.dirValue(n.drop(pc.length + 1)))
-      sink.replaceGroups(spark, (live ++ batchParts).distinct, df, batchId = epochId)
+      sink.overwriteWhere(spark, _ => true, df, batchId = epochId)
     } else UpsertTableWrite.mergeStaged(schema, sink, messages, batchId = epochId)
     UpsertTableWrite.drop(s"$stagingBase/e$epochId")
   }
