@@ -61,7 +61,13 @@ object UpsertDataSkipping {
 
   /** Everything the file-level pruner knows about one file. `absent`
     * columns (not in the file schema) are all-null by construction.
-    * `rowCount` (sum of row-group row counts) feeds the scan's
+    * `present` is ALIAS-RESOLVED: a column an archived pre-rename file
+    * stores under a historical name counts as present under its
+    * CURRENT name (with the historical chunk's statistics — a rename
+    * is value-preserving), so time-travel reads across a rename prune
+    * exactly like current reads instead of wrongly treating the
+    * renamed column as all-null. `rowCount` (sum of row-group row
+    * counts) feeds the scan's
     * [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]
     * estimate; None = the footer was unreadable.
     */
@@ -218,7 +224,17 @@ object UpsertDataSkipping {
   // 100 TB a driver plans millions of files over a session; the cache
   // trades one footer read per file VERSION for O(1) re-planning, and
   // the bound keeps the driver heap flat.
-  private final case class CacheKey(path: String, mtime: Long, len: Long)
+  // aliasKey: the canonical rename-lineage string — a NEW rename must
+  // not serve a pre-rename cache entry whose `present` set could not
+  // resolve it (archived files keep their mtime across renames)
+  private final case class CacheKey(path: String, mtime: Long, len: Long,
+      aliasKey: String)
+
+  /** Canonical cache-key form of a rename-lineage map. */
+  private def aliasKeyOf(aliases: Map[String, List[String]]): String =
+    if (aliases.isEmpty) ""
+    else aliases.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k>${v.mkString(",")}" }.mkString(";")
   private val MaxCacheEntries = 65536
   private val statsCache =
     java.util.Collections.synchronizedMap(
@@ -233,16 +249,18 @@ object UpsertDataSkipping {
     * prunes) rather than failing the plan.
     */
   def fileStats(fs: FileSystem, file: Path,
-      schema: StructType, conf: Configuration): FileStats = {
+      schema: StructType, conf: Configuration,
+      aliases: Map[String, List[String]] = Map.empty): FileStats = {
     val st =
       try fs.getFileStatus(file)
       catch { case _: java.io.IOException =>
         return FileStats(Map.empty, schema.fieldNames.toSet) }
-    val key = CacheKey(file.toString, st.getModificationTime, st.getLen)
+    val key = CacheKey(file.toString, st.getModificationTime, st.getLen,
+      aliasKeyOf(aliases))
     val cached = statsCache.get(key)
     if (cached != null) return cached
     val computed =
-      try readFooterStats(file, schema, conf)
+      try readFooterStats(file, schema, conf, aliases)
       catch { case _: Exception =>
         FileStats(Map.empty, schema.fieldNames.toSet) }
     statsCache.put(key, computed)
@@ -273,13 +291,14 @@ object UpsertDataSkipping {
       })
 
   def fileStatsAll(fs: FileSystem, files: Seq[Path],
-      schema: StructType, conf: Configuration): Map[String, FileStats] = {
+      schema: StructType, conf: Configuration,
+      aliases: Map[String, List[String]] = Map.empty): Map[String, FileStats] = {
     if (files.isEmpty) return Map.empty
     if (files.lengthCompare(2) < 0)
-      return files.map(f => f.toString -> fileStats(fs, f, schema, conf)).toMap
+      return files.map(f => f.toString -> fileStats(fs, f, schema, conf, aliases)).toMap
     val futures = files.map { f =>
       f.toString -> statsPool.submit(new java.util.concurrent.Callable[FileStats] {
-        override def call(): FileStats = fileStats(fs, f, schema, conf)
+        override def call(): FileStats = fileStats(fs, f, schema, conf, aliases)
       })
     }
     futures.map { case (p, fut) => p -> fut.get() }.toMap
@@ -305,13 +324,27 @@ object UpsertDataSkipping {
     futures.map { case (p, fut) => p -> fut.get() }.toMap
   }
 
-  private def readFooterStats(file: Path,
-      schema: StructType, conf: Configuration): FileStats = {
+  private def readFooterStats(file: Path, schema: StructType,
+      conf: Configuration,
+      aliases: Map[String, List[String]] = Map.empty): FileStats = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val fileSchema = reader.getFooter.getFileMetaData.getSchema
-      val present = (0 until fileSchema.getFieldCount)
+      val rawPresent = (0 until fileSchema.getFieldCount)
         .map(i => fileSchema.getFieldName(i)).toSet
+      // rename lineage: a current column an old file stores under a
+      // historical name resolves to that chunk (newest alias first,
+      // like the readers) — its statistics are exact for the current
+      // name, and `present` gains the CURRENT name so value predicates
+      // never treat the column as all-null
+      def resolve(c: String): Option[String] =
+        rawPresent.find(_.equalsIgnoreCase(c)).orElse(
+          aliases.getOrElse(c, Nil).iterator
+            .flatMap(h => rawPresent.find(_.equalsIgnoreCase(h)))
+            .nextOption())
+      val presentResolved = rawPresent ++
+        schema.fieldNames.filter(n =>
+          resolve(n.toLowerCase(java.util.Locale.ROOT)).isDefined)
       val blocks = reader.getFooter.getBlocks
       var totalRows = 0L
       locally {
@@ -320,7 +353,7 @@ object UpsertDataSkipping {
       }
       val out = Map.newBuilder[String, ColStats]
       schema.fields.map(_.name.toLowerCase(java.util.Locale.ROOT)).foreach { c =>
-        val name = present.find(_.equalsIgnoreCase(c))
+        val name = resolve(c)
         val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
         (name, dt) match {
           case (Some(n), Some(d)) =>
