@@ -309,16 +309,17 @@ object UpsertDataSkipping {
     * seeks and must not serialize on the driver either).
     */
   def fileMightMatchBloomsAll(fs: FileSystem, files: Seq[Path], conf: Configuration,
-      targets: Seq[(String, Seq[Any])], schema: StructType): Map[String, Boolean] = {
+      targets: Seq[(String, Seq[Any])], schema: StructType,
+      aliases: Map[String, List[String]] = Map.empty): Map[String, Boolean] = {
     if (files.isEmpty || targets.isEmpty)
       return files.map(_.toString -> true).toMap
     if (files.lengthCompare(2) < 0)
       return files.map(f =>
-        f.toString -> fileMightMatchBlooms(fs, f, conf, targets, schema)).toMap
+        f.toString -> fileMightMatchBlooms(fs, f, conf, targets, schema, aliases)).toMap
     val futures = files.map { f =>
       f.toString -> statsPool.submit(new java.util.concurrent.Callable[Boolean] {
         override def call(): Boolean =
-          fileMightMatchBlooms(fs, f, conf, targets, schema)
+          fileMightMatchBlooms(fs, f, conf, targets, schema, aliases)
       })
     }
     futures.map { case (p, fut) => p -> fut.get() }.toMap
@@ -411,7 +412,7 @@ object UpsertDataSkipping {
           case _ => // column absent from the file: recorded via `present`
         }
       }
-      FileStats(out.result(), present, Some(totalRows))
+      FileStats(out.result(), presentResolved, Some(totalRows))
     } finally reader.close()
   }
 
@@ -444,8 +445,11 @@ object UpsertDataSkipping {
       blooms: Seq[org.apache.parquet.column.values.bloomfilter.BloomFilter],
       prim: org.apache.parquet.schema.PrimitiveType)
 
+  // aliasKey mirrors CacheKey's: a rename changes which physical chunk
+  // a current-name probe resolves to in archived files, so entries
+  // cached under the old lineage must not serve the new one
   private final case class BloomKey(path: String, mtime: Long, len: Long,
-      col: String)
+      col: String, aliasKey: String)
 
   // byte-budget LRU: one planning pass over a point lookup probes EVERY
   // file of the matched partitions (min/max cannot prune
@@ -483,20 +487,22 @@ object UpsertDataSkipping {
     * instead of a sidecar.
     */
   def fileMightMatchBlooms(fs: FileSystem, file: Path, conf: Configuration,
-      targets: Seq[(String, Seq[Any])], schema: StructType): Boolean = {
+      targets: Seq[(String, Seq[Any])], schema: StructType,
+      aliases: Map[String, List[String]] = Map.empty): Boolean = {
     if (targets.isEmpty) return true
     val st =
       try fs.getFileStatus(file)
       catch { case _: java.io.IOException => return true }
     def key(c: String) = BloomKey(file.toString, st.getModificationTime,
-      st.getLen, c.toLowerCase(java.util.Locale.ROOT))
+      st.getLen, c.toLowerCase(java.util.Locale.ROOT), aliasKeyOf(aliases))
     // resolve against the LOADED values, not a cache re-get: an entry
     // evicted between load and probe must not silently weaken the prune
     val cols = targets.map(_._1).distinct
     val cached = cols.flatMap(c => bloomCacheGet(key(c)).map(c -> _)).toMap
     val missing = cols.filterNot(cached.contains)
     val resolved = cached ++
-      (if (missing.isEmpty) Map.empty else loadBlooms(file, conf, missing, key))
+      (if (missing.isEmpty) Map.empty
+       else loadBlooms(file, conf, missing, key, aliases))
     targets.forall { case (c, values) =>
       resolved.get(c).flatten match {
         case None => true // unusable: never prune on it
@@ -517,7 +523,8 @@ object UpsertDataSkipping {
     * value).
     */
   private def loadBlooms(file: Path, conf: Configuration, cols: Seq[String],
-      key: String => BloomKey): Map[String, Option[ColBlooms]] = {
+      key: String => BloomKey,
+      aliases: Map[String, List[String]] = Map.empty): Map[String, Option[ColBlooms]] = {
     try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
@@ -526,17 +533,25 @@ object UpsertDataSkipping {
           var prim: org.apache.parquet.schema.PrimitiveType = null
           var ok = true
           val acc = Seq.newBuilder[org.apache.parquet.column.values.bloomfilter.BloomFilter]
+          // rename lineage, like readFooterStats: a pre-rename archived
+          // file stores the column under a historical name — probe the
+          // current name first, then aliases newest-first
+          val names = c :: aliases.getOrElse(c.toLowerCase(java.util.Locale.ROOT), Nil)
           val it = blocks.iterator()
           while (ok && it.hasNext) {
             val block = it.next()
             val chunks = block.getColumns
             var chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
-            var i = 0
-            while (i < chunks.size() && chunk == null) {
-              val cc = chunks.get(i)
-              if (cc.getPath.size() == 1 &&
-                cc.getPath.toDotString.equalsIgnoreCase(c)) chunk = cc
-              i += 1
+            val ni = names.iterator
+            while (ni.hasNext && chunk == null) {
+              val n = ni.next()
+              var i = 0
+              while (i < chunks.size() && chunk == null) {
+                val cc = chunks.get(i)
+                if (cc.getPath.size() == 1 &&
+                  cc.getPath.toDotString.equalsIgnoreCase(n)) chunk = cc
+                i += 1
+              }
             }
             val bf = if (chunk == null) null
               else reader.getBloomFilterDataReader(block).readBloomFilter(chunk)

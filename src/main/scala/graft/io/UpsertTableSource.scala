@@ -325,6 +325,14 @@ final class UpsertScan(path: String, tableSchema: StructType,
   // pushed filters, arriving after planning instead of before
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
 
+  // column-rename lineage (current name → historical names, newest
+  // first), memoized per scan: planning-time file pruning (footer
+  // stats + blooms) and the task readers must resolve through the
+  // SAME map, or time travel across a rename prunes files whose rows
+  // live under the old name
+  private lazy val columnAliases: Map[String, List[String]] =
+    ColumnAliases.parse(GraftUpsertCatalog.tableProps(path))
+
   // the partition values this scan actually planned (post static AND
   // runtime pruning) — the "scanned groups" a row-level operation's
   // commit must replace ([[UpsertReplaceGroupsWrite]])
@@ -476,7 +484,8 @@ final class UpsertScan(path: String, tableSchema: StructType,
         val rows =
           if (candidates.length > UpsertTableSource.MaxStatFooterFiles) None
           else {
-            val st = UpsertDataSkipping.fileStatsAll(fs, candidates, tableSchema, fs.getConf)
+            val st = UpsertDataSkipping.fileStatsAll(fs, candidates, tableSchema,
+              fs.getConf, columnAliases)
             val counts = candidates.map(f => st.get(f.toString).flatMap(_.rowCount))
             if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
           }
@@ -516,7 +525,7 @@ final class UpsertScan(path: String, tableSchema: StructType,
       // cold-table planning must not serialize one footer RPC per file
       val stats = UpsertDataSkipping.fileStatsAll(fs,
         files.collect { case p: UpsertFilePartition => new Path(p.filePath) }.toSeq,
-        tableSchema, fs.getConf)
+        tableSchema, fs.getConf, columnAliases)
       val statsSurvivors = files.filter {
         case p: UpsertFilePartition =>
           stats.get(p.filePath).forall(
@@ -532,7 +541,7 @@ final class UpsertScan(path: String, tableSchema: StructType,
         val verdicts = UpsertDataSkipping.fileMightMatchBloomsAll(fs,
           statsSurvivors.collect {
             case p: UpsertFilePartition => new Path(p.filePath) }.toSeq,
-          fs.getConf, bloomTargets, tableSchema)
+          fs.getConf, bloomTargets, tableSchema, columnAliases)
         val survivors = statsSurvivors.filter {
           case p: UpsertFilePartition => verdicts.getOrElse(p.filePath, true)
           case _ => true
@@ -665,7 +674,7 @@ final class UpsertScan(path: String, tableSchema: StructType,
       // column-rename lineage: archived (time-travel) files may store a
       // required column under a historical name — readers resolve
       // through this map (driver-side props read, shipped per task)
-      aliases = ColumnAliases.parse(GraftUpsertCatalog.tableProps(path)))
+      aliases = columnAliases)
 
   /** `spark.readStream.format("graft-upsert")`: the table as an
     * incremental per-commit change stream ([[UpsertMicroBatchStream]]).

@@ -85,6 +85,59 @@ class SchemaRenameSpec extends SparkSpec {
     finally spark.conf.unset(graft.io.UpsertTableSource.ColumnarConfKey)
   }
 
+  test("time travel + pushed value predicate on a renamed column keeps pre-rename files") {
+    val dir = tmp("renskip")
+    val t = create(dir)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'eng', 10.0), (2, 1, 'ops', 20.0)")
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $t VALUES (3, 1, 'hr', 30.0)")
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN amount TO price")
+
+    // the predicate names `price`; the archived pre-rename files store
+    // `amount`. Without alias-resolved footer stats the planner treats
+    // `price` as absent (all-null) in those files and WRONGLY prunes
+    // them — a silent empty result. The alias map must flow into the
+    // planning-time pruner, not just the task readers.
+    val got = spark.sql(
+      s"SELECT id, price FROM $t VERSION AS OF '${commits(0)}' WHERE price > 15.0")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 20.0)))
+    // and the alias-resolved stats still PRUNE soundly: nothing matches
+    assert(spark.sql(
+      s"SELECT id FROM $t VERSION AS OF '${commits(0)}' WHERE price > 100.0")
+      .count() == 0)
+  }
+
+  test("bloom point lookup across a rename resolves the historical chunk") {
+    val dir = tmp("renbloom")
+    val t = s"graft.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, seq BIGINT, dept STRING, amount DOUBLE)
+         |PARTITIONED BY (dept)
+         |TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq',
+         |               'keepVersions'='5', 'bloomColumns'='amount')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'eng', 10.0), (2, 1, 'eng', 20.0)")
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $t VALUES (3, 1, 'eng', 30.0)")
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN amount TO price")
+
+    def asOf(pred: org.apache.spark.sql.Column) =
+      spark.read.format("graft-upsert").option("asOf", commits(0)).load(dir)
+        .where(pred)
+    // present value: the bloom probe must find the HISTORICAL `amount`
+    // chunk through the alias — a missed chunk would be conservative
+    // (kept) here, but the row itself must flow either way
+    assert(asOf(col("price") === 10.0).select("id")
+      .as[Long].collect().toSeq == Seq(1L))
+    // absent value INSIDE the [10, 20] min/max span: only the bloom can
+    // prove absence, and only through the alias-resolved chunk — zero
+    // files planned shows the rename did not silently disable blooms
+    assert(asOf(col("price") === 15.0).rdd.getNumPartitions == 0)
+  }
+
   test("change feed across a rename normalizes archived old-name dirs") {
     val dir = tmp("rencf")
     val t = create(dir)
