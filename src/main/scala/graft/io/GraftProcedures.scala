@@ -56,7 +56,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "optimize_zorder", "optimize_sort", "expire_commits",
-      "sweep_staging", "history", "detail", "files", "partitions")
+      "sweep_staging", "history", "detail", "files", "partitions", "restore")
 
   def load(name: String): UnboundProcedure = name match {
     case "compact" => proc("compact",
@@ -234,6 +234,17 @@ object GraftProcedures {
             str(UpsertTableSource.dirValue(dir.stripPrefix(s"$pc="))),
             fsOfP.length, fsOfP.map(_.getLen).sum, rows))
         }
+    }
+    case "restore" => proc("restore",
+      Seq("table" -> StringType, "version" -> StringType),
+      StructType(Seq(StructField("restored_partition", StringType))),
+      "restore the table to its state as of an archived commit, as a NEW " +
+        "commit (Delta RESTORE analog — history preserved, cost " +
+        "proportional to the partitions changed since)") { in =>
+      val path = in.getUTF8String(0).toString
+      sinkFor(path).restoreTo(spark, in.getUTF8String(1).toString)
+        .map(p => new GenericInternalRow(
+          Array[Any](str(UpsertTableSource.dirValue(p)))))
     }
     case other => throw new IllegalArgumentException(
       s"graft.system: unknown procedure '$other' (have: ${names.mkString(", ")})")

@@ -1559,6 +1559,79 @@ final case class ParquetUpsertSink(
     markCommitComplete(fs, commit)
   }
 
+  /** RESTORE the table to its state as of archive commit `asOf` (the
+    * Delta `RESTORE TABLE ... VERSION AS OF` / Hudi rollback analog),
+    * applied as a NEW commit: the pre-restore head stays in the
+    * timeline, so the restore itself is time-travelable, auditable in
+    * the change feed, and reversible (restore forward again). Pass ""
+    * to restore the state before the oldest retained commit.
+    *
+    * Change-set-proportional, the property that matters at 100 TB:
+    * only partitions touched by a commit newer than `asOf` are
+    * rewritten (their as-of content re-read from the pre-image
+    * archive); partitions the intervening commits never touched are
+    * not listed, read, or copied. Partitions CREATED after `asOf`
+    * restore to absence (their directories delete). Schema stays
+    * CURRENT (Delta semantics): archived rows flow through the same
+    * alias/widening normalization as every as-of read, so a restore
+    * across a rename/widening lands under today's names and types.
+    *
+    * Returns the restored partition values (dir-name-escaped), empty
+    * when the table already stands at `asOf`. Same retention contract
+    * as [[readAsOf]]: `asOf` must still be retained (fail-fast), and
+    * MOR tables must compact first (live deltas are not part of any
+    * archived state).
+    */
+  def restoreTo(spark: org.apache.spark.sql.SparkSession,
+      asOf: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withCommitLock(fs) {
+      requireNoLiveDeltas(fs, "restore")
+      restoreToLocked(spark, fs, asOf)
+    }
+  }
+
+  private def restoreToLocked(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, asOf: String): Seq[String] = {
+    val retained = ParquetUpsertSink.listArchivedCommits(spark, path)
+    // the same pruned-commit fail-fast as asOfPartitionDirs, checked
+    // BEFORE any mutation (a half-restore to a collapsed state would
+    // be the silent-wrong-answer this gate exists to prevent)
+    require(asOf == "" || retained.contains(asOf),
+      s"restore: commit '$asOf' is not retained (keepVersions window); " +
+        (if (retained.isEmpty) "no archived commits exist"
+         else s"oldest retained commit is '${retained.head}'"))
+    // the invalidation set: exactly the partitions some newer commit
+    // touched — everything else is already in its as-of state
+    val touched = retained.filter(_ > asOf)
+      .flatMap(c => touchedPartitions(fs, new Path(archiveRoot, c)))
+      .distinct
+    if (touched.isEmpty) return Seq.empty
+    val touchedSet = touched.toSet
+    // as-of content of ONLY the touched partitions (archived pre-image
+    // dirs by construction — a live dir is authoritative only for
+    // partitions no newer commit touched, and those aren't in the set)
+    val asOfDirs = asOfPartitionDirs(spark, asOf)
+      .filter { case (escaped, _) => touchedSet.contains(escaped) }
+    val root = new Path(path)
+    val rows: DataFrame =
+      if (asOfDirs.isEmpty) emptyTable(spark, fs)
+      else {
+        val groups = asOfDirs.map(_._2).groupBy(_.getParent).toSeq
+          .map { case (base, ds) =>
+            if (base == root) readStringPartitioned(spark, ds)
+            else readStringPartitioned(spark, ds, base.toString) }
+        SchemaWidening.alignForMerge(groups, "restore read")
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      }
+    // one replace commit: pre-images archive first (the pre-restore
+    // head), touched partitions overwrite with their as-of content,
+    // created-after-asOf partitions delete (no rows for them)
+    replaceGroupsLocked(spark, fs,
+      touched.map(UpsertTableSource.dirValue), rows, batchId = 0L)
+    touched
+  }
+
   // ——— retention (Hudi cleaner analog) ———
 
   private def archiveRoot = new Path(s"$path/${ParquetUpsertSink.ArchiveDirName}")

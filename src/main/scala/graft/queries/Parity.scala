@@ -389,6 +389,52 @@ object Parity {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** RESTORE TABLE ... VERSION AS OF, end to end through the CALL
+    * surface: load an orders subset (commit 0), apply a good update
+    * wave (commit 1, every 97th key's total +1000), then a BAD wave
+    * (commit 2, every 50th key's total +5000), and
+    * `CALL graft.system.restore` back to commit 1. The restore rewrites
+    * ONLY the partitions commit 2 touched (change-set-proportional —
+    * the 100 TB property) as a NEW commit, so history keeps the bad
+    * head. The read-back aggregate must match an oracle that replays
+    * commits 0–1 and never saw the bad wave — a hash match proves the
+    * restore erased exactly commit 2's effect, nothing more or less.
+    */
+  def sqlRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_restore").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq",
+      "o_orderpriority", keepVersions = 5)
+    val orders = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 3 === 1)
+    sink.upsert(orders.withColumn("seq", lit(0L)), 0)
+    sink.upsert(orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .withColumn("seq", lit(1L)), 1)
+    sink.upsert(orders.filter(col("o_orderkey") % 50 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5000)
+      .withColumn("seq", lit(2L)), 2)
+    val commits = graft.io.ParquetUpsertSink.listArchivedCommits(spark, dir)
+    spark.sql(s"CALL graft.system.restore('$dir', '${commits(1)}')").collect()
+    spark.read.format("graft-upsert").load(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        sum(col("seq")).as("restored_seq"))
+      .transform(graft.Present.sortSmall(_, col("o_orderstatus")))
+  }
+
+  val sqlRestoreSql: String =
+    """SELECT o_orderstatus,
+      |       count(*) AS n,
+      |       round(sum(CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000
+      |                      ELSE o_totalprice END), 2) AS total,
+      |       CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS restored_seq
+      |FROM orders
+      |WHERE o_orderkey % 3 = 1
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Exact TYPE WIDENING as metadata-only schema evolution, end to end:
     * batch 0 loads an orders subset with o_custkey born INT and
     * o_totalprice born FLOAT; batch 1 re-delivers every 97th key with
