@@ -125,16 +125,20 @@ object GraftProcedures {
       Seq("table" -> StringType),
       StructType(Seq(
         StructField("commit", StringType),
+        StructField("operation", StringType),
         StructField("touched_partitions", IntegerType),
         StructField("completed", BooleanType))),
-      "retained commits, oldest first (DESCRIBE HISTORY analog)") { in =>
+      "retained commits, oldest first, with the mutation kind that made " +
+        "each (DESCRIBE HISTORY analog)") { in =>
       val path = in.getUTF8String(0).toString
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val completed = ParquetUpsertSink.listCompletedCommits(spark, path).toSet
       ParquetUpsertSink.listArchivedCommits(spark, path).map { c =>
+        val commitDir =
+          s"$path/${ParquetUpsertSink.ArchiveDirName}/$c"
         val mf = new org.apache.hadoop.fs.Path(
-          s"$path/${ParquetUpsertSink.ArchiveDirName}/$c/${ParquetUpsertSink.TouchedManifest}")
+          s"$commitDir/${ParquetUpsertSink.TouchedManifest}")
         val touched =
           if (!fs.exists(mf)) -1
           else {
@@ -143,7 +147,17 @@ object GraftProcedures {
               .count(_.nonEmpty)
             finally inS.close()
           }
-        new GenericInternalRow(Array[Any](str(c), touched, completed.contains(c)))
+        val opPath = new org.apache.hadoop.fs.Path(
+          s"$commitDir/${ParquetUpsertSink.OperationMarker}")
+        val op: AnyRef = // null on pre-marker commits, never a guess
+          if (!fs.exists(opPath)) null
+          else {
+            val inS = fs.open(opPath)
+            try str(scala.io.Source.fromInputStream(inS, "UTF-8").mkString.trim)
+            finally inS.close()
+          }
+        new GenericInternalRow(Array[Any](str(c), op, touched,
+          completed.contains(c)))
       }
     }
     case "detail" => proc("detail",
@@ -238,11 +252,24 @@ object GraftProcedures {
     case "restore" => proc("restore",
       Seq("table" -> StringType, "version" -> StringType),
       StructType(Seq(StructField("restored_partition", StringType))),
-      "restore the table to its state as of an archived commit, as a NEW " +
-        "commit (Delta RESTORE analog — history preserved, cost " +
-        "proportional to the partitions changed since)") { in =>
+      "restore the table to its state as of an archived commit — or a " +
+        "timestamp (epoch millis / ISO-8601), resolved like TIMESTAMP AS " +
+        "OF — as a NEW commit (Delta RESTORE analog: history preserved, " +
+        "cost proportional to the partitions changed since)") { in =>
       val path = in.getUTF8String(0).toString
-      sinkFor(path).restoreTo(spark, in.getUTF8String(1).toString)
+      val version = in.getUTF8String(1).toString
+      // a retained commit id restores directly; anything else that
+      // parses as a timestamp resolves to the newest commit at-or-
+      // before it (restore(ts) ≡ restore to what TIMESTAMP AS OF ts
+      // reads); garbage falls through to restoreTo's fail-fast
+      val retained = ParquetUpsertSink.listArchivedCommits(spark, path)
+      val target =
+        if (version == "" || retained.contains(version)) version
+        else scala.util.Try(UpsertTableSource.parseTimestampMillis(version))
+          .toOption
+          .map(UpsertTableSource.resolveAsOfTimestamp(path, _))
+          .getOrElse(version)
+      sinkFor(path).restoreTo(spark, target)
         .map(p => new GenericInternalRow(
           Array[Any](str(UpsertTableSource.dirValue(p)))))
     }

@@ -1224,7 +1224,7 @@ final case class ParquetUpsertSink(
       verifyLockOwnership(fs)
       val commit =
         if (keepVersions > 1)
-          Some(archivePreImages(fs, touchedValues.toArray, batchId))
+          Some(archivePreImages(fs, touchedValues.toArray, batchId, "compact"))
         else None
       val surviving: Set[String] = mat
         .select(col(partitionCol).cast("string")).distinct()
@@ -1480,7 +1480,8 @@ final case class ParquetUpsertSink(
     try {
       verifyLockOwnership(fs)
       val commit =
-        if (keepVersions > 1) Some(archivePreImages(fs, matched, batchId)) else None
+        if (keepVersions > 1)
+          Some(archivePreImages(fs, matched, batchId, "delete")) else None
       val surviving: Set[String] = mat
         .select(col(partitionCol)).distinct()
         .collect().map(_.getString(0)).toSet
@@ -1525,7 +1526,7 @@ final case class ParquetUpsertSink(
 
   private def replaceGroupsLocked(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, replaced: Seq[String],
-      rows: DataFrame, batchId: Long): Unit = {
+      rows: DataFrame, batchId: Long, op: String = "replace"): Unit = {
     // string partition identity (dir-name basis), like every sink path
     val norm = rows.withColumn(partitionCol, col(partitionCol).cast("string"))
     val rowParts: Array[String] = norm
@@ -1534,7 +1535,8 @@ final case class ParquetUpsertSink(
     if (touched.isEmpty) return
     verifyLockOwnership(fs)
     val commit =
-      if (keepVersions > 1) Some(archivePreImages(fs, touched, batchId)) else None
+      if (keepVersions > 1)
+        Some(archivePreImages(fs, touched, batchId, op)) else None
     val replacedDirs = replaced.map(dirName).toSet
     val (ovwParts, appParts) = rowParts.partition(v => replacedDirs.contains(dirName(v)))
     // dir-name-normalized key: null partitions compare via the Hive
@@ -1628,7 +1630,8 @@ final case class ParquetUpsertSink(
     // head), touched partitions overwrite with their as-of content,
     // created-after-asOf partitions delete (no rows for them)
     replaceGroupsLocked(spark, fs,
-      touched.map(UpsertTableSource.dirValue), rows, batchId = 0L)
+      touched.map(UpsertTableSource.dirValue), rows, batchId = 0L,
+      op = "restore")
     touched
   }
 
@@ -1670,7 +1673,7 @@ final case class ParquetUpsertSink(
   }
 
   private def archivePreImages(fs: org.apache.hadoop.fs.FileSystem,
-      parts: Array[String], batchId: Long): String = {
+      parts: Array[String], batchId: Long, op: String = "upsert"): String = {
     // the token in the COMMIT name too: two writers replaying the same
     // batch id in the same millisecond must not rename into one dir
     // (rename-into-existing nests silently on most FileSystems)
@@ -1702,6 +1705,13 @@ final case class ParquetUpsertSink(
     try mf.write(parts.map(dirName).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally mf.close()
+    // what KIND of change this commit is (upsert/delete/replace/
+    // overwrite/restore/compact) — Delta's DESCRIBE HISTORY operation
+    // column; rides the commit dir so `CALL graft.system.history`
+    // audits the timeline without guessing from shapes
+    val opf = fs.create(new Path(tmpDir, ParquetUpsertSink.OperationMarker), true)
+    try opf.write(op.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally opf.close()
     // rename returns false (not an exception) on most FileSystems —
     // unchecked, the fresh pre-image would be swept as garbage below
     // and the batch would "succeed" without its retention artifact
@@ -1854,7 +1864,8 @@ final case class ParquetUpsertSink(
         .map(p => UpsertTableSource.dirValue(
           p.getName.stripPrefix(s"$partitionCol=")))
         .filter(matches)
-      replaceGroupsLocked(spark, fs, (live ++ rowParts).distinct, clean, batchId)
+      replaceGroupsLocked(spark, fs, (live ++ rowParts).distinct, clean, batchId,
+        op = "overwrite")
     } finally done()
   }
 
@@ -1872,7 +1883,7 @@ final case class ParquetUpsertSink(
       val rowParts: Seq[String] = clean
         .withColumn(partitionCol, col(partitionCol).cast("string"))
         .select(col(partitionCol)).distinct().collect().map(_.getString(0)).toSeq
-      replaceGroupsLocked(spark, fs, rowParts, clean, batchId)
+      replaceGroupsLocked(spark, fs, rowParts, clean, batchId, op = "overwrite")
     } finally done()
   }
 
@@ -2119,6 +2130,12 @@ object ParquetUpsertSink {
     * hides it from parquet readers of a commit dir.
     */
   val TouchedManifest = "_touched.manifest"
+
+  /** Per-commit operation-kind marker (`_operation`): which mutation
+    * made the commit — upsert, delete, replace, overwrite, restore,
+    * compact. Absent on pre-marker commits (history reports null).
+    */
+  val OperationMarker = "_operation"
 
   /** Retention depth for a maintenance/DML commit on an EXISTING table:
     * the persisted `keepVersions` table property when one exists — the

@@ -379,17 +379,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(swept == Seq(0))
   }
 
-  test("CALL graft.system.history lists retained commits with completion flags") {
+  test("CALL graft.system.history lists retained commits with operations and completion flags") {
     val dir = tmp("phist")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept", keepVersions = 10)
     sink.upsert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "seq", "dept"), 0)
     sink.delete(spark, col("id") === 2L, batchId = 1L)
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    sink.restoreTo(spark, commits(0))
     val hist = spark.sql(s"CALL graft.system.history('$dir')")
-      .as[(String, Int, Boolean)].collect().toSeq
-    assert(hist.size == 2)
-    assert(hist.map(_._2) == Seq(2, 1)) // seed touched a+b; delete touched b
-    assert(hist.forall(_._3)) // both mutations completed
+      .as[(String, String, Int, Boolean)].collect().toSeq
+    assert(hist.size == 3)
+    // the operation KIND of each commit, Delta DESCRIBE HISTORY style
+    assert(hist.map(_._2) == Seq("upsert", "delete", "restore"))
+    assert(hist.map(_._3) == Seq(2, 1, 1)) // seed a+b; delete b; restore b
+    assert(hist.forall(_._4)) // all mutations completed
     assert(hist.map(_._1) == hist.map(_._1).sorted) // oldest first
+  }
+
+  test("CALL graft.system.restore accepts a TIMESTAMP and resolves it like TIMESTAMP AS OF") {
+    val dir = tmp("prts")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept", keepVersions = 6)
+    sink.upsert(Seq((1L, 0L, "a", 10.0)).toDF("id", "seq", "dept", "v"), 0)
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    sink.upsert(Seq((1L, 1L, "a", 99.0)).toDF("id", "seq", "dept", "v"), 1)
+    // epoch-millis between the two commits → newest commit at-or-before
+    // it is commit 0 → the table lands on commit 0's state
+    val out = spark.sql(s"CALL graft.system.restore('$dir', '$between')")
+    assert(out.as[String].collect().toSeq == Seq("a"))
+    assert(spark.read.format("graft-upsert").load(dir)
+      .select("id", "v").as[(Long, Double)].collect().toSeq == Seq((1L, 10.0)))
   }
 
   test("INSERT OVERWRITE: static truncate-and-load, partition-scoped, dynamic") {
