@@ -235,6 +235,7 @@ object UpsertDataSkipping {
     if (aliases.isEmpty) ""
     else aliases.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k>${v.mkString(",")}" }.mkString(";")
+  private[graft] def clearStatsCacheForTesting(): Unit = statsCache.clear()
   private val MaxCacheEntries = 65536
   private val statsCache =
     java.util.Collections.synchronizedMap(
@@ -259,9 +260,23 @@ object UpsertDataSkipping {
       aliasKeyOf(aliases))
     val cached = statsCache.get(key)
     if (cached != null) return cached
+    // raw physical stats: the persisted per-directory manifest first
+    // (one small read per DIR, not one footer per file — the 100 TB
+    // planning path), footer fallback for missing/stale entries, which
+    // then write back via the manifest's lazy repair. Both sources
+    // resolve through the SAME conversion — they cannot disagree.
     val computed =
-      try readFooterStats(file, schema, conf, aliases)
-      catch { case _: Exception =>
+      try {
+        val raw = UpsertStatsManifest.lookup(fs, file.getParent, file.getName,
+          st.getModificationTime, st.getLen)
+          .getOrElse {
+            val r = UpsertStatsManifest.readRaw(file, conf)
+            UpsertStatsManifest.recordFresh(file.getParent, file.getName,
+              st.getModificationTime, st.getLen, r)
+            r
+          }
+        UpsertStatsManifest.resolve(raw, schema, aliases)
+      } catch { case _: Exception =>
         FileStats(Map.empty, schema.fieldNames.toSet) }
     statsCache.put(key, computed)
     computed
@@ -294,14 +309,22 @@ object UpsertDataSkipping {
       schema: StructType, conf: Configuration,
       aliases: Map[String, List[String]] = Map.empty): Map[String, FileStats] = {
     if (files.isEmpty) return Map.empty
-    if (files.lengthCompare(2) < 0)
-      return files.map(f => f.toString -> fileStats(fs, f, schema, conf, aliases)).toMap
+    if (files.lengthCompare(2) < 0) {
+      val out = files.map(f =>
+        f.toString -> fileStats(fs, f, schema, conf, aliases)).toMap
+      UpsertStatsManifest.flush(fs)
+      return out
+    }
     val futures = files.map { f =>
       f.toString -> statsPool.submit(new java.util.concurrent.Callable[FileStats] {
         override def call(): FileStats = fileStats(fs, f, schema, conf, aliases)
       })
     }
-    futures.map { case (p, fut) => p -> fut.get() }.toMap
+    val out = futures.map { case (p, fut) => p -> fut.get() }.toMap
+    // persist whatever this pass had to read from footers, so the NEXT
+    // driver (or post-restart plan) reads one manifest per directory
+    UpsertStatsManifest.flush(fs)
+    out
   }
 
   /** [[fileMightMatchBlooms]] for many files CONCURRENTLY (same bounded
@@ -325,96 +348,6 @@ object UpsertDataSkipping {
     futures.map { case (p, fut) => p -> fut.get() }.toMap
   }
 
-  private def readFooterStats(file: Path, schema: StructType,
-      conf: Configuration,
-      aliases: Map[String, List[String]] = Map.empty): FileStats = {
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try {
-      val fileSchema = reader.getFooter.getFileMetaData.getSchema
-      val rawPresent = (0 until fileSchema.getFieldCount)
-        .map(i => fileSchema.getFieldName(i)).toSet
-      // rename lineage: a current column an old file stores under a
-      // historical name resolves to that chunk (newest alias first,
-      // like the readers) — its statistics are exact for the current
-      // name, and `present` gains the CURRENT name so value predicates
-      // never treat the column as all-null
-      def resolve(c: String): Option[String] =
-        rawPresent.find(_.equalsIgnoreCase(c)).orElse(
-          aliases.getOrElse(c, Nil).iterator
-            .flatMap(h => rawPresent.find(_.equalsIgnoreCase(h)))
-            .nextOption())
-      val presentResolved = rawPresent ++
-        schema.fieldNames.filter(n =>
-          resolve(n.toLowerCase(java.util.Locale.ROOT)).isDefined)
-      val blocks = reader.getFooter.getBlocks
-      var totalRows = 0L
-      locally {
-        val it = blocks.iterator()
-        while (it.hasNext) totalRows += it.next().getRowCount
-      }
-      val out = Map.newBuilder[String, ColStats]
-      schema.fields.map(_.name.toLowerCase(java.util.Locale.ROOT)).foreach { c =>
-        val name = resolve(c)
-        val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
-        (name, dt) match {
-          case (Some(n), Some(d)) =>
-            var mn: Option[Any] = None
-            var mx: Option[Any] = None
-            var nulls: Option[Long] = Some(0L)
-            var values = 0L
-            var decodable = true
-            val it = blocks.iterator()
-            while (it.hasNext) {
-              // resolve the chunk by COLUMN PATH, never by top-level
-              // field index: getColumns is in LEAF order, and for a file
-              // holding any nested group column (e.g. written externally
-              // into the table path) leaf positions diverge from field
-              // positions — a positional lookup would read the WRONG
-              // column's statistics and prune soundly-looking files that
-              // actually contain matches. A top-level primitive's path
-              // is exactly [name]; a group field resolves to no single
-              // leaf chunk and degrades to "no stats" (never prunes).
-              val cols = it.next().getColumns
-              var chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
-              var i = 0
-              while (i < cols.size() && chunk == null) {
-                val cc = cols.get(i)
-                if (cc.getPath.size() == 1 && cc.getPath.toDotString == n) chunk = cc
-                i += 1
-              }
-              if (chunk == null) { decodable = false; nulls = None }
-              else {
-              values += chunk.getValueCount
-              val s = chunk.getStatistics
-              if (s == null || s.isEmpty) { decodable = false; nulls = None }
-              else {
-                nulls = (nulls, s.isNumNullsSet) match {
-                  case (Some(acc), true) => Some(acc + s.getNumNulls)
-                  case _ => None
-                }
-                if (s.hasNonNullValue) {
-                  (UpsertAggPushdown.decodeStat(s.genericGetMin(), chunk.getPrimitiveType, d),
-                    UpsertAggPushdown.decodeStat(s.genericGetMax(), chunk.getPrimitiveType, d)) match {
-                    case (Some(lo), Some(hi)) =>
-                      mn = Some(mn.fold(lo)(a =>
-                        if (UpsertAggPushdown.cmpStat(a, lo, d) <= 0) a else lo))
-                      mx = Some(mx.fold(hi)(a =>
-                        if (UpsertAggPushdown.cmpStat(a, hi, d) >= 0) a else hi))
-                    case _ => decodable = false
-                  }
-                } else if (!s.isNumNullsSet || s.getNumNulls != chunk.getValueCount) {
-                  decodable = false // cannot prove the chunk is all-null
-                }
-              }
-              }
-            }
-            out += c -> ColStats(mn, mx, nulls, values, decodable)
-          case _ => // column absent from the file: recorded via `present`
-        }
-      }
-      FileStats(out.result(), presentResolved, Some(totalRows))
-    } finally reader.close()
-  }
 
   // ——— bloom-filter file pruning (driver, planning time) ———
 

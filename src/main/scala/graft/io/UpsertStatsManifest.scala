@@ -1,0 +1,496 @@
+package graft.io
+
+import java.util.Locale
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import graft.io.UpsertDataSkipping.{ColStats, FileStats}
+
+/** PERSISTED file statistics for planning-time data skipping — the
+  * piece that makes footer-based file pruning hold at 100 TB.
+  *
+  * The pruner ([[UpsertDataSkipping.fileStats]]) needs per-file
+  * min/max/null-count statistics. Reading them from parquet footers is
+  * correct but costs one footer open per file per driver lifetime: a
+  * table with a million files pays a million small reads before the
+  * FIRST query can prune, every time a driver starts. Delta and
+  * Iceberg solve this by carrying file stats in the table metadata;
+  * this is that move for the graft-upsert format, shaped as a CACHE,
+  * never a source of truth:
+  *
+  *  - each partition directory may hold a `_stats.manifest` (an
+  *    `_`-prefixed sidecar — invisible to Spark/parquet readers)
+  *    mapping file name → (mtime, length, raw footer statistics);
+  *  - planning consults the manifest first — ONE small read per
+  *    DIRECTORY instead of one per file — and falls back to the
+  *    footer for files that are missing or whose (mtime, length) no
+  *    longer match;
+  *  - footer reads record their result, and the planning pass REPAIRS
+  *    the manifest afterwards (lazy write-back, tmp+delete+rename like
+  *    `_table.properties`): the first scan after a commit pays footers
+  *    for the new files only, and persists them for every later
+  *    driver. No writer hook, no coupling to the commit protocol, and
+  *    a lost/stale/corrupt manifest degrades to exactly the old
+  *    footer-reading behavior.
+  *
+  * Statistics are stored in RAW PHYSICAL form (parquet primitive type
+  * + logical-annotation tag + physical-domain min/max), not decoded
+  * values: decoding depends on the CURRENT table schema (type
+  * widening promotes, renames re-key), so the same manifest entry must
+  * serve every future schema. [[resolve]] is the single decode path —
+  * the live footer read goes through the same RawFileStats → FileStats
+  * conversion, so manifest-served and footer-served pruning can never
+  * disagree.
+  */
+object UpsertStatsManifest {
+
+  val ManifestFileName = "_stats.manifest"
+  val EnabledConfKey = "spark.graft.upsert.statsManifest.enabled"
+
+  /** One column's footer statistics in physical form, aggregated over
+    * the file's row groups. `structOk` = every row group had a usable
+    * chunk + statistics (non-null-valued groups may still lack null
+    * counts — mirrored by `nulls`=None); `hadNonNull` = some group
+    * recorded a non-null value (then `min`/`max` hold the physical
+    * extremes for numeric primitives, None for types whose stats the
+    * pruner refuses — binary may truncate). Aggregating in the
+    * physical domain commutes with [[resolve]]'s decode because every
+    * decode step (int→long/double, float→double, timestamp unit
+    * rescale) is monotone non-decreasing.
+    */
+  final case class RawColStats(ptype: String, lta: String, values: Long,
+      nulls: Option[Long], hadNonNull: Boolean, structOk: Boolean,
+      min: Option[Any], max: Option[Any])
+
+  /** One file's footer statistics, schema-independent: row count, the
+    * file's own top-level field names, per-primitive-column raw stats.
+    */
+  final case class RawFileStats(rows: Long, present: Seq[String],
+      cols: Map[String, RawColStats])
+
+  // footer opens observable for tests: the manifest's whole point is
+  // that re-planning does NOT open footers
+  private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong()
+
+  // ——— raw extraction (the only footer-opening code path) ———
+
+  /** Read `file`'s footer into [[RawFileStats]] — physical values
+    * only, no schema in sight. Throws on unreadable footers (callers
+    * degrade to "no stats").
+    */
+  def readRaw(file: Path, conf: Configuration): RawFileStats = {
+    footerReads.incrementAndGet()
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      val present = (0 until fileSchema.getFieldCount)
+        .map(i => fileSchema.getFieldName(i))
+      val blocks = reader.getFooter.getBlocks
+      var rows = 0L
+      locally {
+        val it = blocks.iterator()
+        while (it.hasNext) rows += it.next().getRowCount
+      }
+      val cols = Map.newBuilder[String, RawColStats]
+      (0 until fileSchema.getFieldCount).foreach { fi =>
+        val n = fileSchema.getFieldName(fi)
+        val t = fileSchema.getType(fi)
+        if (t.isPrimitive) {
+          val prim = t.asPrimitiveType()
+          val ptype = prim.getPrimitiveTypeName.name()
+          val lta = ltaTag(prim.getLogicalTypeAnnotation)
+          val numeric = ptype == "INT32" || ptype == "INT64" ||
+            ptype == "FLOAT" || ptype == "DOUBLE"
+          var mn: Option[Any] = None
+          var mx: Option[Any] = None
+          var nulls: Option[Long] = Some(0L)
+          var values = 0L
+          var hadNonNull = false
+          var structOk = true
+          val it = blocks.iterator()
+          while (it.hasNext) {
+            // chunk by COLUMN PATH, never field index — leaf order
+            // diverges from field order next to nested groups
+            val chunks = it.next().getColumns
+            var chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+            var i = 0
+            while (i < chunks.size() && chunk == null) {
+              val cc = chunks.get(i)
+              if (cc.getPath.size() == 1 && cc.getPath.toDotString == n) chunk = cc
+              i += 1
+            }
+            if (chunk == null) { structOk = false; nulls = None }
+            else {
+              values += chunk.getValueCount
+              val s = chunk.getStatistics
+              if (s == null || s.isEmpty) { structOk = false; nulls = None }
+              else {
+                nulls = (nulls, s.isNumNullsSet) match {
+                  case (Some(acc), true) => Some(acc + s.getNumNulls)
+                  case _ => None
+                }
+                if (s.hasNonNullValue) {
+                  hadNonNull = true
+                  if (numeric) {
+                    val lo = s.genericGetMin().asInstanceOf[Any]
+                    val hi = s.genericGetMax().asInstanceOf[Any]
+                    mn = Some(mn.fold(lo)(a => if (physCmp(ptype, a, lo) <= 0) a else lo))
+                    mx = Some(mx.fold(hi)(a => if (physCmp(ptype, a, hi) >= 0) a else hi))
+                  }
+                } else if (!s.isNumNullsSet || s.getNumNulls != chunk.getValueCount) {
+                  structOk = false // cannot prove the chunk is all-null
+                }
+              }
+            }
+          }
+          cols += n -> RawColStats(ptype, lta, values, nulls, hadNonNull,
+            structOk, mn, mx)
+        }
+      }
+      RawFileStats(rows, present, cols.result())
+    } finally reader.close()
+  }
+
+  private def ltaTag(a: LogicalTypeAnnotation): String = a match {
+    case null => "-"
+    case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => "date"
+    case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+      case LogicalTypeAnnotation.TimeUnit.MILLIS => "ts_millis"
+      case LogicalTypeAnnotation.TimeUnit.NANOS => "ts_nanos"
+      case _ => "ts_micros"
+    }
+    case _ => "other"
+  }
+
+  private def physCmp(ptype: String, a: Any, b: Any): Int = ptype match {
+    case "INT32" => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case "INT64" => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "FLOAT" => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case "DOUBLE" => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case other => throw new IllegalStateException(s"non-numeric physical type $other")
+  }
+
+  // ——— resolve: RawFileStats → FileStats under the CURRENT schema ———
+
+  /** Decode a raw physical stat value into the table column type —
+    * [[UpsertAggPushdown.decodeStat]]'s matrix over the serialized
+    * (ptype, lta) pair, including the widening promotions and the
+    * date-annotation gate. None = this (physical, table) pairing has
+    * no sound stat comparison (the column keeps "no stats").
+    */
+  private def decodeRaw(ptype: String, lta: String, v: Any,
+      dt: DataType): Option[Any] = (ptype, dt) match {
+    case ("INT32", IntegerType | DateType) => Some(v.asInstanceOf[Int])
+    case ("INT64", LongType) => Some(v.asInstanceOf[Long])
+    case ("INT64", TimestampType | TimestampNTZType) =>
+      val x = v.asInstanceOf[Long]
+      lta match {
+        case "ts_millis" => Some(x * 1000L)
+        case "ts_nanos" => Some(x / 1000L)
+        case _ => Some(x) // micros annotation or plain INT64 (our writer)
+      }
+    case ("FLOAT", FloatType) => Some(v.asInstanceOf[Float])
+    case ("DOUBLE", DoubleType) => Some(v.asInstanceOf[Double])
+    // widened-table promotions, gated off date-annotated INT32 exactly
+    // like the reader's value promotion
+    case ("INT32", LongType | DoubleType) if lta != "date" =>
+      val x = v.asInstanceOf[Int]
+      Some(if (dt == LongType) x.toLong else x.toDouble)
+    case ("FLOAT", DoubleType) => Some(v.asInstanceOf[Float].toDouble)
+    case _ => None
+  }
+
+  /** Resolve raw per-file statistics against the current table schema
+    * and rename lineage — THE conversion both the live footer path and
+    * the manifest path share, so the two can never prune differently.
+    * Mirrors the all-null/missing-chunk conservatism of the original
+    * footer walk: an undecodable pairing or incomplete group
+    * statistics yield `decodable = false` (never prunes).
+    */
+  def resolve(raw: RawFileStats, schema: StructType,
+      aliases: Map[String, List[String]]): FileStats = {
+    val rawPresent = raw.present.toSet
+    // rename lineage: newest alias first, like the readers; `present`
+    // gains the CURRENT name so value predicates never treat a
+    // pre-rename column as all-null
+    def resolveName(c: String): Option[String] =
+      rawPresent.find(_.equalsIgnoreCase(c)).orElse(
+        aliases.getOrElse(c, Nil).iterator
+          .flatMap(h => rawPresent.find(_.equalsIgnoreCase(h)))
+          .nextOption())
+    val presentResolved = rawPresent ++
+      schema.fieldNames.filter(n =>
+        resolveName(n.toLowerCase(Locale.ROOT)).isDefined)
+    val out = Map.newBuilder[String, ColStats]
+    schema.fields.map(_.name.toLowerCase(Locale.ROOT)).foreach { c =>
+      val name = resolveName(c)
+      val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+      (name, dt) match {
+        case (Some(n), Some(d)) =>
+          raw.cols.get(n) match {
+            case None =>
+              // a GROUP field under this name: no single leaf chunk —
+              // "no stats", never prunes
+              out += c -> ColStats(None, None, None, 0L, decodable = false)
+            case Some(rc) if !rc.structOk =>
+              out += c -> ColStats(None, None, rc.nulls, rc.values, decodable = false)
+            case Some(rc) if !rc.hadNonNull =>
+              // every group proven all-null (structOk): min/max vacuous
+              out += c -> ColStats(None, None, rc.nulls, rc.values, decodable = true)
+            case Some(rc) =>
+              val lo = rc.min.flatMap(decodeRaw(rc.ptype, rc.lta, _, d))
+              val hi = rc.max.flatMap(decodeRaw(rc.ptype, rc.lta, _, d))
+              (lo, hi) match {
+                case (Some(a), Some(b)) =>
+                  out += c -> ColStats(Some(a), Some(b), rc.nulls, rc.values,
+                    decodable = true)
+                case _ =>
+                  out += c -> ColStats(None, None, rc.nulls, rc.values,
+                    decodable = false)
+              }
+          }
+        case _ => // column absent from the file: recorded via `present`
+      }
+    }
+    FileStats(out.result(), presentResolved, Some(raw.rows))
+  }
+
+  // ——— manifest persistence ———
+
+  private[graft] def manifestEnabled: Boolean =
+    scala.util.Try(SparkSession.active.conf
+      .get(EnabledConfKey, "true")).getOrElse("true") == "true"
+
+  private final case class Entry(mtime: Long, len: Long, raw: RawFileStats)
+  private final case class DirManifest(mtime: Long, len: Long,
+    entries: Map[String, Entry])
+
+  // parsed-manifest cache, bounded LRU over DIRECTORIES (a 100 TB
+  // table has many partitions; each parsed manifest is small). `None`
+  // = checked and absent on disk — re-checked after CheckTtlMillis so
+  // a manifest another driver writes is eventually picked up.
+  private val MaxDirCacheEntries = 8192
+  private val CheckTtlMillis = 60000L
+  private object dirCacheLock
+  private final case class CacheSlot(checkedAt: Long, manifest: Option[DirManifest])
+  private val dirCache =
+    new java.util.LinkedHashMap[String, CacheSlot](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, CacheSlot]): Boolean =
+        size() > MaxDirCacheEntries
+    }
+  private def cacheGet(dir: String): Option[CacheSlot] =
+    dirCacheLock.synchronized(Option(dirCache.get(dir)))
+  private def cachePut(dir: String, slot: CacheSlot): Unit =
+    dirCacheLock.synchronized { dirCache.put(dir, slot); () }
+  private[graft] def clearCachesForTesting(): Unit = {
+    dirCacheLock.synchronized(dirCache.clear())
+    pending.clear()
+  }
+
+  /** The manifest-served raw stats of `dir/name` at (mtime, len), or
+    * None (absent, stale, unparseable, disabled) — the caller then
+    * reads the footer. At most one manifest READ per directory per
+    * new-file wave: a current cached manifest that simply lacks the
+    * file is a genuine miss and re-stats nothing.
+    */
+  def lookup(fs: FileSystem, dir: Path, name: String, mtime: Long,
+      len: Long): Option[RawFileStats] = {
+    if (!manifestEnabled) return None
+    val key = dir.toString
+    def entryOf(m: Option[DirManifest]): Option[RawFileStats] =
+      m.flatMap(_.entries.get(name))
+        .filter(e => e.mtime == mtime && e.len == len).map(_.raw)
+    val now = System.currentTimeMillis()
+    val cached = cacheGet(key)
+    cached.flatMap(s => entryOf(s.manifest)) match {
+      case some @ Some(_) => some
+      case None =>
+        // miss in cache: is a newer (or first) manifest on disk?
+        val freshEnough = cached.exists(s => now - s.checkedAt < CheckTtlMillis &&
+          s.manifest.isEmpty)
+        if (freshEnough) return None // recently confirmed absent
+        val mfPath = new Path(dir, ManifestFileName)
+        val st = try {
+          if (fs.exists(mfPath)) Some(fs.getFileStatus(mfPath)) else None
+        } catch { case _: java.io.IOException => None }
+        st match {
+          case None =>
+            cachePut(key, CacheSlot(now, None)); None
+          case Some(s)
+              if cached.exists(_.manifest.exists(m =>
+                m.mtime == s.getModificationTime && m.len == s.getLen)) =>
+            None // cached copy IS current: genuine miss
+          case Some(s) =>
+            val loaded =
+              try Some(parseManifest(fs, mfPath, s.getModificationTime, s.getLen))
+              catch { case _: Exception => None }
+            cachePut(key, CacheSlot(now, loaded))
+            entryOf(loaded)
+        }
+    }
+  }
+
+  // footer-read results awaiting write-back, per directory
+  private val pending = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, Entry]]()
+
+  /** Record a fresh footer read for later [[flush]] into its
+    * directory's manifest. No I/O here — safe from pool threads.
+    */
+  def recordFresh(dir: Path, name: String, mtime: Long, len: Long,
+      raw: RawFileStats): Unit = {
+    if (!manifestEnabled) return
+    pending.computeIfAbsent(dir.toString,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Entry]())
+      .put(name, Entry(mtime, len, raw))
+  }
+
+  /** Merge every pending footer-read result into its directory's
+    * manifest (tmp + delete + rename — concurrent readers see
+    * old-complete or absent, never truncated) and prune entries whose
+    * files no longer exist. Failures are swallowed: the manifest is a
+    * cache; planning already has its answer.
+    */
+  def flush(fs: FileSystem): Unit = {
+    if (!manifestEnabled) return
+    val dirs = pending.keySet().toArray(Array.empty[String])
+    dirs.foreach { d =>
+      val fresh = pending.remove(d)
+      if (fresh != null && !fresh.isEmpty) {
+        try {
+          val dir = new Path(d)
+          val mfPath = new Path(dir, ManifestFileName)
+          val existing: Map[String, Entry] =
+            try {
+              if (fs.exists(mfPath)) {
+                val st = fs.getFileStatus(mfPath)
+                parseManifest(fs, mfPath, st.getModificationTime, st.getLen).entries
+              } else Map.empty
+            } catch { case _: Exception => Map.empty }
+          val freshMap: Map[String, Entry] = {
+            import scala.collection.JavaConverters._
+            fresh.asScala.toMap
+          }
+          // prune to live files: a compacted-away file's entry can
+          // never match again and would only grow the manifest
+          val live: Set[String] =
+            try fs.listStatus(dir).iterator
+              .map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+            catch { case _: java.io.IOException => return }
+          val merged = (existing ++ freshMap).filter { case (n, _) => live.contains(n) }
+          val tmp = new Path(dir, s"$ManifestFileName.tmp.${java.util.UUID.randomUUID()}")
+          val out = fs.create(tmp, true)
+          try out.write(render(merged).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          if (fs.exists(mfPath)) fs.delete(mfPath, false)
+          if (!fs.rename(tmp, mfPath)) fs.delete(tmp, false)
+          // the new manifest supersedes whatever this JVM cached
+          val st = fs.getFileStatus(mfPath)
+          cachePut(d, CacheSlot(System.currentTimeMillis(),
+            Some(DirManifest(st.getModificationTime, st.getLen, merged))))
+        } catch { case scala.util.control.NonFatal(_) => }
+      }
+    }
+  }
+
+  // ——— wire format (line-oriented, UTF-8, URL-escaped names) ———
+  //
+  //   graft-stats v1
+  //   f <name> <mtime> <len> <rows>
+  //   p <name1> <name2> ...
+  //   c <name> <ptype> <lta> <values> <nulls|-> <hadNonNull> <structOk> <min|-> <max|->
+  //
+  // min/max encode per ptype: INT32/INT64 decimal, FLOAT/DOUBLE via
+  // Float/Double.toString (exact round-trip, NaN/Infinity included).
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def renderStat(ptype: String, v: Option[Any]): String = v match {
+    case None => "-"
+    case Some(x) => ptype match {
+      case "INT32" => x.asInstanceOf[Int].toString
+      case "INT64" => x.asInstanceOf[Long].toString
+      case "FLOAT" => x.asInstanceOf[Float].toString
+      case "DOUBLE" => x.asInstanceOf[Double].toString
+      case other => throw new IllegalStateException(s"unrenderable ptype $other")
+    }
+  }
+
+  private def parseStat(ptype: String, s: String): Option[Any] =
+    if (s == "-") None
+    else Some(ptype match {
+      case "INT32" => s.toInt
+      case "INT64" => s.toLong
+      case "FLOAT" => java.lang.Float.parseFloat(s)
+      case "DOUBLE" => java.lang.Double.parseDouble(s)
+      case other => throw new IllegalStateException(s"unparseable ptype $other")
+    })
+
+  private def render(entries: Map[String, Entry]): String = {
+    val sb = new StringBuilder("graft-stats v1\n")
+    entries.toSeq.sortBy(_._1).foreach { case (name, e) =>
+      sb.append(s"f ${enc(name)} ${e.mtime} ${e.len} ${e.raw.rows}\n")
+      sb.append("p").append(e.raw.present.map(n => " " + enc(n)).mkString).append('\n')
+      e.raw.cols.toSeq.sortBy(_._1).foreach { case (cn, rc) =>
+        sb.append(s"c ${enc(cn)} ${rc.ptype} ${rc.lta} ${rc.values} " +
+          s"${rc.nulls.map(_.toString).getOrElse("-")} " +
+          s"${if (rc.hadNonNull) 1 else 0} ${if (rc.structOk) 1 else 0} " +
+          s"${renderStat(rc.ptype, rc.min)} ${renderStat(rc.ptype, rc.max)}\n")
+      }
+    }
+    sb.result()
+  }
+
+  private def parseManifest(fs: FileSystem, mfPath: Path, mtime: Long,
+      len: Long): DirManifest = {
+    val in = fs.open(mfPath)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split('\n').iterator.filter(_.nonEmpty)
+    require(lines.hasNext && lines.next() == "graft-stats v1",
+      s"unknown stats-manifest version in $mfPath")
+    val entries = Map.newBuilder[String, Entry]
+    var cur: (String, Long, Long, Long) = null // name, mtime, len, rows
+    var present = Seq.empty[String]
+    var cols = Map.newBuilder[String, RawColStats]
+    def close(): Unit = if (cur != null) {
+      entries += cur._1 -> Entry(cur._2, cur._3,
+        RawFileStats(cur._4, present, cols.result()))
+      cur = null
+    }
+    lines.foreach { line =>
+      val parts = line.split(' ')
+      parts(0) match {
+        case "f" =>
+          close()
+          cur = (dec(parts(1)), parts(2).toLong, parts(3).toLong, parts(4).toLong)
+          present = Seq.empty
+          cols = Map.newBuilder[String, RawColStats]
+        case "p" => present = parts.iterator.drop(1).map(dec).toSeq
+        case "c" =>
+          val ptype = parts(2)
+          cols += dec(parts(1)) -> RawColStats(ptype, parts(3),
+            parts(4).toLong,
+            if (parts(5) == "-") None else Some(parts(5).toLong),
+            parts(6) == "1", parts(7) == "1",
+            parseStat(ptype, parts(8)), parseStat(ptype, parts(9)))
+        case other => throw new IllegalStateException(
+          s"bad stats-manifest line kind '$other' in $mfPath")
+      }
+    }
+    close()
+    DirManifest(mtime, len, entries.result())
+  }
+}
