@@ -192,19 +192,39 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
       val rowCount: Long = {
         var s = 0L; val it = blocks.iterator(); while (it.hasNext) s += it.next().getRowCount; s
       }
-      def chunks(col: String) = {
-        if (!schema.containsField(col)) None // evolved-in column: all null in this file
-        else {
-          val idx = schema.getFieldIndex(col)
-          val cs = new Array[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData](blocks.size())
-          var i = 0; val it = blocks.iterator()
-          while (it.hasNext) { cs(i) = it.next().getColumns.get(idx); i += 1 }
-          Some(cs.toSeq)
+      // absent = the column is not in this file's schema (evolved-in:
+      // all-null by construction); chunks = its per-block leaf chunks,
+      // resolved by COLUMN PATH, never by top-level field index —
+      // getColumns is in LEAF order, and any multi-leaf group column
+      // (struct, map — including one written externally into the table
+      // path) earlier in the schema shifts leaf positions, so a
+      // positional lookup would aggregate the WRONG column's
+      // statistics: a silent wrong answer, not a slow one. A field
+      // with no single top-level leaf (a group) yields Left and the
+      // per-file scan answers.
+      def chunks(col: String): Either[Unit, Option[Seq[
+          org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]]] = {
+        if (!schema.containsField(col)) return Right(None)
+        val cs = new Array[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData](blocks.size())
+        var i = 0; val it = blocks.iterator()
+        while (it.hasNext) {
+          val cols = it.next().getColumns
+          var chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+          var j = 0
+          while (j < cols.size() && chunk == null) {
+            val cc = cols.get(j)
+            if (cc.getPath.size() == 1 && cc.getPath.toDotString == col) chunk = cc
+            j += 1
+          }
+          if (chunk == null) return Left(()) // group field: no usable stats
+          cs(i) = chunk; i += 1
         }
+        Right(Some(cs.toSeq))
       }
       def nonNullCount(col: String): Option[Long] = chunks(col) match {
-        case None => Some(0L) // column absent from this file = all null
-        case Some(cs) =>
+        case Left(_) => None
+        case Right(None) => Some(0L) // column absent from this file = all null
+        case Right(Some(cs)) =>
           var n = 0L
           for (c <- cs) {
             val st = c.getStatistics
@@ -214,8 +234,9 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
           Some(n)
       }
       def minMax(col: String, dt: DataType, wantMin: Boolean): Option[Option[Any]] = chunks(col) match {
-        case None => Some(None) // all null -> no value contributes
-        case Some(cs) =>
+        case Left(_) => None
+        case Right(None) => Some(None) // all null -> no value contributes
+        case Right(Some(cs)) =>
           var acc: Option[Any] = None
           for (c <- cs) {
             val st = c.getStatistics

@@ -389,6 +389,51 @@ object Parity {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** CREATE TABLE AS SELECT, end to end: one statement creates the
+    * upsert table (partitioned, record keys + precombine persisted as
+    * table properties) and loads an orders subset through Spark's v2
+    * CTAS path; a follow-up INSERT INTO then merges an update wave by
+    * record key, proving the CTAS-created table IS a full upsert table
+    * and not a bare directory. The oracle replays both steps as plain
+    * SQL arithmetic over orders.
+    */
+  def sqlCtas(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctas").toString + "/t"
+    Tables.table(spark, sfDir, "orders").createOrReplaceTempView("orders_ctas_src")
+    spark.sql(
+      s"""CREATE TABLE graft.`$dir`
+         |PARTITIONED BY (o_orderpriority)
+         |TBLPROPERTIES ('recordKeys'='o_orderkey', 'precombine'='seq')
+         |AS SELECT o_orderkey, CAST(0 AS BIGINT) AS seq, o_orderstatus,
+         |          o_totalprice, o_orderpriority
+         |FROM orders_ctas_src WHERE o_orderkey % 6 = 3
+         |""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO graft.`$dir`
+         |SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, o_orderstatus,
+         |       o_totalprice + 500.0, o_orderpriority
+         |FROM orders_ctas_src WHERE o_orderkey % 66 = 3
+         |""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderstatus,
+         |       count(*) AS n,
+         |       round(sum(o_totalprice), 2) AS total,
+         |       sum(seq) AS merged
+         |FROM graft.`$dir` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val sqlCtasSql: String =
+    """SELECT o_orderstatus,
+      |       count(*) AS n,
+      |       round(sum(CASE WHEN o_orderkey % 66 = 3 THEN o_totalprice + 500.0
+      |                      ELSE o_totalprice END), 2) AS total,
+      |       CAST(sum(CASE WHEN o_orderkey % 66 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS merged
+      |FROM orders
+      |WHERE o_orderkey % 6 = 3
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** RESTORE TABLE ... VERSION AS OF, end to end through the CALL
     * surface: load an orders subset (commit 0), apply a good update
     * wave (commit 1, every 97th key's total +1000), then a BAD wave

@@ -345,6 +345,25 @@ class UpsertTableSourceSpec extends SparkSpec {
     assert(r == ((1L, 5000L, 5000L)))
   }
 
+  test("aggregate pushdown resolves chunks by PATH next to multi-leaf group columns") {
+    // regression: the footer aggregator looked chunks up by top-level
+    // FIELD index, but getColumns is in LEAF order — a struct (2 leaves
+    // here) before the aggregated column shifted every later position,
+    // so MIN/MAX/COUNT silently aggregated the WRONG column's
+    // statistics (here: max(v) would have returned max(s.b) = 50)
+    val dir = Files.createTempDirectory("dsv2aggstruct").toString + "/t"
+    (1 to 100).map(i => (i.toLong, (i * 10.0, math.min(i, 50).toDouble), i * 2.0, "p"))
+      .toDF("id", "s", "v", "dept")
+      .repartition(1)
+      .write.partitionBy("dept").parquet(dir)
+    val t = spark.read.format("graft-upsert").load(dir)
+    val agg = t.agg(min($"v").as("lo"), max($"v").as("hi"),
+      count($"v").as("n"))
+    assert(agg.queryExecution.optimizedPlan.toString.contains("agg_func_0"),
+      "aggregates must still push down next to a struct column")
+    assert(agg.as[(Double, Double, Long)].collect().head == ((2.0, 200.0, 100L)))
+  }
+
   test("sweepStaging reclaims crashed DSv2 write staging dirs") {
     val (dir, _) = mkTable("dsv2sweep")
     val fs = new org.apache.hadoop.fs.Path(dir)
