@@ -715,9 +715,15 @@ final case class UpsertFilesPartition(files: Seq[String], partValue: String)
       if (partValue == null) null else UTF8String.fromString(partValue)))
 }
 
-/** A SUM-aggregated SQL-node metric of the graft-upsert scan. */
+/** A SUM-aggregated SQL-node metric of the graft-upsert scan. The
+  * no-arg constructor is REQUIRED: Spark's SQLAppStatusListener
+  * re-instantiates custom-metric classes reflectively to aggregate
+  * task values for the UI, and without it every query against the
+  * table logs a loadExtensions warning and shows no scan metrics.
+  */
 private[io] final class GraftScanMetric(metricName: String, desc: String)
   extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  def this() = this("", "")
   override def name(): String = metricName
   override def description(): String = desc
 }

@@ -151,6 +151,22 @@ class RestoreSpec extends SparkSpec {
     assert(names.contains("price") && !names.contains("amount"))
   }
 
+  test("restore covers the null partition (Hive default-partition dir)") {
+    val dir = tmp("restorenull")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p", keepVersions = 5)
+    sink.upsert(Seq((1L, 0L, null.asInstanceOf[String], 10.0),
+      (2L, 0L, "a", 20.0)).toDF("id", "seq", "p", "v"), 0)
+    Thread.sleep(5)
+    sink.upsert(Seq((1L, 1L, null.asInstanceOf[String], 99.0))
+      .toDF("id", "seq", "p", "v"), 1)
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    val restored = sink.restoreTo(spark, commits(0))
+    assert(restored.toSet == Set("__HIVE_DEFAULT_PARTITION__"))
+    assert(spark.read.format("graft-upsert").load(dir)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0)))
+  }
+
   test("restore refuses a MOR table with unmerged deltas") {
     val dir = tmp("restoremor")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p", keepVersions = 5,
