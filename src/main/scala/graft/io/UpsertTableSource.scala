@@ -112,7 +112,8 @@ final class UpsertTable(path: String, schema: StructType,
     extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   override def name(): String = s"graft-upsert `$path`"
   override def schema(): StructType = schema
@@ -149,6 +150,88 @@ final class UpsertTable(path: String, schema: StructType,
     val pc = partitionCol.getOrElse(throw new UnsupportedOperationException(
       "graft-upsert: row-level operations require a partitioned table layout"))
     () => new UpsertRowLevelOperation(path, schema, pc, info.command)
+  }
+
+  // ——— SupportsPartitionManagement: SHOW PARTITIONS / ALTER TABLE
+  // DROP PARTITION, the Hive-shaped partition surface over the
+  // directory layout. Listing is metadata-only; DROP is a real
+  // archived commit (time-travelable, visible in the change feed)
+  // executed as the sink's partition delete — never a bare rmdir. ———
+
+  private def pcOrFail: String = partitionCol.getOrElse(
+    throw new UnsupportedOperationException(
+      "graft-upsert: partition management requires the partitioned table layout"))
+
+  override def partitionSchema(): StructType =
+    StructType(Seq(StructField(pcOrFail, StringType, nullable = true)))
+
+  // string partition identity, like every sink path; null = the Hive
+  // default partition
+  private def identValue(ident: org.apache.spark.sql.catalyst.InternalRow): String =
+    if (ident.numFields == 0 || ident.isNullAt(0)) null
+    else ident.getUTF8String(0).toString
+
+  override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-upsert: partitions materialize on write (INSERT INTO); " +
+        "ADD PARTITION is not supported")
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-upsert: partitions carry no metadata")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Map[String, String] = java.util.Collections.emptyMap()
+
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    val pc = pcOrFail
+    require(asOf.isEmpty, "graft-upsert: cannot DROP PARTITION of a time-travel view")
+    val v = identValue(ident)
+    val spark = SparkSession.active
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$path/$pc=${
+      if (v == null) org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)}")
+    if (UpsertTableSource.dataFiles(fs, dir).isEmpty) return false
+    // a DELETE commit, not a rmdir: pre-images archive under the
+    // table's retention so the drop is time-travelable and reversible
+    // (restore), exactly like DELETE FROM t WHERE pc <=> v
+    val keep = ParquetUpsertSink.effectiveKeepVersions(spark, path,
+      GraftUpsertCatalog.tableProps(path).get("keepVersions").map(_.toInt))
+    ParquetUpsertSink(path, Seq("_unused"), "_unused", pc, keepVersions = keep)
+      .delete(spark, org.apache.spark.sql.functions.col(pc) <=>
+        org.apache.spark.sql.functions.lit(v))
+    true
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val pc = pcOrFail
+    val spark = SparkSession.active
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    if (!fs.exists(root)) return Array.empty
+    val live: Seq[String] = fs.listStatus(root).iterator
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(s"$pc=") &&
+        UpsertTableSource.dataFiles(fs, p).nonEmpty)
+      .map(p => UpsertTableSource.dirValue(p.getName.drop(pc.length + 1)))
+      .toSeq.sortBy(v => Option(v)) // deterministic SHOW PARTITIONS, null first
+    val wanted: Option[String] =
+      if (names.nonEmpty && names(0).equalsIgnoreCase(pc)) Some(identValue(ident))
+      else None
+    live.filter(v => wanted.forall(w => w == v))
+      .map(v => new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](if (v == null) null
+          else org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+        : org.apache.spark.sql.catalyst.InternalRow)
+      .toArray
   }
 
   /** SQL DELETE is executable when the WHERE clause translates to a

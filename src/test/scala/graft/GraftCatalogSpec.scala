@@ -412,6 +412,40 @@ class GraftCatalogSpec extends SparkSpec {
       .select("id", "v").as[(Long, Double)].collect().toSeq == Seq((1L, 10.0)))
   }
 
+  test("SHOW PARTITIONS lists live partitions; DROP PARTITION is an archived delete") {
+    val dir = tmp("partmgmt")
+    val t = s"graft.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, seq BIGINT, dept STRING, amount DOUBLE)
+         |PARTITIONED BY (dept)
+         |TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq', 'keepVersions'='5')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'eng', 10.0), (2, 1, 'ops', 20.0), (3, 1, 'hr', 30.0)")
+    assert(spark.sql(s"SHOW PARTITIONS $t").as[String].collect().toSet ==
+      Set("dept=eng", "dept=hr", "dept=ops"))
+    // partition-spec filtering
+    assert(spark.sql(s"SHOW PARTITIONS $t PARTITION (dept='ops')")
+      .as[String].collect().toSeq == Seq("dept=ops"))
+
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    spark.sql(s"ALTER TABLE $t DROP PARTITION (dept='ops')")
+    assert(spark.sql(s"SHOW PARTITIONS $t").as[String].collect().toSet ==
+      Set("dept=eng", "dept=hr"))
+    assert(spark.sql(s"SELECT id FROM $t").as[Long].collect().toSet == Set(1L, 3L))
+    // the drop is a COMMIT: the pre-drop state stays time-travelable
+    val post = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(post.size == commits.size + 1)
+    assert(spark.sql(s"SELECT id FROM $t VERSION AS OF '${commits.last}'")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // IF EXISTS on a gone partition no-ops; plain drop of missing throws
+    spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (dept='ops')")
+    intercept[Exception](spark.sql(s"ALTER TABLE $t DROP PARTITION (dept='nope')"))
+    // ADD PARTITION is refused (partitions materialize on write)
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD PARTITION (dept='new')"))
+    assert(e.getMessage.contains("materialize on write"))
+  }
+
   test("INSERT OVERWRITE: static truncate-and-load, partition-scoped, dynamic") {
     val dir = tmp("ovw")
     val t = s"graft.`$dir`"
