@@ -719,4 +719,77 @@ object Prep {
        |$selects)
        |ORDER BY stage_idx""".stripMargin
   }
+
+  /** Every [[fimGateModulus]]-th document (content-stable hash gate)
+    * becomes a fill-in-middle example — the standard ~50% FIM rate.
+    */
+  val fimGateModulus = 2
+
+  /** Fill-in-middle (FIM) example generation, PSM order: for gated
+    * documents with ≥ 3 tokens, split the token stream into
+    * (prefix, middle, suffix) at two content-stable hash-chosen cut
+    * points (every part non-empty) and emit
+    * `<fim_prefix>P<fim_suffix>S<fim_middle>M` — the training
+    * transform behind infilling-capable code/text models (suffix is
+    * shown before the middle so the model learns to complete between
+    * contexts). Ungated or too-short documents pass through as plain
+    * text, exactly the FIM-rate mixing a trainer expects.
+    *
+    * Determinism contract matches [[Lexical.mlmMasking]]: cut points
+    * are md5 functions of doc_id (never rand()), so the corpus
+    * transforms identically across runs, engines, and resumes.
+    *
+    * Scale shape: entirely per-row — the gate, both cuts, and the
+    * three slices are codegen'd array lambdas over the token split;
+    * no explode, no shuffle, nothing but the scan.
+    */
+  def fimExamples(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Text.tokens(col("text"))
+    val n = size(t)
+    val gate = Text.md5Long(concat(lit("fim:"), col("doc_id").cast("string"))) %
+      fimGateModulus === 0
+    val h1 = Text.md5Long(concat(lit("fim-a:"), col("doc_id").cast("string")))
+    val h2 = Text.md5Long(concat(lit("fim-b:"), col("doc_id").cast("string")))
+    // prefix ends at a ∈ [1, n-2], middle at b ∈ [a+1, n-1]: all three
+    // parts non-empty. greatest(_, 1) keeps the arithmetic VALID for
+    // rows the n >= 3 gate excludes (both when-branches evaluate)
+    val a = h1 % greatest(n - 2, lit(1)) + 1
+    val b = a + h2 % greatest(n - a - 1, lit(1)) + 1
+    val fim = gate && n >= 3
+    val psm = concat(
+      lit("<fim_prefix>"), array_join(slice(t, lit(1), a), " "),
+      lit("<fim_suffix>"), array_join(slice(t, b + 1, greatest(n - b, lit(0))), " "),
+      lit("<fim_middle>"), array_join(slice(t, a + 1, b - a), " "))
+    Tables.table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        fim.as("fim"),
+        n.cast("long").as("n_tokens"),
+        when(fim, psm).otherwise(col("text")).as("training_text"))
+      .transform(graft.Present.sortSmall(_, col("doc_id")))
+  }
+
+  /** DuckDB twin of [[fimExamples]]: identical md5 cut arithmetic,
+    * inclusive 1-based list slicing.
+    */
+  val fimExamplesSql: String =
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+       |s AS (SELECT doc_id, text, t, len(t) AS n,
+       |        ('0x' || substr(md5('fim:' || doc_id), 1, 8))::BIGINT
+       |          % $fimGateModulus = 0 AS gate,
+       |        ('0x' || substr(md5('fim-a:' || doc_id), 1, 8))::BIGINT AS h1,
+       |        ('0x' || substr(md5('fim-b:' || doc_id), 1, 8))::BIGINT AS h2
+       |      FROM d),
+       |x AS (SELECT *, gate AND n >= 3 AS fim,
+       |        h1 % greatest(n - 2, 1) + 1 AS a
+       |      FROM s),
+       |y AS (SELECT *, a + h2 % greatest(n - a - 1, 1) + 1 AS b FROM x)
+       |SELECT doc_id, fim, CAST(n AS BIGINT) AS n_tokens,
+       |       CASE WHEN fim THEN
+       |         '<fim_prefix>' || array_to_string(t[1 : CAST(a AS INTEGER)], ' ') ||
+       |         '<fim_suffix>' || array_to_string(t[CAST(b + 1 AS INTEGER) : CAST(n AS INTEGER)], ' ') ||
+       |         '<fim_middle>' || array_to_string(t[CAST(a + 1 AS INTEGER) : CAST(b AS INTEGER)], ' ')
+       |       ELSE text END AS training_text
+       |FROM y
+       |ORDER BY doc_id""".stripMargin
 }

@@ -365,40 +365,45 @@ object UpsertStatsManifest {
     dirs.foreach { d =>
       val fresh = pending.remove(d)
       if (fresh != null && !fresh.isEmpty) {
-        try {
-          val dir = new Path(d)
-          val mfPath = new Path(dir, ManifestFileName)
-          val existing: Map[String, Entry] =
-            try {
-              if (fs.exists(mfPath)) {
-                val st = fs.getFileStatus(mfPath)
-                parseManifest(fs, mfPath, st.getModificationTime, st.getLen).entries
-              } else Map.empty
-            } catch { case _: Exception => Map.empty }
-          val freshMap: Map[String, Entry] = {
-            import scala.collection.JavaConverters._
-            fresh.asScala.toMap
-          }
-          // prune to live files: a compacted-away file's entry can
-          // never match again and would only grow the manifest
-          val live: Set[String] =
-            try fs.listStatus(dir).iterator
-              .map(_.getPath.getName).filter(_.startsWith("part-")).toSet
-            catch { case _: java.io.IOException => return }
-          val merged = (existing ++ freshMap).filter { case (n, _) => live.contains(n) }
-          val tmp = new Path(dir, s"$ManifestFileName.tmp.${java.util.UUID.randomUUID()}")
-          val out = fs.create(tmp, true)
-          try out.write(render(merged).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          if (fs.exists(mfPath)) fs.delete(mfPath, false)
-          if (!fs.rename(tmp, mfPath)) fs.delete(tmp, false)
-          // the new manifest supersedes whatever this JVM cached
-          val st = fs.getFileStatus(mfPath)
-          cachePut(d, CacheSlot(System.currentTimeMillis(),
-            Some(DirManifest(st.getModificationTime, st.getLen, merged))))
-        } catch { case scala.util.control.NonFatal(_) => }
+        // one dir's failure (deleted under us by an overwrite, transient
+        // I/O) must not stop the others — the manifest is only a cache
+        try flushDir(fs, d, fresh)
+        catch { case scala.util.control.NonFatal(_) => }
       }
     }
+  }
+
+  private def flushDir(fs: FileSystem, d: String,
+      fresh: java.util.concurrent.ConcurrentHashMap[String, Entry]): Unit = {
+    val dir = new Path(d)
+    val mfPath = new Path(dir, ManifestFileName)
+    val existing: Map[String, Entry] =
+      try {
+        if (fs.exists(mfPath)) {
+          val st = fs.getFileStatus(mfPath)
+          parseManifest(fs, mfPath, st.getModificationTime, st.getLen).entries
+        } else Map.empty
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val freshMap: Map[String, Entry] = {
+      import scala.collection.JavaConverters._
+      fresh.asScala.toMap
+    }
+    // prune to live files: a compacted-away file's entry can never
+    // match again and would only grow the manifest
+    val live: Set[String] = fs.listStatus(dir).iterator
+      .map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+    val merged = (existing ++ freshMap).filter { case (n, _) => live.contains(n) }
+    if (merged.isEmpty) return
+    val tmp = new Path(dir, s"$ManifestFileName.tmp.${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(render(merged).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(mfPath)) fs.delete(mfPath, false)
+    if (!fs.rename(tmp, mfPath)) { fs.delete(tmp, false); return }
+    // the new manifest supersedes whatever this JVM cached
+    val st = fs.getFileStatus(mfPath)
+    cachePut(d, CacheSlot(System.currentTimeMillis(),
+      Some(DirManifest(st.getModificationTime, st.getLen, merged))))
   }
 
   // ——— wire format (line-oriented, UTF-8, URL-escaped names) ———

@@ -40,6 +40,39 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("FIM examples reconstruct the document; pass-through rows are untouched") {
+    val original = Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val out = ext.Prep.fimExamples(spark, sf0001)
+      .select("doc_id", "fim", "n_tokens", "training_text").collect()
+    assert(out.length == original.size)
+    var fimCount = 0
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val text = r.getAs[String]("training_text")
+      if (!r.getAs[Boolean]("fim")) assert(text == original(id))
+      else {
+        fimCount += 1
+        // PSM order: <fim_prefix>P<fim_suffix>S<fim_middle>M, every
+        // part non-empty, and P ++ M ++ S == the original token stream
+        val m = "(?s)<fim_prefix>(.*)<fim_suffix>(.*)<fim_middle>(.*)".r
+        text match {
+          case m(p, s, mid) =>
+            assert(p.nonEmpty && s.nonEmpty && mid.nonEmpty, s"empty FIM part for $id")
+            assert(s"$p $mid $s" == original(id),
+              s"FIM parts of $id do not reassemble the document")
+          case _ => fail(s"doc $id: training_text lacks the PSM sentinels")
+        }
+      }
+    }
+    // the hash gate lands near the configured rate on a 500-doc corpus
+    assert(fimCount > out.length / 4 && fimCount < out.length * 3 / 4)
+    // content-stable: a second run is byte-identical
+    assert(ext.Prep.fimExamples(spark, sf0001)
+      .select("doc_id", "fim", "n_tokens", "training_text").collect()
+      .map(_.toString).sorted.sameElements(out.map(_.toString).sorted))
+  }
+
   test("shard plan is balanced, deterministic, and a permutation of the corpus") {
     val plan = ext.Prep.shardPlan(spark, sf0001).collect()
     val n = Tables.table(spark, sf0001, "documents").count()
