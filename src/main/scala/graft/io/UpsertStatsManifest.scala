@@ -338,6 +338,30 @@ object UpsertStatsManifest {
     }
   }
 
+  /** Exact row count of `files` from MANIFESTS ALONE — one directory
+    * listing per parent dir, zero footer opens, and NO fallback: None
+    * the moment any file lacks a current manifest entry. This is the
+    * costing path for file sets too large for a footer storm
+    * ([[UpsertTableSource.MaxStatFooterFiles]]): after the first
+    * planning pass persists the manifests, a million-file table costs
+    * joins (broadcast decisions!) from per-directory metadata reads.
+    */
+  def manifestRowCount(fs: FileSystem, files: Seq[Path]): Option[Long] = {
+    if (!manifestEnabled || files.isEmpty) return None
+    var total = 0L
+    files.groupBy(_.getParent).foreach { case (dir, inDir) =>
+      val statuses =
+        try fs.listStatus(dir).iterator.map(s => s.getPath.getName -> s).toMap
+        catch { case _: java.io.IOException => return None }
+      inDir.foreach { f =>
+        val st = statuses.getOrElse(f.getName, return None)
+        total += lookup(fs, dir, f.getName, st.getModificationTime, st.getLen)
+          .map(_.rows).getOrElse(return None)
+      }
+    }
+    Some(total)
+  }
+
   // footer-read results awaiting write-back, per directory
   private val pending = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentHashMap[String, Entry]]()

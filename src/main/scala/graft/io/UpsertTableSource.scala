@@ -561,11 +561,24 @@ final class UpsertScan(path: String, tableSchema: StructType,
           case g: UpsertFilesPartition => g.files.map(new Path(_))
           case _ => Seq.empty
         }.distinct
-        val size = Some(candidates.map { f =>
-          try fs.getFileStatus(f).getLen catch { case _: java.io.IOException => 0L }
+        // ONE listing per parent dir for the byte sizes — a per-file
+        // getFileStatus would cost one RPC per file at exactly the
+        // file counts where costing matters most
+        val size = Some(candidates.groupBy(_.getParent).iterator.map {
+          case (dir, inDir) =>
+            try {
+              val lens = fs.listStatus(dir).iterator
+                .map(s => s.getPath.getName -> s.getLen).toMap
+              inDir.iterator.map(f => lens.getOrElse(f.getName, 0L)).sum
+            } catch { case _: java.io.IOException => 0L }
         }.sum)
         val rows =
-          if (candidates.length > UpsertTableSource.MaxStatFooterFiles) None
+          if (candidates.length > UpsertTableSource.MaxStatFooterFiles)
+            // too many files for a footer storm — but persisted stats
+            // manifests answer from per-directory metadata alone (None
+            // only where coverage is incomplete, e.g. the very first
+            // scan of a fresh table)
+            UpsertStatsManifest.manifestRowCount(fs, candidates)
           else {
             val st = UpsertDataSkipping.fileStatsAll(fs, candidates, tableSchema,
               fs.getConf, columnAliases)

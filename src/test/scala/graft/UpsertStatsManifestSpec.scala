@@ -158,6 +158,34 @@ class UpsertStatsManifestSpec extends SparkSpec {
     assert(UpsertStatsManifest.footerReads.get() == before)
   }
 
+  test("manifestRowCount answers from manifests alone, None on any gap") {
+    val dir = tmp("mfrows")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    val rows = (0 until 300).map(n => (n.toLong, 0L, n.toLong, s"p${n % 3}"))
+    sink.upsert(rows.toDF("id", "seq", "v", "p"), 0)
+    val fs = fsOf(dir)
+    def files: Seq[Path] = (0 to 2).flatMap(i =>
+      fs.listStatus(new Path(s"$dir/p=p$i")).map(_.getPath)
+        .filter(_.getName.startsWith("part-")))
+    // before any planning pass: no manifests yet → None, zero footers
+    clearInMemory()
+    val before = UpsertStatsManifest.footerReads.get()
+    assert(UpsertStatsManifest.manifestRowCount(fs, files).isEmpty)
+    assert(UpsertStatsManifest.footerReads.get() == before,
+      "the costing path must NEVER open footers")
+    // one planning pass persists the manifests → exact count, no footers
+    spark.read.format("graft-upsert").load(dir).where(col("v") > -1).count()
+    clearInMemory()
+    val mid = UpsertStatsManifest.footerReads.get()
+    assert(UpsertStatsManifest.manifestRowCount(fs, files).contains(300L))
+    assert(UpsertStatsManifest.footerReads.get() == mid)
+    // a rewritten partition invalidates its entries → None again (no
+    // partial answers), until the next pass repairs it
+    sink.upsert(Seq((0L, 1L, 99L, "p0")).toDF("id", "seq", "v", "p"), 1)
+    clearInMemory()
+    assert(UpsertStatsManifest.manifestRowCount(fs, files).isEmpty)
+  }
+
   test("the conf switch disables manifest reads AND writes") {
     val dir = tmp("mfoff")
     spark.conf.set(UpsertStatsManifest.EnabledConfKey, "false")
