@@ -92,7 +92,7 @@ object Bench {
     // fixture variance band stops polluting round-over-round compares.
     val writePipeline = Set(
       "q_sql_delete", "q_sql_update", "q_sql_merge", "q_sql_overwrite",
-      "q_sql_rename",
+      "q_sql_rename", "q_sql_restore", "q_sql_ctas",
       "q_sql_version_asof",
       "q_change_feed", "q_upsert_table_read", "q_upsert_expectations",
       "q_agg_pushdown", "x_ann_ivf_incremental", "x_line_dedup_incremental",
