@@ -250,6 +250,137 @@ object Multimodal {
       |  AND least(a.byte_len, b.byte_len)::DOUBLE / greatest(a.byte_len, b.byte_len) >= 0.98
       |ORDER BY media_type, doc_a, doc_b""".stripMargin
 
+  /** Target long edge (pixels) for [[mediaResize]] — the ViT-era
+    * standard input size.
+    */
+  val resizeTarget = 224
+
+  /** Resize planning for visual media — the third mandated media op
+    * (decode / feature-extract / RESIZE / frame-sample): decode the
+    * source dimensions (STUB: deterministic fake dims from the payload
+    * bytes, standing in for the codec's header read), then compute the
+    * aspect-preserving downscale to a [[resizeTarget]] long edge in
+    * EXACT integer arithmetic (`w*224 DIV max(w,h)` — engine-portable,
+    * no float rounding). No upscale: media already inside the target
+    * keeps its dimensions. Audio is out of scope for a 2-D resize.
+    *
+    * Scale shape: pure per-row math on the scan — the real pixel
+    * resample this plans for is executed inside the partition-wise
+    * decoder ([[decodeStub]]'s slot), where the resize plan's
+    * (out_w, out_h) become the codec's target buffer.
+    */
+  def mediaResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = mediaTable(spark, sfDir).toDF()
+      .filter(col("media_type") =!= "audio")
+      // stub header decode: width from the byte length, height from
+      // the content hash — deterministic, DuckDB-replayable
+      .withColumn("src_w", lit(64) + col("byte_len") % 448)
+      .withColumn("src_h", lit(64) +
+        conv(substring(md5(col("payload")), 1, 8), 16, 10).cast("long") % 448)
+      .withColumn("long_edge", greatest(col("src_w"), col("src_h")))
+    graft.Present.sortSmall(
+      media.select(
+        col("doc_id"), col("media_type"), col("src_w"), col("src_h"),
+        when(col("long_edge") <= resizeTarget, col("src_w"))
+          .otherwise(expr(s"src_w * $resizeTarget DIV long_edge")).as("out_w"),
+        when(col("long_edge") <= resizeTarget, col("src_h"))
+          .otherwise(expr(s"src_h * $resizeTarget DIV long_edge")).as("out_h"),
+        (col("long_edge") > resizeTarget).as("resized")),
+      col("doc_id"))
+  }
+
+  /** DuckDB twin of [[mediaResize]]: same stub dims, same integer
+    * division.
+    */
+  val mediaResizeSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'video' END AS media_type,
+       |         64 + CAST(octet_length(encode(text)) AS BIGINT) % 448 AS src_w,
+       |         64 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 448 AS src_h
+       |  FROM documents
+       |  WHERE doc_id % 3 != 1),
+       |g AS (SELECT *, greatest(src_w, src_h) AS long_edge FROM m)
+       |SELECT doc_id, media_type, src_w, src_h,
+       |       CASE WHEN long_edge <= $resizeTarget THEN src_w
+       |            ELSE src_w * $resizeTarget // long_edge END AS out_w,
+       |       CASE WHEN long_edge <= $resizeTarget THEN src_h
+       |            ELSE src_h * $resizeTarget // long_edge END AS out_h,
+       |       long_edge > $resizeTarget AS resized
+       |FROM g
+       |ORDER BY doc_id""".stripMargin
+
+  /** Stub media-embedding dimensionality and keep threshold for
+    * [[mediaTextAlign]]. Random-vector alignment scores distribute
+    * ~N(0, 1/√dims); 0.1 keeps roughly the upper third — the shape of
+    * a CLIP-score cut, not a tuned constant.
+    */
+  val alignDims = 16
+  val alignThreshold = 0.1
+
+  /** Image/audio/video ↔ text alignment scoring — the CLIP-filter
+    * shape of multimodal corpus curation (LAION-style): join each
+    * media payload's embedding against its caption text's embedding
+    * (the `embeddings` table, keyed by doc id) and keep pairs whose
+    * cosine clears [[alignThreshold]]. The media embedding is the
+    * decode STUB's output (deterministic md5-derived vector from the
+    * payload content — the slot a real image tower fills); the join,
+    * the vector math, and the keep/drop gate are the real pipeline.
+    *
+    * Scale shape: per-row stub vector + ONE hash join on the id (the
+    * embedding side broadcast when small), zip_with/aggregate dot
+    * products inside codegen — no shuffle beyond the join.
+    */
+  def mediaTextAlign(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = mediaTable(spark, sfDir).toDF()
+      .withColumn("content_md5", md5(col("payload")))
+      .select(col("doc_id"), col("media_type"),
+        transform(sequence(lit(0), lit(alignDims - 1)), i =>
+          (conv(substring(md5(concat(col("content_md5"), lit(":"),
+            i.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
+            % 2001 - 1000).cast("double") / 1000.0).as("mv"))
+    val text = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        slice(col("embedding"), 1, alignDims).cast("array<double>").as("tv"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.Present.sortSmall(
+      media.join(text, "doc_id")
+        .withColumn("align_score",
+          round(dot(col("mv"), col("tv")) /
+            (sqrt(dot(col("mv"), col("mv"))) * sqrt(dot(col("tv"), col("tv")))), 4))
+        .select(col("doc_id"), col("media_type"), col("align_score"),
+          (col("align_score") >= alignThreshold).as("kept")),
+      col("doc_id"))
+  }
+
+  /** DuckDB twin of [[mediaTextAlign]]: same stub vector arithmetic,
+    * same truncated-text-embedding cosine, same threshold.
+    */
+  val mediaTextAlignSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'video' END AS media_type,
+       |         list_transform(range($alignDims), i ->
+       |           ((('0x' || substr(md5(md5(text) || ':' || i), 1, 8))::BIGINT
+       |             % 2001) - 1000) / 1000.0) AS mv
+       |  FROM documents),
+       |e AS (SELECT vec_id AS doc_id,
+       |             list_transform(embedding[1:$alignDims], v -> CAST(v AS DOUBLE)) AS tv
+       |      FROM embeddings),
+       |j AS (SELECT m.doc_id, m.media_type,
+       |             list_sum(list_transform(range($alignDims),
+       |               i -> mv[i + 1] * tv[i + 1])) /
+       |             (sqrt(list_sum(list_transform(mv, x -> x * x))) *
+       |              sqrt(list_sum(list_transform(tv, x -> x * x)))) AS s
+       |      FROM m JOIN e ON m.doc_id = e.doc_id)
+       |SELECT doc_id, media_type, round(s, 4) AS align_score,
+       |       round(s, 4) >= $alignThreshold AS kept
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
+
   val frameFeaturesSql: String =
     """WITH media AS (
       |  SELECT doc_id,

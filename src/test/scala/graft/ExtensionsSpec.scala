@@ -328,6 +328,41 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("media resize preserves aspect within integer truncation, never upscales") {
+    val rows = ext.Multimodal.mediaResize(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Long]("src_w"), r.getAs[Long]("src_h"))
+      val (ow, oh) = (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))
+      assert(r.getAs[String]("media_type") != "audio")
+      if (r.getAs[Boolean]("resized")) {
+        // the LONG edge lands exactly on target (it divides itself out)
+        assert(math.max(ow, oh) == ext.Multimodal.resizeTarget)
+        assert(ow <= w && oh <= h)
+        // aspect preserved within the truncation of one integer division
+        val want = math.min(w, h).toDouble * ext.Multimodal.resizeTarget / math.max(w, h)
+        assert(math.abs(math.min(ow, oh) - want) <= 1.0, s"aspect drift: $r")
+      } else {
+        assert(ow == w && oh == h && math.max(w, h) <= ext.Multimodal.resizeTarget)
+      }
+    }
+  }
+
+  test("media-text alignment joins every embedded doc once; scores are cosines") {
+    val rows = ext.Multimodal.mediaTextAlign(spark, sf0001).collect()
+    assert(rows.length == 500) // sf0.001: every doc has an embedding
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("align_score")
+      assert(s >= -1.0001 && s <= 1.0001)
+      assert(r.getAs[Boolean]("kept") == (s >= ext.Multimodal.alignThreshold))
+    }
+    // a cut at 0.1 over ~N(0, 1/4) scores keeps a meaningful MIDDLE
+    // fraction — the gate is neither pass-all nor drop-all
+    val kept = rows.count(_.getAs[Boolean]("kept"))
+    assert(kept > rows.length / 10 && kept < rows.length * 9 / 10, s"kept=$kept")
+  }
+
   test("fingerprint: rolling hash is order-sensitive, content hash stable") {
     val fp = ext.Text.fingerprint(spark, sf0001).limit(5).collect()
     fp.foreach { r =>
