@@ -74,7 +74,8 @@ object UpsertColumnar {
 final class UpsertMultiFileColumnarReader(part: UpsertFilesPartition,
     required: StructType, partitionCol: Option[String],
     conf: Configuration, skipFilters: Array[Filter],
-    aliases: Map[String, List[String]] = Map.empty)
+    aliases: Map[String, List[String]] = Map.empty,
+    fileMetaCol: Option[String] = None)
   extends PartitionReader[ColumnarBatch] {
 
   private val files = part.files.iterator
@@ -86,7 +87,8 @@ final class UpsertMultiFileColumnarReader(part: UpsertFilesPartition,
         if (!files.hasNext) return false
         current = new UpsertColumnarPartitionReader(
           UpsertFilePartition(files.next(), part.partValue), required,
-          partitionCol, conf, skipFilters, aliases = aliases)
+          partitionCol, conf, skipFilters, aliases = aliases,
+          fileMetaCol = fileMetaCol)
       }
       if (current.next()) return true
       current.close()
@@ -104,11 +106,15 @@ final class UpsertColumnarPartitionReader(part: UpsertFilePartition,
     required: StructType, partitionCol: Option[String],
     baseConf: Configuration, skipFilters: Array[Filter],
     capacity: Int = 4096,
-    aliases: Map[String, List[String]] = Map.empty)
+    aliases: Map[String, List[String]] = Map.empty,
+    // the `_file` metadata column, when requested AND unclaimed by a
+    // real data column: a per-file constant vector, never a decode
+    fileMetaCol: Option[String] = None)
   extends PartitionReader[ColumnarBatch] {
 
   private val dataFields: Array[StructField] =
-    required.fields.filter(f => !partitionCol.exists(_.equalsIgnoreCase(f.name)))
+    required.fields.filter(f => !partitionCol.exists(_.equalsIgnoreCase(f.name)) &&
+      !fileMetaCol.exists(_.equalsIgnoreCase(f.name)))
 
   private val conf = new Configuration(baseConf)
   conf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
@@ -190,6 +196,10 @@ final class UpsertColumnarPartitionReader(part: UpsertFilePartition,
         val v = new ConstantColumnVector(capacity, StringType)
         if (part.partValue == null) v.setNull()
         else v.setUtf8String(UTF8String.fromString(part.partValue))
+        v: ColumnVector
+      } else if (fileMetaCol.exists(_.equalsIgnoreCase(f.name))) {
+        val v = new ConstantColumnVector(capacity, StringType)
+        v.setUtf8String(UTF8String.fromString(part.filePath))
         v: ColumnVector
       } else {
         val c = inner.column(di); di += 1; c

@@ -113,7 +113,23 @@ final class UpsertTable(path: String, schema: StructType,
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` metadata column (Iceberg's name): the absolute path of
+    * the data file serving each row — provenance/debugging at the
+    * file grain, zero decode cost (a per-file constant). Spark hides
+    * it whenever a real data column claims the name.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = UpsertTableSource.FileMetadataColumn
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "absolute path of the data file serving the row"
+    })
 
   override def name(): String = s"graft-upsert `$path`"
   override def schema(): StructType = schema
@@ -770,7 +786,12 @@ final class UpsertScan(path: String, tableSchema: StructType,
       // column-rename lineage: archived (time-travel) files may store a
       // required column under a historical name — readers resolve
       // through this map (driver-side props read, shipped per task)
-      aliases = columnAliases)
+      aliases = columnAliases,
+      // the `_file` metadata column — served as a per-file constant,
+      // but ONLY while no real data column claims the name (Spark
+      // hides the metadata column on conflict; we must match)
+      fileMetaCol = Some(UpsertTableSource.FileMetadataColumn)
+        .filterNot(n => tableSchema.fieldNames.exists(_.equalsIgnoreCase(n))))
 
   /** `spark.readStream.format("graft-upsert")`: the table as an
     * incremental per-commit change stream ([[UpsertMicroBatchStream]]).
@@ -838,7 +859,9 @@ final class UpsertReaderFactory(required: StructType, partitionCol: Option[Strin
     columnarEnabled: Boolean = true,
     // current column name (lower-cased) → historical names, newest
     // first ([[ColumnAliases]]) — empty unless the table ever renamed
-    aliases: Map[String, List[String]] = Map.empty)
+    aliases: Map[String, List[String]] = Map.empty,
+    // the `_file` metadata column's name, when active for this table
+    fileMetaCol: Option[String] = None)
   extends PartitionReaderFactory {
 
   // Spark requires a uniform answer across a scan's partitions (it
@@ -853,20 +876,20 @@ final class UpsertReaderFactory(required: StructType, partitionCol: Option[Strin
     partition match {
       case f: UpsertFilePartition =>
         new UpsertColumnarPartitionReader(f, required, partitionCol,
-          conf.value, skipFilters, aliases = aliases)
+          conf.value, skipFilters, aliases = aliases, fileMetaCol = fileMetaCol)
       case g: UpsertFilesPartition =>
         new UpsertMultiFileColumnarReader(g, required, partitionCol,
-          conf.value, skipFilters, aliases)
+          conf.value, skipFilters, aliases, fileMetaCol)
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case f: UpsertFilePartition =>
         new UpsertPartitionReader(f, required, partitionCol, conf.value,
-          skipFilters, aliases)
+          skipFilters, aliases, fileMetaCol)
       case g: UpsertFilesPartition =>
         new UpsertMultiFileReader(g, required, partitionCol, conf.value,
-          skipFilters, aliases)
+          skipFilters, aliases, fileMetaCol)
     }
 }
 
@@ -874,7 +897,8 @@ final class UpsertReaderFactory(required: StructType, partitionCol: Option[Strin
 final class UpsertMultiFileReader(part: UpsertFilesPartition,
     required: StructType, partitionCol: Option[String],
     conf: Configuration, skipFilters: Array[Filter] = Array.empty,
-    aliases: Map[String, List[String]] = Map.empty)
+    aliases: Map[String, List[String]] = Map.empty,
+    fileMetaCol: Option[String] = None)
   extends PartitionReader[InternalRow] {
 
   private val files = part.files.iterator
@@ -886,7 +910,7 @@ final class UpsertMultiFileReader(part: UpsertFilesPartition,
         if (!files.hasNext) return false
         current = new UpsertPartitionReader(
           UpsertFilePartition(files.next(), part.partValue), required, partitionCol,
-          conf, skipFilters, aliases)
+          conf, skipFilters, aliases, fileMetaCol)
       }
       if (current.next()) return true
       current.close()
@@ -915,7 +939,10 @@ final class UpsertPartitionReader(part: UpsertFilePartition,
     // — advisory: Spark re-evaluates them above the scan; plus the
     // rename lineage for resolving current names against old files
     skipFilters: Array[Filter] = Array.empty,
-    aliases: Map[String, List[String]] = Map.empty)
+    aliases: Map[String, List[String]] = Map.empty,
+    // the `_file` metadata column, when requested AND unclaimed by a
+    // real data column: a per-file constant, never a parquet read
+    fileMetaCol: Option[String] = None)
   extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration(baseConf)
@@ -929,7 +956,8 @@ final class UpsertPartitionReader(part: UpsertFilePartition,
   }
 
   private val dataFields: Array[StructField] =
-    required.fields.filter(f => !partitionCol.exists(_.equalsIgnoreCase(f.name)))
+    required.fields.filter(f => !partitionCol.exists(_.equalsIgnoreCase(f.name)) &&
+      !fileMetaCol.exists(_.equalsIgnoreCase(f.name)))
 
   // the name THIS file stores the field under: the current name, else
   // (archived pre-rename files) the newest historical alias present
@@ -993,6 +1021,8 @@ final class UpsertPartitionReader(part: UpsertFilePartition,
       val f = required.fields(i)
       if (partitionCol.exists(_.equalsIgnoreCase(f.name))) {
         values(i) = if (part.partValue == null) null else UTF8String.fromString(part.partValue)
+      } else if (fileMetaCol.exists(_.equalsIgnoreCase(f.name))) {
+        values(i) = UTF8String.fromString(part.filePath)
       } else if (presentNames.contains(f.name)) {
         values(i) = UpsertTableSource.readValue(current, pi, f.dataType)
         pi += 1
@@ -1020,6 +1050,14 @@ object UpsertTableSource {
     * on (it is by default in 4.x) for the planner to exploit it.
     */
   val SpjConfKey = "spark.graft.upsert.spj.enabled"
+
+  /** Name of the file-path metadata column ([[UpsertTable]]'s
+    * `SupportsMetadataColumns`). Readers serve it ONLY when the table
+    * schema does not claim the name (Spark hides the metadata column
+    * on conflict; the readers must agree or they would shadow a real
+    * data column with the path constant).
+    */
+  val FileMetadataColumn = "_file"
 
   /** Session conf gating min/max data skipping (file-level pruning at
     * planning + row-group filtering at read) on residual predicates —
