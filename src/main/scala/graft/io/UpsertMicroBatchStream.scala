@@ -87,7 +87,13 @@ final class UpsertMicroBatchStream(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new UpsertReaderFactory(required, Some(partitionCol),
-      UpsertTableSource.serializableConf())
+      UpsertTableSource.serializableConf(),
+      // rename lineage: a batch whose offset lags behind later commits
+      // (crash replay of a WAL-pinned range) plans ARCHIVED pre-image
+      // dirs, and pre-rename commits' archives keep the OLD column
+      // names — without the alias map the stream silently null-fills
+      // the renamed column for exactly the replayed range
+      aliases = ColumnAliases.parse(GraftUpsertCatalog.tableProps(path)))
 
   override def commit(end: Offset): Unit = ()
 

@@ -77,6 +77,46 @@ class UpsertStreamReadSpec extends SparkSpec {
     assert(batches.flatMap(_._2) == Seq((5L, 1L, "hr")))
   }
 
+  test("a replayed batch across a RENAME resolves old-name archived files") {
+    // crash-replay scenario: the WAL pinned a batch's end offset at c0;
+    // before the replay, a pre-rename commit c1 lands (its archive
+    // holds c0's post-image under the OLD column name), then the table
+    // renames. The replayed batch must serve the renamed column's
+    // VALUES from those old-name files — without the alias map it
+    // silently null-fills exactly the replayed range.
+    val dir = Files.createTempDirectory("usrren").toString + "/t"
+    val t = s"graft.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, seq BIGINT, dept STRING, amount DOUBLE)
+         |PARTITIONED BY (dept)
+         |TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq', 'keepVersions'='10')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 0, 'eng', 10.0)")
+    val c0 = ParquetUpsertSink.listArchivedCommits(spark, dir).last
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'eng', 20.0)") // archives c0's post-image (old name)
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN amount TO price")
+
+    val schema = spark.table(t).schema
+    val stream = new graft.io.UpsertMicroBatchStream(dir, schema, "dept", "earliest")
+    val parts = stream.planInputPartitions(
+      graft.io.UpsertCommitOffset(""), graft.io.UpsertCommitOffset(c0))
+    assert(parts.nonEmpty)
+    val factory = stream.createReaderFactory()
+    val rows = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = mutable.Buffer.empty[(Long, Double)]
+      try while (r.next()) {
+        val row = r.get()
+        buf += ((row.getLong(schema.fieldIndex("id")),
+          row.getDouble(schema.fieldIndex("price"))))
+      } finally r.close()
+      buf
+    }
+    assert(rows.toSeq == Seq((1L, 10.0)),
+      "the replayed batch must carry the pre-rename VALUE, not null")
+  }
+
   test("a tombstone-emptied partition stops appearing in later batches") {
     val (dir, _) = mkTable("usr3")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept",
