@@ -56,7 +56,8 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "optimize_zorder", "optimize_sort", "expire_commits",
-      "sweep_staging", "history", "detail", "files", "partitions", "restore")
+      "sweep_staging", "history", "detail", "files", "partitions", "restore",
+      "collect_stats")
 
   def load(name: String): UnboundProcedure = name match {
     case "compact" => proc("compact",
@@ -272,6 +273,38 @@ object GraftProcedures {
       sinkFor(path).restoreTo(spark, target)
         .map(p => new GenericInternalRow(
           Array[Any](str(UpsertTableSource.dirValue(p)))))
+    }
+    case "collect_stats" => proc("collect_stats",
+      Seq("table" -> StringType),
+      StructType(Seq(
+        StructField("partition", StringType),
+        StructField("files", IntegerType),
+        StructField("rows", LongType))),
+      "warm the per-directory file-statistics manifests (ANALYZE analog: " +
+        "footer reads fill the gaps, the lazy write-back persists them) so " +
+        "a fresh driver's planning prunes and costs with zero footer I/O") { in =>
+      val path = in.getUTF8String(0).toString
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pc = UpsertTableSource.partitionColOf(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft.system: no partitioned graft-upsert table at $path"))
+      val files = ParquetUpsertSink.liveDataFileStatuses(fs, path, pc)
+      val aliases = ColumnAliases.parse(GraftUpsertCatalog.tableProps(path))
+      // fileStatsAll reads footers for unmanifested files and flushes
+      // the repaired manifests — exactly the planning path, warmed
+      val stats = UpsertDataSkipping.fileStatsAll(fs, files.map(_.getPath),
+        UpsertTableSource.tableSchema(path), fs.getConf, aliases)
+      files.groupBy(_.getPath.getParent.getName).toSeq.sortBy(_._1)
+        .map { case (dir, inDir) =>
+          val counts = inDir.map(f =>
+            stats.get(f.getPath.toString).flatMap(_.rowCount))
+          val rows: Any =
+            if (counts.exists(_.isEmpty)) null else Long.box(counts.flatten.sum)
+          new GenericInternalRow(Array[Any](
+            str(UpsertTableSource.dirValue(dir.stripPrefix(s"$pc="))),
+            inDir.length, rows))
+        }
     }
     case other => throw new IllegalArgumentException(
       s"graft.system: unknown procedure '$other' (have: ${names.mkString(", ")})")

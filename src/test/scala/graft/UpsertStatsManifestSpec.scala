@@ -186,6 +186,29 @@ class UpsertStatsManifestSpec extends SparkSpec {
     assert(UpsertStatsManifest.manifestRowCount(fs, files).isEmpty)
   }
 
+  test("CALL graft.system.collect_stats warms every directory's manifest") {
+    val dir = tmp("mfwarm")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    val rows = (0 until 200).map(n => (n.toLong, 0L, n.toLong, s"p${n % 2}"))
+    sink.upsert(rows.toDF("id", "seq", "v", "p"), 0)
+    clearInMemory()
+    val out = spark.sql(s"CALL graft.system.collect_stats('$dir')")
+      .as[(String, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == Seq("p0", "p1"))
+    assert(out.map(_._3).sum == 200L) // exact footer row counts reported
+    val fs = fsOf(dir)
+    (0 to 1).foreach(i => assert(fs.exists(
+      new Path(s"$dir/p=p$i/${UpsertStatsManifest.ManifestFileName}"))))
+    // a fresh "driver" now costs the table without a single footer open
+    clearInMemory()
+    val before = UpsertStatsManifest.footerReads.get()
+    val files = (0 to 1).flatMap(i =>
+      fs.listStatus(new Path(s"$dir/p=p$i")).map(_.getPath)
+        .filter(_.getName.startsWith("part-")))
+    assert(UpsertStatsManifest.manifestRowCount(fs, files).contains(200L))
+    assert(UpsertStatsManifest.footerReads.get() == before)
+  }
+
   test("the conf switch disables manifest reads AND writes") {
     val dir = tmp("mfoff")
     spark.conf.set(UpsertStatsManifest.EnabledConfKey, "false")
