@@ -146,4 +146,37 @@ object StreamIvf {
       search(readIndex(spark, path), queries, centroids, k = 5),
       col("query_id"), col("rank"))
   }
+
+  /** The MERGE-ON-READ twin of [[annIvfIncremental]]: identical ingest
+    * slices, replay, and refresh, but every upsert lands as an O(delta)
+    * delta-commit APPEND instead of a copy-on-write rewrite of the
+    * touched cells, and the search probes the REAL-TIME view (base ∪
+    * deltas merged on read) with no compaction in between. Same oracle
+    * as the COW twin — a hash match proves the cheap write path serves
+    * the identical index. This is the steady-state shape for a
+    * high-ingest ANN index at 100 TB: deltas absorb the stream,
+    * compaction folds on its own cadence, and the quadruple-rewrite
+    * cost the COW twin pays per round becomes one parquet append per
+    * batch.
+    */
+  def annIvfIncrementalMor(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = graft.Tables.table(spark, sfDir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_mor").toString
+    val s = ParquetUpsertSink(path, recordKeys = Seq("vec_id"),
+      precombine = "seq", partitionCol = "cent_id",
+      writeMode = ParquetUpsertSink.ModeMor)
+    def slice(b: Int): DataFrame =
+      indexRows(emb, centroids, seq = b.toLong)
+        .filter(pmod(col("cent_id"), lit(2)) === b)
+    (0 until 2).foreach { b => s.upsert(slice(b), batchId = b.toLong) }
+    s.upsert(slice(1), batchId = 2L) // at-least-once replay
+    s.upsert(slice(0).withColumn("seq", lit(5L)), batchId = 3L) // refresh
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val index = s.readMor(spark).withColumn("cent_id", col("cent_id").cast("long"))
+    graft.Present.sortSmall(
+      search(index, queries, centroids, k = 5),
+      col("query_id"), col("rank"))
+  }
 }

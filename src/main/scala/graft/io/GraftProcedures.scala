@@ -264,13 +264,17 @@ object GraftProcedures {
       // before it (restore(ts) ≡ restore to what TIMESTAMP AS OF ts
       // reads); garbage falls through to restoreTo's fail-fast
       val retained = ParquetUpsertSink.listArchivedCommits(spark, path)
-      val target =
-        if (version == "" || retained.contains(version)) version
+      val target: Option[String] =
+        if (version == "" || retained.contains(version)) Some(version)
         else scala.util.Try(UpsertTableSource.parseTimestampMillis(version))
-          .toOption
-          .map(UpsertTableSource.resolveAsOfTimestamp(path, _))
-          .getOrElse(version)
-      sinkFor(path).restoreTo(spark, target)
+          .toOption match {
+            case Some(ms) =>
+              // None = the timestamp is newer than the last write:
+              // restoring to it is a no-op, not an error
+              UpsertTableSource.resolveAsOfTimestamp(path, ms)
+            case None => Some(version) // restoreTo's fail-fast handles it
+          }
+      target.map(sinkFor(path).restoreTo(spark, _)).getOrElse(Seq.empty)
         .map(p => new GenericInternalRow(
           Array[Any](str(UpsertTableSource.dirValue(p)))))
     }
@@ -291,6 +295,16 @@ object GraftProcedures {
           s"graft.system: no partitioned graft-upsert table at $path"))
       val files = ParquetUpsertSink.liveDataFileStatuses(fs, path, pc)
       val aliases = ColumnAliases.parse(GraftUpsertCatalog.tableProps(path))
+      // an explicit ANALYZE right after a write must still persist:
+      // wait out the manifest's racy-write window (bounded by the
+      // window itself) so the newest files' mtime ticks are closed and
+      // the flush below is neither skipped nor unsound
+      if (files.nonEmpty) {
+        val settle = files.map(_.getModificationTime).max +
+          UpsertStatsManifest.racyWindowMillis - System.currentTimeMillis()
+        if (settle > 0)
+          Thread.sleep(math.min(settle, UpsertStatsManifest.racyWindowMillis))
+      }
       // fileStatsAll reads footers for unmanifested files and flushes
       // the repaired manifests — exactly the planning path, warmed
       val stats = UpsertDataSkipping.fileStatsAll(fs, files.map(_.getPath),

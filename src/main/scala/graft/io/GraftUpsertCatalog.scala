@@ -103,8 +103,9 @@ final class GraftUpsertCatalog extends TableCatalog
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    loadWith(ident, Some(UpsertTableSource.resolveAsOfTimestamp(
-      pathOf(ident), timestamp / 1000L)))
+    // None = timestamp newer than the last write: the current state
+    loadWith(ident, UpsertTableSource.resolveAsOfTimestamp(
+      pathOf(ident), timestamp / 1000L))
   }
 
   private def loadWith(ident: Identifier, asOf: Option[String]): Table = {
@@ -340,17 +341,8 @@ final class GraftUpsertCatalog extends TableCatalog
   }
 
   private def updateProps(fs: org.apache.hadoop.fs.FileSystem, root: Path)(
-      f: java.util.Properties => Unit): Unit = {
-    val p = new Path(root, GraftUpsertCatalog.TablePropsFileName)
-    val props = new java.util.Properties()
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try props.load(in) finally in.close()
-    }
-    f(props)
-    val out = fs.create(p, true)
-    try props.store(out, null) finally out.close()
-  }
+      f: java.util.Properties => Unit): Unit =
+    GraftUpsertCatalog.updateProps(fs, root.toString)(f)
 }
 
 object GraftUpsertCatalog {
@@ -363,18 +355,67 @@ object GraftUpsertCatalog {
     */
   val TablePropsFileName = "_table.properties"
 
+  /** The FIXED staging name every properties update writes through.
+    * Updates are commit-lock-serialized, so one name suffices — and a
+    * fixed name is what makes crash RECOVERY a single exists probe
+    * instead of a table-root listing.
+    */
+  val PropsTmpName: String = s".$TablePropsFileName.tmp"
+
   /** The persisted table properties, empty when the file is absent
     * (tables created by the sink rather than the catalog).
     */
   def tableProps(path: String): Map[String, String] = {
     val p = new Path(s"$path/$TablePropsFileName")
     val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Map.empty
+    loadProps(fs, path).asScala.toMap
+  }
+
+  /** Crash-safe load of `_table.properties`: when the canonical file
+    * is absent but the update discipline's tmp survives (a writer died
+    * between its delete and rename), the tmp holds the COMPLETE
+    * intended state — recordKeys, keepVersions, the column-rename
+    * lineage — and is served and promoted back (best effort) rather
+    * than silently degrading to an empty property set (which would
+    * null-fill renamed columns in history reads and drop merge keys).
+    * The extra probe costs nothing on the common present path.
+    */
+  def loadProps(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): java.util.Properties = {
+    val p = new Path(s"$path/$TablePropsFileName")
+    val props = new java.util.Properties()
+    def load(from: Path): Boolean =
+      try {
+        val in = fs.open(from)
+        try { props.load(in); true } finally in.close()
+      } catch { case _: java.io.IOException => false }
+    if (fs.exists(p)) load(p)
     else {
-      val props = new java.util.Properties()
-      val in = fs.open(p)
-      try props.load(in) finally in.close()
-      props.asScala.toMap
+      val tmp = new Path(s"$path/$PropsTmpName")
+      try {
+        if (fs.exists(tmp) && load(tmp)) { fs.rename(tmp, p); () }
+      } catch { case _: java.io.IOException => }
     }
+    props
+  }
+
+  /** Crash-safe read-modify-write of `_table.properties` (tmp + delete
+    * + rename): a concurrent reader sees old-complete, new-complete,
+    * or recovers the surviving tmp via [[loadProps]] — never a
+    * truncated file, and a crash in the window no longer erases the
+    * table's lineage. Callers serialize through the commit lock.
+    */
+  def updateProps(fs: org.apache.hadoop.fs.FileSystem, path: String)(
+      f: java.util.Properties => Unit): Unit = {
+    val props = loadProps(fs, path)
+    f(props)
+    val p = new Path(s"$path/$TablePropsFileName")
+    val tmp = new Path(s"$path/$PropsTmpName")
+    val out = fs.create(tmp, true)
+    try props.store(out, null) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(
+        s"table properties rename failed: $tmp -> $p")
   }
 }

@@ -989,17 +989,56 @@ final case class ParquetUpsertSink(
       })
     val period = ParquetUpsertSink.LockTimeoutMs / 3
     ex.scheduleAtFixedRate(() => {
-      try {
-        if (readLock(fs).exists(_._1 == stagingToken)) {
-          val out = fs.create(lockPath, true)
-          try out.write(s"$stagingToken ${System.currentTimeMillis()}"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-        }
-      } catch { case _: Throwable => () } // next beat retries; margin is 3 beats
+      try refreshLockOnce(fs)
+      catch { case _: Throwable => () } // next beat retries; margin is 3 beats
     }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     ex
   }
+
+  /** One heartbeat refresh. A read-check-then-overwrite here is a
+    * TOCTOU: a breaker can re-take the lock between our read and a
+    * blind overwrite, and the stalled holder's beat would then CLOBBER
+    * the new holder's token — two writers both believing they own the
+    * table. The refresh is rename-CAS shaped instead: atomically CLAIM
+    * the current lock file by renaming it aside, re-verify the claimed
+    * CONTENT is ours, and only then rename the refreshed token in.
+    * Every interleaving with a breaker (whose break is itself a
+    * rename) or a fresh acquirer (create-exclusive) makes exactly one
+    * rename fail LOUDLY; on any loss we restore what we claimed and
+    * stop deciding — verifyLockOwnership aborts the commit before
+    * anything destructive. (`private[graft]` so the spec can drive the
+    * race interleavings deterministically.)
+    */
+  private[graft] def refreshLockOnce(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    if (readLock(fs).exists(_._1 == stagingToken)) {
+      val fresh = new Path(s"$path/._commit.lock.hb.$stagingToken.fresh")
+      val out = fs.create(fresh, true)
+      try out.write(s"$stagingToken ${System.currentTimeMillis()}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val claim = new Path(s"$path/._commit.lock.hb.$stagingToken.claim")
+      val claimed = try fs.rename(lockPath, claim)
+      catch { case _: java.io.IOException => false }
+      if (!claimed) fs.delete(fresh, false) // breaker mid-break: skip beat
+      else {
+        val stillOurs = readLockFile(fs, claim).exists(_._1 == stagingToken)
+        if (stillOurs && fs.rename(fresh, lockPath)) fs.delete(claim, false)
+        else if (!stillOurs) {
+          // we claimed someone ELSE's token (re-taken in the window):
+          // put it back untouched and stop beating ours
+          if (!fs.rename(claim, lockPath)) fs.delete(claim, false)
+          fs.delete(fresh, false)
+        } else {
+          // ours, but an acquirer slipped into the absence window
+          // (its create-exclusive won): it owns the lock now
+          fs.delete(claim, false)
+          fs.delete(fresh, false)
+        }
+      }
+    }
+  }
+
+  private[graft] def lockTokenForTesting: String = stagingToken
 
   /** Assert THIS writer still owns the commit lock — called immediately
     * before each commit's first destructive step (live-tree overwrite,
@@ -1238,7 +1277,9 @@ final case class ParquetUpsertSink(
       }
       // partitions whose every key tombstoned away lose their base dirs
       touchedValues.filterNot(surviving.contains).foreach { v =>
-        fs.delete(new Path(s"$path/$partitionCol=${dirName(v)}"), true)
+        val p = new Path(s"$path/$partitionCol=${dirName(v)}")
+        fs.delete(p, true)
+        UpsertStatsManifest.invalidate(fs, p)
       }
       folding.foreach(c => fs.delete(new Path(deltaRoot, c), true))
       markCommitComplete(fs, commit)
@@ -1370,7 +1411,9 @@ final case class ParquetUpsertSink(
 
       def deleteDirs(values: Iterable[String]): Unit =
         values.foreach { v =>
-          fs.delete(new Path(s"$path/$partitionCol=${dirName(v)}"), true)
+          val p = new Path(s"$path/$partitionCol=${dirName(v)}")
+          fs.delete(p, true)
+          UpsertStatsManifest.invalidate(fs, p)
         }
 
       if (existing.isDefined) {
@@ -1487,7 +1530,9 @@ final case class ParquetUpsertSink(
         .collect().map(_.getString(0)).toSet
       if (surviving.nonEmpty) writeFinal(mat)
       matched.filterNot(surviving.contains).foreach { v =>
-        fs.delete(new Path(s"$path/$partitionCol=${dirName(v)}"), true)
+        val p = new Path(s"$path/$partitionCol=${dirName(v)}")
+        fs.delete(p, true)
+        UpsertStatsManifest.invalidate(fs, p)
       }
       markCommitComplete(fs, commit)
     } finally Checkpoints.release(mat)
@@ -1555,9 +1600,15 @@ final case class ParquetUpsertSink(
         .parquet(path)
     val rowPartDirs = rowParts.map(dirName).toSet
     replaced.filterNot(v => rowPartDirs.contains(dirName(v))).foreach { v =>
-      fs.delete(new Path(s"$path/$partitionCol=${dirName(v)}"), true)
+      val p = new Path(s"$path/$partitionCol=${dirName(v)}")
+      fs.delete(p, true)
+      UpsertStatsManifest.invalidate(fs, p)
     }
-    persistSchema(fs, norm.schema)
+    // ADDITIVE persist: a row-level rewrite plans only the touched
+    // groups, so `norm` may be NARROWER than untouched partitions'
+    // files (e.g. a column added by a later commit this operation
+    // never scanned) — `_schema.json` must never narrow below them
+    persistSchemaAdditive(spark, fs, norm.schema)
     markCommitComplete(fs, commit)
   }
 
@@ -1603,9 +1654,23 @@ final case class ParquetUpsertSink(
       s"restore: commit '$asOf' is not retained (keepVersions window); " +
         (if (retained.isEmpty) "no archived commits exist"
          else s"oldest retained commit is '${retained.head}'"))
+    val newer = retained.filter(_ > asOf)
+    // fail FAST across pre-manifest commits: their pre-image dirs
+    // cannot distinguish "created by this commit" (must restore to
+    // ABSENCE) from "untouched" — the lossy fallback could silently
+    // keep partitions the as-of state never had. readAsOf stays
+    // lenient (a read cannot corrupt), but a restore COMMITS the
+    // guess.
+    val legacy = newer.filterNot(c => fs.exists(
+      new Path(new Path(archiveRoot, c), ParquetUpsertSink.TouchedManifest)))
+    require(legacy.isEmpty,
+      s"restore: commit(s) ${legacy.mkString(", ")} predate the " +
+        "touched-partition manifest; their creation set is unrecoverable, so " +
+        "a restore across them could silently keep partitions that should " +
+        "restore to absence. Restore to a commit at or after them instead.")
     // the invalidation set: exactly the partitions some newer commit
     // touched — everything else is already in its as-of state
-    val touched = retained.filter(_ > asOf)
+    val touched = newer
       .flatMap(c => touchedPartitions(fs, new Path(archiveRoot, c)))
       .distinct
     if (touched.isEmpty) return Seq.empty
@@ -1951,28 +2016,15 @@ final case class ParquetUpsertSink(
     }
   }
 
-  /** Read-modify-write `_table.properties` with the tmp+delete+rename
-    * discipline of [[persistWriteConfig]] (a concurrent `tableProps`
-    * reader sees old-complete or absent, never truncated).
+  /** Read-modify-write `_table.properties` — the shared crash-safe
+    * discipline ([[GraftUpsertCatalog.updateProps]]: fixed tmp +
+    * delete + rename, with [[GraftUpsertCatalog.loadProps]] recovering
+    * a tmp stranded in the delete→rename window), so a crash mid-
+    * update can no longer erase the rename lineage or merge config.
     */
   private def updateTableProps(fs: org.apache.hadoop.fs.FileSystem)(
-      f: java.util.Properties => Unit): Unit = {
-    val propsPath = new Path(s"$path/${GraftUpsertCatalog.TablePropsFileName}")
-    val props = new java.util.Properties()
-    if (fs.exists(propsPath)) {
-      val in = fs.open(propsPath)
-      try props.load(in) finally in.close()
-    }
-    f(props)
-    val tmp = new Path(
-      s"$path/.${GraftUpsertCatalog.TablePropsFileName}.$stagingToken.tmp")
-    val out = fs.create(tmp, true)
-    try props.store(out, null) finally out.close()
-    fs.delete(propsPath, false)
-    if (!fs.rename(tmp, propsPath))
-      throw new java.io.IOException(
-        s"table properties rename failed: $tmp -> $propsPath")
-  }
+      f: java.util.Properties => Unit): Unit =
+    GraftUpsertCatalog.updateProps(fs, path)(f)
 
   // ——— catalog sync (Hive-sync analog) ———
 
@@ -2241,7 +2293,12 @@ object ParquetUpsertSink {
     // the renamed file strands a BrokenLockPrefix file at the root
     val brokenLocks =
       if (fs.exists(p))
-        fs.listStatus(p).filter(_.getPath.getName.startsWith(BrokenLockPrefix))
+        fs.listStatus(p).filter(st => {
+          val n = st.getPath.getName
+          // a heartbeat that crashed mid-refresh strands inert
+          // `._commit.lock.hb.*` claim/fresh files next to the lock
+          n.startsWith(BrokenLockPrefix) || n.startsWith("._commit.lock.hb.")
+        })
       else Array.empty[org.apache.hadoop.fs.FileStatus]
     brokenLocks.foreach(st => fs.delete(st.getPath, false))
     orphans.length + partials.length + dsv2.length + brokenLocks.length

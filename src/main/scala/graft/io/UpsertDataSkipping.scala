@@ -228,7 +228,7 @@ object UpsertDataSkipping {
   // not serve a pre-rename cache entry whose `present` set could not
   // resolve it (archived files keep their mtime across renames)
   private final case class CacheKey(path: String, mtime: Long, len: Long,
-      aliasKey: String)
+      fp: Long, aliasKey: String)
 
   /** Canonical cache-key form of a rename-lineage map. */
   private def aliasKeyOf(aliases: Map[String, List[String]]): String =
@@ -245,19 +245,43 @@ object UpsertDataSkipping {
           size() > MaxCacheEntries
       })
 
+  /** Manifest-related session conf, captured ONCE on the calling
+    * (planning) thread. The footer pool's threads are JVM-lifetime and
+    * inherit `SparkSession.active` from whichever thread first grew
+    * the pool — a streaming fixture's micro-batch thread runs under a
+    * CLONED session, so a conf read on a pool thread can see a stale
+    * snapshot forever after. Reading here and passing down makes the
+    * conf the caller's, deterministically.
+    */
+  private[graft] final case class ManifestCtx(enabled: Boolean, verify: Boolean)
+  private def currentManifestCtx: ManifestCtx =
+    ManifestCtx(UpsertStatsManifest.manifestEnabled,
+      UpsertStatsManifest.verifyContent)
+
   /** Footer statistics of `file` for every column of `schema`, via the
     * cache. Any footer-read failure degrades to "no stats" (never
     * prunes) rather than failing the plan.
     */
   def fileStats(fs: FileSystem, file: Path,
       schema: StructType, conf: Configuration,
-      aliases: Map[String, List[String]] = Map.empty): FileStats = {
+      aliases: Map[String, List[String]] = Map.empty): FileStats =
+    fileStatsCtx(fs, file, schema, conf, aliases, currentManifestCtx)
+
+  private def fileStatsCtx(fs: FileSystem, file: Path,
+      schema: StructType, conf: Configuration,
+      aliases: Map[String, List[String]], ctx: ManifestCtx): FileStats = {
     val st =
       try fs.getFileStatus(file)
       catch { case _: java.io.IOException =>
         return FileStats(Map.empty, schema.fieldNames.toSet) }
+    // content-verified mode: a real footer-bytes fingerprint read per
+    // planning pass, keyed into BOTH caches — an in-place rewrite that
+    // preserves (name, mtime, len) then misses everywhere and re-reads
+    val vfp =
+      if (ctx.verify) UpsertStatsManifest.contentFingerprint(fs, file, st.getLen)
+      else UpsertStatsManifest.FpUnchecked
     val key = CacheKey(file.toString, st.getModificationTime, st.getLen,
-      aliasKeyOf(aliases))
+      vfp, aliasKeyOf(aliases))
     val cached = statsCache.get(key)
     if (cached != null) return cached
     // raw physical stats: the persisted per-directory manifest first
@@ -268,11 +292,17 @@ object UpsertDataSkipping {
     val computed =
       try {
         val raw = UpsertStatsManifest.lookup(fs, file.getParent, file.getName,
-          st.getModificationTime, st.getLen)
+          st.getModificationTime, st.getLen, vfp, ctx.enabled)
           .getOrElse {
             val r = UpsertStatsManifest.readRaw(file, conf)
+            // record the REAL fingerprint (one tail read, trivial next
+            // to the footer parse) so a later verified lookup — this
+            // driver or the next — has something sound to compare
+            val fp =
+              if (vfp != UpsertStatsManifest.FpUnchecked) vfp
+              else UpsertStatsManifest.contentFingerprint(fs, file, st.getLen)
             UpsertStatsManifest.recordFresh(file.getParent, file.getName,
-              st.getModificationTime, st.getLen, r)
+              st.getModificationTime, st.getLen, r, fp, ctx.enabled)
             r
           }
         UpsertStatsManifest.resolve(raw, schema, aliases)
@@ -309,15 +339,18 @@ object UpsertDataSkipping {
       schema: StructType, conf: Configuration,
       aliases: Map[String, List[String]] = Map.empty): Map[String, FileStats] = {
     if (files.isEmpty) return Map.empty
+    // conf snapshot on THIS (planning) thread — pool threads must not
+    // consult session state (see ManifestCtx)
+    val ctx = currentManifestCtx
     if (files.lengthCompare(2) < 0) {
       val out = files.map(f =>
-        f.toString -> fileStats(fs, f, schema, conf, aliases)).toMap
+        f.toString -> fileStatsCtx(fs, f, schema, conf, aliases, ctx)).toMap
       UpsertStatsManifest.flush(fs)
       return out
     }
     val futures = files.map { f =>
       f.toString -> statsPool.submit(new java.util.concurrent.Callable[FileStats] {
-        override def call(): FileStats = fileStats(fs, f, schema, conf, aliases)
+        override def call(): FileStats = fileStatsCtx(fs, f, schema, conf, aliases, ctx)
       })
     }
     val out = futures.map { case (p, fut) => p -> fut.get() }.toMap

@@ -54,6 +54,45 @@ object UpsertStatsManifest {
   val ManifestFileName = "_stats.manifest"
   val EnabledConfKey = "spark.graft.upsert.statsManifest.enabled"
 
+  /** Staleness-soundness knobs. The entry key is (mtime, length) — an
+    * in-place rewrite that lands the SAME name, length and mtime tick
+    * (possible on coarse-granularity filesystems: S3 LastModified is
+    * whole seconds) would otherwise serve stale min/max forever,
+    * across drivers, with no self-heal. Two nets close it:
+    *
+    *  - the RACY WINDOW (git's "racily clean" move): an entry whose
+    *    file mtime is within `racyWindowMillis` of the footer-read
+    *    wall clock is never PERSISTED — it stays in `pending` until a
+    *    later flush finds its mtime tick closed. Once the tick has
+    *    passed, any in-place rewrite necessarily lands a LATER mtime,
+    *    so the (mtime, len) key can no longer falsely match. Covers
+    *    every rewriter that lets the filesystem stamp mtime.
+    *  - CONTENT VERIFICATION (opt-in, [[VerifyContentConfKey]]): each
+    *    entry carries a fingerprint of the file's serialized parquet
+    *    footer (which embeds every row-group's min/max, so any stats
+    *    change changes it); when enabled, lookups re-read the footer
+    *    bytes and compare. One positioned tail read per file per
+    *    planning pass — strictly cheaper than the footer parse it
+    *    replaces, but no longer O(directories), so it is the strict
+    *    mode for tables mutated in place by external tools that
+    *    preserve mtime (e.g. `cp -p`-style restores).
+    *
+    * The graft sink itself never rewrites a data file in place
+    * (DSv2 task files carry write UUIDs) and overwrite paths delete
+    * whole partition directories and [[invalidate]] their manifests,
+    * so the default (racy window on, verification off) is sound for
+    * all sink-managed mutation.
+    */
+  val RacyWindowConfKey = "spark.graft.upsert.statsManifest.racyWindowMillis"
+  val VerifyContentConfKey = "spark.graft.upsert.statsManifest.verifyContent"
+
+  /** Sentinel: caller did not compute a fingerprint — entry matches on
+    * (mtime, len) alone. */
+  val FpUnchecked: Long = Long.MinValue
+  /** Sentinel: fingerprint read failed / not a parquet tail — never
+    * matches under verification (conservative: footer fallback). */
+  val FpUnreadable: Long = Long.MinValue + 1
+
   /** One column's footer statistics in physical form, aggregated over
     * the file's row groups. `structOk` = every row group had a usable
     * chunk + statistics (non-null-valued groups may still lack null
@@ -268,7 +307,48 @@ object UpsertStatsManifest {
     scala.util.Try(SparkSession.active.conf
       .get(EnabledConfKey, "true")).getOrElse("true") == "true"
 
-  private final case class Entry(mtime: Long, len: Long, raw: RawFileStats)
+  private[graft] def racyWindowMillis: Long =
+    scala.util.Try(SparkSession.active.conf
+      .get(RacyWindowConfKey, "2000").toLong).getOrElse(2000L)
+
+  private[graft] def verifyContent: Boolean =
+    scala.util.Try(SparkSession.active.conf
+      .get(VerifyContentConfKey, "false")).getOrElse("false") == "true"
+
+  /** FNV-1a-64 over the file's serialized parquet footer bytes (located
+    * via the standard 8-byte tail: little-endian footer length +
+    * "PAR1" magic). The footer embeds every row-group's statistics, so
+    * any min/max/null-count/row-count change changes the hash —
+    * exactly the staleness that matters to the pruner. Returns
+    * [[FpUnreadable]] on anything that is not a well-formed parquet
+    * tail or on I/O failure.
+    */
+  def contentFingerprint(fs: FileSystem, file: Path, len: Long): Long = {
+    if (len < 12) return FpUnreadable
+    try {
+      val in = fs.open(file)
+      try {
+        val tail = new Array[Byte](8)
+        in.readFully(len - 8, tail, 0, 8)
+        if (!(tail(4) == 'P' && tail(5) == 'A' && tail(6) == 'R' && tail(7) == '1'))
+          return FpUnreadable
+        val flen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+          ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+        if (flen <= 0 || flen > len - 12) return FpUnreadable
+        val foot = new Array[Byte](flen)
+        in.readFully(len - 8 - flen, foot, 0, flen)
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < flen) { h ^= (foot(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+        h ^= flen.toLong
+        // keep clear of the two sentinels (astronomically unlikely)
+        if (h == FpUnchecked || h == FpUnreadable) h + 2 else h
+      } finally in.close()
+    } catch { case _: java.io.IOException => FpUnreadable }
+  }
+
+  private final case class Entry(mtime: Long, len: Long, fp: Long,
+    raw: RawFileStats)
   private final case class DirManifest(mtime: Long, len: Long,
     entries: Map[String, Entry])
 
@@ -295,39 +375,66 @@ object UpsertStatsManifest {
     pending.clear()
   }
 
+  // manifest-status probes (exists/getFileStatus RPCs) observable for
+  // tests: an N-new-file wave must cost ONE probe per directory per
+  // TTL, not one (or two) per file
+  private[graft] val manifestProbes = new java.util.concurrent.atomic.AtomicLong()
+
   /** The manifest-served raw stats of `dir/name` at (mtime, len), or
     * None (absent, stale, unparseable, disabled) — the caller then
-    * reads the footer. At most one manifest READ per directory per
-    * new-file wave: a current cached manifest that simply lacks the
-    * file is a genuine miss and re-stats nothing.
+    * reads the footer. At most one manifest status PROBE per directory
+    * per [[CheckTtlMillis]]: a recently-checked cached manifest (or
+    * cached absence) that simply lacks the file is a genuine miss and
+    * re-probes nothing, so an N-new-file wave costs one RPC per
+    * directory, not N. (The flip side: a manifest another driver
+    * writes is picked up within the TTL, not instantly — it is a
+    * cache either way.)
+    *
+    * `expectFp`: [[FpUnchecked]] matches on (mtime, len) alone;
+    * otherwise the entry's stored footer fingerprint must equal it
+    * (content-verified mode — catches in-place rewrites that preserve
+    * name, length and mtime). `enabled` lets planning-thread callers
+    * pass a conf snapshot (pool threads must not consult session
+    * state — see [[UpsertDataSkipping]]'s ManifestCtx).
     */
   def lookup(fs: FileSystem, dir: Path, name: String, mtime: Long,
-      len: Long): Option[RawFileStats] = {
-    if (!manifestEnabled) return None
+      len: Long, expectFp: Long = FpUnchecked,
+      enabled: Boolean = manifestEnabled): Option[RawFileStats] = {
+    if (!enabled) return None
     val key = dir.toString
     def entryOf(m: Option[DirManifest]): Option[RawFileStats] =
       m.flatMap(_.entries.get(name))
-        .filter(e => e.mtime == mtime && e.len == len).map(_.raw)
+        .filter(e => e.mtime == mtime && e.len == len &&
+          (expectFp == FpUnchecked ||
+            (expectFp != FpUnreadable && e.fp == expectFp)))
+        .map(_.raw)
     val now = System.currentTimeMillis()
     val cached = cacheGet(key)
     cached.flatMap(s => entryOf(s.manifest)) match {
       case some @ Some(_) => some
       case None =>
         // miss in cache: is a newer (or first) manifest on disk?
-        val freshEnough = cached.exists(s => now - s.checkedAt < CheckTtlMillis &&
-          s.manifest.isEmpty)
-        if (freshEnough) return None // recently confirmed absent
+        // Probe at most once per TTL regardless of whether the cached
+        // state is "absent" or "present but lacks this file".
+        if (cached.exists(s => now - s.checkedAt < CheckTtlMillis))
+          return None // recently probed: genuine miss
         val mfPath = new Path(dir, ManifestFileName)
-        val st = try {
-          if (fs.exists(mfPath)) Some(fs.getFileStatus(mfPath)) else None
-        } catch { case _: java.io.IOException => None }
+        manifestProbes.incrementAndGet()
+        val st = try Some(fs.getFileStatus(mfPath))
+        catch {
+          case _: java.io.FileNotFoundException => None
+          case _: java.io.IOException => None
+        }
         st match {
           case None =>
             cachePut(key, CacheSlot(now, None)); None
           case Some(s)
               if cached.exists(_.manifest.exists(m =>
                 m.mtime == s.getModificationTime && m.len == s.getLen)) =>
-            None // cached copy IS current: genuine miss
+            // cached copy IS current: refresh the probe clock so the
+            // rest of this wave skips the RPC, then a genuine miss
+            cachePut(key, CacheSlot(now, cached.get.manifest))
+            None
           case Some(s) =>
             val loaded =
               try Some(parseManifest(fs, mfPath, s.getModificationTime, s.getLen))
@@ -370,43 +477,92 @@ object UpsertStatsManifest {
     * directory's manifest. No I/O here — safe from pool threads.
     */
   def recordFresh(dir: Path, name: String, mtime: Long, len: Long,
-      raw: RawFileStats): Unit = {
-    if (!manifestEnabled) return
+      raw: RawFileStats, fp: Long = FpUnreadable,
+      enabled: Boolean = manifestEnabled): Unit = {
+    if (!enabled) return
     pending.computeIfAbsent(dir.toString,
       _ => new java.util.concurrent.ConcurrentHashMap[String, Entry]())
-      .put(name, Entry(mtime, len, raw))
+      .put(name, Entry(mtime, len, fp, raw))
+  }
+
+  /** Drop every cached/pending/persisted statistic for `dir` — called
+    * by sink paths that overwrite or restore a partition directory, so
+    * neither this JVM's caches nor a leftover on-disk manifest can
+    * serve statistics recorded against the replaced files.
+    */
+  def invalidate(fs: FileSystem, dir: Path): Unit = {
+    val key = dir.toString
+    dirCacheLock.synchronized { dirCache.remove(key); () }
+    pending.remove(key)
+    try {
+      val mfPath = new Path(dir, ManifestFileName)
+      fs.delete(mfPath, false)
+      ()
+    } catch { case _: java.io.IOException => }
   }
 
   /** Merge every pending footer-read result into its directory's
     * manifest (tmp + delete + rename — concurrent readers see
     * old-complete or absent, never truncated) and prune entries whose
-    * files no longer exist. Failures are swallowed: the manifest is a
-    * cache; planning already has its answer.
+    * files no longer exist. Failures are swallowed but RE-OFFERED to
+    * `pending` (newer recordings win), so a transient I/O error delays
+    * persistence instead of silently dropping it forever. Entries
+    * still inside the racy window (file mtime within
+    * [[racyWindowMillis]] of now — an in-place rewrite could still
+    * land the same mtime tick) are retained for a later flush, never
+    * persisted. Each directory is flushed through ITS OWN FileSystem
+    * (resolved from the caller's Configuration), so one flush call
+    * serves tables on several schemes.
     */
   def flush(fs: FileSystem): Unit = {
     if (!manifestEnabled) return
+    val now = System.currentTimeMillis()
+    val window = racyWindowMillis
     val dirs = pending.keySet().toArray(Array.empty[String])
     dirs.foreach { d =>
       val fresh = pending.remove(d)
       if (fresh != null && !fresh.isEmpty) {
-        // one dir's failure (deleted under us by an overwrite, transient
-        // I/O) must not stop the others — the manifest is only a cache
-        try flushDir(fs, d, fresh)
-        catch { case scala.util.control.NonFatal(_) => }
+        // split ripe vs racy: racy entries go back to pending
+        val ripe = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+        val racy = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+        fresh.forEach { (n, e) =>
+          (if (now - e.mtime >= window) ripe else racy).put(n, e)
+        }
+        def reoffer(m: java.util.concurrent.ConcurrentHashMap[String, Entry]): Unit =
+          if (!m.isEmpty) {
+            val slot = pending.computeIfAbsent(d,
+              _ => new java.util.concurrent.ConcurrentHashMap[String, Entry]())
+            // putIfAbsent: a recording that raced in since we drained
+            // is newer than what we are putting back
+            m.forEach { (n, e) => slot.putIfAbsent(n, e); () }
+          }
+        reoffer(racy)
+        if (!ripe.isEmpty) {
+          // one dir's failure (transient I/O, caller's fs on the wrong
+          // scheme) must not stop the others — and must not LOSE the
+          // batch; a directory DELETED under us (overwrite/drop) is
+          // the one terminal case: its entries can never flush
+          try flushDir(fs, d, ripe)
+          catch {
+            case _: java.io.FileNotFoundException =>
+            case scala.util.control.NonFatal(_) => reoffer(ripe)
+          }
+        }
       }
     }
   }
 
-  private def flushDir(fs: FileSystem, d: String,
+  private def flushDir(callerFs: FileSystem, d: String,
       fresh: java.util.concurrent.ConcurrentHashMap[String, Entry]): Unit = {
     val dir = new Path(d)
+    // the directory's OWN filesystem: `pending` may hold directories
+    // from tables on a different scheme than the caller's fs
+    val fs = dir.getFileSystem(callerFs.getConf)
     val mfPath = new Path(dir, ManifestFileName)
     val existing: Map[String, Entry] =
       try {
-        if (fs.exists(mfPath)) {
-          val st = fs.getFileStatus(mfPath)
-          parseManifest(fs, mfPath, st.getModificationTime, st.getLen).entries
-        } else Map.empty
+        val st = fs.getFileStatus(mfPath)
+        parseManifest(fs, mfPath, st.getModificationTime, st.getLen).entries
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val freshMap: Map[String, Entry] = {
       import scala.collection.JavaConverters._
@@ -415,7 +571,7 @@ object UpsertStatsManifest {
     // prune to live files: a compacted-away file's entry can never
     // match again and would only grow the manifest
     val live: Set[String] = fs.listStatus(dir).iterator
-      .map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+      .map(_.getPath.getName).filter(dataFileName).toSet
     val merged = (existing ++ freshMap).filter { case (n, _) => live.contains(n) }
     if (merged.isEmpty) return
     val tmp = new Path(dir, s"$ManifestFileName.tmp.${java.util.UUID.randomUUID()}")
@@ -430,15 +586,27 @@ object UpsertStatsManifest {
       Some(DirManifest(st.getModificationTime, st.getLen, merged))))
   }
 
+  /** Names eligible for manifest entries: task-written `part-*` files
+    * plus externally added parquet (the format reads both). Sidecars
+    * (`_`-prefixed) and hidden files never qualify.
+    */
+  private def dataFileName(n: String): Boolean =
+    !n.startsWith("_") && !n.startsWith(".") &&
+      (n.startsWith("part-") || n.toLowerCase(Locale.ROOT).endsWith(".parquet"))
+
   // ——— wire format (line-oriented, UTF-8, URL-escaped names) ———
   //
-  //   graft-stats v1
-  //   f <name> <mtime> <len> <rows>
+  //   graft-stats v2
+  //   f <name> <mtime> <len> <fp> <rows>
   //   p <name1> <name2> ...
   //   c <name> <ptype> <lta> <values> <nulls|-> <hadNonNull> <structOk> <min|-> <max|->
   //
   // min/max encode per ptype: INT32/INT64 decimal, FLOAT/DOUBLE via
   // Float/Double.toString (exact round-trip, NaN/Infinity included).
+  // v1 (no per-entry footer fingerprint, written before the racy-write
+  // guard existed) is deliberately NOT parsed: its entries may predate
+  // the staleness guarantees, and discarding a cache only costs one
+  // footer pass.
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -467,9 +635,9 @@ object UpsertStatsManifest {
     })
 
   private def render(entries: Map[String, Entry]): String = {
-    val sb = new StringBuilder("graft-stats v1\n")
+    val sb = new StringBuilder("graft-stats v2\n")
     entries.toSeq.sortBy(_._1).foreach { case (name, e) =>
-      sb.append(s"f ${enc(name)} ${e.mtime} ${e.len} ${e.raw.rows}\n")
+      sb.append(s"f ${enc(name)} ${e.mtime} ${e.len} ${e.fp} ${e.raw.rows}\n")
       sb.append("p").append(e.raw.present.map(n => " " + enc(n)).mkString).append('\n')
       e.raw.cols.toSeq.sortBy(_._1).foreach { case (cn, rc) =>
         sb.append(s"c ${enc(cn)} ${rc.ptype} ${rc.lta} ${rc.values} " +
@@ -488,15 +656,15 @@ object UpsertStatsManifest {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.split('\n').iterator.filter(_.nonEmpty)
-    require(lines.hasNext && lines.next() == "graft-stats v1",
+    require(lines.hasNext && lines.next() == "graft-stats v2",
       s"unknown stats-manifest version in $mfPath")
     val entries = Map.newBuilder[String, Entry]
-    var cur: (String, Long, Long, Long) = null // name, mtime, len, rows
+    var cur: (String, Long, Long, Long, Long) = null // name, mtime, len, fp, rows
     var present = Seq.empty[String]
     var cols = Map.newBuilder[String, RawColStats]
     def close(): Unit = if (cur != null) {
-      entries += cur._1 -> Entry(cur._2, cur._3,
-        RawFileStats(cur._4, present, cols.result()))
+      entries += cur._1 -> Entry(cur._2, cur._3, cur._4,
+        RawFileStats(cur._5, present, cols.result()))
       cur = null
     }
     lines.foreach { line =>
@@ -504,7 +672,8 @@ object UpsertStatsManifest {
       parts(0) match {
         case "f" =>
           close()
-          cur = (dec(parts(1)), parts(2).toLong, parts(3).toLong, parts(4).toLong)
+          cur = (dec(parts(1)), parts(2).toLong, parts(3).toLong,
+            parts(4).toLong, parts(5).toLong)
           present = Seq.empty
           cols = Map.newBuilder[String, RawColStats]
         case "p" => present = parts.iterator.drop(1).map(dec).toSeq

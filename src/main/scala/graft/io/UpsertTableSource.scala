@@ -145,7 +145,9 @@ final class UpsertTable(path: String, schema: StructType,
     new UpsertScanBuilder(path, schema, partitionCol,
       Option(options.get("asOf"))
         .orElse(Option(options.get("asOfTimestamp"))
-          .map(ts => UpsertTableSource.resolveAsOfTimestamp(path,
+          // flatMap: a timestamp newer than the last write resolves to
+          // None = the current state, exactly what an unset option reads
+          .flatMap(ts => UpsertTableSource.resolveAsOfTimestamp(path,
             UpsertTableSource.parseTimestampMillis(ts))))
         .orElse(asOf),
       startingOffset = Option(options.get("startingOffset")),
@@ -216,10 +218,11 @@ final class UpsertTable(path: String, schema: StructType,
     if (UpsertTableSource.dataFiles(fs, dir).isEmpty) return false
     // a DELETE commit, not a rmdir: pre-images archive under the
     // table's retention so the drop is time-travelable and reversible
-    // (restore), exactly like DELETE FROM t WHERE pc <=> v
-    val keep = ParquetUpsertSink.effectiveKeepVersions(spark, path,
-      GraftUpsertCatalog.tableProps(path).get("keepVersions").map(_.toInt))
-    ParquetUpsertSink(path, Seq("_unused"), "_unused", pc, keepVersions = keep)
+    // (restore), exactly like DELETE FROM t WHERE pc <=> v. The sink
+    // comes from the ONE persisted-config constructor every
+    // maintenance path shares — hand-rolling '_unused' keys here
+    // silently dropped the table's real merge/write config
+    GraftProcedures.sinkFor(path)
       .delete(spark, org.apache.spark.sql.functions.col(pc) <=>
         org.apache.spark.sql.functions.lit(v))
     true
@@ -1121,11 +1124,15 @@ object UpsertTableSource {
 
   /** Above this many surviving files, the statistics estimate skips the
     * per-footer row-count sum (sizeInBytes still reports from the
-    * listing): keeps a full-table cost estimate at 100 TB from
-    * serializing millions of footer reads through the driver. The
-    * cap is per SCAN, after pruning — selective queries stay exact.
+    * listing; persisted stats MANIFESTS still answer exactly): keeps a
+    * full-table cost estimate at 100 TB from serializing millions of
+    * footer reads through the driver. The cap is per SCAN, after
+    * pruning — selective queries stay exact. System-property override
+    * so the spec can exercise the above-cap branch without staging
+    * 4097 real files.
     */
-  val MaxStatFooterFiles = 4096
+  def MaxStatFooterFiles: Int =
+    sys.props.get("graft.stats.maxFooterFiles").map(_.toInt).getOrElse(4096)
 
   /** Fail loudly when a base-only read targets a MOR table with live
     * (unmerged) delta commits — shared by the row scan and the
@@ -1142,23 +1149,44 @@ object UpsertTableSource {
 
   /** Timestamp-based time travel: the LATEST retained commit at or
     * before `millis` (commit ids lead with zero-padded epoch millis,
-    * so lexicographic order is time order). Newer than the last
-    * commit = the current state; older than the oldest retained
-    * commit fails loudly (pruned pre-images would silently collapse
-    * the read to a wrong state). Shared by the catalog's
+    * so lexicographic order is time order), as `Some(commit)`. Newer
+    * than the last WRITE = the current state (`None` — nothing has
+    * changed since the timestamp), including on live-only tables
+    * (keepVersions=1, no archive at all); older than the oldest
+    * retained commit fails loudly (pruned pre-images would silently
+    * collapse the read to a wrong state). Shared by the catalog's
     * `TIMESTAMP AS OF` load and the reader's `asOfTimestamp` option.
     */
-  private[io] def resolveAsOfTimestamp(path: String, millis: Long): String = {
+  private[io] def resolveAsOfTimestamp(path: String, millis: Long): Option[String] = {
     val retained = ParquetUpsertSink.listArchivedCommits(SparkSession.active, path)
     val eligible = retained.filter(c =>
       scala.util.Try(c.take(13).toLong).toOption.exists(_ <= millis))
-    require(eligible.nonEmpty,
-      s"graft-upsert: no retained commit at or before timestamp ${millis}ms " +
-        s"(epoch) for $path — " +
-        (if (retained.isEmpty) "the table has no archived commits"
-         else s"oldest retained commit is '${retained.head}'; older history is " +
-           "pruned (keepVersions window)"))
-    eligible.last
+    if (eligible.nonEmpty) Some(eligible.last)
+    else {
+      // nothing archived at-or-before ts. If the table's newest write
+      // is ALSO at-or-before ts, the current state IS the as-of state
+      // — the case a live-only (keepVersions=1) table hits for every
+      // timestamp newer than its last commit. Only then fall through
+      // to the current-state read; an mtime NEWER than ts means the
+      // state at ts is gone (pruned) and must fail. The live-file
+      // listing runs only on this rare fallback branch.
+      val spark = SparkSession.active
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val lastWrite = partitionColOf(path)
+        .map(pc => ParquetUpsertSink.liveDataFileStatuses(fs, path, pc))
+        .getOrElse(Array.empty)
+        .foldLeft(Long.MinValue)((m, st) => math.max(m, st.getModificationTime))
+      if (lastWrite <= millis) None
+      else throw new IllegalArgumentException(
+        s"graft-upsert: no retained commit at or before timestamp ${millis}ms " +
+          s"(epoch) for $path — " +
+          (if (retained.isEmpty)
+            s"the table has no archived commits and was last written at " +
+              s"${lastWrite}ms (newer than the timestamp)"
+          else s"oldest retained commit is '${retained.head}'; older history is " +
+            "pruned (keepVersions window)"))
+    }
   }
 
   /** `asOfTimestamp` reader-option value: epoch milliseconds, or a

@@ -547,6 +547,136 @@ object Parity {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** RENAME + data skipping + time travel in one gate — the
+    * silent-wrong-answer class: a pushed predicate on a RENAMED column
+    * must resolve through the alias lineage against PRE-RENAME files'
+    * statistics (footer or manifest); an unsound resolution treats the
+    * old-name column as absent/all-null and prunes files whose rows
+    * survive the filter. Seed an orders subset, update a sub-subset
+    * (archiving the pre-image), rename o_totalprice → price, then
+    * aggregate BOTH views under a selective predicate on the NEW name:
+    * the live view scans post-rename files directly, the VERSION AS OF
+    * view scans pre-rename archived files through the alias. The
+    * oracle replays both states from raw orders.
+    */
+  def renameSkippingScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_renskip").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq",
+      "o_orderpriority", keepVersions = 4)
+    val orders = Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 5 === 1)
+    sink.upsert(orders.withColumn("seq", lit(0L)), 0)
+    sink.upsert(
+      orders.filter(col("o_orderkey") % 15 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("seq", lit(1L)), 1)
+    // commits(0) = the seed commit: VERSION AS OF it is the pre-update,
+    // pre-rename snapshot
+    val commits = graft.io.ParquetUpsertSink.listArchivedCommits(spark, dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN o_totalprice TO price")
+    def agg(df: DataFrame, view: String): DataFrame = df
+      .filter(col("price") > 150000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("total"))
+      .withColumn("snap", lit(view))
+    agg(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF '${commits(0)}'"), "asof")
+      .unionByName(agg(spark.read.format("graft-upsert").load(dir), "live"))
+      .transform(graft.Present.sortSmall(_, col("snap"), col("o_orderstatus")))
+  }
+
+  val renameSkippingScanSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total, 'asof' AS snap
+      |FROM orders
+      |WHERE o_orderkey % 5 = 1 AND o_totalprice > 150000.0
+      |GROUP BY 1
+      |UNION ALL
+      |SELECT o_orderstatus, count(*) AS n,
+      |       round(sum(CASE WHEN o_orderkey % 15 = 1 THEN o_totalprice * 2
+      |                      ELSE o_totalprice END), 2) AS total,
+      |       'live' AS snap
+      |FROM orders
+      |WHERE o_orderkey % 5 = 1
+      |  AND (CASE WHEN o_orderkey % 15 = 1 THEN o_totalprice * 2
+      |            ELSE o_totalprice END) > 150000.0
+      |GROUP BY 1
+      |ORDER BY snap, o_orderstatus""".stripMargin
+
+  /** Stats-manifest staleness FAULT-INJECTION gate: persist a
+    * manifest, rewrite one partition's single file IN PLACE with the
+    * same name, length, AND mtime (the coarse-mtime-granularity
+    * collision an external rewriter can produce — S3 LastModified is
+    * whole seconds), then read back under content verification
+    * ([[graft.io.UpsertStatsManifest.VerifyContentConfKey]]). Without
+    * the footer-fingerprint check the pruner would trust the stale
+    * entry (max 20.0), skip the rewritten file on `v > 50`, and
+    * silently return zero rows; the oracle pins the sound answer.
+    *
+    * The two conf flips are set with try/finally on the shared
+    * session; a concurrently-planning query during that window only
+    * pays an extra 8-byte-tail fingerprint read per file — never a
+    * correctness change.
+    */
+  def staleRewriteGuard(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    def build(v: Double): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString + "/t"
+      val sink = graft.io.ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+      import spark.implicits._
+      sink.upsert(Seq((1L, 0L, 10.0, "a"), (2L, 0L, v, "b"), (3L, 0L, 30.0, "c"))
+        .toDF("id", "seq", "v", "p"), 0)
+      dir
+    }
+    // donor differs ONLY in partition b's double value: same writer,
+    // same shape → byte-length-identical part file, a true in-place
+    // rewrite candidate (the require below makes any drift loud)
+    val dir = build(20.0); val donor = build(99.0)
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFile(d: String): HPath =
+      fs.listStatus(new HPath(s"$d/p=b")).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).head
+    val victim = partFile(dir); val src = partFile(donor)
+    val st0 = fs.getFileStatus(victim)
+    require(fs.getFileStatus(src).getLen == st0.getLen,
+      "fixture: donor and victim part files must be length-identical")
+    def withConf[A](key: String, value: String)(body: => A): A = {
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, value)
+      try body
+      finally prior match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+    // persist the manifest against the PRE-rewrite content
+    withConf(graft.io.UpsertStatsManifest.RacyWindowConfKey, "0") {
+      spark.read.format("graft-upsert").load(dir).where(col("v") > 0.0).count()
+    }
+    // the in-place rewrite: donor bytes over the victim, mtime restored
+    val bytes = {
+      val in = fs.open(src)
+      try { val b = new Array[Byte](st0.getLen.toInt); in.readFully(0, b, 0, b.length); b }
+      finally in.close()
+    }
+    val out = fs.create(victim, true)
+    try out.write(bytes) finally out.close()
+    fs.setTimes(victim, st0.getModificationTime, -1)
+    // verified read: the fingerprint mismatch rejects the stale entry,
+    // the footer re-read sees max 99.0, and the file survives the prune.
+    // localCheckpoint(eager) MATERIALIZES inside the conf window — the
+    // caller's later action must not re-plan after the conf restores.
+    withConf(graft.io.UpsertStatsManifest.VerifyContentConfKey, "true") {
+      spark.read.format("graft-upsert").load(dir)
+        .where(col("v") > 50.0)
+        .select(col("p"), col("v"), col("id"))
+        .transform(graft.Present.sortSmall(_, col("p")))
+        .localCheckpoint(true)
+    }
+  }
+
+  val staleRewriteGuardSql: String =
+    "SELECT 'b' AS p, CAST(99.0 AS DOUBLE) AS v, CAST(2 AS BIGINT) AS id"
+
   /** LINEAR clustering through the DSv2 scan — the `optimize_sort`
     * sibling of [[dataSkippingScan]]'s Z-order case: load an orders
     * subset, `optimize_sort` on o_custkey (one dominant access path),
@@ -713,6 +843,69 @@ object Parity {
     * the oracle reproduces from raw orders — update arithmetic and
     * all.
     */
+  /** Watermarked STREAM-STATIC enrichment with the upsert table as the
+    * static side — the enrichment-at-ingest shape a CDC user hits
+    * first (SURVEY §2.4): the customer dimension loads into a
+    * graft-upsert table and takes an update wave (so the static side
+    * must serve the precombine-MERGED state, not a union of files),
+    * the events table replays as a file-source STREAM with a
+    * watermark, a broadcast left join enriches each event, and a
+    * 1-day-windowed per-segment rollup aggregates above the join. The
+    * oracle replays the identical join+rollup as batch SQL over raw
+    * customer+events — a hash match proves the streaming plan's
+    * semantics equal the batch twin's.
+    */
+  def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ssenrich")
+    val dimDir = s"$base/dim"
+    val sink = graft.io.ParquetUpsertSink(dimDir, Seq("c_custkey"), "seq",
+      "c_nationkey")
+    val cust = Tables.table(spark, sfDir, "customer")
+    sink.upsert(cust.withColumn("seq", lit(0L)), 0)
+    sink.upsert(cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_mktsegment", lit("VIP"))
+      .withColumn("seq", lit(1L)), 1)
+    val dim = spark.read.format("graft-upsert").load(dimDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    // the events table staged as a file-source stream directory
+    val events = Tables.table(spark, sfDir, "events")
+    val evDir = s"$base/events"
+    events.write.parquet(evDir)
+    val stream = spark.readStream.schema(events.schema).parquet(evDir)
+    val agg = stream
+      // events.ts is TIMESTAMP_NTZ in the parquet; watermarks require
+      // TIMESTAMP — under the pinned UTC session the cast is wall-clock
+      // exact, so the windows equal the oracle's naive date_trunc
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .groupBy(window(col("ts"), "1 day"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").cast("date").as("day"),
+        col("segment"), col("n"), col("total"))
+    val qn = "x_stream_static_enrich_sink"
+    scala.util.Try(spark.catalog.dropTempView(qn))
+    // complete mode: a finite file stream's last windows never cross
+    // the watermark, so append mode would underreport by design
+    val q = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qn)
+      .transform(graft.Present.sortSmall(_, col("day"), col("segment")))
+      .localCheckpoint(true) // detach from the stopped stream's plan
+  }
+
+  val streamStaticEnrichSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |       coalesce(CASE WHEN c_custkey % 10 = 0 THEN 'VIP'
+      |                     ELSE c_mktsegment END, 'UNKNOWN') AS segment,
+      |       count(*) AS n,
+      |       round(sum(value), 2) AS total
+      |FROM events LEFT JOIN customer ON c_custkey = user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   def streamReadFold(spark: SparkSession, sfDir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_streamfold")
     val dir = s"$base/t"; val acc = s"$base/acc"; val ckpt = s"$base/ckpt"

@@ -143,6 +143,95 @@ class CommitLockSpec extends SparkSpec {
     } finally System.clearProperty("graft.lock.timeout.ms")
   }
 
+  test("heartbeat refresh is rename-CAS: a token re-taken AFTER the read survives") {
+    val dir = tmp("lockcas")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")
+    val fs = fsOf(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val lockP = new org.apache.hadoop.fs.Path(
+      s"$dir/${ParquetUpsertSink.CommitLockFileName}")
+    // reality: a breaker already re-took the lock ...
+    writeLock(dir, "breaker", System.currentTimeMillis())
+    // ... but the stalled holder's beat READ the lock an instant
+    // earlier and still believes it owns it. A lying-reader FS pins
+    // that exact interleaving deterministically: every open of the
+    // lock file serves the HOLDER's stale view, while every mutation
+    // (rename / create / delete) hits reality. A blind
+    // read-check-then-overwrite beat clobbers the breaker here; the
+    // rename-CAS beat must not.
+    val shadow = new org.apache.hadoop.fs.Path(s"$dir/.shadow_stale_read")
+    val out = fs.create(shadow, true)
+    try out.write(
+      s"${sink.lockTokenForTesting} ${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out.close()
+    val lying = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+          : org.apache.hadoop.fs.FSDataInputStream =
+        if (f.getName == ParquetUpsertSink.CommitLockFileName)
+          super.open(shadow, bufferSize)
+        else super.open(f, bufferSize)
+    }
+    sink.refreshLockOnce(lying)
+    // the breaker's token survived the beat that "knew" it owned the lock
+    val after = readLockWellFormedOpt(dir, 5000)
+    assert(after.exists(_._1 == "breaker"),
+      s"rename-CAS must restore the re-taken token, got $after")
+    // and the beat left no claim/fresh droppings behind
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("._commit.lock.hb."))
+    assert(leftovers.isEmpty, s"heartbeat droppings: ${leftovers.mkString(",")}")
+    fs.delete(shadow, false)
+    fs.delete(lockP, false)
+  }
+
+  test("a late heartbeat never clobbers a re-taken lock (TOCTOU fence)") {
+    val dir = tmp("lockhbtoctou")
+    // sub-second staleness: the heartbeat fires every 300ms while the
+    // slow commit runs, against a lock a "breaker" has already re-taken
+    System.setProperty("graft.lock.timeout.ms", "900")
+    try {
+      val slowCheck = udf { (_: Long) => Thread.sleep(30); true }
+      val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept",
+        expectations = Seq("slow" -> slowCheck(col("id"))))
+      val fs = fsOf(dir)
+      // seed first: only a commit that must MERGE into existing
+      // partitions reaches the destructive phase whose ownership check
+      // the stalled holder is expected to fail
+      sink.upsert(Seq((0L, 1L, "a")).toDF("id", "seq", "dept"), 0)
+      @volatile var err: Throwable = null
+      val t = new Thread(() => {
+        try sink.upsert((1L to 100L).map(i => (i, 1L, "a"))
+          .toDF("id", "seq", "dept").coalesce(1), 1)
+        catch { case e: Throwable => err = e }
+      }, "stalled-holder")
+      t.start()
+      // once the holder's lock is fully written, model a breaker that
+      // re-took it (the exact TOCTOU victim: the old blind-overwrite
+      // beat would periodically replace this token with the holder's)
+      readLockWellFormedOpt(dir, 30000)
+        .getOrElse(fail("commit never acquired the lock"))
+      writeLock(dir, "breaker", System.currentTimeMillis())
+      // watch across >4 beat periods: the breaker's token must survive
+      // every beat (brief absence windows during a beat's rename-CAS
+      // read as None and are fine; the holder's token must never land)
+      val until = System.currentTimeMillis() + 1400
+      while (System.currentTimeMillis() < until) {
+        readLockWellFormedOpt(dir, 50).foreach { case (tok, _) =>
+          assert(tok == "breaker",
+            s"a late heartbeat clobbered the new holder's token with '$tok'")
+        }
+        Thread.sleep(40)
+      }
+      t.join(120000)
+      // and the stalled holder aborted LOUDLY before its destructive phase
+      assert(err != null &&
+        err.isInstanceOf[java.util.ConcurrentModificationException],
+        s"stalled holder should have aborted on lost ownership, got: $err")
+      fsOf(dir).delete(new org.apache.hadoop.fs.Path(
+        s"$dir/${ParquetUpsertSink.CommitLockFileName}"), false)
+    } finally System.clearProperty("graft.lock.timeout.ms")
+  }
+
   test("a commit whose lock is stolen mid-flight aborts before the destructive phase") {
     val dir = tmp("locktheft")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")

@@ -177,6 +177,74 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("TIMESTAMP AS OF newer than the last write reads the CURRENT state on a live-only table") {
+    val dir = tmp("cattslive")
+    val t = s"graft.`$dir`"
+    // keepVersions=1: NO archive at all — the resolver used to reject
+    // every timestamp here, contradicting its own "newer than the last
+    // commit = the current state" contract
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, seq BIGINT, dept STRING, amount DOUBLE)
+         |PARTITIONED BY (dept)
+         |TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq', 'keepVersions'='1')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'eng', 10.0), (2, 1, 'ops', 20.0)")
+    assert(ParquetUpsertSink.listArchivedCommits(spark, dir).isEmpty)
+    def utc(ms: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .format(java.time.Instant.ofEpochMilli(ms)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDateTime)
+    Thread.sleep(5) // mtime granularity: "now" must be strictly after the write
+    assert(spark.sql(
+      s"SELECT id FROM $t TIMESTAMP AS OF '${utc(System.currentTimeMillis())}'")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // reader-option flavor, with a far-future timestamp
+    assert(spark.read.format("graft-upsert")
+      .option("asOfTimestamp", (System.currentTimeMillis() + 3600000L).toString)
+      .load(dir).select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // a timestamp BEFORE the last write still fails loudly: that state
+    // is pruned and must never silently collapse to current or empty
+    val err = intercept[Exception](spark.sql(
+      s"SELECT id FROM $t TIMESTAMP AS OF '${utc(System.currentTimeMillis() - 3600000L)}'")
+      .collect())
+    assert(err.getMessage.contains("no retained commit"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("_table.properties update crash window: the surviving tmp recovers the lineage") {
+    val dir = tmp("catprops")
+    val t = s"graft.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (id BIGINT, seq BIGINT, dept STRING, amount DOUBLE)
+         |PARTITIONED BY (dept)
+         |TBLPROPERTIES ('recordKeys'='id', 'precombine'='seq', 'keepVersions'='4')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES (1, 1, 'eng', 10.0)")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN amount TO price")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val propsP = new org.apache.hadoop.fs.Path(
+      s"$dir/${GraftUpsertCatalog.TablePropsFileName}")
+    val before = GraftUpsertCatalog.tableProps(dir)
+    assert(before.contains("recordKeys") &&
+      before.contains(graft.io.ColumnAliases.RenamesProp))
+    // crash between the update discipline's delete and rename: the
+    // canonical file is GONE, only the completed tmp survives
+    val tmpP = new org.apache.hadoop.fs.Path(
+      s"$dir/${GraftUpsertCatalog.PropsTmpName}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, propsP, fs, tmpP, false, fs.getConf)
+    fs.delete(propsP, false)
+    assert(GraftUpsertCatalog.tableProps(dir) == before,
+      "the surviving tmp must serve the full property set, never Map.empty")
+    assert(fs.exists(propsP), "recovery promotes the tmp back to the canonical name")
+    // and history reads still resolve the rename lineage — the
+    // old-name archived files must NOT silently null-fill `price`
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(spark.sql(s"SELECT price FROM $t VERSION AS OF '${commits(0)}'")
+      .as[Double].collect().toSeq == Seq(10.0))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("TRUNCATE TABLE empties the table; schema survives for re-insert") {
     val dir = tmp("trunc")
     val t = s"graft.`$dir`"

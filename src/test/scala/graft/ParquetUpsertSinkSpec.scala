@@ -20,6 +20,29 @@ case class RecE(id: Int, v: String, precombine: Long, processing_date: String,
 class ParquetUpsertSinkSpec extends SparkSpec {
   import spark.implicits._
 
+  test("replaceGroups persists the schema ADDITIVELY: a narrow rewrite batch " +
+      "never drops untouched partitions' columns") {
+    val dir = Files.createTempDirectory("rgadd").toString + "/t"
+    val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")
+    sink.upsert(Seq(
+      RecE(1, "a", 1, "2024-01-01", "x1"),
+      RecE(2, "b", 1, "2024-01-02", "x2")).toDF(), 0)
+    // a group rewrite whose batch lacks `extra` (an operation planned
+    // against a narrower projection, or an external row-level writer):
+    // before the additive fix this NARROWED `_schema.json` below the
+    // untouched 2024-01-02 partition's files — silently erasing their
+    // `extra` column from every later read
+    sink.replaceGroups(spark, Seq("2024-01-01"),
+      Seq((1, "a2", 2L, "2024-01-01"))
+        .toDF("id", "v", "precombine", "processing_date"))
+    val df = spark.read.format("graft-upsert").load(dir)
+    assert(df.schema.fieldNames.exists(_.equalsIgnoreCase("extra")),
+      "the persisted schema must stay a superset of every live file")
+    val rows = df.select($"id", $"v", $"extra").orderBy($"id")
+      .as[(Int, String, Option[String])].collect().toSeq
+    assert(rows == Seq((1, "a2", None), (2, "b", Some("x2"))))
+  }
+
   test("latest precombine wins within and across batches; untouched partitions survive") {
     val dir = Files.createTempDirectory("upsert").toString + "/t"
     val sink = ParquetUpsertSink(dir, Seq("id"), "precombine", "processing_date")

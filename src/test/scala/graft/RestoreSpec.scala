@@ -167,6 +167,32 @@ class RestoreSpec extends SparkSpec {
       Set((1L, 10.0), (2L, 20.0)))
   }
 
+  test("restore fails fast across a legacy commit lacking _touched.manifest") {
+    val dir = tmp("restorelegacy")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p", keepVersions = 5)
+    sink.upsert(Seq((1L, 0L, "a", 10.0)).toDF("id", "seq", "p", "v"), 0)
+    Thread.sleep(5)
+    sink.upsert(Seq((1L, 1L, "a", 11.0), (2L, 1L, "c", 30.0))
+      .toDF("id", "seq", "p", "v"), 1)
+    val commits = ParquetUpsertSink.listArchivedCommits(spark, dir)
+    assert(commits.size == 2)
+    // forge a pre-manifest commit: without its touched set, "created
+    // by this commit" (partition c must restore to ABSENCE) is
+    // indistinguishable from "untouched" — committing that guess
+    // could silently keep partitions the as-of state never had
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/_archive/${commits(1)}/${ParquetUpsertSink.TouchedManifest}"), false)
+    val err = intercept[IllegalArgumentException](
+      sink.restoreTo(spark, commits(0)))
+    assert(err.getMessage.contains("predate the touched-partition manifest"))
+    // the failed restore mutated NOTHING
+    assert(rows(dir) == Set((1L, 1L, "a", 11.0), (2L, 1L, "c", 30.0)))
+    // a target at-or-after the legacy commit still restores fine
+    assert(sink.restoreTo(spark, commits(1)).isEmpty) // already there: no-op
+  }
+
   test("restore refuses a MOR table with unmerged deltas") {
     val dir = tmp("restoremor")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p", keepVersions = 5,

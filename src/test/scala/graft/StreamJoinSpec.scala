@@ -65,4 +65,51 @@ class StreamJoinSpec extends SparkSpec {
       assert(rows(1).getAs[String]("name") == null)
     } finally q.stop()
   }
+
+  test("watermarked stream-static join reads the upsert table's MERGED state as the dim side") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // the enrichment-at-ingest shape a CDC user hits first: the
+    // employee dim is a graft-upsert TABLE (two commits — the static
+    // side must serve the precombine-merged state, not the union of
+    // files), the activity stream carries a watermark, and a windowed
+    // per-department rollup runs above the join
+    val dir = java.nio.file.Files.createTempDirectory("ssdim").toString + "/t"
+    val sink = graft.io.ParquetUpsertSink(dir, Seq("employee_id"), "seq", "dept")
+    sink.upsert(Seq(
+      (1, 0L, "Technical", "Alice"),
+      (2, 0L, "Business", "Bob"))
+      .toDF("employee_id", "seq", "dept", "name"), 0)
+    sink.upsert(Seq((2, 1L, "Business", "Bobby"))
+      .toDF("employee_id", "seq", "dept", "name"), 1) // update wave
+    val dim = spark.read.format("graft-upsert").load(dir)
+      .select(col("employee_id"), col("name"), col("dept"))
+    val actMem = MemoryStream[Act]
+    val enriched = actMem.toDF()
+      .withWatermark("activity_timestamp", "1 hour")
+      .join(broadcast(dim), Seq("employee_id"), "left")
+    val agg = enriched
+      .groupBy(window(col("activity_timestamp"), "1 hour"),
+        coalesce(col("dept"), lit("UNKNOWN")).as("dept"))
+      .agg(count(lit(1)).as("n"),
+        collect_set(col("name")).as("who"))
+    val q = agg.writeStream.format("memory").queryName("ss_upsert_dim")
+      .outputMode("complete").start()
+    try {
+      actMem.addData(
+        Act("a1", 1, "login", "/l", 5, ts("2025-01-02 10:10:00"), "mobile"),
+        Act("a2", 2, "click", "/c", 9, ts("2025-01-02 10:30:00"), "tablet"),
+        Act("a3", 9, "view", "/v", 7, ts("2025-01-02 10:40:00"), "mobile"))
+      q.processAllAvailable()
+      val rows = spark.table("ss_upsert_dim")
+        .select(col("dept"), col("n"), col("who")).collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[String](2).toSet)).toSet
+      assert(rows == Set(
+        ("Technical", 1L, Set("Alice")),
+        // the MERGED dim row: Bobby (seq 1), never the stale Bob file
+        ("Business", 1L, Set("Bobby")),
+        ("UNKNOWN", 1L, Set.empty[String])))
+    } finally q.stop()
+  }
 }

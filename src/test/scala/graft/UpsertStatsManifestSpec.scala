@@ -35,6 +35,25 @@ class UpsertStatsManifestSpec extends SparkSpec {
     UpsertStatsManifest.clearCachesForTesting()
   }
 
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Most tests here assert that a write-then-plan sequence persists
+    * the manifest immediately; the racy-write window (which exists
+    * precisely to DELAY that persistence until the file's mtime tick
+    * has closed) is pinned by its own tests below and zeroed for the
+    * rest.
+    */
+  private def noRacyWindow[A](body: => A): A =
+    withConf(UpsertStatsManifest.RacyWindowConfKey, "0")(body)
+
   /** A one-partition table covering the stat-type matrix: numerics,
     * date/timestamp, string, binary, array, an all-null column, and a
     * column with nulls mixed in.
@@ -59,7 +78,7 @@ class UpsertStatsManifestSpec extends SparkSpec {
     dir
   }
 
-  test("manifest round-trip: served stats are IDENTICAL to footer stats") {
+  test("manifest round-trip: served stats are IDENTICAL to footer stats") { noRacyWindow {
     val dir = typedTable("mfrt")
     val fs = fsOf(dir)
     val schema = spark.read.format("graft-upsert").load(dir).schema
@@ -90,9 +109,9 @@ class UpsertStatsManifestSpec extends SparkSpec {
     assert(st.cols("allnull").nullCount.contains(100L) &&
       st.cols("allnull").decodable && st.cols("allnull").min.isEmpty)
     assert(st.cols("somenull").nullCount.contains(66L))
-  }
+  } }
 
-  test("planning prunes from the manifest with zero footer opens") {
+  test("planning prunes from the manifest with zero footer opens") { noRacyWindow {
     val dir = tmp("mfplan")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
     val rows = (0 until 400).map(n => (n.toLong, 0L, n.toLong, s"p${n / 100}"))
@@ -112,9 +131,9 @@ class UpsertStatsManifestSpec extends SparkSpec {
     assert(planned(1000L) == 4)
     assert(UpsertStatsManifest.footerReads.get() == before,
       "re-planning after a cache wipe must not open footers")
-  }
+  } }
 
-  test("rewritten files fall back to footers and the manifest repairs") {
+  test("rewritten files fall back to footers and the manifest repairs") { noRacyWindow {
     val dir = tmp("mfstale")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
     sink.upsert(Seq((1L, 0L, 10.0, "a")).toDF("id", "seq", "v", "p"), 0)
@@ -132,9 +151,9 @@ class UpsertStatsManifestSpec extends SparkSpec {
       .where(col("v") > 100.0).rdd.getNumPartitions == 0)
     assert(spark.read.format("graft-upsert").load(dir)
       .where(col("v") > 50.0).count() == 1)
-  }
+  } }
 
-  test("rename lineage resolves against manifest entries like footers") {
+  test("rename lineage resolves against manifest entries like footers") { noRacyWindow {
     val dir = tmp("mfren")
     val t = s"graft.`$dir`"
     spark.sql(
@@ -156,9 +175,9 @@ class UpsertStatsManifestSpec extends SparkSpec {
     val before = UpsertStatsManifest.footerReads.get()
     assert(timeTravel() == Seq((2L, 20.0))) // manifest-served, alias-resolved
     assert(UpsertStatsManifest.footerReads.get() == before)
-  }
+  } }
 
-  test("manifestRowCount answers from manifests alone, None on any gap") {
+  test("manifestRowCount answers from manifests alone, None on any gap") { noRacyWindow {
     val dir = tmp("mfrows")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
     val rows = (0 until 300).map(n => (n.toLong, 0L, n.toLong, s"p${n % 3}"))
@@ -184,7 +203,7 @@ class UpsertStatsManifestSpec extends SparkSpec {
     sink.upsert(Seq((0L, 1L, 99L, "p0")).toDF("id", "seq", "v", "p"), 1)
     clearInMemory()
     assert(UpsertStatsManifest.manifestRowCount(fs, files).isEmpty)
-  }
+  } }
 
   test("CALL graft.system.collect_stats warms every directory's manifest") {
     val dir = tmp("mfwarm")
@@ -221,6 +240,280 @@ class UpsertStatsManifestSpec extends SparkSpec {
       assert(!fsOf(dir).exists(
         new Path(s"$dir/p=a/${UpsertStatsManifest.ManifestFileName}")))
     } finally spark.conf.unset(UpsertStatsManifest.EnabledConfKey)
+  }
+
+  // ——— staleness soundness: the (mtime, len) key's two nets ———
+
+  test("racy-write window: entries persist only after the mtime tick closes") {
+    val dir = tmp("mfracy")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    sink.upsert(Seq((1L, 0L, 10.0, "a")).toDF("id", "seq", "v", "p"), 0)
+    val fs = fsOf(dir)
+    val mf = new Path(s"$dir/p=a/${UpsertStatsManifest.ManifestFileName}")
+    withConf(UpsertStatsManifest.RacyWindowConfKey, "600") {
+      clearInMemory()
+      spark.read.format("graft-upsert").load(dir).where(col("v") > 0.0).count()
+      assert(!fs.exists(mf),
+        "an entry whose mtime tick is still open must NOT persist")
+      Thread.sleep(700)
+      UpsertStatsManifest.flush(fs) // the RETAINED entry is now ripe
+      assert(fs.exists(mf), "the retained entry must persist once ripe")
+      clearInMemory()
+      val before = UpsertStatsManifest.footerReads.get()
+      spark.read.format("graft-upsert").load(dir).where(col("v") > 0.0).count()
+      assert(UpsertStatsManifest.footerReads.get() == before,
+        "after the delayed persist a fresh driver plans manifest-only")
+    }
+  }
+
+  test("in-place rewrite preserving (name, mtime, len): verified mode refuses stale stats") {
+    // two tables identical but for one double value; their single part
+    // files must be byte-length-identical so the copy below is a true
+    // same-name+len in-place rewrite
+    def build(v: Double): String = {
+      val dir = tmp("mfinplace")
+      val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+      sink.upsert(Seq((1L, 0L, v, "a")).toDF("id", "seq", "v", "p"), 0)
+      dir
+    }
+    val dir = build(10.0); val donor = build(99.0)
+    val fs = fsOf(dir)
+    def partFile(d: String): Path = fs.listStatus(new Path(s"$d/p=a"))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    val victim = partFile(dir); val src = partFile(donor)
+    val st0 = fs.getFileStatus(victim)
+    assert(fs.getFileStatus(src).getLen == st0.getLen,
+      "fixture: donor and victim files must be length-identical")
+    noRacyWindow {
+      clearInMemory()
+      assert(spark.read.format("graft-upsert").load(dir)
+        .where(col("v") > 50.0).count() == 0)
+      assert(fs.exists(new Path(s"$dir/p=a/${UpsertStatsManifest.ManifestFileName}")))
+    }
+    // the rewrite: donor bytes over the victim, mtime forced back — the
+    // granularity collision (S3-style whole-second LastModified) in
+    // miniature
+    val bytes = {
+      val in = fs.open(src)
+      try { val b = new Array[Byte](st0.getLen.toInt); in.readFully(0, b, 0, b.length); b }
+      finally in.close()
+    }
+    val out = fs.create(victim, true)
+    try out.write(bytes) finally out.close()
+    fs.setTimes(victim, st0.getModificationTime, -1)
+    val st1 = fs.getFileStatus(victim)
+    assert(st1.getModificationTime == st0.getModificationTime && st1.getLen == st0.getLen)
+    // the (mtime, len) key alone cannot tell — pinned here so the
+    // verified mode's reason to exist stays visible
+    clearInMemory()
+    assert(UpsertStatsManifest.lookup(fs, victim.getParent, victim.getName,
+      st1.getModificationTime, st1.getLen)
+      .exists(_.cols("v").max.contains(10.0)), "unverified key serves the stale raw")
+    // verified mode: footer fingerprint mismatch → entry refused →
+    // footer re-read → the file with max 99.0 survives the pruner
+    clearInMemory()
+    withConf(UpsertStatsManifest.VerifyContentConfKey, "true") {
+      assert(spark.read.format("graft-upsert").load(dir)
+        .where(col("v") > 50.0).count() == 1,
+        "verified planning must see the rewritten 99.0, not prune on stale 10.0")
+    }
+  }
+
+  test("contentFingerprint: stable, stats-sensitive, sentinel-free") {
+    val dir = tmp("mffp")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    sink.upsert(Seq((1L, 0L, 10.0, "a"), (2L, 0L, 20.0, "b"))
+      .toDF("id", "seq", "v", "p"), 0)
+    val fs = fsOf(dir)
+    def partFile(p: String): Path = fs.listStatus(new Path(s"$dir/p=$p"))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    val a = partFile("a"); val b = partFile("b")
+    val fpA = UpsertStatsManifest.contentFingerprint(fs, a, fs.getFileStatus(a).getLen)
+    val fpB = UpsertStatsManifest.contentFingerprint(fs, b, fs.getFileStatus(b).getLen)
+    assert(fpA != UpsertStatsManifest.FpUnchecked && fpA != UpsertStatsManifest.FpUnreadable)
+    assert(fpA == UpsertStatsManifest.contentFingerprint(fs, a, fs.getFileStatus(a).getLen))
+    assert(fpA != fpB, "different footer statistics must fingerprint differently")
+    // not a parquet tail → unreadable sentinel, which never matches
+    val junk = new Path(s"$dir/junk.bin")
+    val o = fs.create(junk, true); try o.write(Array.fill(64)(7.toByte)) finally o.close()
+    assert(UpsertStatsManifest.contentFingerprint(fs, junk, 64L) ==
+      UpsertStatsManifest.FpUnreadable)
+  }
+
+  // ——— write-back durability and cost discipline ———
+
+  test("torn manifest write-back: footer fallback, lazy repair, no partial serve") { noRacyWindow {
+    val dir = tmp("mftorn")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    sink.upsert(Seq((1L, 0L, 10.0, "a")).toDF("id", "seq", "v", "p"), 0)
+    val fs = fsOf(dir)
+    val mf = new Path(s"$dir/p=a/${UpsertStatsManifest.ManifestFileName}")
+    def maxV(): Double = spark.read.format("graft-upsert").load(dir)
+      .where(col("v") > 0.0).agg(max("v")).as[Double].head()
+    clearInMemory()
+    assert(maxV() == 10.0)
+    assert(fs.exists(mf))
+    // crash window between the write-back's delete and rename: the
+    // manifest is GONE and only an orphan tmp remains
+    org.apache.hadoop.fs.FileUtil.copy(fs, mf, fs,
+      new Path(s"$dir/p=a/${UpsertStatsManifest.ManifestFileName}.tmp.dead"),
+      false, fs.getConf)
+    fs.delete(mf, false)
+    clearInMemory()
+    val before = UpsertStatsManifest.footerReads.get()
+    assert(maxV() == 10.0, "planning degrades to footers, results exact")
+    assert(UpsertStatsManifest.footerReads.get() > before,
+      "the fallback really was footer-served")
+    assert(fs.exists(mf), "the same pass lazily repairs the manifest")
+    // corrupt manifest bytes: parse failure → footers → repair by replace
+    val o = fs.create(mf, true)
+    try o.write("graft-stats v2\nnot a manifest at all".getBytes("UTF-8"))
+    finally o.close()
+    clearInMemory()
+    assert(maxV() == 10.0)
+    clearInMemory()
+    assert(maxV() == 10.0) // the repaired manifest parses again
+  } }
+
+  test("flush resolves each directory's own filesystem, never the caller's") { noRacyWindow {
+    val dir = tmp("mfwrongfs")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    sink.upsert(Seq((1L, 0L, 10.0, "a")).toDF("id", "seq", "v", "p"), 0)
+    val fs = fsOf(dir)
+    val schema = spark.read.format("graft-upsert").load(dir).schema
+    val file = fs.listStatus(new Path(s"$dir/p=a")).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).head
+    clearInMemory()
+    // populate `pending` without flushing (fileStats records, only
+    // fileStatsAll flushes)
+    UpsertDataSkipping.fileStats(fs, file, schema, fs.getConf)
+    // a caller FileSystem that cannot touch the directory's files: if
+    // flush used it for I/O, the write-back would throw and re-offer
+    // instead of persisting
+    val broken = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getFileStatus(p: Path) =
+        throw new java.io.IOException("caller fs must not be used")
+      override def listStatus(p: Path) =
+        throw new java.io.IOException("caller fs must not be used")
+      override def create(p: Path, overwrite: Boolean) =
+        throw new java.io.IOException("caller fs must not be used")
+    }
+    broken.setConf(fs.getConf)
+    UpsertStatsManifest.flush(broken)
+    assert(fs.exists(new Path(s"$dir/p=a/${UpsertStatsManifest.ManifestFileName}")),
+      "the directory's own filesystem must carry the write-back")
+  } }
+
+  test("a new-file miss wave costs one manifest probe per directory") { noRacyWindow {
+    val dir = tmp("mfprobe")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    sink.upsert(Seq((1L, 0L, 10.0, "a")).toDF("id", "seq", "v", "p"), 0)
+    val fs = fsOf(dir)
+    spark.read.format("graft-upsert").load(dir).where(col("v") > 0.0).count()
+    val dirPath = new Path(s"$dir/p=a")
+    val file = fs.listStatus(dirPath).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).head
+    val st = fs.getFileStatus(file)
+    clearInMemory()
+    val p0 = UpsertStatsManifest.manifestProbes.get()
+    assert(UpsertStatsManifest.lookup(fs, dirPath, file.getName,
+      st.getModificationTime, st.getLen).isDefined)
+    assert(UpsertStatsManifest.manifestProbes.get() == p0 + 1)
+    // 20 misses against the now-cached manifest: zero further probes
+    (0 until 20).foreach(i => assert(UpsertStatsManifest.lookup(
+      fs, dirPath, s"part-new-$i", 1L, 1L).isEmpty))
+    assert(UpsertStatsManifest.manifestProbes.get() == p0 + 1,
+      "a miss wave must not re-probe the directory within the TTL")
+    // an absent-manifest directory memoizes the same way
+    val bare = new Path(tmp("mfprobe_bare"))
+    fs.mkdirs(bare)
+    val p1 = UpsertStatsManifest.manifestProbes.get()
+    (0 until 20).foreach(i => assert(UpsertStatsManifest.lookup(
+      fs, bare, s"part-x-$i", 1L, 1L).isEmpty))
+    assert(UpsertStatsManifest.manifestProbes.get() == p1 + 1)
+  } }
+
+  test("invalidate drops the disk manifest, the caches, and pending") { noRacyWindow {
+    val dir = tmp("mfinval")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    sink.upsert(Seq((1L, 0L, 10.0, "a")).toDF("id", "seq", "v", "p"), 0)
+    val fs = fsOf(dir)
+    val dirPath = new Path(s"$dir/p=a")
+    val mf = new Path(dirPath, UpsertStatsManifest.ManifestFileName)
+    clearInMemory()
+    spark.read.format("graft-upsert").load(dir).where(col("v") > 0.0).count()
+    assert(fs.exists(mf))
+    val file = fs.listStatus(dirPath).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).head
+    val st = fs.getFileStatus(file)
+    assert(UpsertStatsManifest.lookup(fs, dirPath, file.getName,
+      st.getModificationTime, st.getLen).isDefined)
+    UpsertStatsManifest.invalidate(fs, dirPath)
+    assert(!fs.exists(mf), "the on-disk manifest is gone")
+    assert(UpsertStatsManifest.lookup(fs, dirPath, file.getName,
+      st.getModificationTime, st.getLen).isEmpty,
+      "the cached copy must not survive invalidation")
+    // and a subsequent flush must not resurrect pre-invalidate entries
+    UpsertStatsManifest.flush(fs)
+    assert(!fs.exists(mf))
+  } }
+
+  test("above the footer cap, costing answers from manifests alone and the plan flips to broadcast") {
+    // cap forced to 4 so a 9-file table exercises the ≥5k-file branch
+    System.setProperty("graft.stats.maxFooterFiles", "4")
+    try {
+      val dir = tmp("mfcost")
+      val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+      val rows = (0 until 300).map(n => (n.toLong, 0L, n.toLong, s"p${n % 6}"))
+      sink.upsert(rows.toDF("id", "seq", "v", "p"), 0) // 6 partition files > cap 4
+      val fs = fsOf(dir)
+      // fact side sized past the broadcast threshold below, so the only
+      // broadcastable side is the costed dimension
+      val fact = spark.range(0, 1000000).select(col("id").as("fid"),
+        (col("id") % 300).as("k"))
+      def dim = spark.read.format("graft-upsert").load(dir)
+      def join = { val d = dim; fact.join(d, col("k") === d("id")) }
+      def leafRowCount: Option[BigInt] = dim.queryExecution.optimizedPlan
+        .collectLeaves().head.stats.rowCount
+      // un-warmed: the capped path must refuse row estimation rather
+      // than storm footers (exact-size reporting still broadcasts here,
+      // so assert on the ROW count, the manifest's contribution)
+      clearInMemory()
+      val b0 = UpsertStatsManifest.footerReads.get()
+      assert(leafRowCount.isEmpty,
+        "above the cap with no manifests, rows must be unknown")
+      assert(UpsertStatsManifest.footerReads.get() == b0,
+        "the capped branch must never open footers")
+      // explicit ANALYZE warms every directory manifest ...
+      spark.sql(s"CALL graft.system.collect_stats('$dir')")
+      clearInMemory()
+      val b1 = UpsertStatsManifest.footerReads.get()
+      assert(leafRowCount.contains(BigInt(300)),
+        "manifests alone must yield the exact row count")
+      withConf("spark.sql.autoBroadcastJoinThreshold", "1048576") {
+        val plan = join.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"costed dimension must broadcast, got:\n$plan")
+        assert(UpsertStatsManifest.footerReads.get() == b1,
+          "costing and planning above the cap must be footer-free")
+        // ... and with reporting OFF the same join degrades to a
+        // shuffle join: the flip IS the stats' doing, not a coincidence
+        withConf(graft.io.UpsertTableSource.ReportStatsConfKey, "false") {
+          val off = join.queryExecution.executedPlan.toString
+          assert(!off.contains("BroadcastHashJoin"),
+            s"without reported stats the dimension must not broadcast:\n$off")
+        }
+      }
+      // below-cap control: the footer branch agrees exactly
+      System.setProperty("graft.stats.maxFooterFiles", "4096")
+      (0 to 5).foreach(i => fs.delete(new Path(
+        s"$dir/p=p$i/${UpsertStatsManifest.ManifestFileName}"), false))
+      clearInMemory()
+      val b2 = UpsertStatsManifest.footerReads.get()
+      assert(leafRowCount.contains(BigInt(300)))
+      assert(UpsertStatsManifest.footerReads.get() > b2,
+        "control: below the cap with no manifests, footers were the source")
+    } finally System.clearProperty("graft.stats.maxFooterFiles")
   }
 
   test("resolve applies the widening promotions and the date gate") {
