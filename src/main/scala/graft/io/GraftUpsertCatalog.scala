@@ -414,8 +414,14 @@ object GraftUpsertCatalog {
     val out = fs.create(tmp, true)
     try props.store(out, null) finally out.close()
     fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(
-        s"table properties rename failed: $tmp -> $p")
+    if (!fs.rename(tmp, p)) {
+      // a concurrent loadProps reader hitting the delete→rename window
+      // PROMOTES the tmp itself — then the intended state is already
+      // on disk and this update succeeded; anything else is a real
+      // failure and must stay loud
+      if (loadProps(fs, path) != props)
+        throw new java.io.IOException(
+          s"table properties rename failed: $tmp -> $p")
+    }
   }
 }

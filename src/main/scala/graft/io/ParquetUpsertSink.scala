@@ -1292,6 +1292,8 @@ final case class ParquetUpsertSink(
       // untouched ones would otherwise vanish from the catalog entry.
       syncTable.foreach(registerAndSync(spark, _,
         mergeReadSchema(spark, fs, Seq.empty).getOrElse(pinString(mat.schema))))
+      warmStatsManifests(spark, fs, surviving.toSeq.map(v =>
+        new Path(s"$path/$partitionCol=${dirName(v)}")))
     } finally Checkpoints.release(mat)
     folding
   }
@@ -1609,6 +1611,8 @@ final case class ParquetUpsertSink(
     // files (e.g. a column added by a later commit this operation
     // never scanned) — `_schema.json` must never narrow below them
     persistSchemaAdditive(spark, fs, norm.schema)
+    warmStatsManifests(spark, fs, rowParts.toSeq.map(v =>
+      new Path(s"$path/$partitionCol=${dirName(v)}")))
     markCommitComplete(fs, commit)
   }
 
@@ -1811,6 +1815,32 @@ final case class ParquetUpsertSink(
     withCommitLock(fs) { compactPartitionsLocked(spark, fs) }
   }
 
+  /** Post-rewrite stats-manifest warm: the rewriting job (compaction,
+    * Z-order/sort layout, MOR fold, row-level DML, restore) just paid
+    * the write I/O for these partitions, so read their fresh footers
+    * NOW — page-cache-hot, inside the batch job — and queue the lazy
+    * manifest write-back, instead of leaving the first post-rewrite
+    * planning pass to pay the footer storm on the query path (at
+    * 100 TB a compaction sweep otherwise resets every touched
+    * directory's manifest to cold). The racy-write window still
+    * applies: entries persist at the first flush after their mtime
+    * tick closes; within this JVM the stats cache serves immediately
+    * either way. Best-effort — failure costs later footer reads,
+    * never correctness.
+    */
+  private def warmStatsManifests(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, partDirs: Seq[Path]): Unit =
+    try {
+      if (partDirs.nonEmpty && UpsertStatsManifest.manifestEnabled) {
+        val files = partDirs.flatMap(d => UpsertTableSource.dataFiles(fs, d))
+        if (files.nonEmpty)
+          UpsertDataSkipping.fileStatsAll(fs, files,
+            UpsertTableSource.tableSchema(path), fs.getConf,
+            ColumnAliases.parse(GraftUpsertCatalog.tableProps(path)))
+        ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+
   private def compactPartitionsLocked(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
     val partDirs = fs.listStatus(new Path(path))
@@ -1828,6 +1858,7 @@ final case class ParquetUpsertSink(
     val mat = readStringPartitioned(spark, oversized.toSeq).localCheckpoint(true)
     try { verifyLockOwnership(fs); writeFinal(mat) }
     finally Checkpoints.release(mat)
+    warmStatsManifests(spark, fs, oversized.toSeq)
     oversized.map(_.getName).toSeq
   }
 
@@ -1895,6 +1926,7 @@ final case class ParquetUpsertSink(
         .partitionBy(partitionCol)
         .parquet(path)
     } finally Checkpoints.release(mat)
+    warmStatsManifests(spark, fs, partDirs.toSeq)
     partDirs.map(_.getName).toSeq
   }
 

@@ -516,6 +516,56 @@ class UpsertStatsManifestSpec extends SparkSpec {
     } finally System.clearProperty("graft.stats.maxFooterFiles")
   }
 
+  test("maintenance rewrites re-warm their manifests: post-rewrite planning is footer-free") { noRacyWindow {
+    val dir = tmp("mfmaint")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    sink.upsert(Seq((1L, 0L, 10.0, "a"), (2L, 0L, 99.0, "b"))
+      .toDF("id", "seq", "v", "p"), 0)
+    val fs = fsOf(dir)
+    clearInMemory()
+    spark.read.format("graft-upsert").load(dir).where(col("v") > 0.0).count()
+    assert(fs.exists(new Path(s"$dir/p=a/${UpsertStatsManifest.ManifestFileName}")))
+    // the layout rewrite deletes each partition dir (and its manifest)
+    // via dynamic overwrite — the maintenance JOB must re-warm, not
+    // leave the first post-rewrite query to pay the footer storm
+    sink.optimizeSort(spark, Seq(col("v")))
+    (Seq("a", "b")).foreach(p => assert(
+      fs.exists(new Path(s"$dir/p=$p/${UpsertStatsManifest.ManifestFileName}")),
+      s"optimize_sort must re-warm p=$p's manifest inside the job"))
+    clearInMemory()
+    val before = UpsertStatsManifest.footerReads.get()
+    assert(spark.read.format("graft-upsert").load(dir)
+      .where(col("v") > 50.0).count() == 1)
+    assert(UpsertStatsManifest.footerReads.get() == before,
+      "post-maintenance planning must be footer-free")
+  } }
+
+  test("row-level rewrites re-warm their manifests: post-DML planning is footer-free") { noRacyWindow {
+    val dir = tmp("mfdml")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    sink.upsert(Seq((1L, 0L, 10.0, "a"), (2L, 0L, 99.0, "b"))
+      .toDF("id", "seq", "v", "p"), 0)
+    val fs = fsOf(dir)
+    clearInMemory()
+    // a first planning pass persists both partitions' manifests (the
+    // untouched p=b must stay warm across the DML below)
+    spark.read.format("graft-upsert").load(dir).where(col("v") > 0.0).count()
+    assert(fs.exists(new Path(s"$dir/p=b/${UpsertStatsManifest.ManifestFileName}")))
+    // replaceGroups is the shared rewrite body under SQL
+    // DELETE/UPDATE/MERGE, dynamic overwrite, and restore — it
+    // rewrites whole partitions, so it must re-warm like maintenance
+    sink.replaceGroups(spark,
+      Seq("a"), Seq((1L, 1L, 20.0, "a")).toDF("id", "seq", "v", "p"))
+    assert(fs.exists(new Path(s"$dir/p=a/${UpsertStatsManifest.ManifestFileName}")),
+      "replaceGroups must re-warm the rewritten partition's manifest")
+    clearInMemory()
+    val before = UpsertStatsManifest.footerReads.get()
+    assert(spark.read.format("graft-upsert").load(dir)
+      .where(col("v") > 50.0).count() == 1)
+    assert(UpsertStatsManifest.footerReads.get() == before,
+      "post-DML planning must be footer-free")
+  } }
+
   test("resolve applies the widening promotions and the date gate") {
     import graft.io.UpsertStatsManifest.{RawColStats, RawFileStats}
     val raw = RawFileStats(10L, Seq("n", "d"), Map(
