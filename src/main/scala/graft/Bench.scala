@@ -99,7 +99,8 @@ object Bench {
       "x_line_dedup_incremental",
       "x_skipping_scan", "x_rename_skipping", "x_stale_rewrite_guard",
       "x_sort_layout", "x_split_scan", "x_mor_parity",
-      "x_stream_read_fold", "x_stream_static_enrich", "x_bloom_point_lookup",
+      "x_stream_read_fold", "x_stream_static_enrich", "x_sessionize_tws",
+      "x_bloom_point_lookup",
       "x_stats_broadcast_join", "q_upsert_widening")
     // a rename in SparkEntry.queries must fail HERE, not silently shift
     // a brute-force scan into the headline sum

@@ -842,4 +842,75 @@ object Advanced {
       |FROM sessions
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  /** The transformWithState sessionizer (arbitrary state v2,
+    * streaming/Stateful.sessionizeTws) oracle-gated end to end: the
+    * activities stage as a file-source STREAM, the TWS processor folds
+    * them per employee on RocksDB state (transformWithState requires a
+    * multi-column-family store), and the memory sink collects the
+    * CLOSED sessions. The default file source drains the directory in
+    * ONE micro-batch, so per key every session but the chronologically
+    * last closes — the DuckDB twin is gaps-and-islands (30-min gap,
+    * µs-exact like the fold) minus each employee's final session. Runs
+    * on a CLONED SparkSession: the RocksDB provider conf must not leak
+    * into sibling fixture queries starting streams concurrently.
+    */
+  def sessionizeTwsGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark.newSession()
+    // newSession() drops the caller's RUNTIME conf (e.g. Verify's INT96
+    // result-dump format) — mirror it, then apply the one override
+    // (static keys refuse the set; skip them)
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tws")
+    val actDir = s"$base/activities"
+    val acts = Tables.activities(s, sfDir).select(
+      col("employee_id").cast("int").as("employee_id"),
+      col("activity_type"),
+      col("activity_timestamp").cast("timestamp").as("activity_timestamp"),
+      col("duration_seconds").cast("int").as("duration_seconds"))
+    acts.write.parquet(actDir)
+    val stream = s.readStream.schema(acts.schema).parquet(actDir)
+      .as[graft.streaming.Stateful.ActivityEvent]
+    val sessions = graft.streaming.Stateful.sessionizeTws(
+      s, stream, gapMillis = 30L * 60 * 1000, withTimer = false)
+    val qn = "x_sessionize_tws_sink"
+    scala.util.Try(s.catalog.dropTempView(qn))
+    val q = sessions.toDF().writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+      .transform(graft.Present.sortSmall(_, col("employee_id"), col("session_start")))
+      .localCheckpoint(true) // detach from the stopped stream's plan
+  }
+
+  // gaps-and-islands over activities, µs-exact, EXCLUDING each
+  // employee's last session (still open in state — never emitted)
+  val sessionizeTwsSql: String = Oracles.withActivities(
+    """, marked AS (
+      |  SELECT employee_id, activity_timestamp AS t, duration_seconds,
+      |         CASE WHEN lag(activity_timestamp) OVER w IS NULL
+      |               OR epoch_us(activity_timestamp)
+      |                  - epoch_us(lag(activity_timestamp) OVER w) > 30*60*1000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM activities
+      |  WINDOW w AS (PARTITION BY employee_id ORDER BY activity_timestamp)),
+      |numbered AS (
+      |  SELECT *,
+      |         sum(new_session) OVER (PARTITION BY employee_id ORDER BY t
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |agg AS (
+      |  SELECT employee_id, sid,
+      |         min(t) AS session_start, max(t) AS session_end,
+      |         CAST(count(*) AS INT) AS n_events,
+      |         CAST(sum(duration_seconds) AS BIGINT) AS total_duration
+      |  FROM numbered GROUP BY 1, 2)
+      |SELECT employee_id, session_start, session_end, n_events, total_duration
+      |FROM agg
+      |WHERE sid < (SELECT max(a2.sid) FROM agg a2 WHERE a2.employee_id = agg.employee_id)
+      |ORDER BY employee_id, session_start""".stripMargin)
 }

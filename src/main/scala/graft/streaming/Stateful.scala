@@ -18,11 +18,24 @@ object Stateful {
       activity_timestamp: Timestamp,
       duration_seconds: Int)
 
+  /** Open-session state; `start`/`lastSeen` are epoch MICROseconds:
+    * Spark timestamps are µs-precision, and a millisecond-truncated
+    * fold would both misjudge gaps within 1 ms of the threshold and
+    * emit lossy session bounds (the oracle twin compares µs-exact).
+    */
   case class SessionState(
       start: Long,
       lastSeen: Long,
       events: Int,
       totalDuration: Long)
+
+  // getTime already carries ms; the sub-ms remainder lives in getNanos
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def toTs(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
   case class SessionResult(
       employee_id: Int,
@@ -74,77 +87,172 @@ object Stateful {
             val s = state.get
             state.remove()
             Iterator(SessionResult(employeeId,
-              new Timestamp(s.start), new Timestamp(s.lastSeen), s.events, s.totalDuration))
+              toTs(s.start), toTs(s.lastSeen), s.events, s.totalDuration))
           } else {
-            val sorted = batch.toSeq.sortBy(_.activity_timestamp.getTime)
-            var closed = List.empty[SessionResult]
-            var cur = state.getOption
-            // accumulator for arbitrarily-late stragglers: events more
-            // than a gap EARLIER than the open session's start belong to
-            // a separate, earlier session (the batch twin's
-            // gaps-and-islands would never merge them). They chain among
-            // themselves; if a later in-batch event widens the open
-            // session's start back to within a gap of the chain, the
-            // chain merges into the session (bridged), otherwise it is
-            // emitted closed at batch end.
-            var early = Option.empty[SessionState]
-            def flushEarly(): Unit = early.foreach { es =>
-              closed ::= SessionResult(employeeId,
-                new Timestamp(es.start), new Timestamp(es.lastSeen), es.events, es.totalDuration)
-              early = None
-            }
-            // a widened cur.start may come within gap of the early
-            // chain: gaps-and-islands ground truth then has ONE session
-            def bridgeEarly(): Unit = (early, cur) match {
-              case (Some(es), Some(s)) if s.start - es.lastSeen <= gapMillis =>
-                cur = Some(s.copy(
-                  start = math.min(s.start, es.start),
-                  events = s.events + es.events,
-                  totalDuration = s.totalDuration + es.totalDuration))
-                early = None
-              case _ => ()
-            }
-            sorted.foreach { e =>
-              val t = e.activity_timestamp.getTime
-              cur match {
-                case Some(s) if s.start - t > gapMillis =>
-                  early match {
-                    case Some(es) if t - es.lastSeen <= gapMillis =>
-                      early = Some(es.copy(
-                        lastSeen = math.max(es.lastSeen, t),
-                        events = es.events + 1,
-                        totalDuration = es.totalDuration + e.duration_seconds))
-                    case _ =>
-                      flushEarly()
-                      early = Some(SessionState(t, t, 1, e.duration_seconds))
-                  }
-                case Some(s) if t - s.lastSeen <= gapMillis =>
-                  // in-gap (possibly out-of-order) events merge WITHOUT
-                  // regressing the session frontier: start/lastSeen only
-                  // widen — a backwards lastSeen would corrupt later gap
-                  // checks
-                  cur = Some(s.copy(
-                    start = math.min(s.start, t),
-                    lastSeen = math.max(s.lastSeen, t),
-                    events = s.events + 1,
-                    totalDuration = s.totalDuration + e.duration_seconds))
-                  if (t < s.start) bridgeEarly()
-                case Some(s) =>
-                  closed ::= SessionResult(employeeId,
-                    new Timestamp(s.start), new Timestamp(s.lastSeen), s.events, s.totalDuration)
-                  cur = Some(SessionState(t, t, 1, e.duration_seconds))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.duration_seconds))
-              }
-            }
-            flushEarly()
+            val sorted = batch.toSeq.sortBy(e => micros(e.activity_timestamp))
+            val (closed, cur) =
+              foldSessionBatch(employeeId, sorted, state.getOption, gapMillis)
             cur.foreach { s =>
               state.update(s)
               if (withTimeout) state.setTimeoutDuration(gapMillis)
             }
-            closed.reverseIterator
+            closed.iterator
           }
       }
+  }
+
+  /** One micro-batch of the sessionizer, factored out so the
+    * flatMapGroupsWithState path ([[sessionize]]) and the Spark 4
+    * arbitrary-state-v2 path ([[sessionizeTws]]) share byte-identical
+    * semantics: fold `sorted` (ascending event time) into `init`,
+    * returning the sessions CLOSED by this batch (chronological order)
+    * and the still-open session to persist.
+    */
+  private[streaming] def foldSessionBatch(
+      employeeId: Int,
+      sorted: Seq[ActivityEvent],
+      init: Option[SessionState],
+      gapMillis: Long): (List[SessionResult], Option[SessionState]) = {
+    val gapMicros = gapMillis * 1000L
+    var closed = List.empty[SessionResult]
+    var cur = init
+    // accumulator for arbitrarily-late stragglers: events more
+    // than a gap EARLIER than the open session's start belong to
+    // a separate, earlier session (the batch twin's
+    // gaps-and-islands would never merge them). They chain among
+    // themselves; if a later in-batch event widens the open
+    // session's start back to within a gap of the chain, the
+    // chain merges into the session (bridged), otherwise it is
+    // emitted closed at batch end.
+    var early = Option.empty[SessionState]
+    def flushEarly(): Unit = early.foreach { es =>
+      closed ::= SessionResult(employeeId,
+        toTs(es.start), toTs(es.lastSeen), es.events, es.totalDuration)
+      early = None
+    }
+    // a widened cur.start may come within gap of the early
+    // chain: gaps-and-islands ground truth then has ONE session
+    def bridgeEarly(): Unit = (early, cur) match {
+      case (Some(es), Some(s)) if s.start - es.lastSeen <= gapMicros =>
+        cur = Some(s.copy(
+          start = math.min(s.start, es.start),
+          events = s.events + es.events,
+          totalDuration = s.totalDuration + es.totalDuration))
+        early = None
+      case _ => ()
+    }
+    sorted.foreach { e =>
+      val t = micros(e.activity_timestamp)
+      cur match {
+        case Some(s) if s.start - t > gapMicros =>
+          early match {
+            case Some(es) if t - es.lastSeen <= gapMicros =>
+              early = Some(es.copy(
+                lastSeen = math.max(es.lastSeen, t),
+                events = es.events + 1,
+                totalDuration = es.totalDuration + e.duration_seconds))
+            case _ =>
+              flushEarly()
+              early = Some(SessionState(t, t, 1, e.duration_seconds))
+          }
+        case Some(s) if t - s.lastSeen <= gapMicros =>
+          // in-gap (possibly out-of-order) events merge WITHOUT
+          // regressing the session frontier: start/lastSeen only
+          // widen — a backwards lastSeen would corrupt later gap
+          // checks
+          cur = Some(s.copy(
+            start = math.min(s.start, t),
+            lastSeen = math.max(s.lastSeen, t),
+            events = s.events + 1,
+            totalDuration = s.totalDuration + e.duration_seconds))
+          if (t < s.start) bridgeEarly()
+        case Some(s) =>
+          closed ::= SessionResult(employeeId,
+            toTs(s.start), toTs(s.lastSeen), s.events, s.totalDuration)
+          cur = Some(SessionState(t, t, 1, e.duration_seconds))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.duration_seconds))
+      }
+    }
+    flushEarly()
+    (closed.reverse, cur)
+  }
+
+  /** Sessionizer state machine on the Spark 4 arbitrary-state v2 API
+    * ([[org.apache.spark.sql.streaming.StatefulProcessor]]): the same
+    * per-batch fold as [[sessionize]], with the open session in a
+    * composite-typed [[org.apache.spark.sql.streaming.ValueState]] and
+    * idle-session flushes via explicit REGISTERED TIMERS instead of the
+    * one implicit GroupStateTimeout slot — the v2 surface a production
+    * pipeline gains multiple named state variables, state TTL, and
+    * per-key timer control from. Requires the RocksDB state store
+    * provider (transformWithState's store needs multi-column-family
+    * support; the default HDFS-backed store refuses at query start).
+    */
+  final class SessionProcessor(gapMillis: Long, withTimer: Boolean)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, ActivityEvent, SessionResult] {
+    @transient private var session:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[ActivityEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionResult] = {
+      val sorted = rows.toSeq.sortBy(e => micros(e.activity_timestamp))
+      val prev = if (session.exists()) Some(session.get()) else None
+      val (closed, cur) = foldSessionBatch(key, sorted, prev, gapMillis)
+      cur match {
+        case Some(s) =>
+          session.update(s)
+          if (withTimer) {
+            // new activity re-arms the idle clock: drop the stale
+            // timers first (unlike GroupStateTimeout's single implicit
+            // slot, registered timers accumulate — a stale one firing
+            // would flush a session that just saw events)
+            getHandle.listTimers().foreach(getHandle.deleteTimer)
+            getHandle.registerTimer(
+              timerValues.getCurrentProcessingTimeInMs() + gapMillis)
+          }
+        case None => session.clear()
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Int,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionResult] =
+      if (session.exists()) {
+        val s = session.get()
+        session.clear()
+        Iterator(SessionResult(key,
+          toTs(s.start), toTs(s.lastSeen), s.events, s.totalDuration))
+      } else Iterator.empty
+  }
+
+  /** [[sessionize]] on transformWithState (arbitrary state v2). Same
+    * contract: emits a session when a newer event closes it, plus — with
+    * `withTimer` — when its idle timer fires. Run it with
+    * `spark.sql.streaming.stateStore.providerClass` set to the RocksDB
+    * provider.
+    */
+  def sessionizeTws(
+      spark: SparkSession,
+      events: Dataset[ActivityEvent],
+      gapMillis: Long = 5 * 60 * 1000,
+      withTimer: Boolean = true): Dataset[SessionResult] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.employee_id)
+      .transformWithState(
+        new SessionProcessor(gapMillis, withTimer),
+        if (withTimer) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Watermarked stream dedup (ST10): drop repeated record keys within

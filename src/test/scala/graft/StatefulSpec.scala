@@ -188,6 +188,104 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** transformWithState needs a multi-column-family store — point the
+    * query at RocksDB for its duration, restore the default after.
+    */
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState sessionizer matches flatMapGroupsWithState batch-for-batch (incl. stragglers + bridge)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the full cross-batch script: open, straggler chain, bridge via a
+    // widening event, then a far-future close — replayed through BOTH
+    // state APIs; the shared foldSessionBatch must make them identical
+    val script: Seq[Seq[ActivityEvent]] = Seq(
+      Seq(ActivityEvent(5, "a", ts("2025-01-02 12:00:00"), 10)),
+      Seq(
+        ActivityEvent(5, "s1", ts("2025-01-02 11:50:00"), 1),
+        ActivityEvent(5, "s2", ts("2025-01-02 11:54:00"), 2),
+        ActivityEvent(5, "s3", ts("2025-01-02 11:56:00"), 4)),
+      Seq(
+        ActivityEvent(4, "x", ts("2025-01-02 09:00:00"), 3),
+        ActivityEvent(4, "y", ts("2025-01-02 08:00:00"), 6)), // own earlier session
+      Seq(
+        ActivityEvent(5, "d", ts("2025-01-02 13:00:00"), 1),
+        ActivityEvent(4, "d", ts("2025-01-02 13:00:00"), 1)))
+    def run(name: String)(mk: MemoryStream[ActivityEvent] =>
+        org.apache.spark.sql.Dataset[Stateful.SessionResult]): Set[(Int, Timestamp, Timestamp, Int, Long)] = {
+      val mem = MemoryStream[ActivityEvent]
+      val q = mk(mem).writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        script.foreach { batch => mem.addData(batch: _*); q.processAllAvailable() }
+        spark.table(name).collect().map(r => (
+          r.getAs[Int]("employee_id"),
+          r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+          r.getAs[Int]("n_events"), r.getAs[Long]("total_duration"))).toSet
+      } finally q.stop()
+    }
+    val viaFgws = run("par_fgws")(m =>
+      Stateful.sessionize(spark, m.toDS(), withTimeout = false))
+    val viaTws = withRocksDb(run("par_tws")(m =>
+      Stateful.sessionizeTws(spark, m.toDS(), withTimer = false)))
+    assert(viaTws == viaFgws)
+    assert(viaTws.size == 3) // bridged 11:50–12:00, key-4 08:00 and 09:00 sessions
+    assert(viaTws.contains((5, ts("2025-01-02 11:50:00"), ts("2025-01-02 12:00:00"), 4, 17L)))
+  }
+
+  test("transformWithState timer flushes the idle session") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[ActivityEvent]
+      val q = Stateful.sessionizeTws(spark, mem.toDS(),
+        gapMillis = 300, withTimer = true)
+        .writeStream.format("memory").queryName("tws_timer")
+        .outputMode("append").start()
+      try {
+        // 100 ms apart in EVENT time: one session under the 300 ms gap
+        // (gapMillis is both the fold's split threshold and the idle
+        // timer horizon)
+        val base = ts("2025-01-02 10:00:00")
+        mem.addData(
+          ActivityEvent(7, "a", base, 10),
+          ActivityEvent(7, "b", new Timestamp(base.getTime + 100), 20))
+        // NO processAllAvailable here: an armed processing-time timer
+        // keeps the engine scheduling wake-up batches, so it never
+        // settles (the same reason sessionize's tests pass
+        // withTimeout=false). The default trigger drains addData on its
+        // own; poll the sink until the timer's flush lands.
+        val deadline = System.currentTimeMillis() + 60000
+        var flushed = Seq.empty[org.apache.spark.sql.Row]
+        var nudge = 0
+        while (flushed.isEmpty && System.currentTimeMillis() < deadline) {
+          Thread.sleep(500)
+          // nudge with other-key data in case wake-up batches alone
+          // don't run (picked up by the continuous trigger, no
+          // processAllAvailable needed)
+          nudge += 1
+          mem.addData(ActivityEvent(8, s"nudge$nudge",
+            ts("2025-01-02 11:00:00"), 1))
+          flushed = spark.table("tws_timer")
+            .filter(col("employee_id") === 7).collect().toSeq
+        }
+        assert(flushed.size == 1, "timer must flush employee 7's idle session")
+        assert(flushed.head.getAs[Int]("n_events") == 2)
+        assert(flushed.head.getAs[Long]("total_duration") == 30L)
+        assert(flushed.head.getAs[Timestamp]("session_end") ==
+          new Timestamp(base.getTime + 100))
+      } finally q.stop()
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes repeats of the same record key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ActivityEvent]
