@@ -1143,8 +1143,13 @@ final case class ParquetUpsertSink(
     // landing on the compaction slot would otherwise push the fold a
     // whole cycle out and let deltas accumulate past the bound
     def maybeInlineCompact(): Unit =
-      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-        compactMorLocked(spark, fs, batchId)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+        // inline fold in the streaming write path: warm without the
+        // settle sleep (micro-batch latency) — the long-lived streaming
+        // JVM's next flush persists the pending entries
+        val (_, warm) = compactMorLocked(spark, fs, batchId)
+        warmStatsManifests(fs, warm, settle = false)
+      }
     // empty micro-batch (routine under streaming triggers, or a batch
     // fully quarantined by expectations): no delta commit — an empty
     // delta dir would make every real-time read's per-commit
@@ -1226,13 +1231,17 @@ final case class ParquetUpsertSink(
   def compactMor(spark: org.apache.spark.sql.SparkSession,
       batchId: Long = 0L): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    withCommitLock(fs) { compactMorLocked(spark, fs, batchId) }
+    val (folded, warm) = withCommitLock(fs) { compactMorLocked(spark, fs, batchId) }
+    warmStatsManifests(fs, warm, settle = true)
+    folded
   }
 
+  /** Returns (folded delta commits, partition dirs to re-warm). */
   private def compactMorLocked(spark: org.apache.spark.sql.SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, batchId: Long): Seq[String] = {
+      fs: org.apache.hadoop.fs.FileSystem,
+      batchId: Long): (Seq[String], Seq[Path]) = {
     val folding = deltaCommits(fs)
-    if (folding.isEmpty) return Seq.empty
+    if (folding.isEmpty) return (Seq.empty, Seq.empty)
     val deltaDirsByCommit = folding.map(c => livePartDirs(fs, new Path(deltaRoot, c)))
     val touchedEscaped: Seq[String] = deltaDirsByCommit.flatten
       .map(_.getName.stripPrefix(s"$partitionCol=")).distinct
@@ -1246,7 +1255,7 @@ final case class ParquetUpsertSink(
           readStringPartitioned(spark, dirs, new Path(deltaRoot, c).toString) }
     if (frames.isEmpty) { // empty delta commits: nothing to fold
       folding.foreach(c => fs.delete(new Path(deltaRoot, c), true))
-      return folding
+      return (folding, Seq.empty)
     }
     val unioned = SchemaWidening.alignForMerge(frames, "MOR compaction")
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1292,10 +1301,9 @@ final case class ParquetUpsertSink(
       // untouched ones would otherwise vanish from the catalog entry.
       syncTable.foreach(registerAndSync(spark, _,
         mergeReadSchema(spark, fs, Seq.empty).getOrElse(pinString(mat.schema))))
-      warmStatsManifests(spark, fs, surviving.toSeq.map(v =>
+      (folding, surviving.toSeq.map(v =>
         new Path(s"$path/$partitionCol=${dirName(v)}")))
     } finally Checkpoints.release(mat)
-    folding
   }
 
   /** Loud guard for paths that operate on the BASE file set only: with
@@ -1487,25 +1495,29 @@ final case class ParquetUpsertSink(
   def delete(spark: org.apache.spark.sql.SparkSession, cond: org.apache.spark.sql.Column,
       batchId: Long = 0L): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    withCommitLock(fs) {
+    val (matched, warm) = withCommitLock(fs) {
       // checked INSIDE the fence: a delta appended between an outside
       // check and the lock would be silently missed by the base rewrite
       requireNoLiveDeltas(fs, "DELETE")
       deleteLocked(spark, fs, cond, batchId)
     }
+    warmStatsManifests(fs, warm, settle = false)
+    matched
   }
 
+  /** Returns (matched partition values, surviving dirs to re-warm). */
   private def deleteLocked(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, cond: org.apache.spark.sql.Column,
-      batchId: Long): Seq[String] = {
+      batchId: Long): (Seq[String], Seq[Path]) = {
     val liveDataDirs: Set[String] =
       ParquetUpsertSink.liveDataFileStatuses(fs, path, partitionCol)
         .map(_.getPath.getParent.getName)
         .toSet
-    if (liveDataDirs.isEmpty) return Seq.empty
+    if (liveDataDirs.isEmpty) return (Seq.empty, Seq.empty)
     def allLiveDirs: Seq[Path] =
       liveDataDirs.toSeq.sorted.map(d => new Path(s"$path/$d"))
-    val schema = mergeReadSchema(spark, fs, allLiveDirs).getOrElse(return Seq.empty)
+    val schema = mergeReadSchema(spark, fs, allLiveDirs)
+      .getOrElse(return (Seq.empty, Seq.empty))
     // matched partitions first (metadata-scale result): the full-table
     // pass decodes only cond's columns + the partition column
     val matched: Array[String] =
@@ -1513,7 +1525,7 @@ final case class ParquetUpsertSink(
         .filter(cond)
         .select(col(partitionCol)).distinct()
         .collect().map(_.getString(0))
-    if (matched.isEmpty) return Seq.empty
+    if (matched.isEmpty) return (Seq.empty, Seq.empty)
     val touchedDirs = matched.toSeq
       .map(v => new Path(s"$path/$partitionCol=${dirName(v)}"))
     // survivors: rows where cond is FALSE or NULL (SQL DELETE keeps
@@ -1537,8 +1549,9 @@ final case class ParquetUpsertSink(
         UpsertStatsManifest.invalidate(fs, p)
       }
       markCommitComplete(fs, commit)
+      (matched.toSeq, surviving.toSeq.map(v =>
+        new Path(s"$path/$partitionCol=${dirName(v)}")))
     } finally Checkpoints.release(mat)
-    matched.toSeq
   }
 
   /** Group-replacement commit for SQL row-level operations (UPDATE /
@@ -1564,22 +1577,24 @@ final case class ParquetUpsertSink(
   def replaceGroups(spark: org.apache.spark.sql.SparkSession, replaced: Seq[String],
       rows: DataFrame, batchId: Long = 0L): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    withCommitLock(fs) {
+    val warm = withCommitLock(fs) {
       // inside the fence — see delete()
       requireNoLiveDeltas(fs, "the row-level rewrite")
       replaceGroupsLocked(spark, fs, replaced, rows, batchId)
     }
+    warmStatsManifests(fs, warm, settle = false)
   }
 
+  /** Returns the written partition dirs (callers warm after unlock). */
   private def replaceGroupsLocked(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, replaced: Seq[String],
-      rows: DataFrame, batchId: Long, op: String = "replace"): Unit = {
+      rows: DataFrame, batchId: Long, op: String = "replace"): Seq[Path] = {
     // string partition identity (dir-name basis), like every sink path
     val norm = rows.withColumn(partitionCol, col(partitionCol).cast("string"))
     val rowParts: Array[String] = norm
       .select(col(partitionCol)).distinct().collect().map(_.getString(0))
     val touched = (replaced ++ rowParts).distinct.toArray
-    if (touched.isEmpty) return
+    if (touched.isEmpty) return Seq.empty
     verifyLockOwnership(fs)
     val commit =
       if (keepVersions > 1)
@@ -1611,9 +1626,8 @@ final case class ParquetUpsertSink(
     // files (e.g. a column added by a later commit this operation
     // never scanned) — `_schema.json` must never narrow below them
     persistSchemaAdditive(spark, fs, norm.schema)
-    warmStatsManifests(spark, fs, rowParts.toSeq.map(v =>
-      new Path(s"$path/$partitionCol=${dirName(v)}")))
     markCommitComplete(fs, commit)
+    rowParts.toSeq.map(v => new Path(s"$path/$partitionCol=${dirName(v)}"))
   }
 
   /** RESTORE the table to its state as of archive commit `asOf` (the
@@ -1642,14 +1656,18 @@ final case class ParquetUpsertSink(
   def restoreTo(spark: org.apache.spark.sql.SparkSession,
       asOf: String): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    withCommitLock(fs) {
+    val (touched, warm) = withCommitLock(fs) {
       requireNoLiveDeltas(fs, "restore")
       restoreToLocked(spark, fs, asOf)
     }
+    warmStatsManifests(fs, warm, settle = true)
+    touched
   }
 
+  /** Returns (restored partition values, partition dirs to re-warm). */
   private def restoreToLocked(spark: org.apache.spark.sql.SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, asOf: String): Seq[String] = {
+      fs: org.apache.hadoop.fs.FileSystem,
+      asOf: String): (Seq[String], Seq[Path]) = {
     val retained = ParquetUpsertSink.listArchivedCommits(spark, path)
     // the same pruned-commit fail-fast as asOfPartitionDirs, checked
     // BEFORE any mutation (a half-restore to a collapsed state would
@@ -1677,7 +1695,7 @@ final case class ParquetUpsertSink(
     val touched = newer
       .flatMap(c => touchedPartitions(fs, new Path(archiveRoot, c)))
       .distinct
-    if (touched.isEmpty) return Seq.empty
+    if (touched.isEmpty) return (Seq.empty, Seq.empty)
     val touchedSet = touched.toSet
     // as-of content of ONLY the touched partitions (archived pre-image
     // dirs by construction — a live dir is authoritative only for
@@ -1698,10 +1716,10 @@ final case class ParquetUpsertSink(
     // one replace commit: pre-images archive first (the pre-restore
     // head), touched partitions overwrite with their as-of content,
     // created-after-asOf partitions delete (no rows for them)
-    replaceGroupsLocked(spark, fs,
+    val warm = replaceGroupsLocked(spark, fs,
       touched.map(UpsertTableSource.dirValue), rows, batchId = 0L,
       op = "restore")
-    touched
+    (touched, warm)
   }
 
   // ——— retention (Hudi cleaner analog) ———
@@ -1812,37 +1830,57 @@ final case class ParquetUpsertSink(
   def compactPartitions(spark: org.apache.spark.sql.SparkSession): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return Seq.empty
-    withCommitLock(fs) { compactPartitionsLocked(spark, fs) }
+    val warm = withCommitLock(fs) { compactPartitionsLocked(spark, fs) }
+    warmStatsManifests(fs, warm, settle = true)
+    warm.map(_.getName)
   }
 
   /** Post-rewrite stats-manifest warm: the rewriting job (compaction,
-    * Z-order/sort layout, MOR fold, row-level DML, restore) just paid
-    * the write I/O for these partitions, so read their fresh footers
-    * NOW — page-cache-hot, inside the batch job — and queue the lazy
-    * manifest write-back, instead of leaving the first post-rewrite
-    * planning pass to pay the footer storm on the query path (at
-    * 100 TB a compaction sweep otherwise resets every touched
-    * directory's manifest to cold). The racy-write window still
-    * applies: entries persist at the first flush after their mtime
-    * tick closes; within this JVM the stats cache serves immediately
-    * either way. Best-effort — failure costs later footer reads,
-    * never correctness.
+    * Z-order/sort layout, MOR fold, row-level DML, restore, rename)
+    * just paid the write I/O for these partitions, so read their fresh
+    * footers NOW — page-cache-hot, inside the batch job — and persist
+    * the manifest write-back, instead of leaving the first
+    * post-rewrite planning pass to pay the footer storm on the query
+    * path (at 100 TB a compaction sweep otherwise resets every touched
+    * directory's manifest to cold). Runs AFTER the commit is finalized
+    * and (at every non-streaming call site) after the table lock
+    * releases — best-effort bookkeeping must not widen the
+    * unfinalized-commit window or serialize writers behind footer I/O.
+    *
+    * `settle` waits out the manifest's racy-mtime tick first (bounded
+    * by the window, like `CALL graft.system.collect_stats`) so the
+    * flush inside fileStatsAll actually persists — without it a
+    * one-shot maintenance JVM exits with every just-written entry
+    * still pending and the warm evaporates. Maintenance wrappers
+    * settle; interactive DML paths don't (a ≤window sleep on every
+    * UPDATE/DELETE is real latency) — their entries serve this JVM
+    * from cache and persist on its next flush. Best-effort — failure
+    * costs later footer reads, never correctness.
     */
-  private def warmStatsManifests(spark: org.apache.spark.sql.SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, partDirs: Seq[Path]): Unit =
+  private def warmStatsManifests(fs: org.apache.hadoop.fs.FileSystem,
+      partDirs: Seq[Path], settle: Boolean): Unit =
     try {
       if (partDirs.nonEmpty && UpsertStatsManifest.manifestEnabled) {
-        val files = partDirs.flatMap(d => UpsertTableSource.dataFiles(fs, d))
-        if (files.nonEmpty)
-          UpsertDataSkipping.fileStatsAll(fs, files,
+        val statuses = partDirs.flatMap(d =>
+          UpsertTableSource.dataFileStatuses(fs, d))
+        if (statuses.nonEmpty) {
+          if (settle) {
+            val wait = statuses.map(_.getModificationTime).max +
+              UpsertStatsManifest.racyWindowMillis - System.currentTimeMillis()
+            if (wait > 0)
+              Thread.sleep(math.min(wait, UpsertStatsManifest.racyWindowMillis))
+          }
+          UpsertDataSkipping.fileStatsAll(fs, statuses.map(_.getPath),
             UpsertTableSource.tableSchema(path), fs.getConf,
             ColumnAliases.parse(GraftUpsertCatalog.tableProps(path)))
-        ()
+          ()
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => }
 
+  /** Returns the rewritten partition dirs (callers warm + name them). */
   private def compactPartitionsLocked(spark: org.apache.spark.sql.SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
+      fs: org.apache.hadoop.fs.FileSystem): Seq[Path] = {
     val partDirs = fs.listStatus(new Path(path))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
     val oversized = partDirs.filter { st =>
@@ -1858,8 +1896,7 @@ final case class ParquetUpsertSink(
     val mat = readStringPartitioned(spark, oversized.toSeq).localCheckpoint(true)
     try { verifyLockOwnership(fs); writeFinal(mat) }
     finally Checkpoints.release(mat)
-    warmStatsManifests(spark, fs, oversized.toSeq)
-    oversized.map(_.getName).toSeq
+    oversized.toSeq
   }
 
   /** Rewrite every live partition with rows ordered by the Z-order
@@ -1876,12 +1913,14 @@ final case class ParquetUpsertSink(
       x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return Seq.empty
-    withCommitLock(fs) { optimizeZorderLocked(spark, fs, x, y) }
+    val warm = withCommitLock(fs) { optimizeZorderLocked(spark, fs, x, y) }
+    warmStatsManifests(fs, warm, settle = true)
+    warm.map(_.getName)
   }
 
   private def optimizeZorderLocked(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
-      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): Seq[String] =
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): Seq[Path] =
     clusterRewriteLocked(spark, fs, Seq(
       graft.functions.ZOrderExpressions.mortonCode(x.cast("long"), y.cast("long"))))
 
@@ -1899,12 +1938,15 @@ final case class ParquetUpsertSink(
     require(sortCols.nonEmpty, "optimizeSort needs at least one sort column")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return Seq.empty
-    withCommitLock(fs) { clusterRewriteLocked(spark, fs, sortCols) }
+    val warm = withCommitLock(fs) { clusterRewriteLocked(spark, fs, sortCols) }
+    warmStatsManifests(fs, warm, settle = true)
+    warm.map(_.getName)
   }
 
+  /** Returns the rewritten partition dirs (callers warm + name them). */
   private def clusterRewriteLocked(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
-      sortKeys: Seq[org.apache.spark.sql.Column]): Seq[String] = {
+      sortKeys: Seq[org.apache.spark.sql.Column]): Seq[Path] = {
     val partDirs = fs.listStatus(new Path(path)).map(_.getPath)
       .filter(p => p.getName.startsWith(s"$partitionCol=") && hasDataFiles(fs, p))
     if (partDirs.isEmpty) return Seq.empty
@@ -1926,8 +1968,7 @@ final case class ParquetUpsertSink(
         .partitionBy(partitionCol)
         .parquet(path)
     } finally Checkpoints.release(mat)
-    warmStatsManifests(spark, fs, partDirs.toSeq)
-    partDirs.map(_.getName).toSeq
+    partDirs.toSeq
   }
 
   /** `INSERT OVERWRITE` executor: replace every live partition
@@ -1945,7 +1986,7 @@ final case class ParquetUpsertSink(
       enforceRowsMatch: Boolean = false): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (clean, done) = screen(rows, batchId)
-    try withCommitLock(fs) {
+    val warm = try withCommitLock(fs) {
       requireNoLiveDeltas(fs, "the overwrite")
       persistWriteConfig(fs)
       val rowParts: Seq[String] = clean
@@ -1964,6 +2005,7 @@ final case class ParquetUpsertSink(
       replaceGroupsLocked(spark, fs, (live ++ rowParts).distinct, clean, batchId,
         op = "overwrite")
     } finally done()
+    warmStatsManifests(fs, warm, settle = false)
   }
 
   /** Dynamic `INSERT OVERWRITE`: replace exactly the partitions present
@@ -1974,7 +2016,7 @@ final case class ParquetUpsertSink(
       rows: DataFrame, batchId: Long = 0L): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (clean, done) = screen(rows, batchId)
-    try withCommitLock(fs) {
+    val warm = try withCommitLock(fs) {
       requireNoLiveDeltas(fs, "the overwrite")
       persistWriteConfig(fs)
       val rowParts: Seq[String] = clean
@@ -1982,6 +2024,7 @@ final case class ParquetUpsertSink(
         .select(col(partitionCol)).distinct().collect().map(_.getString(0)).toSeq
       replaceGroupsLocked(spark, fs, rowParts, clean, batchId, op = "overwrite")
     } finally done()
+    warmStatsManifests(fs, warm, settle = false)
   }
 
   /** `ALTER TABLE ... RENAME COLUMN` executor: rewrite every live
@@ -2000,7 +2043,7 @@ final case class ParquetUpsertSink(
       from: String, to: String): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return Seq.empty
-    withCommitLock(fs) {
+    val warm = withCommitLock(fs) {
       requireNoLiveDeltas(fs, "a column rename")
       // the persisted schema keeps its FIELD ORDER through the rename
       // (positional writes — INSERT INTO ... VALUES — resolve against
@@ -2044,8 +2087,10 @@ final case class ParquetUpsertSink(
             .parquet(path)
         } finally Checkpoints.release(mat)
       }
-      partDirs.map(_.getName)
+      partDirs
     }
+    warmStatsManifests(fs, warm.toSeq, settle = true)
+    warm.map(_.getName).toSeq
   }
 
   /** Read-modify-write `_table.properties` — the shared crash-safe

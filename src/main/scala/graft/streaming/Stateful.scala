@@ -37,6 +37,17 @@ object Stateful {
     Timestamp.from(java.time.Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
+  /** Migration net for checkpoints written when SessionState held
+    * epoch-MILLIseconds: a restored ms value read as µs lands in
+    * January 1970 and silently corrupts every later gap comparison.
+    * ms-era epochs (< 1e14 ≈ year 5138) upgrade losslessly; genuine µs
+    * epochs for any modern date exceed the cutoff by 10×.
+    */
+  private def upgradeState(s: SessionState): SessionState =
+    if (s.lastSeen != 0L && math.abs(s.lastSeen) < 100000000000000L)
+      s.copy(start = s.start * 1000L, lastSeen = s.lastSeen * 1000L)
+    else s
+
   case class SessionResult(
       employee_id: Int,
       session_start: Timestamp,
@@ -84,14 +95,14 @@ object Stateful {
         OutputMode.Append(), timeout) {
         (employeeId: Int, batch: Iterator[ActivityEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            val s = state.get
+            val s = upgradeState(state.get)
             state.remove()
             Iterator(SessionResult(employeeId,
               toTs(s.start), toTs(s.lastSeen), s.events, s.totalDuration))
           } else {
             val sorted = batch.toSeq.sortBy(e => micros(e.activity_timestamp))
             val (closed, cur) =
-              foldSessionBatch(employeeId, sorted, state.getOption, gapMillis)
+              foldSessionBatch(employeeId, sorted, state.getOption.map(upgradeState), gapMillis)
             cur.foreach { s =>
               state.update(s)
               if (withTimeout) state.setTimeoutDuration(gapMillis)
@@ -204,7 +215,8 @@ object Stateful {
     override def handleInputRows(key: Int, rows: Iterator[ActivityEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionResult] = {
       val sorted = rows.toSeq.sortBy(e => micros(e.activity_timestamp))
-      val prev = if (session.exists()) Some(session.get()) else None
+      val prev =
+        if (session.exists()) Some(Stateful.upgradeState(session.get())) else None
       val (closed, cur) = foldSessionBatch(key, sorted, prev, gapMillis)
       cur match {
         case Some(s) =>
@@ -227,7 +239,7 @@ object Stateful {
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionResult] =
       if (session.exists()) {
-        val s = session.get()
+        val s = Stateful.upgradeState(session.get())
         session.clear()
         Iterator(SessionResult(key,
           toTs(s.start), toTs(s.lastSeen), s.events, s.totalDuration))

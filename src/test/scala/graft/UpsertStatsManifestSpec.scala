@@ -540,6 +540,21 @@ class UpsertStatsManifestSpec extends SparkSpec {
       "post-maintenance planning must be footer-free")
   } }
 
+  test("maintenance warm settles the racy window: manifests persist before the job returns") {
+    withConf(UpsertStatsManifest.RacyWindowConfKey, "700") {
+      val dir = tmp("mfsettle")
+      val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+      sink.upsert(Seq((1L, 0L, 10.0, "a")).toDF("id", "seq", "v", "p"), 0)
+      val fs = fsOf(dir)
+      // the rewrite's files are seconds-fresh: without the settle wait
+      // the flush would classify every entry racy and re-pend it, and a
+      // one-shot maintenance JVM would exit with the warm evaporated
+      sink.optimizeSort(spark, Seq(col("v")))
+      assert(fs.exists(new Path(s"$dir/p=a/${UpsertStatsManifest.ManifestFileName}")),
+        "optimize_sort must wait out the racy-mtime tick so the warm persists")
+    }
+  }
+
   test("row-level rewrites re-warm their manifests: post-DML planning is footer-free") { noRacyWindow {
     val dir = tmp("mfdml")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
