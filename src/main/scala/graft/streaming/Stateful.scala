@@ -189,20 +189,43 @@ object Stateful {
     (closed.reverse, cur)
   }
 
+  /** How the TWS sessionizer flushes idle sessions. */
+  sealed trait SessionTimerMode
+  object SessionTimerMode {
+    /** No timers: sessions close only when a newer event arrives
+      * (deterministic; what tests and the oracle gate use).
+      */
+    case object Off extends SessionTimerMode
+    /** Wall-clock idle flush — low latency, but replaying the same
+      * input can emit different (earlier-flushed) session fragments.
+      */
+    case object ProcessingTime extends SessionTimerMode
+    /** Watermark-driven flush: a session emits when the event-time
+      * watermark passes lastSeen + gap. DETERMINISTIC under replay —
+      * the production mode. An event that could still extend the
+      * session has ts ≤ lastSeen + gap ≤ watermark and is dropped as
+      * late before the processor, so the flush can never race a
+      * legitimate extension.
+      */
+    case object EventTime extends SessionTimerMode
+  }
+
   /** Sessionizer state machine on the Spark 4 arbitrary-state v2 API
-    * ([[org.apache.spark.sql.streaming.StatefulProcessor]]): the same
-    * per-batch fold as [[sessionize]], with the open session in a
-    * composite-typed [[org.apache.spark.sql.streaming.ValueState]] and
-    * idle-session flushes via explicit REGISTERED TIMERS instead of the
+    * ([[org.apache.spark.sql.streaming.StatefulProcessorWithInitialState]]):
+    * the same per-batch fold as [[sessionize]], with the open session
+    * in a composite-typed [[org.apache.spark.sql.streaming.ValueState]]
+    * and idle-session flushes via explicit REGISTERED TIMERS
+    * (processing-time or watermark-driven event-time) instead of the
     * one implicit GroupStateTimeout slot — the v2 surface a production
-    * pipeline gains multiple named state variables, state TTL, and
-    * per-key timer control from. Requires the RocksDB state store
-    * provider (transformWithState's store needs multi-column-family
-    * support; the default HDFS-backed store refuses at query start).
+    * pipeline gains multiple named state variables, state TTL,
+    * per-key timer control, and batch-bootstrapped initial state from.
+    * Requires the RocksDB state store provider (transformWithState's
+    * store needs multi-column-family support; the default HDFS-backed
+    * store refuses at query start).
     */
-  final class SessionProcessor(gapMillis: Long, withTimer: Boolean)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Int, ActivityEvent, SessionResult] {
+  final class SessionProcessor(gapMillis: Long, timers: SessionTimerMode)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Int, ActivityEvent, SessionResult, SessionState] {
     @transient private var session:
       org.apache.spark.sql.streaming.ValueState[SessionState] = _
 
@@ -211,6 +234,38 @@ object Stateful {
       session = getHandle.getValueState[SessionState]("session",
         org.apache.spark.sql.Encoders.product[SessionState],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    /** Bootstrap from a batch-computed open session (e.g. the
+      * gaps-and-islands tail of an historical table): the stream picks
+      * up mid-session, and the first in-gap event extends it instead
+      * of double-counting a fresh one. Arms the idle timer like any
+      * new activity — a bootstrapped session that never sees another
+      * event must still flush.
+      */
+    override def handleInitialState(key: Int, initial: SessionState,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit = {
+      session.update(Stateful.upgradeState(initial))
+      armTimer(Stateful.upgradeState(initial), timerValues)
+    }
+
+    private def armTimer(s: SessionState,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      timers match {
+        case SessionTimerMode.Off => ()
+        case SessionTimerMode.ProcessingTime =>
+          // new activity re-arms the idle clock: drop the stale
+          // timers first (unlike GroupStateTimeout's single implicit
+          // slot, registered timers accumulate — a stale one firing
+          // would flush a session that just saw events)
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + gapMillis)
+        case SessionTimerMode.EventTime =>
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          // fire when the WATERMARK passes lastSeen + gap; µs→ms
+          // rounds UP so the timer never fires before the true instant
+          getHandle.registerTimer((s.lastSeen + 999L) / 1000L + gapMillis)
+      }
 
     override def handleInputRows(key: Int, rows: Iterator[ActivityEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionResult] = {
@@ -221,15 +276,7 @@ object Stateful {
       cur match {
         case Some(s) =>
           session.update(s)
-          if (withTimer) {
-            // new activity re-arms the idle clock: drop the stale
-            // timers first (unlike GroupStateTimeout's single implicit
-            // slot, registered timers accumulate — a stale one firing
-            // would flush a session that just saw events)
-            getHandle.listTimers().foreach(getHandle.deleteTimer)
-            getHandle.registerTimer(
-              timerValues.getCurrentProcessingTimeInMs() + gapMillis)
-          }
+          armTimer(s, timerValues)
         case None => session.clear()
       }
       closed.iterator
@@ -248,9 +295,9 @@ object Stateful {
 
   /** [[sessionize]] on transformWithState (arbitrary state v2). Same
     * contract: emits a session when a newer event closes it, plus — with
-    * `withTimer` — when its idle timer fires. Run it with
-    * `spark.sql.streaming.stateStore.providerClass` set to the RocksDB
-    * provider.
+    * `withTimer` — when its processing-time idle timer fires. Run it
+    * with `spark.sql.streaming.stateStore.providerClass` set to the
+    * RocksDB provider.
     */
   def sessionizeTws(
       spark: SparkSession,
@@ -261,10 +308,58 @@ object Stateful {
     events
       .groupByKey(_.employee_id)
       .transformWithState(
-        new SessionProcessor(gapMillis, withTimer),
+        new SessionProcessor(gapMillis,
+          if (withTimer) SessionTimerMode.ProcessingTime else SessionTimerMode.Off),
         if (withTimer) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
         else org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** [[sessionizeTws]] with WATERMARK-DRIVEN session flushes
+    * (TimeMode.EventTime): a session emits once the watermark passes
+    * its frontier + gap — deterministic under replay, unlike the
+    * processing-time mode, and the flush can never race a legitimate
+    * extension (such an event would be late and dropped before the
+    * processor). The production sessionizer shape.
+    */
+  def sessionizeTwsEventTime(
+      spark: SparkSession,
+      events: Dataset[ActivityEvent],
+      gapMillis: Long = 5 * 60 * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionResult] = {
+    import spark.implicits._
+    events
+      .withWatermark("activity_timestamp", watermarkDelay)
+      .groupByKey(_.employee_id)
+      .transformWithState(
+        new SessionProcessor(gapMillis, SessionTimerMode.EventTime),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** [[sessionizeTwsEventTime]] BOOTSTRAPPED from batch state: the
+    * initial open session per key (e.g. the gaps-and-islands tail of
+    * the historical table the stream resumes from) seeds the state
+    * store on the first micro-batch, so a session spanning the
+    * batch→stream cutover stays ONE session with correct counts —
+    * the restart-from-batch shape every lambda-architecture migration
+    * needs.
+    */
+  def sessionizeTwsBootstrapped(
+      spark: SparkSession,
+      events: Dataset[ActivityEvent],
+      initial: Dataset[(Int, SessionState)],
+      gapMillis: Long = 5 * 60 * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionResult] = {
+    import spark.implicits._
+    events
+      .withWatermark("activity_timestamp", watermarkDelay)
+      .groupByKey(_.employee_id)
+      .transformWithState(
+        new SessionProcessor(gapMillis, SessionTimerMode.EventTime),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
   }
 
   /** Watermarked stream dedup (ST10): drop repeated record keys within
@@ -274,4 +369,51 @@ object Stateful {
     events
       .withWatermark("activity_timestamp", "1 hour")
       .dropDuplicatesWithinWatermark("employee_id", "activity_type", "activity_timestamp")
+
+  /** Replay-suppression dedup on NATIVE STATE TTL (the arbitrary-state
+    * v2 feature the sessionizer doesn't use): one boolean ValueState
+    * per record key with `TTLConfig(ttl)` — the store expires the
+    * entry itself, no timers, no manual cleanup scan. This is the
+    * PROCESSING-time twin of [[dedupWithinWatermark]]: the watermark
+    * version bounds state by event-time disorder (drop a key seen
+    * within the horizon), this one bounds it by wall-clock retention
+    * (suppress at-least-once replays for `ttl`, then re-admit) — the
+    * shape an ingest edge uses against producer retries, where replays
+    * arrive minutes apart regardless of their event time.
+    */
+  final class DedupProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, ActivityEvent, ActivityEvent] {
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+
+    override def handleInputRows(key: String, rows: Iterator[ActivityEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ActivityEvent] =
+      if (seen.exists()) Iterator.empty // expired entries read as absent
+      else { seen.update(true); rows.take(1) }
+  }
+
+  /** First occurrence of each (employee, activity, event-time) key per
+    * `ttl` window; replays inside the window drop, the key re-admits
+    * after expiry. TTL state requires processing-time mode + RocksDB.
+    */
+  def dedupTws(
+      spark: SparkSession,
+      events: Dataset[ActivityEvent],
+      ttl: java.time.Duration): Dataset[ActivityEvent] = {
+    import spark.implicits._
+    events
+      .groupByKey(e =>
+        s"${e.employee_id}|${e.activity_type}|${e.activity_timestamp}")
+      .transformWithState(
+        new DedupProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
 }

@@ -286,6 +286,103 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timer flushes when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[ActivityEvent]
+      val q = Stateful.sessionizeTwsEventTime(spark, mem.toDS(),
+        gapMillis = 5 * 60 * 1000, watermarkDelay = "1 minute")
+        .writeStream.format("memory").queryName("tws_evt")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          ActivityEvent(12, "a", ts("2025-01-02 10:00:00"), 10),
+          ActivityEvent(12, "b", ts("2025-01-02 10:02:00"), 20))
+        q.processAllAvailable()
+        // watermark after batch 1 = 10:01; the timer waits for
+        // lastSeen + gap = 10:07 — nothing flushes yet
+        assert(spark.table("tws_evt").count() == 0)
+        // 10:30 advances the watermark to 10:29 at the NEXT batch's
+        // start; the timer then fires deterministically — no wall
+        // clock involved (the whole point of event-time timers)
+        mem.addData(ActivityEvent(13, "w", ts("2025-01-02 10:30:00"), 1))
+        q.processAllAvailable()
+        mem.addData(ActivityEvent(13, "w2", ts("2025-01-02 10:31:00"), 2))
+        q.processAllAvailable()
+        val flushed = spark.table("tws_evt")
+          .filter(col("employee_id") === 12).collect()
+        assert(flushed.length == 1)
+        assert(flushed.head.getAs[Int]("n_events") == 2)
+        assert(flushed.head.getAs[Long]("total_duration") == 30L)
+        assert(flushed.head.getAs[Timestamp]("session_end") == ts("2025-01-02 10:02:00"))
+        // key 13's own session is still open (watermark hasn't passed
+        // ITS frontier + gap)
+        assert(spark.table("tws_evt").filter(col("employee_id") === 13).count() == 0)
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState bootstraps from batch-computed open sessions (batch→stream cutover)") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[ActivityEvent]
+      // the open tail of the "historical" table: 2 events, 10:00–10:02
+      def us(s: String) = ts(s).getTime * 1000L
+      val initial = Seq(
+        (21, Stateful.SessionState(
+          us("2025-01-02 10:00:00"), us("2025-01-02 10:02:00"), 2, 30L))).toDS()
+      val q = Stateful.sessionizeTwsBootstrapped(spark, mem.toDS(), initial,
+        gapMillis = 5 * 60 * 1000, watermarkDelay = "1 minute")
+        .writeStream.format("memory").queryName("tws_boot")
+        .outputMode("append").start()
+      try {
+        // 10:04 is in-gap of the BOOTSTRAPPED frontier (10:02): it must
+        // extend that session, not open a fresh one; 11:00 closes it
+        mem.addData(
+          ActivityEvent(21, "c", ts("2025-01-02 10:04:00"), 7),
+          ActivityEvent(21, "d", ts("2025-01-02 11:00:00"), 1))
+        q.processAllAvailable()
+        val rows = spark.table("tws_boot").collect()
+        assert(rows.length == 1)
+        assert(rows.head.getAs[Timestamp]("session_start") == ts("2025-01-02 10:00:00"))
+        assert(rows.head.getAs[Timestamp]("session_end") == ts("2025-01-02 10:04:00"))
+        assert(rows.head.getAs[Int]("n_events") == 3, "bootstrapped counts must carry over")
+        assert(rows.head.getAs[Long]("total_duration") == 37L)
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState TTL dedup suppresses replays within the TTL and re-admits after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[ActivityEvent]
+      val q = Stateful.dedupTws(spark, mem.toDS(), java.time.Duration.ofSeconds(5))
+        .writeStream.format("memory").queryName("tws_ttl_dedup")
+        .outputMode("append").start()
+      try {
+        // NO processAllAvailable anywhere: processing-time mode keeps
+        // the engine scheduling batches, so it never settles — the
+        // continuous trigger drains addData on its own; poll the sink
+        def awaitCount(n: Long): Unit = {
+          val deadline = System.currentTimeMillis() + 30000
+          while (spark.table("tws_ttl_dedup").count() < n &&
+            System.currentTimeMillis() < deadline) Thread.sleep(200)
+          assert(spark.table("tws_ttl_dedup").count() == n)
+        }
+        val e0 = ActivityEvent(3, "login", ts("2025-01-02 10:00:00"), 10)
+        mem.addData(e0, e0, e0.copy(duration_seconds = 99)) // same dedup key 3×
+        awaitCount(1)
+        mem.addData(e0) // replay in a later batch, well inside the 5 s TTL
+        Thread.sleep(2000) // long enough to have been processed
+        assert(spark.table("tws_ttl_dedup").count() == 1,
+          "a replay inside the TTL must be suppressed")
+        Thread.sleep(9000) // past the TTL: the store expires the entry itself
+        mem.addData(e0)
+        awaitCount(2) // an expired key re-admits (TTL retention, not forever-state)
+      } finally q.stop()
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes repeats of the same record key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[ActivityEvent]
