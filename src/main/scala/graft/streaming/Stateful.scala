@@ -201,11 +201,15 @@ object Stateful {
       */
     case object ProcessingTime extends SessionTimerMode
     /** Watermark-driven flush: a session emits when the event-time
-      * watermark passes lastSeen + gap. DETERMINISTIC under replay —
-      * the production mode. An event that could still extend the
-      * session has ts ≤ lastSeen + gap ≤ watermark and is dropped as
-      * late before the processor, so the flush can never race a
-      * legitimate extension.
+      * watermark passes lastSeen + gap — the production mode.
+      * Deterministic under replay FOR EVENTS WITHIN THE WATERMARK
+      * DELAY (the streaming correctness contract): such an event is
+      * admitted regardless of batch boundaries, and once the flush
+      * fires, anything that could still extend the session is already
+      * late-dropped before the processor. An event MORE disordered
+      * than the delay sits in the gray zone every watermarked operator
+      * has — admitted or dropped depending on where the batch boundary
+      * lands, exactly like a late row at an aggregation.
       */
     case object EventTime extends SessionTimerMode
   }
@@ -240,12 +244,15 @@ object Stateful {
       * up mid-session, and the first in-gap event extends it instead
       * of double-counting a fresh one. Arms the idle timer like any
       * new activity — a bootstrapped session that never sees another
-      * event must still flush.
+      * event must still flush. The caller-supplied state is taken AS
+      * IS (epoch µs, the SessionState contract) — the legacy-ms
+      * checkpoint shim must not reinterpret a legitimately small epoch
+      * (a pre-1973 dataset) as corruption.
       */
     override def handleInitialState(key: Int, initial: SessionState,
         timerValues: org.apache.spark.sql.streaming.TimerValues): Unit = {
-      session.update(Stateful.upgradeState(initial))
-      armTimer(Stateful.upgradeState(initial), timerValues)
+      session.update(initial)
+      armTimer(initial, timerValues)
     }
 
     private def armTimer(s: SessionState,
@@ -317,24 +324,40 @@ object Stateful {
 
   /** [[sessionizeTws]] with WATERMARK-DRIVEN session flushes
     * (TimeMode.EventTime): a session emits once the watermark passes
-    * its frontier + gap — deterministic under replay, unlike the
-    * processing-time mode, and the flush can never race a legitimate
-    * extension (such an event would be late and dropped before the
-    * processor). The production sessionizer shape.
+    * its frontier + gap — deterministic under replay for events within
+    * the watermark delay (unlike the processing-time mode, which can
+    * fragment differently per run), and a fired flush cannot race an
+    * in-contract extension (such an event would already be
+    * late-dropped before the processor; see
+    * [[SessionTimerMode.EventTime]] for the out-of-contract gray
+    * zone). The production sessionizer shape.
     */
   def sessionizeTwsEventTime(
       spark: SparkSession,
       events: Dataset[ActivityEvent],
       gapMillis: Long = 5 * 60 * 1000,
-      watermarkDelay: String = "10 minutes"): Dataset[SessionResult] = {
+      watermarkDelay: String = "10 minutes"): Dataset[SessionResult] =
+    sessionizeTwsEventTimeImpl(spark, events, None, gapMillis, watermarkDelay)
+
+  private def sessionizeTwsEventTimeImpl(
+      spark: SparkSession,
+      events: Dataset[ActivityEvent],
+      initial: Option[Dataset[(Int, SessionState)]],
+      gapMillis: Long,
+      watermarkDelay: String): Dataset[SessionResult] = {
     import spark.implicits._
-    events
+    val keyed = events
       .withWatermark("activity_timestamp", watermarkDelay)
       .groupByKey(_.employee_id)
-      .transformWithState(
-        new SessionProcessor(gapMillis, SessionTimerMode.EventTime),
-        org.apache.spark.sql.streaming.TimeMode.EventTime(),
-        OutputMode.Append())
+    val proc = new SessionProcessor(gapMillis, SessionTimerMode.EventTime)
+    val mode = org.apache.spark.sql.streaming.TimeMode.EventTime()
+    initial match {
+      case Some(init) =>
+        keyed.transformWithState(proc, mode, OutputMode.Append(),
+          init.groupByKey(_._1).mapValues(_._2))
+      case None =>
+        keyed.transformWithState(proc, mode, OutputMode.Append())
+    }
   }
 
   /** [[sessionizeTwsEventTime]] BOOTSTRAPPED from batch state: the
@@ -350,17 +373,9 @@ object Stateful {
       events: Dataset[ActivityEvent],
       initial: Dataset[(Int, SessionState)],
       gapMillis: Long = 5 * 60 * 1000,
-      watermarkDelay: String = "10 minutes"): Dataset[SessionResult] = {
-    import spark.implicits._
-    events
-      .withWatermark("activity_timestamp", watermarkDelay)
-      .groupByKey(_.employee_id)
-      .transformWithState(
-        new SessionProcessor(gapMillis, SessionTimerMode.EventTime),
-        org.apache.spark.sql.streaming.TimeMode.EventTime(),
-        OutputMode.Append(),
-        initial.groupByKey(_._1).mapValues(_._2))
-  }
+      watermarkDelay: String = "10 minutes"): Dataset[SessionResult] =
+    sessionizeTwsEventTimeImpl(spark, events, Some(initial), gapMillis,
+      watermarkDelay)
 
   /** Watermarked stream dedup (ST10): drop repeated record keys within
     * the watermark horizon — bounded state, unlike plain dropDuplicates.

@@ -356,27 +356,54 @@ class StatefulSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     withRocksDb {
       val mem = MemoryStream[ActivityEvent]
-      val q = Stateful.dedupTws(spark, mem.toDS(), java.time.Duration.ofSeconds(5))
+      // TTL long enough that NO scheduling delay can expire the entry
+      // before the suppression check (awaitCount tolerates 30 s; the
+      // TTL must exceed every wait that precedes the replay batch)
+      val q = Stateful.dedupTws(spark, mem.toDS(), java.time.Duration.ofSeconds(90))
         .writeStream.format("memory").queryName("tws_ttl_dedup")
         .outputMode("append").start()
       try {
         // NO processAllAvailable anywhere: processing-time mode keeps
         // the engine scheduling batches, so it never settles — the
         // continuous trigger drains addData on its own; poll the sink
-        def awaitCount(n: Long): Unit = {
+        def await(filter: org.apache.spark.sql.Column, n: Long): Unit = {
           val deadline = System.currentTimeMillis() + 30000
-          while (spark.table("tws_ttl_dedup").count() < n &&
+          while (spark.table("tws_ttl_dedup").filter(filter).count() < n &&
             System.currentTimeMillis() < deadline) Thread.sleep(200)
-          assert(spark.table("tws_ttl_dedup").count() == n)
+          assert(spark.table("tws_ttl_dedup").filter(filter).count() == n)
         }
         val e0 = ActivityEvent(3, "login", ts("2025-01-02 10:00:00"), 10)
         mem.addData(e0, e0, e0.copy(duration_seconds = 99)) // same dedup key 3×
-        awaitCount(1)
-        mem.addData(e0) // replay in a later batch, well inside the 5 s TTL
-        Thread.sleep(2000) // long enough to have been processed
-        assert(spark.table("tws_ttl_dedup").count() == 1,
+        await(col("employee_id") === 3, 1)
+        // replay + a SENTINEL key in one batch: once the sentinel shows
+        // up in the sink, the replay was definitely processed — no
+        // wall-clock guessing about whether the batch ran yet
+        mem.addData(e0, ActivityEvent(4, "sentinel", ts("2025-01-02 10:00:00"), 1))
+        await(col("employee_id") === 4, 1)
+        assert(spark.table("tws_ttl_dedup").filter(col("employee_id") === 3).count() == 1,
           "a replay inside the TTL must be suppressed")
-        Thread.sleep(9000) // past the TTL: the store expires the entry itself
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState TTL dedup re-admits a key after the TTL expires") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[ActivityEvent]
+      val q = Stateful.dedupTws(spark, mem.toDS(), java.time.Duration.ofSeconds(2))
+        .writeStream.format("memory").queryName("tws_ttl_readmit")
+        .outputMode("append").start()
+      try {
+        def awaitCount(n: Long): Unit = {
+          val deadline = System.currentTimeMillis() + 30000
+          while (spark.table("tws_ttl_readmit").count() < n &&
+            System.currentTimeMillis() < deadline) Thread.sleep(200)
+          assert(spark.table("tws_ttl_readmit").count() == n)
+        }
+        val e0 = ActivityEvent(5, "login", ts("2025-01-02 10:00:00"), 10)
+        mem.addData(e0)
+        awaitCount(1) // the entry's TTL clock starts at THIS batch
+        Thread.sleep(5000) // 2.5× the TTL: the store expires the entry itself
         mem.addData(e0)
         awaitCount(2) // an expired key re-admits (TTL retention, not forever-state)
       } finally q.stop()
