@@ -296,14 +296,20 @@ object GraftProcedures {
       val files = ParquetUpsertSink.liveDataFileStatuses(fs, path, pc)
       val aliases = ColumnAliases.parse(GraftUpsertCatalog.tableProps(path))
       // an explicit ANALYZE right after a write must still persist:
-      // wait out the manifest's racy-write window (bounded by the
-      // window itself) so the newest files' mtime ticks are closed and
-      // the flush below is neither skipped nor unsound
+      // wait out the manifest's racy-write window so the newest files'
+      // mtime ticks are closed and the flush below is neither skipped
+      // nor unsound. The wait usually equals the window, but mtimes
+      // AHEAD of this driver's clock (object-store server skew) push
+      // it further — capping at the window alone would sleep too
+      // little, flush would re-pend every entry as racy, and ANALYZE
+      // would return "success" having persisted nothing. Bound the
+      // extra allowance at 30 s so an insane clock can't hang the call.
       if (files.nonEmpty) {
         val settle = files.map(_.getModificationTime).max +
           UpsertStatsManifest.racyWindowMillis - System.currentTimeMillis()
         if (settle > 0)
-          Thread.sleep(math.min(settle, UpsertStatsManifest.racyWindowMillis))
+          Thread.sleep(math.min(settle,
+            UpsertStatsManifest.racyWindowMillis + 30000L))
       }
       // fileStatsAll reads footers for unmanifested files and flushes
       // the repaired manifests — exactly the planning path, warmed

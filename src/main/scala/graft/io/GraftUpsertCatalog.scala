@@ -379,34 +379,111 @@ object GraftUpsertCatalog {
     * than silently degrading to an empty property set (which would
     * null-fill renamed columns in history reads and drop merge keys).
     * The extra probe costs nothing on the common present path.
+    *
+    * A TRANSIENT read failure of an EXISTING file PROPAGATES — it must
+    * never be served as "no properties": readers would silently
+    * null-fill renamed columns, and an updateProps built on the empty
+    * set would PERSIST it, permanently erasing the table's config.
+    * Only a FileNotFound raced against a concurrent updater's
+    * delete→rename window retries (bounded), since the file
+    * deterministically reappears.
     */
   def loadProps(fs: org.apache.hadoop.fs.FileSystem,
       path: String): java.util.Properties = {
     val p = new Path(s"$path/$TablePropsFileName")
-    val props = new java.util.Properties()
-    def load(from: Path): Boolean =
-      try {
+    var attempt = 0
+    while (true) {
+      val props = new java.util.Properties()
+      def load(from: Path): Unit = {
         val in = fs.open(from)
-        try { props.load(in); true } finally in.close()
-      } catch { case _: java.io.IOException => false }
-    if (fs.exists(p)) load(p)
-    else {
-      val tmp = new Path(s"$path/$PropsTmpName")
+        try props.load(in) finally in.close()
+      }
       try {
-        if (fs.exists(tmp) && load(tmp)) { fs.rename(tmp, p); () }
-      } catch { case _: java.io.IOException => }
+        if (fs.exists(p)) { load(p); return props }
+        val tmp = new Path(s"$path/$PropsTmpName")
+        if (fs.exists(tmp)) {
+          // complete by construction: the tmp is fully written and
+          // closed BEFORE the canonical delete, so tmp-present +
+          // canonical-absent implies a crash in the rename window
+          load(tmp)
+          fs.rename(tmp, p)
+          return props
+        }
+        return props // genuinely propertyless (sink-created table)
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          // exists→open raced a concurrent updater's (or promoting
+          // reader's) window; the canonical reappears in microseconds
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(20L * attempt)
+      }
     }
-    props
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The exclusive-create lock every [[updateProps]] takes: sink
+    * callers already serialize through the commit lock, but the
+    * catalog's ALTER TABLE paths do not — two unserialized updates
+    * through the FIXED tmp name could interleave delete/rename into a
+    * state with NO properties file at all. Stale locks (a crashed
+    * updater) break by age.
+    */
+  val PropsLockName: String = s".$TablePropsFileName.lock"
+  private val PropsLockTimeoutMs = 60000L
+
+  private val propsMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withPropsLock[A](fs: org.apache.hadoop.fs.FileSystem,
+      path: String)(body: => A): A =
+    // intra-JVM updates serialize on a monitor (create-exclusive is
+    // only advisory on local filesystems — the exists probe isn't
+    // atomic there); the FILE lock below covers cross-process updates
+    // on HDFS-semantics stores, where create(overwrite=false) is atomic
+    propsMonitors.computeIfAbsent(path, _ => new Object).synchronized {
+      withPropsFileLock(fs, path)(body)
+    }
+
+  private def withPropsFileLock[A](fs: org.apache.hadoop.fs.FileSystem,
+      path: String)(body: => A): A = {
+    val lock = new Path(s"$path/$PropsLockName")
+    val deadline = System.currentTimeMillis() + PropsLockTimeoutMs
+    var held = false
+    while (!held) {
+      try { fs.create(lock, false).close(); held = true }
+      catch { case _: java.io.IOException =>
+        val stale =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime > PropsLockTimeoutMs
+          catch { case _: java.io.IOException => false } // vanished: retry
+        if (stale) {
+          try { fs.delete(lock, false); () }
+          catch { case _: java.io.IOException => () }
+        } else if (System.currentTimeMillis() > deadline)
+          throw new java.io.IOException(
+            s"graft-upsert: timed out waiting for the properties lock $lock")
+        else Thread.sleep(50)
+      }
+    }
+    try body finally {
+      try { fs.delete(lock, false); () }
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Crash-safe read-modify-write of `_table.properties` (tmp + delete
     * + rename): a concurrent reader sees old-complete, new-complete,
     * or recovers the surviving tmp via [[loadProps]] — never a
     * truncated file, and a crash in the window no longer erases the
-    * table's lineage. Callers serialize through the commit lock.
+    * table's lineage. Updates SERIALIZE through [[PropsLockName]]
+    * (the sink's commit lock alone doesn't cover the catalog's
+    * ALTER TABLE paths); a transient failure loading the existing
+    * file aborts the update loudly instead of persisting a near-empty
+    * property set over the table's config.
     */
   def updateProps(fs: org.apache.hadoop.fs.FileSystem, path: String)(
-      f: java.util.Properties => Unit): Unit = {
+      f: java.util.Properties => Unit): Unit = withPropsLock(fs, path) {
     val props = loadProps(fs, path)
     f(props)
     val p = new Path(s"$path/$TablePropsFileName")

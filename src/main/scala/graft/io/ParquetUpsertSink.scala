@@ -1020,9 +1020,18 @@ final case class ParquetUpsertSink(
       val claimed = try fs.rename(lockPath, claim)
       catch { case _: java.io.IOException => false }
       if (!claimed) fs.delete(fresh, false) // breaker mid-break: skip beat
-      else {
+      else try {
         val stillOurs = readLockFile(fs, claim).exists(_._1 == stagingToken)
-        if (stillOurs && fs.rename(fresh, lockPath)) fs.delete(claim, false)
+        // the exists probe matters on LOCAL filesystems, where Hadoop's
+        // rename delegates to POSIX rename and silently REPLACES an
+        // existing destination (HDFS/S3A fail it): an acquirer that
+        // slipped into the absence window must not be clobbered. A
+        // residual local-FS TOCTOU between probe and rename remains —
+        // its worst case is the acquirer aborting loudly at its
+        // verifyLockOwnership, never two writers mutating (every
+        // destructive step re-verifies the token first).
+        if (stillOurs && !fs.exists(lockPath) && fs.rename(fresh, lockPath))
+          fs.delete(claim, false)
         else if (!stillOurs) {
           // we claimed someone ELSE's token (re-taken in the window):
           // put it back untouched and stop beating ours
@@ -1034,6 +1043,18 @@ final case class ParquetUpsertSink(
           fs.delete(claim, false)
           fs.delete(fresh, false)
         }
+      } catch {
+        case e: java.io.IOException =>
+          // a transient throw mid-CAS (e.g. the refresh rename) must
+          // not strand the lock renamed-aside forever: restore the
+          // claim if the slot is still empty, then let the beat retry
+          try {
+            if (fs.exists(claim) && !fs.exists(lockPath)) {
+              fs.rename(claim, lockPath); ()
+            }
+            fs.delete(fresh, false)
+          } catch { case _: java.io.IOException => () }
+          throw e
       }
     }
   }
@@ -1865,10 +1886,14 @@ final case class ParquetUpsertSink(
           UpsertTableSource.dataFileStatuses(fs, d))
         if (statuses.nonEmpty) {
           if (settle) {
+            // window + 30 s bound, like collect_stats: mtimes ahead of
+            // this clock (store-server skew) need more than the window
+            // or the flush re-pends everything and the warm evaporates
             val wait = statuses.map(_.getModificationTime).max +
               UpsertStatsManifest.racyWindowMillis - System.currentTimeMillis()
             if (wait > 0)
-              Thread.sleep(math.min(wait, UpsertStatsManifest.racyWindowMillis))
+              Thread.sleep(math.min(wait,
+                UpsertStatsManifest.racyWindowMillis + 30000L))
           }
           UpsertDataSkipping.fileStatsAll(fs, statuses.map(_.getPath),
             UpsertTableSource.tableSchema(path), fs.getConf,
@@ -2373,8 +2398,15 @@ object ParquetUpsertSink {
         fs.listStatus(p).filter(st => {
           val n = st.getPath.getName
           // a heartbeat that crashed mid-refresh strands inert
-          // `._commit.lock.hb.*` claim/fresh files next to the lock
-          n.startsWith(BrokenLockPrefix) || n.startsWith("._commit.lock.hb.")
+          // `._commit.lock.hb.*` claim/fresh files next to the lock —
+          // but YOUNG hb files are a LIVE beat's in-flight CAS state
+          // (claim/fresh mid-rename), not orphans: deleting one would
+          // break a healthy writer's refresh. Age-gate them by the
+          // lock timeout, like a lock break.
+          n.startsWith(BrokenLockPrefix) ||
+            (n.startsWith("._commit.lock.hb.") &&
+              System.currentTimeMillis() - st.getModificationTime >
+                ParquetUpsertSink.LockTimeoutMs)
         })
       else Array.empty[org.apache.hadoop.fs.FileStatus]
     brokenLocks.foreach(st => fs.delete(st.getPath, false))

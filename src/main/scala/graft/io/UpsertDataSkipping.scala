@@ -297,11 +297,14 @@ object UpsertDataSkipping {
             val r = UpsertStatsManifest.readRaw(file, conf)
             // record the REAL fingerprint (one tail read, trivial next
             // to the footer parse) so a later verified lookup — this
-            // driver or the next — has something sound to compare
+            // driver or the next — has something sound to compare.
+            // Skipped entirely when manifests are OFF: recordFresh
+            // no-ops then, so the tail read would be pure waste.
             val fp =
-              if (vfp != UpsertStatsManifest.FpUnchecked) vfp
+              if (!ctx.enabled) UpsertStatsManifest.FpUnreadable
+              else if (vfp != UpsertStatsManifest.FpUnchecked) vfp
               else UpsertStatsManifest.contentFingerprint(fs, file, st.getLen)
-            UpsertStatsManifest.recordFresh(file.getParent, file.getName,
+            UpsertStatsManifest.recordFresh(fs, file.getParent, file.getName,
               st.getModificationTime, st.getLen, r, fp, ctx.enabled)
             r
           }

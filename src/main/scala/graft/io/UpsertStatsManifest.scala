@@ -397,11 +397,21 @@ object UpsertStatsManifest {
     * pass a conf snapshot (pool threads must not consult session
     * state — see [[UpsertDataSkipping]]'s ManifestCtx).
     */
+  /** One canonical cache key per directory: planning paths hand in
+    * FULLY-QUALIFIED paths (listStatus/globStatus results) while sink
+    * rewrite paths build plain `new Path(tablePath + ...)` strings —
+    * without qualification an `invalidate` from the sink would MISS
+    * the qualified slot a planner cached and the net would be a no-op.
+    */
+  private def keyOf(fs: FileSystem, dir: Path): String =
+    try fs.makeQualified(dir).toString
+    catch { case _: IllegalArgumentException => dir.toString }
+
   def lookup(fs: FileSystem, dir: Path, name: String, mtime: Long,
       len: Long, expectFp: Long = FpUnchecked,
       enabled: Boolean = manifestEnabled): Option[RawFileStats] = {
     if (!enabled) return None
-    val key = dir.toString
+    val key = keyOf(fs, dir)
     def entryOf(m: Option[DirManifest]): Option[RawFileStats] =
       m.flatMap(_.entries.get(name))
         .filter(e => e.mtime == mtime && e.len == len &&
@@ -476,11 +486,11 @@ object UpsertStatsManifest {
   /** Record a fresh footer read for later [[flush]] into its
     * directory's manifest. No I/O here — safe from pool threads.
     */
-  def recordFresh(dir: Path, name: String, mtime: Long, len: Long,
-      raw: RawFileStats, fp: Long = FpUnreadable,
+  def recordFresh(fs: FileSystem, dir: Path, name: String, mtime: Long,
+      len: Long, raw: RawFileStats, fp: Long = FpUnreadable,
       enabled: Boolean = manifestEnabled): Unit = {
     if (!enabled) return
-    pending.computeIfAbsent(dir.toString,
+    pending.computeIfAbsent(keyOf(fs, dir),
       _ => new java.util.concurrent.ConcurrentHashMap[String, Entry]())
       .put(name, Entry(mtime, len, fp, raw))
   }
@@ -491,7 +501,7 @@ object UpsertStatsManifest {
     * serve statistics recorded against the replaced files.
     */
   def invalidate(fs: FileSystem, dir: Path): Unit = {
-    val key = dir.toString
+    val key = keyOf(fs, dir)
     dirCacheLock.synchronized { dirCache.remove(key); () }
     pending.remove(key)
     try {

@@ -1162,15 +1162,41 @@ object UpsertTableSource {
     val eligible = retained.filter(c =>
       scala.util.Try(c.take(13).toLong).toOption.exists(_ <= millis))
     if (eligible.nonEmpty) Some(eligible.last)
+    else if (retained.nonEmpty)
+      // every retained commit is NEWER than ts: the state at ts
+      // predates the keepVersions window. Decided from commit IDS
+      // (zero-padded epoch millis in the name) — deterministic, no
+      // filesystem clock involved; the old mtime-based fallback could
+      // silently serve the CURRENT state here under clock skew.
+      throw new IllegalArgumentException(
+        s"graft-upsert: no retained commit at or before timestamp ${millis}ms " +
+          s"(epoch) for $path — oldest retained commit is " +
+          s"'${retained.head}'; older history is pruned (keepVersions window)")
     else {
-      // nothing archived at-or-before ts. If the table's newest write
-      // is ALSO at-or-before ts, the current state IS the as-of state
-      // — the case a live-only (keepVersions=1) table hits for every
-      // timestamp newer than its last commit. Only then fall through
-      // to the current-state read; an mtime NEWER than ts means the
-      // state at ts is gone (pruned) and must fail. The live-file
-      // listing runs only on this rare fallback branch.
       val spark = SparkSession.active
+      // live MOR delta commits carry their write time in the commit id
+      // too: any delta newer than ts means post-ts writes exist that
+      // the base-file listing below would never see — the real-time
+      // view is NOT the as-of state. Also decided from ids.
+      val deltaNewer = ParquetUpsertSink.listDeltaCommits(spark, path)
+        .filter(c => scala.util.Try(c.take(13).toLong).toOption.exists(_ > millis))
+      if (deltaNewer.nonEmpty)
+        throw new IllegalArgumentException(
+          s"graft-upsert: timestamp ${millis}ms (epoch) for $path predates " +
+            s"${deltaNewer.size} live MOR delta commit(s) (newest " +
+            s"'${deltaNewer.last}') and the table has no archived commits — " +
+            "the state at that timestamp is not reconstructible")
+      // nothing archived and no newer deltas. If the table's newest
+      // write is ALSO at-or-before ts, the current state IS the as-of
+      // state — the case a live-only (keepVersions=1) table hits for
+      // every timestamp newer than its last commit. Only then fall
+      // through to the current-state read; an mtime NEWER than ts
+      // means the state at ts is gone and must fail. The mtime check
+      // is the one clock-derived input left (live-only tables persist
+      // no commit id): its error is bounded by the filesystem's mtime
+      // granularity/skew — a ts INSIDE the last write's truncation
+      // window reads as at-or-after it. The live-file listing runs
+      // only on this rare fallback branch.
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val lastWrite = partitionColOf(path)
@@ -1180,12 +1206,8 @@ object UpsertTableSource {
       if (lastWrite <= millis) None
       else throw new IllegalArgumentException(
         s"graft-upsert: no retained commit at or before timestamp ${millis}ms " +
-          s"(epoch) for $path — " +
-          (if (retained.isEmpty)
-            s"the table has no archived commits and was last written at " +
-              s"${lastWrite}ms (newer than the timestamp)"
-          else s"oldest retained commit is '${retained.head}'; older history is " +
-            "pruned (keepVersions window)"))
+          s"(epoch) for $path — the table has no archived commits and was " +
+          s"last written at ${lastWrite}ms (newer than the timestamp)")
     }
   }
 

@@ -184,6 +184,48 @@ class CommitLockSpec extends SparkSpec {
     fs.delete(lockP, false)
   }
 
+  test("a transient throw mid-CAS restores the claimed lock instead of stranding it") {
+    val dir = tmp("lockcasthrow")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")
+    val fs = fsOf(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    writeLock(dir, sink.lockTokenForTesting, System.currentTimeMillis())
+    // the refresh rename THROWS (S3A can, instead of returning false):
+    // without the restore, the lock stays renamed aside forever — every
+    // later beat reads an absent lock and skips, and the commit dies at
+    // its next verifyLockOwnership despite no real contention
+    val lying = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def rename(src: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Boolean =
+        if (src.getName.endsWith(".fresh"))
+          throw new java.io.IOException("injected rename failure")
+        else super.rename(src, dst)
+    }
+    intercept[java.io.IOException] { sink.refreshLockOnce(lying) }
+    val after = readLockWellFormedOpt(dir, 5000)
+    assert(after.exists(_._1 == sink.lockTokenForTesting),
+      s"the claimed lock must be restored, got $after")
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("._commit.lock.hb."))
+    assert(leftovers.isEmpty, s"heartbeat droppings: ${leftovers.mkString(",")}")
+  }
+
+  test("sweep_staging age-gates heartbeat files: a live beat's CAS state survives") {
+    val dir = tmp("sweephb")
+    val fs = fsOf(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val young = new org.apache.hadoop.fs.Path(s"$dir/._commit.lock.hb.tok.claim")
+    fs.create(young, true).close()
+    val old = new org.apache.hadoop.fs.Path(s"$dir/._commit.lock.hb.tok2.fresh")
+    fs.create(old, true).close()
+    fs.setTimes(old,
+      System.currentTimeMillis() - ParquetUpsertSink.LockTimeoutMs - 60000, -1)
+    ParquetUpsertSink.sweepStaging(spark, dir)
+    assert(fs.exists(young),
+      "a live beat's in-flight claim/fresh is protocol state, not an orphan")
+    assert(!fs.exists(old), "a crashed beat's stranded hb file must sweep")
+  }
+
   test("a late heartbeat never clobbers a re-taken lock (TOCTOU fence)") {
     val dir = tmp("lockhbtoctou")
     // sub-second staleness: the heartbeat fires every 300ms while the

@@ -765,4 +765,75 @@ class GraftCatalogSpec extends SparkSpec {
       .select("id", "seq").as[(Long, Long)].collect().toSeq
     assert(rows == Seq((1L, 2L))) // precombine applied
   }
+
+  test("updateProps aborts loudly on a transient read failure instead of persisting an empty set") {
+    val dir = tmp("propsfail")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    GraftUpsertCatalog.updateProps(fs, dir)(_.setProperty("recordKeys", "id"))
+    // one transient open failure on the EXISTING canonical file: the
+    // update must throw, not build on an empty set and PERSIST it
+    // (that would erase recordKeys/keepVersions/rename lineage)
+    val failing = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+          : org.apache.hadoop.fs.FSDataInputStream =
+        if (f.getName == GraftUpsertCatalog.TablePropsFileName)
+          throw new java.io.IOException("injected transient read failure")
+        else super.open(f, bufferSize)
+    }
+    intercept[java.io.IOException] {
+      GraftUpsertCatalog.updateProps(failing, dir)(_.setProperty("x", "y"))
+    }
+    assert(GraftUpsertCatalog.loadProps(fs, dir).getProperty("recordKeys") == "id",
+      "the original config must survive the failed update untouched")
+    // no half-written staging or stranded lock to confuse recovery
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/${GraftUpsertCatalog.PropsTmpName}")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/${GraftUpsertCatalog.PropsLockName}")))
+  }
+
+  test("concurrent property updates serialize: every update lands, the file survives") {
+    val dir = tmp("propsconc")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    // the catalog's ALTER TABLE paths update WITHOUT the commit lock:
+    // unserialized, the fixed-tmp delete/rename interleavings can
+    // leave NO properties file at all and drop updates
+    val failures = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val threads = (0 until 6).map { i =>
+      new Thread(() =>
+        try (0 until 5).foreach { j =>
+          GraftUpsertCatalog.updateProps(fs, dir)(_.setProperty(s"k$i.$j", "v"))
+        } catch { case t: Throwable => failures.compareAndSet(null, t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.get() == null, s"updater failed: ${failures.get()}")
+    val props = GraftUpsertCatalog.loadProps(fs, dir)
+    for (i <- 0 until 6; j <- 0 until 5)
+      assert(props.getProperty(s"k$i.$j") == "v", s"lost update k$i.$j")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/${GraftUpsertCatalog.TablePropsFileName}")))
+  }
+
+  test("TIMESTAMP AS OF predating live MOR deltas fails instead of serving the current state") {
+    val dir = tmp("asofdelta")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept",
+      writeMode = ParquetUpsertSink.ModeMor)
+    sink.upsert(Seq((1L, 0L, "eng", 1.0)).toDF("id", "seq", "dept", "v"), 0)
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis() // after the base, before the delta
+    Thread.sleep(30)
+    sink.upsert(Seq((1L, 1L, "eng", 2.0)).toDF("id", "seq", "dept", "v"), 1)
+    // the base-file mtimes alone say "nothing newer than mid" — the
+    // post-mid write lives in _delta/, which the old fallback never saw
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-upsert")
+        .option("asOfTimestamp", mid.toString).load(dir).count()
+    }
+    assert(e.getMessage.contains("delta"),
+      s"must name the live delta commits, got: ${e.getMessage}")
+  }
 }

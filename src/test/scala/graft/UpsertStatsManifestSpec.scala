@@ -540,6 +540,32 @@ class UpsertStatsManifestSpec extends SparkSpec {
       "post-maintenance planning must be footer-free")
   } }
 
+  test("invalidate qualifies its key: an unqualified sink path evicts the planner's qualified slot") { noRacyWindow {
+    val dir = tmp("mfqual")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    sink.upsert(Seq((1L, 0L, 10.0, "a")).toDF("id", "seq", "v", "p"), 0)
+    val fs = fsOf(dir)
+    clearInMemory()
+    // fill the cache + manifest under the planner's QUALIFIED key
+    spark.read.format("graft-upsert").load(dir).where(col("v") > 0.0).count()
+    assert(fs.exists(new Path(s"$dir/p=a/${UpsertStatsManifest.ManifestFileName}")))
+    // sink rewrite paths hand invalidate a PLAIN `new Path(tablePath+…)`
+    // — it must still evict the qualified slot, or the documented net
+    // is a no-op and a stale cached manifest keeps serving
+    UpsertStatsManifest.invalidate(fs, new Path(s"$dir/p=a"))
+    assert(!fs.exists(new Path(s"$dir/p=a/${UpsertStatsManifest.ManifestFileName}")),
+      "the on-disk manifest must delete")
+    // drop ONLY the per-file stats cache (it may legitimately serve an
+    // unchanged file); the manifest dirCache slot is what invalidate
+    // must have evicted — if it survived, the next lookup serves it
+    // footer-free and the assert below catches the no-op
+    UpsertDataSkipping.clearStatsCacheForTesting()
+    val before = UpsertStatsManifest.footerReads.get()
+    spark.read.format("graft-upsert").load(dir).where(col("v") > 50.0).count()
+    assert(UpsertStatsManifest.footerReads.get() > before,
+      "post-invalidate planning must re-read footers, not serve the evicted slot")
+  } }
+
   test("maintenance warm settles the racy window: manifests persist before the job returns") {
     withConf(UpsertStatsManifest.RacyWindowConfKey, "700") {
       val dir = tmp("mfsettle")
