@@ -60,12 +60,26 @@ object UpsertAggPushdown {
     * Shared by the aggregate pushdown and the data-skipping planner —
     * min/max must decode identically wherever they are consulted.
     */
+  private def plainOrDate(prim: org.apache.parquet.schema.PrimitiveType): Boolean =
+    prim.getLogicalTypeAnnotation == null ||
+      prim.getLogicalTypeAnnotation
+        .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+
+  private def plainOrTs(prim: org.apache.parquet.schema.PrimitiveType): Boolean =
+    prim.getLogicalTypeAnnotation == null ||
+      prim.getLogicalTypeAnnotation.isInstanceOf[TimestampLogicalTypeAnnotation]
+
   private[io] def decodeStat(raw: Comparable[_],
       prim: org.apache.parquet.schema.PrimitiveType, dt: DataType): Option[Any] =
     (prim.getPrimitiveTypeName, dt) match {
-      case (PrimitiveTypeName.INT32, IntegerType | DateType) =>
+      // unknown/unsigned annotations (UINT32 etc. in external files)
+      // never decode: the reader reads them unsigned, the stat is the
+      // signed reinterpretation — mirrored in the manifest's decodeRaw
+      // so the two paths cannot prune differently
+      case (PrimitiveTypeName.INT32, IntegerType | DateType)
+          if plainOrDate(prim) =>
         Some(raw.asInstanceOf[java.lang.Integer].intValue())
-      case (PrimitiveTypeName.INT64, LongType) =>
+      case (PrimitiveTypeName.INT64, LongType) if plainOrTs(prim) =>
         Some(raw.asInstanceOf[java.lang.Long].longValue())
       case (PrimitiveTypeName.INT64, TimestampType | TimestampNTZType) =>
         val v = raw.asInstanceOf[java.lang.Long].longValue()
@@ -86,8 +100,7 @@ object UpsertAggPushdown {
       // Gated off date-annotated INT32 — days-since-epoch under an
       // integral table type would compare a different quantity.
       case (PrimitiveTypeName.INT32, LongType | DoubleType)
-          if !prim.getLogicalTypeAnnotation
-            .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+          if prim.getLogicalTypeAnnotation == null =>
         val v = raw.asInstanceOf[java.lang.Integer].intValue()
         Some(if (dt == LongType) v.toLong else v.toDouble)
       case (PrimitiveTypeName.FLOAT, DoubleType) =>

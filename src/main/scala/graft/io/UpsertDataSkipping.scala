@@ -176,8 +176,30 @@ object UpsertDataSkipping {
         case _ => true
       }
     }
-    def cmp(a: Any, b: Any, dt: DataType) = UpsertAggPushdown.cmpStat(a, b, dt)
-    def lit(a: String, v: Any): Option[Any] = dtOf(a).flatMap(toInternal(v, _))
+    // float/double semantics guards: Spark compares PRIMITIVES
+    // (-0.0 == 0.0; NaN never pushed by Spark's own ParquetFilters
+    // either), while the stat comparator is a total order that
+    // distinguishes the zeros and sorts NaN largest. Normalize zeros
+    // on BOTH sides, and never prune on a NaN literal (a conforming
+    // parquet writer omits min/max when a page holds NaN, but external
+    // files aren't guaranteed conforming — match Spark and refuse).
+    def fpNorm(x: Any): Any = x match {
+      case d: java.lang.Double if d.doubleValue() == 0.0 =>
+        java.lang.Double.valueOf(0.0)
+      case fl: java.lang.Float if fl.floatValue() == 0.0f =>
+        java.lang.Float.valueOf(0.0f)
+      case other => other
+    }
+    def litNaN(x: Any): Boolean = x match {
+      case d: java.lang.Double => d.isNaN
+      case fl: java.lang.Float => fl.isNaN
+      case _ => false
+    }
+    def cmp(a: Any, b: Any, dt: DataType) =
+      UpsertAggPushdown.cmpStat(fpNorm(a), fpNorm(b), dt)
+    // a NaN literal maps to None → forall(true) → never pruned on
+    def lit(a: String, v: Any): Option[Any] =
+      dtOf(a).flatMap(toInternal(v, _)).filterNot(litNaN).map(fpNorm)
     f match {
       case EqualTo(a, v) => range(a) { (mn, mx, dt) =>
         lit(a, v).forall(x => cmp(x, mn, dt) >= 0 && cmp(x, mx, dt) <= 0) }
@@ -227,8 +249,15 @@ object UpsertDataSkipping {
   // aliasKey: the canonical rename-lineage string — a NEW rename must
   // not serve a pre-rename cache entry whose `present` set could not
   // resolve it (archived files keep their mtime across renames)
+  // schemaKey: the table schema participates in decoding (widening
+  // promotions, timestamp modes) — a metadata-only ALTER that widens a
+  // column must not serve a cache entry decoded under the OLD type
+  // (the comparison layer would cast boxed values to the new type)
   private final case class CacheKey(path: String, mtime: Long, len: Long,
-      fp: Long, aliasKey: String)
+      fp: Long, aliasKey: String, schemaKey: Int)
+
+  private def schemaKeyOf(schema: StructType): Int =
+    schema.fields.toSeq.map(f => (f.name, f.dataType)).hashCode()
 
   /** Canonical cache-key form of a rename-lineage map. */
   private def aliasKeyOf(aliases: Map[String, List[String]]): String =
@@ -281,7 +310,7 @@ object UpsertDataSkipping {
       if (ctx.verify) UpsertStatsManifest.contentFingerprint(fs, file, st.getLen)
       else UpsertStatsManifest.FpUnchecked
     val key = CacheKey(file.toString, st.getModificationTime, st.getLen,
-      vfp, aliasKeyOf(aliases))
+      vfp, aliasKeyOf(aliases), schemaKeyOf(schema))
     val cached = statsCache.get(key)
     if (cached != null) return cached
     // raw physical stats: the persisted per-directory manifest first
@@ -294,16 +323,22 @@ object UpsertDataSkipping {
         val raw = UpsertStatsManifest.lookup(fs, file.getParent, file.getName,
           st.getModificationTime, st.getLen, vfp, ctx.enabled)
           .getOrElse {
-            val r = UpsertStatsManifest.readRaw(file, conf)
             // record the REAL fingerprint (one tail read, trivial next
             // to the footer parse) so a later verified lookup — this
             // driver or the next — has something sound to compare.
-            // Skipped entirely when manifests are OFF: recordFresh
-            // no-ops then, so the tail read would be pure waste.
+            // Read BEFORE the footer parse: taken after, an in-place
+            // rewrite landing between the two reads would pair a fp
+            // certifying the NEW content with stats describing the OLD
+            // — and the verified mode would then trust the stale entry
+            // forever. fp-first, the same race records a MISmatching
+            // fp and the verified lookup refuses it. Skipped entirely
+            // when manifests are OFF: recordFresh no-ops then, so the
+            // tail read would be pure waste.
             val fp =
               if (!ctx.enabled) UpsertStatsManifest.FpUnreadable
               else if (vfp != UpsertStatsManifest.FpUnchecked) vfp
               else UpsertStatsManifest.contentFingerprint(fs, file, st.getLen)
+            val r = UpsertStatsManifest.readRaw(file, conf)
             UpsertStatsManifest.recordFresh(fs, file.getParent, file.getName,
               st.getModificationTime, st.getLen, r, fp, ctx.enabled)
             r
@@ -311,7 +346,13 @@ object UpsertDataSkipping {
         UpsertStatsManifest.resolve(raw, schema, aliases)
       } catch { case _: Exception =>
         FileStats(Map.empty, schema.fieldNames.toSet) }
-    statsCache.put(key, computed)
+    // same net as the manifest's racy window, for the in-JVM cache: an
+    // entry whose mtime tick is still open could be rewritten in place
+    // (same name/mtime/len) and then served stale for the driver's
+    // lifetime — recompute until the tick closes
+    if (System.currentTimeMillis() - st.getModificationTime >=
+      UpsertStatsManifest.racyWindowMillis)
+      statsCache.put(key, computed)
     computed
   }
 
@@ -569,10 +610,18 @@ object UpsertDataSkipping {
             case _ => true // plain INT64 written as micros (our writer)
           }) =>
         toInternal(v, t).map(x => bf.hash(x.asInstanceOf[Long]))
+      // the bloom hashes exact BIT PATTERNS while Spark equality is
+      // primitive (-0.0 == 0.0; NaN has many encodings): refuse the
+      // ambiguous literals, hash the rest (non-zero non-NaN doubles
+      // are equal iff bit-identical)
       case (PrimitiveTypeName.FLOAT, Some(FloatType)) =>
-        toInternal(v, FloatType).map(x => bf.hash(x.asInstanceOf[Float]))
+        toInternal(v, FloatType).collect {
+          case x: Float if x != 0.0f && !x.isNaN => bf.hash(x)
+        }
       case (PrimitiveTypeName.DOUBLE, Some(DoubleType)) =>
-        toInternal(v, DoubleType).map(x => bf.hash(x.asInstanceOf[Double]))
+        toInternal(v, DoubleType).collect {
+          case x: Double if x != 0.0 && !x.isNaN => bf.hash(x)
+        }
       // widened table (long) over a pre-widening INT32 file: the bloom
       // hashed int32 values, so probe with the int form when the long
       // literal fits — an unrepresentable literal keeps the file (the

@@ -226,8 +226,13 @@ object UpsertStatsManifest {
     */
   private def decodeRaw(ptype: String, lta: String, v: Any,
       dt: DataType): Option[Any] = (ptype, dt) match {
-    case ("INT32", IntegerType | DateType) => Some(v.asInstanceOf[Int])
-    case ("INT64", LongType) => Some(v.asInstanceOf[Long])
+    // "other"-annotated ints (UINT32 etc. in external files) are
+    // excluded everywhere: the reader decodes them UNSIGNED while the
+    // raw stat is the signed reinterpretation — a negative "max" would
+    // wrongly prune files whose unsigned values all match
+    case ("INT32", IntegerType | DateType) if lta == "-" || lta == "date" =>
+      Some(v.asInstanceOf[Int])
+    case ("INT64", LongType) if lta != "other" => Some(v.asInstanceOf[Long])
     case ("INT64", TimestampType | TimestampNTZType) =>
       val x = v.asInstanceOf[Long]
       lta match {
@@ -239,7 +244,7 @@ object UpsertStatsManifest {
     case ("DOUBLE", DoubleType) => Some(v.asInstanceOf[Double])
     // widened-table promotions, gated off date-annotated INT32 exactly
     // like the reader's value promotion
-    case ("INT32", LongType | DoubleType) if lta != "date" =>
+    case ("INT32", LongType | DoubleType) if lta == "-" =>
       val x = v.asInstanceOf[Int]
       Some(if (dt == LongType) x.toLong else x.toDouble)
     case ("FLOAT", DoubleType) => Some(v.asInstanceOf[Float].toDouble)
@@ -526,49 +531,66 @@ object UpsertStatsManifest {
     */
   def flush(fs: FileSystem): Unit = {
     if (!manifestEnabled) return
-    val now = System.currentTimeMillis()
-    val window = racyWindowMillis
     val dirs = pending.keySet().toArray(Array.empty[String])
     dirs.foreach { d =>
       val fresh = pending.remove(d)
       if (fresh != null && !fresh.isEmpty) {
-        // split ripe vs racy: racy entries go back to pending
-        val ripe = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
-        val racy = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
-        fresh.forEach { (n, e) =>
-          (if (now - e.mtime >= window) ripe else racy).put(n, e)
-        }
         def reoffer(m: java.util.concurrent.ConcurrentHashMap[String, Entry]): Unit =
-          if (!m.isEmpty) {
+          if (m != null && !m.isEmpty) {
             val slot = pending.computeIfAbsent(d,
               _ => new java.util.concurrent.ConcurrentHashMap[String, Entry]())
             // putIfAbsent: a recording that raced in since we drained
             // is newer than what we are putting back
             m.forEach { (n, e) => slot.putIfAbsent(n, e); () }
           }
-        reoffer(racy)
-        if (!ripe.isEmpty) {
-          // one dir's failure (transient I/O, caller's fs on the wrong
-          // scheme) must not stop the others — and must not LOSE the
-          // batch; a directory DELETED under us (overwrite/drop) is
-          // the one terminal case: its entries can never flush
-          try flushDir(fs, d, ripe)
-          catch {
-            case _: java.io.FileNotFoundException =>
-            case scala.util.control.NonFatal(_) => reoffer(ripe)
-          }
+        // the ripe/racy split happens INSIDE flushDir against the
+        // STORAGE clock (probed from the tmp file's own mtime):
+        // comparing the driver's wall clock to storage mtimes would
+        // reopen the same-tick hole whenever the two clocks disagree
+        // by more than the window. Racy entries come back for a later
+        // flush. One dir's failure (transient I/O, caller's fs on the
+        // wrong scheme) must not stop the others — and must not LOSE
+        // the batch; a directory DELETED under us (overwrite/drop) is
+        // the one terminal case: its entries can never flush.
+        try reoffer(flushDir(fs, d, fresh))
+        catch {
+          case _: java.io.FileNotFoundException =>
+          case scala.util.control.NonFatal(_) => reoffer(fresh)
         }
       }
     }
   }
 
+  /** Persist `fresh`'s RIPE entries into the directory manifest and
+    * return the RACY remainder (entries whose mtime tick is still open
+    * on the STORAGE clock) for the caller to re-offer.
+    */
   private def flushDir(callerFs: FileSystem, d: String,
-      fresh: java.util.concurrent.ConcurrentHashMap[String, Entry]): Unit = {
+      fresh: java.util.concurrent.ConcurrentHashMap[String, Entry])
+      : java.util.concurrent.ConcurrentHashMap[String, Entry] = {
     val dir = new Path(d)
     // the directory's OWN filesystem: `pending` may hold directories
     // from tables on a different scheme than the caller's fs
     val fs = dir.getFileSystem(callerFs.getConf)
     val mfPath = new Path(dir, ManifestFileName)
+    val tmp = new Path(dir, s"$ManifestFileName.tmp.${java.util.UUID.randomUUID()}")
+    // probe the storage clock: the tmp's own mtime IS "storage now".
+    // Git's racily-clean trick compares two mtimes stamped by ONE
+    // clock; comparing the driver's wall clock against storage mtimes
+    // would mis-classify whenever the clocks disagree by more than the
+    // window (skew ahead: persist inside an open tick = the staleness
+    // hole; skew behind: entries never ripen).
+    fs.create(tmp, true).close()
+    val storageNow =
+      try fs.getFileStatus(tmp).getModificationTime
+      catch { case _: java.io.IOException => System.currentTimeMillis() }
+    val window = racyWindowMillis
+    val ripe = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+    val racy = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+    fresh.forEach { (n, e) =>
+      (if (storageNow - e.mtime >= window) ripe else racy).put(n, e)
+    }
+    if (ripe.isEmpty) { fs.delete(tmp, false); return racy }
     val existing: Map[String, Entry] =
       try {
         val st = fs.getFileStatus(mfPath)
@@ -576,24 +598,24 @@ object UpsertStatsManifest {
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val freshMap: Map[String, Entry] = {
       import scala.collection.JavaConverters._
-      fresh.asScala.toMap
+      ripe.asScala.toMap
     }
     // prune to live files: a compacted-away file's entry can never
     // match again and would only grow the manifest
     val live: Set[String] = fs.listStatus(dir).iterator
       .map(_.getPath.getName).filter(dataFileName).toSet
     val merged = (existing ++ freshMap).filter { case (n, _) => live.contains(n) }
-    if (merged.isEmpty) return
-    val tmp = new Path(dir, s"$ManifestFileName.tmp.${java.util.UUID.randomUUID()}")
+    if (merged.isEmpty) { fs.delete(tmp, false); return racy }
     val out = fs.create(tmp, true)
     try out.write(render(merged).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(mfPath)) fs.delete(mfPath, false)
-    if (!fs.rename(tmp, mfPath)) { fs.delete(tmp, false); return }
+    if (!fs.rename(tmp, mfPath)) { fs.delete(tmp, false); return racy }
     // the new manifest supersedes whatever this JVM cached
     val st = fs.getFileStatus(mfPath)
     cachePut(d, CacheSlot(System.currentTimeMillis(),
       Some(DirManifest(st.getModificationTime, st.getLen, merged))))
+    racy
   }
 
   /** Names eligible for manifest entries: task-written `part-*` files

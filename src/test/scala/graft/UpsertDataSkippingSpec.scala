@@ -7,7 +7,7 @@ import org.apache.parquet.filter2.compat.FilterCompat
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, GreaterThan, IsNull, LessThan, Or}
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, GreaterThanOrEqual, IsNull, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 
 import graft.io.{ParquetUpsertSink, UpsertDataSkipping, UpsertFilePartition, UpsertPartitionReader}
@@ -253,6 +253,31 @@ class UpsertDataSkippingSpec extends SparkSpec {
     val absent = UpsertDataSkipping.FileStats(Map.empty, Set("other"))
     assert(!UpsertDataSkipping.fileMightMatch(absent, Seq(EqualTo("v", 5L)), schema))
     assert(UpsertDataSkipping.fileMightMatch(absent, Seq(IsNull("v")), schema))
+  }
+
+  test("float pruning honors primitive semantics: NaN literals never prune, ±0.0 are one value") {
+    val schema = StructType(Seq(StructField("v", DoubleType)))
+    def stats(mn: Double, mx: Double) =
+      UpsertDataSkipping.FileStats(
+        Map("v" -> UpsertDataSkipping.ColStats(Some(mn), Some(mx), Some(0L),
+          100L, decodable = true)),
+        Set("v"))
+    def might(s: UpsertDataSkipping.FileStats,
+        f: org.apache.spark.sql.sources.Filter) =
+      UpsertDataSkipping.fileMightMatch(s, Seq(f), schema)
+    // Spark never pushes NaN predicates to parquet; the pruner must
+    // refuse them too (a non-conforming writer's stats may omit NaN)
+    assert(might(stats(1.0, 5.0), EqualTo("v", Double.NaN)))
+    assert(might(stats(1.0, 5.0), GreaterThan("v", Double.NaN)))
+    // -0.0 == 0.0 in Spark's primitive comparisons; the stat layer's
+    // total order distinguishes them — both sides must normalize
+    assert(might(stats(-0.0, -0.0), EqualTo("v", 0.0)))
+    assert(might(stats(-0.0, -0.0), GreaterThanOrEqual("v", 0.0)))
+    assert(might(stats(0.0, 0.0), EqualTo("v", -0.0)))
+    assert(might(stats(0.0, 0.0), LessThanOrEqual("v", -0.0)))
+    // ordinary exclusions still prune
+    assert(!might(stats(1.0, 5.0), EqualTo("v", 9.0)))
+    assert(!might(stats(1.0, 5.0), GreaterThan("v", 5.0)))
   }
 
   test("nested group columns: footer stats resolve by column path, not field position") {
