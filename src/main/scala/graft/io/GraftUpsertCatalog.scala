@@ -399,17 +399,34 @@ object GraftUpsertCatalog {
         try props.load(in) finally in.close()
       }
       try {
-        if (fs.exists(p)) { load(p); return props }
-        val tmp = new Path(s"$path/$PropsTmpName")
-        if (fs.exists(tmp)) {
-          // complete by construction: the tmp is fully written and
-          // closed BEFORE the canonical delete, so tmp-present +
-          // canonical-absent implies a crash in the rename window
-          load(tmp)
-          fs.rename(tmp, p)
-          return props
+        var absentRounds = 0
+        while (true) {
+          if (fs.exists(p)) { load(p); return props }
+          val tmp = new Path(s"$path/$PropsTmpName")
+          if (fs.exists(tmp)) {
+            // complete by construction: the tmp is fully written and
+            // closed BEFORE the canonical delete, so tmp-present +
+            // canonical-absent implies a crash in the rename window
+            load(tmp)
+            fs.rename(tmp, p)
+            return props
+          }
+          // canonical-absent + tmp-absent is AMBIGUOUS on one pass: a
+          // concurrent updater's rename can complete between the two
+          // probes (canonical absent when probed, tmp absent because
+          // the rename just landed it as the canonical). Returning
+          // empty here would silently drop rename lineage / partition
+          // config for this planning pass. Re-probe once, no sleep:
+          // a completed rename makes the canonical visible on the
+          // next round, and a fresh update cycle leaves its tmp
+          // visible. Two consecutive fully-absent rounds would need a
+          // complete lock-serialized tmp-write + canonical-delete
+          // cycle inside a single fs.exists latency — so they mean
+          // the table genuinely never had properties (sink-created).
+          absentRounds += 1
+          if (absentRounds >= 2) return props
         }
-        return props // genuinely propertyless (sink-created table)
+        throw new IllegalStateException("unreachable")
       } catch {
         case e: java.io.FileNotFoundException =>
           // exists→open raced a concurrent updater's (or promoting

@@ -1038,9 +1038,21 @@ final case class ParquetUpsertSink(
           if (!fs.rename(claim, lockPath)) fs.delete(claim, false)
           fs.delete(fresh, false)
         } else {
-          // ours, but an acquirer slipped into the absence window
-          // (its create-exclusive won): it owns the lock now
-          fs.delete(claim, false)
+          // ours, but the refresh rename didn't land. Two distinct
+          // causes: an acquirer slipped into the absence window (its
+          // create-exclusive won — the lock file EXISTS and is the new
+          // holder's), or rename(fresh, lockPath) returned FALSE
+          // without throwing (transient FS refusal — the slot is still
+          // EMPTY). Deleting the claim in the second case would erase
+          // the lock entirely and the healthy holder would abort at
+          // its next verifyLockOwnership with no real contention —
+          // restore the claim instead, exactly as the exception
+          // handler does, and let the next beat retry the refresh.
+          // (Same documented local-FS probe→rename TOCTOU residual as
+          // the refresh rename above: worst case one loud abort,
+          // never two writers mutating.)
+          if (!fs.exists(lockPath) && fs.rename(claim, lockPath)) ()
+          else fs.delete(claim, false)
           fs.delete(fresh, false)
         }
       } catch {

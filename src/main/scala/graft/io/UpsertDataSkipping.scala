@@ -349,8 +349,14 @@ object UpsertDataSkipping {
     // same net as the manifest's racy window, for the in-JVM cache: an
     // entry whose mtime tick is still open could be rewritten in place
     // (same name/mtime/len) and then served stale for the driver's
-    // lifetime — recompute until the tick closes
-    if (System.currentTimeMillis() - st.getModificationTime >=
+    // lifetime — recompute until the tick closes. Compared on the
+    // STORAGE clock estimate (driver clock + the offset probed by the
+    // last manifest flush on this fs), not the raw driver wall clock:
+    // a storage clock behind the driver by more than the window would
+    // otherwise admit a just-written file immediately. Before the
+    // first flush the offset is unknown (0) — that single cold pass
+    // carries the skew residual, and the pass itself ends in a flush.
+    if (UpsertStatsManifest.storageNowEstimate(fs) - st.getModificationTime >=
       UpsertStatsManifest.racyWindowMillis)
       statsCache.put(key, computed)
     computed

@@ -561,6 +561,33 @@ object UpsertStatsManifest {
     }
   }
 
+  /** Per-filesystem storage-clock offset (`storage now − driver now`),
+    * learned from each [[flushDir]] tmp probe and refreshed on every
+    * flush. Lets OTHER racy-window guards (the in-JVM stats cache)
+    * compare against an estimate of the storage clock instead of the
+    * raw driver wall clock — the comparison flushDir itself rejects as
+    * unsound. Before the first flush on a given filesystem the offset
+    * is unknown (0 = assume clocks agree): that first planning pass
+    * carries the documented skew residual, and every pass after the
+    * pass that flushed is sound.
+    */
+  private val clockOffsets =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def fsClockKey(fs: FileSystem): String = fs.getUri.toString
+
+  // private[graft] so the spec can inject a skewed offset deterministically
+  private[graft] def recordClockOffset(fs: FileSystem, storageNow: Long): Unit = {
+    clockOffsets.put(fsClockKey(fs), storageNow - System.currentTimeMillis())
+    ()
+  }
+
+  /** Best estimate of "now" on `fs`'s storage clock: driver wall clock
+    * plus the last probed offset (0 until a flush has probed this fs).
+    */
+  private[graft] def storageNowEstimate(fs: FileSystem): Long =
+    System.currentTimeMillis() + clockOffsets.getOrDefault(fsClockKey(fs), 0L)
+
   /** Persist `fresh`'s RIPE entries into the directory manifest and
     * return the RACY remainder (entries whose mtime tick is still open
     * on the STORAGE clock) for the caller to re-offer.
@@ -582,7 +609,11 @@ object UpsertStatsManifest {
     // hole; skew behind: entries never ripen).
     fs.create(tmp, true).close()
     val storageNow =
-      try fs.getFileStatus(tmp).getModificationTime
+      try {
+        val t = fs.getFileStatus(tmp).getModificationTime
+        recordClockOffset(fs, t)
+        t
+      }
       catch { case _: java.io.IOException => System.currentTimeMillis() }
     val window = racyWindowMillis
     val ripe = new java.util.concurrent.ConcurrentHashMap[String, Entry]()

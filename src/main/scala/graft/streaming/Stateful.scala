@@ -277,8 +277,15 @@ object Stateful {
     override def handleInputRows(key: Int, rows: Iterator[ActivityEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionResult] = {
       val sorted = rows.toSeq.sortBy(e => micros(e.activity_timestamp))
+      // NO upgradeState here: the legacy-ms shim exists only for
+      // checkpoints written by the pre-µs flatMapGroupsWithState path.
+      // TWS state is always written in the µs era, and bootstrapped
+      // initial state is contractually µs (handleInitialState's "taken
+      // AS IS" guarantee) — running the shim on later batches would
+      // re-multiply a legitimately small epoch (pre-1973 data) by 1000
+      // on the first post-bootstrap read, breaking that guarantee.
       val prev =
-        if (session.exists()) Some(Stateful.upgradeState(session.get())) else None
+        if (session.exists()) Some(session.get()) else None
       val (closed, cur) = foldSessionBatch(key, sorted, prev, gapMillis)
       cur match {
         case Some(s) =>
@@ -293,7 +300,7 @@ object Stateful {
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionResult] =
       if (session.exists()) {
-        val s = Stateful.upgradeState(session.get())
+        val s = session.get() // µs era by construction — see handleInputRows
         session.clear()
         Iterator(SessionResult(key,
           toTs(s.start), toTs(s.lastSeen), s.events, s.totalDuration))

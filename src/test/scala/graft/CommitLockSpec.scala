@@ -210,6 +210,34 @@ class CommitLockSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"heartbeat droppings: ${leftovers.mkString(",")}")
   }
 
+  test("a refresh rename returning FALSE restores the claim instead of erasing the lock") {
+    val dir = tmp("lockcasfalse")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")
+    val fs = fsOf(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    writeLock(dir, sink.lockTokenForTesting, System.currentTimeMillis())
+    // the refresh rename returns FALSE without throwing (a transient
+    // FS refusal — HDFS does this instead of raising): the content is
+    // ours and the slot is empty, so this is NOT an acquirer slipping
+    // in. Deleting claim+fresh here erases the lock file entirely and
+    // the healthy holder aborts at its next verifyLockOwnership with
+    // no real contention — the claim must be restored like the
+    // exception path does.
+    val lying = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def rename(src: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Boolean =
+        if (src.getName.endsWith(".fresh")) false
+        else super.rename(src, dst)
+    }
+    sink.refreshLockOnce(lying)
+    val after = readLockWellFormedOpt(dir, 5000)
+    assert(after.exists(_._1 == sink.lockTokenForTesting),
+      s"the lock must survive a rename-returned-false beat, got $after")
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("._commit.lock.hb."))
+    assert(leftovers.isEmpty, s"heartbeat droppings: ${leftovers.mkString(",")}")
+  }
+
   test("sweep_staging age-gates heartbeat files: a live beat's CAS state survives") {
     val dir = tmp("sweephb")
     val fs = fsOf(dir)

@@ -794,6 +794,36 @@ class GraftCatalogSpec extends SparkSpec {
       s"$dir/${GraftUpsertCatalog.PropsLockName}")))
   }
 
+  test("loadProps re-probes the rename window: absent canonical + absent tmp is not 'propertyless'") {
+    val dir = tmp("propsreprobe")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    GraftUpsertCatalog.updateProps(fs, dir)(_.setProperty("recordKeys", "id"))
+    // pin the exact lock-free-reader interleaving: the reader's first
+    // canonical probe lands inside an updater's delete→rename window
+    // (absent), and by the tmp probe the rename has COMPLETED (tmp
+    // absent too). One pass would conclude "propertyless" and silently
+    // drop recordKeys/rename lineage for the planning pass; the
+    // re-probe round must find the canonical that the completed rename
+    // made visible.
+    val firstProbe = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val lying = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def exists(f: org.apache.hadoop.fs.Path): Boolean =
+        if (f.getName == GraftUpsertCatalog.TablePropsFileName &&
+          firstProbe.getAndSet(false)) false
+        else super.exists(f)
+    }
+    val props = GraftUpsertCatalog.loadProps(lying, dir)
+    assert(props.getProperty("recordKeys") == "id",
+      "a completed concurrent rename must be observed on the re-probe round, " +
+        "never served as an empty property set")
+    // and a genuinely propertyless dir still returns empty (fast path)
+    val bare = tmp("propsbare")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(bare))
+    assert(GraftUpsertCatalog.loadProps(fs, bare).isEmpty)
+  }
+
   test("concurrent property updates serialize: every update lands, the file survives") {
     val dir = tmp("propsconc")
     val fs = new org.apache.hadoop.fs.Path(dir)

@@ -352,6 +352,40 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState bootstrapped state is taken AS IS across batches (no legacy-ms shim)") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[ActivityEvent]
+      // a legitimately SMALL µs epoch (1970-era dataset, < the shim's
+      // 1e14 cutoff): handleInitialState documents the bootstrapped
+      // state is taken as-is, and that must hold on EVERY batch — the
+      // legacy-ms checkpoint shim belongs only to the old
+      // flatMapGroupsWithState path. Re-applying it on the read-back
+      // would multiply start/lastSeen by 1000 (1970 → ~2001) before
+      // the session closes.
+      val initial = Seq(
+        (31, Stateful.SessionState(1000000000L, 1060000000L, 2, 30L))).toDS()
+      val q = Stateful.sessionizeTwsBootstrapped(spark, mem.toDS(), initial,
+        gapMillis = 5 * 60 * 1000, watermarkDelay = "1 minute")
+        .writeStream.format("memory").queryName("tws_boot_asis")
+        .outputMode("append").start()
+      try {
+        // 1970-01-01 01:00:00Z is far past the bootstrapped frontier
+        // (00:17:40Z) + gap: it must CLOSE the bootstrapped session
+        // with its ORIGINAL µs epochs intact
+        mem.addData(ActivityEvent(31, "z", new Timestamp(3600000L), 5))
+        q.processAllAvailable()
+        val rows = spark.table("tws_boot_asis")
+          .filter(col("n_events") === 2).collect()
+        assert(rows.length == 1, "the bootstrapped session must close")
+        assert(rows.head.getAs[Timestamp]("session_start") == new Timestamp(1000000L),
+          "bootstrapped start must survive un-multiplied")
+        assert(rows.head.getAs[Timestamp]("session_end") == new Timestamp(1060000L))
+        assert(rows.head.getAs[Long]("total_duration") == 30L)
+      } finally q.stop()
+    }
+  }
+
   test("transformWithState TTL dedup suppresses replays within the TTL and re-admits after expiry") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDb {

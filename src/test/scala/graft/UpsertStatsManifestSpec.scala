@@ -319,6 +319,58 @@ class UpsertStatsManifestSpec extends SparkSpec {
     }
   }
 
+  test("the in-JVM stats cache's racy guard compares on the PROBED storage clock") {
+    // same same-name+mtime+len rewrite fixture as the verified-mode
+    // test, but aimed at the in-JVM statsCache: with the STORAGE clock
+    // 60 s behind the driver, a just-written file's mtime already looks
+    // 60 s old to the driver's wall clock — the raw-wall-clock guard
+    // would cache it inside its open storage tick and serve the stale
+    // stats for the driver's lifetime. The guard must compare against
+    // the probed storage-clock estimate instead. Manifests are OFF so
+    // the statsCache is the only caching layer in play.
+    def build(v: Double): String = {
+      val dir = tmp("mfcacheclk")
+      val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+      sink.upsert(Seq((1L, 0L, v, "a")).toDF("id", "seq", "v", "p"), 0)
+      dir
+    }
+    val dir = build(10.0); val donor = build(99.0)
+    val fs = fsOf(dir)
+    def partFile(d: String): Path = fs.listStatus(new Path(s"$d/p=a"))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    val victim = partFile(dir); val src = partFile(donor)
+    assert(fs.getFileStatus(src).getLen == fs.getFileStatus(victim).getLen,
+      "fixture: donor and victim files must be length-identical")
+    // what a 60s-behind storage clock would have stamped on the write
+    val skew = 60000L
+    fs.setTimes(victim, System.currentTimeMillis() - skew, -1)
+    val st0 = fs.getFileStatus(victim)
+    try {
+      UpsertStatsManifest.recordClockOffset(fs, System.currentTimeMillis() - skew)
+      withConf(UpsertStatsManifest.EnabledConfKey, "false") {
+        clearInMemory()
+        assert(spark.read.format("graft-upsert").load(dir)
+          .where(col("v") > 50.0).count() == 0)
+        // in-place rewrite inside the (still open) storage-mtime tick
+        val bytes = {
+          val in = fs.open(src)
+          try { val b = new Array[Byte](st0.getLen.toInt); in.readFully(0, b, 0, b.length); b }
+          finally in.close()
+        }
+        val out = fs.create(victim, true)
+        try out.write(bytes) finally out.close()
+        fs.setTimes(victim, st0.getModificationTime, -1)
+        // NO clearInMemory here — the statsCache surviving the rewrite
+        // is exactly what's under test
+        assert(spark.read.format("graft-upsert").load(dir)
+          .where(col("v") > 50.0).count() == 1,
+          "a skew-aware racy guard must refuse to cache inside the open " +
+            "storage tick and re-read the rewritten footer")
+      }
+    } finally
+      UpsertStatsManifest.recordClockOffset(fs, System.currentTimeMillis())
+  }
+
   test("contentFingerprint: stable, stats-sensitive, sentinel-free") {
     val dir = tmp("mffp")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
