@@ -295,22 +295,11 @@ object GraftProcedures {
           s"graft.system: no partitioned graft-upsert table at $path"))
       val files = ParquetUpsertSink.liveDataFileStatuses(fs, path, pc)
       val aliases = ColumnAliases.parse(GraftUpsertCatalog.tableProps(path))
-      // an explicit ANALYZE right after a write must still persist:
-      // wait out the manifest's racy-write window so the newest files'
-      // mtime ticks are closed and the flush below is neither skipped
-      // nor unsound. The wait usually equals the window, but mtimes
-      // AHEAD of this driver's clock (object-store server skew) push
-      // it further — capping at the window alone would sleep too
-      // little, flush would re-pend every entry as racy, and ANALYZE
-      // would return "success" having persisted nothing. Bound the
-      // extra allowance at 30 s so an insane clock can't hang the call.
-      if (files.nonEmpty) {
-        val settle = files.map(_.getModificationTime).max +
-          UpsertStatsManifest.racyWindowMillis - System.currentTimeMillis()
-        if (settle > 0)
-          Thread.sleep(math.min(settle,
-            UpsertStatsManifest.racyWindowMillis + 30000L))
-      }
+      // an explicit ANALYZE right after a write persists immediately:
+      // entries whose mtime tick is still open flush FLAGGED
+      // verifyOnRead (fingerprint-checked on later lookups, self-healed
+      // once the tick closes) instead of the former settle sleep that
+      // waited the window + clock-skew allowance out on every call.
       // fileStatsAll reads footers for unmanifested files and flushes
       // the repaired manifests — exactly the planning path, warmed
       val stats = UpsertDataSkipping.fileStatsAll(fs, files.map(_.getPath),

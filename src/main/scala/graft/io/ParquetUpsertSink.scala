@@ -1177,11 +1177,10 @@ final case class ParquetUpsertSink(
     // whole cycle out and let deltas accumulate past the bound
     def maybeInlineCompact(): Unit =
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-        // inline fold in the streaming write path: warm without the
-        // settle sleep (micro-batch latency) — the long-lived streaming
-        // JVM's next flush persists the pending entries
+        // inline fold in the streaming write path: the warm persists
+        // immediately (open-tick entries flush flagged verifyOnRead)
         val (_, warm) = compactMorLocked(spark, fs, batchId)
-        warmStatsManifests(fs, warm, settle = false)
+        warmStatsManifests(fs, warm)
       }
     // empty micro-batch (routine under streaming triggers, or a batch
     // fully quarantined by expectations): no delta commit — an empty
@@ -1265,7 +1264,7 @@ final case class ParquetUpsertSink(
       batchId: Long = 0L): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (folded, warm) = withCommitLock(fs) { compactMorLocked(spark, fs, batchId) }
-    warmStatsManifests(fs, warm, settle = true)
+    warmStatsManifests(fs, warm)
     folded
   }
 
@@ -1534,7 +1533,7 @@ final case class ParquetUpsertSink(
       requireNoLiveDeltas(fs, "DELETE")
       deleteLocked(spark, fs, cond, batchId)
     }
-    warmStatsManifests(fs, warm, settle = false)
+    warmStatsManifests(fs, warm)
     matched
   }
 
@@ -1615,7 +1614,7 @@ final case class ParquetUpsertSink(
       requireNoLiveDeltas(fs, "the row-level rewrite")
       replaceGroupsLocked(spark, fs, replaced, rows, batchId)
     }
-    warmStatsManifests(fs, warm, settle = false)
+    warmStatsManifests(fs, warm)
   }
 
   /** Returns the written partition dirs (callers warm after unlock). */
@@ -1693,7 +1692,7 @@ final case class ParquetUpsertSink(
       requireNoLiveDeltas(fs, "restore")
       restoreToLocked(spark, fs, asOf)
     }
-    warmStatsManifests(fs, warm, settle = true)
+    warmStatsManifests(fs, warm)
     touched
   }
 
@@ -1864,7 +1863,7 @@ final case class ParquetUpsertSink(
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return Seq.empty
     val warm = withCommitLock(fs) { compactPartitionsLocked(spark, fs) }
-    warmStatsManifests(fs, warm, settle = true)
+    warmStatsManifests(fs, warm)
     warm.map(_.getName)
   }
 
@@ -1880,33 +1879,24 @@ final case class ParquetUpsertSink(
     * releases — best-effort bookkeeping must not widen the
     * unfinalized-commit window or serialize writers behind footer I/O.
     *
-    * `settle` waits out the manifest's racy-mtime tick first (bounded
-    * by the window, like `CALL graft.system.collect_stats`) so the
-    * flush inside fileStatsAll actually persists — without it a
-    * one-shot maintenance JVM exits with every just-written entry
-    * still pending and the warm evaporates. Maintenance wrappers
-    * settle; interactive DML paths don't (a ≤window sleep on every
-    * UPDATE/DELETE is real latency) — their entries serve this JVM
-    * from cache and persist on its next flush. Best-effort — failure
-    * costs later footer reads, never correctness.
+    * No settle wait: just-written entries land inside their open
+    * mtime tick, and the flush inside fileStatsAll persists them
+    * IMMEDIATELY, flagged `verifyOnRead` — the next planning pass
+    * verifies each flagged entry's footer fingerprint with one tail
+    * read and self-heals the flag off (see
+    * [[UpsertStatsManifest]]'s racy-window notes). A one-shot
+    * maintenance JVM therefore exits with the warm durable, without
+    * the former ≤window+skew sleep that priced every maintenance op.
+    * Best-effort — failure costs later footer reads, never
+    * correctness.
     */
   private def warmStatsManifests(fs: org.apache.hadoop.fs.FileSystem,
-      partDirs: Seq[Path], settle: Boolean): Unit =
+      partDirs: Seq[Path]): Unit =
     try {
       if (partDirs.nonEmpty && UpsertStatsManifest.manifestEnabled) {
         val statuses = partDirs.flatMap(d =>
           UpsertTableSource.dataFileStatuses(fs, d))
         if (statuses.nonEmpty) {
-          if (settle) {
-            // window + 30 s bound, like collect_stats: mtimes ahead of
-            // this clock (store-server skew) need more than the window
-            // or the flush re-pends everything and the warm evaporates
-            val wait = statuses.map(_.getModificationTime).max +
-              UpsertStatsManifest.racyWindowMillis - System.currentTimeMillis()
-            if (wait > 0)
-              Thread.sleep(math.min(wait,
-                UpsertStatsManifest.racyWindowMillis + 30000L))
-          }
           UpsertDataSkipping.fileStatsAll(fs, statuses.map(_.getPath),
             UpsertTableSource.tableSchema(path), fs.getConf,
             ColumnAliases.parse(GraftUpsertCatalog.tableProps(path)))
@@ -1951,7 +1941,7 @@ final case class ParquetUpsertSink(
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return Seq.empty
     val warm = withCommitLock(fs) { optimizeZorderLocked(spark, fs, x, y) }
-    warmStatsManifests(fs, warm, settle = true)
+    warmStatsManifests(fs, warm)
     warm.map(_.getName)
   }
 
@@ -1976,7 +1966,7 @@ final case class ParquetUpsertSink(
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return Seq.empty
     val warm = withCommitLock(fs) { clusterRewriteLocked(spark, fs, sortCols) }
-    warmStatsManifests(fs, warm, settle = true)
+    warmStatsManifests(fs, warm)
     warm.map(_.getName)
   }
 
@@ -2042,7 +2032,7 @@ final case class ParquetUpsertSink(
       replaceGroupsLocked(spark, fs, (live ++ rowParts).distinct, clean, batchId,
         op = "overwrite")
     } finally done()
-    warmStatsManifests(fs, warm, settle = false)
+    warmStatsManifests(fs, warm)
   }
 
   /** Dynamic `INSERT OVERWRITE`: replace exactly the partitions present
@@ -2061,7 +2051,7 @@ final case class ParquetUpsertSink(
         .select(col(partitionCol)).distinct().collect().map(_.getString(0)).toSeq
       replaceGroupsLocked(spark, fs, rowParts, clean, batchId, op = "overwrite")
     } finally done()
-    warmStatsManifests(fs, warm, settle = false)
+    warmStatsManifests(fs, warm)
   }
 
   /** `ALTER TABLE ... RENAME COLUMN` executor: rewrite every live
@@ -2126,7 +2116,7 @@ final case class ParquetUpsertSink(
       }
       partDirs
     }
-    warmStatsManifests(fs, warm.toSeq, settle = true)
+    warmStatsManifests(fs, warm.toSeq)
     warm.map(_.getName).toSeq
   }
 

@@ -305,9 +305,16 @@ object UpsertDataSkipping {
         return FileStats(Map.empty, schema.fieldNames.toSet) }
     // content-verified mode: a real footer-bytes fingerprint read per
     // planning pass, keyed into BOTH caches — an in-place rewrite that
-    // preserves (name, mtime, len) then misses everywhere and re-reads
+    // preserves (name, mtime, len) then misses everywhere and re-reads.
+    // AUTO-ARMED for FOREIGN files (externally added, not part-*): the
+    // sink never rewrites its own files in place, but an external
+    // writer can restore mtime AND length (`cp -p` style), which the
+    // (mtime, len) key cannot see — so files outside the sink's
+    // authorship pay the one tail read per pass by default, while
+    // sink-written files stay on the cheap path.
     val vfp =
-      if (ctx.verify) UpsertStatsManifest.contentFingerprint(fs, file, st.getLen)
+      if (ctx.verify || !UpsertStatsManifest.sinkWrittenName(file.getName))
+        UpsertStatsManifest.contentFingerprint(fs, file, st.getLen)
       else UpsertStatsManifest.FpUnchecked
     val key = CacheKey(file.toString, st.getModificationTime, st.getLen,
       vfp, aliasKeyOf(aliases), schemaKeyOf(schema))

@@ -61,27 +61,39 @@ object UpsertStatsManifest {
     * across drivers, with no self-heal. Two nets close it:
     *
     *  - the RACY WINDOW (git's "racily clean" move): an entry whose
-    *    file mtime is within `racyWindowMillis` of the footer-read
-    *    wall clock is never PERSISTED — it stays in `pending` until a
-    *    later flush finds its mtime tick closed. Once the tick has
-    *    passed, any in-place rewrite necessarily lands a LATER mtime,
-    *    so the (mtime, len) key can no longer falsely match. Covers
-    *    every rewriter that lets the filesystem stamp mtime.
-    *  - CONTENT VERIFICATION (opt-in, [[VerifyContentConfKey]]): each
-    *    entry carries a fingerprint of the file's serialized parquet
-    *    footer (which embeds every row-group's min/max, so any stats
-    *    change changes it); when enabled, lookups re-read the footer
-    *    bytes and compare. One positioned tail read per file per
-    *    planning pass — strictly cheaper than the footer parse it
-    *    replaces, but no longer O(directories), so it is the strict
-    *    mode for tables mutated in place by external tools that
-    *    preserve mtime (e.g. `cp -p`-style restores).
+    *    file mtime is within `racyWindowMillis` of the STORAGE clock
+    *    at flush time is inside an OPEN tick — an in-place rewrite
+    *    could still land the same (mtime, len). Such an entry persists
+    *    FLAGGED `verifyOnRead` when it carries a real footer
+    *    fingerprint (default-mode lookups then verify the fingerprint
+    *    with one tail read before serving, and self-heal the flag off
+    *    once the tick has closed), or — lacking a fingerprint — stays
+    *    in `pending` until a later flush finds the tick closed. Once
+    *    the tick has passed, any in-place rewrite necessarily lands a
+    *    LATER mtime, so the (mtime, len) key can no longer falsely
+    *    match. Covers every rewriter that lets the filesystem stamp
+    *    mtime — without maintenance paths having to sleep the tick out
+    *    before warming manifests.
+    *  - CONTENT VERIFICATION: each entry carries a fingerprint of the
+    *    file's serialized parquet footer (which embeds every
+    *    row-group's min/max, so any stats change changes it). Lookups
+    *    re-read the footer bytes and compare — one positioned tail
+    *    read per file per planning pass, strictly cheaper than the
+    *    footer parse it replaces, but no longer O(directories). It is
+    *    AUTO-ARMED per entry where (mtime, len) alone is not trusted:
+    *    `verifyOnRead`-flagged entries (above) and every FOREIGN file
+    *    (externally added, not `part-*`-named — an external rewriter
+    *    can restore mtime and length, `cp -p` style). The global
+    *    opt-in ([[VerifyContentConfKey]]) remains the strict mode for
+    *    tables whose SINK-WRITTEN files are also mutated in place by
+    *    external tools.
     *
     * The graft sink itself never rewrites a data file in place
     * (DSv2 task files carry write UUIDs) and overwrite paths delete
     * whole partition directories and [[invalidate]] their manifests,
-    * so the default (racy window on, verification off) is sound for
-    * all sink-managed mutation.
+    * so the default (racy window + per-entry/foreign verification on,
+    * global verification off) is sound for all sink-managed mutation
+    * and for mtime-restoring rewrites of foreign files.
     */
   val RacyWindowConfKey = "spark.graft.upsert.statsManifest.racyWindowMillis"
   val VerifyContentConfKey = "spark.graft.upsert.statsManifest.verifyContent"
@@ -328,8 +340,14 @@ object UpsertStatsManifest {
     * [[FpUnreadable]] on anything that is not a well-formed parquet
     * tail or on I/O failure.
     */
+  // fingerprint tail reads observable for tests: sink-written files on
+  // the default path must pay ZERO of these once their entries are
+  // ripe and healed (only foreign/flagged entries verify)
+  private[graft] val fpReads = new java.util.concurrent.atomic.AtomicLong()
+
   def contentFingerprint(fs: FileSystem, file: Path, len: Long): Long = {
     if (len < 12) return FpUnreadable
+    fpReads.incrementAndGet()
     try {
       val in = fs.open(file)
       try {
@@ -352,8 +370,30 @@ object UpsertStatsManifest {
     } catch { case _: java.io.IOException => FpUnreadable }
   }
 
+  /** `verifyOnRead`: the entry was persisted while its mtime tick was
+    * still OPEN on the storage clock (see [[flushDir]]) — a same-tick
+    * in-place rewrite preserving (name, mtime, len) could have landed
+    * after the footer read, so a DEFAULT-mode lookup must re-verify
+    * the stored footer fingerprint (one positioned tail read) before
+    * serving it. Cleared by self-heal: a successful verified serve
+    * re-records the entry, and the next flush persists it ripe and
+    * unflagged.
+    */
   private final case class Entry(mtime: Long, len: Long, fp: Long,
-    raw: RawFileStats)
+    raw: RawFileStats, verifyOnRead: Boolean = false)
+
+  /** Files the sink itself writes are `part-*`; anything else the
+    * format reads (externally added `*.parquet`) is FOREIGN — not
+    * under the sink's exclusive authorship, so default-mode planning
+    * verifies its manifest entries' footer fingerprints on every
+    * serve (an external rewriter that restores mtime AND length
+    * defeats the (mtime, len) key; sink-written files stay on the
+    * cheap path because the sink never rewrites in place).
+    */
+  private[graft] def sinkWrittenName(n: String): Boolean = n.startsWith("part-")
+
+  private def fpIsReal(fp: Long): Boolean =
+    fp != FpUnchecked && fp != FpUnreadable
   private final case class DirManifest(mtime: Long, len: Long,
     entries: Map[String, Entry])
 
@@ -422,6 +462,28 @@ object UpsertStatsManifest {
         .filter(e => e.mtime == mtime && e.len == len &&
           (expectFp == FpUnchecked ||
             (expectFp != FpUnreadable && e.fp == expectFp)))
+        .filter { e =>
+          // DEFAULT-mode content verification where (mtime, len) alone
+          // is not trusted: entries persisted inside an open mtime tick
+          // (verifyOnRead) and entries for FOREIGN files (externally
+          // added — an external rewriter can restore mtime and length).
+          // One positioned tail read; callers that already verified
+          // (expectFp real) skip it. An entry whose stored fp is a
+          // sentinel can never verify — refuse it, the footer re-read
+          // records a real one.
+          if (expectFp != FpUnchecked ||
+            !(e.verifyOnRead || !sinkWrittenName(name))) true
+          else if (!fpIsReal(e.fp)) false
+          else if (contentFingerprint(fs, new Path(dir, name), len) == e.fp) {
+            // self-heal a racy-persisted entry: re-record it so the
+            // next flush (its tick long closed by now) persists it
+            // unflagged and later passes skip the tail read. Foreign
+            // entries stay verified-by-name — no heal to record.
+            if (e.verifyOnRead)
+              recordFresh(fs, dir, name, mtime, len, e.raw, e.fp, enabled)
+            true
+          } else false
+        }
         .map(_.raw)
     val now = System.currentTimeMillis()
     val cached = cacheGet(key)
@@ -619,7 +681,21 @@ object UpsertStatsManifest {
     val ripe = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
     val racy = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
     fresh.forEach { (n, e) =>
-      (if (storageNow - e.mtime >= window) ripe else racy).put(n, e)
+      if (storageNow - e.mtime >= window) ripe.put(n, e)
+      else if (fpIsReal(e.fp))
+        // open-tick entry WITH a real footer fingerprint: persist it
+        // NOW, flagged verifyOnRead — a same-tick in-place rewrite is
+        // caught by the fingerprint check on the next default-mode
+        // lookup instead of by withholding the entry. This is what
+        // lets maintenance paths warm manifests without sleeping out
+        // the tick (the fp was read BEFORE the footer parse, so a
+        // rewrite racing the recording yields a MISmatch, never a
+        // false certify). Entries without a real fp (manifests were
+        // off at record time, unreadable tail) keep the old net:
+        // retained for a later flush, never persisted inside the tick.
+        ripe.put(n, e.copy(verifyOnRead = true))
+      else racy.put(n, e)
+      ()
     }
     if (ripe.isEmpty) { fs.delete(tmp, false); return racy }
     val existing: Map[String, Entry] =
@@ -659,17 +735,20 @@ object UpsertStatsManifest {
 
   // ——— wire format (line-oriented, UTF-8, URL-escaped names) ———
   //
-  //   graft-stats v2
-  //   f <name> <mtime> <len> <fp> <rows>
+  //   graft-stats v3
+  //   f <name> <mtime> <len> <fp> <rows> <verifyOnRead 0|1>
   //   p <name1> <name2> ...
   //   c <name> <ptype> <lta> <values> <nulls|-> <hadNonNull> <structOk> <min|-> <max|->
   //
   // min/max encode per ptype: INT32/INT64 decimal, FLOAT/DOUBLE via
   // Float/Double.toString (exact round-trip, NaN/Infinity included).
-  // v1 (no per-entry footer fingerprint, written before the racy-write
-  // guard existed) is deliberately NOT parsed: its entries may predate
-  // the staleness guarantees, and discarding a cache only costs one
-  // footer pass.
+  // v2 (no verifyOnRead flag on the f line — written when open-tick
+  // entries were withheld from persistence entirely) still parses,
+  // every entry unflagged: exactly what its delayed-persist semantics
+  // guaranteed. v1 (no per-entry footer fingerprint, written before
+  // the racy-write guard existed) is deliberately NOT parsed: its
+  // entries may predate the staleness guarantees, and discarding a
+  // cache only costs one footer pass.
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -698,9 +777,10 @@ object UpsertStatsManifest {
     })
 
   private def render(entries: Map[String, Entry]): String = {
-    val sb = new StringBuilder("graft-stats v2\n")
+    val sb = new StringBuilder("graft-stats v3\n")
     entries.toSeq.sortBy(_._1).foreach { case (name, e) =>
-      sb.append(s"f ${enc(name)} ${e.mtime} ${e.len} ${e.fp} ${e.raw.rows}\n")
+      sb.append(s"f ${enc(name)} ${e.mtime} ${e.len} ${e.fp} ${e.raw.rows} " +
+        s"${if (e.verifyOnRead) 1 else 0}\n")
       sb.append("p").append(e.raw.present.map(n => " " + enc(n)).mkString).append('\n')
       e.raw.cols.toSeq.sortBy(_._1).foreach { case (cn, rc) =>
         sb.append(s"c ${enc(cn)} ${rc.ptype} ${rc.lta} ${rc.values} " +
@@ -719,15 +799,25 @@ object UpsertStatsManifest {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.split('\n').iterator.filter(_.nonEmpty)
-    require(lines.hasNext && lines.next() == "graft-stats v2",
-      s"unknown stats-manifest version in $mfPath")
+    // v3 adds the per-entry verifyOnRead flag; v2 (written before
+    // open-tick entries could persist at all) parses with every entry
+    // unflagged, which is exactly what v2's delayed-persist semantics
+    // guaranteed. v1 stays unparsed (predates the staleness guards).
+    require(lines.hasNext, s"empty stats manifest $mfPath")
+    val version = lines.next() match {
+      case "graft-stats v3" => 3
+      case "graft-stats v2" => 2
+      case other => throw new IllegalStateException(
+        s"unknown stats-manifest version '$other' in $mfPath")
+    }
     val entries = Map.newBuilder[String, Entry]
-    var cur: (String, Long, Long, Long, Long) = null // name, mtime, len, fp, rows
+    // name, mtime, len, fp, rows, verifyOnRead
+    var cur: (String, Long, Long, Long, Long, Boolean) = null
     var present = Seq.empty[String]
     var cols = Map.newBuilder[String, RawColStats]
     def close(): Unit = if (cur != null) {
       entries += cur._1 -> Entry(cur._2, cur._3, cur._4,
-        RawFileStats(cur._5, present, cols.result()))
+        RawFileStats(cur._5, present, cols.result()), cur._6)
       cur = null
     }
     lines.foreach { line =>
@@ -736,7 +826,8 @@ object UpsertStatsManifest {
         case "f" =>
           close()
           cur = (dec(parts(1)), parts(2).toLong, parts(3).toLong,
-            parts(4).toLong, parts(5).toLong)
+            parts(4).toLong, parts(5).toLong,
+            version >= 3 && parts(6) == "1")
           present = Seq.empty
           cols = Map.newBuilder[String, RawColStats]
         case "p" => present = parts.iterator.drop(1).map(dec).toSeq

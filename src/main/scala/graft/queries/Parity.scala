@@ -677,6 +677,75 @@ object Parity {
   val staleRewriteGuardSql: String =
     "SELECT 'b' AS p, CAST(99.0 AS DOUBLE) AS v, CAST(2 AS BIGINT) AS id"
 
+  /** [[staleRewriteGuard]]'s DEFAULT-verification variant: the same
+    * same-name+mtime+len in-place rewrite, but with content
+    * verification left OFF (its default). The rewrite lands inside the
+    * file's open mtime tick — the manifest persisted that entry
+    * FLAGGED `verifyOnRead` (with its footer fingerprint), so the
+    * default-mode lookup re-verifies the fingerprint, refuses the
+    * stale entry, and the footer re-read survives the prune. Before
+    * round 16 this case was only caught by the opt-in strict mode;
+    * now the default conf is sound against it. The racy window is
+    * PINNED LONG (60 s) purely to make "the rewrite lands in the open
+    * tick" deterministic on a loaded box — the window's size is a
+    * tuning knob, not the mode under test.
+    */
+  def staleRewriteDefault(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    def build(v: Double): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_staledef").toString + "/t"
+      val sink = graft.io.ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+      import spark.implicits._
+      sink.upsert(Seq((1L, 0L, 10.0, "a"), (2L, 0L, v, "b"), (3L, 0L, 30.0, "c"))
+        .toDF("id", "seq", "v", "p"), 0)
+      dir
+    }
+    val dir = build(20.0); val donor = build(99.0)
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFile(d: String): HPath =
+      fs.listStatus(new HPath(s"$d/p=b")).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).head
+    val victim = partFile(dir); val src = partFile(donor)
+    val st0 = fs.getFileStatus(victim)
+    require(fs.getFileStatus(src).getLen == st0.getLen,
+      "fixture: donor and victim part files must be length-identical")
+    def withConf[A](key: String, value: String)(body: => A): A = {
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, value)
+      try body
+      finally prior match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+    withConf(graft.io.UpsertStatsManifest.RacyWindowConfKey, "60000") {
+      // persist the manifest against the PRE-rewrite content: the
+      // entry lands flagged (its mtime tick is open for the next 60 s)
+      spark.read.format("graft-upsert").load(dir).where(col("v") > 0.0).count()
+      // the in-place rewrite: donor bytes over the victim, mtime restored
+      val bytes = {
+        val in = fs.open(src)
+        try { val b = new Array[Byte](st0.getLen.toInt); in.readFully(0, b, 0, b.length); b }
+        finally in.close()
+      }
+      val out = fs.create(victim, true)
+      try out.write(bytes) finally out.close()
+      fs.setTimes(victim, st0.getModificationTime, -1)
+      // DEFAULT verification conf: the flagged entry's fingerprint
+      // check rejects the stale stats, the footer re-read sees max
+      // 99.0, and the file survives the prune. localCheckpoint(eager)
+      // materializes inside the conf window.
+      spark.read.format("graft-upsert").load(dir)
+        .where(col("v") > 50.0)
+        .select(col("p"), col("v"), col("id"))
+        .transform(graft.Present.sortSmall(_, col("p")))
+        .localCheckpoint(true)
+    }
+  }
+
+  val staleRewriteDefaultSql: String =
+    "SELECT 'b' AS p, CAST(99.0 AS DOUBLE) AS v, CAST(2 AS BIGINT) AS id"
+
   /** LINEAR clustering through the DSv2 scan — the `optimize_sort`
     * sibling of [[dataSkippingScan]]'s Z-order case: load an orders
     * subset, `optimize_sort` on o_custkey (one dominant access path),
