@@ -965,6 +965,88 @@ object Parity {
       .localCheckpoint(true) // detach from the stopped stream's plan
   }
 
+  /** Stream-STREAM inner join, oracle-promoted (SURVEY §2.4's stated
+    * parity extension; the topology mirrors
+    * [[graft.streaming.Pipeline.streamStreamJoin]], which joins the
+    * employee CDC stream to activities with a time-range bound): two
+    * derived streams off the staged events feed — clicks and
+    * purchases — both watermarked, joined per user with purchases
+    * constrained to the 6 hours AFTER the click (the range condition
+    * is what lets Spark purge join state on both sides), then rolled
+    * up per click-day. Stream-stream joins only run in APPEND mode, so
+    * the finite-stream tail can't lean on complete mode the way
+    * [[streamStaticEnrich]] does: a second micro-batch of far-future
+    * SENTINEL events (unmatchable users, so they join nothing and
+    * never reach the output) advances both sides' watermarks past all
+    * real data, closing every window so append mode emits them. The
+    * DuckDB twin replays the same join in batch SQL — hash equality
+    * proves the streaming join emitted exactly the batch join's pairs.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    val events = Tables.table(spark, sfDir, "events")
+    val evDir = s"$base/events"
+    events.write.parquet(evDir)
+    def side(kind: String, tsAs: String, valAs: String): DataFrame =
+      spark.readStream.schema(events.schema).parquet(evDir)
+        .filter(col("event_type") === kind)
+        // TIMESTAMP_NTZ → TIMESTAMP for watermarking; wall-clock exact
+        // under the pinned UTC session (see streamStaticEnrich)
+        .select(col("user_id").as(s"${kind}_user"),
+          col("ts").cast("timestamp").as(tsAs),
+          col("value").as(valAs))
+        .withWatermark(tsAs, "1 hour")
+    val clicks = side("click", "click_ts", "click_value")
+    val purchases = side("purchase", "purchase_ts", "purchase_value")
+    val joined = clicks.join(
+      purchases,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"),
+      "inner")
+    val agg = joined
+      .groupBy(window(col("click_ts"), "1 day"))
+      .agg(count(lit(1)).as("pairs"),
+        round(sum(col("purchase_value")), 2).as("purchased"))
+      .select(col("window.start").cast("date").as("day"),
+        col("pairs"), col("purchased"))
+    val qn = "x_stream_stream_join_sink"
+    scala.util.Try(spark.catalog.dropTempView(qn))
+    val q = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: all real pairs join
+      // sentinel batch: one click and one purchase on DISJOINT
+      // unmatched users, months past the data — advances both
+      // watermarks so every real window closes and emits
+      import spark.implicits._
+      Seq(
+        (-1L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), -1L,
+          "click", 0.0, ""),
+        (-2L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), -2L,
+          "purchase", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("append").parquet(evDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(qn)
+      .transform(graft.Present.sortSmall(_, col("day")))
+      .localCheckpoint(true)
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT CAST(date_trunc('day', c.ts) AS DATE) AS day,
+      |       count(*) AS pairs,
+      |       round(sum(p.value), 2) AS purchased
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val streamStaticEnrichSql: String =
     """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
       |       coalesce(CASE WHEN c_custkey % 10 = 0 THEN 'VIP'
