@@ -887,6 +887,85 @@ object Advanced {
       .localCheckpoint(true) // detach from the stopped stream's plan
   }
 
+  /** The reference's K2 topology closed onto the engine's OWN table
+    * format, end to end with a crash in the middle
+    * (multi_source_streaming_processor.py:347-361 writes streaming
+    * aggregates to a Hudi upsert table keyed+precombined for
+    * exactly-once-EQUIVALENT state): the TWS sessionizer's closed
+    * sessions land in a graft-upsert table from `foreachBatch`, keyed
+    * (employee_id, session_start) with session_end µs as precombine.
+    * The stream runs file-per-micro-batch; an injected failure kills
+    * the query AFTER batch 1's sink commit but BEFORE its checkpoint
+    * commit — the worst-case window, where a naive append sink
+    * duplicates every batch-1 row. The restarted query replays batch 1
+    * from the checkpoint; the upsert's record keys + precombine make
+    * the replay idempotent, so the final table hash-matches the
+    * clean-run batch twin ([[sessionizeTwsSql]] — same oracle, the
+    * crash must be invisible).
+    */
+  def sessionizeTwsUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_twsup")
+    val actDir = s"$base/activities"; val tblDir = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val acts = Tables.activities(s, sfDir).select(
+      col("employee_id").cast("int").as("employee_id"),
+      col("activity_type"),
+      col("activity_timestamp").cast("timestamp").as("activity_timestamp"),
+      col("duration_seconds").cast("int").as("duration_seconds"))
+    // two files = two micro-batches: sessions spanning the time split
+    // fold across batches through RocksDB state
+    val cut = acts.agg(
+      org.apache.spark.sql.functions.expr(
+        "percentile_approx(activity_timestamp, 0.5)")).head.getTimestamp(0)
+    acts.filter(col("activity_timestamp") <= cut).coalesce(1).write.parquet(actDir)
+    acts.filter(col("activity_timestamp") > cut).coalesce(1)
+      .write.mode("append").parquet(actDir)
+    val sink = graft.io.ParquetUpsertSink(tblDir,
+      Seq("employee_id", "session_start"), "pre", "p")
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(): Unit = {
+      val stream = s.readStream.schema(acts.schema)
+        .option("maxFilesPerTrigger", "1").parquet(actDir)
+        .as[graft.streaming.Stateful.ActivityEvent]
+      val q = graft.streaming.Stateful.sessionizeTws(
+        s, stream, gapMillis = 30L * 60 * 1000, withTimer = false)
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          sink.upsert(
+            b.withColumn("pre", unix_micros(col("session_end")))
+              .withColumn("p", concat(lit("b"), pmod(col("employee_id"), lit(4)))),
+            batchId)
+          // crash in the worst-case window: sink committed, offsets not
+          if (batchId == 1 && crashOnce.getAndSet(false))
+            throw new RuntimeException("injected crash after sink commit")
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally scala.util.Try(q.stop())
+      // a foreachBatch throw surfaces on the terminated query, not
+      // processAllAvailable on every path — probe and rethrow
+      q.exception.foreach(e => throw e)
+    }
+    try run()
+    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+      run() // restart from the checkpoint: batch 1 replays into the table
+    }
+    s.read.format("graft-upsert").load(tblDir)
+      .select(col("employee_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_duration"))
+      .transform(graft.Present.sortSmall(_, col("employee_id"), col("session_start")))
+      .localCheckpoint(true)
+  }
+
   // gaps-and-islands over activities, µs-exact, EXCLUDING each
   // employee's last session (still open in state — never emitted)
   val sessionizeTwsSql: String = Oracles.withActivities(
