@@ -1,0 +1,263 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF centroid DRIFT maintenance — the piece that keeps
+  * [[StreamIvf]]'s incremental index honest under sustained ingest.
+  * The streaming maintainer assigns new vectors to FIXED centroids
+  * (standard IVF practice); when the ingest distribution moves, cells
+  * skew, queries land in cells that no longer hold their neighbors,
+  * and recall decays SILENTLY — nothing in the write path errors.
+  *
+  * The drift signal here is per-cell CENTROID DISPLACEMENT: the cosine
+  * gap between each cell's stored centroid and the mean of its current
+  * members (exactly the first half of a Lloyd step, so the trigger
+  * costs one aggregation pass and k×dim driver bytes — metadata
+  * scale). A converged quantizer sits near its cell means
+  * (displacement ≈ 0.02–0.04 on this corpus); after a distribution
+  * shift the means run away from the frozen centroids (≈ 0.3–0.6).
+  * Cell-size skew and assignment-similarity quantiles were measured
+  * and REJECTED as triggers: clustered drift can leave both nearly
+  * unchanged while recall halves (see the gate below, where skew moves
+  * 1.2→1.4 but recall drops 1.0→0.59).
+  *
+  * On trigger, [[retrain]] runs one deterministic Lloyd round over the
+  * index's own contents and rewrites every cell assignment THROUGH THE
+  * COMMIT PATH (a fresh [[StreamIvf.sink]] table — centroid re-train
+  * changes the cell namespace, so readers swap index versions
+  * atomically rather than reading a half-reassigned table; the
+  * sink's non-global record keys cannot erase rows whose cell moved).
+  *
+  * Scale shape: training/displacement aggregate to k×dim rows
+  * (driver-held centroid codebook, same as [[Clustering]]); assignment
+  * is a broadcast-join map pass; the rewrite is the standard
+  * cell-partitioned upsert. Nothing is corpus² at any stage.
+  */
+object IvfDrift {
+
+  /** One Lloyd round, µ-exact mirror of the DuckDB twin: assign each
+    * vector to its nearest centroid (cosine desc, cent_id tie-break),
+    * then per-cell per-dimension DOUBLE mean, cast to float. Cells
+    * that captured no vectors vanish (their centroid has nothing to
+    * re-fit to) — standard Lloyd-on-data semantics.
+    */
+  def lloydRound(vectors: DataFrame, cents: DataFrame): DataFrame =
+    cellMeans(Similarity.assignNearest(vectors, cents, keepEmbedding = true))
+
+  /** Per-cell mean vector of `assigned` (cent_id, embedding) rows, as
+    * (cent_id, cv float array) — shared by [[lloydRound]] and the
+    * [[displacement]] trigger so the two can never disagree on what a
+    * cell's mass center is.
+    */
+  private def cellMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("cent_id"), col("d"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cent_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(d, m))), s -> cast(s.m as float))")
+        .as("cv"))
+
+  /** Train a coarse quantizer: `rounds` Lloyd refinements from the
+    * seed centroids. Deterministic (no RNG — seeds are caller-chosen,
+    * ties break on cent_id), so the DuckDB twin reproduces it exactly.
+    */
+  def trainQuantizer(vectors: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    (0 until rounds).foldLeft(seeds)((c, _) => lloydRound(vectors, c))
+
+  /** Per-cell displacement of the index's current contents from its
+    * stored centroids: 1 − cos(cell mean, centroid). The DRIFT
+    * TRIGGER reads `max(disp)` off this (k rows).
+    */
+  def displacement(index: DataFrame, cents: DataFrame): DataFrame =
+    cellMeans(index.select(col("cent_id"), col("embedding")))
+      .withColumnRenamed("cv", "mv")
+      .join(cents, Seq("cent_id"))
+      .select(col("cent_id"), (lit(1.0) - Similarity.cosine(col("mv"), col("cv"))).as("disp"))
+
+  def maxDisplacement(index: DataFrame, cents: DataFrame): Double =
+    displacement(index, cents).agg(max(col("disp"))).head.getDouble(0)
+
+  /** The displacement threshold above which [[retrain]] should run.
+    * Converged quantizers on this corpus family sit ≤ 0.04; the gate's
+    * drifted slice lands ≥ 0.3 — an order of magnitude of margin on
+    * each side of 0.15.
+    */
+  val DriftThreshold = 0.15
+
+  /** Re-train the quantizer (one Lloyd round over the index's own
+    * contents) and rewrite every cell assignment through the sink
+    * commit path into `newPath`. Returns the new centroid table.
+    */
+  def retrain(spark: SparkSession, indexPath: String, newPath: String): DataFrame = {
+    val stored = StreamIvf.readIndex(spark, indexPath)
+    // one Lloyd round over the index's own contents: the stored
+    // assignment IS the round's "assign" half (it was computed against
+    // the stale centroids at write time), so the update half is just
+    // the per-cell means — the same relation the trigger reads
+    val newCents = cellMeans(stored.select(col("cent_id"), col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newCents.count() // materialize once: feeds the reassignment AND the caller
+    val s = StreamIvf.sink(newPath)
+    s.upsert(StreamIvf.indexRows(
+      stored.select(col("vec_id"), col("embedding")), newCents, seq = 0L),
+      batchId = 0L)
+    newCents
+  }
+
+  /** The oracle-gated drift scenario (`x_ann_ivf_drift`): a quantizer
+    * TRAINED on the base corpus (2 Lloyd rounds from modulo seeds — so
+    * its pre-drift displacement is genuinely small), an incremental
+    * index built through the commit path, then a DRIFTED ingest slice:
+    * every vec_id % 3 == 0 vector pulled 2.0 along a per-label basis
+    * axis (ten synthetic clusters the stale quantizer never saw, each
+    * straddling stale Voronoi boundaries). The trigger fires
+    * (displacement 0.03 → 0.3+), [[retrain]] rewrites the assignments,
+    * and the output is recall@5 of the drifted queries against the
+    * exact top-5, for the STALE index vs the RETRAINED one. The DuckDB
+    * twin replays quantizer training, drift, retrain, both searches,
+    * and the recall arithmetic — a hash match certifies the recall
+    * numbers themselves, and the require() asserts pin the trigger
+    * firing exactly once and the retrain not losing recall.
+    */
+  def annIvfDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = graft.Tables.table(spark, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0).select(col("vec_id"), col("embedding"))
+    val seeds = base.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val cents = trainQuantizer(base, seeds, rounds = 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cents.count()
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    val path0 = s"$root/v0"; val path1 = s"$root/v1"
+    val s0 = StreamIvf.sink(path0)
+    s0.upsert(StreamIvf.indexRows(base, cents, seq = 0L), batchId = 0L)
+    // trained quantizer, pre-drift: the trigger must NOT fire
+    val disp0 = maxDisplacement(StreamIvf.readIndex(spark, path0), cents)
+    require(disp0 < DriftThreshold,
+      f"pre-drift displacement $disp0%.4f must sit below the trigger")
+    // the drifted slice: ten tight label clusters on basis axes the
+    // base corpus never occupied (0-based element index = label*6,
+    // mirroring the twin's 1-based label*6+1)
+    val drifted = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "cast(cast(x as double) + CASE WHEN i = label * 6 THEN 2.0 ELSE 0.0 END as float))")
+          .as("embedding"))
+    s0.upsert(StreamIvf.indexRows(drifted, cents, seq = 1L), batchId = 1L)
+    // post-drift: the trigger FIRES
+    val disp1 = maxDisplacement(StreamIvf.readIndex(spark, path0), cents)
+    require(disp1 > DriftThreshold,
+      f"post-drift displacement $disp1%.4f must cross the trigger")
+    val newCents = retrain(spark, path0, path1)
+    val corpus = base.unionByName(drifted)
+    val queries = corpus.filter(col("vec_id") % 30 === 0)
+    // exact ground truth over the updated corpus (same rounding +
+    // tie-break as every recall eval)
+    import org.apache.spark.sql.expressions.Window
+    val truth = {
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = corpus.join(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", round(Similarity.cosine(col("qv"), col("embedding")), 4))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTruth = truth.count()
+    def recallOf(path: String, cs: DataFrame): Long =
+      truth.join(
+        StreamIvf.search(StreamIvf.readIndex(spark, path), queries, cs, k = 5)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    val staleHits = recallOf(path0, cents)
+    val retrainedHits = recallOf(path1, newCents)
+    require(retrainedHits >= staleHits,
+      s"retrain must not lose recall ($retrainedHits vs $staleHits)")
+    truth.unpersist(); cents.unpersist(); newCents.unpersist()
+    import spark.implicits._
+    Seq(
+      ("retrained", retrainedHits,
+        math.rint(retrainedHits.toDouble / nTruth * 10000) / 10000),
+      ("stale", staleHits,
+        math.rint(staleHits.toDouble / nTruth * 10000) / 10000))
+      .toDF("regime", "n_hits", "recall")
+  }
+
+  /** DuckDB twin of [[annIvfDrift]] — 2 training rounds + drift +
+    * 1-round retrain + both searches + recall arithmetic, built from
+    * pre-stripped concatenated parts (generated CTE text must not pass
+    * through stripMargin).
+    */
+  val annIvfDriftSql: String = {
+    def cos(a: String, b: String) = Similarity.cosineSql(a, b)
+    def assign(out: String, src: String, cent: String): String =
+      s"$out AS (SELECT vec_id, embedding, cent_id FROM (\n" +
+      s"  SELECT a.vec_id, a.embedding, c.cent_id,\n" +
+      s"         row_number() OVER (PARTITION BY a.vec_id\n" +
+      s"           ORDER BY ${cos("a.embedding", "c.cv")} DESC, c.cent_id) AS rn\n" +
+      s"  FROM $src a, $cent c) WHERE rn = 1)"
+    def means(out: String, src: String): String =
+      s"$out AS (SELECT cent_id, list(CAST(m AS FLOAT4) ORDER BY d) AS cv FROM (\n" +
+      s"  SELECT cent_id, d, avg(v) AS m FROM (\n" +
+      s"    SELECT cent_id, generate_subscripts(embedding, 1) AS d,\n" +
+      s"           unnest(embedding) AS v FROM $src) x\n" +
+      s"  GROUP BY 1, 2) GROUP BY 1)"
+    def searchCte(out: String, cells: String, cent: String): String =
+      s"$out AS (SELECT query_id, neighbor_id FROM (\n" +
+      s"  SELECT qq.query_id, e.vec_id AS neighbor_id,\n" +
+      s"         row_number() OVER (PARTITION BY qq.query_id\n" +
+      s"           ORDER BY round(${cos("qq.qv", "e.embedding")}, 4) DESC, e.vec_id) AS rk\n" +
+      s"  FROM (SELECT query_id, qv, cent_id FROM (\n" +
+      s"          SELECT a.query_id, a.qv, c2.cent_id,\n" +
+      s"                 row_number() OVER (PARTITION BY a.query_id\n" +
+      s"                   ORDER BY ${cos("a.qv", "c2.cv")} DESC, c2.cent_id) AS rn\n" +
+      s"          FROM q a, $cent c2) WHERE rn = 1) qq\n" +
+      s"  JOIN $cells e USING (cent_id)\n" +
+      s"  WHERE e.vec_id <> qq.query_id) WHERE rk <= 5)"
+    "WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0),\n" +
+    "drift AS (\n" +
+    "  SELECT e.vec_id, list(CAST(CAST(x.v AS DOUBLE) +\n" +
+    "           CASE WHEN x.d = e.label * 6 + 1 THEN 2.0 ELSE 0.0 END AS FLOAT4)\n" +
+    "         ORDER BY x.d) AS embedding\n" +
+    "  FROM embeddings e,\n" +
+    "  LATERAL (SELECT generate_subscripts(e.embedding, 1) AS d,\n" +
+    "                  unnest(e.embedding) AS v) x\n" +
+    "  WHERE e.vec_id % 3 = 0 GROUP BY e.vec_id),\n" +
+    "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM drift),\n" +
+    "cent0 AS (SELECT vec_id AS cent_id, embedding AS cv FROM base WHERE vec_id % 25 = 0),\n" +
+    assign("t0", "base", "cent0") + ",\n" +
+    means("cent1", "t0") + ",\n" +
+    assign("t1", "base", "cent1") + ",\n" +
+    means("cent2", "t1") + ",\n" +
+    // the maintained (stale) index: corpus assigned to the trained cents
+    assign("cells0", "corpus", "cent2") + ",\n" +
+    // retrain = means of the stale cells; reassign the corpus to them
+    means("cent3", "cells0") + ",\n" +
+    assign("cells1", "corpus", "cent3") + ",\n" +
+    "q AS (SELECT vec_id AS query_id, embedding AS qv FROM corpus WHERE vec_id % 30 = 0),\n" +
+    "truth AS (SELECT query_id, neighbor_id FROM (\n" +
+    "  SELECT q.query_id, e.vec_id AS neighbor_id,\n" +
+    s"         row_number() OVER (PARTITION BY q.query_id\n" +
+    s"           ORDER BY round(${cos("q.qv", "e.embedding")}, 4) DESC, e.vec_id) AS rk\n" +
+    "  FROM q, corpus e WHERE e.vec_id <> q.query_id) WHERE rk <= 5),\n" +
+    searchCte("s0", "cells0", "cent2") + ",\n" +
+    searchCte("s1", "cells1", "cent3") + "\n" +
+    "SELECT 'retrained' AS regime,\n" +
+    "       CAST((SELECT count(s1.neighbor_id) FROM truth\n" +
+    "             LEFT JOIN s1 USING (query_id, neighbor_id)) AS BIGINT) AS n_hits,\n" +
+    "       round((SELECT count(s1.neighbor_id) FROM truth\n" +
+    "              LEFT JOIN s1 USING (query_id, neighbor_id))::DOUBLE\n" +
+    "             / (SELECT count(*) FROM truth), 4) AS recall\n" +
+    "UNION ALL\n" +
+    "SELECT 'stale',\n" +
+    "       CAST((SELECT count(s0.neighbor_id) FROM truth\n" +
+    "             LEFT JOIN s0 USING (query_id, neighbor_id)) AS BIGINT),\n" +
+    "       round((SELECT count(s0.neighbor_id) FROM truth\n" +
+    "              LEFT JOIN s0 USING (query_id, neighbor_id))::DOUBLE\n" +
+    "             / (SELECT count(*) FROM truth), 4)\n" +
+    "ORDER BY regime"
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Similarity, StreamIvf}
+import graft.ext.{IvfDrift, Similarity, StreamIvf}
 
 /** Streaming IVF index maintenance: MemoryStream micro-batches upsert
   * into the cell-partitioned index; the post-stream index must equal a
@@ -97,5 +97,43 @@ class StreamIvfSpec extends SparkSpec {
     val expected = rows(StreamIvf.indexRows(
       Seq(updated).toDF(), centroids, seq = 0L))
     assert(rows(idx).sameElements(expected))
+  }
+
+  test("drift trigger: displacement stays low on matched ingest, fires on drift, retrain reassigns") {
+    // two tight clusters on orthogonal axes; centroids AT the cluster
+    // centers (a converged quantizer)
+    def vec(axis: Int, wobble: Float): Array[Float] =
+      (0 until 8).map(d => (if (d == axis) 1.0f else 0.0f) +
+        (if (d == (axis + 1) % 8) wobble else 0.0f)).toArray
+    val base = (0 until 20).map(i =>
+      IvfVec(i.toLong, vec(if (i % 2 == 0) 0 else 3, 0.02f * (i % 5))))
+    val cents = Seq(
+      (100L, vec(0, 0.04f)), (200L, vec(3, 0.04f)))
+      .toDF("cent_id", "cv")
+    val path0 = java.nio.file.Files.createTempDirectory("ivf_drift0").toString
+    val s = StreamIvf.sink(path0)
+    s.upsert(StreamIvf.indexRows(base.toDF(), cents, seq = 0L), 0L)
+    val disp0 = IvfDrift.maxDisplacement(StreamIvf.readIndex(spark, path0), cents)
+    assert(disp0 < IvfDrift.DriftThreshold,
+      s"converged quantizer must sit below the trigger, got $disp0")
+    // drifted ingest: a new tight cluster on axis 6 the quantizer never
+    // saw — it crams into whichever cell wins the tie and drags that
+    // cell's mean away from its centroid
+    val drifted = (100 until 120).map(i => IvfVec(i.toLong, vec(6, 0.02f * (i % 5))))
+    s.upsert(StreamIvf.indexRows(drifted.toDF(), cents, seq = 1L), 1L)
+    val disp1 = IvfDrift.maxDisplacement(StreamIvf.readIndex(spark, path0), cents)
+    assert(disp1 > IvfDrift.DriftThreshold,
+      s"a drifted cluster must fire the trigger, got $disp1")
+    // retrain rewrites the assignments through the commit path: every
+    // vector lands exactly once, and the displacement trigger resets
+    val path1 = java.nio.file.Files.createTempDirectory("ivf_drift1").toString
+    val newCents = IvfDrift.retrain(spark, path0, path1)
+    val re = StreamIvf.readIndex(spark, path1)
+    assert(re.count() == 40 &&
+      re.groupBy(col("vec_id")).count().filter(col("count") > 1).count() == 0,
+      "retrain must reassign every vector exactly once")
+    val disp2 = IvfDrift.maxDisplacement(re, newCents)
+    assert(disp2 < IvfDrift.DriftThreshold,
+      s"post-retrain displacement must reset below the trigger, got $disp2")
   }
 }
