@@ -8,16 +8,21 @@ import graft.Tables
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, plus a partition-wise feature-extraction pipeline.
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/
-  * audio codecs in this environment); everything Spark-side is real:
-  * schema, batch shape (mapPartitions processes a whole partition per
-  * task, amortizing per-batch decoder setup exactly like mapInPandas
-  * batches), partitioning, and the expression-only fast path used by
-  * the oracle-checked query.
+  * Two decode tiers:
+  *  - REAL image decode ([[decodeImages]]): `javax.imageio` PNG/JPEG
+  *    inside the same partition-wise `mapPartitions` batch shape,
+  *    oracle-gated end to end (`x_media_decode`) against
+  *    formula-generated fixtures whose pixel statistics DuckDB
+  *    recomputes analytically — the decode is provably correct, not
+  *    simulated.
+  *  - A deterministic STUB ([[decodeStub]]) for codecs this
+  *    environment lacks (audio PCM, video framesample); its Spark-side
+  *    plumbing (schema, batch shape, partitioning) is identical, so
+  *    swapping a real codec in is a per-row function change.
   *
   * At 100 TB: payloads stay columnar parquet binary; decode tasks are
-  * embarrassingly parallel; only extracted (small) features ever
-  * shuffle.
+  * embarrassingly parallel (one decoder session per PARTITION, not per
+  * row); only extracted (small) features ever shuffle.
   */
 object Multimodal {
 
@@ -79,6 +84,132 @@ object Multimodal {
     import spark.implicits._
     mediaTable(spark, sfDir).mapPartitions(decodeStub)
   }
+
+  // ——— REAL image decode (javax.imageio) ———
+
+  /** Features read off DECODED pixels — exact integers so the oracle
+    * can recompute them without float-rounding ambiguity. `pix_checksum`
+    * is position-weighted, so any pixel transposition or channel swap
+    * in the decode path changes it.
+    */
+  case class DecodedImage(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      pix_checksum: Long)
+
+  private val FixtureDim = 16
+
+  /** Deterministic PNG fixture for `docId`: a 16×16 RGB image whose
+    * channel values follow a closed-form formula of (doc_id, x, y) —
+    * so DuckDB can compute the DECODED image's statistics analytically
+    * and a hash match proves the real codec round-trip (PNG is
+    * lossless RGB). JDK PNG encoding carries no timestamps — the
+    * fixture bytes are bit-stable across runs.
+    */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      FixtureDim, FixtureDim, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < FixtureDim) {
+      var x = 0
+      while (x < FixtureDim) {
+        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((docId * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((docId * 23 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Same fixture as JPEG — LOSSY, so it has no exact oracle; the spec
+    * checks dimensions exactly and channel means within tolerance.
+    */
+  def syntheticJpeg(docId: Long): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(syntheticPng(docId)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** REAL partition-wise image decode: `javax.imageio.ImageIO.read`
+    * over each payload (PNG and JPEG both resolve through the same
+    * registry), pixel scan for exact channel sums + the
+    * position-weighted checksum. One reader session per PARTITION of
+    * payloads — the batch shape that amortizes codec setup at 100 TB.
+    */
+  def decodeImages(records: Iterator[MediaRecord]): Iterator[DecodedImage] =
+    records.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+      var (sr, sg, sb, ck) = (0L, 0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val red = (rgb >> 16) & 0xff
+          val green = (rgb >> 8) & 0xff
+          val blue = rgb & 0xff
+          sr += red; sg += green; sb += blue
+          ck += (x + img.getWidth.toLong * y + 1) * (red + 2L * green + 3L * blue)
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(r.doc_id, img.getWidth, img.getHeight, sr, sg, sb, ck)
+    }
+
+  /** Oracle-gated REAL-decode query (`x_media_decode`): generate the
+    * PNG fixtures for a documents sample, decode them with the real
+    * codec partition-wise, emit exact pixel statistics. The DuckDB
+    * twin never sees the PNG bytes — it recomputes the statistics from
+    * the generating formula, so the hash match certifies the
+    * encode→decode round-trip reproduced every pixel.
+    */
+  def mediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+      .as[Long]
+    val decoded = ids
+      .mapPartitions(_.map(id =>
+        MediaRecord(id, "image", syntheticPng(id), 0L)))
+      .mapPartitions(decodeImages)
+    decoded.toDF()
+      .transform(graft.Present.sortSmall(_, col("doc_id")))
+  }
+
+  val mediaDecodeSql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, x.range AS x, y.range AS y
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d,
+      |       range(16) x, range(16) y),
+      |rgb AS (
+      |  SELECT doc_id, x, y,
+      |         (doc_id*31 + x*7 + y*13) % 256 AS r,
+      |         (doc_id*17 + x*11 + y*3) % 256 AS g,
+      |         (doc_id*23 + x*5 + y*19) % 256 AS b
+      |  FROM px)
+      |SELECT doc_id,
+      |       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+      |       CAST(sum(r) AS BIGINT) AS sum_r,
+      |       CAST(sum(g) AS BIGINT) AS sum_g,
+      |       CAST(sum(b) AS BIGINT) AS sum_b,
+      |       CAST(sum((x + 16*y + 1) * (r + 2*g + 3*b)) AS BIGINT) AS pix_checksum
+      |FROM rgb
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** Oracle-checked query: the expression-only feature path (payload
     * length, content hash, stub frame count) — everything DuckDB can

@@ -317,6 +317,43 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("real image decode: PNG round-trips pixel-exact, JPEG decodes lossy-close") {
+    import ext.Multimodal
+    // PNG (lossless): the decoded statistics must equal the generating
+    // formula exactly — same invariant the x_media_decode oracle pins
+    val ids = Seq(0L, 5L, 123L, 9999L)
+    ids.foreach { id =>
+      val decoded = Multimodal.decodeImages(Iterator(
+        Multimodal.MediaRecord(id, "image", Multimodal.syntheticPng(id), 0L))).next()
+      var (sr, sg, sb, ck) = (0L, 0L, 0L, 0L)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val r = (id * 31 + x * 7 + y * 13) % 256
+        val g = (id * 17 + x * 11 + y * 3) % 256
+        val b = (id * 23 + x * 5 + y * 19) % 256
+        sr += r; sg += g; sb += b
+        ck += (x + 16L * y + 1) * (r + 2 * g + 3 * b)
+      }
+      assert(decoded.width == 16 && decoded.height == 16)
+      assert((decoded.sum_r, decoded.sum_g, decoded.sum_b) == ((sr, sg, sb)),
+        s"PNG decode must be pixel-exact for doc $id")
+      assert(decoded.pix_checksum == ck,
+        s"position-weighted checksum must survive the round-trip for doc $id")
+    }
+    // JPEG (lossy): dimensions exact, channel MEANS within codec noise
+    ids.foreach { id =>
+      val png = Multimodal.decodeImages(Iterator(
+        Multimodal.MediaRecord(id, "image", Multimodal.syntheticPng(id), 0L))).next()
+      val jpg = Multimodal.decodeImages(Iterator(
+        Multimodal.MediaRecord(id, "image", Multimodal.syntheticJpeg(id), 0L))).next()
+      assert(jpg.width == 16 && jpg.height == 16)
+      def mean(s: Long) = s / 256.0
+      assert(math.abs(mean(jpg.sum_r) - mean(png.sum_r)) < 16.0 &&
+        math.abs(mean(jpg.sum_g) - mean(png.sum_g)) < 16.0 &&
+        math.abs(mean(jpg.sum_b) - mean(png.sum_b)) < 16.0,
+        s"JPEG means must land within codec noise for doc $id")
+    }
+  }
+
   test("multimodal mapPartitions features agree with the expression path") {
     val viaMap = ext.Multimodal.extractFeatures(spark, sf0001)
       .select("doc_id", "byte_len", "frame_count").as[(Long, Long, Int)]
