@@ -101,7 +101,14 @@ object Bench {
       "x_sort_layout", "x_split_scan", "x_mor_parity",
       "x_stream_read_fold", "x_stream_static_enrich", "x_sessionize_tws",
       "x_bloom_point_lookup",
-      "x_stats_broadcast_join", "q_upsert_widening")
+      "x_stats_broadcast_join", "q_upsert_widening",
+      // round-16 fixtures: crash-replay sessionize→upsert loop, drift
+      // retrain (two index-table builds per run), default-conf stale
+      // rewrite, and the stream-stream join (stages its own event feed
+      // + two stateful operators over a synthetic stream — fixture
+      // variance, not steady-state read latency)
+      "x_sessionize_tws_upsert", "x_ann_ivf_drift",
+      "x_stale_rewrite_default", "x_stream_stream_join")
     // a rename in SparkEntry.queries must fail HERE, not silently shift
     // a brute-force scan into the headline sum
     val unknownCalib = calibration.diff(SparkEntry.queries.keySet)

@@ -122,7 +122,16 @@ object IvfDrift {
     * numbers themselves, and the require() asserts pin the trigger
     * firing exactly once and the retrain not losing recall.
     */
-  def annIvfDrift(spark: SparkSession, sfDir: String): DataFrame = {
+  def annIvfDrift(spark0: SparkSession, sfDir: String): DataFrame = {
+    // cloned session, small shuffle width: every relation here is
+    // metadata-to-small scale (centroid tables, per-cell means, k-row
+    // top-k frames) but the scenario chains ~15 actions — at the
+    // session's default 32 shuffle partitions the scheduler overhead
+    // dominates the arithmetic several times over
+    val spark = spark0.newSession()
+    spark0.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(spark.conf.set(k, v)) }
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val emb = graft.Tables.table(spark, sfDir, "embeddings")
     val base = emb.filter(col("vec_id") % 3 =!= 0).select(col("vec_id"), col("embedding"))
     val seeds = base.filter(col("vec_id") % 25 === 0)

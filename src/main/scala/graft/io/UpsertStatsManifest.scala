@@ -476,10 +476,16 @@ object UpsertStatsManifest {
           else if (!fpIsReal(e.fp)) false
           else if (contentFingerprint(fs, new Path(dir, name), len) == e.fp) {
             // self-heal a racy-persisted entry: re-record it so the
-            // next flush (its tick long closed by now) persists it
-            // unflagged and later passes skip the tail read. Foreign
-            // entries stay verified-by-name — no heal to record.
-            if (e.verifyOnRead)
+            // next flush persists it unflagged and later passes skip
+            // the tail read — but ONLY once its mtime tick has closed.
+            // Healing inside the open tick would re-persist the entry
+            // STILL flagged (byte-identical manifest) on every
+            // planning pass — a streaming query re-planning its dim
+            // side per micro-batch would rewrite every manifest every
+            // batch for nothing. Foreign entries stay verified-by-name
+            // — no heal to record.
+            if (e.verifyOnRead &&
+              storageNowEstimate(fs) - mtime >= racyWindowMillis)
               recordFresh(fs, dir, name, mtime, len, e.raw, e.fp, enabled)
             true
           } else false
@@ -713,6 +719,11 @@ object UpsertStatsManifest {
       .map(_.getPath.getName).filter(dataFileName).toSet
     val merged = (existing ++ freshMap).filter { case (n, _) => live.contains(n) }
     if (merged.isEmpty) { fs.delete(tmp, false); return racy }
+    // byte-identical rewrite elision: repeated planning passes over a
+    // just-written table re-record the same (flagged) entries each
+    // pass — persisting the same content again costs a tmp write +
+    // rename + cache churn per directory per pass for nothing
+    if (merged == existing) { fs.delete(tmp, false); return racy }
     val out = fs.create(tmp, true)
     try out.write(render(merged).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

@@ -909,6 +909,10 @@ object Advanced {
       scala.util.Try(s.conf.set(k, v)) }
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // small shuffle width = few RocksDB store instances per batch; the
+    // conf is identical across the crash restart, so checkpointed
+    // state partitioning stays consistent
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_twsup")
     val actDir = s"$base/activities"; val tblDir = s"$base/table"

@@ -982,7 +982,15 @@ object Parity {
     * DuckDB twin replays the same join in batch SQL — hash equality
     * proves the streaming join emitted exactly the batch join's pairs.
     */
-  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamStreamJoin(spark0: SparkSession, sfDir: String): DataFrame = {
+    // cloned session, small shuffle width: the join + rollup keep one
+    // state store PER SHUFFLE PARTITION per stateful operator — at the
+    // session default (32) that is 96 stores of a few hundred rows
+    // each, all scheduler overhead
+    val spark = spark0.newSession()
+    spark0.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(spark.conf.set(k, v)) }
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val base = java.nio.file.Files.createTempDirectory("graft_ss").toString
     val events = Tables.table(spark, sfDir, "events")
     val evDir = s"$base/events"
