@@ -8,17 +8,29 @@
 set -eo pipefail
 CP="/root/repo/target/scala-2.13/classes:/root/repo/src/main/resources:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
-for SF in 0.001 0.01 0.1; do
-  echo "== bench sf$SF =="
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf$SF \
-  SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf$SF.json \
+# fourth point: the locally-synthesized sf1-equivalent (never touches
+# /root/testdata — see scripts/synth_sf1.py's header for the remix rules)
+if [ ! -f /tmp/testdata_sf1/lineitem.parquet ]; then
+  echo "== synthesizing sf1 =="
+  python3 /root/repo/scripts/synth_sf1.py /root/testdata/sf0.1 /tmp/testdata_sf1
+fi
+bench_one() {
+  local NAME=$1 DIR=$2
+  echo "== bench $NAME =="
+  SPARK_GRAFT_SF_DIR=$DIR \
+  SPARK_GRAFT_BENCH_OUT=/tmp/bench_$NAME.json \
   java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench \
-    > /tmp/bench_sf$SF.stdout 2>/tmp/bench_sf$SF.stderr \
-    || { echo "bench sf$SF FAILED"; tail -20 /tmp/bench_sf$SF.stderr; exit 1; }
-  tail -1 /tmp/bench_sf$SF.stdout
+    > /tmp/bench_$NAME.stdout 2>/tmp/bench_$NAME.stderr \
+    || { echo "bench $NAME FAILED"; tail -20 /tmp/bench_$NAME.stderr; exit 1; }
+  tail -1 /tmp/bench_$NAME.stdout
+}
+for SF in 0.001 0.01 0.1; do
+  bench_one sf$SF /root/testdata/sf$SF
 done
+bench_one sf1 /tmp/testdata_sf1
 python3 /root/repo/scripts/scaling_report.py \
   /tmp/bench_sf0.001.json /tmp/bench_sf0.01.json /tmp/bench_sf0.1.json \
+  /tmp/bench_sf1.json \
   > /root/repo/SCALING.md
 echo "wrote SCALING.md"

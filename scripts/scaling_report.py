@@ -1,19 +1,24 @@
 #!/usr/bin/env python3
-"""Emit SCALING.md from three graft.Bench detail files (sf0.001/0.01/0.1).
+"""Emit SCALING.md from graft.Bench detail files (sf0.001/0.01/0.1[/1]).
 
 Stdlib-only analysis of the engine's own JSON output (this script is
 build tooling, not part of the Spark library). The operative check: on
-a 10x corpus step (sf0.01 -> sf0.1) a scale-linear operator's wall time
-grows <= ~10x; a ratio beyond that with non-trivial absolute time marks
-a super-linear plan (pair blowup, unpartitioned sort, driver-side
-loop) and is flagged for triage in PLANS.md.
+a 10x corpus step a scale-linear operator's wall time grows <= ~10x; a
+ratio beyond that with non-trivial absolute time marks a super-linear
+plan (pair blowup, unpartitioned sort, driver-side loop) and is
+flagged for triage in PLANS.md.
+
+The optional fourth point is the LOCALLY-SYNTHESIZED sf1-equivalent
+(scripts/synth_sf1.py — documented synthetic: 10x key-remapped sf0.1
+with dedup/ANN-safe content remixing), proving the curve holds a third
+decade.
 """
 import json
 import math
 import sys
 
 FLAG_RATIO = 10.0   # 10x data -> >10x time = super-linear
-FLAG_FLOOR = 0.5    # seconds at sf0.1; below this, ratios are JVM noise
+FLAG_FLOOR = 0.5    # seconds at the largest sf; below this, ratios are JVM noise
 
 
 def load(path):
@@ -22,28 +27,35 @@ def load(path):
 
 
 def main():
-    b001, b01, b1 = (load(p) for p in sys.argv[1:4])
-    qs = sorted(b1["queries"])
-    calib = set(b1.get("calibration_queries", []))
+    benches = [load(p) for p in sys.argv[1:]]
+    names = ["sf0.001", "sf0.01", "sf0.1", "sf1 (synthetic)"][: len(benches)]
+    last = benches[-1]
+    prev = benches[-2]
+    qs = sorted(last["queries"])
+    calib = set(last.get("calibration_queries", []))
     # write-pipeline tier: fixture-building queries (fresh upsert table
     # per run) — tagged in the table and totals so their COW-commit
     # floors don't read as scan costs; still flag-ELIGIBLE (a
     # super-linear commit path would be a real bug)
-    wp = set(b1.get("write_pipeline_queries", []))
+    wp = set(last.get("write_pipeline_queries", []))
 
     rows = []
     flagged = []
     for q in qs:
-        t0, t1, t2 = (b["queries"].get(q, -1.0) for b in (b001, b01, b1))
-        r = t2 / t1 if t1 and t1 > 0 and t2 > 0 else float("nan")
-        # log-log slope over the two decades sf0.001 -> sf0.1 (data grows
-        # 100x): slope 1.0 = linear, 2.0 = quadratic; constant overhead
-        # at the small points biases it DOWN, so the 0.01->0.1 ratio is
-        # the stricter signal and drives the flag.
-        slope = (math.log10(t2 / t0) / 2.0) if t0 and t0 > 0 and t2 > 0 else float("nan")
-        rows.append((q, t0, t1, t2, r, slope))
-        if q not in calib and t2 >= FLAG_FLOOR and r > FLAG_RATIO:
-            flagged.append((q, t1, t2, r))
+        ts = [b["queries"].get(q, -1.0) for b in benches]
+        # ratio of the LAST decade step (the strictest signal at the
+        # largest absolute times), plus the prior step for the table
+        def ratio(a, b):
+            return b / a if a and a > 0 and b > 0 else float("nan")
+        r_last = ratio(ts[-2], ts[-1])
+        # log-log slope over the full span (each step is 10x data);
+        # constant overhead at the small points biases it DOWN
+        decades = len(benches) - 1
+        slope = (math.log10(ts[-1] / ts[0]) / decades) \
+            if ts[0] and ts[0] > 0 and ts[-1] > 0 else float("nan")
+        rows.append((q, ts, r_last, slope))
+        if q not in calib and ts[-1] >= FLAG_FLOOR and r_last > FLAG_RATIO:
+            flagged.append((q, ts[-2], ts[-1], r_last))
 
     def fmt(v, spec=".2f"):
         return "-" if (isinstance(v, float) and (math.isnan(v) or v < 0)) else format(v, spec)
@@ -52,22 +64,30 @@ def main():
     print()
     print("One idle-box session, plain-`java` launcher (scripts/run_scaling.sh),")
     print("identical JVM flags per point, staged-relation accounting: graft.Bench")
-    print("at sf0.001 / sf0.01 / sf0.1. Corpus grows 10x per step. The check the")
-    print("round-8 verdict asked for: a headline query whose sf0.01->sf0.1 wall")
+    print("at " + " / ".join(names) + ". Corpus grows 10x per step. The check the")
+    print("round-8 verdict asked for: a headline query whose last-decade wall")
     print(f"ratio exceeds ~{FLAG_RATIO:.0f}x (on >= {FLAG_FLOOR}s absolute) is super-linear —")
     print("the shape that becomes a 100 TB killer — and must be triaged.")
-    print("`slope` is the log-log exponent over the full 100x span (1.0 = linear,")
+    print("`slope` is the log-log exponent over the full span (1.0 = linear,")
     print("2.0 = quadratic); fixed per-query overhead (~0.05-0.3 s of plan/codegen")
     print("at every sf) biases slopes DOWN at small sf, so sub-linear ratios are")
     print("expected and benign — only the large-ratio tail matters.")
+    if len(benches) > 3:
+        print()
+        print("The sf1 point is SYNTHETIC (scripts/synth_sf1.py): 10x key-remapped")
+        print("duplication of sf0.1 with FK integrity per copy, per-copy word")
+        print("suffixing in documents (so dedup pair structure scales linearly")
+        print("instead of every doc gaining 9 clones) and per-copy sign-flipped")
+        print("embeddings (norms/similarity distributions preserved, no")
+        print("artificial 10-clone ANN ties).")
     print()
-    for b, name in ((b001, "sf0.001"), (b01, "sf0.01"), (b1, "sf0.1")):
+    for b, name in zip(benches, names):
         print(f"- {name}: total {b['value']:.1f} s "
               f"(staging {b.get('staging_sec', 0):.1f} + headline {b['headline_sec']:.1f} "
               f"+ write-pipeline {b.get('write_pipeline_sec', 0):.1f} "
               f"+ calibration {b['calibration_sec']:.1f}), failures {b['failures']}")
-    tot_r = b1["headline_sec"] / b01["headline_sec"]
-    print(f"- headline total ratio sf0.01->sf0.1: **{tot_r:.2f}x** on 10x data")
+    tot_r = last["headline_sec"] / prev["headline_sec"]
+    print(f"- headline total ratio {names[-2]}->{names[-1]}: **{tot_r:.2f}x** on 10x data")
     print()
     if flagged:
         print(f"## FLAGGED super-linear ({len(flagged)})")
@@ -82,12 +102,13 @@ def main():
     print()
     print("## Per-query wall seconds")
     print()
-    print("| query | sf0.001 | sf0.01 | sf0.1 | 0.01->0.1 ratio | slope |")
-    print("|---|---|---|---|---|---|")
-    for q, t0, t1, t2, r, slope in sorted(rows, key=lambda x: -(x[4] if x[4] == x[4] else -1)):
+    header = " | ".join(names)
+    print(f"| query | {header} | last-decade ratio | slope |")
+    print("|---" * (len(benches) + 3) + "|")
+    for q, ts, r, slope in sorted(rows, key=lambda x: -(x[2] if x[2] == x[2] else -1)):
         tier = " (calib)" if q in calib else (" (wp)" if q in wp else "")
-        print(f"| `{q}`{tier} | {fmt(t0, '.3f')} | {fmt(t1, '.3f')} | {fmt(t2, '.3f')} "
-              f"| {fmt(r)} | {fmt(slope)} |")
+        cells = " | ".join(fmt(t, ".3f") for t in ts)
+        print(f"| `{q}`{tier} | {cells} | {fmt(r)} | {fmt(slope)} |")
 
 
 if __name__ == "__main__":

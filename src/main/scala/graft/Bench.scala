@@ -83,7 +83,12 @@ object Bench {
     // (reclassified per round-8 advice).
     val calibration = Set("x_ann_bruteforce", "x_dedup_embedding",
       "x_lsh_recall", "x_minhash_error",
-      "x_ann_recall", "x_ann_probe_sweep", "x_ann_pq_rounds")
+      "x_ann_recall", "x_ann_probe_sweep", "x_ann_pq_rounds",
+      // exact UNCAPPED pair enumeration — the ground truth the banded
+      // LSH twin (x_dedup_embedding_lsh) approximates; quadratic by
+      // definition, like the brute-force scans above (r16, after the
+      // sf1 scaling point measured it at 11x on 10x data)
+      "x_embedding_pairs")
     // Third tier: WRITE-PIPELINE queries build a fresh upsert-table
     // fixture per run (seed commits + the mutation under test), so
     // their numbers measure copy-on-write commit floors and small-file

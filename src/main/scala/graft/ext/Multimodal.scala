@@ -313,12 +313,19 @@ object Multimodal {
     * image/audio feature extractor.
     *
     * Scale shape: per-row features, explode ×3 band keys, hash
-    * shuffle on (media_type, band), in-band pair join + exact verify,
-    * distinct to collapse multi-band hits. A 1-D band over a scalar
-    * feature concentrates mass at web scale — the production path for
-    * rich features is the multi-band embedding LSH
-    * ([[Similarity.dedupByEmbeddingLsh]]); this operator carries the
-    * media-table plumbing.
+    * shuffle on (media_type, f1 band, LENGTH bucket), in-band pair
+    * join + exact verify, distinct to collapse multi-band hits. The
+    * length bucket (log-scale, base 1/0.98 — one bucket per 2%
+    * length step, the verify tolerance, with ±1 probing so no true
+    * pair can straddle away) is what keeps buckets bounded at scale:
+    * a 1-D scalar band concentrates mass on a large corpus (the sf1
+    * scaling point measured 92 s on 10× data before the second key;
+    * candidates were quadratic inside the fat f1 bands), while
+    * (f1, length) blocks shrink with corpus diversity. Results are
+    * IDENTICAL — the verify already required lengths within 2%, the
+    * bucket only prunes candidates that verification would reject.
+    * The production path for rich features remains the multi-band
+    * embedding LSH ([[Similarity.dedupByEmbeddingLsh]]).
     */
   def mediaDedupFeature(spark: SparkSession, sfDir: String): DataFrame = {
     val media = mediaTable(spark, sfDir).toDF()
@@ -330,18 +337,23 @@ object Multimodal {
         (length(col("txt")) - length(regexp_replace(col("txt"), "[0-9]", "")))
           .cast("double") / col("byte_len"), 4))
       .select(col("doc_id"), col("media_type"), col("byte_len"), col("f1"), col("f2"))
+    // log-scale length bucket: a true pair (lengths within 2%) sits
+    // within one bucket step, so the probe side's ±1 explode covers it
+    val lenb = floor(log(col("byte_len").cast("double"))
+      / lit(math.log(1.0 / 0.98))).cast("long")
     val banded = media.select(col("doc_id"), col("media_type"),
-      col("byte_len"), col("f1"), col("f2"),
+      col("byte_len"), col("f1"), col("f2"), lenb.as("lenb"),
       explode(array(Seq(-1, 0, 1).map(d =>
         (floor(col("f1") / featureEps) + d).cast("long")): _*)).as("band"))
-    val a = banded.select(col("media_type"), col("band"),
+    val a = banded.select(col("media_type"), col("band"), col("lenb"),
       col("doc_id").as("doc_a"), col("byte_len").as("len_a"),
       col("f1").as("f1a"), col("f2").as("f2a"))
     val b = banded.select(col("media_type"), col("band"),
+      explode(array(col("lenb") - 1, col("lenb"), col("lenb") + 1)).as("lenb"),
       col("doc_id").as("doc_b"), col("byte_len").as("len_b"),
       col("f1").as("f1b"), col("f2").as("f2b"))
     graft.Present.sortSmall(
-      a.join(b, Seq("media_type", "band"))
+      a.join(b, Seq("media_type", "band", "lenb"))
         .filter(col("doc_a") < col("doc_b"))
         .filter(abs(col("f1a") - col("f1b")) <= featureEps)
         .filter(abs(col("f2a") - col("f2b")) <= featureEps / 2)
@@ -370,12 +382,16 @@ object Multimodal {
       |  FROM documents),
       |banded AS (
       |  SELECT doc_id, media_type, byte_len, f1, f2,
+      |         CAST(floor(ln(byte_len::DOUBLE) / ln(1.0 / 0.98)) AS BIGINT) AS lenb,
       |         CAST(floor(f1 / $featureEps) + d AS BIGINT) AS band
       |  FROM m, (SELECT unnest([-1, 0, 1]) AS d))
       |SELECT DISTINCT a.media_type AS media_type, a.doc_id AS doc_a, b.doc_id AS doc_b,
       |       round(abs(a.f1 - b.f1), 4) AS d_f1
-      |FROM banded a JOIN banded b
-      |  ON a.media_type = b.media_type AND a.band = b.band AND a.doc_id < b.doc_id
+      |FROM banded a
+      |JOIN (SELECT b0.*, b0.lenb + e AS lenbp
+      |      FROM banded b0, (SELECT unnest([-1, 0, 1]) AS e)) b
+      |  ON a.media_type = b.media_type AND a.band = b.band
+      | AND a.lenb = b.lenbp AND a.doc_id < b.doc_id
       |WHERE abs(a.f1 - b.f1) <= $featureEps
       |  AND abs(a.f2 - b.f2) <= ${featureEps / 2}
       |  AND least(a.byte_len, b.byte_len)::DOUBLE / greatest(a.byte_len, b.byte_len) >= 0.98

@@ -142,12 +142,20 @@ object Retrieval {
   /** Negatives per anchor in [[contrastivePairs]]. */
   val contrastiveK = 4
 
-  /** Pool sampling modulus: the negative pool is the hash-mod
-    * 1/[[contrastivePoolMod]] corpus sample. Production picks the
-    * modulus so |pool| lands at a few hundred docs (≈ c·k) regardless
-    * of corpus size — the pool must stay broadcastable.
+  /** Pool sampling modulus FLOOR: the negative pool is a hash-mod
+    * corpus sample whose modulus SCALES with the corpus
+    * (ceil(n / [[contrastivePoolTarget]]), floored here) so |pool|
+    * stays ~[[contrastivePoolTarget]] docs at any scale. A fixed
+    * modulus makes the pool ∝ corpus and the anchors × pool candidate
+    * join quadratic — exactly what the sf1 scaling point caught
+    * (83 s on 10× data); bounded, the join is |anchors|·O(1) and the
+    * pool stays broadcastable at 100 TB. At sf0.01/sf0.1 the scaled
+    * modulus equals the floor, so gate hashes are unchanged.
     */
   val contrastivePoolMod = 4
+
+  /** Target negative-pool size the sampling modulus scales to. */
+  val contrastivePoolTarget = 1250
 
   /** Contrastive-triplet construction for embedding-model training:
     * every document with a verified near-duplicate becomes an anchor,
@@ -174,9 +182,12 @@ object Retrieval {
     val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("anchor", "partner")
     val anchors = sym.groupBy(col("anchor")).agg(min(col("partner")).as("positive"))
+    val nDocs = Tables.table(spark, sfDir, "documents").count()
+    val poolMod = math.max(contrastivePoolMod.toLong,
+      math.ceil(nDocs.toDouble / contrastivePoolTarget).toLong)
     val pool = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id").as("negative"))
-      .filter(Text.md5Long(col("negative").cast("string")) % contrastivePoolMod === 0)
+      .filter(Text.md5Long(col("negative").cast("string")) % poolMod === 0)
     val h = Text.md5Long(concat(
       col("anchor").cast("string"), lit(":"), col("negative").cast("string")))
     val cand = anchors
@@ -214,7 +225,9 @@ object Retrieval {
        |an AS (SELECT anchor, min(partner) AS positive FROM sym GROUP BY 1),
        |pool AS (SELECT doc_id AS negative FROM documents
        |         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
-       |                 % $contrastivePoolMod = 0),
+       |                 % greatest($contrastivePoolMod,
+       |                            CAST(ceil((SELECT count(*) FROM documents)
+       |                                      / $contrastivePoolTarget.0) AS BIGINT)) = 0),
        |cand AS (
        |  SELECT anchor, positive, negative,
        |         ('0x' || substr(md5(anchor::VARCHAR || ':' || negative::VARCHAR),
