@@ -227,46 +227,71 @@ object Clustering {
     */
   val semanticDupThreshold = 0.4
 
+  /** One exemplar per this many corpus vectors: k = |exemplars| ∝ n,
+    * the SemDeDup prescription that keeps per-cluster work CONSTANT as
+    * the corpus grows (fixed cluster count makes within-cluster
+    * all-pairs quadratic — the r16 sf1 scaling point measured exactly
+    * that, 26x on 10x data, against the earlier fixed-10-label
+    * blocking).
+    */
+  val semanticExemplarMod = 200
+
   /** Semantic deduplication, the SemDeDup shape (Abbas et al. 2023,
     * arXiv:2303.09540): cluster first, then search for near-duplicate
-    * embeddings ONLY within a cluster — the quadratic pair space
-    * shrinks by the cluster count, which a production run scales with
-    * the corpus (k ∝ n keeps per-cluster work constant; cluster with
-    * [[kmeans]]). Here the curated `label` column plays the cluster
-    * assignment so the oracle can reproduce it exactly. A vector is
-    * dropped when a LOWER-id cluster-mate sits at cosine ≥
-    * [[semanticDupThreshold]] (keep-the-earliest — deterministic
-    * without computing the transitive closure); emits each dropped
-    * vector with its keeper: the smallest such neighbor.
+    * embeddings ONLY within a cluster. The clustering is deterministic
+    * exemplar assignment — every vec_id % [[semanticExemplarMod]] == 0
+    * vector is an exemplar (so k ∝ n by construction) and each vector
+    * joins its nearest exemplar by cosine (tie on exemplar id), which
+    * the DuckDB oracle reproduces exactly. A vector is dropped when a
+    * LOWER-id cell-mate sits at cosine ≥ [[semanticDupThreshold]]
+    * (keep-the-earliest — deterministic without computing the
+    * transitive closure); emits each dropped vector with its keeper:
+    * the smallest such neighbor. Pairs straddling a cell boundary are
+    * not compared — the paper's documented recall trade for killing
+    * the corpus² pair space.
     *
-    * Scale shape: a self-join on the cluster key (blocking, as SimHash
-    * chunks / LSH bands elsewhere), a codegen'd cosine per candidate
-    * pair, and a partial-agged min per dropped vector. Nothing crosses
-    * clusters; the cut is on the ROUNDED cosine so both engines agree
-    * at the boundary.
+    * Scale shape: exemplar assignment is a broadcast of k = n/200
+    * rows and one map-side top-1; the dedup is a self-join on the cell
+    * key (blocking, as SimHash chunks / LSH bands elsewhere) with
+    * per-cell population ~[[semanticExemplarMod]] regardless of corpus
+    * size — per-cell work constant, cells ∝ n, total linear. The cut
+    * is on the ROUNDED cosine so both engines agree at the boundary.
     */
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.table(spark, sfDir, "embeddings")
-      .select(col("label"), col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"))
+    val exemplars = emb.filter(col("vec_id") % semanticExemplarMod === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val cells = Similarity.assignNearest(emb, exemplars, keepEmbedding = true)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
     val sim = round(Similarity.cosine(col("a_emb"), col("b_emb")), 4)
     Present.sortSmall(
-      emb.select(col("label"), col("vec_id").as("keep_id"), col("embedding").as("a_emb"))
-        .join(emb.select(col("label"), col("vec_id").as("drop_id"),
-          col("embedding").as("b_emb")), Seq("label"))
+      cells.select(col("cell"), col("vec_id").as("keep_id"), col("embedding").as("a_emb"))
+        .join(cells.select(col("cell"), col("vec_id").as("drop_id"),
+          col("embedding").as("b_emb")), Seq("cell"))
         .filter(col("keep_id") < col("drop_id") && sim >= semanticDupThreshold)
-        .groupBy(col("drop_id"), col("label"))
+        .groupBy(col("drop_id"), col("cell"))
         .agg(min(col("keep_id")).as("kept_by"))
-        .select(col("drop_id").as("vec_id"), col("label"), col("kept_by")),
+        .select(col("drop_id").as("vec_id"), col("cell"), col("kept_by")),
       col("vec_id"))
   }
 
   val dedupSemanticSql: String =
-    s"""SELECT b.vec_id, b.label, min(a.vec_id) AS kept_by
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
+    s"""WITH ex AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |            WHERE vec_id % $semanticExemplarMod = 0),
+       |cells AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${Similarity.cosineSql("e.embedding", "c.cv")} DESC,
+       |                      c.cent_id) AS rn
+       |    FROM embeddings e, ex c) WHERE rn = 1)
+       |SELECT b.vec_id, b.cell, min(a.vec_id) AS kept_by
+       |FROM cells a JOIN cells b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 4)
        |      >= $semanticDupThreshold
-       |GROUP BY b.vec_id, b.label
+       |GROUP BY b.vec_id, b.cell
        |ORDER BY b.vec_id""".stripMargin
 
   /** DuckDB twin: the same seeds and two chained

@@ -345,6 +345,10 @@ object Multimodal {
       col("byte_len"), col("f1"), col("f2"), lenb.as("lenb"),
       explode(array(Seq(-1, 0, 1).map(d =>
         (floor(col("f1") / featureEps) + d).cast("long")): _*)).as("band"))
+    // (an f2 band as a third key was MEASURED and rejected: f2 has too
+    // little diversity on this corpus to cut candidates, and the extra
+    // probe explode tripled the shuffled rows — 16.5 s → 26.4 s at the
+    // synthetic sf1)
     val a = banded.select(col("media_type"), col("band"), col("lenb"),
       col("doc_id").as("doc_a"), col("byte_len").as("len_a"),
       col("f1").as("f1a"), col("f2").as("f2a"))

@@ -652,9 +652,20 @@ class ExtensionsSpec extends SparkSpec {
       bm.filter(r => cleanQueries(r._1)).toSet)
   }
 
-  test("semantic dedup matches the brute-force intra-label ground truth") {
-    val vecs = Tables.table(spark, sf0001, "embeddings")
-      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+  test("semantic dedup matches the brute-force intra-cell ground truth") {
+    // cells come from the engine's own deterministic exemplar
+    // assignment (its cross-engine parity is the DuckDB oracle's job);
+    // this spec brute-forces the dedup DECISION layer within them
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val cellOf = ext.Similarity.assignNearest(
+      emb.select(col("vec_id"), col("embedding")),
+      emb.filter(col("vec_id") % ext.Clustering.semanticExemplarMod === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv")),
+      keepEmbedding = false)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id")).toMap
+    val vecs = emb
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        cellOf(r.getAs[Long]("vec_id")),
         r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -679,7 +690,7 @@ class ExtensionsSpec extends SparkSpec {
     val got = ext.Clustering.dedupSemantic(spark, sf0001)
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("kept_by"))).toSet
     assert(got == expected)
-    assert(got.nonEmpty) // the corpus has intra-label near-dups
+    assert(got.nonEmpty) // the corpus has intra-cell near-dups
   }
 
   test("source KL: non-negative, zero iff source matches corpus, partition of tokens") {
