@@ -28,7 +28,11 @@ def load(path):
 
 def main():
     benches = [load(p) for p in sys.argv[1:]]
-    names = ["sf0.001", "sf0.01", "sf0.1", "sf1 (synthetic)"][: len(benches)]
+    all_names = ["sf0.001", "sf0.01", "sf0.1", "sf1 (synthetic)"]
+    if not 2 <= len(benches) <= len(all_names):
+        sys.exit(f"expected 2-{len(all_names)} bench files "
+                 f"(labels {all_names}), got {len(benches)}")
+    names = all_names[: len(benches)]
     last = benches[-1]
     prev = benches[-2]
     qs = sorted(last["queries"])

@@ -227,20 +227,25 @@ object Clustering {
     */
   val semanticDupThreshold = 0.4
 
-  /** One exemplar per this many corpus vectors: k = |exemplars| ∝ n,
-    * the SemDeDup prescription that keeps per-cluster work CONSTANT as
-    * the corpus grows (fixed cluster count makes within-cluster
-    * all-pairs quadratic — the r16 sf1 scaling point measured exactly
-    * that, 26x on 10x data, against the earlier fixed-10-label
-    * blocking).
+  /** Exemplar count scales as √n (sampling modulus = floor(√n), so
+    * k = |exemplars| ≈ √n): the BALANCED exponent for
+    * cluster-then-dedup. Assignment costs n·k and within-cell dedup
+    * costs n·(n/k); k ≈ √n makes both n^1.5 — the standard trade
+    * (fixed k is quadratic in the dedup half, which the r16 sf1
+    * scaling point measured at 26x on 10x data against the original
+    * 10-label blocking; k ∝ n is quadratic in the ASSIGNMENT half and
+    * grows the broadcast without bound). Beyond n^1.5 budgets, the
+    * production shape is hierarchical (coarse cells → fine cells) or
+    * ANN-assisted assignment — out of scope for the gate.
     */
-  val semanticExemplarMod = 200
+  def semanticExemplarMod(n: Long): Long =
+    math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
 
   /** Semantic deduplication, the SemDeDup shape (Abbas et al. 2023,
     * arXiv:2303.09540): cluster first, then search for near-duplicate
     * embeddings ONLY within a cluster. The clustering is deterministic
     * exemplar assignment — every vec_id % [[semanticExemplarMod]] == 0
-    * vector is an exemplar (so k ∝ n by construction) and each vector
+    * vector is an exemplar (k ≈ √n, see the modulus above) and each vector
     * joins its nearest exemplar by cosine (tie on exemplar id), which
     * the DuckDB oracle reproduces exactly. A vector is dropped when a
     * LOWER-id cell-mate sits at cosine ≥ [[semanticDupThreshold]]
@@ -250,17 +255,18 @@ object Clustering {
     * not compared — the paper's documented recall trade for killing
     * the corpus² pair space.
     *
-    * Scale shape: exemplar assignment is a broadcast of k = n/200
-    * rows and one map-side top-1; the dedup is a self-join on the cell
-    * key (blocking, as SimHash chunks / LSH bands elsewhere) with
-    * per-cell population ~[[semanticExemplarMod]] regardless of corpus
-    * size — per-cell work constant, cells ∝ n, total linear. The cut
-    * is on the ROUNDED cosine so both engines agree at the boundary.
+    * Scale shape: exemplar assignment is a broadcast of k ≈ √n rows
+    * and one map-side top-1 (n·√n cosines); the dedup is a self-join
+    * on the cell key (blocking, as SimHash chunks / LSH bands
+    * elsewhere) with per-cell population ≈ √n — n^1.5 on both halves,
+    * the balanced exponent. The cut is on the ROUNDED cosine so both
+    * engines agree at the boundary.
     */
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val exemplars = emb.filter(col("vec_id") % semanticExemplarMod === 0)
+    val mod = semanticExemplarMod(emb.count())
+    val exemplars = emb.filter(col("vec_id") % mod === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     val cells = Similarity.assignNearest(emb, exemplars, keepEmbedding = true)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
@@ -278,7 +284,8 @@ object Clustering {
 
   val dedupSemanticSql: String =
     s"""WITH ex AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-       |            WHERE vec_id % $semanticExemplarMod = 0),
+       |            WHERE vec_id % greatest(1, CAST(floor(sqrt(
+       |                (SELECT count(*) FROM embeddings))) AS BIGINT)) = 0),
        |cells AS (
        |  SELECT vec_id, embedding, cent_id AS cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cent_id,

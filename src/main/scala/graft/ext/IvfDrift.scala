@@ -187,11 +187,15 @@ object IvfDrift {
       s"retrain must not lose recall ($retrainedHits vs $staleHits)")
     truth.unpersist(); cents.unpersist(); newCents.unpersist()
     import spark.implicits._
+    // HALF_UP, matching DuckDB's round(x, 4) and every other recall
+    // eval's Spark round() — math.rint's half-even would diverge on an
+    // exact .5 boundary
+    def recall4(hits: Long): Double =
+      BigDecimal(hits.toDouble / nTruth)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     Seq(
-      ("retrained", retrainedHits,
-        math.rint(retrainedHits.toDouble / nTruth * 10000) / 10000),
-      ("stale", staleHits,
-        math.rint(staleHits.toDouble / nTruth * 10000) / 10000))
+      ("retrained", retrainedHits, recall4(retrainedHits)),
+      ("stale", staleHits, recall4(staleHits)))
       .toDF("regime", "n_hits", "recall")
   }
 

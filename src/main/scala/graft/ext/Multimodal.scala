@@ -141,16 +141,36 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL partition-wise image decode: `javax.imageio.ImageIO.read`
-    * over each payload (PNG and JPEG both resolve through the same
-    * registry), pixel scan for exact channel sums + the
-    * position-weighted checksum. One reader session per PARTITION of
-    * payloads — the batch shape that amortizes codec setup at 100 TB.
+  /** REAL partition-wise image decode with genuinely amortized codec
+    * setup: ONE `ImageReader` per format per PARTITION, obtained from
+    * the registry once and re-`setInput` per payload (the format is
+    * sniffed from the magic bytes — PNG `\x89PNG`, JPEG `\xFF\xD8` —
+    * so no per-row registry probe either). `ImageIO.read` per record
+    * would pay the service-registry scan + reader construction on
+    * every row, exactly the per-row cost the partition batch shape
+    * exists to avoid at 100 TB. Readers are disposed when the
+    * partition's iterator drains.
     */
-  def decodeImages(records: Iterator[MediaRecord]): Iterator[DecodedImage] =
-    records.map { r =>
-      val img = javax.imageio.ImageIO.read(
+  def decodeImages(records: Iterator[MediaRecord]): Iterator[DecodedImage] = {
+    val readers = scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
+    def readerFor(fmt: String): javax.imageio.ImageReader =
+      readers.getOrElseUpdate(fmt, {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        require(it.hasNext, s"no ImageIO reader for format $fmt")
+        it.next()
+      })
+    def sniff(p: Array[Byte]): String =
+      if (p.length >= 4 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+        p(2) == 'N' && p(3) == 'G') "png"
+      else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
+      else "png" // let the reader fail loudly on truly unknown bytes
+    val out = records.map { r =>
+      val reader = readerFor(sniff(r.payload))
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(r.payload))
+      val img =
+        try { reader.setInput(in, true, true); reader.read(0) }
+        finally in.close()
       require(img != null, s"undecodable image payload for doc ${r.doc_id}")
       var (sr, sg, sb, ck) = (0L, 0L, 0L, 0L)
       var y = 0
@@ -169,6 +189,10 @@ object Multimodal {
       }
       DecodedImage(r.doc_id, img.getWidth, img.getHeight, sr, sg, sb, ck)
     }
+    // dispose the per-partition readers after the last record (the
+    // appended thunk runs when the iterator drains)
+    out ++ { readers.valuesIterator.foreach(_.dispose()); Iterator.empty }
+  }
 
   /** Oracle-gated REAL-decode query (`x_media_decode`): generate the
     * PNG fixtures for a documents sample, decode them with the real

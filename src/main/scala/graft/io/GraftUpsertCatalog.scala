@@ -411,18 +411,16 @@ object GraftUpsertCatalog {
             fs.rename(tmp, p)
             return props
           }
-          // canonical-absent + tmp-absent is AMBIGUOUS on one pass: a
-          // concurrent updater's rename can complete between the two
-          // probes (canonical absent when probed, tmp absent because
-          // the rename just landed it as the canonical). Returning
-          // empty here would silently drop rename lineage / partition
-          // config for this planning pass. Re-probe once, no sleep:
-          // a completed rename makes the canonical visible on the
-          // next round, and a fresh update cycle leaves its tmp
-          // visible. Two consecutive fully-absent rounds would need a
-          // complete lock-serialized tmp-write + canonical-delete
-          // cycle inside a single fs.exists latency — so they mean
-          // the table genuinely never had properties (sink-created).
+          // On atomic-rename stores (local POSIX, HDFS) updateProps
+          // overwrites the canonical IN PLACE (FileContext
+          // Rename.OVERWRITE), so a table that has properties NEVER
+          // shows the canonical absent — absent+absent here genuinely
+          // means propertyless (sink-created). The re-probe round is
+          // the net for the residual cases: a crash between tmp write
+          // and rename (tmp-recovery above), and object stores whose
+          // rename is copy+delete (where a reader can sample the
+          // window; one extra no-sleep round makes a completed rename
+          // visible, and a mid-cycle update leaves its tmp visible).
           absentRounds += 1
           if (absentRounds >= 2) return props
         }
@@ -507,15 +505,28 @@ object GraftUpsertCatalog {
     val tmp = new Path(s"$path/$PropsTmpName")
     val out = fs.create(tmp, true)
     try props.store(out, null) finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p)) {
-      // a concurrent loadProps reader hitting the delete→rename window
-      // PROMOTES the tmp itself — then the intended state is already
-      // on disk and this update succeeded; anything else is a real
-      // failure and must stay loud
-      if (loadProps(fs, path) != props)
-        throw new java.io.IOException(
-          s"table properties rename failed: $tmp -> $p")
+    // ATOMIC overwrite rename (FileContext + Rename.OVERWRITE — POSIX
+    // rename on local, atomic overwrite on HDFS): a lock-free reader
+    // can NEVER observe the canonical absent on a table that has
+    // properties, which is what makes loadProps's
+    // absent+absent ⟹ propertyless conclusion sound. The former
+    // delete→rename pair left an absent window that a descheduled
+    // reader could sample across two serialized updates and still
+    // conclude "propertyless". Object stores without atomic rename
+    // keep loadProps's tmp-recovery + re-probe as the (documented,
+    // best-effort) net.
+    try
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(p.toUri, fs.getConf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case e: java.io.IOException =>
+        // a crashed predecessor's recovery (loadProps promoting a
+        // surviving tmp) can race in here; if the intended state is
+        // already on disk the update succeeded — anything else stays loud
+        if (loadProps(fs, path) != props)
+          throw new java.io.IOException(
+            s"table properties rename failed: $tmp -> $p", e)
     }
   }
 }

@@ -963,6 +963,13 @@ object Advanced {
     catch { case _: org.apache.spark.sql.streaming.StreamingQueryException =>
       run() // restart from the checkpoint: batch 1 replays into the table
     }
+    // the gate exists to prove the crash-replay window — if the crash
+    // never fired (source drained in one batch, or run 1 failed for an
+    // unrelated reason and run 2 went clean), the oracle would still
+    // hash-match while covering nothing; fail loudly instead
+    require(!crashOnce.get(),
+      "sessionizeTwsUpsert: the injected crash never fired — the gate " +
+        "did not exercise the replay window")
     s.read.format("graft-upsert").load(tblDir)
       .select(col("employee_id"), col("session_start"), col("session_end"),
         col("n_events"), col("total_duration"))

@@ -1025,14 +1025,18 @@ object Parity {
     try {
       q.processAllAvailable() // batch 1: all real pairs join
       // sentinel batch: one click and one purchase on DISJOINT
-      // unmatched users, months past the data — advances both
+      // unmatched users, DERIVED from the data's own frontier (max ts
+      // + 60 days ≫ the 1 h watermark delay + 6 h join range) so a
+      // regenerated events fixture with later timestamps can never
+      // silently leave the last windows unclosed — advances both
       // watermarks so every real window closes and emits
       import spark.implicits._
+      val sentinelTs = new java.sql.Timestamp(
+        events.agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0)
+          .getTime + 60L * 24 * 3600 * 1000)
       Seq(
-        (-1L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), -1L,
-          "click", 0.0, ""),
-        (-2L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), -2L,
-          "purchase", 0.0, ""))
+        (-1L, sentinelTs, -1L, "click", 0.0, ""),
+        (-2L, sentinelTs, -2L, "purchase", 0.0, ""))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
           col("user_id"), col("event_type"), col("value"), col("props"))

@@ -659,7 +659,8 @@ class ExtensionsSpec extends SparkSpec {
     val emb = Tables.table(spark, sf0001, "embeddings")
     val cellOf = ext.Similarity.assignNearest(
       emb.select(col("vec_id"), col("embedding")),
-      emb.filter(col("vec_id") % ext.Clustering.semanticExemplarMod === 0)
+      emb.filter(col("vec_id") %
+        ext.Clustering.semanticExemplarMod(emb.count()) === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cv")),
       keepEmbedding = false)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id")).toMap
