@@ -13,16 +13,31 @@ Remapping rules (copy index i in 0..9, copy 0 bit-identical):
     events.user_id->customer) holds within every copy;
   - region/nation stay single copies (true dimension tables — a 10x
     corpus does not get 10x regions);
-  - documents: copy 0 keeps its text; copies i>0 suffix every word
-    with the copy index, so exact/near-dup structure per copy matches
-    the original instead of every doc gaining 9 near-identical clones
-    (which would turn the dedup tier's pair counts super-linear by
-    DATA construction, not by plan defect) — and BM25/TF-IDF get the
-    realistic vocabulary growth of genuinely new shards;
+  - documents: copy 0 keeps its text; copies i>0 Caesar-rotate the
+    LETTERS of every word by the copy index (translate(), digits/
+    punct/whitespace untouched). Word lengths, token boundaries and
+    n_chars are preserved EXACTLY — so a GPT-2-style pre-tokenizer
+    produces the identical piece count per copy (the previous
+    word-suffix remap split every letter-run+digit into two pieces
+    and inflated x_token_count_bpe's sf1 ratio to a false 13.7x
+    flag) — while copies stay textually unrelated: exact/near-dup
+    structure per copy matches the original instead of every doc
+    gaining 9 near-identical clones (which would turn the dedup
+    tier's pair counts super-linear by DATA construction, not by
+    plan defect), and BM25/TF-IDF get the vocabulary growth of
+    genuinely new shards;
   - embeddings: copies i>0 apply a deterministic per-(copy, dim) sign
     flip — norms, per-dim magnitudes and pairwise-similarity
     distributions are preserved exactly while copies stay mutually
-    unrelated (no artificial 10-clone ANN ties).
+    unrelated (no artificial 10-clone ANN ties). The flip is the
+    parity of DuckDB's 64-bit hash(i*4096 + d): a plain
+    linear-combination parity like (i*31 + d*17) % 2 collapses to
+    (i+d) % 2 whenever both coefficients are odd (bit-identical
+    clones across all odd copies), and even a divide-then-parity mix
+    (//7) keeps linear structure (copies i and i+7 come out exact
+    complements, i and i+3 nearly identical -> cosine ~0.7 ties);
+    measured hash-parity flip patterns sit at pairwise Hamming
+    114-147 of 256 dims, i.e. cross-copy cosine ~0.
 
 Deterministic end to end (no RNG). DuckDB does the rewriting; output
 parquet keeps the driver schema (int64 keys, timestamp[us] ts,
@@ -100,19 +115,25 @@ write("events", f"""
          event_type, value, props
   FROM {src('events')}, {copies}""")
 
+LOWER = "abcdefghijklmnopqrstuvwxyz"
+UPPER = LOWER.upper()
+
+
+def rot(s, i):
+    return s[i:] + s[:i]
+
+
+# per-copy letter rotation tables (copy 0 unused — identity)
+rot_cases = " ".join(
+    f"WHEN i = {i} THEN translate(text, '{LOWER + UPPER}', "
+    f"'{rot(LOWER, i) + rot(UPPER, i)}')"
+    for i in range(1, COPIES)
+)
+
 write("documents", f"""
   SELECT doc_id + i*{SD} AS doc_id,
-         CASE WHEN i = 0 THEN text
-              ELSE array_to_string(
-                     list_transform(string_split(text, ' '),
-                                    w -> w || CAST(i AS VARCHAR)), ' ')
-         END AS text,
-         lang, source,
-         CAST(CASE WHEN i = 0 THEN n_chars
-              ELSE length(array_to_string(
-                     list_transform(string_split(text, ' '),
-                                    w -> w || CAST(i AS VARCHAR)), ' '))
-         END AS BIGINT) AS n_chars
+         CASE WHEN i = 0 THEN text {rot_cases} ELSE text END AS text,
+         lang, source, n_chars
   FROM {src('documents')}, {copies}""")
 
 write("embeddings", f"""
@@ -123,7 +144,7 @@ write("embeddings", f"""
     FROM {src('embeddings')} e, {copies} c)
   SELECT vec_id + i*{SV} AS vec_id,
          list(CAST(CASE WHEN i = 0 THEN v
-                        ELSE v * (((i*31 + d*17) % 2)*2 - 1)
+                        ELSE v * (CAST(hash(i*4096 + d) % 2 AS BIGINT)*2 - 1)
                    END AS FLOAT4) ORDER BY d) AS embedding,
          label
   FROM exploded

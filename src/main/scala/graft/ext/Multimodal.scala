@@ -148,8 +148,9 @@ object Multimodal {
     * so no per-row registry probe either). `ImageIO.read` per record
     * would pay the service-registry scan + reader construction on
     * every row, exactly the per-row cost the partition batch shape
-    * exists to avoid at 100 TB. Readers are disposed when the
-    * partition's iterator drains.
+    * exists to avoid at 100 TB. Readers are disposed at task
+    * completion (or, for plain-iterator callers, when the iterator
+    * drains), so an early-terminating consumer can't leak them.
     */
   def decodeImages(records: Iterator[MediaRecord]): Iterator[DecodedImage] = {
     val readers = scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
@@ -189,9 +190,21 @@ object Multimodal {
       }
       DecodedImage(r.doc_id, img.getWidth, img.getHeight, sr, sg, sb, ck)
     }
-    // dispose the per-partition readers after the last record (the
-    // appended thunk runs when the iterator drains)
-    out ++ { readers.valuesIterator.foreach(_.dispose()); Iterator.empty }
+    // dispose the per-partition readers at task completion when a task
+    // context exists — an early-terminating consumer (a limit) never
+    // drains the iterator, and an appended thunk alone would leak the
+    // readers' native resources for the executor's lifetime. Plain
+    // iterator callers (unit tests) keep the drain-time thunk.
+    def disposeAll(): Unit = {
+      readers.valuesIterator.foreach(_.dispose()); readers.clear()
+    }
+    org.apache.spark.TaskContext.get() match {
+      case null =>
+        out ++ { disposeAll(); Iterator.empty }
+      case tc =>
+        tc.addTaskCompletionListener[Unit](_ => disposeAll())
+        out
+    }
   }
 
   /** Oracle-gated REAL-decode query (`x_media_decode`): generate the
@@ -336,68 +349,99 @@ object Multimodal {
     * expressions standing in for the real (stubbed, [[decodeStub]])
     * image/audio feature extractor.
     *
-    * Scale shape: per-row features, explode ×3 band keys, hash
-    * shuffle on (media_type, f1 band, LENGTH bucket), in-band pair
-    * join + exact verify, distinct to collapse multi-band hits. The
-    * length bucket (log-scale, base 1/0.98 — one bucket per 2%
-    * length step, the verify tolerance, with ±1 probing so no true
-    * pair can straddle away) is what keeps buckets bounded at scale:
-    * a 1-D scalar band concentrates mass on a large corpus (the sf1
-    * scaling point measured 92 s on 10× data before the second key;
-    * candidates were quadratic inside the fat f1 bands), while
-    * (f1, length) blocks shrink with corpus diversity. Results are
-    * IDENTICAL — the verify already required lengths within 2%, the
-    * bucket only prunes candidates that verification would reject.
-    * The production path for rich features remains the multi-band
-    * embedding LSH ([[Similarity.dedupByEmbeddingLsh]]).
+    * Scale shape: per-row features, probe-side explode of 3×3 band
+    * combinations, hash shuffle on (media_type, f1 band, LENGTH
+    * bucket), in-band pair join + exact verify. The length bucket
+    * (log-scale, base 1/0.98 — one bucket per 2% length step, the
+    * verify tolerance, with ±1 probing so no true pair can straddle
+    * away) is what keeps buckets bounded at scale: a 1-D scalar band
+    * concentrates mass on a large corpus (the sf1 scaling point
+    * measured 92 s on 10× data before the second key; candidates were
+    * quadratic inside the fat f1 bands), while (f1, length) blocks
+    * shrink with corpus diversity.
+    *
+    * Probing is SINGLE-SIDED and FORWARD-oriented on purpose (r17;
+    * results identical, r16 measured 19.1 s → this shape at the
+    * synthetic sf1): the probe side explodes only the forward half of
+    * the (band±1, lenb±1) delta grid against the build side's TRUE
+    * (band, lenb), so every unordered pair is enumerated exactly ONCE
+    * (see [[mediaDedupPairs]]) — no distinct pass is needed at all.
+    * The previous shape joined two band-exploded copies
+    * (probe-vs-probe), which (a) matched equal-band pairs in 3 bands
+    * (2.5× duplicate hits that a full extra shuffle then collapsed)
+    * and (b) widened the candidate net to |Δband| ≤ 2 — rows that
+    * |Δf1| ≤ eps always rejects, since eps-wide bands put a true pair
+    * at most one band apart. Same argument for the length bucket: the
+    * 2% length verify bounds a true pair to adjacent buckets.
+    *
+    * Pair output is inherently data-driven (a corpus with fat feature
+    * cells has quadratically many TRUE pairs — sf0.1→sf1 measures
+    * ~100× result growth on 10× data); this operator is the
+    * calibration/diagnostic view. The production grouping consumes
+    * the same pairs as CC edges and emits O(n) keepers —
+    * [[mediaDedupGroups]]; for rich features the production blocking
+    * is the multi-band embedding LSH
+    * ([[Similarity.dedupByEmbeddingLsh]]).
     */
-  def mediaDedupFeature(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = mediaTable(spark, sfDir).toDF()
-      .withColumn("txt", decode(col("payload"), "UTF-8"))
-      .withColumn("f1", round(
-        (length(col("txt")) - length(regexp_replace(col("txt"), " ", "")))
-          .cast("double") / col("byte_len"), 4))
-      .withColumn("f2", round(
-        (length(col("txt")) - length(regexp_replace(col("txt"), "[0-9]", "")))
-          .cast("double") / col("byte_len"), 4))
-      .select(col("doc_id"), col("media_type"), col("byte_len"), col("f1"), col("f2"))
-    // log-scale length bucket: a true pair (lengths within 2%) sits
-    // within one bucket step, so the probe side's ±1 explode covers it
-    val lenb = floor(log(col("byte_len").cast("double"))
-      / lit(math.log(1.0 / 0.98))).cast("long")
-    val banded = media.select(col("doc_id"), col("media_type"),
-      col("byte_len"), col("f1"), col("f2"), lenb.as("lenb"),
-      explode(array(Seq(-1, 0, 1).map(d =>
-        (floor(col("f1") / featureEps) + d).cast("long")): _*)).as("band"))
+  def mediaDedupFeature(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Present.sortSmall(mediaDedupPairs(spark, sfDir),
+      col("media_type"), col("doc_a"), col("doc_b"))
+
+  /** The banded+verified pair core of [[mediaDedupFeature]], before
+    * presentation: one row per qualifying unordered pair, no distinct
+    * required (single-sided probe — see the caller's doc).
+    */
+  def mediaDedupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // persisted: both join sides derive from this one 50k-per-sf0.1-doc
+    // relation — without the persist the decode+feature scan runs twice
+    val keyed = mediaFeatureClasses(spark, sfDir).persist()
     // (an f2 band as a third key was MEASURED and rejected: f2 has too
     // little diversity on this corpus to cut candidates, and the extra
     // probe explode tripled the shuffled rows — 16.5 s → 26.4 s at the
     // synthetic sf1)
-    val a = banded.select(col("media_type"), col("band"), col("lenb"),
+    //
+    // FORWARD-delta probing: every unordered pair within the band/
+    // bucket net has a unique key-delta direction, so probing only the
+    // lexicographically-forward half of the 3×3 delta grid enumerates
+    // each cross-key pair exactly once (in exactly one orientation) —
+    // half the matches the full ±1×±1 grid would enumerate. Same-key
+    // pairs (delta (0,0)) match in both orientations; the is_center
+    // doc_id tie-break keeps one. The output row is orientation-
+    // symmetric by construction (least/greatest ids, |Δf1|), so the
+    // emitted SET is identical to the symmetric formulation's.
+    val deltas = Seq((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+    val probe = keyed.select(col("media_type"),
       col("doc_id").as("doc_a"), col("byte_len").as("len_a"),
-      col("f1").as("f1a"), col("f2").as("f2a"))
-    val b = banded.select(col("media_type"), col("band"),
-      explode(array(col("lenb") - 1, col("lenb"), col("lenb") + 1)).as("lenb"),
+      col("f1").as("f1a"), col("f2").as("f2a"),
+      explode(array(deltas.map { case (d, e) =>
+        struct((col("band") + d).as("band"), (col("lenb") + e).as("lenb"),
+          lit(d == 0 && e == 0).as("is_center"))
+      }: _*)).as("pr"))
+      .select(col("media_type"), col("doc_a"), col("len_a"), col("f1a"),
+        col("f2a"), col("pr.band").as("band"), col("pr.lenb").as("lenb"),
+        col("pr.is_center").as("is_center"))
+    val build = keyed.select(col("media_type"), col("band"), col("lenb"),
       col("doc_id").as("doc_b"), col("byte_len").as("len_b"),
       col("f1").as("f1b"), col("f2").as("f2b"))
-    graft.Present.sortSmall(
-      a.join(b, Seq("media_type", "band", "lenb"))
-        .filter(col("doc_a") < col("doc_b"))
-        .filter(abs(col("f1a") - col("f1b")) <= featureEps)
-        .filter(abs(col("f2a") - col("f2b")) <= featureEps / 2)
-        .filter(least(col("len_a"), col("len_b")).cast("double")
-          / greatest(col("len_a"), col("len_b")) >= 0.98)
-        .select(col("media_type"), col("doc_a"), col("doc_b"),
-          round(abs(col("f1a") - col("f1b")), 4).as("d_f1"))
-        .distinct(), // a pair can meet in up to 3 bands — emit once
-      col("media_type"), col("doc_a"), col("doc_b"))
+    probe.join(build, Seq("media_type", "band", "lenb"))
+      .filter(!col("is_center") || col("doc_a") < col("doc_b"))
+      .filter(abs(col("f1a") - col("f1b")) <= featureEps)
+      .filter(abs(col("f2a") - col("f2b")) <= featureEps / 2)
+      .filter(least(col("len_a"), col("len_b")).cast("double")
+        / greatest(col("len_a"), col("len_b")) >= 0.98)
+      .select(col("media_type"),
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        round(abs(col("f1a") - col("f1b")), 4).as("d_f1"))
   }
 
-  /** DuckDB twin of [[mediaDedupFeature]]: same rounded features, same
-    * 3-band probe, same verify, same distinct.
+  /** Shared CTE prefix for the [[mediaDedupFeature]] /
+    * [[mediaDedupGroups]] oracles: same rounded features, same
+    * single-sided 3×3 probe (probe-vs-TRUE-key — exactly one hit per
+    * qualifying orientation, so no DISTINCT), same verify.
     */
-  val mediaDedupFeatureSql: String =
-    s"""WITH m AS (
+  private val mediaPairsCteSql: String =
+    s"""m AS (
       |  SELECT doc_id,
       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
       |              WHEN doc_id % 3 = 1 THEN 'audio'
@@ -408,22 +452,151 @@ object Multimodal {
       |         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
       |               / octet_length(encode(text)), 4) AS f2
       |  FROM documents),
-      |banded AS (
+      |keyed AS (
       |  SELECT doc_id, media_type, byte_len, f1, f2,
       |         CAST(floor(ln(byte_len::DOUBLE) / ln(1.0 / 0.98)) AS BIGINT) AS lenb,
-      |         CAST(floor(f1 / $featureEps) + d AS BIGINT) AS band
-      |  FROM m, (SELECT unnest([-1, 0, 1]) AS d))
-      |SELECT DISTINCT a.media_type AS media_type, a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |       round(abs(a.f1 - b.f1), 4) AS d_f1
-      |FROM banded a
-      |JOIN (SELECT b0.*, b0.lenb + e AS lenbp
-      |      FROM banded b0, (SELECT unnest([-1, 0, 1]) AS e)) b
-      |  ON a.media_type = b.media_type AND a.band = b.band
-      | AND a.lenb = b.lenbp AND a.doc_id < b.doc_id
-      |WHERE abs(a.f1 - b.f1) <= $featureEps
-      |  AND abs(a.f2 - b.f2) <= ${featureEps / 2}
-      |  AND least(a.byte_len, b.byte_len)::DOUBLE / greatest(a.byte_len, b.byte_len) >= 0.98
+      |         CAST(floor(f1 / $featureEps) AS BIGINT) AS band
+      |  FROM m),
+      |mpairs AS (
+      |  SELECT a.media_type AS media_type, a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         round(abs(a.f1 - b.f1), 4) AS d_f1
+      |  FROM (SELECT k.*, k.band + d AS bandp, k.lenb + e AS lenbp
+      |        FROM keyed k, (SELECT unnest([-1, 0, 1]) AS d),
+      |                      (SELECT unnest([-1, 0, 1]) AS e)) a
+      |  JOIN keyed b
+      |    ON a.media_type = b.media_type AND a.bandp = b.band
+      |   AND a.lenbp = b.lenb AND a.doc_id < b.doc_id
+      |  WHERE abs(a.f1 - b.f1) <= $featureEps
+      |    AND abs(a.f2 - b.f2) <= ${featureEps / 2}
+      |    AND least(a.byte_len, b.byte_len)::DOUBLE / greatest(a.byte_len, b.byte_len) >= 0.98)""".stripMargin
+
+  /** DuckDB twin of [[mediaDedupFeature]]. */
+  val mediaDedupFeatureSql: String =
+    "WITH " + mediaPairsCteSql + """
+      |SELECT media_type, doc_a, doc_b, d_f1 FROM mpairs
       |ORDER BY media_type, doc_a, doc_b""".stripMargin
+
+  /** The PRODUCTION media-dedup surface: feature near-dup GROUPS, not
+    * pairs — every media document in a near-dup chain mapped to its
+    * cluster keeper (smallest doc_id reachable through verified pairs)
+    * with the component size alongside; `doc_id != keeper_id` is the
+    * delete list. This is the shape that survives 100×: the pair view
+    * ([[mediaDedupFeature]]) has inherently data-quadratic OUTPUT on a
+    * feature-concentrated corpus (~100× rows on 10× data measured
+    * sf0.1→sf1), while groups are O(corpus). The quadratic pair set
+    * still exists here as the CC edge INTERMEDIATE — but it is
+    * consumed by [[Clusters.connectedComponents]]'s large-star/
+    * small-star rounds (hash-shuffled on node id, never globally
+    * sorted, never materialized to the user), and each round SHRINKS
+    * the edge list toward the star fixpoint, so the quadratic term
+    * never passes through a single-task presentation sort the way an
+    * all-pairs result must.
+    */
+  def mediaDedupGroups(spark0: SparkSession, sfDir: String): DataFrame = {
+    // cloned session, small shuffle width: everything past the feature
+    // scan is class-scale (thousands of rows), and CC iterates several
+    // shuffle rounds — at the session default of 32 partitions the
+    // scheduler overhead dominates the tiny per-round work
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // FEATURE-CLASS CONTRACTION — the reason this operator's CC input
+    // grows SUB-linearly while the pair view's output grows
+    // quadratically: the verify predicate depends only on (media_type,
+    // byte_len, f1, f2), so docs with identical feature tuples are
+    // pairwise near-dups (a clique) and can be contracted to one class
+    // node before blocking. Class count saturates with corpus growth
+    // (the quantized feature space is bounded — measured 3,790 classes
+    // at sf0.1 → 7,494 at the synthetic sf1 for 10× the docs), so the
+    // class-level banded join and the CC both run on a near-constant
+    // node set; the 100× doc-pair blowup never materializes anywhere.
+    val feats = mediaFeatureClasses(spark, sfDir).persist()
+    val classes = feats.groupBy(col("media_type"), col("byte_len"),
+      col("f1"), col("f2"), col("band"), col("lenb"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      .persist()
+    // class-level banded candidates + verify (same predicate, forward
+    // deltas; orientation is irrelevant for CC edges)
+    val deltas = Seq((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+    val probe = classes.select(col("media_type"),
+      col("rep").as("rep_a"), col("byte_len").as("len_a"),
+      col("f1").as("f1a"), col("f2").as("f2a"),
+      explode(array(deltas.map { case (d, e) =>
+        struct((col("band") + d).as("band"), (col("lenb") + e).as("lenb"),
+          lit(d == 0 && e == 0).as("is_center"))
+      }: _*)).as("pr"))
+      .select(col("media_type"), col("rep_a"), col("len_a"), col("f1a"),
+        col("f2a"), col("pr.band").as("band"), col("pr.lenb").as("lenb"),
+        col("pr.is_center").as("is_center"))
+    val build = classes.select(col("media_type"), col("band"), col("lenb"),
+      col("rep").as("rep_b"), col("byte_len").as("len_b"),
+      col("f1").as("f1b"), col("f2").as("f2b"))
+    val edges = probe.join(build, Seq("media_type", "band", "lenb"))
+      .filter(!col("is_center") || col("rep_a") < col("rep_b"))
+      .filter(col("rep_a") =!= col("rep_b"))
+      .filter(abs(col("f1a") - col("f1b")) <= featureEps)
+      .filter(abs(col("f2a") - col("f2b")) <= featureEps / 2)
+      .filter(least(col("len_a"), col("len_b")).cast("double")
+        / greatest(col("len_a"), col("len_b")) >= 0.98)
+      .select(col("rep_a"), col("rep_b"))
+    val cc = Clusters.connectedComponents(edges)
+    // expand: docs follow their class rep's component; classes with ≥2
+    // members participate even without cross-class edges (the internal
+    // clique), singleton classes with no edges stay out — exactly the
+    // doc-level CC's "only ids that appear in an edge" contract
+    val docRep = feats.join(
+      classes.select(col("media_type"), col("byte_len"), col("f1"),
+        col("f2"), col("rep"), col("n")),
+      Seq("media_type", "byte_len", "f1", "f2"))
+      .select(col("doc_id"), col("rep"), col("n"))
+    graft.Present.sortSmall(
+      docRep.join(cc, docRep("rep") === cc("id"), "left")
+        .filter(col("component").isNotNull || col("n") >= 2)
+        .select(col("doc_id"),
+          coalesce(col("component"), col("rep")).as("keeper_id"))
+        .withColumn("cluster_size", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("keeper_id")))),
+      col("doc_id"))
+  }
+
+  /** The per-doc feature/key relation shared by [[mediaDedupPairs]]
+    * and [[mediaDedupGroups]].
+    */
+  private def mediaFeatureClasses(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = mediaTable(spark, sfDir).toDF()
+      .withColumn("txt", decode(col("payload"), "UTF-8"))
+      .withColumn("f1", round(
+        (length(col("txt")) - length(regexp_replace(col("txt"), " ", "")))
+          .cast("double") / col("byte_len"), 4))
+      .withColumn("f2", round(
+        (length(col("txt")) - length(regexp_replace(col("txt"), "[0-9]", "")))
+          .cast("double") / col("byte_len"), 4))
+      .select(col("doc_id"), col("media_type"), col("byte_len"), col("f1"), col("f2"))
+    val lenb = floor(log(col("byte_len").cast("double"))
+      / lit(math.log(1.0 / 0.98))).cast("long")
+    media.select(col("doc_id"), col("media_type"),
+      col("byte_len"), col("f1"), col("f2"), lenb.as("lenb"),
+      floor(col("f1") / featureEps).cast("long").as("band"))
+  }
+
+  /** DuckDB twin of [[mediaDedupGroups]]: the same verified pairs as
+    * symmetric edges + a recursive min-label propagation.
+    */
+  val mediaDedupGroupsSql: String =
+    "WITH RECURSIVE " + mediaPairsCteSql + """,
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM mpairs
+      |  UNION
+      |  SELECT doc_b AS a, doc_a AS b FROM mpairs),
+      |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+      |reach(doc, lab) AS (
+      |  SELECT doc, doc FROM nodes
+      |  UNION
+      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc),
+      |comp AS (SELECT doc AS doc_id, min(lab) AS keeper_id FROM reach GROUP BY doc)
+      |SELECT doc_id, keeper_id,
+      |       count(*) OVER (PARTITION BY keeper_id) AS cluster_size
+      |FROM comp
+      |ORDER BY doc_id""".stripMargin
 
   /** Target long edge (pixels) for [[mediaResize]] — the ViT-era
     * standard input size.

@@ -520,6 +520,19 @@ object GraftUpsertCatalog {
         .getFileContext(p.toUri, fs.getConf)
         .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // stores that implement only FileSystem (no AbstractFileSystem
+        // binding for the scheme) can't take the FileContext path at
+        // all — fall back to the legacy delete→rename pair. Such
+        // stores keep the old absent-window semantics: a lock-free
+        // reader descheduled across the delete can sample "canonical
+        // absent", which loadProps's tmp-recovery + re-probe nets
+        // (documented, best-effort) — strictly better than failing
+        // every property update on those filesystems.
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p) && loadProps(fs, path) != props)
+          throw new java.io.IOException(
+            s"table properties rename failed (legacy path): $tmp -> $p")
       case e: java.io.IOException =>
         // a crashed predecessor's recovery (loadProps promoting a
         // surviving tmp) can race in here; if the intended state is

@@ -504,25 +504,29 @@ object Advanced {
       |WINDOW w AS (PARTITION BY employee_id ORDER BY activity_timestamp, event_id)
       |ORDER BY employee_id, valid_from, event_id""".stripMargin)
 
-  /** Interval (range) self-join: same-user event pairs at most 1 second
-    * apart — the burst/duplicate-click detection shape. Scales via
-    * 1-second bucket banding: the earlier event probes its own and the
-    * next bucket, so the equi-join on (user, bucket) sees only
+  /** Interval (range) self-join: same-user event pairs at most 60
+    * seconds apart — the burst/duplicate-click detection shape. Scales
+    * via window-sized bucket banding: the earlier event probes its own
+    * and the next bucket, so the equi-join on (user, bucket) sees only
     * co-located candidates and the quadratic pair space never
     * materializes (same blocking idea as SimHash chunks / LSH bands).
+    * The window is 60 s (not the original 1 s) so the sf0.01 oracle
+    * asserts a NON-EMPTY result — at 1 s no same-user pair exists at
+    * that scale and an empty-vs-empty hash match can't catch a join
+    * that silently drops everything.
     */
   def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
     val earlier = ev.select(
       col("event_id").as("first_event"), col("user_id"), col("t").as("ta"),
-      explode(array(expr("t div 1000000"), expr("t div 1000000") + 1)).as("bkt"))
+      explode(array(expr("t div 60000000"), expr("t div 60000000") + 1)).as("bkt"))
     val later = ev.select(
       col("event_id").as("second_event"), col("user_id"), col("t").as("tb"),
-      expr("t div 1000000").as("bkt"))
+      expr("t div 60000000").as("bkt"))
     earlier.join(later, Seq("user_id", "bkt"))
       .filter(
-        col("tb") >= col("ta") && col("tb") - col("ta") <= 1000000L &&
+        col("tb") >= col("ta") && col("tb") - col("ta") <= 60000000L &&
           (col("tb") > col("ta") || col("second_event") > col("first_event")))
       .select(col("first_event"), col("second_event"), col("user_id"),
         (col("tb") - col("ta")).as("gap_us"))
@@ -537,7 +541,7 @@ object Advanced {
       |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
       |FROM events a JOIN events b ON a.user_id = b.user_id
       |WHERE epoch_us(b.ts) >= epoch_us(a.ts)
-      |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 1000000
+      |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
       |  AND (epoch_us(b.ts) > epoch_us(a.ts) OR b.event_id > a.event_id)
       |ORDER BY first_event, second_event""".stripMargin
 

@@ -194,9 +194,21 @@ object Relational {
       |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
       |ORDER BY c_custkey""".stripMargin
 
-  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left-anti join (NOT EXISTS): customers with no orders in 1995.
+    * The build side is restricted to one year ON PURPOSE: "no orders
+    * ever" is empty at every shipped scale factor (each customer has
+    * orders), and an empty-vs-empty oracle hash cannot distinguish a
+    * correct anti-join from one that drops everything — the
+    * year-restricted variant asserts a non-empty result (326 rows at
+    * sf0.01) so the gate has discriminating power. The filter lands
+    * on the build side BEFORE the join (pushed into the orders scan),
+    * which is also the plan shape that matters at scale: anti-join
+    * state is proportional to the filtered build side.
+    */
   def antiJoinCustomers(spark: SparkSession, sfDir: String): DataFrame = {
-    val ord = Tables.table(spark, sfDir, "orders").select(col("o_custkey"))
+    val ord = Tables.table(spark, sfDir, "orders")
+      .filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey"))
     Tables.table(spark, sfDir, "customer")
       .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
@@ -206,7 +218,9 @@ object Relational {
   val antiJoinCustomersSql: String =
     """SELECT c_custkey, c_name
       |FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND year(o.o_orderdate) = 1995)
       |ORDER BY c_custkey""".stripMargin
 
   /** Rollup (grouping-sets family): order totals by status × priority

@@ -365,6 +365,57 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("media feature pairs: forward-delta blocking is lossless and exactly-once") {
+    val pairs = ext.Multimodal.mediaDedupPairs(spark, sf0001)
+      .select("media_type", "doc_a", "doc_b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly-once: no duplicate emission without any distinct pass
+    assert(pairs.length == pairs.distinct.length)
+    pairs.foreach { case (_, a, b) => assert(a < b) }
+    // lossless vs the brute-force predicate over ALL same-type pairs
+    val eps = ext.Multimodal.featureEps
+    val m = ext.Multimodal.mediaTable(spark, sf0001).toDF()
+      .withColumn("txt", decode(col("payload"), "UTF-8"))
+      .withColumn("f1", round(
+        (length(col("txt")) - length(regexp_replace(col("txt"), " ", "")))
+          .cast("double") / col("byte_len"), 4))
+      .withColumn("f2", round(
+        (length(col("txt")) - length(regexp_replace(col("txt"), "[0-9]", "")))
+          .cast("double") / col("byte_len"), 4))
+      .select($"doc_id", $"media_type", $"byte_len", $"f1", $"f2")
+      .as[(Long, String, Long, Double, Double)].collect()
+    val brute = (for {
+      (ida, ta, la, f1a, f2a) <- m
+      (idb, tb, lb, f1b, f2b) <- m
+      if ta == tb && ida < idb
+      if math.abs(f1a - f1b) <= eps && math.abs(f2a - f2b) <= eps / 2
+      if math.min(la, lb).toDouble / math.max(la, lb) >= 0.98
+    } yield (ta, ida, idb)).toSet
+    assert(brute.nonEmpty)
+    assert(pairs.toSet == brute)
+  }
+
+  test("media dedup groups equal doc-level CC over the verified pairs") {
+    // the class-contracted path must reproduce the uncontracted
+    // components exactly (same keepers, same sizes, same membership)
+    val viaGroups = ext.Multimodal.mediaDedupGroups(spark, sf0001)
+      .select("doc_id", "keeper_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    val edges = ext.Multimodal.mediaDedupPairs(spark, sf0001)
+      .select(col("doc_a"), col("doc_b"))
+    val docLevel = ext.Clusters.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("component").as("keeper_id"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("keeper_id"))))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(docLevel.nonEmpty)
+    assert(viaGroups == docLevel)
+    // keepers are component minima and members map to themselves once
+    viaGroups.foreach { case (doc, keeper, size) =>
+      assert(keeper <= doc); assert(size >= 2)
+    }
+  }
+
   test("media resize preserves aspect within integer truncation, never upscales") {
     val rows = ext.Multimodal.mediaResize(spark, sf0001).collect()
     assert(rows.nonEmpty)
