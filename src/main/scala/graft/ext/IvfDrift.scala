@@ -87,9 +87,28 @@ object IvfDrift {
     */
   val DriftThreshold = 0.15
 
+  /** Storage convention binding an index table to its quantizer: the
+    * centroid codebook lives at a SIBLING path (`<index>_centroids`),
+    * not inside the table directory — the sink's partition listing and
+    * the stats-manifest foreign-file guard never see it, and the
+    * (index, centroids) pair still versions together under one prefix.
+    */
+  def centroidsPathFor(indexPath: String): String =
+    indexPath.stripSuffix("/") + "_centroids"
+
+  /** Persist a centroid codebook next to its index ([[centroidsPathFor]]). */
+  def writeCentroids(cents: DataFrame, indexPath: String): Unit =
+    cents.select(col("cent_id"), col("cv"))
+      .write.mode("overwrite").parquet(centroidsPathFor(indexPath))
+
+  def readCentroids(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(centroidsPathFor(indexPath))
+
   /** Re-train the quantizer (one Lloyd round over the index's own
     * contents) and rewrite every cell assignment through the sink
-    * commit path into `newPath`. Returns the new centroid table.
+    * commit path into `newPath`, persisting the new codebook at
+    * `newPath`'s [[centroidsPathFor]] sibling. Returns the new
+    * centroid table.
     */
   def retrain(spark: SparkSession, indexPath: String, newPath: String): DataFrame = {
     val stored = StreamIvf.readIndex(spark, indexPath)
@@ -100,6 +119,10 @@ object IvfDrift {
     val newCents = cellMeans(stored.select(col("cent_id"), col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     newCents.count() // materialize once: feeds the reassignment AND the caller
+    // codebook first, then the cell rewrite: a reader that swaps to
+    // `newPath` only after the sink's commit marker appears always
+    // finds its centroids in place
+    writeCentroids(newCents, newPath)
     val s = StreamIvf.sink(newPath)
     s.upsert(StreamIvf.indexRows(
       stored.select(col("vec_id"), col("embedding")), newCents, seq = 0L),
@@ -113,14 +136,25 @@ object IvfDrift {
     * index built through the commit path, then a DRIFTED ingest slice:
     * every vec_id % 3 == 0 vector pulled 2.0 along a per-label basis
     * axis (ten synthetic clusters the stale quantizer never saw, each
-    * straddling stale Voronoi boundaries). The trigger fires
-    * (displacement 0.03 → 0.3+), [[retrain]] rewrites the assignments,
+    * straddling stale Voronoi boundaries). Both maintenance decisions
+    * run through the SQL surface — `CALL graft.system.maintain_ivf` —
+    * so the gate certifies the path a real pipeline invokes: the
+    * pre-drift call must NOT trigger, the post-drift call must trigger
+    * (displacement 0.03 → 0.3+) and retrain through the commit path,
     * and the output is recall@5 of the drifted queries against the
     * exact top-5, for the STALE index vs the RETRAINED one. The DuckDB
     * twin replays quantizer training, drift, retrain, both searches,
     * and the recall arithmetic — a hash match certifies the recall
     * numbers themselves, and the require() asserts pin the trigger
     * firing exactly once and the retrain not losing recall.
+    *
+    * The corpus is a deterministic 1-in-4 slice of the embeddings
+    * table (r17; the full-table scenario measured 15.7 s idle — the
+    * heaviest bench line — for margins that hold at 10× on each side
+    * of the threshold; the slice keeps ~25 vectors per cell and the
+    * same margin structure at a quarter of the exact-truth and
+    * index-build cost, with the query rate doubled so recall still
+    * averages over enough probes).
     */
   def annIvfDrift(spark0: SparkSession, sfDir: String): DataFrame = {
     // cloned session, small shuffle width: every relation here is
@@ -133,6 +167,7 @@ object IvfDrift {
       scala.util.Try(spark.conf.set(k, v)) }
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val emb = graft.Tables.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 4 === 1)
     val base = emb.filter(col("vec_id") % 3 =!= 0).select(col("vec_id"), col("embedding"))
     val seeds = base.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
@@ -141,11 +176,18 @@ object IvfDrift {
     cents.count()
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
     val path0 = s"$root/v0"; val path1 = s"$root/v1"
+    writeCentroids(cents, path0)
     val s0 = StreamIvf.sink(path0)
     s0.upsert(StreamIvf.indexRows(base, cents, seq = 0L), batchId = 0L)
+    def callMaintain(): (Boolean, Double) = {
+      val r = spark.sql(
+        s"CALL graft.system.maintain_ivf('$path0', '$path1', " +
+          s"CAST($DriftThreshold AS DOUBLE))").head()
+      (r.getBoolean(0), r.getDouble(1))
+    }
     // trained quantizer, pre-drift: the trigger must NOT fire
-    val disp0 = maxDisplacement(StreamIvf.readIndex(spark, path0), cents)
-    require(disp0 < DriftThreshold,
+    val (fired0, disp0) = callMaintain()
+    require(!fired0 && disp0 < DriftThreshold,
       f"pre-drift displacement $disp0%.4f must sit below the trigger")
     // the drifted slice: ten tight label clusters on basis axes the
     // base corpus never occupied (0-based element index = label*6,
@@ -156,13 +198,14 @@ object IvfDrift {
           "cast(cast(x as double) + CASE WHEN i = label * 6 THEN 2.0 ELSE 0.0 END as float))")
           .as("embedding"))
     s0.upsert(StreamIvf.indexRows(drifted, cents, seq = 1L), batchId = 1L)
-    // post-drift: the trigger FIRES
-    val disp1 = maxDisplacement(StreamIvf.readIndex(spark, path0), cents)
-    require(disp1 > DriftThreshold,
+    // post-drift: the trigger FIRES and the procedure retrains into v1
+    val (fired1, disp1) = callMaintain()
+    require(fired1 && disp1 > DriftThreshold,
       f"post-drift displacement $disp1%.4f must cross the trigger")
-    val newCents = retrain(spark, path0, path1)
+    val newCents = readCentroids(spark, path1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = base.unionByName(drifted)
-    val queries = corpus.filter(col("vec_id") % 30 === 0)
+    val queries = corpus.filter(col("vec_id") % 15 === 0)
     // exact ground truth over the updated corpus (same rounding +
     // tie-break as every recall eval)
     import org.apache.spark.sql.expressions.Window
@@ -230,7 +273,8 @@ object IvfDrift {
       s"          FROM q a, $cent c2) WHERE rn = 1) qq\n" +
       s"  JOIN $cells e USING (cent_id)\n" +
       s"  WHERE e.vec_id <> qq.query_id) WHERE rk <= 5)"
-    "WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0),\n" +
+    "WITH base AS (SELECT vec_id, embedding FROM embeddings\n" +
+    "              WHERE vec_id % 3 <> 0 AND vec_id % 4 = 1),\n" +
     "drift AS (\n" +
     "  SELECT e.vec_id, list(CAST(CAST(x.v AS DOUBLE) +\n" +
     "           CASE WHEN x.d = e.label * 6 + 1 THEN 2.0 ELSE 0.0 END AS FLOAT4)\n" +
@@ -238,7 +282,7 @@ object IvfDrift {
     "  FROM embeddings e,\n" +
     "  LATERAL (SELECT generate_subscripts(e.embedding, 1) AS d,\n" +
     "                  unnest(e.embedding) AS v) x\n" +
-    "  WHERE e.vec_id % 3 = 0 GROUP BY e.vec_id),\n" +
+    "  WHERE e.vec_id % 3 = 0 AND e.vec_id % 4 = 1 GROUP BY e.vec_id),\n" +
     "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM drift),\n" +
     "cent0 AS (SELECT vec_id AS cent_id, embedding AS cv FROM base WHERE vec_id % 25 = 0),\n" +
     assign("t0", "base", "cent0") + ",\n" +
@@ -250,7 +294,7 @@ object IvfDrift {
     // retrain = means of the stale cells; reassign the corpus to them
     means("cent3", "cells0") + ",\n" +
     assign("cells1", "corpus", "cent3") + ",\n" +
-    "q AS (SELECT vec_id AS query_id, embedding AS qv FROM corpus WHERE vec_id % 30 = 0),\n" +
+    "q AS (SELECT vec_id AS query_id, embedding AS qv FROM corpus WHERE vec_id % 15 = 0),\n" +
     "truth AS (SELECT query_id, neighbor_id FROM (\n" +
     "  SELECT q.query_id, e.vec_id AS neighbor_id,\n" +
     s"         row_number() OVER (PARTITION BY q.query_id\n" +

@@ -57,7 +57,7 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "optimize_zorder", "optimize_sort", "expire_commits",
       "sweep_staging", "history", "detail", "files", "partitions", "restore",
-      "collect_stats")
+      "collect_stats", "maintain_ivf")
 
   def load(name: String): UnboundProcedure = name match {
     case "compact" => proc("compact",
@@ -78,6 +78,32 @@ object GraftProcedures {
         } else Seq.empty
       (folded ++ sink.compactPartitions(spark))
         .map(p => new GenericInternalRow(Array[Any](str(p))))
+    }
+    case "maintain_ivf" => proc("maintain_ivf",
+      Seq("index" -> StringType, "new_index" -> StringType,
+        "threshold" -> DoubleType),
+      StructType(Seq(
+        StructField("triggered", BooleanType),
+        StructField("max_displacement", DoubleType),
+        StructField("new_index", StringType))),
+      "IVF drift maintenance: measure per-cell centroid displacement of the " +
+        "index against its codebook (<index>_centroids); above threshold, " +
+        "retrain one Lloyd round and rewrite every assignment into new_index " +
+        "with its codebook — readers swap index versions atomically") { in =>
+      val path = in.getUTF8String(0).toString
+      val newPath = in.getUTF8String(1).toString
+      val threshold = in.getDouble(2)
+      require(threshold >= 0.0, s"threshold must be >= 0, got $threshold")
+      val index = graft.ext.StreamIvf.readIndex(spark, path)
+      val cents = graft.ext.IvfDrift.readCentroids(spark, path)
+      val disp = graft.ext.IvfDrift.maxDisplacement(index, cents)
+      if (disp > threshold) {
+        graft.ext.IvfDrift.retrain(spark, path, newPath)
+        Seq(new GenericInternalRow(Array[Any](true, disp, str(newPath))))
+      } else
+        // below trigger: no retrain, no new table — report and leave
+        // the live index untouched
+        Seq(new GenericInternalRow(Array[Any](false, disp, null)))
     }
     case "optimize_zorder" => proc("optimize_zorder",
       Seq("table" -> StringType, "x_col" -> StringType, "y_col" -> StringType),

@@ -393,6 +393,64 @@ class GraftCatalogSpec extends SparkSpec {
       .count(f => f.getPath.getName.startsWith("part-") && f.getLen > 0) == 1)
   }
 
+  test("CALL graft.system.maintain_ivf: below-threshold no-op, drifted retrain") {
+    import graft.ext.{IvfDrift, StreamIvf}
+    val dir0 = tmp("pivf0"); val dir1 = tmp("pivf1")
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // two tight clusters on basis axes; centroids at the cluster means
+    val vectors = Seq(
+      (1L, vec(1, 0.1, 0, 0)), (2L, vec(1, -0.1, 0, 0)),
+      (3L, vec(0.9, 0, 0.1, 0)), (4L, vec(1.1, 0, -0.1, 0)),
+      (11L, vec(0, 1, 0.1, 0)), (12L, vec(0, 1, -0.1, 0)),
+      (13L, vec(0.1, 0.9, 0, 0)), (14L, vec(-0.1, 1.1, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0)))
+      .toDF("cent_id", "cv")
+    IvfDrift.writeCentroids(cents, dir0)
+    StreamIvf.sink(dir0).upsert(StreamIvf.indexRows(vectors, cents, 0L), 0L)
+    // converged: displacement small, nothing triggered, no new table
+    val r0 = spark.sql(
+      s"CALL graft.system.maintain_ivf('$dir0', '$dir1', CAST(0.2 AS DOUBLE))").head()
+    assert(!r0.getBoolean(0))
+    assert(r0.getDouble(1) < 0.2)
+    assert(r0.isNullAt(2))
+    val fs = new org.apache.hadoop.fs.Path(dir0)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir1)))
+    // drift: the second cluster's members move to a basis axis the
+    // codebook never saw — its cell mean runs away from the centroid
+    val drifted = Seq(
+      (11L, vec(0, 0.1, 0, 1)), (12L, vec(0, -0.1, 0, 1)),
+      (13L, vec(0.1, 0, 0, 0.9)), (14L, vec(-0.1, 0, 0, 1.1))
+    ).toDF("vec_id", "embedding")
+    StreamIvf.sink(dir0).upsert(StreamIvf.indexRows(drifted, cents, 1L), 1L)
+    val r1 = spark.sql(
+      s"CALL graft.system.maintain_ivf('$dir0', '$dir1', CAST(0.2 AS DOUBLE))").head()
+    assert(r1.getBoolean(0))
+    assert(r1.getDouble(1) > 0.2)
+    assert(r1.getString(2) == dir1)
+    // the retrained table holds every vector exactly once, assigned to
+    // its NEAREST retrained centroid, and the codebook sits at the
+    // sibling convention path
+    val newCents = IvfDrift.readCentroids(spark, dir1)
+      .as[(Long, Array[Float])].collect().toMap
+    val reindexed = StreamIvf.readIndex(spark, dir1)
+      .select("vec_id", "cent_id", "embedding")
+      .as[(Long, Long, Array[Float])].collect()
+    assert(reindexed.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    reindexed.foreach { case (_, cid, emb) =>
+      val best = newCents.maxBy { case (c, cv) => (cos(emb, cv), -c) }._1
+      assert(cid == best)
+    }
+    // the old index is untouched by maintenance
+    assert(StreamIvf.readIndex(spark, dir0).count() == 8)
+  }
+
   test("CALL graft.system.optimize_zorder rewrites partitions, preserves rows") {
     val dir = tmp("pzorder")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")
