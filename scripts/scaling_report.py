@@ -79,11 +79,13 @@ def main():
     if len(benches) > 3:
         print()
         print("The sf1 point is SYNTHETIC (scripts/synth_sf1.py): 10x key-remapped")
-        print("duplication of sf0.1 with FK integrity per copy, per-copy word")
-        print("suffixing in documents (so dedup pair structure scales linearly")
-        print("instead of every doc gaining 9 clones) and per-copy sign-flipped")
-        print("embeddings (norms/similarity distributions preserved, no")
-        print("artificial 10-clone ANN ties).")
+        print("duplication of sf0.1 with FK integrity per copy, per-copy Caesar")
+        print("letter rotation in documents (word lengths and pre-tokenizer piece")
+        print("counts preserved exactly, so dedup pair structure scales linearly")
+        print("instead of every doc gaining 9 clones and tokenizer costs are not")
+        print("distorted) and hash-parity sign-flipped embeddings (norms and")
+        print("similarity distributions preserved, cross-copy cosine ~0, no")
+        print("artificial clone ties).")
     print()
     for b, name in zip(benches, names):
         print(f"- {name}: total {b['value']:.1f} s "
@@ -104,6 +106,8 @@ def main():
         print("No headline query exceeds the bar. The ratio tail (table below)")
         print("is inspected in PLANS.md's scaling triage section.")
     print()
+    print(COST_MODEL)
+    print()
     print("## Per-query wall seconds")
     print()
     header = " | ".join(names)
@@ -113,6 +117,59 @@ def main():
         tier = " (calib)" if q in calib else (" (wp)" if q in wp else "")
         cells = " | ".join(fmt(t, ".3f") for t in ts)
         print(f"| `{q}`{tier} | {cells} | {fmt(r)} | {fmt(slope)} |")
+
+
+COST_MODEL = """## 100 TB cost model (arithmetic, not extrapolation)
+
+The sweep above measures 4 decades; the next 5 (sf1 -> ~100 TB) are
+projected from each operator family's PLAN — what each row contributes
+to every exchange, times the row count at 100 TB. Anchors: sf1 here is
+~1 GB of table data, so 100 TB = 10^5 x sf1. A 100 TB TEXT corpus at
+~2 KB/doc is 5x10^10 documents and ~2x10^13 tokens at ~400 tokens/doc;
+an embedding sidecar at 256 x float32 is ~1 KB/vector.
+
+Per-tier exchange volume = (bytes each row sends through its widest
+shuffle) x (rows). What keeps each tier feasible is listed as the
+mitigation the plan already implements — none of these are aspirational:
+
+| tier | widest exchange per row | rows at 100 TB | exchange volume | why it stays feasible |
+|---|---|---|---|---|
+| relational aggs (q1/q_agg_*) | grouped partials, ~100 B/group/partition | groups ~10^4-10^6 | ~GBs | map-side combine: exchange carries GROUPS x partitions, not rows |
+| FK joins (q3/q5/join_*) | 8-32 B key + row slice | 5x10^10 facts | ~1-2 TB per join | dim sides broadcast (<100 MB); only the fact slice shuffles; AQE skew-splits |
+| exact dedup / hash groupBy | 48 B (md5 + key) | 5x10^10 docs | ~2.4 TB | one shuffle, partial agg first; no pair space ever forms |
+| MinHash-LSH near-dup | ~200 B signature x B bands | 5x10^10 docs | ~10 TB x B/16 | banding: candidates stay in-bucket; calibration keeps bucket mass ~O(1) per doc |
+| media/feature dedup GROUPS | class tuple ~60 B | CLASSES (saturating; measured 3.8k->7.5k on 10x docs) | ~MBs past the first scan | feature-class contraction: CC runs on classes, the 100x doc-pair blowup never shuffles |
+| token stats / BPE / LM scores | token partials ~16 B | 2x10^13 tokens | ~300 TB naive -> ~GBs | per-partition partial term/pair counts reduce to vocab x partitions before exchange |
+| BM25 / inverted retrieval | posting ~16 B | 2x10^13 postings | ~300 TB naive | df caps + per-partition combine + query-side broadcast keep the exchanged postings to the query vocabulary |
+| ANN / IVF | cell id + int8 code ~300 B | 5x10^10 vectors | ~15 TB once | centroid codebook broadcasts (k x dim, MBs); assignment is a map pass; searches touch nprobe cells only |
+| IVF drift maintenance | per-cell (d, sum, n) partials | k x dim x partitions | ~MBs | trigger is one agg pass to k x dim driver bytes; retrain rewrites cell-partitioned, O(corpus) once |
+| streaming (sessionize/joins) | keyed state delta ~100 B/event | events/sec, not corpus | bounded by watermark | range/watermark bounds state; RocksDB per key-partition; replay idempotent via record keys |
+
+Top-3 projected costs at 100 TB, in order:
+
+1. **Token-granularity passes** (token stats, BPE encode, LM scoring):
+   ~2x10^13 rows scanned per pass. Scan-bound, embarrassingly parallel,
+   zero exchange after partial agg — the cost is CPU-seconds, not
+   shuffle. The plans are single codegen'd scans (PLANS.md), so the
+   1000-executor wall is corpus/(executors x per-core throughput).
+2. **Near-dup banding exchange** (~10 TB per LSH pass): the one
+   unavoidable all-corpus shuffle. Runs at network line rate (it is a
+   pure hash exchange), and band count B trades recall for volume
+   linearly. The verified-pair output is kept off any single-task path
+   (CC consumes it edge-partitioned; class contraction collapses it
+   entirely for scalar-feature media).
+3. **ANN index build** (~15 TB once + k-means rounds): each Lloyd round
+   is one broadcast-assign map pass + a k x dim x partitions partial
+   reduce; rounds are bounded (2-3), and incremental maintenance
+   (x_ann_ivf_incremental + maintain_ivf drift retrain) amortizes the
+   rebuild so the full-corpus pass is rare.
+
+Everything else either broadcasts (dims, codebooks, query sets),
+saturates (feature classes, vocabularies), or carries map-side-combined
+partials (aggregation trees). The families with data-quadratic OUTPUT
+(pair-emitting diagnostics like x_media_dedup_feature and the (calib)
+tier) are explicitly calibration surfaces; their production twins
+(groups/LSH/sketches) are the rows above."""
 
 
 if __name__ == "__main__":

@@ -60,7 +60,8 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake standing in for a real codec
-    * (??? in production: JPEG/PNG decode, PCM frames, video framesample).
+    * (??? in production: video framesample; PNG/JPEG decode and WAV/PCM
+    * audio decode are REAL below — [[decodeImages]], [[decodeAudio]]).
     * Batch shape is real: one decoder "session" per partition.
     */
   def decodeStub(records: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
@@ -245,6 +246,120 @@ object Multimodal {
       |       CAST(sum(b) AS BIGINT) AS sum_b,
       |       CAST(sum((x + 16*y + 1) * (r + 2*g + 3*b)) AS BIGINT) AS pix_checksum
       |FROM rgb
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ——— REAL audio decode (javax.sound.sampled) ———
+
+  /** Statistics read off DECODED PCM samples — exact integers, so the
+    * oracle recomputes them without float ambiguity. `sample_checksum`
+    * is position-weighted: a dropped frame, a swapped byte order, or a
+    * sign error in the 16-bit reassembly all change it.
+    */
+  case class DecodedAudio(
+      doc_id: Long,
+      n_samples: Long,
+      sample_rate: Int,
+      sum_samples: Long,
+      sum_abs: Long,
+      sample_checksum: Long)
+
+  private val AudioSamples = 256
+  private val AudioRate = 8000
+
+  /** Deterministic WAV fixture for `docId`: [[AudioSamples]] frames of
+    * 16-bit signed little-endian mono PCM whose sample values follow a
+    * closed-form formula of (doc_id, i) — DuckDB computes the DECODED
+    * stream's statistics analytically, so a hash match proves the real
+    * codec round-trip (WAV/PCM is lossless). The RIFF header the JDK
+    * writes carries no timestamps — bytes are bit-stable across runs.
+    */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      AudioRate.toFloat, 16, 1, true, false) // 16-bit signed mono LE
+    val raw = new Array[Byte](AudioSamples * 2)
+    var i = 0
+    while (i < AudioSamples) {
+      val s = (((docId * 7919 + i.toLong * 104729) % 65536) - 32768).toInt
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, AudioSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL partition-wise audio decode: `AudioSystem.getAudioInputStream`
+    * parses the container header (format sniff — the WAV reader is
+    * resolved from the registry per payload; unlike [[decodeImages]]'
+    * ImageReaders there is no heavy reusable codec object to amortize,
+    * the stream IS the decoder), frames are drained fully, and 16-bit
+    * signed little-endian samples are reassembled exactly. Integer
+    * stats only — see [[DecodedAudio]].
+    */
+  def decodeAudio(records: Iterator[MediaRecord]): Iterator[DecodedAudio] =
+    records.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian && fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"unexpected PCM layout for doc ${r.doc_id}: $fmt")
+        val bytes = ais.readAllBytes()
+        require(bytes.length % 2 == 0,
+          s"odd PCM byte count for doc ${r.doc_id}")
+        var (i, sum, sumAbs, chk) = (0, 0L, 0L, 0L)
+        while (i * 2 < bytes.length) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+          sum += s
+          sumAbs += math.abs(s)
+          chk += (i + 1) * s
+          i += 1
+        }
+        DecodedAudio(r.doc_id, i.toLong, fmt.getSampleRate.toInt,
+          sum, sumAbs, chk)
+      } finally ais.close()
+    }
+
+  /** Oracle-gated REAL audio decode (`x_audio_decode`): WAV fixtures
+    * for a documents sample, decoded with the real javax.sound codec
+    * partition-wise, exact sample statistics out. The DuckDB twin
+    * never sees the WAV bytes — it recomputes the statistics from the
+    * generating formula, so the hash match certifies the
+    * encode→decode round-trip reproduced every sample.
+    */
+  def audioDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 5 === 1)
+      .as[Long]
+    val decoded = ids
+      .mapPartitions(_.map(id =>
+        MediaRecord(id, "audio", syntheticWav(id), 0L)))
+      .mapPartitions(decodeAudio)
+    decoded.toDF()
+      .transform(graft.Present.sortSmall(_, col("doc_id")))
+  }
+
+  val audioDecodeSql: String =
+    s"""WITH smp AS (
+      |  SELECT d.doc_id, i.range AS i,
+      |         ((d.doc_id*7919 + i.range*104729) % 65536) - 32768 AS s
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 1) d,
+      |       range($AudioSamples) i)
+      |SELECT doc_id,
+      |       CAST($AudioSamples AS BIGINT) AS n_samples,
+      |       CAST($AudioRate AS INTEGER) AS sample_rate,
+      |       CAST(sum(s) AS BIGINT) AS sum_samples,
+      |       CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |       CAST(sum((i + 1) * s) AS BIGINT) AS sample_checksum
+      |FROM smp
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 

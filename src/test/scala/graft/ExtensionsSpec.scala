@@ -365,6 +365,22 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("real WAV decode reproduces the generating formula sample-for-sample") {
+    import ext.Multimodal
+    Seq(0L, 1L, 17L, 12345L).foreach { id =>
+      val d = Multimodal.decodeAudio(Iterator(
+        Multimodal.MediaRecord(id, "audio", Multimodal.syntheticWav(id), 0L))).next()
+      val samples = (0 until 256).map(i =>
+        ((id * 7919 + i.toLong * 104729) % 65536) - 32768)
+      assert(d.n_samples == 256)
+      assert(d.sample_rate == 8000)
+      assert(d.sum_samples == samples.sum)
+      assert(d.sum_abs == samples.map(math.abs).sum)
+      assert(d.sample_checksum ==
+        samples.zipWithIndex.map { case (s, i) => (i + 1) * s }.sum)
+    }
+  }
+
   test("media feature pairs: forward-delta blocking is lossless and exactly-once") {
     val pairs = ext.Multimodal.mediaDedupPairs(spark, sf0001)
       .select("media_type", "doc_a", "doc_b").collect()

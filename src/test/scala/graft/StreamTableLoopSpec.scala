@@ -34,6 +34,24 @@ class StreamTableLoopSpec extends SparkSpec {
   }
 
   test("sessionize→upsert-table survives a post-commit crash with exactly-once-equivalent state") {
+    crashReplayScenario(withTimer = false)
+  }
+
+  test("timer-armed TWS survives the same crash window (timers in replayed state)") {
+    // the EVENT-TIME timer sessionizer registers a watermark-driven
+    // flush timer per key in the RocksDB state the checkpoint replay
+    // restores — the timer registration path must survive the
+    // sink-committed/offsets-uncommitted window exactly like the value
+    // state does, and the flush that fires AFTER the replayed batch
+    // must emit exactly once into the table. (The processing-time
+    // variant cannot be driven deterministically here: an armed PT
+    // timer keeps the engine scheduling wake-up batches, so
+    // processAllAvailable never settles — see StatefulSpec's timer
+    // test. Event-time timers are watermark-driven and settle.)
+    crashReplayScenario(withTimer = true)
+  }
+
+  private def crashReplayScenario(withTimer: Boolean): Unit = {
     withRocksDb {
       val base = java.nio.file.Files.createTempDirectory("graft_loop")
       val actDir = s"$base/acts"; val tblDir = s"$base/table"
@@ -59,8 +77,12 @@ class StreamTableLoopSpec extends SparkSpec {
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(actDir)
           .as[Stateful.ActivityEvent]
-        val q = Stateful.sessionizeTws(spark, stream,
-          gapMillis = 30L * 60 * 1000, withTimer = false)
+        val sessions =
+          if (withTimer) Stateful.sessionizeTwsEventTime(spark, stream,
+            gapMillis = 30L * 60 * 1000, watermarkDelay = "1 minute")
+          else Stateful.sessionizeTws(spark, stream,
+            gapMillis = 30L * 60 * 1000, withTimer = false)
+        val q = sessions
           .toDF()
           .writeStream
           .option("checkpointLocation", ckpt)
@@ -93,8 +115,13 @@ class StreamTableLoopSpec extends SparkSpec {
           col("n_events"), col("total_duration"))
         .orderBy(col("employee_id"), col("session_start"))
         .collect()
-      // clean twin: every session but each employee's open last
-      assert(result.length == 3, s"got ${result.mkString("; ")}")
+      // clean twin: every session but each employee's open last; the
+      // event-time variant ALSO flushes employee 2's 13:00 session once
+      // the final watermark (14:59) passes its 30-min idle horizon —
+      // that flush fires in a timer-service batch AFTER the crash
+      // replay, proving the replayed state still carries the timer
+      assert(result.length == (if (withTimer) 4 else 3),
+        s"got ${result.mkString("; ")}")
       assert(result(0).getAs[Int]("employee_id") == 1 &&
         result(0).getAs[Timestamp]("session_start") == ts("2025-01-02 10:00:00") &&
         result(0).getAs[Timestamp]("session_end") == ts("2025-01-02 10:10:00") &&
@@ -106,6 +133,12 @@ class StreamTableLoopSpec extends SparkSpec {
       assert(result(2).getAs[Int]("employee_id") == 2 &&
         result(2).getAs[Timestamp]("session_start") == ts("2025-01-02 10:00:00") &&
         result(2).getAs[Int]("n_events") == 1)
+      if (withTimer)
+        assert(result(3).getAs[Int]("employee_id") == 2 &&
+          result(3).getAs[Timestamp]("session_start") == ts("2025-01-02 13:00:00") &&
+          result(3).getAs[Timestamp]("session_end") == ts("2025-01-02 13:00:00") &&
+          result(3).getAs[Int]("n_events") == 1 &&
+          result(3).getAs[Long]("total_duration") == 9L)
       // exactly-once equivalence: the replayed batch upserted, never
       // appended — each record key appears exactly once
       val dups = spark.read.format("graft-upsert").load(tblDir)
