@@ -127,6 +127,12 @@ object IvfDrift {
     s.upsert(StreamIvf.indexRows(
       stored.select(col("vec_id"), col("embedding")), newCents, seq = 0L),
       batchId = 0L)
+    // both consumers (codebook write + cell rewrite) are materialized —
+    // release the cache before returning, or a pipeline running
+    // scheduled maintain_ivf CALLs pins one block-manager entry per
+    // triggered retrain for the session's lifetime (the returned DF
+    // recomputes from lineage for callers that still read it)
+    newCents.unpersist()
     newCents
   }
 

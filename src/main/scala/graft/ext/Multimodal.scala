@@ -515,38 +515,49 @@ object Multimodal {
     // probe explode tripled the shuffled rows — 16.5 s → 26.4 s at the
     // synthetic sf1)
     //
-    // FORWARD-delta probing: every unordered pair within the band/
-    // bucket net has a unique key-delta direction, so probing only the
-    // lexicographically-forward half of the 3×3 delta grid enumerates
-    // each cross-key pair exactly once (in exactly one orientation) —
-    // half the matches the full ±1×±1 grid would enumerate. Same-key
-    // pairs (delta (0,0)) match in both orientations; the is_center
-    // doc_id tie-break keeps one. The output row is orientation-
-    // symmetric by construction (least/greatest ids, |Δf1|), so the
-    // emitted SET is identical to the symmetric formulation's.
+    bandedVerifiedPairs(keyed, "doc_id")
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+  }
+
+  /** Banded forward-delta candidate join + exact verify over a keyed
+    * relation (doc- or class-grain; must carry media_type, byte_len,
+    * f1, f2, band, lenb and `idCol`): every unordered pair within the
+    * band/bucket net has a unique key-delta direction, so probing only
+    * the lexicographically-forward half of the 3×3 delta grid
+    * enumerates each cross-key pair exactly once (in exactly one
+    * orientation) — half the matches the full ±1×±1 grid would
+    * enumerate. Same-key pairs (delta (0,0)) match in both
+    * orientations; the is_center id tie-break keeps one. The output
+    * row (media_type, id_a, id_b, d_f1) is orientation-symmetric by
+    * construction (least/greatest ids, |Δf1|), so the emitted SET is
+    * identical to the symmetric formulation's — shared by
+    * [[mediaDedupPairs]] (doc grain) and [[mediaDedupGroups]] (class
+    * grain), mirroring the shared [[mediaPairsCteSql]] oracle side.
+    */
+  private def bandedVerifiedPairs(keyed: DataFrame, idCol: String): DataFrame = {
     val deltas = Seq((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
     val probe = keyed.select(col("media_type"),
-      col("doc_id").as("doc_a"), col("byte_len").as("len_a"),
+      col(idCol).as("id_a"), col("byte_len").as("len_a"),
       col("f1").as("f1a"), col("f2").as("f2a"),
       explode(array(deltas.map { case (d, e) =>
         struct((col("band") + d).as("band"), (col("lenb") + e).as("lenb"),
           lit(d == 0 && e == 0).as("is_center"))
       }: _*)).as("pr"))
-      .select(col("media_type"), col("doc_a"), col("len_a"), col("f1a"),
+      .select(col("media_type"), col("id_a"), col("len_a"), col("f1a"),
         col("f2a"), col("pr.band").as("band"), col("pr.lenb").as("lenb"),
         col("pr.is_center").as("is_center"))
     val build = keyed.select(col("media_type"), col("band"), col("lenb"),
-      col("doc_id").as("doc_b"), col("byte_len").as("len_b"),
+      col(idCol).as("id_b"), col("byte_len").as("len_b"),
       col("f1").as("f1b"), col("f2").as("f2b"))
     probe.join(build, Seq("media_type", "band", "lenb"))
-      .filter(!col("is_center") || col("doc_a") < col("doc_b"))
+      .filter(!col("is_center") || col("id_a") < col("id_b"))
       .filter(abs(col("f1a") - col("f1b")) <= featureEps)
       .filter(abs(col("f2a") - col("f2b")) <= featureEps / 2)
       .filter(least(col("len_a"), col("len_b")).cast("double")
         / greatest(col("len_a"), col("len_b")) >= 0.98)
       .select(col("media_type"),
-        least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
         round(abs(col("f1a") - col("f1b")), 4).as("d_f1"))
   }
 
@@ -611,8 +622,13 @@ object Multimodal {
     // cloned session, small shuffle width: everything past the feature
     // scan is class-scale (thousands of rows), and CC iterates several
     // shuffle rounds — at the session default of 32 partitions the
-    // scheduler overhead dominates the tiny per-round work
+    // scheduler overhead dominates the tiny per-round work.
+    // newSession() drops the caller's RUNTIME conf (e.g. Verify's
+    // result-dump format) — mirror it first, then apply the override
+    // (static keys refuse the set; skip them)
     val spark = spark0.newSession()
+    spark0.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(spark.conf.set(k, v)) }
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     // FEATURE-CLASS CONTRACTION — the reason this operator's CC input
     // grows SUB-linearly while the pair view's output grows
@@ -629,30 +645,11 @@ object Multimodal {
       col("f1"), col("f2"), col("band"), col("lenb"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
       .persist()
-    // class-level banded candidates + verify (same predicate, forward
-    // deltas; orientation is irrelevant for CC edges)
-    val deltas = Seq((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
-    val probe = classes.select(col("media_type"),
-      col("rep").as("rep_a"), col("byte_len").as("len_a"),
-      col("f1").as("f1a"), col("f2").as("f2a"),
-      explode(array(deltas.map { case (d, e) =>
-        struct((col("band") + d).as("band"), (col("lenb") + e).as("lenb"),
-          lit(d == 0 && e == 0).as("is_center"))
-      }: _*)).as("pr"))
-      .select(col("media_type"), col("rep_a"), col("len_a"), col("f1a"),
-        col("f2a"), col("pr.band").as("band"), col("pr.lenb").as("lenb"),
-        col("pr.is_center").as("is_center"))
-    val build = classes.select(col("media_type"), col("band"), col("lenb"),
-      col("rep").as("rep_b"), col("byte_len").as("len_b"),
-      col("f1").as("f1b"), col("f2").as("f2b"))
-    val edges = probe.join(build, Seq("media_type", "band", "lenb"))
-      .filter(!col("is_center") || col("rep_a") < col("rep_b"))
-      .filter(col("rep_a") =!= col("rep_b"))
-      .filter(abs(col("f1a") - col("f1b")) <= featureEps)
-      .filter(abs(col("f2a") - col("f2b")) <= featureEps / 2)
-      .filter(least(col("len_a"), col("len_b")).cast("double")
-        / greatest(col("len_a"), col("len_b")) >= 0.98)
-      .select(col("rep_a"), col("rep_b"))
+    // class-level banded candidates + verify (same predicate and
+    // forward-delta net as the doc-grain pairs — one shared helper;
+    // orientation is irrelevant for CC edges)
+    val edges = bandedVerifiedPairs(classes.withColumnRenamed("rep", "rep_id"), "rep_id")
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"))
     val cc = Clusters.connectedComponents(edges)
     // expand: docs follow their class rep's component; classes with ≥2
     // members participate even without cross-class edges (the internal

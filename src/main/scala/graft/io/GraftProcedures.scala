@@ -94,6 +94,19 @@ object GraftProcedures {
       val newPath = in.getUTF8String(1).toString
       val threshold = in.getDouble(2)
       require(threshold >= 0.0, s"threshold must be >= 0, got $threshold")
+      // the retrain is a version SWAP, never in-place: it lazily
+      // re-scans the live index while COW-writing new_index, so
+      // new_index == index would rewrite the directory mid-scan — and
+      // a previously-populated new_index is just as corrupting (the
+      // retrained rows carry seq=0 and LOSE to any existing higher-seq
+      // rows under the precombine, pairing the fresh codebook with
+      // stale assignments). Refuse both loudly.
+      require(newPath != path,
+        s"graft.system.maintain_ivf: new_index must differ from index ($path)")
+      require(UpsertTableSource.partitionColOf(newPath).isEmpty,
+        s"graft.system.maintain_ivf: new_index $newPath already holds an " +
+          "index table — retrain writes a FRESH version; point new_index " +
+          "at an empty path and swap readers after the call")
       val index = graft.ext.StreamIvf.readIndex(spark, path)
       val cents = graft.ext.IvfDrift.readCentroids(spark, path)
       val disp = graft.ext.IvfDrift.maxDisplacement(index, cents)
