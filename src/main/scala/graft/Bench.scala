@@ -88,7 +88,13 @@ object Bench {
       // LSH twin (x_dedup_embedding_lsh) approximates; quadratic by
       // definition, like the brute-force scans above (r16, after the
       // sf1 scaling point measured it at 11x on 10x data)
-      "x_embedding_pairs")
+      "x_embedding_pairs",
+      // the media pair VIEW has data-quadratic OUTPUT (all verified
+      // pairs — ~100x rows per 10x docs on a feature-concentrated
+      // corpus, decomposed in PLANS.md r17); it is the diagnostic/
+      // ground-truth surface whose production twin is the O(n)
+      // class-contracted x_media_dedup_groups (headline, measured flat)
+      "x_media_dedup_feature")
     // Third tier: WRITE-PIPELINE queries build a fresh upsert-table
     // fixture per run (seed commits + the mutation under test), so
     // their numbers measure copy-on-write commit floors and small-file
