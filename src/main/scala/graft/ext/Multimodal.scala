@@ -8,17 +8,21 @@ import graft.Tables
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, plus a partition-wise feature-extraction pipeline.
   *
-  * Two decode tiers:
-  *  - REAL image decode ([[decodeImages]]): `javax.imageio` PNG/JPEG
-  *    inside the same partition-wise `mapPartitions` batch shape,
-  *    oracle-gated end to end (`x_media_decode`) against
-  *    formula-generated fixtures whose pixel statistics DuckDB
-  *    recomputes analytically — the decode is provably correct, not
-  *    simulated.
-  *  - A deterministic STUB ([[decodeStub]]) for codecs this
-  *    environment lacks (audio PCM, video framesample); its Spark-side
-  *    plumbing (schema, batch shape, partitioning) is identical, so
-  *    swapping a real codec in is a per-row function change.
+  * Decode tiers — ALL REAL as of r17:
+  *  - image ([[decodeImages]]): `javax.imageio` PNG/JPEG, oracle-gated
+  *    (`x_media_decode`) against formula-generated fixtures whose
+  *    pixel statistics DuckDB recomputes analytically;
+  *  - audio ([[decodeAudio]]): `javax.sound.sampled` WAV/PCM, exact
+  *    sample statistics (`x_audio_decode`);
+  *  - video framesample ([[decodeFrameSamples]]): multi-frame GIF as
+  *    the container (the one multi-frame format the JDK codecs both
+  *    write and read losslessly), strided frame decode
+  *    (`x_video_framesample`).
+  *  All three run inside the same partition-wise `mapPartitions`
+  *  batch shape — provably correct codec round-trips, not simulated.
+  *  [[decodeStub]] remains only as the cheap expression-twin fixture
+  *  behind the stub-frame-count gates (`x_media_features`,
+  *  `x_media_frames`).
   *
   * At 100 TB: payloads stay columnar parquet binary; decode tasks are
   * embarrassingly parallel (one decoder session per PARTITION, not per
@@ -59,10 +63,11 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decoder — deterministic fake standing in for a real codec
-    * (??? in production: video framesample; PNG/JPEG decode and WAV/PCM
-    * audio decode are REAL below — [[decodeImages]], [[decodeAudio]]).
-    * Batch shape is real: one decoder "session" per partition.
+  /** STUB decoder — the deterministic expression-twin fixture behind
+    * the stub-frame-count gates; every production decode path is a
+    * REAL codec now ([[decodeImages]], [[decodeAudio]],
+    * [[decodeFrameSamples]]). Batch shape is the same: one decoder
+    * "session" per partition.
     */
   def decodeStub(records: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
     // per-partition decoder init would happen here (real codecs are heavy)
@@ -362,6 +367,175 @@ object Multimodal {
       |FROM smp
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  // ——— REAL video framesample (javax.imageio multi-frame GIF) ———
+
+  /** Statistics read off one DECODED, SAMPLED frame — the same exact
+    * integer shape as [[DecodedImage]], plus the container's frame
+    * count and the sampled frame's index, so the oracle pins both the
+    * sampling schedule and every sampled pixel.
+    */
+  case class DecodedFrame(
+      doc_id: Long,
+      n_frames: Int,
+      frame_idx: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      pix_checksum: Long)
+
+  /** Every 2nd frame is sampled ([[decodeFrameSamples]]) — the fixed
+    * stride a contrastive-video pipeline would use.
+    */
+  val FrameStride = 2
+
+  /** Deterministic multi-frame (animated) GIF fixture for `docId`:
+    * 4 + (doc_id % 5) frames of 16×16 INDEXED pixels whose palette
+    * index follows a closed-form formula of (doc_id, x, y, frame) and
+    * whose 256-entry palette is itself formulaic — indexed GIF is
+    * LOSSLESS, so DuckDB recomputes the decoded frames' statistics
+    * analytically and a hash match proves the real multi-frame codec
+    * round-trip (the JDK GIF writer emits no timestamps; bytes are
+    * bit-stable).
+    */
+  def syntheticGif(docId: Long): Array[Byte] = {
+    val nFrames = 4 + (docId % 5).toInt
+    val (r, g, b) = {
+      val r = new Array[Byte](256); val g = new Array[Byte](256)
+      val b = new Array[Byte](256)
+      var i = 0
+      while (i < 256) {
+        r(i) = ((i * 37) % 256).toByte
+        g(i) = ((i * 59) % 256).toByte
+        b(i) = ((i * 83) % 256).toByte
+        i += 1
+      }
+      (r, g, b)
+    }
+    val cm = new java.awt.image.IndexColorModel(8, 256, r, g, b)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(FixtureDim, FixtureDim,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < FixtureDim) {
+          var x = 0
+          while (x < FixtureDim) {
+            raster.setSample(x, y, 0,
+              ((docId * 31 + x * 7 + y * 13 + f * 97) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** REAL partition-wise video frame sampling: ONE multi-frame GIF
+    * `ImageReader` per partition (same amortization as
+    * [[decodeImages]]), the container's frame count read from the
+    * header chain (`getNumImages(true)`), every [[FrameStride]]-th
+    * frame decoded — skipped frames are never rasterized, which is the
+    * point of frame sampling at 100 TB — and exact per-frame integer
+    * statistics emitted. Readers are disposed at task completion (or
+    * iterator drain for plain callers).
+    */
+  def decodeFrameSamples(records: Iterator[MediaRecord]): Iterator[DecodedFrame] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val out = records.flatMap { r =>
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      reader.setInput(in, false, true)
+      val n = reader.getNumImages(true)
+      val frames = (0 until n by FrameStride).map { f =>
+        val img = reader.read(f)
+        var (sr, sg, sb, ck) = (0L, 0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val red = (rgb >> 16) & 0xff
+            val green = (rgb >> 8) & 0xff
+            val blue = rgb & 0xff
+            sr += red; sg += green; sb += blue
+            ck += (x + img.getWidth.toLong * y + 1) * (red + 2L * green + 3L * blue)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedFrame(r.doc_id, n, f, sr, sg, sb, ck)
+      }
+      in.close()
+      frames
+    }
+    def dispose(): Unit = reader.dispose()
+    org.apache.spark.TaskContext.get() match {
+      case null => out ++ { dispose(); Iterator.empty }
+      case tc =>
+        tc.addTaskCompletionListener[Unit](_ => dispose())
+        out
+    }
+  }
+
+  /** Oracle-gated REAL video framesample (`x_video_framesample`):
+    * multi-frame GIF fixtures for a documents sample, frame counts
+    * read and every 2nd frame decoded with the real codec
+    * partition-wise, exact pixel statistics per sampled frame. The
+    * DuckDB twin recomputes frame counts, the sampling schedule and
+    * every sampled pixel from the generating formulas — the hash match
+    * certifies the container round-trip frame for frame. This retires
+    * the last decode stub: image, audio and video-framesample paths
+    * are all REAL codecs now.
+    */
+  def videoFramesample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 5 === 2)
+      .as[Long]
+    val decoded = ids
+      .mapPartitions(_.map(id =>
+        MediaRecord(id, "video", syntheticGif(id), 0L)))
+      .mapPartitions(decodeFrameSamples)
+    decoded.toDF()
+      .transform(graft.Present.sortSmall(_, col("doc_id"), col("frame_idx")))
+  }
+
+  val videoFramesampleSql: String =
+    s"""WITH vids AS (
+      |  SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS n_frames
+      |  FROM documents WHERE doc_id % 5 = 2),
+      |frames AS (
+      |  SELECT doc_id, n_frames, CAST(f.range AS INTEGER) AS frame_idx
+      |  FROM vids, range(9) f
+      |  WHERE f.range < n_frames AND f.range % $FrameStride = 0),
+      |px AS (
+      |  SELECT doc_id, n_frames, frame_idx, x.range AS x, y.range AS y,
+      |         (doc_id*31 + x.range*7 + y.range*13 + frame_idx*97) % 256 AS idx
+      |  FROM frames, range($FixtureDim) x, range($FixtureDim) y),
+      |rgb AS (
+      |  SELECT doc_id, n_frames, frame_idx, x, y,
+      |         (idx*37) % 256 AS r, (idx*59) % 256 AS g, (idx*83) % 256 AS b
+      |  FROM px)
+      |SELECT doc_id, n_frames, frame_idx,
+      |       CAST(sum(r) AS BIGINT) AS sum_r,
+      |       CAST(sum(g) AS BIGINT) AS sum_g,
+      |       CAST(sum(b) AS BIGINT) AS sum_b,
+      |       CAST(sum((x + $FixtureDim*y + 1) * (r + 2*g + 3*b)) AS BIGINT) AS pix_checksum
+      |FROM rgb
+      |GROUP BY doc_id, n_frames, frame_idx
+      |ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Oracle-checked query: the expression-only feature path (payload
     * length, content hash, stub frame count) — everything DuckDB can

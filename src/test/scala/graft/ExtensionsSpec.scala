@@ -381,6 +381,29 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("real GIF framesample: strided frames reproduce the formula pixel-for-pixel") {
+    import ext.Multimodal
+    Seq(0L, 2L, 7L, 12347L).foreach { id =>
+      val frames = Multimodal.decodeFrameSamples(Iterator(
+        Multimodal.MediaRecord(id, "video", Multimodal.syntheticGif(id), 0L))).toSeq
+      val n = 4 + (id % 5).toInt
+      // sampling schedule: every FrameStride-th frame, container count exact
+      assert(frames.map(_.frame_idx) == (0 until n by Multimodal.FrameStride))
+      frames.foreach { fr =>
+        assert(fr.n_frames == n)
+        var (sr, sg, sb, ck) = (0L, 0L, 0L, 0L)
+        for (y <- 0 until 16; x <- 0 until 16) {
+          val idx = ((id * 31 + x * 7 + y * 13 + fr.frame_idx * 97) % 256).toInt
+          val (r, g, b) = ((idx * 37) % 256, (idx * 59) % 256, (idx * 83) % 256)
+          sr += r; sg += g; sb += b
+          ck += (x + 16L * y + 1) * (r + 2L * g + 3L * b)
+        }
+        assert(fr.sum_r == sr && fr.sum_g == sg && fr.sum_b == sb &&
+          fr.pix_checksum == ck, s"frame ${fr.frame_idx} of doc $id")
+      }
+    }
+  }
+
   test("media feature pairs: forward-delta blocking is lossless and exactly-once") {
     val pairs = ext.Multimodal.mediaDedupPairs(spark, sf0001)
       .select("media_type", "doc_a", "doc_b").collect()
