@@ -64,13 +64,19 @@ final class GraftUpsertCatalog extends TableCatalog
 
   private def pathOf(ident: Identifier): String = {
     val joined = (ident.namespace :+ ident.name).mkString("/")
-    if (joined.startsWith("/")) joined
+    // verbatim for absolute local paths AND scheme-qualified URIs
+    // (s3a://bucket/t): without the scheme check a qualified path would
+    // silently resolve RELATIVE to the warehouse (<w>/s3a:/bucket/t on
+    // the wrong filesystem) — no error, and later reads of the real
+    // location find nothing
+    if (joined.startsWith("/") || joined.contains("://")) joined
     else warehouse match {
       case Some(w) => s"$w/$joined"
       case None => throw new IllegalArgumentException(
         s"graft catalog '$catalogName': identifier '$joined' is relative and no " +
-          "'warehouse' catalog option is set — use an absolute backticked path " +
-          "or configure spark.sql.catalog." + catalogName + ".warehouse")
+          "'warehouse' catalog option is set — use an absolute (or " +
+          "scheme-qualified) backticked path or configure " +
+          "spark.sql.catalog." + catalogName + ".warehouse")
     }
   }
 
@@ -167,7 +173,7 @@ final class GraftUpsertCatalog extends TableCatalog
     val root = new Path(path)
     val fs = root.getFileSystem(hadoopConf)
     changes.foreach {
-      case add: TableChange.AddColumn =>
+      case add: TableChange.AddColumn => GraftUpsertCatalog.withPropsLock(fs, path) {
         require(add.fieldNames.length == 1,
           "graft-upsert: nested columns are out of scope for this table format")
         val colName = add.fieldNames()(0)
@@ -197,8 +203,9 @@ final class GraftUpsertCatalog extends TableCatalog
             "pre-evolution files null-fill it")
         val evolved = StructType(
           cur.fields :+ StructField(colName, add.dataType, nullable = true))
-        writeFile(fs, new Path(root, ParquetUpsertSink.SchemaFileName), evolved.json)
-      case upd: TableChange.UpdateColumnType =>
+        writeSchemaAtomic(fs, root, evolved.json)
+      }
+      case upd: TableChange.UpdateColumnType => GraftUpsertCatalog.withPropsLock(fs, path) {
         require(upd.fieldNames.length == 1,
           "graft-upsert: nested columns are out of scope for this table format")
         val colName = upd.fieldNames()(0)
@@ -218,8 +225,9 @@ final class GraftUpsertCatalog extends TableCatalog
         val evolved = StructType(cur.fields.map(x =>
           if (x.name.equalsIgnoreCase(colName)) x.copy(dataType = upd.newDataType())
           else x))
-        writeFile(fs, new Path(root, ParquetUpsertSink.SchemaFileName), evolved.json)
-      case del: TableChange.DeleteColumn =>
+        writeSchemaAtomic(fs, root, evolved.json)
+      }
+      case del: TableChange.DeleteColumn => GraftUpsertCatalog.withPropsLock(fs, path) {
         require(del.fieldNames.length == 1,
           "graft-upsert: nested columns are out of scope for this table format")
         val colName = del.fieldNames()(0)
@@ -231,14 +239,27 @@ final class GraftUpsertCatalog extends TableCatalog
         // metadata-only: files keep the physical column, the schema
         // stops projecting it. The name retires permanently
         // (droppedColumns) — re-adding it would resurrect dead values
-        // from files that still store it.
-        val evolved = StructType(cur.fields.filterNot(_ eq f))
-        writeFile(fs, new Path(root, ParquetUpsertSink.SchemaFileName), evolved.json)
+        // from files that still store it. LINEAGE FIRST, then schema
+        // (the crash-safe order renameColumn documents): a crash after
+        // the retirement but before the shrink leaves the column live
+        // AND retired (harmless — re-running the DROP completes it),
+        // where the reverse order left it dropped-but-not-retired and a
+        // later ADD COLUMN of the same name would resurrect dead values.
         updateProps(fs, root) { props =>
           val m = props.asScala.toMap
           props.setProperty(ColumnAliases.DroppedProp,
             ColumnAliases.appendDropped(m, f.name))
         }
+        val evolved = StructType(cur.fields.filterNot(_ eq f))
+        writeSchemaAtomic(fs, root, evolved.json)
+      }
+      // NOT lock-wrapped: renameColumn takes the SINK's commit lock
+      // (and re-records lineage through updateProps itself) — holding
+      // the props lock across a commit-lock acquisition would invert
+      // the order sink paths use and deadlock. The metadata-only
+      // cases above hold the props lock around their whole
+      // read-check-write sequence, so two concurrent catalog ALTERs
+      // can no longer both read `cur` and silently lose one change.
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
           "graft-upsert: nested columns are out of scope for this table format")
@@ -322,6 +343,32 @@ final class GraftUpsertCatalog extends TableCatalog
     val out = fs.create(p, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Atomic-enough `_schema.json` replace (tmp + delete + rename — the
+    * sink's persistSchema recipe): a driver crash mid-write must never
+    * leave a TRUNCATED schema file, because tableSchema's fallback is
+    * footer inference, which silently resurrects dropped/renamed
+    * columns and reverts widenings for every subsequent read. A reader
+    * in the delete-rename gap falls back to footer inference ONCE
+    * (documented persistSchema semantics), never to torn bytes.
+    */
+  private def writeSchemaAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, json: String): Unit = {
+    val target = new Path(root, ParquetUpsertSink.SchemaFileName)
+    val tmp = new Path(root,
+      s".${ParquetUpsertSink.SchemaFileName}.catalog.${java.util.UUID.randomUUID()}.tmp")
+    writeFile(fs, tmp, json)
+    try {
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(
+          s"graft-upsert: schema rename failed: $tmp -> $target")
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(fs.delete(tmp, false))
+        throw t
+    }
   }
 
   /** DROP/RENAME must not touch the columns the format is built on:
@@ -450,14 +497,28 @@ object GraftUpsertCatalog {
   private val propsMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def withPropsLock[A](fs: org.apache.hadoop.fs.FileSystem,
+  // per-thread reentrancy: the catalog's ALTER paths hold the lock
+  // around their whole read-check-write sequence, and DROP's inner
+  // updateProps re-enters — without a depth guard the second file-lock
+  // create would deadlock against our own lock file until timeout
+  private val propsLockDepth = new ThreadLocal[java.util.HashMap[String, Integer]] {
+    override def initialValue = new java.util.HashMap[String, Integer]()
+  }
+
+  private[io] def withPropsLock[A](fs: org.apache.hadoop.fs.FileSystem,
       path: String)(body: => A): A =
     // intra-JVM updates serialize on a monitor (create-exclusive is
     // only advisory on local filesystems — the exists probe isn't
     // atomic there); the FILE lock below covers cross-process updates
     // on HDFS-semantics stores, where create(overwrite=false) is atomic
     propsMonitors.computeIfAbsent(path, _ => new Object).synchronized {
-      withPropsFileLock(fs, path)(body)
+      val depths = propsLockDepth.get
+      if (depths.getOrDefault(path, 0) > 0) body
+      else {
+        depths.put(path, 1)
+        try withPropsFileLock(fs, path)(body)
+        finally { depths.remove(path); () }
+      }
     }
 
   private def withPropsFileLock[A](fs: org.apache.hadoop.fs.FileSystem,
@@ -468,17 +529,29 @@ object GraftUpsertCatalog {
     while (!held) {
       try { fs.create(lock, false).close(); held = true }
       catch { case _: java.io.IOException =>
+        // deadline applies to EVERY path through the loop — the former
+        // shape checked it only on the not-stale branch, so a stale
+        // lock whose delete keeps failing (stat-but-not-delete ACLs)
+        // busy-spun forever
+        if (System.currentTimeMillis() > deadline)
+          throw new java.io.IOException(
+            s"graft-upsert: timed out waiting for the properties lock $lock")
         val stale =
           try System.currentTimeMillis() -
             fs.getFileStatus(lock).getModificationTime > PropsLockTimeoutMs
           catch { case _: java.io.IOException => false } // vanished: retry
         if (stale) {
-          try { fs.delete(lock, false); () }
+          // FENCED break via atomic rename to a breaker-unique name
+          // (the sink's commit-lock recipe): a bare delete lets waiter
+          // A stat a stale lock, waiter B delete+recreate it, and A's
+          // late delete remove B's FRESH lock — two holders. Exactly
+          // one renamer can win; a loser just loops.
+          val claim = new Path(
+            s"$path/$PropsLockName.broken.${java.util.UUID.randomUUID()}")
+          try { if (fs.rename(lock, claim)) { fs.delete(claim, false); () } }
           catch { case _: java.io.IOException => () }
-        } else if (System.currentTimeMillis() > deadline)
-          throw new java.io.IOException(
-            s"graft-upsert: timed out waiting for the properties lock $lock")
-        else Thread.sleep(50)
+        }
+        Thread.sleep(50)
       }
     }
     try body finally {

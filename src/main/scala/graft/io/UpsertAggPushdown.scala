@@ -88,7 +88,11 @@ object UpsertAggPushdown {
               if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => Some(v * 1000L)
           case t: TimestampLogicalTypeAnnotation
               if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => Some(v / 1000L)
-          case _ => Some(v)
+          case _: TimestampLogicalTypeAnnotation | null => Some(v) // micros / our writer
+          // UINT_64, TIME(…), other annotations: the signed raw stat is
+          // not epoch micros — same exclusion as the LongType arm (and
+          // as the manifest's decodeRaw twin)
+          case _ => None
         }
       case (PrimitiveTypeName.FLOAT, FloatType) =>
         Some(raw.asInstanceOf[java.lang.Float].floatValue())

@@ -282,10 +282,12 @@ object UpsertDataSkipping {
     * snapshot forever after. Reading here and passing down makes the
     * conf the caller's, deterministically.
     */
-  private[graft] final case class ManifestCtx(enabled: Boolean, verify: Boolean)
+  private[graft] final case class ManifestCtx(enabled: Boolean, verify: Boolean,
+      racyWindow: Long)
   private def currentManifestCtx: ManifestCtx =
     ManifestCtx(UpsertStatsManifest.manifestEnabled,
-      UpsertStatsManifest.verifyContent)
+      UpsertStatsManifest.verifyContent,
+      UpsertStatsManifest.racyWindowMillis)
 
   /** Footer statistics of `file` for every column of `schema`, via the
     * cache. Any footer-read failure degrades to "no stats" (never
@@ -328,7 +330,7 @@ object UpsertDataSkipping {
     val computed =
       try {
         val raw = UpsertStatsManifest.lookup(fs, file.getParent, file.getName,
-          st.getModificationTime, st.getLen, vfp, ctx.enabled)
+          st.getModificationTime, st.getLen, vfp, ctx.enabled, ctx.racyWindow)
           .getOrElse {
             // record the REAL fingerprint (one tail read, trivial next
             // to the footer parse) so a later verified lookup — this
@@ -363,8 +365,11 @@ object UpsertDataSkipping {
     // otherwise admit a just-written file immediately. Before the
     // first flush the offset is unknown (0) — that single cold pass
     // carries the skew residual, and the pass itself ends in a flush.
+    // The window comes from the ctx SNAPSHOT (planning thread), never
+    // from session state on this (possibly pool) thread — the same
+    // discipline as enabled/verify.
     if (UpsertStatsManifest.storageNowEstimate(fs) - st.getModificationTime >=
-      UpsertStatsManifest.racyWindowMillis)
+      ctx.racyWindow)
       statsCache.put(key, computed)
     computed
   }

@@ -250,7 +250,12 @@ object UpsertStatsManifest {
       lta match {
         case "ts_millis" => Some(x * 1000L)
         case "ts_nanos" => Some(x / 1000L)
-        case _ => Some(x) // micros annotation or plain INT64 (our writer)
+        case "ts_micros" | "-" => Some(x) // micros or plain INT64 (our writer)
+        // "other" (UINT_64, TIME, …): the signed reinterpretation of
+        // the raw stat is NOT epoch micros — the same exclusion the
+        // LongType arm applies; a wrapped-negative "max" would wrongly
+        // prune files whose actual values match
+        case _ => None
       }
     case ("FLOAT", FloatType) => Some(v.asInstanceOf[Float])
     case ("DOUBLE", DoubleType) => Some(v.asInstanceOf[Double])
@@ -454,7 +459,8 @@ object UpsertStatsManifest {
 
   def lookup(fs: FileSystem, dir: Path, name: String, mtime: Long,
       len: Long, expectFp: Long = FpUnchecked,
-      enabled: Boolean = manifestEnabled): Option[RawFileStats] = {
+      enabled: Boolean = manifestEnabled,
+      racyWindow: Long = racyWindowMillis): Option[RawFileStats] = {
     if (!enabled) return None
     val key = keyOf(fs, dir)
     def entryOf(m: Option[DirManifest]): Option[RawFileStats] =
@@ -485,7 +491,7 @@ object UpsertStatsManifest {
             // batch for nothing. Foreign entries stay verified-by-name
             // — no heal to record.
             if (e.verifyOnRead &&
-              storageNowEstimate(fs) - mtime >= racyWindowMillis)
+              storageNowEstimate(fs) - mtime >= racyWindow)
               recordFresh(fs, dir, name, mtime, len, e.raw, e.fp, enabled)
             true
           } else false
@@ -667,6 +673,17 @@ object UpsertStatsManifest {
     // the directory's OWN filesystem: `pending` may hold directories
     // from tables on a different scheme than the caller's fs
     val fs = dir.getFileSystem(callerFs.getConf)
+    // a directory deleted under us (DROP TABLE, overwrite) is the
+    // terminal case the caller drops entries for — and it must be
+    // checked EXPLICITLY: Hadoop create() makes parent directories, so
+    // the tmp write below would otherwise RESURRECT the deleted
+    // partition dir (tableExists sees a dir containing '=' again and
+    // CREATE TABLE starts refusing). A delete racing in after this
+    // probe still resurrects — the probe closes the systematic path
+    // (pending entries surviving a DROP), not every interleaving.
+    if (!fs.exists(dir))
+      throw new java.io.FileNotFoundException(
+        s"graft-upsert stats manifest: directory deleted under flush: $dir")
     val mfPath = new Path(dir, ManifestFileName)
     val tmp = new Path(dir, s"$ManifestFileName.tmp.${java.util.UUID.randomUUID()}")
     // probe the storage clock: the tmp's own mtime IS "storage now".
@@ -676,6 +693,22 @@ object UpsertStatsManifest {
     // window (skew ahead: persist inside an open tick = the staleness
     // hole; skew behind: entries never ripen).
     fs.create(tmp, true).close()
+    // any failure between here and the rename must not ORPHAN the
+    // uuid-named tmp: nothing else ever matches or cleans those names,
+    // so a long-lived driver with intermittent I/O errors would
+    // accumulate one per failed flush per directory forever
+    try flushDirBody(fs, dir, mfPath, tmp, d, fresh)
+    catch {
+      case t: Throwable =>
+        scala.util.Try(fs.delete(tmp, false))
+        throw t
+    }
+  }
+
+  private def flushDirBody(fs: FileSystem, dir: Path, mfPath: Path,
+      tmp: Path, d: String,
+      fresh: java.util.concurrent.ConcurrentHashMap[String, Entry])
+      : java.util.concurrent.ConcurrentHashMap[String, Entry] = {
     val storageNow =
       try {
         val t = fs.getFileStatus(tmp).getModificationTime

@@ -251,6 +251,30 @@ class UpsertStatsManifestSpec extends SparkSpec {
 
   // ——— staleness soundness: the (mtime, len) key's two nets ———
 
+  test("flush never resurrects a directory deleted under pending entries") {
+    val dir = tmp("mfdrop")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    sink.upsert(Seq((1L, 0L, 10.0, "a")).toDF("id", "seq", "v", "p"), 0)
+    val fs = fsOf(dir)
+    val part = new Path(s"$dir/p=a")
+    // an open-tick entry WITHOUT a real fingerprint stays in `pending`
+    // across flushes (never persisted inside the tick) — exactly the
+    // state a DROP TABLE can race: Hadoop create() makes parent dirs,
+    // so an unguarded flush would recreate p=a and tableExists would
+    // see a live table again
+    UpsertStatsManifest.recordFresh(fs, part, "part-zombie.parquet",
+      System.currentTimeMillis(), 123L,
+      UpsertStatsManifest.RawFileStats(1L, Seq.empty, Map.empty),
+      UpsertStatsManifest.FpUnreadable, enabled = true)
+    fs.delete(new Path(dir), true) // DROP TABLE
+    UpsertStatsManifest.flush(fs)
+    assert(!fs.exists(part) && !fs.exists(new Path(dir)),
+      "flush must not recreate a dropped table's partition directories")
+    // terminal: the dropped dir's entries are gone, not re-offered
+    UpsertStatsManifest.flush(fs)
+    assert(!fs.exists(part))
+  }
+
   test("racy-write window: open-tick entries persist FLAGGED and self-heal once ripe") {
     val dir = tmp("mfracy")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
