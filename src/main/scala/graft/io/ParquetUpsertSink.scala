@@ -660,7 +660,13 @@ final case class ParquetUpsertSink(
     def aligned(df: DataFrame) =
       df.select(allCols.map(c =>
         if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
-    val keyCols = recordKeys
+    // the format's key is PARTITION-SCOPED (recordKeys :+ partitionCol —
+    // the same identity readMor/compactMor/upsert merge on): joining on
+    // recordKeys alone would cross-product a key legitimately present
+    // in two partitions into spurious update pairs, and report a key
+    // that MOVED partitions as an update instead of the per-partition
+    // insert + delete the partition-scoped identity implies
+    val keyCols = recordKeys :+ partitionCol
     def packed(df: DataFrame, side: String) =
       aligned(df).select(
         keyCols.map(col) :+
@@ -765,6 +771,13 @@ final case class ParquetUpsertSink(
         .withColumn("_batch_id", lit(batchId))
         .drop("_viol")
         .write.mode(SaveMode.Overwrite)
+        // keyed by batch id ALONE on purpose: replays of the same
+        // query overwrite their own dead letters idempotently. The
+        // trade-off is documented — TWO live writers on one table path
+        // whose batch ids coincide overwrite each other's quarantine
+        // (no stable cross-restart query identity exists down here to
+        // key by; the commit fence serializes the TABLE, quarantine is
+        // best-effort capture). Run one quarantining writer per table.
         .parquet(s"$path/${ParquetUpsertSink.QuarantineDirName}/b$batchId")
     }
     (flagged.filter(size(col("_viol")) === 0).drop("_viol"),
@@ -804,24 +817,21 @@ final case class ParquetUpsertSink(
         .filter(_.nonEmpty)
         .map(cs => "bloomColumns" -> cs.mkString(","))
     val missing = wanted.filterNot { case (k, _) => props.containsKey(k) }
-    if (missing.nonEmpty) {
-      missing.foreach { case (k, v) => props.setProperty(k, v) }
-      // tmp + delete + rename, matching [[persistSchema]]: an in-place
-      // overwrite (create(overwrite=true)) lets a concurrent
-      // `tableProps` reader (SQL DML deriving recordKeys/keepVersions)
-      // observe a TRUNCATED file and silently fall back to defaults —
-      // e.g. keepVersions=1 rewriting partitions without archiving. A
-      // reader hitting the tiny delete→rename gap instead sees ABSENT
-      // and falls back exactly like a fresh table does.
-      val tmp = new Path(
-        s"$path/.${GraftUpsertCatalog.TablePropsFileName}.$stagingToken.tmp")
-      val out = fs.create(tmp, true)
-      try props.store(out, null) finally out.close()
-      fs.delete(propsPath, false)
-      if (!fs.rename(tmp, propsPath))
-        throw new java.io.IOException(
-          s"table properties rename failed: $tmp -> $propsPath")
-    }
+    if (missing.nonEmpty)
+      // through the catalog's locked atomic read-modify-write — NOT a
+      // hand-rolled tmp+delete+rename: (a) loadProps only recovers the
+      // FIXED tmp name, so a crash in a hand-rolled token-suffixed
+      // tmp's delete→rename window left canonical-absent +
+      // unrecognized-tmp = the table's config permanently erased
+      // (keepVersions silently 1, lineage gone); (b) updateProps's
+      // FileContext overwrite-rename has no absent window at all on
+      // local/HDFS; (c) the props lock keeps a concurrent ALTER TABLE
+      // SET PROPERTY from being lost to this read-modify-write. Lock
+      // order stays commit→props, same as every sink path.
+      GraftUpsertCatalog.updateProps(fs, path) { p =>
+        missing.foreach { case (k, v) =>
+          if (!p.containsKey(k)) p.setProperty(k, v) }
+      }
     writeConfigPersisted = true
   }
 
@@ -1170,7 +1180,20 @@ final case class ParquetUpsertSink(
   private def morAppend(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // persisted: the batch feeds two actions (the emptiness probe and
+    // the delta write) — unpersisted, the precombine shuffle AND the
+    // caller's upstream lineage execute twice per micro-batch, on
+    // exactly the high-frequency small-upsert workloads MOR exists for
+    // (same discipline as upsertScreened)
     val deduped = Precombine.latest(batch, recordKeys, precombine)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try morAppendBody(spark, fs, deduped, batchId)
+    finally { deduped.unpersist(false); () }
+  }
+
+  private def morAppendBody(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, deduped: DataFrame,
+      batchId: Long): Unit = {
     // inline-compaction cadence is positional (every Nth BATCH), so it
     // must fire even when this batch carries no rows — an empty batch
     // landing on the compaction slot would otherwise push the fold a
@@ -1493,6 +1516,11 @@ final case class ParquetUpsertSink(
         // those partitions' columns, and the next merge to read them
         // with it would silently drop, then erase, the missing column
         persistSchemaAdditive(spark, fs, merged.schema)
+        // same pre-destructive fence as the merge branch: a writer that
+        // stalled past the lock timeout may find its "new" partitions
+        // CREATED meanwhile by the breaker — writeFinal's dynamic
+        // overwrite would silently clobber the new holder's commit
+        verifyLockOwnership(fs)
         val commit =
           if (keepVersions > 1) Some(archivePreImages(fs, parts, batchId)) else None
         writeFinal(merged)
@@ -1501,7 +1529,13 @@ final case class ParquetUpsertSink(
       persistWriteConfig(fs)
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
         compactPartitions(spark)
-      syncTable.foreach(registerAndSync(spark, _, merged.schema))
+      // sync the PERSISTED superset schema, not this batch's merge
+      // shape: a creation-only commit's merged.schema is just the batch
+      // — syncing it would drop and recreate the catalog entry WITHOUT
+      // columns living only in untouched partitions (the same narrowing
+      // compactMorLocked's sync was fixed for)
+      syncTable.foreach(registerAndSync(spark, _,
+        mergeReadSchema(spark, fs, Seq.empty).getOrElse(merged.schema)))
     } finally deduped.unpersist(false)
   }
 
@@ -1633,6 +1667,15 @@ final case class ParquetUpsertSink(
         Some(archivePreImages(fs, touched, batchId, op)) else None
     val replacedDirs = replaced.map(dirName).toSet
     val (ovwParts, appParts) = rowParts.partition(v => replacedDirs.contains(dirName(v)))
+    // ADDITIVE persist BEFORE the writes (persistSchema's documented
+    // crash-safe order): landing files that carry a new column and
+    // crashing before the persist leaves `_schema.json` NARROWER than
+    // the live files — every read then silently omits the column and
+    // the next rewrite erases it. A crash after the persist but before
+    // the writes leaves a harmless superset schema. Additive, not
+    // plain: a row-level rewrite plans only the touched groups, so
+    // `norm` may itself be narrower than untouched partitions' files.
+    persistSchemaAdditive(spark, fs, norm.schema)
     // dir-name-normalized key: null partitions compare via the Hive
     // default-partition token, so the splits below cover them too
     def normKey = coalesce(col(partitionCol), lit(nullDir))
@@ -1653,11 +1696,6 @@ final case class ParquetUpsertSink(
       fs.delete(p, true)
       UpsertStatsManifest.invalidate(fs, p)
     }
-    // ADDITIVE persist: a row-level rewrite plans only the touched
-    // groups, so `norm` may be NARROWER than untouched partitions'
-    // files (e.g. a column added by a later commit this operation
-    // never scanned) — `_schema.json` must never narrow below them
-    persistSchemaAdditive(spark, fs, norm.schema)
     markCommitComplete(fs, commit)
     rowParts.toSeq.map(v => new Path(s"$path/$partitionCol=${dirName(v)}"))
   }

@@ -273,10 +273,15 @@ final class UpsertTable(path: String, schema: StructType,
     // derived from the observed archive when writers never persisted
     // keepVersions ([[ParquetUpsertSink.effectiveKeepVersions]])
     val spark = SparkSession.active
-    val keep = ParquetUpsertSink.effectiveKeepVersions(spark, path,
-      GraftUpsertCatalog.tableProps(path).get("keepVersions").map(_.toInt))
-    ParquetUpsertSink(path, Seq("_unused"), "_unused", pc, keepVersions = keep)
-      .delete(spark, cond)
+    // the persisted-config sink (GraftProcedures.sinkFor), not a
+    // hand-rolled one: _unused keys are fine for a delete rewrite, but
+    // hand-rolling also silently dropped the table's real
+    // filesPerPartition/writeMode/deleteCol — a table configured with
+    // filesPerPartition=8 (partitions too large for one task) would
+    // have its DELETE rewrite funnel each partition through a single
+    // writer task and collapse the layout to one file (the same fix
+    // dropPartition already got)
+    GraftProcedures.sinkFor(path).delete(spark, cond)
   }
 }
 
@@ -1201,8 +1206,23 @@ object UpsertTableSource {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val lastWrite = partitionColOf(path)
         .map(pc => ParquetUpsertSink.liveDataFileStatuses(fs, path, pc))
-        .getOrElse(Array.empty)
+        .getOrElse {
+          // unpartitioned layout: scan the root's own data files — an
+          // empty fallback here made lastWrite Long.MinValue, so ANY
+          // timestamp (epoch 0 included) silently resolved to the
+          // CURRENT state, the silent-wrong-answer this function must
+          // turn into a loud failure
+          fs.listStatus(new org.apache.hadoop.fs.Path(path))
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+        }
         .foldLeft(Long.MinValue)((m, st) => math.max(m, st.getModificationTime))
+      if (lastWrite == Long.MinValue)
+        // no data files at all: nothing the timestamp could resolve
+        // against — refuse rather than serve an empty "current" state
+        throw new IllegalArgumentException(
+          s"graft-upsert: no retained commit and no live data files for " +
+            s"$path — the state at timestamp ${millis}ms is not reconstructible")
       if (lastWrite <= millis) None
       else throw new IllegalArgumentException(
         s"graft-upsert: no retained commit at or before timestamp ${millis}ms " +
