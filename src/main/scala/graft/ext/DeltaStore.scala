@@ -12,6 +12,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DeltaStore {
 
+  /** Batch-0 stale-run guard, shared by every delta-store streaming
+    * operator: a stream restarted at batch 0 (fresh checkpoint)
+    * against a dir holding state from a PREVIOUS run would fold the
+    * dead run's registry into the new one — fail fast instead. Two
+    * stale markers: any `b<N>` delta with N > 0, and any compacted
+    * `base_<N>` with N > 0 (a prior run whose deltas were already
+    * folded leaves no b* dirs at all — the hole the original
+    * b*-only probe had). `b0`/`base_0` stay ALLOWED: a legitimate
+    * same-run replay of batch 0 (crash after the batch-0 write — or
+    * after a compactEvery=1 fold of it — but before the offset
+    * commit) re-enters here with exactly those on disk, and failing
+    * it would break recovery; the residual prior-run-died-at-batch-0
+    * ambiguity is inherent to listing-based detection.
+    */
+  def requireFreshRun(dir: String, subdirs: Seq[String]): Unit =
+    subdirs.foreach { sub =>
+      val entries = Option(new java.io.File(s"$dir/$sub").list())
+        .getOrElse(Array.empty[String])
+      val stale = entries.exists(n =>
+        (n.startsWith("b") && !n.startsWith("base_") && n != "b0") ||
+          (n.startsWith("base_") && n != "base_0"))
+      require(!stale,
+        s"$dir/$sub holds state from a previous run but the stream " +
+          "restarted at batch 0 (fresh checkpoint?) — use a fresh output " +
+          "dir or keep dir and checkpoint together")
+    }
+
   /** Committed delta dirs under `root` (those with `_SUCCESS`), sorted.
     * Uncommitted leftovers of a crashed writer are invisible. Local-FS
     * listing — these stores are driver-local fixtures; an object-store

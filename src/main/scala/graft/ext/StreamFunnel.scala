@@ -39,15 +39,7 @@ object StreamFunnel {
     * corrupting the report.
     */
   def ingestBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
-    if (batchId == 0L) {
-      val aggRoot = new java.io.File(s"$dir/agg")
-      val stale = Option(aggRoot.list()).getOrElse(Array.empty[String])
-        .exists(n => n.startsWith("b") && n != "b0")
-      require(!stale,
-        s"$dir holds deltas from a previous run but the stream restarted " +
-          "at batch 0 (fresh checkpoint?) — use a fresh output dir or " +
-          "keep dir and checkpoint together")
-    }
+    if (batchId == 0L) DeltaStore.requireFreshRun(dir, Seq("agg"))
     val f = Prep.funnelFlags(batch).localCheckpoint() // consumed twice
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))

@@ -70,8 +70,28 @@ object StreamIvf {
     val s = sink(path)
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((batch: DataFrame, batchId: Long) =>
-        s.upsert(indexRows(batch, cents, batchId), batchId))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-0 stale-run guard (the DeltaStore operators' fail-fast,
+        // adapted to the precombine): seq IS the batch id, so a fresh
+        // checkpoint restarted against an index a previous run built
+        // would hand out LOW seqs that silently LOSE to the dead run's
+        // rows — re-embedded vectors would serve stale embeddings
+        // forever. Rows with seq > 0 can only come from a run that
+        // progressed past batch 0 (a legitimate same-run replay of
+        // batch 0 leaves only seq=0 rows), so their presence at batch 0
+        // is proof of a dir/checkpoint mismatch.
+        if (batchId == 0L) {
+          val maxSeq = scala.util.Try(
+            readIndex(batch.sparkSession, path)
+              .agg(org.apache.spark.sql.functions.max(col("seq"))).head.getLong(0))
+            .getOrElse(0L)
+          require(maxSeq <= 0L,
+            s"$path holds index rows from a previous run (max seq $maxSeq) " +
+              "but the stream restarted at batch 0 (fresh checkpoint?) — " +
+              "use a fresh index path or keep path and checkpoint together")
+        }
+        s.upsert(indexRows(batch, cents, batchId), batchId)
+      }
       .start()
   }
 
@@ -103,47 +123,68 @@ object StreamIvf {
   }
 
   /** Rebuilt-vs-maintained index equivalence, as an oracle-checked
-    * query: the embeddings corpus arrives as four disjoint micro-batch
-    * slices upserted one at a time into a fresh sink table, followed by
-    * an at-least-once REPLAY of one slice and a higher-seq REFRESH of
-    * another (the two degenerate deliveries a streaming maintainer must
-    * absorb); the maintained index is then searched with the standard
-    * nprobe=1 probe. The oracle is [[Similarity.annIvfSql]] — the
-    * batch-REBUILT index's search semantics — so a hash match IS the
-    * proof that incremental maintenance converges to the rebuild,
-    * the same equivalence the engine proves for aggregates
-    * (IncrementalAgg) and the funnel (StreamFunnel).
+    * query: the embeddings corpus arrives as TWO cell-parity
+    * micro-batch slices upserted one at a time into a fresh sink
+    * table, followed by an at-least-once REPLAY of one slice and a
+    * higher-seq REFRESH of the other (the two degenerate deliveries a
+    * streaming maintainer must absorb); the maintained index is then
+    * searched with the standard nprobe=1 probe. The oracle is
+    * [[Similarity.annIvfSql]] — the batch-REBUILT index's search
+    * semantics — so a hash match IS the proof that incremental
+    * maintenance converges to the rebuild, the same equivalence the
+    * engine proves for aggregates (IncrementalAgg) and the funnel
+    * (StreamFunnel).
     *
     * Scale shape: each upsert touches only the IVF cells present in
     * its batch (partition-pruned rewrite), the centroid set is
     * broadcast metadata, and the search reads only the probed cell
     * directories — nothing here is corpus²  at any stage.
     */
-  def annIvfIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+  def annIvfIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalScenario(spark, sfDir, "graft_ivf_inc",
+      mkSink = path => sink(path),
+      readBack = (spark, path, _) => readIndex(spark, path))
+
+  /** The COW/MOR-shared scenario body: one definition of the slice
+    * recipe, replay/refresh choreography and search, so the two gates
+    * can never silently prove different things.
+    *
+    * Two ingest slices suffice for every maintenance guarantee the
+    * query proves (multi-batch build, idempotent replay, precombine
+    * refresh). Slices cut on CELL parity, not vector id: a vector-id
+    * slice touches every cell dir every commit (uniform spread), so
+    * each upsert rewrote the whole index; cell-parity slices touch
+    * half the dirs per commit — the realistic shape (a batch clusters
+    * into SOME cells) and half the small-file I/O, same final table.
+    * Both slices localCheckpoint once: each feeds two commits (ingest
+    * plus replay/refresh), and unmaterialized they re-ran the
+    * full-corpus assignNearest + quantization per commit — the
+    * dominant cost of the benched query, paid twice for rows the sink
+    * semantics (not recomputation) are meant to exercise.
+    */
+  private def incrementalScenario(spark: SparkSession, sfDir: String,
+      tmpPrefix: String, mkSink: String => ParquetUpsertSink,
+      readBack: (SparkSession, String, ParquetUpsertSink) => DataFrame): DataFrame = {
     val emb = graft.Tables.table(spark, sfDir, "embeddings")
     val centroids = emb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
-    val s = sink(path)
-    // two ingest slices suffice for every maintenance guarantee the
-    // query proves (multi-batch build, idempotent replay, precombine
-    // refresh). Slices cut on CELL parity, not vector id: a vector-id
-    // slice touches every cell dir every commit (uniform spread), so
-    // each upsert rewrote the whole index; cell-parity slices touch
-    // half the dirs per commit — the realistic shape (a batch clusters
-    // into SOME cells) and half the small-file I/O, same final table.
-    def slice(b: Int): DataFrame =
+    val path = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+    val s = mkSink(path)
+    def mkSlice(b: Int): DataFrame =
       indexRows(emb, centroids, seq = b.toLong)
         .filter(pmod(col("cent_id"), lit(2)) === b)
-    (0 until 2).foreach { b => s.upsert(slice(b), batchId = b.toLong) }
+        .localCheckpoint(true)
+    val slice0 = mkSlice(0); val slice1 = mkSlice(1)
+    s.upsert(slice0, batchId = 0L)
+    s.upsert(slice1, batchId = 1L)
     // at-least-once replay of slice 1 (same seq — idempotent rewrite) …
-    s.upsert(slice(1), batchId = 2L)
+    s.upsert(slice1, batchId = 2L)
     // … and a refresh of slice 0 at a higher seq (precombine keeps it;
     // payload unchanged, so the search output stays the rebuilt index's)
-    s.upsert(slice(0).withColumn("seq", lit(5L)), batchId = 3L)
+    s.upsert(slice0.withColumn("seq", lit(5L)), batchId = 3L)
     val queries = emb.filter(col("vec_id") % 100 === 0)
     graft.Present.sortSmall(
-      search(readIndex(spark, path), queries, centroids, k = 5),
+      search(readBack(spark, path, s), queries, centroids, k = 5),
       col("query_id"), col("rank"))
   }
 
@@ -159,24 +200,11 @@ object StreamIvf {
     * cost the COW twin pays per round becomes one parquet append per
     * batch.
     */
-  def annIvfIncrementalMor(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = graft.Tables.table(spark, sfDir, "embeddings")
-    val centroids = emb.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf_mor").toString
-    val s = ParquetUpsertSink(path, recordKeys = Seq("vec_id"),
-      precombine = "seq", partitionCol = "cent_id",
-      writeMode = ParquetUpsertSink.ModeMor)
-    def slice(b: Int): DataFrame =
-      indexRows(emb, centroids, seq = b.toLong)
-        .filter(pmod(col("cent_id"), lit(2)) === b)
-    (0 until 2).foreach { b => s.upsert(slice(b), batchId = b.toLong) }
-    s.upsert(slice(1), batchId = 2L) // at-least-once replay
-    s.upsert(slice(0).withColumn("seq", lit(5L)), batchId = 3L) // refresh
-    val queries = emb.filter(col("vec_id") % 100 === 0)
-    val index = s.readMor(spark).withColumn("cent_id", col("cent_id").cast("long"))
-    graft.Present.sortSmall(
-      search(index, queries, centroids, k = 5),
-      col("query_id"), col("rank"))
-  }
+  def annIvfIncrementalMor(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalScenario(spark, sfDir, "graft_ivf_mor",
+      mkSink = path => ParquetUpsertSink(path, recordKeys = Seq("vec_id"),
+        precombine = "seq", partitionCol = "cent_id",
+        writeMode = ParquetUpsertSink.ModeMor),
+      readBack = (spark, _, s) =>
+        s.readMor(spark).withColumn("cent_id", col("cent_id").cast("long")))
 }

@@ -47,8 +47,14 @@ object StreamLineDedup {
       .select(col("doc_id"), col("pos"), md5(col("line").cast("binary")).as("lh"))
       .localCheckpoint(false)
     val knownKeys = known.select(col("lh")).distinct()
+    // ONE registry probe per batch: occK feeds three consumers (keeper
+    // agg, removal join, new-key extraction — known.isNull ⇔ the old
+    // left_anti), and unmaterialized each re-joined the full committed
+    // registry, the relation that at 100 TB is one row per distinct
+    // line key in the corpus
     val occK = occ
       .join(knownKeys.withColumn("known", lit(true)), Seq("lh"), "left_outer")
+      .localCheckpoint(false)
     // first occurrence per NOVEL line within the batch survives
     val keeper = occK.filter(col("known").isNull)
       .groupBy(col("lh"))
@@ -57,7 +63,7 @@ object StreamLineDedup {
       .filter(col("known").isNotNull ||
         !(struct(col("doc_id"), col("pos")) === col("keeper")))
       .select(col("doc_id"), col("pos"))
-    val newKeys = occ.join(knownKeys, Seq("lh"), "left_anti")
+    val newKeys = occK.filter(col("known").isNull)
       .select(col("lh")).distinct()
     (Dedup.rebuildWithoutLines(withLines, removed), newKeys)
   }
@@ -84,15 +90,11 @@ object StreamLineDedup {
     * and new-keys deltas (overwrite = replay-deterministic).
     */
   def ingestBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
-    if (batchId == 0L) {
-      val outRoot = new java.io.File(s"$dir/out")
-      val stale = Option(outRoot.list()).getOrElse(Array.empty[String])
-        .exists(n => n.startsWith("b") && n != "b0")
-      require(!stale,
-        s"$dir holds deltas from a previous run but the stream restarted " +
-          "at batch 0 (fresh checkpoint?) — use a fresh output dir or " +
-          "keep dir and checkpoint together")
-    }
+    // BOTH stores checked through the shared guard: the line registry
+    // can carry a previous run's compacted base_N even when out/ holds
+    // only b0 — the old out-only probe let that dead registry pollute
+    // the new run (its keys wrongly cut fresh lines as "known")
+    if (batchId == 0L) DeltaStore.requireFreshRun(dir, Seq("out", "lines"))
     val (cleaned, newKeys) = cleanBatch(batch, knownKeys(batch.sparkSession, dir, batchId))
     cleaned.write.mode("overwrite").parquet(s"$dir/out/b$batchId")
     newKeys.withColumn("bid", lit(batchId))

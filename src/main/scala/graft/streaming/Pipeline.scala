@@ -109,23 +109,36 @@ object Pipeline {
     val actSink = ParquetUpsertSink(
       s"$outDir/activities", Seq("id"), "processing_timestamp", "processing_date")
 
-    Seq(
-      upsertSink(employees, empSink, s"$checkpointRoot/employees",
-        Trigger.ProcessingTime("30 seconds")).start(),
-      upsertSink(activities, actSink, s"$checkpointRoot/activities",
-        Trigger.ProcessingTime("30 seconds")).start(),
-      hourly.writeStream
+    // start one at a time, stopping the already-started queries if a
+    // later start throws (duplicate active memory queryName, a memory
+    // sink refusing a non-Complete checkpoint): leaking the first
+    // queries running with no handle is the alternative
+    val started = scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
+    def tracked(q: => StreamingQuery): StreamingQuery = {
+      val s = q; started += s; s
+    }
+    try Seq(
+      tracked(upsertSink(employees, empSink, s"$checkpointRoot/employees",
+        Trigger.ProcessingTime("30 seconds")).start()),
+      tracked(upsertSink(activities, actSink, s"$checkpointRoot/activities",
+        Trigger.ProcessingTime("30 seconds")).start()),
+      tracked(hourly.writeStream
         .format("memory").queryName("hourly_agg")
         .option("checkpointLocation", s"$checkpointRoot/hourly")
         .outputMode(OutputMode.Update())
         .trigger(Trigger.ProcessingTime("30 seconds"))
-        .start(),
-      daily.writeStream
+        .start()),
+      tracked(daily.writeStream
         .format("memory").queryName("daily_agg")
         .option("checkpointLocation", s"$checkpointRoot/daily")
         .outputMode(OutputMode.Update())
         .trigger(Trigger.ProcessingTime("30 seconds"))
-        .start())
+        .start()))
+    catch {
+      case t: Throwable =>
+        started.foreach(q => scala.util.Try(q.stop()))
+        throw t
+    }
   }
 
   /** Stream-stream equi-join (SURVEY §2.4's natural extension): enriched

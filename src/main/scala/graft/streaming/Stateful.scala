@@ -186,7 +186,10 @@ object Stateful {
       }
     }
     flushEarly()
-    (closed.reverse, cur)
+    // the final early-chain flush lands at the head of `closed` AFTER
+    // later cur-closures — a bare reverse would emit it last; sort by
+    // start to honor the documented chronological contract exactly
+    (closed.reverse.sortBy(r => micros(r.session_start)), cur)
   }
 
   /** How the TWS sessionizer flushes idle sessions. */

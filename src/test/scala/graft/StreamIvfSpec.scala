@@ -75,6 +75,29 @@ class StreamIvfSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("a fresh-checkpoint restart against a progressed index fails fast") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("ivf_stale").toString
+    // a "previous run" that progressed past batch 0: rows carry seq 1
+    StreamIvf.sink(path).upsert(
+      StreamIvf.indexRows(vectors, centroids, seq = 1L), batchId = 1L)
+    // new query, FRESH checkpoint: its batch 0 would hand out seq 0,
+    // which silently LOSES to the dead run's seq-1 rows — the guard
+    // must fail the stream instead
+    val checkpoint = java.nio.file.Files.createTempDirectory("ivf_stale_ck").toString
+    val mem = MemoryStream[IvfVec]
+    val q = StreamIvf.start(mem.toDF(), centroids, path, checkpoint)
+    try {
+      mem.addData(vectors.as[IvfVec].collect().take(3).toSeq)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.exception.foreach(throw _)
+      }
+      assert(e.getMessage.contains("fresh checkpoint"),
+        s"expected the stale-run guard, got: ${e.getMessage}")
+    } finally scala.util.Try(q.stop())
+  }
+
   test("a re-ingested vector resolves to its newest embedding (precombine on seq)") {
     implicit val sqlCtx = spark.sqlContext
     val first = vectors.as[IvfVec].collect().minBy(_.vec_id)

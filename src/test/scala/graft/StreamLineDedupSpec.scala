@@ -65,6 +65,20 @@ class StreamLineDedupSpec extends SparkSpec {
     assert(rows(ext.StreamLineDedup.cleaned(spark, dir)) == streamed)
   }
 
+  test("batch-0 guard catches a previous run's COMPACTED registry") {
+    // a dead run whose deltas were folded leaves lines/base_N and an
+    // out/ holding only b0 — the old out-only probe let that dead
+    // registry pollute the new run (fresh lines wrongly cut as known)
+    val dir = java.nio.file.Files.createTempDirectory("sld_stale").toString
+    assert(new java.io.File(s"$dir/lines/base_1").mkdirs())
+    assert(new java.io.File(s"$dir/out/b0").mkdirs())
+    val batch = Seq((1L, "a line")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      ext.StreamLineDedup.ingestBatch(batch, dir, batchId = 0L)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+  }
+
   test("registry compaction bounds state and leaves cleaning unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("linecomp").toString
     ext.StreamLineDedup.ingestBatch(wave1.toDF(), dir, 0L)
