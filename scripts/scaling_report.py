@@ -60,6 +60,14 @@ def main():
         rows.append((q, ts, r_last, slope))
         if q not in calib and ts[-1] >= FLAG_FLOOR and r_last > FLAG_RATIO:
             flagged.append((q, ts[-2], ts[-1], r_last))
+        # a query that FAILED (or is absent — stale mixed-vintage bench
+        # files) at any point is the worst scaling outcome, not a blank
+        # cell: without this it escaped the flag entirely (its ratio is
+        # nan) and the sweep read as a clean pass
+        if any(t is not None and t < 0 for t in ts):
+            failed_pts = [names[i] for i, t in enumerate(ts) if t is not None and t < 0]
+            flagged.append((q + f" (FAILED/absent at {','.join(failed_pts)})",
+                            ts[-2], ts[-1], float("inf")))
 
     def fmt(v, spec=".2f"):
         return "-" if (isinstance(v, float) and (math.isnan(v) or v < 0)) else format(v, spec)
@@ -88,11 +96,14 @@ def main():
         print("artificial clone ties).")
     print()
     for b, name in zip(benches, names):
-        print(f"- {name}: total {b['value']:.1f} s "
-              f"(staging {b.get('staging_sec', 0):.1f} + headline {b['headline_sec']:.1f} "
+        print(f"- {name}: total {b.get('value', 0):.1f} s "
+              f"(staging {b.get('staging_sec', 0):.1f} + headline {b.get('headline_sec', 0):.1f} "
               f"+ write-pipeline {b.get('write_pipeline_sec', 0):.1f} "
-              f"+ calibration {b['calibration_sec']:.1f}), failures {b['failures']}")
-    tot_r = last["headline_sec"] / prev["headline_sec"]
+              f"+ calibration {b.get('calibration_sec', 0):.1f}), "
+              f"failures {b.get('failures', '?')}")
+    # guard: an ONLY-filtered run can carry a zero headline tier
+    tot_r = (last.get("headline_sec", 0) / prev["headline_sec"]
+             if prev.get("headline_sec") else float("nan"))
     print(f"- headline total ratio {names[-2]}->{names[-1]}: **{tot_r:.2f}x** on 10x data")
     print()
     if flagged:

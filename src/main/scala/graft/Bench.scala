@@ -16,7 +16,11 @@ object Bench {
     // iteration order would make the warmup — and the first timed
     // query's cold penalty — vary run to run)
     SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // toRdd, like the timed path: a count() on top lets the optimizer
+      // prune every projection expression — the codegen the warmup
+      // exists to compile is exactly what pruning skips
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
     }
     // stage deterministic wire fixtures before timing: encoding the
     // envelope is test setup (production wire bytes come from the
@@ -43,36 +47,6 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // execute the query's OWN physical plan (toRdd) — a count() on top
-      // would let the optimizer prune every projection expression and
-      // time a bare scan instead of the query
-      // first line of the message only — a multi-line AnalysisException
-      // repeated across failures floods the driver's tail capture
-      val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          System.err.println(s"[bench] $name FAILED: ${msg.linesIterator.nextOption().getOrElse("")}")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // drop per-query persists between timings
-      // settle the heap between queries (untimed): accumulated garbage
-      // from a prior query otherwise lands GC pauses inside the next
-      // timing — measured swings of several seconds on the pair joins
-      System.gc()
-      name -> (if (ok) dt else -1.0)
-    }
-    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
-    // a comma-decimal locale would corrupt the JSON line
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    // failed queries report -1.0 per-query but NEVER deflate the total:
-    // sum successes only and surface an explicit failure count.
     // Two tiers: "calibration" queries exist to measure approximation
     // error against an exact answer (brute-force scans by definition) —
     // they still run and report, but separately, so the headline total
@@ -121,13 +95,60 @@ object Bench {
       "x_sessionize_tws_upsert", "x_ann_ivf_drift",
       "x_stale_rewrite_default", "x_stream_stream_join")
     // a rename in SparkEntry.queries must fail HERE, not silently shift
-    // a brute-force scan into the headline sum
+    // a brute-force scan into the headline sum — and it fails BEFORE the
+    // timed loop (the sets are static; discovering a rename after a
+    // ~5-minute run wastes the whole run)
     val unknownCalib = calibration.diff(SparkEntry.queries.keySet)
     require(unknownCalib.isEmpty,
       s"calibration tier names unknown queries: ${unknownCalib.toSeq.sorted.mkString(",")}")
     val unknownWp = writePipeline.diff(SparkEntry.queries.keySet)
     require(unknownWp.isEmpty,
       s"write-pipeline tier names unknown queries: ${unknownWp.toSeq.sorted.mkString(",")}")
+    // overlapping tiers would double-count the query across tier sums
+    // and silently break value = staging + headline + calib + wp
+    val overlap = calibration.intersect(writePipeline)
+    require(overlap.isEmpty,
+      s"queries in BOTH tiers: ${overlap.toSeq.sorted.mkString(",")}")
+    val results = selected.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      // execute the query's OWN physical plan (toRdd) — a count() on top
+      // would let the optimizer prune every projection expression and
+      // time a bare scan instead of the query
+      // first line of the message only — a multi-line AnalysisException
+      // repeated across failures floods the driver's tail capture
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[bench] $name FAILED: ${msg.linesIterator.nextOption().getOrElse("")}")
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // drop per-query persists between timings
+      // settle the heap between queries (untimed): accumulated garbage
+      // from a prior query otherwise lands GC pauses inside the next
+      // timing — measured swings of several seconds on the pair joins
+      System.gc()
+      name -> (if (ok) dt else -1.0)
+    }
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma-decimal locale would corrupt the JSON line
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // JSON string escape for interpolated PATHS (sfDir/outPath come from
+    // env vars): a quote or backslash spliced raw would corrupt both
+    // JSON outputs and the driver's parse — same escaper as Verify's
+    def js(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    // failed queries report -1.0 per-query but NEVER deflate the total:
+    // sum successes only and surface an explicit failure count.
+
     // "value" keeps its historical meaning — the TOTAL work of the run.
     // In prior rounds staging cost was embedded in whichever consumer
     // materialized a shared relation first; now it is measured
@@ -148,7 +169,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","staging_sec":${ms(stagingSec)},"headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"write_pipeline_sec":${ms(writePipelineSec)},"failures":$failures,"queries":$qs,"staging":$stagingJson,"calibration_queries":${calibration.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"write_pipeline_queries":${writePipeline.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","staging_sec":${ms(stagingSec)},"headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"write_pipeline_sec":${ms(writePipelineSec)},"failures":$failures,"queries":$qs,"staging":$stagingJson,"calibration_queries":${calibration.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"write_pipeline_queries":${writePipeline.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"${js(sfDir)}"}"""
     // The per-query map (~100 entries) overflows the driver's fixed
     // stdout tail-capture window, which for three rounds truncated the
     // first ~15 timings and broke JSON parsing. So: the FULL map is
@@ -189,7 +210,7 @@ object Bench {
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop() failed (ignored): ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","staging_sec":${ms(stagingSec)},"headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"write_pipeline_sec":${ms(writePipelineSec)},"failures":$failures,"n_queries":${results.size},"detail":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","staging_sec":${ms(stagingSec)},"headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"write_pipeline_sec":${ms(writePipelineSec)},"failures":$failures,"n_queries":${results.size},"detail":"$outPath","sf":"${js(sfDir)}"}""")
     System.out.flush()
   }
 }

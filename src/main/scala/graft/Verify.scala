@@ -31,6 +31,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a REUSED outDir (direct java invocation without run_verify.sh's
+        // pre-clean) would otherwise leave the previous run's parquet in
+        // place and the compare would PASS a now-broken query against
+        // stale correct output
+        scala.util.Try {
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(s"$outDir/$name"))
+        }
       }
       finally {
         spark.catalog.clearCache()
