@@ -210,7 +210,7 @@ object Bench {
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop() failed (ignored): ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","staging_sec":${ms(stagingSec)},"headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"write_pipeline_sec":${ms(writePipelineSec)},"failures":$failures,"n_queries":${results.size},"detail":"$outPath","sf":"${js(sfDir)}"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","staging_sec":${ms(stagingSec)},"headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"write_pipeline_sec":${ms(writePipelineSec)},"failures":$failures,"n_queries":${results.size},"detail":"${js(outPath)}","sf":"${js(sfDir)}"}""")
     System.out.flush()
   }
 }

@@ -665,8 +665,16 @@ final case class ParquetUpsertSink(
     // recordKeys alone would cross-product a key legitimately present
     // in two partitions into spurious update pairs, and report a key
     // that MOVED partitions as an update instead of the per-partition
-    // insert + delete the partition-scoped identity implies
-    val keyCols = recordKeys :+ partitionCol
+    // insert + delete the partition-scoped identity implies. A table
+    // whose partition column is ITSELF a record key (a config the bloom
+    // builder also anticipates) must not duplicate the column here —
+    // packed()/keyMatch would hit an ambiguous-reference error.
+    val keyCols = {
+      val withPart = recordKeys :+ partitionCol
+      withPart.foldLeft(Vector.empty[String]) { (acc, c) =>
+        if (acc.exists(_.equalsIgnoreCase(c))) acc else acc :+ c
+      }
+    }
     def packed(df: DataFrame, side: String) =
       aligned(df).select(
         keyCols.map(col) :+
