@@ -392,6 +392,69 @@ object Clusters {
     |FROM per
     |ORDER BY source""".stripMargin
 
+  /** Combined per-source shrinkage across BOTH dedup families: the
+    * text near-dup drop list (MinHash-LSH component closure, the same
+    * [[dropList]] the doc- and token-weighted reports share) and the
+    * media near-dup drop list ([[Multimodal.mediaDedupAssignments]]'s
+    * class-contracted CC — its non-keepers). A document dropped by
+    * both families counts ONCE in `n_dropped_any` (the number a corpus
+    * budget actually loses); the per-family columns keep the
+    * attribution. This is the report that makes the media dedup path a
+    * consumed production surface rather than a gate-only operator.
+    *
+    * Scale shape: both drop lists are the already-proven component
+    * closures (O(n) rows, far smaller than the corpus); marking is a
+    * full-outer join of the two drop lists (each keyed and tiny
+    * relative to docs) followed by one left join onto the corpus scan
+    * and a per-source partial agg — output is |sources| rows.
+    */
+  def dedupRatesCombined(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val textDrops = dropList(spark, sfDir).withColumn("t", lit(true))
+    val mediaDrops = Multimodal.mediaDedupAssignments(spark, sfDir)
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id")).withColumn("m", lit(true))
+    val marks = textDrops.join(mediaDrops, Seq("doc_id"), "full_outer")
+    Present.sortSmall(
+      docs.join(marks, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("t"), 1L).otherwise(0L)).as("n_dropped_text"),
+          sum(when(col("m"), 1L).otherwise(0L)).as("n_dropped_media"),
+          // true || null = true; null || null = null -> otherwise(0)
+          sum(when(col("t") || col("m"), 1L).otherwise(0L)).as("n_dropped_any"))
+        .withColumn("dup_rate",
+          round(col("n_dropped_any").cast("double") / col("n_docs"), 4)),
+      col("source"))
+  }
+
+  /** DuckDB twin of [[dedupRatesCombined]]: the text component chain
+    * and the m-prefixed media component chain composed into ONE
+    * recursive WITH, drops diffed per family, union counted once.
+    */
+  val dedupRatesCombinedSql: String = componentsCteSql + "," +
+    Multimodal.mediaCompCteSql + """,
+    |tdrops AS (SELECT doc_id FROM comp WHERE doc_id <> keeper_id),
+    |mdrops AS (SELECT doc_id FROM mcomp WHERE doc_id <> keeper_id),
+    |per AS (
+    |  SELECT d.source,
+    |         count(*) AS n_docs,
+    |         count(t.doc_id) AS n_dropped_text,
+    |         count(mr.doc_id) AS n_dropped_media,
+    |         sum(CASE WHEN t.doc_id IS NOT NULL OR mr.doc_id IS NOT NULL
+    |                  THEN 1 ELSE 0 END) AS n_dropped_any
+    |  FROM documents d
+    |  LEFT JOIN tdrops t ON t.doc_id = d.doc_id
+    |  LEFT JOIN mdrops mr ON mr.doc_id = d.doc_id
+    |  GROUP BY d.source)
+    |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+    |       CAST(n_dropped_text AS BIGINT) AS n_dropped_text,
+    |       CAST(n_dropped_media AS BIGINT) AS n_dropped_media,
+    |       CAST(n_dropped_any AS BIGINT) AS n_dropped_any,
+    |       round(n_dropped_any::DOUBLE / n_docs, 4) AS dup_rate
+    |FROM per
+    |ORDER BY source""".stripMargin
+
   /** Token-weighted dedup rates per source: the fraction of TOKENS (not
     * docs) removed by near-dup deletion — the number that actually
     * moves a training-token budget: dropping 5% of docs that happen to

@@ -456,6 +456,7 @@ object Multimodal {
     val out = records.flatMap { r =>
       val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(r.payload))
+      try {
       reader.setInput(in, false, true)
       val n = reader.getNumImages(true)
       val frames = (0 until n by FrameStride).map { f =>
@@ -477,8 +478,10 @@ object Multimodal {
         }
         DecodedFrame(r.doc_id, n, f, sr, sg, sb, ck)
       }
-      in.close()
       frames
+      // finally, not success-path: a malformed payload that throws in
+      // getNumImages/read must not leak the stream's memory cache
+      } finally in.close()
     }
     def dispose(): Unit = reader.dispose()
     org.apache.spark.TaskContext.get() match {
@@ -681,9 +684,13 @@ object Multimodal {
     * required (single-sided probe — see the caller's doc).
     */
   def mediaDedupPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // persisted: both join sides derive from this one 50k-per-sf0.1-doc
-    // relation — without the persist the decode+feature scan runs twice
-    val keyed = mediaFeatureClasses(spark, sfDir).persist()
+    // localCheckpoint, not persist: both join sides derive from this one
+    // 50k-per-sf0.1-doc relation (unmaterialized, the decode+feature
+    // scan runs twice), and the blocks are ContextCleaner-dropped when
+    // the returned plan becomes unreachable — a persist() here would be
+    // a caller-visible leak since the consumer is lazy (the same
+    // trade-off documented at Dedup.simhashPairs)
+    val keyed = mediaFeatureClasses(spark, sfDir).localCheckpoint()
     // (an f2 band as a third key was MEASURED and rejected: f2 has too
     // little diversity on this corpus to cut candidates, and the extra
     // probe explode tripled the shuffled rows — 16.5 s → 26.4 s at the
@@ -804,6 +811,22 @@ object Multimodal {
     spark0.conf.getAll.foreach { case (k, v) =>
       scala.util.Try(spark.conf.set(k, v)) }
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    graft.Present.sortSmall(
+      mediaDedupAssignments(spark, sfDir)
+        .withColumn("cluster_size", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("keeper_id")))),
+      col("doc_id"))
+  }
+
+  /** Unsorted `(doc_id, keeper_id)` media near-dup assignment — the
+    * class-contracted CC of [[mediaDedupGroups]] without the
+    * presentation sort or cluster sizes, built on the CALLER's
+    * session. This is the surface the corpus-level dedup accounting
+    * joins downstream ([[Clusters.dedupRatesCombined]] charges media
+    * drops to their source next to the text drops), so the media
+    * dedup path is consumed by the shrinkage reports, not only gated.
+    */
+  def mediaDedupAssignments(spark: SparkSession, sfDir: String): DataFrame = {
     // FEATURE-CLASS CONTRACTION — the reason this operator's CC input
     // grows SUB-linearly while the pair view's output grows
     // quadratically: the verify predicate depends only on (media_type,
@@ -814,11 +837,17 @@ object Multimodal {
     // at sf0.1 → 7,494 at the synthetic sf1 for 10× the docs), so the
     // class-level banded join and the CC both run on a near-constant
     // node set; the 100× doc-pair blowup never materializes anywhere.
-    val feats = mediaFeatureClasses(spark, sfDir).persist()
+    // localCheckpoint (not persist): feats feeds the class contraction
+    // AND the doc→rep expansion join; classes feeds the banded join AND
+    // the expansion. Both are consumed lazily through the returned
+    // frame, so persist() would leak block-manager entries in a
+    // long-lived session — checkpoint blocks are dropped by the
+    // ContextCleaner once the plan is unreachable
+    val feats = mediaFeatureClasses(spark, sfDir).localCheckpoint()
     val classes = feats.groupBy(col("media_type"), col("byte_len"),
       col("f1"), col("f2"), col("band"), col("lenb"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
-      .persist()
+      .localCheckpoint()
     // class-level banded candidates + verify (same predicate and
     // forward-delta net as the doc-grain pairs — one shared helper;
     // orientation is irrelevant for CC edges)
@@ -834,14 +863,10 @@ object Multimodal {
         col("f2"), col("rep"), col("n")),
       Seq("media_type", "byte_len", "f1", "f2"))
       .select(col("doc_id"), col("rep"), col("n"))
-    graft.Present.sortSmall(
-      docRep.join(cc, docRep("rep") === cc("id"), "left")
-        .filter(col("component").isNotNull || col("n") >= 2)
-        .select(col("doc_id"),
-          coalesce(col("component"), col("rep")).as("keeper_id"))
-        .withColumn("cluster_size", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("keeper_id")))),
-      col("doc_id"))
+    docRep.join(cc, docRep("rep") === cc("id"), "left")
+      .filter(col("component").isNotNull || col("n") >= 2)
+      .select(col("doc_id"),
+        coalesce(col("component"), col("rep")).as("keeper_id"))
   }
 
   /** The per-doc feature/key relation shared by [[mediaDedupPairs]]
@@ -864,24 +889,34 @@ object Multimodal {
       floor(col("f1") / featureEps).cast("long").as("band"))
   }
 
+  /** Media pairs → components, as a WITH-chain fragment (no leading
+    * WITH): `mcomp(doc_id, keeper_id)` via recursive min-label
+    * propagation over the verified pairs. CTE names are m-prefixed so
+    * the fragment composes with the TEXT dedup chain in one statement
+    * (the combined shrinkage report's oracle —
+    * [[Clusters.dedupRatesCombinedSql]]).
+    */
+  private[ext] val mediaCompCteSql: String =
+    mediaPairsCteSql + """,
+      |medges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM mpairs
+      |  UNION
+      |  SELECT doc_b AS a, doc_a AS b FROM mpairs),
+      |mnodes AS (SELECT DISTINCT a AS doc FROM medges),
+      |mreach(doc, lab) AS (
+      |  SELECT doc, doc FROM mnodes
+      |  UNION
+      |  SELECT e.b, r.lab FROM mreach r JOIN medges e ON e.a = r.doc),
+      |mcomp AS (SELECT doc AS doc_id, min(lab) AS keeper_id FROM mreach GROUP BY doc)""".stripMargin
+
   /** DuckDB twin of [[mediaDedupGroups]]: the same verified pairs as
     * symmetric edges + a recursive min-label propagation.
     */
   val mediaDedupGroupsSql: String =
-    "WITH RECURSIVE " + mediaPairsCteSql + """,
-      |edges AS (
-      |  SELECT doc_a AS a, doc_b AS b FROM mpairs
-      |  UNION
-      |  SELECT doc_b AS a, doc_a AS b FROM mpairs),
-      |nodes AS (SELECT DISTINCT a AS doc FROM edges),
-      |reach(doc, lab) AS (
-      |  SELECT doc, doc FROM nodes
-      |  UNION
-      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc),
-      |comp AS (SELECT doc AS doc_id, min(lab) AS keeper_id FROM reach GROUP BY doc)
+    "WITH RECURSIVE " + mediaCompCteSql + """
       |SELECT doc_id, keeper_id,
       |       count(*) OVER (PARTITION BY keeper_id) AS cluster_size
-      |FROM comp
+      |FROM mcomp
       |ORDER BY doc_id""".stripMargin
 
   /** Target long edge (pixels) for [[mediaResize]] — the ViT-era

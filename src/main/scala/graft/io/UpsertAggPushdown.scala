@@ -42,6 +42,21 @@ final case class AggMin(col: String, dt: DataType) extends PushedAgg {
 final case class AggMax(col: String, dt: DataType) extends PushedAgg {
   val resultField = StructField(s"max_$col", dt)
 }
+/** SUM(col) partial, in Spark's sum result domain (integral → long,
+  * fractional → double). Parquet footers carry no sums, so the footer
+  * path answers only the exact cases — all-null chunks and
+  * constant INTEGRAL chunks (min == max ⇒ sum = min × non-nulls,
+  * overflow-checked); everything else takes the single-column per-file
+  * scan. The partial is NULL when the file has no non-null value
+  * (Spark's fold ignores null partials, so an all-null file must not
+  * contribute a spurious 0). This is what makes AVG a metadata-family
+  * aggregate: Spark decomposes partial-pushdown AVG into SUM + COUNT
+  * (SPARK-37839) and folds the partials exactly.
+  */
+final case class AggSum(col: String, dt: DataType, resultDt: DataType)
+    extends PushedAgg {
+  val resultField = StructField(s"sum_$col", resultDt)
+}
 
 object UpsertAggPushdown {
 
@@ -53,6 +68,16 @@ object UpsertAggPushdown {
     case IntegerType | LongType | FloatType | DoubleType | DateType |
          TimestampType | TimestampNTZType => true
     case _ => false
+  }
+
+  /** SUM's result domain per Spark's `Sum.resultType`: integral → long,
+    * fractional → double; None = not summable (dates/timestamps/strings
+    * decline and the row scan answers).
+    */
+  def sumResultType(dt: DataType): Option[DataType] = dt match {
+    case IntegerType | LongType => Some(LongType)
+    case FloatType | DoubleType => Some(DoubleType)
+    case _ => None
   }
 
   /** Footer statistic value → Spark internal value; None = a physical
@@ -162,16 +187,19 @@ final class UpsertAggScan(path: String, tableSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new UpsertAggReaderFactory(tableSchema, partitionCol, aggs, groupByPartition,
-      UpsertTableSource.serializableConf())
+      UpsertTableSource.serializableConf(),
+      // captured driver-side: long-SUM overflow must throw under ANSI
+      // (like Spark's Sum) and wrap under legacy semantics
+      SparkSession.active.sessionState.conf.ansiEnabled)
 }
 
 final class UpsertAggReaderFactory(tableSchema: StructType,
     partitionCol: Option[String], aggs: Seq[PushedAgg], groupByPartition: Boolean,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration, ansi: Boolean)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new UpsertAggReader(partition.asInstanceOf[UpsertFilePartition],
-      tableSchema, partitionCol, aggs, groupByPartition, conf.value)
+      tableSchema, partitionCol, aggs, groupByPartition, conf.value, ansi)
 }
 
 /** Executor-side: aggregate ONE file from its footer; scan the file's
@@ -179,7 +207,7 @@ final class UpsertAggReaderFactory(tableSchema: StructType,
   */
 final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
     partitionCol: Option[String], aggs: Seq[PushedAgg], groupByPartition: Boolean,
-    conf: Configuration) extends PartitionReader[InternalRow] {
+    conf: Configuration, ansi: Boolean) extends PartitionReader[InternalRow] {
 
   private var done = false
 
@@ -274,12 +302,49 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
           }
           Some(acc)
       }
+      // SUM from footers is exact in precisely two cases: an all-null
+      // column (partial = NULL) and constant INTEGRAL chunks (min == max
+      // ⇒ chunk sum = min × non-nulls, overflow-checked — overflow falls
+      // back to the scan, which carries the configured ANSI semantics).
+      // Fractional constants are deliberately excluded: v×n and Spark's
+      // fold v+v+…+v differ in final ulps, and a metadata path must
+      // never answer differently than the scan it replaces.
+      def sumFromStats(col: String, dt: DataType): Option[Option[Any]] = chunks(col) match {
+        case Left(_) => None
+        case Right(None) => Some(None) // column absent = all null -> NULL partial
+        case Right(Some(cs)) =>
+          if (dt != IntegerType && dt != LongType) return None
+          var acc = 0L
+          var saw = false
+          for (c <- cs) {
+            val st = c.getStatistics
+            if (st == null || st.isEmpty || !st.isNumNullsSet) return None
+            val nonNull = c.getValueCount - st.getNumNulls
+            if (nonNull > 0) {
+              if (!st.hasNonNullValue) return None
+              val mn = UpsertAggPushdown.decodeStat(st.genericGetMin(), c.getPrimitiveType, dt)
+                .getOrElse(return None)
+              val mx = UpsertAggPushdown.decodeStat(st.genericGetMax(), c.getPrimitiveType, dt)
+                .getOrElse(return None)
+              if (UpsertAggPushdown.cmpStat(mn, mx, dt) != 0) return None
+              val v = dt match {
+                case IntegerType => mn.asInstanceOf[Int].toLong
+                case _ => mn.asInstanceOf[Long]
+              }
+              try acc = Math.addExact(acc, Math.multiplyExact(v, nonNull))
+              catch { case _: ArithmeticException => return None }
+              saw = true
+            }
+          }
+          Some(if (saw) Some(acc) else None)
+      }
       val out = aggs.map {
         case AggRowCount => rowCount
         case AggPartitionCount => if (part.partValue == null) 0L else rowCount
         case AggColCount(col) => nonNullCount(col).getOrElse(return None)
         case AggMin(col, dt) => minMax(col, dt, wantMin = true).getOrElse(return None).orNull
         case AggMax(col, dt) => minMax(col, dt, wantMin = false).getOrElse(return None).orNull
+        case AggSum(col, dt, _) => sumFromStats(col, dt).getOrElse(return None).orNull
       }
       Some(out)
     } finally reader.close()
@@ -297,6 +362,7 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
       case AggColCount(c) => c
       case AggMin(c, _) => c
       case AggMax(c, _) => c
+      case AggSum(c, _, _) => c
     }.distinct
     // min/max folding must run ONLY for min/max columns: a count-only
     // column may be a string, and cmp() (rightly) has no ordering for
@@ -305,11 +371,19 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
       case AggMin(c, _) => c
       case AggMax(c, _) => c
     }.toSet
+    // sum accumulation domain per column (long for integral, double for
+    // fractional — Spark's Sum result types); the SAME column can also
+    // be a min/max target, the accumulators are independent
+    val sumDts: Map[String, DataType] = aggs.collect {
+      case AggSum(c, _, rdt) => c -> rdt
+    }.toMap
     val projected = StructType(tableSchema.fields.filter(f => needed.contains(f.name)))
     val idx = projected.fieldNames.zipWithIndex.toMap
     val counts = new java.util.HashMap[String, Long]()
     val mins = new java.util.HashMap[String, Any]()
     val maxs = new java.util.HashMap[String, Any]()
+    val sumL = new java.util.HashMap[String, java.lang.Long]()
+    val sumD = new java.util.HashMap[String, java.lang.Double]()
     var rowCount = 0L
     val reader = new UpsertPartitionReader(part, projected, None, conf)
     try {
@@ -318,13 +392,32 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
         rowCount += 1
         for (c <- needed; i = idx(c) if !row.isNullAt(i)) {
           counts.merge(c, 1L, (a, b) => a + b)
+          val dt = projected.fields(i).dataType
           if (mmCols.contains(c)) {
-            val dt = projected.fields(i).dataType
             val v = row.get(i, dt)
             val curMin = mins.get(c)
             if (curMin == null || cmp(v, curMin, dt) < 0) mins.put(c, v)
             val curMax = maxs.get(c)
             if (curMax == null || cmp(v, curMax, dt) > 0) maxs.put(c, v)
+          }
+          sumDts.get(c) match {
+            case Some(LongType) =>
+              val v = dt match {
+                case IntegerType => row.getInt(i).toLong
+                case _ => row.getLong(i)
+              }
+              val cur = sumL.get(c)
+              val prev = if (cur == null) 0L else cur.longValue()
+              // ANSI: overflow throws like Spark's Sum; legacy: wraps
+              sumL.put(c, if (ansi) Math.addExact(prev, v) else prev + v)
+            case Some(_) =>
+              val v = dt match {
+                case FloatType => row.getFloat(i).toDouble
+                case _ => row.getDouble(i)
+              }
+              val cur = sumD.get(c)
+              sumD.put(c, if (cur == null) v else cur.doubleValue() + v)
+            case None => ()
           }
         }
       }
@@ -335,6 +428,10 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
       case AggColCount(c) => counts.getOrDefault(c, 0L)
       case AggMin(c, _) => mins.get(c)
       case AggMax(c, _) => maxs.get(c)
+      // .get returns null when the file had no non-null value — the
+      // NULL partial Spark's final Sum fold ignores
+      case AggSum(c, _, rdt) =>
+        if (rdt == LongType) sumL.get(c) else sumD.get(c)
     }
   }
 }

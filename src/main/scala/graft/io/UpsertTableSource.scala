@@ -360,7 +360,7 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.{Expression => VExpr}
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     if (asOf.isDefined) return false // time travel answers from the row scan
     def fieldOf(e: VExpr): Option[StructField] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -385,6 +385,16 @@ final class UpsertScanBuilder(path: String, tableSchema: StructType,
       case m: Max => fieldOf(m.column).collect {
         case f if UpsertAggPushdown.statType(f.dataType) && !isPartition(f) =>
           AggMax(f.name, f.dataType)
+      }
+      // SUM (and therefore AVG, which Spark decomposes into SUM + COUNT
+      // partials for partial pushdown — SPARK-37839): integral and
+      // fractional columns only; the per-file partial comes from the
+      // footer when exact (all-null / constant integral chunks) and a
+      // single-column file scan otherwise
+      case s: Sum if !s.isDistinct => fieldOf(s.column).flatMap { f =>
+        if (isPartition(f)) None
+        else UpsertAggPushdown.sumResultType(f.dataType)
+          .map(rdt => AggSum(f.name, f.dataType, rdt))
       }
       case _ => None
     }

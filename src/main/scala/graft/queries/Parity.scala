@@ -1487,7 +1487,14 @@ object Parity {
         count(col("o_custkey")).as("n_cust"),
         min(col("o_totalprice")).as("lo"),
         max(col("o_totalprice")).as("hi"),
-        max(col("o_orderdate")).as("last_date"))
+        max(col("o_orderdate")).as("last_date"),
+        // SUM partials come from the scan builder's AggSum; AVG is
+        // decomposed by Spark into pushed SUM + COUNT partials
+        // (SPARK-37839) — rounded because double partial fold order
+        // differs between engines, same discipline as every double agg
+        round(sum(col("o_totalprice")), 2).as("total"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        round(avg(col("o_custkey")), 4).as("avg_cust"))
       .transform(graft.Present.sortSmall(_, col("o_orderpriority")))
   }
 
@@ -1497,7 +1504,10 @@ object Parity {
       |       count(o_custkey) AS n_cust,
       |       min(o_totalprice) AS lo,
       |       max(o_totalprice) AS hi,
-      |       max(o_orderdate) AS last_date
+      |       max(o_orderdate) AS last_date,
+      |       round(sum(o_totalprice), 2) AS total,
+      |       round(avg(o_totalprice), 4) AS avg_price,
+      |       round(avg(o_custkey), 4) AS avg_cust
       |FROM orders
       |WHERE o_orderkey % 3 = 2
       |GROUP BY 1

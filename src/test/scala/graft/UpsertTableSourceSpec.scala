@@ -320,10 +320,47 @@ class UpsertTableSourceSpec extends SparkSpec {
     assert(!residual.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
     assert(residual.as[Long].collect().toSeq == Seq(3L))
 
-    // unsupported aggregate (avg) declines cleanly
-    val declined = t.agg(avg($"amount"))
+    // SUM pushes; AVG pushes too — Spark decomposes it into SUM + COUNT
+    // partials for partial pushdown (SPARK-37839) and folds them exactly
+    val summed = t.agg(sum($"amount").as("s"), avg($"amount").as("a"))
+    assert(summed.queryExecution.optimizedPlan.toString.contains("agg_func_0"),
+      s"sum/avg not pushed:\n${summed.queryExecution.optimizedPlan}")
+    val sr = summed.as[(Double, Double)].collect().head
+    assert(math.abs(sr._1 - 20.0) < 1e-9 && math.abs(sr._2 - 5.0) < 1e-9)
+
+    // SUM over the evolved column: files without it contribute a NULL
+    // partial (not 0), and an all-null table-wide sum stays NULL
+    val se = t.agg(sum($"extra"))
+    assert(se.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
+    assert(math.abs(se.collect().head.getDouble(0) - 7.25) < 1e-9)
+
+    // unsupported aggregates decline cleanly: DISTINCT sums are not
+    // foldable from per-file partials, stddev has no partial form here
+    val declined = t.agg(sum_distinct($"amount"))
     assert(!declined.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
-    assert(math.abs(declined.as[Double].collect().head - (2.5 + 3.5 + 4.5 + 9.5) / 4) < 1e-9)
+    assert(math.abs(declined.as[Double].collect().head - 20.0) < 1e-9)
+    val declined2 = t.agg(expr("stddev(amount)"))
+    assert(!declined2.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
+  }
+
+  test("SUM pushdown: constant-integral footers fold without a scan, NULL partials stay NULL") {
+    // one file per partition, each with a CONSTANT long column — the
+    // exact case the footer fast path (sum = min × non-nulls) answers
+    // without touching data pages
+    val dir = Files.createTempDirectory("dsv2aggsum").toString + "/t"
+    (1 to 300).map(i => (i.toLong, (i % 3 + 1) * 10L, s"p${i % 3}"))
+      .toDF("id", "k", "dept")
+      .repartition(1)
+      .write.partitionBy("dept").parquet(dir)
+    val t = spark.read.format("graft-upsert").load(dir)
+    val agg = t.groupBy($"dept").agg(sum($"k").as("s"), avg($"k").as("a"))
+    assert(agg.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
+    val got = agg.orderBy("dept").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("p0", 1000L, 10.0), ("p1", 2000L, 20.0), ("p2", 3000L, 30.0)))
+    // non-constant long column: the per-file single-column scan answers
+    val byScan = t.agg(sum($"id").as("s"))
+    assert(byScan.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
+    assert(byScan.as[Long].collect().head == 300L * 301 / 2)
   }
 
   test("aggregate pushdown folds MIN/MAX correctly across many row groups") {
