@@ -44,11 +44,133 @@ class StreamTableLoopSpec extends SparkSpec {
     // sink-committed/offsets-uncommitted window exactly like the value
     // state does, and the flush that fires AFTER the replayed batch
     // must emit exactly once into the table. (The processing-time
-    // variant cannot be driven deterministically here: an armed PT
-    // timer keeps the engine scheduling wake-up batches, so
-    // processAllAvailable never settles — see StatefulSpec's timer
-    // test. Event-time timers are watermark-driven and settle.)
+    // variant free-runs under the system clock and never settles under
+    // processAllAvailable — it is driven deterministically with an
+    // injected manual trigger clock in the next test instead.)
     crashReplayScenario(withTimer = true)
+  }
+
+  test("PT-timer TWS survives the crash window under a manual trigger clock") {
+    // the r17 gap, closed: with the SYSTEM clock an armed
+    // processing-time timer keeps scheduling wake-up batches and
+    // processAllAvailable never settles — but the trigger clock is an
+    // injectable `startQuery` parameter (the StreamTest pattern), and
+    // org.apache.spark.util.ManualClock is in the public core jar. A
+    // batch then runs exactly when the test advances the clock past
+    // the next trigger tick, which makes the timer-armed replay
+    // deterministic: crash AFTER batch 1's sink commit, restart,
+    // REPLAY batch 1 (timers re-armed inside the replayed state),
+    // advance past the idle gap, and the flush fires exactly once
+    // into the table.
+    crashReplayProcessingTime()
+  }
+
+  private def pollUntil(deadlineMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + deadlineMs
+    var ok = cond
+    while (!ok && System.currentTimeMillis() < deadline) { Thread.sleep(100); ok = cond }
+    ok
+  }
+
+  private def crashReplayProcessingTime(): Unit = withRocksDb {
+    val base = java.nio.file.Files.createTempDirectory("graft_loop_pt")
+    val actDir = s"$base/acts"; val tblDir = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val batch1 = Seq(
+      ActivityRow(1, "a", ts("2025-01-02 10:00:00"), 10),
+      ActivityRow(1, "b", ts("2025-01-02 10:10:00"), 20),
+      ActivityRow(2, "c", ts("2025-01-02 10:00:00"), 5))
+    val batch2 = Seq(
+      ActivityRow(1, "d", ts("2025-01-02 12:00:00"), 7),
+      ActivityRow(2, "e", ts("2025-01-02 13:00:00"), 9),
+      ActivityRow(1, "f", ts("2025-01-02 15:00:00"), 1))
+    batch1.toDF().coalesce(1).write.parquet(actDir)
+    batch2.toDF().coalesce(1).write.mode("append").parquet(actDir)
+    val schema = batch1.toDF().schema
+    val sink = ParquetUpsertSink(tblDir,
+      Seq("employee_id", "session_start"), "pre", "p")
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val crashFired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val gap = 30L * 60 * 1000
+    val intervalMs = 1000L
+    val t0 = 1700000000000L // interval-aligned epoch for the manual clock
+
+    def table() = spark.read.format("graft-upsert").load(tblDir)
+
+    def start(clock: org.apache.spark.sql.GraftManualClock) = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(actDir)
+        .as[Stateful.ActivityEvent]
+      val sessions = Stateful.sessionizeTws(spark, stream,
+        gapMillis = gap, withTimer = true).toDF()
+      org.apache.spark.sql.GraftStreamClockBridge.startForeachBatch(
+        spark, sessions, "pt_loop", ckpt,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$intervalMs milliseconds"),
+        clock) { (b, batchId) =>
+        sink.upsert(
+          b.withColumn("pre", unix_micros(col("session_end")))
+            .withColumn("p", concat(lit("b"), pmod(col("employee_id"), lit(2)))),
+          batchId)
+        if (batchId == 1 && crashOnce.getAndSet(false)) {
+          crashFired.set(true)
+          throw new RuntimeException("injected crash after sink commit")
+        }
+        ()
+      }
+    }
+
+    // — run 1: batch 0 fires at t0 on its own; one tick runs batch 1,
+    //   which commits to the sink and then crashes before its offsets —
+    val clock1 = new org.apache.spark.sql.GraftManualClock(t0)
+    val q1 = start(clock1)
+    try {
+      assert(pollUntil(60000)(q1.recentProgress.exists(_.batchId == 0)),
+        "batch 0 never completed under the manual clock")
+      clock1.advance(intervalMs)
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.awaitTermination(120000); throw new IllegalStateException("query never died")
+      }
+      assert(failed.getMessage.contains("injected crash"), failed.getMessage)
+    } finally scala.util.Try(q1.stop())
+    assert(crashFired.get(), "the injected crash must actually fire")
+    assert(table().count() == 3,
+      "batch 1's sink commit must be visible pre-replay")
+
+    // — run 2: replay batch 1 (idempotent under the record key), then
+    //   advance the clock past the idle gap: the PT timers restored
+    //   into/re-armed by the replayed state flush BOTH open sessions —
+    val clock2 = new org.apache.spark.sql.GraftManualClock(t0 + 60 * 1000)
+    val q2 = start(clock2)
+    try {
+      assert(pollUntil(60000)(q2.recentProgress.nonEmpty),
+        "the replay batch never completed")
+      clock2.advance(gap + 2 * intervalMs)
+      assert(pollUntil(120000)(table().count() == 5),
+        s"PT timers never flushed the open sessions; table:\n${table().collect().mkString("\n")}")
+    } finally scala.util.Try(q2.stop())
+
+    val result = table()
+      .select(col("employee_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_duration"))
+      .orderBy(col("employee_id"), col("session_start"))
+      .collect()
+    assert(result.length == 5, result.mkString("; "))
+    assert(result(0).getAs[Timestamp]("session_end") == ts("2025-01-02 10:10:00")
+      && result(0).getAs[Int]("n_events") == 2
+      && result(0).getAs[Long]("total_duration") == 30L)
+    // the timer-flushed tails: employee 1's 15:00 and employee 2's 13:00
+    assert(result(2).getAs[Int]("employee_id") == 1 &&
+      result(2).getAs[Timestamp]("session_start") == ts("2025-01-02 15:00:00") &&
+      result(2).getAs[Int]("n_events") == 1 &&
+      result(2).getAs[Long]("total_duration") == 1L)
+    assert(result(4).getAs[Int]("employee_id") == 2 &&
+      result(4).getAs[Timestamp]("session_start") == ts("2025-01-02 13:00:00") &&
+      result(4).getAs[Int]("n_events") == 1 &&
+      result(4).getAs[Long]("total_duration") == 9L)
+    // exactly-once equivalence under the record key
+    val dups = table().groupBy(col("employee_id"), col("session_start"))
+      .count().filter(col("count") > 1).count()
+    assert(dups == 0, "replay must be idempotent under the record key")
   }
 
   private def crashReplayScenario(withTimer: Boolean): Unit = {
