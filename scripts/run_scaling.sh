@@ -34,3 +34,19 @@ python3 /root/repo/scripts/scaling_report.py \
   /tmp/bench_sf1.json \
   > /root/repo/SCALING.md
 echo "wrote SCALING.md"
+# Optional fifth point for the media class-saturation claim (r18):
+# SCALING_MEDIA_SF10=1 synthesizes a documents-only 10x remix of the
+# synthetic sf1 and measures x_media_dedup_groups one more decade out
+# (class counts via scripts/synth_sf10lite_docs.py + DuckDB; results
+# recorded in scaling_report.py's TRIAGE_R18 section).
+if [ "${SCALING_MEDIA_SF10:-0}" = "1" ]; then
+  [ -f /tmp/testdata_sf10lite/documents.parquet ] || \
+    python3 /root/repo/scripts/synth_sf10lite_docs.py
+  SPARK_GRAFT_SF_DIR=/tmp/testdata_sf10lite SPARK_GRAFT_STAGE=0 \
+  SPARK_GRAFT_ONLY=x_media_dedup_groups \
+  SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf10lite_media.json \
+  java $OPENS -Xmx${SPARK_DRIVER_MEM:-24g} -Dspark.ui.enabled=false \
+    -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench \
+    > /tmp/bench_sf10lite_media.stdout 2>/tmp/bench_sf10lite_media.stderr \
+    && tail -1 /tmp/bench_sf10lite_media.stdout
+fi

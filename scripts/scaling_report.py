@@ -119,6 +119,8 @@ def main():
     print()
     print(COST_MODEL)
     print()
+    print(TRIAGE_R18)
+    print()
     print("## Per-query wall seconds")
     print()
     header = " | ".join(names)
@@ -181,6 +183,65 @@ partials (aggregation trees). The families with data-quadratic OUTPUT
 (pair-emitting diagnostics like x_media_dedup_feature and the (calib)
 tier) are explicitly calibration surfaces; their production twins
 (groups/LSH/sketches) are the rows above."""
+
+
+TRIAGE_R18 = """## Round-18 stage decompositions (idle box, isolated-to-isolated)
+
+Measured with the dedicated triage mains (`graft.PqStages`,
+`graft.IvfIncStages`) and DuckDB class counts; every number below is a
+fresh-JVM isolated run, compared only to its isolated twin at the other
+scale point (the variance protocol).
+
+**1. `x_ann_pq` sf0.1 -> sf1 attributed per stage** (r17 task #3 — the
+5.3x isolated decade, decomposed):
+
+| stage | sf0.1 | sf1 | output rows sf0.1 -> sf1 |
+|---|---|---|---|
+| subvector_explode | 4.12 s | 4.43 s | 8,000 -> 80,000 |
+| lloyd_round | 4.37 s | 3.61 s | 64 -> 64 (codebook) |
+| code_assign | 1.56 s | 1.35 s | 8,000 -> 80,000 |
+| **adc_scan** | **1.76 s** | **10.94 s** | **39,980 -> 3,999,800 (100.05x)** |
+| shortlist_topk | 0.50 s | 1.29 s | 400 -> 4,000 |
+| exact_rerank | 1.23 s | 1.29 s | 100 -> 1,000 |
+
+Every stage is flat-to-linear except the ADC scan, whose OUTPUT is
+|codes| x |queries| = N x N/100 — quadratic by FIXTURE construction
+(the bench query set scales with the corpus, like the brute-force
+ground truth it is recalled against); wall per output row IMPROVES 16x
+(44 us -> 2.7 us). Lloyd does NOT dominate and is flat. The plan is
+the intended one (broadcast tables, single codes scan, map-side pivot
+agg). The production scale path is the cell-local composition below.
+
+**2. `x_ann_ivf_pq`** (new in r18 — FAISS IndexIVFPQ shape: coarse
+quantizer restricts ADC to the query's cell, composing the staged
+ivf_cells + pq_codebook/pq_codes index structures, exact rerank):
+1.47 s at sf0.1 -> 2.09 s at sf1 = **1.42x on 10x data** in the same
+runs where flat PQ measures 1.14 -> 12.1 s (10.7x). The quadratic ADC
+term contracts to ~|corpus|/|cells| codes per query; at 100 TB the
+float embeddings are read only for the rerank survivors.
+
+**3. Media feature-class saturation, third decade** (r17 task #4):
+distinct class count (media_type, byte_len, f1, f2, band, lenb) over
+10x-remixed documents (scripts/synth_sf10lite_docs.py): 3,790 (sf0.1,
+5k docs) -> 7,494 (synthetic sf1, 50k docs) -> **7,494 (sf10-lite,
+500k docs — ZERO growth)**. `x_media_dedup_groups` isolated walls:
+11.3 -> 13.0 -> 24.9 s across the two decades (1.15x, 1.92x) — the
+residual growth is the O(n) per-doc feature scan and doc->class join,
+while CC runs on the saturated class set. The 100 TB claim holds one
+decade further out: the quantized feature space is bounded, so the
+class-contracted operator stays scan-dominated.
+
+**4. `x_ann_ivf_incremental_mor` phase decomposition** (r17 task #9 —
+the wp tier's 9.18x sweep line): isolated fresh-JVM phase walls
+sf0.1 -> sf1: slice_build (full-corpus assign + quantize, the data
+term) 8.5 -> 26.7 s (3.1x); ingest commits 7.8 -> 10.3 s (1.3x);
+replay+refresh commits 4.6 -> 7.6 s (1.6x); MOR read + search
+4.0 -> 8.0 s (2.0x). Isolated totals 25 -> 52.7 s = **2.1x on 10x
+data**; no phase is super-linear, and the commit floor (the four
+fence-serialized upserts) dominates both points. The 9.18x in the
+in-run sweep is run-position contamination of a sub-linear query
+(same class as r17's q_cdc_parse 10.9x-in-run -> 1.6x-isolated
+finding), not a plan defect."""
 
 
 if __name__ == "__main__":

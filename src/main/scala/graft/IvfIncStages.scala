@@ -1,0 +1,22 @@
+package graft
+
+/** Triage main for the MOR incremental-IVF phase decomposition
+  * (SCALING.md wp tier): runs [[ext.StreamIvf.morStageWalls]] against
+  * `SPARK_GRAFT_SF_DIR` and prints one line per phase plus a JSON
+  * tail. Run on an idle box (bench-variance protocol applies).
+  */
+object IvfIncStages {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.build()
+    val walls = ext.StreamIvf.morStageWalls(spark, sfDir)
+    walls.foreach { case (n, w, rows) =>
+      System.err.println(f"[ivfinc-stage] $n%-24s ${w}%8.3f s  $rows%9d rows")
+    }
+    val js = walls.map { case (n, w, rows) =>
+      s"""{"stage":"$n","sec":${math.round(w * 1000) / 1000.0},"rows":$rows}"""
+    }.mkString("[", ",", "]")
+    spark.stop()
+    println(s"""{"metric":"ivfinc_stages","sf":"$sfDir","stages":$js}""")
+  }
+}

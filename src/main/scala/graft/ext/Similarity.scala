@@ -959,20 +959,33 @@ object Similarity {
     */
   private def pqSearch(spark: SparkSession, sfDir: String,
       cents1: DataFrame, codes: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.table(spark, sfDir, "embeddings")
+    val approx = pqAdcApprox(emb, cents1, codes)
+    val cands = pqShortlist(approx)
+    Present.sortSmall(pqRerank(emb, cands), col("query_id"), col("rank"))
+  }
+
+  /** ADC stage of [[pqSearch]]: broadcast per-query lookup tables
+    * joined to the code scan, quantized dot = the 4 lookups summed in
+    * FIXED subspace order (pivot columns, cross-engine deterministic).
+    * Split out so the stage-wall triage ([[pqStageWalls]]) can time
+    * the scan in isolation — its work is |codes| × |queries| pairs,
+    * the one stage of this pipeline whose decade ratio is quadratic
+    * when the bench fixture scales the query set with the corpus.
+    */
+  private def pqAdcApprox(emb: DataFrame, cents1: DataFrame,
+      codes: DataFrame): DataFrame = {
     // ADC tables: ⟨q_s, c⟩ for every (query, subspace, codebook entry)
     val tables = pqSubvectors(emb.filter(col("vec_id") % 100 === 0), "vec_id")
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cents1), Seq("sub_id"))
       .select(col("query_id"), col("sub_id"), col("cent_id"),
         dot(col("sv"), col("cv")).as("tab"))
-    // quantized dot = the 4 lookups summed in FIXED subspace order
     val subCols = (0 until pqSubspaces).map(s =>
       max(when(col("sub_id") === s, col("tab"))).as(s"t$s"))
     val tabSide = tables
       .withColumnRenamed("sub_id", "t_sub").withColumnRenamed("cent_id", "t_cent")
-    val approx = codes
+    codes
       .join(broadcast(tabSide),
         col("sub_id") === col("t_sub") && col("code") === col("t_cent"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -980,10 +993,20 @@ object Similarity {
       .agg(subCols.head, subCols.tail: _*)
       .select(col("query_id"), col("vec_id"),
         (0 until pqSubspaces).map(s => col(s"t$s")).reduce(_ + _).as("adc"))
-    val cands = graft.plans.TopKPerGroup.topKPerGroup(
+  }
+
+  /** Shortlist stage: native TopKPerGroup over the ADC scores. */
+  private def pqShortlist(approx: DataFrame): DataFrame =
+    graft.plans.TopKPerGroup.topKPerGroup(
       approx, Seq(col("query_id")), Seq(col("adc").desc, col("vec_id").asc),
       pqCandidates)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+  /** Exact float-cosine rerank of the shortlist to top-5 (unsorted —
+    * the caller presents).
+    */
+  private def pqRerank(emb: DataFrame, cands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rer = cands
       .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
         Seq("neighbor_id"))
@@ -993,11 +1016,119 @@ object Similarity {
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    Present.sortSmall(
-      rer.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank")),
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** IVF+PQ — FAISS's IndexIVFPQ shape, the SCALE PATH for [[annPq]]:
+    * the coarse quantizer restricts the ADC scan to the query's cell,
+    * so flat PQ's |codes| × |queries| pair grid (the one stage of the
+    * PQ pipeline whose decade ratio is quadratic when the bench
+    * fixture scales queries with the corpus — measured 100.05× output
+    * growth sf0.1→sf1, SCALING.md r18 triage) contracts to
+    * cell-local work: per query, ADC touches ~|corpus| / |cells|
+    * codes, and at 100 TB the float embeddings are read only for the
+    * [[pqCandidates]] rerank survivors. Composes the two STAGED index
+    * structures exactly as a production store serves them — the
+    * [[ivfCells]] coarse assignment and the [[pqCodebookStaged]] /
+    * [[pqCodesStaged]] fine quantizer — then exact float cosine
+    * reranks to top-5.
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val cellOf = ivfCells(spark, sfDir).select(col("vec_id"), col("cent_id"))
+    val codes = pqCodesStaged(spark, sfDir)
+      .join(cellOf.withColumnRenamed("cent_id", "cell"), Seq("vec_id"))
+    val cents1 = pqCodebookStaged(spark, sfDir)
+    // per-query ADC tables, carrying the query's OWN cell from the
+    // SAME staged assignment (deterministic: probing q's cell probes
+    // where q itself is indexed)
+    val tables = pqSubvectors(emb.filter(col("vec_id") % 100 === 0), "vec_id")
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cents1), Seq("sub_id"))
+      .select(col("query_id"), col("sub_id"), col("cent_id"),
+        dot(col("sv"), col("cv")).as("tab"))
+      .join(broadcast(cellOf.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("qcell"))),
+        Seq("query_id"))
+    val subCols = (0 until pqSubspaces).map(s =>
+      max(when(col("sub_id") === s, col("tab"))).as(s"t$s"))
+    val tabSide = tables
+      .withColumnRenamed("sub_id", "t_sub").withColumnRenamed("cent_id", "t_cent")
+    // the cell equality rides the broadcast join: only the query's
+    // cell's codes are scored — the IVF contraction itself
+    val approx = codes
+      .join(broadcast(tabSide),
+        col("cell") === col("qcell") && col("sub_id") === col("t_sub")
+          && col("code") === col("t_cent"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(subCols.head, subCols.tail: _*)
+      .select(col("query_id"), col("vec_id"),
+        (0 until pqSubspaces).map(s => col(s"t$s")).reduce(_ + _).as("adc"))
+    Present.sortSmall(pqRerank(emb, pqShortlist(approx)),
       col("query_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[annIvfPq]]: the PQ index CTE chain + the IVF
+    * coarse-assignment CTEs, the adc CTE restricted to the query's
+    * cell, then the shared shortlist/rerank tail.
+    */
+  val annIvfPqSql: String =
+    pqIndexCteSql(1) +
+    s""",
+      |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      |         WHERE vec_id % 25 = 0),
+      |asg AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |                              ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC,
+      |                                       c.cent_id) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1),
+      |qcell AS (SELECT vec_id AS query_id, cent_id AS qcell FROM asg
+      |          WHERE vec_id % 100 = 0)""".stripMargin +
+    pqAdcTailSql(
+      s"  FROM codes k\n" +
+      s"  JOIN asg a ON a.vec_id = k.vec_id\n" +
+      s"  JOIN tab t ON t.sub_id = k.sub_id AND t.cent_id = k.code\n" +
+      s"  JOIN qcell qc ON qc.query_id = t.query_id\n" +
+      s"  WHERE a.cent_id = qc.qcell AND k.vec_id <> t.query_id\n")
+
+  /** Stage-decomposed walls for the [[annPq]] pipeline — the scaling
+    * sweep's triage surface (r17 task #3: attribute the above-linear
+    * sf0.1→sf1 decade to a stage instead of the aggregate number).
+    * Each stage materializes to a localCheckpoint before the next is
+    * timed, so a wall belongs to ITS stage, not its lineage. Run via
+    * `graft.PqStages` on an idle box; findings land in SCALING.md.
+    */
+  def pqStageWalls(spark: SparkSession, sfDir: String): Seq[(String, Double, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Double, Long)]()
+    def stage(name: String)(f: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val df = f.localCheckpoint()
+      val n = df.count()
+      out += ((name, (System.nanoTime() - t0) / 1e9, n))
+      df
+    }
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val (subs0, cents0) = pqSeedInputs(spark, sfDir)
+    val subs = stage("subvector_explode")(subs0)
+    var cb: DataFrame = null
+    val t0 = System.nanoTime()
+    cb = pqCodebook(spark, subs, cents0, 1)
+    out += (("lloyd_round", (System.nanoTime() - t0) / 1e9, cb.count()))
+    val codes = stage("code_assign")(
+      pqNearest(subs, cb, keepSv = false)
+        .select(col("vec_id"), col("sub_id"), col("cent_id").as("code")))
+    val approx = stage("adc_scan")(pqAdcApprox(emb, cb, codes))
+    val cands = stage("shortlist_topk")(pqShortlist(approx))
+    val t1 = System.nanoTime()
+    val n = pqRerank(emb, cands).collect().length.toLong
+    out += (("exact_rerank", (System.nanoTime() - t1) / 1e9, n))
+    out.toSeq
   }
 
   /** DuckDB twin of [[annPq]] — subvector slicing (list_slice is
@@ -1014,19 +1145,66 @@ object Similarity {
     * composite stripMargin — the margin pass would mangle generated
     * chain text).
     */
-  private[ext] def pqSql(rounds: Int): String = {
-    def sub(src: String, id: String): String =
-      (0 until pqSubspaces).map(s =>
-        s"SELECT vec_id AS $id, $s AS sub_id, " +
-          s"list_slice(embedding, ${s * pqSubDim + 1}, ${s * pqSubDim + pqSubDim}) AS sv " +
-          s"FROM $src").mkString("\n    ", "\n    UNION ALL\n    ", "")
-    def l2(sv: String, cv: String): String =
-      s"(2.0 * list_inner_product(CAST($sv AS DOUBLE[]), CAST($cv AS DOUBLE[]))" +
-        s" - list_inner_product(CAST($cv AS DOUBLE[]), CAST($cv AS DOUBLE[])))"
+  private[ext] def pqSql(rounds: Int): String =
+    pqIndexCteSql(rounds) + pqAdcTailSql(
+      s"  FROM codes k\n" +
+      s"  JOIN tab t ON t.sub_id = k.sub_id AND t.cent_id = k.code\n" +
+      s"  WHERE k.vec_id <> t.query_id\n")
+
+  private def pqSubCteSql(src: String, id: String): String =
+    (0 until pqSubspaces).map(s =>
+      s"SELECT vec_id AS $id, $s AS sub_id, " +
+        s"list_slice(embedding, ${s * pqSubDim + 1}, ${s * pqSubDim + pqSubDim}) AS sv " +
+        s"FROM $src").mkString("\n    ", "\n    UNION ALL\n    ", "")
+
+  private def pqL2Sql(sv: String, cv: String): String =
+    s"(2.0 * list_inner_product(CAST($sv AS DOUBLE[]), CAST($cv AS DOUBLE[]))" +
+      s" - list_inner_product(CAST($cv AS DOUBLE[]), CAST($cv AS DOUBLE[])))"
+
+  /** ADC pivot-sum tail shared by the flat-PQ and IVF+PQ oracles: the
+    * caller supplies the FROM/JOIN/WHERE block feeding the adc CTE
+    * (flat scans every code row; IVF+PQ restricts to the query's
+    * cell), everything from the pivot onward is identical.
+    */
+  private def pqAdcTailSql(adcFrom: String): String = {
     val tCols = (0 until pqSubspaces)
       .map(s => s"max(CASE WHEN t.sub_id = $s THEN t.tab END) AS t$s")
       .mkString(",\n         ")
     val tSum = (0 until pqSubspaces).map(s => s"t$s").mkString(" + ")
+    s",\nadc AS (\n" +
+    s"  SELECT t.query_id, k.vec_id,\n" +
+    s"         $tCols\n" +
+    adcFrom +
+    s"  GROUP BY t.query_id, k.vec_id),\n" +
+    s"cand AS (\n" +
+    s"  SELECT query_id, vec_id AS neighbor_id FROM (\n" +
+    s"    SELECT query_id, vec_id,\n" +
+    s"           row_number() OVER (PARTITION BY query_id\n" +
+    s"             ORDER BY ($tSum) DESC, vec_id) AS rn\n" +
+    s"    FROM adc)\n" +
+    s"  WHERE rn <= $pqCandidates),\n" +
+    s"rer AS (\n" +
+    s"  SELECT c.query_id, c.neighbor_id,\n" +
+    s"         round(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim\n" +
+    s"  FROM cand c\n" +
+    s"  JOIN embeddings a ON a.vec_id = c.query_id\n" +
+    s"  JOIN embeddings b ON b.vec_id = c.neighbor_id)\n" +
+    s"SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (\n" +
+    s"  SELECT *, row_number() OVER (PARTITION BY query_id\n" +
+    s"                               ORDER BY sim DESC, neighbor_id) AS rank\n" +
+    s"  FROM rer)\n" +
+    s"WHERE rank <= 5\n" +
+    s"ORDER BY query_id, rank"
+  }
+
+  /** WITH-chain prefix shared by the PQ oracles: subvector slices,
+    * seeds, `rounds` Lloyd refinements, argmin-L2 codes, per-query
+    * subvectors and ADC lookup tables (through the `tab` CTE, no
+    * trailing comma).
+    */
+  private def pqIndexCteSql(rounds: Int): String = {
+    def sub(src: String, id: String): String = pqSubCteSql(src, id)
+    def l2(sv: String, cv: String): String = pqL2Sql(sv, cv)
     val lloyd = (0 until rounds).map { i =>
       s"a$i AS (\n" +
       s"  SELECT vec_id, sub_id, cent_id, sv FROM (\n" +
@@ -1064,33 +1242,7 @@ object Similarity {
     s"tab AS (\n" +
     s"  SELECT q.query_id, q.sub_id, c.cent_id,\n" +
     s"         list_inner_product(CAST(q.sv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS tab\n" +
-    s"  FROM qsub q JOIN cent$rounds c USING (sub_id)),\n" +
-    s"adc AS (\n" +
-    s"  SELECT t.query_id, k.vec_id,\n" +
-    s"         $tCols\n" +
-    s"  FROM codes k\n" +
-    s"  JOIN tab t ON t.sub_id = k.sub_id AND t.cent_id = k.code\n" +
-    s"  WHERE k.vec_id <> t.query_id\n" +
-    s"  GROUP BY t.query_id, k.vec_id),\n" +
-    s"cand AS (\n" +
-    s"  SELECT query_id, vec_id AS neighbor_id FROM (\n" +
-    s"    SELECT query_id, vec_id,\n" +
-    s"           row_number() OVER (PARTITION BY query_id\n" +
-    s"             ORDER BY ($tSum) DESC, vec_id) AS rn\n" +
-    s"    FROM adc)\n" +
-    s"  WHERE rn <= $pqCandidates),\n" +
-    s"rer AS (\n" +
-    s"  SELECT c.query_id, c.neighbor_id,\n" +
-    s"         round(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim\n" +
-    s"  FROM cand c\n" +
-    s"  JOIN embeddings a ON a.vec_id = c.query_id\n" +
-    s"  JOIN embeddings b ON b.vec_id = c.neighbor_id)\n" +
-    s"SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (\n" +
-    s"  SELECT *, row_number() OVER (PARTITION BY query_id\n" +
-    s"                               ORDER BY sim DESC, neighbor_id) AS rank\n" +
-    s"  FROM rer)\n" +
-    s"WHERE rank <= 5\n" +
-    s"ORDER BY query_id, rank"
+    s"  FROM qsub q JOIN cent$rounds c USING (sub_id))"
   }
 
   val annPqSql: String = pqSql(1)

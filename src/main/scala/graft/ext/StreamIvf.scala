@@ -207,4 +207,50 @@ object StreamIvf {
         writeMode = ParquetUpsertSink.ModeMor),
       readBack = (spark, _, s) =>
         s.readMor(spark).withColumn("cent_id", col("cent_id").cast("long")))
+
+  /** Phase-decomposed walls for [[annIvfIncrementalMor]]'s scenario —
+    * the scaling sweep's triage surface for the wp tier's steepest
+    * line (r17 task #9): attributes the decade ratio to slice
+    * construction (full-corpus assignment + quantization, the data
+    * term), the four delta commits (the O(delta) write term), and the
+    * merge-on-read search (read term) instead of one aggregate wall.
+    * Run via `graft.IvfIncStages` on an idle box.
+    */
+  def morStageWalls(spark: SparkSession, sfDir: String): Seq[(String, Double, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Double, Long)]()
+    def timed[A](name: String, rows: => Long)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      out += ((name, (System.nanoTime() - t0) / 1e9, rows))
+      r
+    }
+    val emb = graft.Tables.table(spark, sfDir, "embeddings")
+    val centroids = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_stages").toString
+    val s = ParquetUpsertSink(path, recordKeys = Seq("vec_id"),
+      precombine = "seq", partitionCol = "cent_id",
+      writeMode = ParquetUpsertSink.ModeMor)
+    def mkSlice(b: Int): DataFrame =
+      indexRows(emb, centroids, seq = b.toLong)
+        .filter(pmod(col("cent_id"), lit(2)) === b)
+        .localCheckpoint(true)
+    var slice0: DataFrame = null; var slice1: DataFrame = null
+    timed("slice_build", slice0.count() + slice1.count()) {
+      slice0 = mkSlice(0); slice1 = mkSlice(1)
+    }
+    timed("ingest_commits", 2L) {
+      s.upsert(slice0, batchId = 0L); s.upsert(slice1, batchId = 1L)
+    }
+    timed("replay_refresh_commits", 2L) {
+      s.upsert(slice1, batchId = 2L)
+      s.upsert(slice0.withColumn("seq", lit(5L)), batchId = 3L)
+    }
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    timed("mor_read_search", 0L) {
+      search(s.readMor(spark).withColumn("cent_id", col("cent_id").cast("long")),
+        queries, centroids, k = 5).collect()
+    }
+    out.toSeq
+  }
 }
