@@ -1035,23 +1035,46 @@ object Similarity {
     * [[pqCodesStaged]] fine quantizer — then exact float cosine
     * reranks to top-5.
     */
-  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqSearch(spark, sfDir, nprobe = 1)
+
+  /** [[annIvfPq]] with nprobe = [[ivfNprobe]] — the boundary-recovery
+    * knob on the PQ scale path, completing the parity with the float
+    * IVF family ([[annIvfNprobe]]): a query near a cell boundary
+    * misses neighbors quantized into the adjacent cell under
+    * nprobe = 1; probing its two nearest cells recovers them at
+    * exactly 2× the (already cell-local) ADC cost. Each corpus vector
+    * lives in ONE cell, so a (query, neighbor) pair cannot
+    * double-count across probes.
+    */
+  def annIvfPqNprobe(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqSearch(spark, sfDir, nprobe = ivfNprobe)
+
+  private def ivfPqSearch(spark: SparkSession, sfDir: String,
+      nprobe: Int): DataFrame = {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val cellOf = ivfCells(spark, sfDir).select(col("vec_id"), col("cent_id"))
     val codes = pqCodesStaged(spark, sfDir)
       .join(cellOf.withColumnRenamed("cent_id", "cell"), Seq("vec_id"))
     val cents1 = pqCodebookStaged(spark, sfDir)
-    // per-query ADC tables, carrying the query's OWN cell from the
-    // SAME staged assignment (deterministic: probing q's cell probes
-    // where q itself is indexed)
+    val centroids = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    // top-nprobe probe cells per query — same expression and tie-break
+    // as the staged assignment, so probe cell #1 IS the cell the query
+    // itself is indexed in
+    val qcells = graft.plans.TopKPerGroup.topKPerGroup(
+        emb.filter(col("vec_id") % 100 === 0).join(broadcast(centroids))
+          .select(col("vec_id").as("query_id"), col("cent_id"),
+            cosine(col("embedding"), col("cv")).as("csim")),
+        Seq(col("query_id")), Seq(col("csim").desc, col("cent_id").asc), nprobe)
+      .select(col("query_id"), col("cent_id").as("qcell"))
+    // per-query ADC tables, exploded by probed cell
     val tables = pqSubvectors(emb.filter(col("vec_id") % 100 === 0), "vec_id")
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cents1), Seq("sub_id"))
       .select(col("query_id"), col("sub_id"), col("cent_id"),
         dot(col("sv"), col("cv")).as("tab"))
-      .join(broadcast(cellOf.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("cent_id").as("qcell"))),
-        Seq("query_id"))
+      .join(broadcast(qcells), Seq("query_id"))
     val subCols = (0 until pqSubspaces).map(s =>
       max(when(col("sub_id") === s, col("tab"))).as(s"t$s"))
     val tabSide = tables
@@ -1071,11 +1094,12 @@ object Similarity {
       col("query_id"), col("rank"))
   }
 
-  /** DuckDB twin of [[annIvfPq]]: the PQ index CTE chain + the IVF
-    * coarse-assignment CTEs, the adc CTE restricted to the query's
-    * cell, then the shared shortlist/rerank tail.
+  /** DuckDB twin builder for [[annIvfPq]] / [[annIvfPqNprobe]]: the PQ
+    * index CTE chain + the IVF coarse-assignment CTEs, the adc CTE
+    * restricted to the query's top-nprobe probe cells, then the shared
+    * shortlist/rerank tail.
     */
-  val annIvfPqSql: String =
+  private def ivfPqSqlWith(nprobe: Int): String =
     pqIndexCteSql(1) +
     s""",
       |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
@@ -1088,14 +1112,25 @@ object Similarity {
       |                                       c.cent_id) AS rn
       |    FROM embeddings e, cent c)
       |  WHERE rn = 1),
-      |qcell AS (SELECT vec_id AS query_id, cent_id AS qcell FROM asg
-      |          WHERE vec_id % 100 = 0)""".stripMargin +
+      |qcell AS (
+      |  SELECT query_id, qcell FROM (
+      |    SELECT e.vec_id AS query_id, c.cent_id AS qcell,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |                              ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC,
+      |                                       c.cent_id) AS rn
+      |    FROM embeddings e, cent c WHERE e.vec_id % 100 = 0)
+      |  WHERE rn <= $nprobe)""".stripMargin +
     pqAdcTailSql(
       s"  FROM codes k\n" +
       s"  JOIN asg a ON a.vec_id = k.vec_id\n" +
       s"  JOIN tab t ON t.sub_id = k.sub_id AND t.cent_id = k.code\n" +
       s"  JOIN qcell qc ON qc.query_id = t.query_id\n" +
       s"  WHERE a.cent_id = qc.qcell AND k.vec_id <> t.query_id\n")
+
+  val annIvfPqSql: String = ivfPqSqlWith(1)
+  // lazy: `ivfNprobe` is declared further down the object; an eager val
+  // here would capture its pre-init 0 (rn <= 0 = empty oracle)
+  lazy val annIvfPqNprobeSql: String = ivfPqSqlWith(ivfNprobe)
 
   /** Stage-decomposed walls for the [[annPq]] pipeline — the scaling
     * sweep's triage surface (r17 task #3: attribute the above-linear
