@@ -66,6 +66,26 @@ class SchemaWideningSpec extends SparkSpec {
     assert(c.select("v").as[Long].collect().toSeq == Seq(90L))
   }
 
+  test("SUM/AVG pushdown across a widening promotes narrow footers (or scans) exactly") {
+    // partition "a" keeps a PRE-widening int32 file (untouched by the
+    // widening commit into "b"): the pushed SUM must fold that file's
+    // stats/values in the WIDENED long domain — a footer decoded at the
+    // file's physical type would wrap differently than the row scan
+    val dir = tmp("widensum")
+    val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
+    sink.upsert(Seq((1, 1L, 10, "a"), (2, 1L, 20, "a"))
+      .toDF("id", "seq", "v", "p"), 0)
+    sink.upsert(Seq((3L, 1L, 5000000000L, "b")).toDF("id", "seq", "v", "p"), 1)
+    val t = spark.read.format("graft-upsert").load(dir)
+    assert(t.schema("v").dataType == LongType)
+    val agg = t.agg(sum($"v").as("s"), avg($"v").as("a"),
+      min($"v").as("lo"), max($"v").as("hi"))
+    assert(agg.queryExecution.optimizedPlan.toString.contains("agg_func_0"),
+      s"sum/avg must push across the widening:\n${agg.queryExecution.optimizedPlan}")
+    val r = agg.as[(Long, Double, Long, Long)].collect().head
+    assert(r == ((5000000030L, 5000000030.0 / 3, 10L, 5000000000L)), r.toString)
+  }
+
   test("untouched narrow partitions promote on read after a widening commit") {
     val dir = tmp("widen2")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "p")
