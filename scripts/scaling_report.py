@@ -241,7 +241,18 @@ data**; no phase is super-linear, and the commit floor (the four
 fence-serialized upserts) dominates both points. The 9.18x in the
 in-run sweep is run-position contamination of a sub-linear query
 (same class as r17's q_cdc_parse 10.9x-in-run -> 1.6x-isolated
-finding), not a plan defect."""
+finding), not a plan defect.
+
+**5. `q_agg_pushdown` after the r18 SUM/AVG extension**: the sweep
+line reads higher at sf1 than r17's (a double-column SUM partial
+cannot come from footers, so files pay a single-column scan where
+COUNT/MIN/MAX were a pure metadata pass) — but isolated, the full
+fixture (upsert table build + grouped COUNT/COUNT(col)/MIN/MAX/SUM/
+AVG) measures **5.6 s at sf1** vs r17's committed 4.1 s: the true
+cost of serving SUM/AVG is ~1.5 s per 500k-row build, and any larger
+in-run number is run-position noise. Integral SUMs still answer from
+footers when chunks are constant; the DISTINCT/stddev decline path is
+regression-kept."""
 
 
 if __name__ == "__main__":
