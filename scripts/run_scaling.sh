@@ -42,11 +42,9 @@ echo "wrote SCALING.md"
 if [ "${SCALING_MEDIA_SF10:-0}" = "1" ]; then
   [ -f /tmp/testdata_sf10lite/documents.parquet ] || \
     python3 /root/repo/scripts/synth_sf10lite_docs.py
-  SPARK_GRAFT_SF_DIR=/tmp/testdata_sf10lite SPARK_GRAFT_STAGE=0 \
-  SPARK_GRAFT_ONLY=x_media_dedup_groups \
-  SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf10lite_media.json \
-  java $OPENS -Xmx${SPARK_DRIVER_MEM:-24g} -Dspark.ui.enabled=false \
-    -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench \
-    > /tmp/bench_sf10lite_media.stdout 2>/tmp/bench_sf10lite_media.stderr \
-    && tail -1 /tmp/bench_sf10lite_media.stdout
+  # reuse bench_one (FAILED marker + stderr tail on crash) — the media
+  # point just adds the stage-skip and query filter via the environment
+  export SPARK_GRAFT_STAGE=0 SPARK_GRAFT_ONLY=x_media_dedup_groups
+  bench_one sf10lite_media /tmp/testdata_sf10lite
+  unset SPARK_GRAFT_STAGE SPARK_GRAFT_ONLY
 fi

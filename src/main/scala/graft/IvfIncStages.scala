@@ -13,10 +13,18 @@ object IvfIncStages {
     walls.foreach { case (n, w, rows) =>
       System.err.println(f"[ivfinc-stage] $n%-24s ${w}%8.3f s  $rows%9d rows")
     }
+    // JSON string escape for the interpolated path (same bug class the
+    // r17 advisory fixed in Bench.scala — sfDir comes from an env var)
+    def esc(x: String): String = x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val js = walls.map { case (n, w, rows) =>
-      s"""{"stage":"$n","sec":${math.round(w * 1000) / 1000.0},"rows":$rows}"""
+      s"""{"stage":"${esc(n)}","sec":${math.round(w * 1000) / 1000.0},"rows":$rows}"""
     }.mkString("[", ",", "]")
     spark.stop()
-    println(s"""{"metric":"ivfinc_stages","sf":"$sfDir","stages":$js}""")
+    println(s"""{"metric":"ivfinc_stages","sf":"${esc(sfDir)}","stages":$js}""")
   }
 }

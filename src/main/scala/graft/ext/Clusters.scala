@@ -407,6 +407,14 @@ object Clusters {
     * full-outer join of the two drop lists (each keyed and tiny
     * relative to docs) followed by one left join onto the corpus scan
     * and a per-source partial agg — output is |sources| rows.
+    *
+    * Deliberately the CALLER's session (no [[Multimodal.mediaDedupGroups]]
+    * narrow-width clone): this report also joins the FULL corpus and
+    * consumes the [[Shared.memo]]-staged LSH pairs, and the memo cache
+    * is keyed by session identity — a clone would re-stage the pair
+    * build, which costs far more than the class-scale CC rounds save;
+    * AQE's partition coalescing bounds the small-round overhead the
+    * clone exists to avoid (measured: 4.5 s sf0.1 → 5.9 s sf1, 1.31×).
     */
   def dedupRatesCombined(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.table(spark, sfDir, "documents")

@@ -164,7 +164,12 @@ object StreamIvf {
     */
   private def incrementalScenario(spark: SparkSession, sfDir: String,
       tmpPrefix: String, mkSink: String => ParquetUpsertSink,
-      readBack: (SparkSession, String, ParquetUpsertSink) => DataFrame): DataFrame = {
+      readBack: (SparkSession, String, ParquetUpsertSink) => DataFrame,
+      // phase hook: identity for the gates; [[morStageWalls]] injects a
+      // timer so the triage decomposition measures THIS choreography —
+      // a drifting copy would silently attribute a scenario the bench
+      // no longer runs
+      phase: (String, () => Unit) => Unit = (_, f) => f()): DataFrame = {
     val emb = graft.Tables.table(spark, sfDir, "embeddings")
     val centroids = emb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
@@ -174,14 +179,19 @@ object StreamIvf {
       indexRows(emb, centroids, seq = b.toLong)
         .filter(pmod(col("cent_id"), lit(2)) === b)
         .localCheckpoint(true)
-    val slice0 = mkSlice(0); val slice1 = mkSlice(1)
-    s.upsert(slice0, batchId = 0L)
-    s.upsert(slice1, batchId = 1L)
-    // at-least-once replay of slice 1 (same seq — idempotent rewrite) …
-    s.upsert(slice1, batchId = 2L)
-    // … and a refresh of slice 0 at a higher seq (precombine keeps it;
-    // payload unchanged, so the search output stays the rebuilt index's)
-    s.upsert(slice0.withColumn("seq", lit(5L)), batchId = 3L)
+    var slice0: DataFrame = null; var slice1: DataFrame = null
+    phase("slice_build", () => { slice0 = mkSlice(0); slice1 = mkSlice(1) })
+    phase("ingest_commits", () => {
+      s.upsert(slice0, batchId = 0L)
+      s.upsert(slice1, batchId = 1L)
+    })
+    phase("replay_refresh_commits", () => {
+      // at-least-once replay of slice 1 (same seq — idempotent rewrite) …
+      s.upsert(slice1, batchId = 2L)
+      // … and a refresh of slice 0 at a higher seq (precombine keeps it;
+      // payload unchanged, so the search output stays the rebuilt index's)
+      s.upsert(slice0.withColumn("seq", lit(5L)), batchId = 3L)
+    })
     val queries = emb.filter(col("vec_id") % 100 === 0)
     graft.Present.sortSmall(
       search(readBack(spark, path, s), queries, centroids, k = 5),
@@ -218,39 +228,23 @@ object StreamIvf {
     */
   def morStageWalls(spark: SparkSession, sfDir: String): Seq[(String, Double, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer[(String, Double, Long)]()
-    def timed[A](name: String, rows: => Long)(f: => A): A = {
+    def phase(name: String, f: () => Unit): Unit = {
       val t0 = System.nanoTime()
-      val r = f
-      out += ((name, (System.nanoTime() - t0) / 1e9, rows))
-      r
+      f()
+      out += ((name, (System.nanoTime() - t0) / 1e9, 0L))
     }
-    val emb = graft.Tables.table(spark, sfDir, "embeddings")
-    val centroids = emb.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf_stages").toString
-    val s = ParquetUpsertSink(path, recordKeys = Seq("vec_id"),
-      precombine = "seq", partitionCol = "cent_id",
-      writeMode = ParquetUpsertSink.ModeMor)
-    def mkSlice(b: Int): DataFrame =
-      indexRows(emb, centroids, seq = b.toLong)
-        .filter(pmod(col("cent_id"), lit(2)) === b)
-        .localCheckpoint(true)
-    var slice0: DataFrame = null; var slice1: DataFrame = null
-    timed("slice_build", slice0.count() + slice1.count()) {
-      slice0 = mkSlice(0); slice1 = mkSlice(1)
-    }
-    timed("ingest_commits", 2L) {
-      s.upsert(slice0, batchId = 0L); s.upsert(slice1, batchId = 1L)
-    }
-    timed("replay_refresh_commits", 2L) {
-      s.upsert(slice1, batchId = 2L)
-      s.upsert(slice0.withColumn("seq", lit(5L)), batchId = 3L)
-    }
-    val queries = emb.filter(col("vec_id") % 100 === 0)
-    timed("mor_read_search", 0L) {
-      search(s.readMor(spark).withColumn("cent_id", col("cent_id").cast("long")),
-        queries, centroids, k = 5).collect()
-    }
+    // the EXACT gate choreography (one shared body, phase-hooked —
+    // never a copy that can drift from what the bench measures)
+    val result = incrementalScenario(spark, sfDir, "graft_ivf_stages",
+      mkSink = path => ParquetUpsertSink(path, recordKeys = Seq("vec_id"),
+        precombine = "seq", partitionCol = "cent_id",
+        writeMode = ParquetUpsertSink.ModeMor),
+      readBack = (sp, _, s) =>
+        s.readMor(sp).withColumn("cent_id", col("cent_id").cast("long")),
+      phase = phase)
+    val t0 = System.nanoTime()
+    val n = result.collect().length.toLong
+    out += (("mor_read_search", (System.nanoTime() - t0) / 1e9, n))
     out.toSeq
   }
 }

@@ -60,6 +60,16 @@ final case class AggSum(col: String, dt: DataType, resultDt: DataType)
 
 object UpsertAggPushdown {
 
+  /** Files answered by the per-file SCAN fallback instead of footer
+    * statistics — test-observable (same trick as
+    * `UpsertStatsManifest.footerReads`): the footer fast paths' whole
+    * point is that they do NOT read data pages, and a regression that
+    * silently declines them to the scan produces identical answers.
+    * local-mode only (executors share the JVM in every spec).
+    */
+  private[graft] val scanFallbackFiles =
+    new java.util.concurrent.atomic.AtomicLong()
+
   /** Column types whose footer min/max we trust and can decode:
     * numerics, date, timestamp. Strings are excluded (parquet writers
     * may truncate binary statistics), booleans add nothing.
@@ -358,6 +368,7 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
     * columns, and only files with unusable statistics pay it.
     */
   private def computeByScan(): Seq[Any] = {
+    UpsertAggPushdown.scanFallbackFiles.incrementAndGet()
     val needed = aggs.collect {
       case AggColCount(c) => c
       case AggMin(c, _) => c
@@ -408,8 +419,17 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
               }
               val cur = sumL.get(c)
               val prev = if (cur == null) 0L else cur.longValue()
-              // ANSI: overflow throws like Spark's Sum; legacy: wraps
-              sumL.put(c, if (ansi) Math.addExact(prev, v) else prev + v)
+              // ANSI: overflow throws with Spark's ARITHMETIC_OVERFLOW
+              // error class (same surface as the row scan's Sum, incl.
+              // the try_sum hint); legacy: wraps
+              val next =
+                if (ansi) {
+                  try Math.addExact(prev, v)
+                  catch { case _: ArithmeticException =>
+                    throw org.apache.spark.sql.GraftBridge.longSumOverflow()
+                  }
+                } else prev + v
+              sumL.put(c, next)
             case Some(_) =>
               val v = dt match {
                 case FloatType => row.getFloat(i).toDouble

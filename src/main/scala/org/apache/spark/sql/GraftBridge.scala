@@ -56,4 +56,13 @@ object GraftBridge {
 
   def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Error-classed long-SUM overflow (ARITHMETIC_OVERFLOW with the
+    * try_sum hint) — the pushed aggregate's ANSI failure must surface
+    * with the same error class as the row scan's `Sum` would raise,
+    * not a bare ArithmeticException (`QueryExecutionErrors` is
+    * sql-private, hence this re-export).
+    */
+  def longSumOverflow(): ArithmeticException =
+    errors.QueryExecutionErrors.arithmeticOverflowError("long overflow", "try_sum")
 }

@@ -346,21 +346,36 @@ class UpsertTableSourceSpec extends SparkSpec {
   test("SUM pushdown: constant-integral footers fold without a scan, NULL partials stay NULL") {
     // one file per partition, each with a CONSTANT long column — the
     // exact case the footer fast path (sum = min × non-nulls) answers
-    // without touching data pages
+    // without touching data pages — plus an ALL-NULL long column whose
+    // table-wide sum must stay NULL (a 0 partial would be wrong)
     val dir = Files.createTempDirectory("dsv2aggsum").toString + "/t"
-    (1 to 300).map(i => (i.toLong, (i % 3 + 1) * 10L, s"p${i % 3}"))
-      .toDF("id", "k", "dept")
+    (1 to 300).map(i => (i.toLong, (i % 3 + 1) * 10L, None: Option[Long], s"p${i % 3}"))
+      .toDF("id", "k", "nl", "dept")
       .repartition(1)
       .write.partitionBy("dept").parquet(dir)
     val t = spark.read.format("graft-upsert").load(dir)
     val agg = t.groupBy($"dept").agg(sum($"k").as("s"), avg($"k").as("a"))
     assert(agg.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
+    // footer-path PROOF, not just value equality: a regression that
+    // declines the constant-chunk fold to the per-file scan produces
+    // identical sums — the fallback counter must not move
+    val before = graft.io.UpsertAggPushdown.scanFallbackFiles.get()
     val got = agg.orderBy("dept").as[(String, Long, Double)].collect().toSeq
     assert(got == Seq(("p0", 1000L, 10.0), ("p1", 2000L, 20.0), ("p2", 3000L, 30.0)))
+    assert(graft.io.UpsertAggPushdown.scanFallbackFiles.get() == before,
+      "constant-integral SUM must fold from footers, not the scan fallback")
+    // all-null column: NULL partials fold to a NULL total, still footer-only
+    val nullSum = t.agg(sum($"nl"))
+    assert(nullSum.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
+    assert(nullSum.collect().head.isNullAt(0), "all-null SUM must stay NULL")
+    assert(graft.io.UpsertAggPushdown.scanFallbackFiles.get() == before,
+      "all-null SUM must fold from footers, not the scan fallback")
     // non-constant long column: the per-file single-column scan answers
     val byScan = t.agg(sum($"id").as("s"))
     assert(byScan.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
     assert(byScan.as[Long].collect().head == 300L * 301 / 2)
+    assert(graft.io.UpsertAggPushdown.scanFallbackFiles.get() > before,
+      "non-constant SUM must take the scan fallback")
   }
 
   test("aggregate pushdown folds MIN/MAX correctly across many row groups") {
