@@ -116,6 +116,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "drop charging must be a semi join")
   }
 
+  test("IVF+PQ: cell-restricted ADC joins hash or broadcast, shortlist on native top-k") {
+    Seq("x_ann_ivf_pq", "x_ann_ivf_pq_nprobe").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian")
+      assert(p.contains("TopKPerGroup"), s"$q lost the native top-k")
+      // the ADC scan must be an equi-join on (cell, sub, code) against a
+      // BROADCAST table side — a shuffled or nested-loop pair grid here
+      // is exactly the quadratic flat-PQ shape this operator contracts
+      assert(p.contains("BroadcastHashJoin"), s"$q lost the broadcast ADC join")
+    }
+  }
+
+  test("combined dedup rates: both drop lists join the corpus keyed — no cartesian") {
+    val p = plan("x_dedup_rates_combined")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("span removal reuses one checkpointed windows relation — no second explode") {
     val p = plan("x_dup_span_removal")
     // dup detection + covered semi join + rebuild all read the
