@@ -2,11 +2,6 @@ package graft.io
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.schema.LogicalTypeAnnotation
-import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -16,10 +11,15 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Pushed-down aggregate shapes the upsert table can answer from
-  * parquet FOOTER metadata — `COUNT(*)` from block row counts,
-  * `COUNT(col)` from row counts minus null counts, `MIN/MAX(col)` from
-  * column-chunk statistics. At 100 TB this is the difference between a
-  * full scan and a metadata pass: one footer read per live file.
+  * file STATISTICS — `COUNT(*)` from row counts, `COUNT(col)` from
+  * rows minus null counts, `MIN/MAX(col)` from column statistics,
+  * `SUM(col)`'s exact cases (all-null, constant integral). Statistics
+  * come from the per-directory STATS MANIFEST first and footers on a
+  * miss (recorded back), both resolved through
+  * [[UpsertStatsManifest.resolve]] — the data-skipping pruner's own
+  * conversion. At 100 TB this is the difference between a full scan
+  * and a metadata pass: steady-state, one manifest read per DIRECTORY
+  * (not even one footer per file).
   */
 sealed trait PushedAgg { def resultField: StructField }
 /** COUNT(*) — always answerable from block metadata. */
@@ -90,63 +90,6 @@ object UpsertAggPushdown {
     case _ => None
   }
 
-  /** Footer statistic value → Spark internal value; None = a physical
-    * layout whose stats we do not decode (e.g. INT96 timestamps).
-    * Shared by the aggregate pushdown and the data-skipping planner —
-    * min/max must decode identically wherever they are consulted.
-    */
-  private def plainOrDate(prim: org.apache.parquet.schema.PrimitiveType): Boolean =
-    prim.getLogicalTypeAnnotation == null ||
-      prim.getLogicalTypeAnnotation
-        .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
-
-  private def plainOrTs(prim: org.apache.parquet.schema.PrimitiveType): Boolean =
-    prim.getLogicalTypeAnnotation == null ||
-      prim.getLogicalTypeAnnotation.isInstanceOf[TimestampLogicalTypeAnnotation]
-
-  private[io] def decodeStat(raw: Comparable[_],
-      prim: org.apache.parquet.schema.PrimitiveType, dt: DataType): Option[Any] =
-    (prim.getPrimitiveTypeName, dt) match {
-      // unknown/unsigned annotations (UINT32 etc. in external files)
-      // never decode: the reader reads them unsigned, the stat is the
-      // signed reinterpretation — mirrored in the manifest's decodeRaw
-      // so the two paths cannot prune differently
-      case (PrimitiveTypeName.INT32, IntegerType | DateType)
-          if plainOrDate(prim) =>
-        Some(raw.asInstanceOf[java.lang.Integer].intValue())
-      case (PrimitiveTypeName.INT64, LongType) if plainOrTs(prim) =>
-        Some(raw.asInstanceOf[java.lang.Long].longValue())
-      case (PrimitiveTypeName.INT64, TimestampType | TimestampNTZType) =>
-        val v = raw.asInstanceOf[java.lang.Long].longValue()
-        prim.getLogicalTypeAnnotation match {
-          case t: TimestampLogicalTypeAnnotation
-              if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => Some(v * 1000L)
-          case t: TimestampLogicalTypeAnnotation
-              if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => Some(v / 1000L)
-          case _: TimestampLogicalTypeAnnotation | null => Some(v) // micros / our writer
-          // UINT_64, TIME(…), other annotations: the signed raw stat is
-          // not epoch micros — same exclusion as the LongType arm (and
-          // as the manifest's decodeRaw twin)
-          case _ => None
-        }
-      case (PrimitiveTypeName.FLOAT, FloatType) =>
-        Some(raw.asInstanceOf[java.lang.Float].floatValue())
-      case (PrimitiveTypeName.DOUBLE, DoubleType) =>
-        Some(raw.asInstanceOf[java.lang.Double].doubleValue())
-      // widened-table promotions (files written before an exact type
-      // widening): promote the stat the way the reader promotes the
-      // values, so min/max pruning keeps working across the evolution.
-      // Gated off date-annotated INT32 — days-since-epoch under an
-      // integral table type would compare a different quantity.
-      case (PrimitiveTypeName.INT32, LongType | DoubleType)
-          if prim.getLogicalTypeAnnotation == null =>
-        val v = raw.asInstanceOf[java.lang.Integer].intValue()
-        Some(if (dt == LongType) v.toLong else v.toDouble)
-      case (PrimitiveTypeName.FLOAT, DoubleType) =>
-        Some(raw.asInstanceOf[java.lang.Float].doubleValue())
-      case _ => None
-    }
-
   /** Ordering for decoded stat values (only the [[statType]] set). */
   private[io] def cmpStat(a: Any, b: Any, dt: DataType): Int = dt match {
     case IntegerType | DateType =>
@@ -200,32 +143,53 @@ final class UpsertAggScan(path: String, tableSchema: StructType,
       UpsertTableSource.serializableConf(),
       // captured driver-side: long-SUM overflow must throw under ANSI
       // (like Spark's Sum) and wrap under legacy semantics
-      SparkSession.active.sessionState.conf.ansiEnabled)
+      SparkSession.active.sessionState.conf.ansiEnabled,
+      // rename lineage + manifest config, also driver-side (executors
+      // have no SparkSession/table-props access in a real cluster)
+      ColumnAliases.parse(GraftUpsertCatalog.tableProps(path)),
+      UpsertStatsManifest.manifestEnabled,
+      UpsertStatsManifest.racyWindowMillis)
 }
 
 final class UpsertAggReaderFactory(tableSchema: StructType,
     partitionCol: Option[String], aggs: Seq[PushedAgg], groupByPartition: Boolean,
-    conf: org.apache.spark.util.SerializableConfiguration, ansi: Boolean)
+    conf: org.apache.spark.util.SerializableConfiguration, ansi: Boolean,
+    aliases: Map[String, List[String]], manifestsOn: Boolean, racyWindowMs: Long)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new UpsertAggReader(partition.asInstanceOf[UpsertFilePartition],
-      tableSchema, partitionCol, aggs, groupByPartition, conf.value, ansi)
+      tableSchema, partitionCol, aggs, groupByPartition, conf.value, ansi,
+      aliases, manifestsOn, racyWindowMs)
 }
 
-/** Executor-side: aggregate ONE file from its footer; scan the file's
-  * needed columns only if a required statistic is missing.
+/** Executor-side: aggregate ONE file from its statistics — the
+  * per-directory STATS MANIFEST first (at 100 TB the steady-state agg
+  * is then a manifest read per directory, zero footer opens), the
+  * footer (recorded back into the manifest) on a miss, and a scan of
+  * only that file's needed columns when a required statistic is
+  * absent/untrustworthy. Both metadata sources flow through
+  * [[UpsertStatsManifest.resolve]] — the SAME schema/alias/widening
+  * conversion the data-skipping pruner uses, so the aggregate path
+  * can never answer differently than the pruner reasons (and rename
+  * lineage is honored: a pre-rename file's column aggregates under
+  * its CURRENT name instead of silently counting as all-null).
   */
 final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
     partitionCol: Option[String], aggs: Seq[PushedAgg], groupByPartition: Boolean,
-    conf: Configuration, ansi: Boolean) extends PartitionReader[InternalRow] {
+    conf: Configuration, ansi: Boolean, aliases: Map[String, List[String]],
+    manifestsOn: Boolean, racyWindowMs: Long) extends PartitionReader[InternalRow] {
 
   private var done = false
+  // set when this reader had to read a footer and recorded a fresh
+  // manifest entry — close() then flushes, so the NEXT aggregate (or
+  // planning) pass over this directory is manifest-served
+  private var recordedFresh = false
 
   override def next(): Boolean = !done
 
   override def get(): InternalRow = {
     done = true
-    val values = computeFromFooter().getOrElse(computeByScan())
+    val values = computeFromStats().getOrElse(computeByScan())
     val out =
       if (groupByPartition)
         (if (part.partValue == null) null else UTF8String.fromString(part.partValue)) +: values
@@ -233,131 +197,96 @@ final class UpsertAggReader(part: UpsertFilePartition, tableSchema: StructType,
     new GenericInternalRow(out.toArray)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (recordedFresh) {
+      try UpsertStatsManifest.flush(
+        new Path(part.filePath).getFileSystem(conf))
+      catch { case _: Exception => () } // persistence is best-effort
+    }
 
-  /** All aggregates from the footer; None when any needed statistic is
-    * absent or untrustworthy (then the per-file scan path answers).
+  /** All aggregates from this file's STATISTICS — manifest entry
+    * first (default-mode lookup: the same (mtime, len) + verifyOnRead
+    * + foreign-file content-verification trust model the skipping
+    * pruner and `manifestRowCount` already serve from), footer on a
+    * miss (recorded back so the next pass is manifest-served); None
+    * when any needed statistic is absent or untrustworthy (then the
+    * per-file scan answers). The SUM footer cases are exact at FILE
+    * grain: an all-null column yields the NULL partial, and file-level
+    * min == max proves a constant integral column (sum = min x
+    * non-nulls, overflow falls back to the scan). Fractional constants
+    * stay excluded: v x n and the fold v+v+...+v differ in final ulps,
+    * and a metadata path must never answer differently than the scan
+    * it replaces.
     */
-  private def computeFromFooter(): Option[Seq[Any]] = {
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(part.filePath), conf))
-    try {
-      val blocks = reader.getFooter.getBlocks
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      val rowCount: Long = {
-        var s = 0L; val it = blocks.iterator(); while (it.hasNext) s += it.next().getRowCount; s
-      }
-      // absent = the column is not in this file's schema (evolved-in:
-      // all-null by construction); chunks = its per-block leaf chunks,
-      // resolved by COLUMN PATH, never by top-level field index —
-      // getColumns is in LEAF order, and any multi-leaf group column
-      // (struct, map — including one written externally into the table
-      // path) earlier in the schema shifts leaf positions, so a
-      // positional lookup would aggregate the WRONG column's
-      // statistics: a silent wrong answer, not a slow one. A field
-      // with no single top-level leaf (a group) yields Left and the
-      // per-file scan answers.
-      def chunks(col: String): Either[Unit, Option[Seq[
-          org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]]] = {
-        if (!schema.containsField(col)) return Right(None)
-        val cs = new Array[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData](blocks.size())
-        var i = 0; val it = blocks.iterator()
-        while (it.hasNext) {
-          val cols = it.next().getColumns
-          var chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
-          var j = 0
-          while (j < cols.size() && chunk == null) {
-            val cc = cols.get(j)
-            if (cc.getPath.size() == 1 && cc.getPath.toDotString == col) chunk = cc
-            j += 1
+  private def computeFromStats(): Option[Seq[Any]] = {
+    val file = new Path(part.filePath)
+    val raw: UpsertStatsManifest.RawFileStats =
+      try {
+        val fs = file.getFileSystem(conf)
+        val st = fs.getFileStatus(file)
+        // foreign files (externally added, not part-*) content-verify
+        // by default, exactly like the pruner's lookups
+        val vfp =
+          if (manifestsOn && !UpsertStatsManifest.sinkWrittenName(file.getName))
+            UpsertStatsManifest.contentFingerprint(fs, file, st.getLen)
+          else UpsertStatsManifest.FpUnchecked
+        UpsertStatsManifest.lookup(fs, file.getParent, file.getName,
+          st.getModificationTime, st.getLen, vfp, manifestsOn, racyWindowMs)
+          .getOrElse {
+            // miss: one footer read, recorded back (fp first — the same
+            // rewrite-race discipline as the pruner's record path)
+            val fp =
+              if (!manifestsOn) UpsertStatsManifest.FpUnreadable
+              else if (vfp != UpsertStatsManifest.FpUnchecked) vfp
+              else UpsertStatsManifest.contentFingerprint(fs, file, st.getLen)
+            val r = UpsertStatsManifest.readRaw(file, conf)
+            UpsertStatsManifest.recordFresh(fs, file.getParent, file.getName,
+              st.getModificationTime, st.getLen, r, fp, manifestsOn)
+            recordedFresh = manifestsOn
+            r
           }
-          if (chunk == null) return Left(()) // group field: no usable stats
-          cs(i) = chunk; i += 1
-        }
-        Right(Some(cs.toSeq))
+      } catch { case _: Exception => return None } // unreadable: scan answers
+    val stats = UpsertStatsManifest.resolve(raw, tableSchema, aliases)
+    val rowCount = raw.rows
+    def present(c: String): Boolean = stats.present.exists(_.equalsIgnoreCase(c))
+    def cs(c: String) = stats.cols.get(c.toLowerCase(java.util.Locale.ROOT))
+    def nonNullCount(c: String): Option[Long] =
+      if (!present(c)) Some(0L) // column absent from this file = all null
+      else cs(c).flatMap(s => s.nullCount.map(n => s.valueCount - n))
+    def minMax(c: String, wantMin: Boolean): Option[Option[Any]] =
+      if (!present(c)) Some(None) // all null -> no value contributes
+      else cs(c) match {
+        // decodable covers both proven-all-null (min/max None) and
+        // decoded extremes; anything else scans
+        case Some(s) if s.decodable => Some(if (wantMin) s.min else s.max)
+        case _ => None
       }
-      def nonNullCount(col: String): Option[Long] = chunks(col) match {
-        case Left(_) => None
-        case Right(None) => Some(0L) // column absent from this file = all null
-        case Right(Some(cs)) =>
-          var n = 0L
-          for (c <- cs) {
-            val st = c.getStatistics
-            if (st == null || !st.isNumNullsSet) return None
-            n += c.getValueCount - st.getNumNulls
-          }
-          Some(n)
-      }
-      def minMax(col: String, dt: DataType, wantMin: Boolean): Option[Option[Any]] = chunks(col) match {
-        case Left(_) => None
-        case Right(None) => Some(None) // all null -> no value contributes
-        case Right(Some(cs)) =>
-          var acc: Option[Any] = None
-          for (c <- cs) {
-            val st = c.getStatistics
-            if (st == null || st.isEmpty) return None
-            if (st.hasNonNullValue) {
-              val raw = if (wantMin) st.genericGetMin() else st.genericGetMax()
-              val v = UpsertAggPushdown.decodeStat(raw, c.getPrimitiveType, dt)
-                .getOrElse(return None)
-              acc = Some(acc match {
-                case None => v
-                case Some(a) =>
-                  val keepA = if (wantMin) cmp(a, v, dt) <= 0 else cmp(a, v, dt) >= 0
-                  if (keepA) a else v
-              })
-            } else if (!st.isNumNullsSet || st.getNumNulls != c.getValueCount) {
-              return None // can't prove the chunk is all-null
-            }
-          }
-          Some(acc)
-      }
-      // SUM from footers is exact in precisely two cases: an all-null
-      // column (partial = NULL) and constant INTEGRAL chunks (min == max
-      // ⇒ chunk sum = min × non-nulls, overflow-checked — overflow falls
-      // back to the scan, which carries the configured ANSI semantics).
-      // Fractional constants are deliberately excluded: v×n and Spark's
-      // fold v+v+…+v differ in final ulps, and a metadata path must
-      // never answer differently than the scan it replaces.
-      def sumFromStats(col: String, dt: DataType): Option[Option[Any]] = chunks(col) match {
-        case Left(_) => None
-        case Right(None) => Some(None) // column absent = all null -> NULL partial
-        case Right(Some(cs)) =>
-          if (dt != IntegerType && dt != LongType) return None
-          var acc = 0L
-          var saw = false
-          for (c <- cs) {
-            val st = c.getStatistics
-            if (st == null || st.isEmpty || !st.isNumNullsSet) return None
-            val nonNull = c.getValueCount - st.getNumNulls
-            if (nonNull > 0) {
-              if (!st.hasNonNullValue) return None
-              val mn = UpsertAggPushdown.decodeStat(st.genericGetMin(), c.getPrimitiveType, dt)
-                .getOrElse(return None)
-              val mx = UpsertAggPushdown.decodeStat(st.genericGetMax(), c.getPrimitiveType, dt)
-                .getOrElse(return None)
-              if (UpsertAggPushdown.cmpStat(mn, mx, dt) != 0) return None
+    def sumOf(c: String, dt: DataType): Option[Option[Any]] =
+      if (!present(c)) Some(None) // absent = all null -> NULL partial
+      else cs(c) match {
+        case Some(s) if s.decodable && s.min.isEmpty => Some(None) // all null
+        case Some(s) if s.decodable && (dt == IntegerType || dt == LongType) =>
+          (s.min, s.max, s.nullCount) match {
+            case (Some(a), Some(b), Some(nn)) if a == b =>
               val v = dt match {
-                case IntegerType => mn.asInstanceOf[Int].toLong
-                case _ => mn.asInstanceOf[Long]
+                case IntegerType => a.asInstanceOf[Int].toLong
+                case _ => a.asInstanceOf[Long]
               }
-              try acc = Math.addExact(acc, Math.multiplyExact(v, nonNull))
-              catch { case _: ArithmeticException => return None }
-              saw = true
-            }
+              try Some(Some(Math.multiplyExact(v, s.valueCount - nn)))
+              catch { case _: ArithmeticException => None }
+            case _ => None
           }
-          Some(if (saw) Some(acc) else None)
+        case _ => None
       }
-      val out = aggs.map {
-        case AggRowCount => rowCount
-        case AggPartitionCount => if (part.partValue == null) 0L else rowCount
-        case AggColCount(col) => nonNullCount(col).getOrElse(return None)
-        case AggMin(col, dt) => minMax(col, dt, wantMin = true).getOrElse(return None).orNull
-        case AggMax(col, dt) => minMax(col, dt, wantMin = false).getOrElse(return None).orNull
-        case AggSum(col, dt, _) => sumFromStats(col, dt).getOrElse(return None).orNull
-      }
-      Some(out)
-    } finally reader.close()
+    val out = aggs.map {
+      case AggRowCount => rowCount
+      case AggPartitionCount => if (part.partValue == null) 0L else rowCount
+      case AggColCount(col) => nonNullCount(col).getOrElse(return None)
+      case AggMin(col, _) => minMax(col, wantMin = true).getOrElse(return None).orNull
+      case AggMax(col, _) => minMax(col, wantMin = false).getOrElse(return None).orNull
+      case AggSum(col, dt, _) => sumOf(col, dt).getOrElse(return None).orNull
+    }
+    Some(out)
   }
 
   private def cmp(a: Any, b: Any, dt: DataType): Int =

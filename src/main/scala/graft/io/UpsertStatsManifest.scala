@@ -230,11 +230,13 @@ object UpsertStatsManifest {
 
   // ——— resolve: RawFileStats → FileStats under the CURRENT schema ———
 
-  /** Decode a raw physical stat value into the table column type —
-    * [[UpsertAggPushdown.decodeStat]]'s matrix over the serialized
-    * (ptype, lta) pair, including the widening promotions and the
-    * date-annotation gate. None = this (physical, table) pairing has
-    * no sound stat comparison (the column keeps "no stats").
+  /** Decode a raw physical stat value into the table column type over
+    * the serialized (ptype, lta) pair, including the widening
+    * promotions and the date-annotation gate — THE decode matrix for
+    * every stats consumer (the skipping pruner AND the aggregate
+    * pushdown resolve through here, so they cannot answer
+    * differently). None = this (physical, table) pairing has no sound
+    * stat comparison (the column keeps "no stats").
     */
   private def decodeRaw(ptype: String, lta: String, v: Any,
       dt: DataType): Option[Any] = (ptype, dt) match {

@@ -343,6 +343,27 @@ class UpsertTableSourceSpec extends SparkSpec {
     assert(!declined2.queryExecution.optimizedPlan.toString.contains("agg_func_0"))
   }
 
+  test("aggregate pushdown is manifest-served steady-state: zero footer opens on the second pass") {
+    val (dir, _) = mkTable("dsv2aggmf")
+    def agg() = spark.read.format("graft-upsert").load(dir)
+      .agg(count(lit(1)).as("n"), count($"v").as("nv"),
+        min($"amount").as("lo"), max($"amount").as("hi"))
+      .collect().head
+    val r1 = agg() // first pass: footer reads, entries recorded + flushed
+    assert(r1.getLong(0) == 3 && r1.getDouble(2) == 2.5 && r1.getDouble(3) == 4.5)
+    // drop the in-JVM caches so the second pass must go through the
+    // ON-DISK manifests — the cross-driver steady state at 100 TB
+    graft.io.UpsertStatsManifest.clearCachesForTesting()
+    val footers = graft.io.UpsertStatsManifest.footerReads.get()
+    val scans = graft.io.UpsertAggPushdown.scanFallbackFiles.get()
+    val r2 = agg()
+    assert(r2 == r1)
+    assert(graft.io.UpsertStatsManifest.footerReads.get() == footers,
+      "steady-state aggregates must be manifest-served, not footer reads")
+    assert(graft.io.UpsertAggPushdown.scanFallbackFiles.get() == scans,
+      "steady-state aggregates must not fall back to the scan")
+  }
+
   test("SUM pushdown: constant-integral footers fold without a scan, NULL partials stay NULL") {
     // one file per partition, each with a CONSTANT long column — the
     // exact case the footer fast path (sum = min × non-nulls) answers
