@@ -1487,6 +1487,84 @@ object Similarity {
         |  FROM h2, t)
         |ORDER BY nprobe""".stripMargin
 
+  /** Compression-tier recall sweep: aggregate recall@5 of the three
+    * PQ serving tiers against the exact top-5 truth in ONE gate —
+    * flat PQ (ADC over every code), IVF+PQ at nprobe = 1 (ADC over
+    * the query's cell only) and at nprobe = [[ivfNprobe]] — the
+    * decision table a production store reads before choosing a tier:
+    * what the cell restriction costs in recall, and how much of it one
+    * extra probed cell buys back (at exactly 2× the cell-local ADC
+    * cost). Completes the eval family for the r18 IVF+PQ operators the
+    * way [[annProbeSweep]] does for the float IVF index.
+    *
+    * Read-out on the sf0.1 corpus (recall@5): flat PQ 0.22,
+    * IVF+PQ nprobe=1 **0.80**, nprobe=2 0.69 — two instructive
+    * inversions. The cell restriction RAISES recall over the flat
+    * scan: true neighbors overwhelmingly share the query's cell
+    * ([[annProbeSweep]]: float-IVF nprobe=1 recall 0.96), so probing
+    * one cell is a strong TRUE-neighbor pre-filter, while flat PQ must
+    * find the same neighbors through 4×16-quantized dots against the
+    * ENTIRE corpus and loses them to quantization confusion in the
+    * shortlist. And nprobe=2 LOWERS recall at fixed
+    * [[pqCandidates]]: the second cell doubles the candidate pool
+    * with rows whose noisy ADC scores displace first-cell true
+    * neighbors from the fixed-width shortlist — widen the shortlist
+    * with the probe count if recall, not cost, is the binding
+    * constraint.
+    *
+    * Scale shape: the compared sides are the existing pipelines over
+    * the STAGED index structures; the comparison joins
+    * k-rows-per-query frames and aggregates to three rows. The exact
+    * baseline reads the memoized [[bruteForceTop5]] staging.
+    */
+  def annIvfPqSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val bf = bruteForceTop5(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val truth = bf.agg(count(lit(1)).as("n_truth"))
+    val rows = Seq(
+      "1_pq_flat" -> annPq(spark, sfDir),
+      "2_ivfpq_np1" -> annIvfPq(spark, sfDir),
+      "3_ivfpq_np2" -> annIvfPqNprobe(spark, sfDir)).map { case (tier, ann) =>
+      bf.join(ann.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth) // one-row scalar rides along
+        .select(lit(tier).as("tier"), col("n_hits"), col("n_truth"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+    }
+    Present.sortSmall(rows.reduce(_ unionAll _), col("tier"))
+  }
+
+  /** DuckDB twin of [[annIvfPqSweep]] — the four ANN oracles nested as
+    * derived tables (concatenated pre-stripped), one UNION ALL row per
+    * tier. Lazy: [[annIvfPqNprobeSql]] is itself lazy (ivfNprobe
+    * init-order), and an eager val here would force it too early.
+    */
+  lazy val annIvfPqSweepSql: String =
+    "WITH bf AS (SELECT query_id, neighbor_id FROM (" + annBruteForceSql + ")),\n" +
+      "p0 AS (SELECT query_id, neighbor_id FROM (" + annPqSql + ")),\n" +
+      "p1 AS (SELECT query_id, neighbor_id FROM (" + annIvfPqSql + ")),\n" +
+      "p2 AS (SELECT query_id, neighbor_id FROM (" + annIvfPqNprobeSql + ")),\n" +
+      """t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM bf),
+        |h0 AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM bf
+        |       JOIN p0 USING (query_id, neighbor_id)),
+        |h1 AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM bf
+        |       JOIN p1 USING (query_id, neighbor_id)),
+        |h2 AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM bf
+        |       JOIN p2 USING (query_id, neighbor_id))
+        |SELECT * FROM (
+        |  SELECT '1_pq_flat' AS tier, h0.n_hits, t.n_truth,
+        |         round(h0.n_hits::DOUBLE / t.n_truth, 4) AS recall
+        |  FROM h0, t
+        |  UNION ALL
+        |  SELECT '2_ivfpq_np1' AS tier, h1.n_hits, t.n_truth,
+        |         round(h1.n_hits::DOUBLE / t.n_truth, 4) AS recall
+        |  FROM h1, t
+        |  UNION ALL
+        |  SELECT '3_ivfpq_np2' AS tier, h2.n_hits, t.n_truth,
+        |         round(h2.n_hits::DOUBLE / t.n_truth, 4) AS recall
+        |  FROM h2, t)
+        |ORDER BY tier""".stripMargin
+
   /** Codebook round counts swept by [[annPqRounds]]. */
   val pqRoundsSweep: Seq[Int] = Seq(1, 2, 3)
 
