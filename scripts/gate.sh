@@ -19,4 +19,8 @@ if [ -n "$DIRTY" ]; then
   echo "$DIRTY"
   exit 1
 fi
+# Regression list, computed from the exact artifact being committed
+# (r18 verdict #1: the round-close claim quotes THIS output — never a
+# hand-computed list that can drift from the committed file).
+echo "[gate] bench regression list" && python3 scripts/bench_regressions.py
 echo "[gate] GREEN"

@@ -29,16 +29,13 @@ for SF in 0.001 0.01 0.1; do
   bench_one sf$SF /root/testdata/sf$SF
 done
 bench_one sf1 /tmp/testdata_sf1
-python3 /root/repo/scripts/scaling_report.py \
-  /tmp/bench_sf0.001.json /tmp/bench_sf0.01.json /tmp/bench_sf0.1.json \
-  /tmp/bench_sf1.json \
-  > /root/repo/SCALING.md
-echo "wrote SCALING.md"
 # Optional fifth point for the media class-saturation claim (r18):
 # SCALING_MEDIA_SF10=1 synthesizes a documents-only 10x remix of the
 # synthetic sf1 and measures x_media_dedup_groups one more decade out
-# (class counts via scripts/synth_sf10lite_docs.py + DuckDB; results
-# recorded in scaling_report.py's TRIAGE_R18 section).
+# (class counts via scripts/synth_sf10lite_docs.py + DuckDB). Runs
+# BEFORE the report so its measured JSON feeds scaling_report.py
+# (--media-sf10) instead of being hand-transcribed (r18 advice).
+MEDIA_ARGS=()
 if [ "${SCALING_MEDIA_SF10:-0}" = "1" ]; then
   [ -f /tmp/testdata_sf10lite/documents.parquet ] || \
     python3 /root/repo/scripts/synth_sf10lite_docs.py
@@ -47,4 +44,10 @@ if [ "${SCALING_MEDIA_SF10:-0}" = "1" ]; then
   export SPARK_GRAFT_STAGE=0 SPARK_GRAFT_ONLY=x_media_dedup_groups
   bench_one sf10lite_media /tmp/testdata_sf10lite
   unset SPARK_GRAFT_STAGE SPARK_GRAFT_ONLY
+  MEDIA_ARGS=(--media-sf10 /tmp/bench_sf10lite_media.json)
 fi
+python3 /root/repo/scripts/scaling_report.py \
+  /tmp/bench_sf0.001.json /tmp/bench_sf0.01.json /tmp/bench_sf0.1.json \
+  /tmp/bench_sf1.json "${MEDIA_ARGS[@]}" \
+  > /root/repo/SCALING.md
+echo "wrote SCALING.md"

@@ -27,7 +27,17 @@ def load(path):
 
 
 def main():
-    benches = [load(p) for p in sys.argv[1:]]
+    # optional: --media-sf10 <bench json> — the sf10-lite media point
+    # (run_scaling.sh's SCALING_MEDIA_SF10=1), fed in as MEASURED JSON
+    # so its section below is derived from the artifact rather than
+    # hand-transcribed prose that can drift on reruns (r18 advice)
+    argv = sys.argv[1:]
+    media = None
+    if "--media-sf10" in argv:
+        i = argv.index("--media-sf10")
+        media = load(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    benches = [load(p) for p in argv]
     all_names = ["sf0.001", "sf0.01", "sf0.1", "sf1 (synthetic)"]
     if not 2 <= len(benches) <= len(all_names):
         sys.exit(f"expected 2-{len(all_names)} bench files "
@@ -121,6 +131,29 @@ def main():
     print()
     print(TRIAGE_R18)
     print()
+    if media is not None:
+        q = "x_media_dedup_groups"
+        w10 = media.get("queries", {}).get(q)
+        w1 = last.get("queries", {}).get(q)
+        print("## sf10-lite media point (derived from measured JSON)")
+        print()
+        print("Measured by this sweep's optional fifth point")
+        print("(SCALING_MEDIA_SF10=1; isolated SPARK_GRAFT_ONLY run over")
+        print("scripts/synth_sf10lite_docs.py's 10x documents remix —")
+        print("numbers below come from the bench artifact, not prose):")
+        print()
+        if w10 is not None and w10 > 0:
+            ratio = (f"{w10 / w1:.2f}x" if w1 and w1 > 0
+                     else "- (sf1 wall unavailable in this sweep)")
+            print(f"- `{q}`: {fmt(w1, '.2f')} s (sf1) -> {w10:.2f} s "
+                  f"(sf10-lite) = {ratio} on 10x docs")
+        else:
+            print(f"- `{q}`: FAILED/absent in the media bench file")
+        print("- class saturation (DuckDB over the same remix, "
+              "scripts/synth_sf10lite_docs.py): see TRIAGE above — the "
+              "class count is corpus-bounded, so the residual wall "
+              "growth is the O(n) per-doc feature scan.")
+        print()
     print("## Per-query wall seconds")
     print()
     header = " | ".join(names)
@@ -211,6 +244,14 @@ ground truth it is recalled against); wall per output row IMPROVES 16x
 (44 us -> 2.7 us). Lloyd does NOT dominate and is flat. The plan is
 the intended one (broadcast tables, single codes scan, map-side pivot
 agg). The production scale path is the cell-local composition below.
+
+Per this decomposition, `x_ann_pq` is CLASSIFIED CALIBRATION as of r19
+(r18 verdict #3, the r17 media-pair-view precedent): the tier rule is
+that a surface whose OUTPUT is data-quadratic by fixture construction
+and whose production twin is oracle-gated in the headline tier
+(`x_ann_ivf_pq`, 1.42x on 10x) is a ground-truth/diagnostic surface —
+the FLAGGED list above must only ever carry queries that are
+super-linear for PLAN reasons.
 
 **2. `x_ann_ivf_pq`** (new in r18 — FAISS IndexIVFPQ shape: coarse
 quantizer restricts ADC to the query's cell, composing the staged

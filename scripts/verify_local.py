@@ -16,9 +16,13 @@ def _dates_as_datetime(s):
     against a timestamp oracle is still a schema mismatch."""
     if s.dtype == object:
         nn = s.dropna()
+        # ALL values, not a head sample (r18 advice): a mixed column
+        # (date objects early, strings later) must NOT be normalized —
+        # pd.to_datetime would coerce the tail and mask a real
+        # engine-vs-oracle type mismatch the driver comparator flags
         if len(nn) and all(
             isinstance(v, datetime.date) and not isinstance(v, datetime.datetime)
-            for v in nn.head(100)
+            for v in nn
         ):
             return pd.to_datetime(s)
     return s
