@@ -1475,13 +1475,34 @@ object Parity {
     * parquet metadata (one footer read per file — no row scan). The
     * oracle computes the same aggregates from the raw rows, so
     * equality proves the metadata path is exact.
+    *
+    * TWO passes over the same table (r18 advisory: the bench fixture
+    * builds fresh each run, so a single pass only ever measured the
+    * first-pass footer recording and the manifest-served steady state
+    * — the 100 TB story — was spec-pinned only):
+    *
+    *  - `1_cold`: the first aggregate after the write — footers are
+    *    read once per file and the per-directory stats manifests are
+    *    written back.
+    *  - `2_warm`: the SAME aggregate with the in-JVM stat caches
+    *    dropped (a fresh driver's view) — COUNT/MIN/MAX/constant-SUM
+    *    partials must be served from the manifests with ZERO footer
+    *    opens, which the `require` here pins on EVERY run of this gate
+    *    (bench and verify both), not just in the suite. The
+    *    non-constant double SUM/AVG partials still pay their
+    *    single-column per-file scan — that is the documented fallback,
+    *    not a footer read.
+    *
+    * Both passes land in the output hash-matched against the oracle,
+    * so the bench line measures build + cold + warm and the oracle
+    * pins that the manifest-served pass is EXACT.
     */
   def aggPushdown(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_aggpd").toString + "/t"
     val sink = graft.io.ParquetUpsertSink(dir, Seq("o_orderkey"), "seq", "o_orderpriority")
     sink.upsert(Tables.table(spark, sfDir, "orders")
       .filter(col("o_orderkey") % 3 === 2).withColumn("seq", lit(0L)), 0)
-    spark.read.format("graft-upsert").load(dir)
+    def pass(label: String): DataFrame = spark.read.format("graft-upsert").load(dir)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         count(col("o_custkey")).as("n_cust"),
@@ -1495,23 +1516,39 @@ object Parity {
         round(sum(col("o_totalprice")), 2).as("total"),
         round(avg(col("o_totalprice")), 4).as("avg_price"),
         round(avg(col("o_custkey")), 4).as("avg_cust"))
-      .transform(graft.Present.sortSmall(_, col("o_orderpriority")))
+      .select(lit(label).as("pass"), col("*"))
+    // eager: the cold pass's scan planning records the footers and
+    // flushes the manifests before the warm pass plans
+    val cold = pass("1_cold").localCheckpoint(true)
+    // a fresh driver's view: on-disk manifests only
+    graft.io.UpsertStatsManifest.clearCachesForTesting()
+    val footersBefore = graft.io.UpsertStatsManifest.footerReads.get()
+    val warm = pass("2_warm").localCheckpoint(true)
+    val footerDelta = graft.io.UpsertStatsManifest.footerReads.get() - footersBefore
+    require(footerDelta == 0,
+      s"warm aggregate pass must be manifest-served, read $footerDelta footers")
+    cold.unionByName(warm)
+      .transform(graft.Present.sortSmall(_, col("pass"), col("o_orderpriority")))
   }
 
   val aggPushdownSql: String =
-    """SELECT o_orderpriority,
-      |       count(*) AS n,
-      |       count(o_custkey) AS n_cust,
-      |       min(o_totalprice) AS lo,
-      |       max(o_totalprice) AS hi,
-      |       max(o_orderdate) AS last_date,
-      |       round(sum(o_totalprice), 2) AS total,
-      |       round(avg(o_totalprice), 4) AS avg_price,
-      |       round(avg(o_custkey), 4) AS avg_cust
-      |FROM orders
-      |WHERE o_orderkey % 3 = 2
-      |GROUP BY 1
-      |ORDER BY 1""".stripMargin
+    """WITH a AS (
+      |  SELECT o_orderpriority,
+      |         count(*) AS n,
+      |         count(o_custkey) AS n_cust,
+      |         min(o_totalprice) AS lo,
+      |         max(o_totalprice) AS hi,
+      |         max(o_orderdate) AS last_date,
+      |         round(sum(o_totalprice), 2) AS total,
+      |         round(avg(o_totalprice), 4) AS avg_price,
+      |         round(avg(o_custkey), 4) AS avg_cust
+      |  FROM orders
+      |  WHERE o_orderkey % 3 = 2
+      |  GROUP BY 1
+      |)
+      |SELECT p.pass, a.*
+      |FROM a, (VALUES ('1_cold'), ('2_warm')) AS p(pass)
+      |ORDER BY 1, 2""".stripMargin
 
   val sqlMergeSql: String =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -364,6 +364,22 @@ class UpsertTableSourceSpec extends SparkSpec {
       "steady-state aggregates must not fall back to the scan")
   }
 
+  test("q_agg_pushdown gate carries a manifest-served warm pass: footerReads == 0") {
+    // the gate function itself brackets the warm pass with the footer
+    // counter and require()s a zero delta (so bench AND verify runs
+    // both pin it) — this test runs the real gate on sf0.001 and then
+    // asserts the OUTPUT shape: every group appears once per pass, and
+    // the warm rows equal the cold rows (the manifest-served answer is
+    // exact, not just cheap)
+    val out = queries.Parity.aggPushdown(spark, sf0001).collect()
+    val byPass = out.groupBy(_.getString(0))
+    assert(byPass.keySet == Set("1_cold", "2_warm"))
+    val strip = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => r.toSeq.drop(1)).toSet
+    assert(strip(byPass("1_cold")) == strip(byPass("2_warm")),
+      "warm (manifest-served) aggregates must equal the cold pass exactly")
+  }
+
   test("SUM pushdown: constant-integral footers fold without a scan, NULL partials stay NULL") {
     // one file per partition, each with a CONSTANT long column — the
     // exact case the footer fast path (sum = min × non-nulls) answers
