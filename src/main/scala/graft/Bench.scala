@@ -56,8 +56,14 @@ object Bench {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(baselinePath)),
         java.nio.charset.StandardCharsets.UTF_8)
+      // only a SAME-SF baseline is a rerun reference: the scaling sweep
+      // runs sf0.001..sf1 against a committed sf0.1 detail file, and a
+      // cross-sf compare would mass-trigger reruns at the larger points
+      // (every wall legitimately exceeds 2x a smaller corpus's wall)
+      val sfOk = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
       val start = txt.indexOf("\"queries\":{")
-      if (start < 0) Map.empty
+      if (start < 0 || !sfOk) Map.empty
       else {
         val block = txt.substring(start + "\"queries\":{".length,
           txt.indexOf('}', start))
@@ -122,7 +128,10 @@ object Bench {
       // + two stateful operators over a synthetic stream — fixture
       // variance, not steady-state read latency)
       "x_sessionize_tws_upsert", "x_ann_ivf_drift",
-      "x_stale_rewrite_default", "x_stream_stream_join")
+      "x_stale_rewrite_default", "x_stream_stream_join",
+      // r19: PQ drift gate — two codebook trainings + three commit-path
+      // writes per run, the same fixture class as x_ann_ivf_drift
+      "x_ann_pq_drift")
     // a rename in SparkEntry.queries must fail HERE, not silently shift
     // a brute-force scan into the headline sum — and it fails BEFORE the
     // timed loop (the sets are static; discovering a rename after a

@@ -162,6 +162,29 @@ object Clusters {
     |FROM comp
     |ORDER BY doc_id""".stripMargin
 
+  /** The media-family drop list ([[Multimodal.mediaDedupAssignments]]'s
+    * non-keepers) as (doc_id, mdrop=true) — the eligibility signal the
+    * keeper selections below consume (r18 task #5: a doc the media
+    * family already drops must not be CHOSEN as a text keeper, or the
+    * corpus budget double-counts the loss — the text component
+    * sacrifices a clean member to keep a doc that is leaving anyway).
+    */
+  private def mediaDropMarks(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.mediaDedupAssignments(spark, sfDir)
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id")).withColumn("mdrop", lit(true))
+
+  /** Text component members with their media-drop eligibility flag. */
+  private def membersWithMediaMarks(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val edges = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("component"))
+      .join(mediaDropMarks(spark, sfDir), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("component"),
+        coalesce(col("mdrop"), lit(false)).as("mdrop"))
+  }
+
   /** The survivor corpus — what dedup is FOR: every document except
     * non-keeper near-dup cluster members, materialized with the
     * columns a downstream training mix consumes. The delete list
@@ -171,12 +194,36 @@ object Clusters {
     * of the corpus, so both sides are large and the hash anti-join on
     * the key is the honest shape (AQE may still broadcast when the
     * delete list turns out small).
+    *
+    * Keeper selection is MEDIA-AWARE (r18 task #5): within each text
+    * component the keeper is the smallest doc_id among members NOT on
+    * the media drop list — a media-dropped doc is an ineligible
+    * keeper unless the WHOLE component is media-dropped (then the
+    * plain min-id rule applies; there is no clean member to save).
+    * `min(struct(mdrop, doc_id))` encodes exactly that (false sorts
+    * before true), as one partial-agged fold — no window, no second
+    * shuffle beyond the component agg. [[dedupRatesCombined]]'s
+    * accounting is untouched: it already charges drops union-once.
     */
+  /** Media-aware min-id keeper per component over (doc_id, component,
+    * mdrop) member rows: smallest doc_id among NON-media-dropped
+    * members, falling back to the plain min-id when every member is
+    * dropped. `min(struct(mdrop, doc_id))` — false sorts before true —
+    * as one partial-agged fold. Split out for direct spec coverage
+    * (the corpus fixture cannot guarantee a mixed-eligibility
+    * component exists at every sf).
+    */
+  private[graft] def mediaAwareKeepers(member: DataFrame): DataFrame =
+    member.groupBy(col("component"))
+      .agg(min(struct(col("mdrop"), col("doc_id"))).as("k"))
+      .select(col("component"), col("k.doc_id").as("keeper_id"))
+
   def dedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    val drops = connectedComponents(edges)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as("doc_id"))
+    val member = membersWithMediaMarks(spark, sfDir)
+    val keepers = mediaAwareKeepers(member)
+    val drops = member.join(keepers, Seq("component"))
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id"))
     Present.sortSmall(
       Tables.table(spark, sfDir, "documents")
         .join(drops, Seq("doc_id"), "left_anti")
@@ -184,11 +231,29 @@ object Clusters {
       col("doc_id"))
   }
 
-  /** DuckDB twin of [[dedupKeep]]. */
-  val dedupKeepSql: String = componentsCteSql + """
+  /** DuckDB twin of [[dedupKeep]] — the text component chain plus the
+    * media component chain ([[Multimodal.mediaCompCteSql]]), keeper =
+    * first member ordered (mdrop ASC, doc_id ASC) per component.
+    */
+  val dedupKeepSql: String = componentsCteSql + "," +
+    Multimodal.mediaCompCteSql + """,
+    |mdropk AS (SELECT doc_id FROM mcomp WHERE doc_id <> keeper_id),
+    |memk AS (
+    |  SELECT c.doc_id, c.keeper_id AS component,
+    |         (m.doc_id IS NOT NULL) AS mdrop
+    |  FROM comp c LEFT JOIN mdropk m ON m.doc_id = c.doc_id),
+    |kk AS (
+    |  SELECT component, doc_id AS kid,
+    |         row_number() OVER (PARTITION BY component
+    |                            ORDER BY mdrop ASC, doc_id ASC) AS rn
+    |  FROM memk),
+    |tdropk AS (
+    |  SELECT m.doc_id FROM memk m
+    |  JOIN kk ON kk.component = m.component AND kk.rn = 1
+    |  WHERE m.doc_id <> kk.kid)
     |SELECT d.doc_id, d.source, d.n_chars
     |FROM documents d
-    |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keeper_id)
+    |WHERE d.doc_id NOT IN (SELECT doc_id FROM tdropk)
     |ORDER BY d.doc_id""".stripMargin
 
   /** Damping factor and iteration count for [[dupPageRank]] — fixed
@@ -527,39 +592,47 @@ object Clusters {
     */
   def dedupKeepQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.table(spark, sfDir, "documents")
-    val edges = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    val member = connectedComponents(edges)
-      .select(col("id").as("doc_id"), col("component"))
+    val member = membersWithMediaMarks(spark, sfDir)
     val memberQ = docs
       .join(member, Seq("doc_id"))
-      .select(col("doc_id"), col("component"),
+      .select(col("doc_id"), col("component"), col("mdrop"),
         Text.qualityScore(Text.tokens(col("text"))).as("quality_score"))
+    // media-aware eligibility FIRST (r18 task #5: a media-dropped doc
+    // must not win keeper over a clean member), then the quality
+    // argmax, then the min-id tie-break — one partial-agged struct max
     val keepers = memberQ.groupBy(col("component"))
-      .agg(max(struct(col("quality_score").as("q"),
+      .agg(max(struct((!col("mdrop")).as("elig"),
+        col("quality_score").as("q"),
         (-col("doc_id")).as("neg"), col("doc_id").as("kid"))).as("m"))
       .select(col("component"), col("m.kid").as("keeper_id"),
         col("m.q").as("keeper_quality"))
     Present.sortSmall(
       memberQ.join(keepers, Seq("component"))
-        .select(col("doc_id"), col("quality_score"), col("keeper_id"),
+        .select(col("doc_id"), col("quality_score"),
+          col("mdrop").as("media_dropped"), col("keeper_id"),
           col("keeper_quality"),
           (col("doc_id") === col("keeper_id")).as("is_keeper")),
       col("doc_id"))
   }
 
-  /** DuckDB twin of [[dedupKeepQuality]] — same component CTE, quality
-    * per member, window-max keeper per component.
+  /** DuckDB twin of [[dedupKeepQuality]] — the text component CTE plus
+    * the media drop marks, quality per member, keeper = first member
+    * ordered (eligibility DESC, quality DESC, doc_id ASC).
     */
-  val dedupKeepQualitySql: String = componentsCteSql + s"""
-    |,mq AS (
-    |  SELECT c.doc_id, c.keeper_id AS component, ${Text.qualityScoreSql} AS q
-    |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+  val dedupKeepQualitySql: String = componentsCteSql + "," +
+    Multimodal.mediaCompCteSql + s""",
+    |mdropq AS (SELECT doc_id FROM mcomp WHERE doc_id <> keeper_id),
+    |mq AS (
+    |  SELECT c.doc_id, c.keeper_id AS component,
+    |         (mr.doc_id IS NOT NULL) AS mdrop, ${Text.qualityScoreSql} AS q
+    |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    |  LEFT JOIN mdropq mr ON mr.doc_id = c.doc_id),
     |k AS (
     |  SELECT component, doc_id AS kid, q AS kq,
     |         row_number() OVER (PARTITION BY component
-    |                            ORDER BY q DESC, doc_id ASC) AS rn
+    |                            ORDER BY mdrop ASC, q DESC, doc_id ASC) AS rn
     |  FROM mq)
-    |SELECT m.doc_id, m.q AS quality_score,
+    |SELECT m.doc_id, m.q AS quality_score, m.mdrop AS media_dropped,
     |       k.kid AS keeper_id, k.kq AS keeper_quality,
     |       m.doc_id = k.kid AS is_keeper
     |FROM mq m JOIN k ON k.component = m.component AND k.rn = 1

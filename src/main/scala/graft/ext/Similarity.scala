@@ -835,7 +835,7 @@ object Similarity {
   val pqCandidates = 20
 
   /** (vec_id, sub_id, sv) subvector frame — one row per subspace. */
-  private def pqSubvectors(emb: DataFrame, idCol: String): DataFrame = {
+  private[ext] def pqSubvectors(emb: DataFrame, idCol: String): DataFrame = {
     val slices = (0 until pqSubspaces).map(s =>
       struct(lit(s).as("sub_id"),
         slice(col("embedding"), s * pqSubDim + 1, pqSubDim).as("sv")))
@@ -848,7 +848,7 @@ object Similarity {
     * ties to the smaller cent_id. Native TopKPerGroup: ≤1 slim row per
     * group per partition crosses the exchange.
     */
-  private def pqNearest(subs: DataFrame, cents: DataFrame,
+  private[ext] def pqNearest(subs: DataFrame, cents: DataFrame,
       keepSv: Boolean): DataFrame = {
     val score = (lit(2.0) * dot(col("sv"), col("cv"))
       - dot(col("cv"), col("cv"))).as("score")
@@ -892,7 +892,7 @@ object Similarity {
     * plan subtree; metadata-scale at ANY corpus size — this collect is
     * the canonical Lloyd shape, not a data-path collect).
     */
-  private def pqCodebook(spark: SparkSession, subs: DataFrame,
+  private[ext] def pqCodebook(spark: SparkSession, subs: DataFrame,
       cents0: DataFrame, rounds: Int): DataFrame = {
     var cents = cents0
     for (_ <- 1 to rounds) {
@@ -1195,7 +1195,7 @@ object Similarity {
         s"list_slice(embedding, ${s * pqSubDim + 1}, ${s * pqSubDim + pqSubDim}) AS sv " +
         s"FROM $src").mkString("\n    ", "\n    UNION ALL\n    ", "")
 
-  private def pqL2Sql(sv: String, cv: String): String =
+  private[ext] def pqL2Sql(sv: String, cv: String): String =
     s"(2.0 * list_inner_product(CAST($sv AS DOUBLE[]), CAST($cv AS DOUBLE[]))" +
       s" - list_inner_product(CAST($cv AS DOUBLE[]), CAST($cv AS DOUBLE[])))"
 

@@ -57,7 +57,7 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "optimize_zorder", "optimize_sort", "expire_commits",
       "sweep_staging", "history", "detail", "files", "partitions", "restore",
-      "collect_stats", "maintain_ivf")
+      "collect_stats", "maintain_ivf", "maintain_pq")
 
   def load(name: String): UnboundProcedure = name match {
     case "compact" => proc("compact",
@@ -116,6 +116,44 @@ object GraftProcedures {
       } else
         // below trigger: no retrain, no new table — report and leave
         // the live index untouched
+        Seq(new GenericInternalRow(Array[Any](false, disp, null)))
+    }
+    case "maintain_pq" => proc("maintain_pq",
+      Seq("index" -> StringType, "vectors" -> StringType,
+        "new_index" -> StringType, "threshold" -> DoubleType),
+      StructType(Seq(
+        StructField("triggered", BooleanType),
+        StructField("max_displacement", DoubleType),
+        StructField("new_index", StringType))),
+      "PQ codebook drift maintenance: measure per-(subspace, code) residual " +
+        "displacement of the current vectors against the index's codebook " +
+        "(<index>_pq_codebook); above threshold, re-fit the codebooks from " +
+        "the stored assignment, re-encode every vector, and write the code " +
+        "table into new_index with its codebook — readers swap " +
+        "(codes, codebook) versions atomically") { in =>
+      val path = in.getUTF8String(0).toString
+      val vecPath = in.getUTF8String(1).toString
+      val newPath = in.getUTF8String(2).toString
+      val threshold = in.getDouble(3)
+      require(threshold >= 0.0, s"threshold must be >= 0, got $threshold")
+      // version SWAP, never in-place (the maintain_ivf rationale): the
+      // retrain lazily re-reads the live code table while COW-writing
+      // new_index, and a previously-populated new_index would pair the
+      // fresh codebook with stale higher-seq codes under the precombine
+      require(newPath != path,
+        s"graft.system.maintain_pq: new_index must differ from index ($path)")
+      require(UpsertTableSource.partitionColOf(newPath).isEmpty,
+        s"graft.system.maintain_pq: new_index $newPath already holds a " +
+          "code table — retrain writes a FRESH version; point new_index " +
+          "at an empty path and swap readers after the call")
+      val codes = graft.ext.PqDrift.readCodes(spark, path)
+      val cents = graft.ext.PqDrift.readCodebook(spark, path)
+      val vectors = spark.read.parquet(vecPath)
+      val disp = graft.ext.PqDrift.maxResidualDisplacement(vectors, codes, cents)
+      if (disp > threshold) {
+        graft.ext.PqDrift.retrain(spark, path, vecPath, newPath)
+        Seq(new GenericInternalRow(Array[Any](true, disp, str(newPath))))
+      } else
         Seq(new GenericInternalRow(Array[Any](false, disp, null)))
     }
     case "optimize_zorder" => proc("optimize_zorder",

@@ -113,16 +113,50 @@ class ClustersSpec extends SparkSpec {
     assert(math.abs(got.values.sum - got.size) < 0.01 * got.size)
   }
 
-  test("dedupKeep = corpus minus exactly the non-keeper cluster members") {
+  test("dedupKeep keeps exactly one member per cluster; min-id when no media marks apply") {
     val all = Tables.table(spark, sf0001, "documents")
       .select("doc_id").as[Long].collect().toSet
-    val dropped = Clusters.dedupClusters(spark, sf0001)
+    val comp = Clusters.dedupClusters(spark, sf0001)
       .as[(Long, Long, Long)].collect()
-      .collect { case (doc, keeper, _) if doc != keeper => doc }.toSet
+    val members = comp.map(_._1).toSet
+    val nComponents = comp.map(_._2).toSet.size
     val kept = Clusters.dedupKeep(spark, sf0001)
       .select("doc_id").as[Long].collect().toSet
-    assert(dropped.nonEmpty)
-    assert(kept == all -- dropped)
+    assert(members.nonEmpty && members.size > nComponents)
+    // one survivor per component, every unclustered doc untouched —
+    // invariant under ANY keeper choice (media-aware or min-id)
+    assert(kept.size == all.size - (members.size - nComponents))
+    assert((all -- members).subsetOf(kept))
+    val keptMembers = kept.intersect(members)
+    assert(keptMembers.size == nComponents)
+    // the media-dropped set decides keeper ELIGIBILITY, not membership:
+    // a kept member that is media-dropped is only legal when its whole
+    // component is media-dropped
+    val mediaDropped = ext.Multimodal.mediaDedupAssignments(spark, sf0001)
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select("doc_id").as[Long].collect().toSet
+    val byComp = comp.groupBy(_._2)
+    keptMembers.foreach { k =>
+      if (mediaDropped.contains(k)) {
+        val mates = byComp(comp.find(_._1 == k).get._2).map(_._1)
+        assert(mates.forall(mediaDropped.contains),
+          s"media-dropped doc $k kept while a clean component mate existed")
+      }
+    }
+  }
+
+  test("media-aware keeper selection: dropped docs are ineligible unless the whole component is") {
+    // component 10: mixed eligibility — 10 (dropped) loses keeper to 12
+    // (clean) despite the smaller id; component 20: all dropped — plain
+    // min-id fallback; component 30: none dropped — plain min-id
+    val member = Seq(
+      (10L, 10L, true), (11L, 10L, true), (12L, 10L, false),
+      (20L, 20L, true), (21L, 20L, true),
+      (30L, 30L, false), (31L, 30L, false))
+      .toDF("doc_id", "component", "mdrop")
+    val got = Clusters.mediaAwareKeepers(member)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 12L, 20L -> 20L, 30L -> 30L))
   }
 
   test("dedupRates reconciles with the documents table and the survivor corpus") {

@@ -451,6 +451,99 @@ class GraftCatalogSpec extends SparkSpec {
     assert(StreamIvf.readIndex(spark, dir0).count() == 8)
   }
 
+  test("CALL graft.system.maintain_pq: below-threshold no-op, drifted retrain, version swap") {
+    import graft.ext.{PqDrift, Similarity}
+    val dir0 = tmp("ppq0"); val dir1 = tmp("ppq1"); val vdir = tmp("ppqv")
+    // 64-dim vectors controlled in subspace 0 (dims 0-15), constant
+    // elsewhere: two tight clusters on basis axes e0 / e1 with +-0.1
+    // jitter on a neighboring dim
+    def vec(axis: Int, jitterDim: Int, jitter: Double): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(axis) = 1.0f
+      a(jitterDim) = jitter.toFloat
+      // every other subspace gets a constant unit component so its
+      // single codebook entry is exactly the cluster mean
+      (1 until Similarity.pqSubspaces).foreach(s => a(s * Similarity.pqSubDim) = 1.0f)
+      a
+    }
+    val vectors = Seq(
+      (1L, vec(0, 1, 0.1)), (2L, vec(0, 1, -0.1)),
+      (11L, vec(1, 2, 0.1)), (12L, vec(1, 2, -0.1))
+    ).toDF("vec_id", "embedding")
+    def subCv(axis: Int): Array[Float] = {
+      val a = Array.fill(Similarity.pqSubDim)(0.0f); a(axis) = 1.0f; a
+    }
+    val cents = (Seq((0, 0L, subCv(0)), (0, 1L, subCv(1))) ++
+      (1 until Similarity.pqSubspaces).map(s => (s, 0L, subCv(0))))
+      .toDF("sub_id", "cent_id", "cv")
+    PqDrift.writeCodebook(cents, dir0)
+    PqDrift.sink(dir0).upsert(PqDrift.codeRows(vectors, cents, 0L), 0L)
+    vectors.write.mode("overwrite").parquet(vdir)
+    // converged: residual displacement small, nothing triggered
+    val r0 = spark.sql(s"CALL graft.system.maintain_pq('$dir0', '$vdir', " +
+      "'" + dir1 + "', CAST(0.2 AS DOUBLE))").head()
+    assert(!r0.getBoolean(0))
+    assert(r0.getDouble(1) < 0.2)
+    assert(r0.isNullAt(2))
+    val fs = new org.apache.hadoop.fs.Path(dir0)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir1)))
+    // drift: the e1 cluster moves to a basis axis the codebook never
+    // saw, ENCODED WITH THE STALE CODEBOOK (what a streaming encoder
+    // does) — the per-code subvector mean runs away from its entry
+    val drifted = Seq(
+      (11L, vec(2, 3, 0.1)), (12L, vec(2, 3, -0.1))
+    ).toDF("vec_id", "embedding")
+    PqDrift.sink(dir0).upsert(PqDrift.codeRows(drifted, cents, 1L), 1L)
+    val corpus = Seq(
+      (1L, vec(0, 1, 0.1)), (2L, vec(0, 1, -0.1)),
+      (11L, vec(2, 3, 0.1)), (12L, vec(2, 3, -0.1))
+    ).toDF("vec_id", "embedding")
+    corpus.write.mode("overwrite").parquet(vdir)
+    val r1 = spark.sql(s"CALL graft.system.maintain_pq('$dir0', '$vdir', " +
+      "'" + dir1 + "', CAST(0.2 AS DOUBLE))").head()
+    assert(r1.getBoolean(0))
+    assert(r1.getDouble(1) > 0.2)
+    assert(r1.getString(2) == dir1)
+    // the retrained pair is CONSISTENT: codebook at the sibling path,
+    // and every (vec, sub) coded to its argmin-L2 entry of it
+    val newCents = PqDrift.readCodebook(spark, dir1)
+      .as[(Int, Long, Array[Float])].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val newCodes = PqDrift.readCodes(spark, dir1)
+      .select("vec_id", "sub_id", "code")
+      .as[(Long, Int, Long)].collect()
+    assert(newCodes.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 11L, 12L))
+    assert(newCodes.length == 4 * Similarity.pqSubspaces)
+    val corpusMap = corpus.as[(Long, Array[Float])].collect().toMap
+    def l2Score(sv: Array[Float], cv: Array[Float]): Double = {
+      def dot(a: Array[Float], b: Array[Float]) =
+        a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      2.0 * dot(sv, cv) - dot(cv, cv)
+    }
+    newCodes.foreach { case (vid, s, code) =>
+      val sv = corpusMap(vid).slice(s * Similarity.pqSubDim,
+        (s + 1) * Similarity.pqSubDim)
+      val best = newCents(s).maxBy { case (c, cv) => (l2Score(sv, cv), -c) }._1
+      assert(code == best, s"vec $vid sub $s")
+    }
+    // the old index is untouched (the seq-1 re-ingest REPLACED the
+    // drifted keys under the precombine: 4 vectors x 4 subspaces live);
+    // the guards refuse unsafe targets
+    assert(PqDrift.readCodes(spark, dir0).count() == 4 * Similarity.pqSubspaces)
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val selfSwap = intercept[Exception](spark.sql(
+      s"CALL graft.system.maintain_pq('$dir0', '$vdir', '$dir0', " +
+        "CAST(0.0 AS DOUBLE))").collect())
+    assert(msgChain(selfSwap).contains("must differ"))
+    val populated = intercept[Exception](spark.sql(
+      s"CALL graft.system.maintain_pq('$dir0', '$vdir', '$dir1', " +
+        "CAST(0.0 AS DOUBLE))").collect())
+    assert(msgChain(populated).contains("already holds"))
+  }
+
   test("CALL graft.system.optimize_zorder rewrites partitions, preserves rows") {
     val dir = tmp("pzorder")
     val sink = ParquetUpsertSink(dir, Seq("id"), "seq", "dept")

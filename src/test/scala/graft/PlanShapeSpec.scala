@@ -109,6 +109,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TopKPerGroup"), "code assignment/shortlist lost the native top-k")
   }
 
+  test("PQ drift ADC search: broadcast table side, native top-k, no cartesian") {
+    // the gate query (x_ann_pq_drift) returns a driver-built two-row
+    // summary, so the shape guard drives the search building block
+    // directly with contract-shaped frames
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sd = ext.Similarity.pqSubDim
+    def sv(x: Float) = Array.fill(sd)(x)
+    val querySubs = (0 until ext.Similarity.pqSubspaces)
+      .map(s => (100L, s, sv(1.0f))).toDF("query_id", "sub_id", "sv")
+    val cents = (0 until ext.Similarity.pqSubspaces)
+      .flatMap(s => Seq((s, 0L, sv(0.5f)), (s, 1L, sv(-0.5f))))
+      .toDF("sub_id", "cent_id", "cv")
+    val codes = (1L to 50L).flatMap(v =>
+      (0 until ext.Similarity.pqSubspaces).map(s => (v, s, v % 2)))
+      .toDF("vec_id", "sub_id", "code")
+    val df = ext.PqDrift.adcTop5(querySubs, cents, codes)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TopKPerGroup"), "ADC ranking lost the native top-k")
+    assert(p.contains("BroadcastHashJoin"), "ADC table side lost the broadcast")
+    // and the ranking itself is correct on the fixture: even codes
+    // score 4·(sd·0.5), odd codes negative — top-5 are the smallest
+    // even vec_ids
+    assert(df.collect().map(_.getLong(1)).sorted.toSeq == Seq(2L, 4L, 6L, 8L, 10L))
+  }
+
   test("dedup rates charge drops to sources via a doc_id semi join — no cartesian") {
     val p = plan("x_dedup_rates")
     assert(!p.contains("CartesianProduct"))
