@@ -170,9 +170,24 @@ object Clusters {
     * sacrifices a clean member to keep a doc that is leaving anyway).
     */
   private def mediaDropMarks(spark: SparkSession, sfDir: String): DataFrame =
-    Multimodal.mediaDedupAssignments(spark, sfDir)
+    mediaAssignmentsStaged(spark, sfDir)
       .filter(col("doc_id") =!= col("keeper_id"))
       .select(col("doc_id")).withColumn("mdrop", lit(true))
+
+  /** [[Shared.memo]]-staged media component assignment: THREE caller-
+    * session consumers read it (both keeper gates and
+    * [[dedupRatesCombined]]) — the classic stage-once asset; a 100 TB
+    * run materializes the assignment as a table and every budget /
+    * keeper job reads the staged copy instead of re-running the
+    * class-contraction CC. ([[Multimodal.mediaDedupGroups]] keeps its
+    * own direct build — it runs in a narrow-width CLONE session, and
+    * the memo is keyed by session identity.)
+    */
+  def mediaAssignmentsStaged(spark: SparkSession, sfDir: String): DataFrame =
+    Shared.memoClustered(spark, sfDir, "media_dedup_assignments",
+      Some("doc_id" -> 32)) {
+      Multimodal.mediaDedupAssignments(spark, sfDir)
+    }
 
   /** Text component members with their media-drop eligibility flag. */
   private def membersWithMediaMarks(spark: SparkSession,
@@ -484,7 +499,7 @@ object Clusters {
   def dedupRatesCombined(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.table(spark, sfDir, "documents")
     val textDrops = dropList(spark, sfDir).withColumn("t", lit(true))
-    val mediaDrops = Multimodal.mediaDedupAssignments(spark, sfDir)
+    val mediaDrops = mediaAssignmentsStaged(spark, sfDir)
       .filter(col("doc_id") =!= col("keeper_id"))
       .select(col("doc_id")).withColumn("m", lit(true))
     val marks = textDrops.join(mediaDrops, Seq("doc_id"), "full_outer")

@@ -161,6 +161,9 @@ object Shared {
     // up-front staging pass materializes each exactly once
     "pq_codebook"         -> ((s, d) => Similarity.pqCodebookStaged(s, d)),
     "pq_codes"            -> ((s, d) => Similarity.pqCodesStaged(s, d)),
+    // r19: the media component assignment feeds three caller-session
+    // consumers (both keeper gates + the combined-rates budget)
+    "media_dedup_assignments" -> ((s, d) => Clusters.mediaAssignmentsStaged(s, d)),
   )
 
   /** Materialize every registry relation (build + checkpoint/write, or
