@@ -147,7 +147,11 @@ def main():
         if w10 is not None and w10 > 0:
             ratio = (f"{w10 / w1:.2f}x" if w1 and w1 > 0
                      else "- (sf1 wall unavailable in this sweep)")
-            print(f"- `{q}`: {fmt(w1, '.2f')} s (sf1) -> {w10:.2f} s "
+            # fmt handles NaN, not None (r19 review: a mixed-vintage
+            # sf1 file without this query would crash the report after
+            # the whole sweep already ran)
+            w1s = fmt(w1, ".2f") if w1 is not None else "-"
+            print(f"- `{q}`: {w1s} s (sf1) -> {w10:.2f} s "
                   f"(sf10-lite) = {ratio} on 10x docs")
         else:
             print(f"- `{q}`: FAILED/absent in the media bench file")

@@ -108,9 +108,12 @@ object Clusters {
 
   /** Corpus dedup clusters over the MinHash-LSH verified near-dup pairs
     * (jaccard ≥ 0.6): every document in a near-dup chain maps to its
-    * cluster keeper (the smallest doc_id in the component) with the
-    * component size alongside — `WHERE doc_id != keeper_id` is then the
-    * delete list.
+    * COMPONENT ROOT (the smallest doc_id in the component — the stable
+    * structural cluster id) with the component size alongside. The
+    * production delete list is NOT `doc_id != keeper_id` over this
+    * view: survivor selection is the media-aware rule in [[dedupKeep]]
+    * / the shared [[dropList]] (r19) — this view reports component
+    * STRUCTURE, which is keeper-rule-independent.
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
@@ -233,42 +236,46 @@ object Clusters {
       .agg(min(struct(col("mdrop"), col("doc_id"))).as("k"))
       .select(col("component"), col("k.doc_id").as("keeper_id"))
 
-  def dedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
-    val member = membersWithMediaMarks(spark, sfDir)
-    val keepers = mediaAwareKeepers(member)
-    val drops = member.join(keepers, Seq("component"))
-      .filter(col("doc_id") =!= col("keeper_id"))
-      .select(col("doc_id"))
+  def dedupKeep(spark: SparkSession, sfDir: String): DataFrame =
     Present.sortSmall(
       Tables.table(spark, sfDir, "documents")
-        .join(drops, Seq("doc_id"), "left_anti")
+        .join(dropList(spark, sfDir), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"), col("n_chars")),
       col("doc_id"))
-  }
 
-  /** DuckDB twin of [[dedupKeep]] — the text component chain plus the
-    * media component chain ([[Multimodal.mediaCompCteSql]]), keeper =
-    * first member ordered (mdrop ASC, doc_id ASC) per component.
+  /** Shared oracle prefix for every media-aware drop-list consumer:
+    * the text component chain, the media component chain
+    * ([[Multimodal.mediaCompCteSql]]), the media drop marks (`mdl`),
+    * the marked members (`memx`), the media-aware keeper per component
+    * (`kx`: first member ordered mdrop ASC, doc_id ASC) and the
+    * resulting text drop list (`drops`) — the SQL twin of
+    * [[dropList]], shared so the survivor-corpus and rate oracles can
+    * never disagree about what was dropped.
     */
-  val dedupKeepSql: String = componentsCteSql + "," +
+  private val mediaAwareDropsCteSql: String = componentsCteSql + "," +
     Multimodal.mediaCompCteSql + """,
-    |mdropk AS (SELECT doc_id FROM mcomp WHERE doc_id <> keeper_id),
-    |memk AS (
+    |mdl AS (SELECT doc_id FROM mcomp WHERE doc_id <> keeper_id),
+    |memx AS (
     |  SELECT c.doc_id, c.keeper_id AS component,
     |         (m.doc_id IS NOT NULL) AS mdrop
-    |  FROM comp c LEFT JOIN mdropk m ON m.doc_id = c.doc_id),
-    |kk AS (
+    |  FROM comp c LEFT JOIN mdl m ON m.doc_id = c.doc_id),
+    |kx AS (
     |  SELECT component, doc_id AS kid,
     |         row_number() OVER (PARTITION BY component
     |                            ORDER BY mdrop ASC, doc_id ASC) AS rn
-    |  FROM memk),
-    |tdropk AS (
-    |  SELECT m.doc_id FROM memk m
-    |  JOIN kk ON kk.component = m.component AND kk.rn = 1
-    |  WHERE m.doc_id <> kk.kid)
+    |  FROM memx),
+    |drops AS (
+    |  SELECT m.doc_id FROM memx m
+    |  JOIN kx ON kx.component = m.component AND kx.rn = 1
+    |  WHERE m.doc_id <> kx.kid)""".stripMargin
+
+  /** DuckDB twin of [[dedupKeep]] — the shared media-aware drop list,
+    * anti-joined onto the corpus.
+    */
+  val dedupKeepSql: String = mediaAwareDropsCteSql + """
     |SELECT d.doc_id, d.source, d.n_chars
     |FROM documents d
-    |WHERE d.doc_id NOT IN (SELECT doc_id FROM tdropk)
+    |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
     |ORDER BY d.doc_id""".stripMargin
 
   /** Damping factor and iteration count for [[dupPageRank]] — fixed
@@ -429,16 +436,20 @@ object Clusters {
     * doc_id semi-join plus a per-source partial agg — output is
     * |sources| rows, metadata-scale.
     */
-  /** The near-dup delete list (every non-keeper cluster member) — the
-    * ONE drop-list definition shared by the doc-weighted and
-    * token-weighted rate reports, so the two can never disagree about
-    * what was dropped.
+  /** The near-dup delete list (every non-keeper cluster member under
+    * the MEDIA-AWARE keeper rule) — the ONE drop-list definition shared
+    * by [[dedupKeep]] and the doc-/token-weighted rate reports, so the
+    * survivor corpus and every budget can never disagree about what
+    * was dropped (r19 review: with the rule living only in dedupKeep,
+    * the rates charged the OLD min-id non-keepers — for a component
+    * whose min-id member is media-dropped, the combined budget then
+    * double-counted a loss the survivor corpus no longer takes).
     */
   private def dropList(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Dedup.minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    connectedComponents(edges)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as("doc_id"))
+    val member = membersWithMediaMarks(spark, sfDir)
+    member.join(mediaAwareKeepers(member), Seq("component"))
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id"))
   }
 
   def dedupRates(spark: SparkSession, sfDir: String): DataFrame = {
@@ -456,9 +467,10 @@ object Clusters {
       col("source"))
   }
 
-  /** DuckDB twin of [[dedupRates]]. */
-  val dedupRatesSql: String = componentsCteSql + """
-    |,drops AS (SELECT doc_id FROM comp WHERE doc_id <> keeper_id),
+  /** DuckDB twin of [[dedupRates]] — charges the shared media-aware
+    * drop list per source.
+    */
+  val dedupRatesSql: String = mediaAwareDropsCteSql + """,
     |per AS (
     |  SELECT d.source,
     |         count(*) AS n_docs,
@@ -520,10 +532,7 @@ object Clusters {
     * and the m-prefixed media component chain composed into ONE
     * recursive WITH, drops diffed per family, union counted once.
     */
-  val dedupRatesCombinedSql: String = componentsCteSql + "," +
-    Multimodal.mediaCompCteSql + """,
-    |tdrops AS (SELECT doc_id FROM comp WHERE doc_id <> keeper_id),
-    |mdrops AS (SELECT doc_id FROM mcomp WHERE doc_id <> keeper_id),
+  val dedupRatesCombinedSql: String = mediaAwareDropsCteSql + """,
     |per AS (
     |  SELECT d.source,
     |         count(*) AS n_docs,
@@ -532,8 +541,8 @@ object Clusters {
     |         sum(CASE WHEN t.doc_id IS NOT NULL OR mr.doc_id IS NOT NULL
     |                  THEN 1 ELSE 0 END) AS n_dropped_any
     |  FROM documents d
-    |  LEFT JOIN tdrops t ON t.doc_id = d.doc_id
-    |  LEFT JOIN mdrops mr ON mr.doc_id = d.doc_id
+    |  LEFT JOIN drops t ON t.doc_id = d.doc_id
+    |  LEFT JOIN mdl mr ON mr.doc_id = d.doc_id
     |  GROUP BY d.source)
     |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
     |       CAST(n_dropped_text AS BIGINT) AS n_dropped_text,
@@ -566,9 +575,10 @@ object Clusters {
       col("source"))
   }
 
-  /** DuckDB twin of [[dedupTokenRates]]. */
-  val dedupTokenRatesSql: String = componentsCteSql + """
-    |,drops AS (SELECT doc_id FROM comp WHERE doc_id <> keeper_id),
+  /** DuckDB twin of [[dedupTokenRates]] — same shared media-aware drop
+    * list, token-weighted.
+    */
+  val dedupTokenRatesSql: String = mediaAwareDropsCteSql + """,
     |per AS (
     |  SELECT d.source,
     |         len(string_split(d.text, ' ')) AS t,
@@ -634,14 +644,10 @@ object Clusters {
     * the media drop marks, quality per member, keeper = first member
     * ordered (eligibility DESC, quality DESC, doc_id ASC).
     */
-  val dedupKeepQualitySql: String = componentsCteSql + "," +
-    Multimodal.mediaCompCteSql + s""",
-    |mdropq AS (SELECT doc_id FROM mcomp WHERE doc_id <> keeper_id),
+  val dedupKeepQualitySql: String = mediaAwareDropsCteSql + s""",
     |mq AS (
-    |  SELECT c.doc_id, c.keeper_id AS component,
-    |         (mr.doc_id IS NOT NULL) AS mdrop, ${Text.qualityScoreSql} AS q
-    |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
-    |  LEFT JOIN mdropq mr ON mr.doc_id = c.doc_id),
+    |  SELECT m.doc_id, m.component, m.mdrop, ${Text.qualityScoreSql} AS q
+    |  FROM memx m JOIN documents d ON d.doc_id = m.doc_id),
     |k AS (
     |  SELECT component, doc_id AS kid, q AS kq,
     |         row_number() OVER (PARTITION BY component

@@ -84,20 +84,13 @@ object PqDrift {
     spark.read.parquet(path).withColumn("sub_id", col("sub_id").cast("int"))
 
   /** Per-(subspace, code) mean subvector of `assigned` (sub_id, code,
-    * sv) rows, float-cast per dimension — shared by [[retrain]] and the
-    * [[residualDisplacement]] trigger so the two can never disagree on
-    * what a code's mass center is (the [[IvfDrift]] cellMeans rule,
-    * per subspace).
+    * sv) rows — [[Similarity.subspaceMeans]], the SAME fold the Lloyd
+    * codebook trainer runs (one mass-center definition, so the
+    * trigger, the retrain, and the trainer can never disagree).
     */
   private def codeMeans(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("sub_id"), col("code"), posexplode(col("sv")).as(Seq("d", "v")))
-      .groupBy(col("sub_id"), col("code"), col("d"))
-      .agg(avg(col("v")).as("m"))
-      .groupBy(col("sub_id"), col("code"))
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(d, m))), s -> cast(s.m as float))")
-        .as("cv"))
+    Similarity.subspaceMeans(assigned.withColumnRenamed("code", "cent_id"))
+      .withColumnRenamed("cent_id", "code")
 
   /** Per-(subspace, code) displacement of the corpus's current
     * subvectors from the stored codebook entry they are coded as:
@@ -116,9 +109,19 @@ object PqDrift {
         (lit(1.0) - Similarity.cosine(col("mv"), col("cv"))).as("disp"))
 
   def maxResidualDisplacement(vectors: DataFrame, codes: DataFrame,
-      cents: DataFrame): Double =
-    residualDisplacement(vectors, codes, cents)
-      .agg(max(col("disp"))).head.getDouble(0)
+      cents: DataFrame): Double = {
+    val r = residualDisplacement(vectors, codes, cents)
+      .agg(max(col("disp"))).head
+    // fail with the cause, not an opaque NPE from getDouble on the
+    // null max of an empty relation (r19 review): an empty
+    // (vectors ⋈ codes ⋈ codebook) means the inputs don't describe
+    // the same index
+    require(!r.isNullAt(0),
+      "maintain_pq: vectors and the index's codes/codebook share no " +
+        "(vec_id, sub_id, code) rows — wrong vectors path, empty index, " +
+        "or a codebook from a different index version")
+    r.getDouble(0)
+  }
 
   /** Lloyd refinement rounds for the gate's base-corpus codebook. */
   val trainRounds = 3
@@ -194,8 +197,8 @@ object PqDrift {
 
   /** The oracle-gated PQ drift scenario (`x_ann_pq_drift`) — the
     * [[IvfDrift.annIvfDrift]] structure on the fine quantizer: a
-    * per-subspace codebook TRAINED on the base corpus (2 Lloyd rounds
-    * from modulo seeds), the code table built through the commit path,
+    * per-subspace codebook TRAINED on the base corpus ([[trainRounds]]
+    * Lloyd rounds from modulo seeds), the code table built through the commit path,
     * then a DRIFTED ingest slice (the same ten synthetic label
     * clusters, pulled 2.0 along per-label basis axes the base corpus
     * never occupied) ENCODED WITH THE STALE CODEBOOK — exactly what a
@@ -303,7 +306,7 @@ object PqDrift {
       .toDF("regime", "n_hits", "recall")
   }
 
-  /** DuckDB twin of [[annPqDrift]] — 2 training rounds + stale-coded
+  /** DuckDB twin of [[annPqDrift]] — [[trainRounds]] training rounds + stale-coded
     * drift + assign-half-fixed retrain + re-encode + both pure-ADC
     * searches + recall arithmetic, built from pre-stripped concatenated
     * parts (generated CTE text must not pass through stripMargin).

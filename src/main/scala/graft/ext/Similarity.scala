@@ -896,18 +896,28 @@ object Similarity {
       cents0: DataFrame, rounds: Int): DataFrame = {
     var cents = cents0
     for (_ <- 1 to rounds) {
-      val next = pqNearest(subs, cents, keepSv = true)
-        .select(col("sub_id"), col("cent_id"), posexplode(col("sv")).as(Seq("d", "v")))
-        .groupBy(col("sub_id"), col("cent_id"), col("d"))
-        .agg(avg(col("v")).as("m"))
-        .groupBy(col("sub_id"), col("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          s => s.getField("m").cast("float")).as("cv"))
+      val next = subspaceMeans(pqNearest(subs, cents, keepSv = true))
       cents = spark.createDataFrame(
         spark.sparkContext.parallelize(next.collect().toIndexedSeq, 1), next.schema)
     }
     cents
   }
+
+  /** Per-(sub_id, cent_id) float-cast per-dimension mean of an
+    * assigned subvector relation — the Lloyd UPDATE half, the ONE
+    * mass-center definition shared by the codebook trainer above and
+    * [[PqDrift]]'s residual-drift trigger/retrain (r19 review: a
+    * second copy of this fold could silently diverge from the trainer
+    * and break the drift gate's bit-exact Spark-vs-oracle parity).
+    */
+  private[ext] def subspaceMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub_id"), col("cent_id"), posexplode(col("sv")).as(Seq("d", "v")))
+      .groupBy(col("sub_id"), col("cent_id"), col("d"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("sub_id"), col("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s.getField("m").cast("float")).as("cv"))
 
   /** Corpus subvector frame + deterministic codebook seeds. */
   private def pqSeedInputs(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {

@@ -174,8 +174,16 @@ class ClustersSpec extends SparkSpec {
       assert(rate == BigDecimal(nDropped.toDouble / nDocs)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
-    // summed survivors equal the materialized survivor corpus
-    assert(rates.values.map(_._3).sum == Clusters.dedupKeep(spark, sf0001).count())
+    // summed survivors equal the materialized survivor corpus, and the
+    // per-source survivor counts match exactly — rates and dedupKeep
+    // share ONE media-aware drop list (r19 review: with the rule only
+    // in dedupKeep, a component whose min-id member was media-dropped
+    // made the two surfaces disagree per source)
+    val keptBySource = Clusters.dedupKeep(spark, sf0001)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(rates.values.map(_._3).sum == keptBySource.values.sum)
+    rates.foreach { case (src, (_, _, nKept, _)) =>
+      assert(keptBySource.getOrElse(src, 0L) == nKept, s"source $src") }
     // the corpus plants near-dups, so at least one source shrinks
     assert(rates.values.exists(_._2 > 0))
   }
