@@ -882,9 +882,10 @@ object Similarity {
     * side beyond the 64-row codebook materialization between Lloyd
     * rounds (the canonical Lloyd shape, as in kmeans).
     */
-  def annPq(spark: SparkSession, sfDir: String): DataFrame =
-    pqSearch(spark, sfDir,
-      pqCodebookStaged(spark, sfDir), pqCodesStaged(spark, sfDir))
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val (codes, cents) = pqServingPair(spark, sfDir)
+    pqSearch(spark, sfDir, cents, codes)
+  }
 
   /** Codebook refinement loop: `rounds` Lloyd L2 iterations from the
     * deterministic seeds, the 4×16×16-float codebook driver-
@@ -943,6 +944,8 @@ object Similarity {
 
   /** Staged round-1 PQ code table (vec_id → 4 small ints) — the only
     * corpus-scale index state, clustered by vec_id for the rerank join.
+    * Since r20 this is a BUILD CACHE feeding [[pqIndexRoot]]'s v0
+    * write; the searches serve from the versioned commit-path pair.
     */
   def pqCodesStaged(spark: SparkSession, sfDir: String): DataFrame =
     Shared.memoClustered(spark, sfDir, "pq_codes", Some("vec_id" -> 32)) {
@@ -950,6 +953,43 @@ object Similarity {
       pqNearest(subs, pqCodebookStaged(spark, sfDir), keepSv = false)
         .select(col("vec_id"), col("sub_id"), col("cent_id").as("code"))
     }
+
+  /** Root of the VERSIONED commit-path PQ index for (session, corpus)
+    * — the r19-judge unification: before r20, searches read the
+    * [[Shared.memo]]-staged pq_codebook/pq_codes directly, so a
+    * `CALL graft.system.maintain_pq` retrain's atomic version swap was
+    * invisible to serving (exactly the staleness class [[PqDrift]]
+    * exists to kill). Now v0 is written ONCE per (session, corpus)
+    * through the sink commit path — codebook sibling + sub_id-
+    * partitioned code table, [[PqDrift.versionPath]] layout — from the
+    * staged build cache, and every PQ search resolves the CURRENT
+    * committed (codes, codebook) pair at plan time
+    * ([[PqDrift.currentVersion]]), so a retrain that lands v1 is
+    * served with no rebuild. A crashed writer leaves no completed
+    * commit, so the next build wipes the partial v0 and rewrites —
+    * the [[Shared]] persisted-mode `_SUCCESS` discipline, applied to
+    * the pair.
+    */
+  def pqIndexRoot(spark: SparkSession, sfDir: String): String =
+    Shared.memoPath(spark, sfDir, "pq_index") { root =>
+      if (PqDrift.currentVersion(spark, root).isEmpty) {
+        val v0 = PqDrift.versionPath(root, 0)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq(v0, PqDrift.codebookPathFor(v0)).foreach { p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        }
+        PqDrift.writeCodebook(pqCodebookStaged(spark, sfDir), v0)
+        PqDrift.sink(v0).upsert(
+          pqCodesStaged(spark, sfDir).withColumn("seq", lit(0L)), batchId = 0L)
+      }
+    }
+
+  /** The committed serving pair (codes, codebook) every PQ search
+    * reads — the current version under [[pqIndexRoot]].
+    */
+  def pqServingPair(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    PqDrift.currentPair(spark, pqIndexRoot(spark, sfDir))
 
   private def pqTop5(spark: SparkSession, sfDir: String, rounds: Int): DataFrame = {
     val (subs, cents0) = pqSeedInputs(spark, sfDir)
@@ -1039,11 +1079,11 @@ object Similarity {
     * growth sf0.1→sf1, SCALING.md r18 triage) contracts to
     * cell-local work: per query, ADC touches ~|corpus| / |cells|
     * codes, and at 100 TB the float embeddings are read only for the
-    * [[pqCandidates]] rerank survivors. Composes the two STAGED index
-    * structures exactly as a production store serves them — the
-    * [[ivfCells]] coarse assignment and the [[pqCodebookStaged]] /
-    * [[pqCodesStaged]] fine quantizer — then exact float cosine
-    * reranks to top-5.
+    * [[pqCandidates]] rerank survivors. Composes the [[ivfCells]]
+    * coarse assignment with the fine quantizer served from the
+    * VERSIONED commit-path (codes, codebook) pair
+    * ([[pqServingPair]] — so a `maintain_pq` retrain is picked up
+    * with no rebuild), then exact float cosine reranks to top-5.
     */
   def annIvfPq(spark: SparkSession, sfDir: String): DataFrame =
     ivfPqSearch(spark, sfDir, nprobe = 1)
@@ -1064,9 +1104,11 @@ object Similarity {
       nprobe: Int): DataFrame = {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val cellOf = ivfCells(spark, sfDir).select(col("vec_id"), col("cent_id"))
-    val codes = pqCodesStaged(spark, sfDir)
+    // the versioned commit-path pair, not the staged build cache: a
+    // maintain_pq retrain is visible to this search with no rebuild
+    val (servedCodes, cents1) = pqServingPair(spark, sfDir)
+    val codes = servedCodes
       .join(cellOf.withColumnRenamed("cent_id", "cell"), Seq("vec_id"))
-    val cents1 = pqCodebookStaged(spark, sfDir)
     val centroids = emb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     // top-nprobe probe cells per query — same expression and tie-break
