@@ -253,20 +253,32 @@ object IvfDrift {
     * pre-stripped concatenated parts (generated CTE text must not pass
     * through stripMargin).
     */
+  /** Vector-level argmax-cosine assignment CTE — shared with
+    * [[PqResidual]]'s twin (one definition of the assignment
+    * arithmetic both hash gates replay).
+    */
+  private[ext] def sqlAssignVec(out: String, src: String, cent: String): String =
+    s"$out AS (SELECT vec_id, embedding, cent_id FROM (\n" +
+    s"  SELECT a.vec_id, a.embedding, c.cent_id,\n" +
+    s"         row_number() OVER (PARTITION BY a.vec_id\n" +
+    s"           ORDER BY ${Similarity.cosineSql("a.embedding", "c.cv")} DESC, c.cent_id) AS rn\n" +
+    s"  FROM $src a, $cent c) WHERE rn = 1)"
+
+  /** Per-cell float-cast per-dimension mean CTE (the Lloyd update
+    * half) — shared with [[PqResidual]]'s twin.
+    */
+  private[ext] def sqlMeansVec(out: String, src: String): String =
+    s"$out AS (SELECT cent_id, list(CAST(m AS FLOAT4) ORDER BY d) AS cv FROM (\n" +
+    s"  SELECT cent_id, d, avg(v) AS m FROM (\n" +
+    s"    SELECT cent_id, generate_subscripts(embedding, 1) AS d,\n" +
+    s"           unnest(embedding) AS v FROM $src) x\n" +
+    s"  GROUP BY 1, 2) GROUP BY 1)"
+
   val annIvfDriftSql: String = {
     def cos(a: String, b: String) = Similarity.cosineSql(a, b)
     def assign(out: String, src: String, cent: String): String =
-      s"$out AS (SELECT vec_id, embedding, cent_id FROM (\n" +
-      s"  SELECT a.vec_id, a.embedding, c.cent_id,\n" +
-      s"         row_number() OVER (PARTITION BY a.vec_id\n" +
-      s"           ORDER BY ${cos("a.embedding", "c.cv")} DESC, c.cent_id) AS rn\n" +
-      s"  FROM $src a, $cent c) WHERE rn = 1)"
-    def means(out: String, src: String): String =
-      s"$out AS (SELECT cent_id, list(CAST(m AS FLOAT4) ORDER BY d) AS cv FROM (\n" +
-      s"  SELECT cent_id, d, avg(v) AS m FROM (\n" +
-      s"    SELECT cent_id, generate_subscripts(embedding, 1) AS d,\n" +
-      s"           unnest(embedding) AS v FROM $src) x\n" +
-      s"  GROUP BY 1, 2) GROUP BY 1)"
+      sqlAssignVec(out, src, cent)
+    def means(out: String, src: String): String = sqlMeansVec(out, src)
     def searchCte(out: String, cells: String, cent: String): String =
       s"$out AS (SELECT query_id, neighbor_id FROM (\n" +
       s"  SELECT qq.query_id, e.vec_id AS neighbor_id,\n" +

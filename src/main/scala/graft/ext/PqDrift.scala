@@ -387,6 +387,43 @@ object PqDrift {
       .toDF("regime", "n_hits", "recall")
   }
 
+  // ——— shared DuckDB CTE builders (one definition feeding this twin
+  // and [[PqResidual]]'s — a re-typed copy could silently diverge on
+  // the slicing/assignment/mean arithmetic the hash gates replay) ———
+
+  /** One UNION ALL branch per subspace slicing `src` (a CTE name or a
+    * parenthesized+aliased subquery) into (id, sub_id, sv).
+    */
+  private[ext] def sqlSubBody(src: String, id: String): String =
+    (0 until Similarity.pqSubspaces).map(s =>
+      s"SELECT vec_id AS $id, $s AS sub_id, " +
+        s"list_slice(embedding, ${s * Similarity.pqSubDim + 1}, " +
+        s"${s * Similarity.pqSubDim + Similarity.pqSubDim}) AS sv FROM $src")
+      .mkString("\n    ", "\n    UNION ALL\n    ", "")
+
+  private[ext] def sqlSub(out: String, src: String, id: String): String =
+    s"$out AS (" + sqlSubBody(src, id) + ")"
+
+  /** argmin-L2 code assignment of a subvector relation to a codebook. */
+  private[ext] def sqlAssign(out: String, subs: String, cent: String): String =
+    s"$out AS (SELECT vec_id, sub_id, cent_id, sv FROM (\n" +
+    s"  SELECT s.vec_id, s.sub_id, c.cent_id, s.sv,\n" +
+    s"         row_number() OVER (PARTITION BY s.vec_id, s.sub_id\n" +
+    s"           ORDER BY ${Similarity.pqL2Sql("s.sv", "c.cv")} DESC, c.cent_id) AS rn\n" +
+    s"  FROM $subs s JOIN $cent c USING (sub_id)) WHERE rn = 1)"
+
+  /** Per-(sub, cent) float-cast per-dimension means of an assigned
+    * relation carrying (sub_id, cent_id, sv).
+    */
+  private[ext] def sqlMeans(out: String, src: String): String =
+    s"$out AS (\n" +
+    s"  SELECT sub_id, cent_id, list(CAST(m AS FLOAT4) ORDER BY d) AS cv FROM (\n" +
+    s"    SELECT sub_id, cent_id, d, avg(v) AS m FROM (\n" +
+    s"      SELECT sub_id, cent_id, generate_subscripts(sv, 1) AS d,\n" +
+    s"             unnest(sv) AS v FROM $src zz) x\n" +
+    s"    GROUP BY sub_id, cent_id, d) y\n" +
+    s"  GROUP BY sub_id, cent_id)"
+
   /** DuckDB twin of [[annPqDrift]] — [[trainRounds]] training rounds + stale-coded
     * drift + assign-half-fixed retrain + re-encode + both pure-ADC
     * searches + recall arithmetic, built from pre-stripped concatenated
@@ -394,34 +431,11 @@ object PqDrift {
     */
   val annPqDriftSql: String = {
     val S = Similarity.pqSubspaces
-    // one UNION ALL branch per subspace slicing `src` (a CTE name or a
-    // parenthesized+aliased subquery) into (id, sub_id, sv)
-    def subBody(src: String, id: String): String =
-      (0 until S).map(s =>
-        s"SELECT vec_id AS $id, $s AS sub_id, " +
-          s"list_slice(embedding, ${s * Similarity.pqSubDim + 1}, " +
-          s"${s * Similarity.pqSubDim + Similarity.pqSubDim}) AS sv FROM $src")
-        .mkString("\n    ", "\n    UNION ALL\n    ", "")
-    def sub(out: String, src: String, id: String): String =
-      s"$out AS (" + subBody(src, id) + ")"
-    def l2(sv: String, cv: String): String = Similarity.pqL2Sql(sv, cv)
-    // argmin-L2 code assignment of a subvector relation to a codebook
+    def subBody(src: String, id: String): String = sqlSubBody(src, id)
+    def sub(out: String, src: String, id: String): String = sqlSub(out, src, id)
     def assign(out: String, subs: String, cent: String): String =
-      s"$out AS (SELECT vec_id, sub_id, cent_id, sv FROM (\n" +
-      s"  SELECT s.vec_id, s.sub_id, c.cent_id, s.sv,\n" +
-      s"         row_number() OVER (PARTITION BY s.vec_id, s.sub_id\n" +
-      s"           ORDER BY ${l2("s.sv", "c.cv")} DESC, c.cent_id) AS rn\n" +
-      s"  FROM $subs s JOIN $cent c USING (sub_id)) WHERE rn = 1)"
-    // per-(sub, cent) float-cast per-dimension means of an assigned
-    // relation carrying (sub_id, cent_id, sv)
-    def means(out: String, src: String): String =
-      s"$out AS (\n" +
-      s"  SELECT sub_id, cent_id, list(CAST(m AS FLOAT4) ORDER BY d) AS cv FROM (\n" +
-      s"    SELECT sub_id, cent_id, d, avg(v) AS m FROM (\n" +
-      s"      SELECT sub_id, cent_id, generate_subscripts(sv, 1) AS d,\n" +
-      s"             unnest(sv) AS v FROM $src zz) x\n" +
-      s"    GROUP BY sub_id, cent_id, d) y\n" +
-      s"  GROUP BY sub_id, cent_id)"
+      sqlAssign(out, subs, cent)
+    def means(out: String, src: String): String = sqlMeans(out, src)
     def searchCte(out: String, codes: String, cent: String): String = {
       val tCols = (0 until S)
         .map(s => s"max(CASE WHEN t.sub_id = $s THEN t.tab END) AS t$s")
