@@ -131,7 +131,13 @@ object Bench {
       "x_stale_rewrite_default", "x_stream_stream_join",
       // r19: PQ drift gate — two codebook trainings + three commit-path
       // writes per run, the same fixture class as x_ann_ivf_drift
-      "x_ann_pq_drift")
+      "x_ann_pq_drift",
+      // r20: streaming in-loop PQ healing (one training + two per-batch
+      // retrains + five commit-path writes through a real streaming
+      // query) and the residual-encoding sweep (coarse-quantizer
+      // training + two codebook trainings per run) — drift-gate
+      // fixture class, not steady-state read latency
+      "x_ann_pq_incremental", "x_ann_ivf_pq_residual")
     // a rename in SparkEntry.queries must fail HERE, not silently shift
     // a brute-force scan into the headline sum — and it fails BEFORE the
     // timed loop (the sets are static; discovering a rename after a

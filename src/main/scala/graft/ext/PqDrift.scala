@@ -429,35 +429,62 @@ object PqDrift {
     * searches + recall arithmetic, built from pre-stripped concatenated
     * parts (generated CTE text must not pass through stripMargin).
     */
-  val annPqDriftSql: String = {
+  /** Flat pure-ADC top-5 search CTE over one (codes, codebook) pair —
+    * the [[adcTop5]] mirror, shared with [[StreamPq]]'s twin.
+    */
+  private[ext] def sqlAdcSearch(out: String, codes: String, cent: String): String = {
     val S = Similarity.pqSubspaces
+    val tCols = (0 until S)
+      .map(s => s"max(CASE WHEN t.sub_id = $s THEN t.tab END) AS t$s")
+      .mkString(",\n         ")
+    val tSum = (0 until S).map(s => s"t$s").mkString(" + ")
+    s"${out}_tab AS (\n" +
+    s"  SELECT q.query_id, q.sub_id, c.cent_id,\n" +
+    s"         list_inner_product(CAST(q.sv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS tab\n" +
+    s"  FROM qsub q JOIN $cent c USING (sub_id)),\n" +
+    s"${out}_adc AS (\n" +
+    s"  SELECT t.query_id, k.vec_id,\n" +
+    s"         $tCols\n" +
+    s"  FROM $codes k\n" +
+    s"  JOIN ${out}_tab t ON t.sub_id = k.sub_id AND t.cent_id = k.code\n" +
+    s"  WHERE k.vec_id <> t.query_id\n" +
+    s"  GROUP BY t.query_id, k.vec_id),\n" +
+    s"$out AS (SELECT query_id, vec_id AS neighbor_id FROM (\n" +
+    s"  SELECT query_id, vec_id,\n" +
+    s"         row_number() OVER (PARTITION BY query_id\n" +
+    s"           ORDER BY ($tSum) DESC, vec_id) AS rk\n" +
+    s"  FROM ${out}_adc) WHERE rk <= 5)"
+  }
+
+  /** The recall tail shared with [[StreamPq]]'s twin: two labeled
+    * hit-count/recall rows off `truth` against two search CTEs.
+    */
+  private[ext] def sqlRecallRows(
+      tierA: String, searchA: String, tierB: String, searchB: String,
+      labelCol: String): String = {
+    def row(tier: String, s: String, withAlias: Boolean): String = {
+      val aliasN = if (withAlias) " AS n_hits" else ""
+      val aliasR = if (withAlias) " AS recall" else ""
+      val aliasT = if (withAlias) s" AS $labelCol" else ""
+      s"SELECT '$tier'$aliasT,\n" +
+      s"       CAST((SELECT count($s.neighbor_id) FROM truth\n" +
+      s"             LEFT JOIN $s USING (query_id, neighbor_id)) AS BIGINT)$aliasN,\n" +
+      s"       round((SELECT count($s.neighbor_id) FROM truth\n" +
+      s"              LEFT JOIN $s USING (query_id, neighbor_id))::DOUBLE\n" +
+      s"             / (SELECT count(*) FROM truth), 4)$aliasR\n"
+    }
+    row(tierA, searchA, withAlias = true) + "UNION ALL\n" +
+      row(tierB, searchB, withAlias = false) + s"ORDER BY $labelCol"
+  }
+
+  val annPqDriftSql: String = {
     def subBody(src: String, id: String): String = sqlSubBody(src, id)
     def sub(out: String, src: String, id: String): String = sqlSub(out, src, id)
     def assign(out: String, subs: String, cent: String): String =
       sqlAssign(out, subs, cent)
     def means(out: String, src: String): String = sqlMeans(out, src)
-    def searchCte(out: String, codes: String, cent: String): String = {
-      val tCols = (0 until S)
-        .map(s => s"max(CASE WHEN t.sub_id = $s THEN t.tab END) AS t$s")
-        .mkString(",\n         ")
-      val tSum = (0 until S).map(s => s"t$s").mkString(" + ")
-      s"${out}_tab AS (\n" +
-      s"  SELECT q.query_id, q.sub_id, c.cent_id,\n" +
-      s"         list_inner_product(CAST(q.sv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS tab\n" +
-      s"  FROM qsub q JOIN $cent c USING (sub_id)),\n" +
-      s"${out}_adc AS (\n" +
-      s"  SELECT t.query_id, k.vec_id,\n" +
-      s"         $tCols\n" +
-      s"  FROM $codes k\n" +
-      s"  JOIN ${out}_tab t ON t.sub_id = k.sub_id AND t.cent_id = k.code\n" +
-      s"  WHERE k.vec_id <> t.query_id\n" +
-      s"  GROUP BY t.query_id, k.vec_id),\n" +
-      s"$out AS (SELECT query_id, vec_id AS neighbor_id FROM (\n" +
-      s"  SELECT query_id, vec_id,\n" +
-      s"         row_number() OVER (PARTITION BY query_id\n" +
-      s"           ORDER BY ($tSum) DESC, vec_id) AS rk\n" +
-      s"  FROM ${out}_adc) WHERE rk <= 5)"
-    }
+    def searchCte(out: String, codes: String, cent: String): String =
+      sqlAdcSearch(out, codes, cent)
     "WITH base AS (SELECT vec_id, embedding FROM embeddings\n" +
     "              WHERE vec_id % 3 <> 0 AND vec_id % 4 = 1),\n" +
     "drift AS (\n" +
@@ -503,19 +530,6 @@ object PqDrift {
     "  FROM q, corpus e WHERE e.vec_id <> q.query_id) WHERE rk <= 5),\n" +
     searchCte("s0", "codesS", s"cent$trainRounds") + ",\n" +
     searchCte("s1", "codes1", "centR") + "\n" +
-    "SELECT 'retrained' AS regime,\n" +
-    "       CAST((SELECT count(s1.neighbor_id) FROM truth\n" +
-    "             LEFT JOIN s1 USING (query_id, neighbor_id)) AS BIGINT) AS n_hits,\n" +
-    "       round((SELECT count(s1.neighbor_id) FROM truth\n" +
-    "              LEFT JOIN s1 USING (query_id, neighbor_id))::DOUBLE\n" +
-    "             / (SELECT count(*) FROM truth), 4) AS recall\n" +
-    "UNION ALL\n" +
-    "SELECT 'stale',\n" +
-    "       CAST((SELECT count(s0.neighbor_id) FROM truth\n" +
-    "             LEFT JOIN s0 USING (query_id, neighbor_id)) AS BIGINT),\n" +
-    "       round((SELECT count(s0.neighbor_id) FROM truth\n" +
-    "              LEFT JOIN s0 USING (query_id, neighbor_id))::DOUBLE\n" +
-    "             / (SELECT count(*) FROM truth), 4)\n" +
-    "ORDER BY regime"
+    sqlRecallRows("retrained", "s1", "stale", "s0", "regime")
   }
 }
