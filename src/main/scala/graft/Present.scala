@@ -2,24 +2,32 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-/** Deterministic presentation sort for gate/bench query results:
-  * shuffle the final rows to one partition and sort there — the same
-  * shape Spark itself picks for TakeOrderedAndProject.
+/** Presentation seam for gate/bench query results.
   *
-  * Why not `orderBy`: a global sort range-partitions, and the range
-  * partitioner's sampling pass re-executes the ENTIRE child plan — for
-  * a query whose upstream is the expensive part, that runs the query
-  * twice. The heavy upstream keeps its full parallelism; only the
-  * final result crosses one exchange.
+  * Through round 19 this was `repartition(1).sortWithinPartitions` — a
+  * deterministic single-file presentation sort. The r20 optimization
+  * round removed it (guide §2.4: "an orderBy used only to make output
+  * deterministic" is an accidental exchange): the driver's correctness
+  * gate hash-compares results COLUMN-SORTED AND ROW-SORTED (README §
+  * gate, scripts/verify_local.py — row order never participates in the
+  * hash), every output value in the registry is deterministic
+  * (hash-derived keys, float-rounded aggregates — no rand(), no
+  * partition-id functions, r19 verdict audit), and Verify's dump
+  * already `coalesce(1)`s independently of the query plan. So the
+  * per-query exchange + single-task sort bought nothing the gate uses,
+  * while charging every one of ~150 benched queries one extra
+  * Exchange, and charging the per-doc-output tier a structurally
+  * NON-LINEAR term at scale (SCALING.md r19: `x_lang_id`'s 13.3×
+  * third decade was attributed to exactly this single-task sort).
   *
-  * Scale note: this is presentation-layer scaffolding for the
-  * deterministic oracle compare (results at gate scale are ≤100k
-  * rows). The library operators themselves never impose a total order
-  * — a 100 TB pipeline writes unsorted (or range-partitions explicitly
-  * when a consumer demands global order and the 2× sampling pass is
-  * worth paying).
+  * The seam is kept (rather than deleting call sites) so the ~150
+  * queries keep marking where presentation order WOULD be applied, and
+  * so a consumer that genuinely needs a total order can reinstate it
+  * in one place — by range-partitioned `orderBy`, paying the sampling
+  * pass, never by `repartition(1)` (single-task sort of the full
+  * output). The 100 TB shape is unchanged: library operators never
+  * impose a total order; pipelines write unsorted.
   */
 object Present {
-  def sortSmall(df: DataFrame, cols: Column*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols: _*)
+  def sortSmall(df: DataFrame, cols: Column*): DataFrame = df
 }
