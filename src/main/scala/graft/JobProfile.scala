@@ -26,10 +26,11 @@ object JobProfile {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val desc = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .getOrElse("")
-        jobs.put(js.jobId, (js.time, desc))
+        // the last stage's name carries the action call site
+        // ("count at Foo.scala:123") — the cheapest job attribution
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
+        val nTasks = js.stageInfos.map(_.numTasks).sum
+        jobs.put(js.jobId, (js.time, s"[$nTasks t] $site"))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val (t0, desc) = jobs.getOrDefault(je.jobId, (je.time, "?"))

@@ -175,12 +175,19 @@ object StreamIvf {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     val path = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
     val s = mkSink(path)
-    def mkSlice(b: Int): DataFrame =
-      indexRows(emb, centroids, seq = b.toLong)
-        .filter(pmod(col("cent_id"), lit(2)) === b)
-        .localCheckpoint(true)
     var slice0: DataFrame = null; var slice1: DataFrame = null
-    phase("slice_build", () => { slice0 = mkSlice(0); slice1 = mkSlice(1) })
+    phase("slice_build", () => {
+      // ONE full-corpus assign+quantize pass, checkpointed, then two
+      // parity filters over the materialized rows — the r20 profile
+      // showed the previous per-slice mkSlice running assignNearest +
+      // int8 quantization over the WHOLE corpus twice (once per slice,
+      // each filter discarding half), doubling slice_build for no
+      // semantic difference: same rows, same split, same seqs.
+      val rows = indexRows(emb, centroids, seq = 0L).localCheckpoint(true)
+      slice0 = rows.filter(pmod(col("cent_id"), lit(2)) === 0)
+      slice1 = rows.filter(pmod(col("cent_id"), lit(2)) === 1)
+        .withColumn("seq", lit(1L))
+    })
     phase("ingest_commits", () => {
       s.upsert(slice0, batchId = 0L)
       s.upsert(slice1, batchId = 1L)
