@@ -14,6 +14,33 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Scale-adaptive re-split for CPU-heavy downstream work (r20
+    * optimization round, guide §2: "make partitioning scale-adaptive …
+    * rather than a constant tuned for either local mode or the
+    * cluster").
+    *
+    * Through r19 the embedding/doc pipelines opened with an
+    * UNCONDITIONAL `repartition(defaultParallelism)`: correct at gate
+    * scale (the corpus is ONE small single-row-group parquet file, so
+    * the scan yields ~1 partition and the assignment/quantization work
+    * below needs the cores), but a 100 TB corpus scans as tens of
+    * thousands of natural splits — there the same line is a full-corpus
+    * round-robin EXCHANGE (with its sort-before-repartition pass,
+    * SPARK-23207) that moves every byte to buy parallelism the scan
+    * already has. The fix is conditional: re-split only when the
+    * planned scan parallelism is actually below the session's target.
+    * At gate scale the branch always fires (plans and bench identical
+    * to r19's shape); at scale it never does, and the exchange
+    * disappears. `df.rdd.getNumPartitions` plans the frame but runs no
+    * job.
+    */
+  implicit class Resplit(private val df: DataFrame) extends AnyVal {
+    def resplit(spark: SparkSession): DataFrame = {
+      val target = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
+  }
+
   /** events with `ts` as a usable µs timestamp, adaptive to the file's
     * physical encoding (the driver has regenerated the testdata with
     * different encodings across rounds):

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Present, Tables}
+import graft.Tables.Resplit
 
 /** Distributed k-means (Lloyd) over the embedding corpus — the
   * clustering stage of corpus curation (topic balancing, diversity
@@ -52,7 +53,7 @@ object Clustering {
   def kmeans(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.table(spark, sfDir, "embeddings")
       // re-split the single-file scan so assignment parallelizes
-      .repartition(spark.sparkContext.defaultParallelism)
+      .resplit(spark)
       .select(col("vec_id"), col("embedding"))
       // scanned once per Lloyd round plus the final summary pass — cache
       // the narrow projection instead of re-reading + re-splitting the
@@ -100,7 +101,7 @@ object Clustering {
     val probes = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("label").as("qlabel"))
-    val corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    val corpus = emb.resplit(spark)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
         col("label").as("nlabel"))
     // sim computed and embeddings PRUNED before the top-k: the native
@@ -185,7 +186,7 @@ object Clustering {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
         s => s.getField("m").cast("float")).as("cv"))
-    val scored = emb.repartition(spark.sparkContext.defaultParallelism)
+    val scored = emb.resplit(spark)
       .join(broadcast(cents), Seq("label"))
       .select(col("label"), col("vec_id"),
         round(Similarity.cosine(col("embedding"), col("cv")), 4).as("cos_centroid"))

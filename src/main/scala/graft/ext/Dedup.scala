@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
 import graft.{Present, Tables}
+import graft.Tables.Resplit
 import graft.functions.BloomFunctions.bloom_might_contain
 import graft.functions.HashFunctions.{hashed_shingle_set, minhash_signature, simhash_md5, sorted_intersect_count, word_shingles}
 
@@ -113,7 +114,7 @@ object Dedup {
       .withColumn("n", size(col("hs")))
     // re-split the single-file scan so the pair loop parallelizes (see
     // Similarity.embeddingPairs)
-    val a = docs.repartition(spark.sparkContext.defaultParallelism)
+    val a = docs.resplit(spark)
       .select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na"))
     val b = docs.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n").as("nb"))
     val inter = sorted_intersect_count(col("ha"), col("hb")).cast("double")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Tables.Resplit
 
 /** Sparse lexical retrieval over the document corpus — the inverted-
   * index BM25 ranking that a training-data pipeline runs for
@@ -287,7 +288,7 @@ object Retrieval {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     val cells = Similarity.assignNearest(
         emb.filter(col("vec_id") % 50 =!= 0)
-          .repartition(spark.sparkContext.defaultParallelism),
+          .resplit(spark),
         centroids, keepEmbedding = true)
       .select(col("vec_id").as("doc_id"), col("embedding").as("nv"), col("cent_id"))
     val dq = Similarity.assignNearest(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Present, Tables}
+import graft.Tables.Resplit
 import graft.functions.VectorFunctions.{int_vec_dot, vec_cosine, vec_dot}
 
 /** Similarity search over an embedding column (Array[Float], dim 64).
@@ -86,7 +87,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     // re-split the single-file scan: the corpus streams through the
     // broadcast loop, so its partition count IS the parallelism
-    val corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    val corpus = emb.resplit(spark)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 4))
@@ -174,7 +175,7 @@ object Similarity {
         explode(sequence(col("blk"), lit(b - 1))).as("tj"))
       .select(col("id_a"), col("va"), col("na"), col("blk_a"),
         (col("blk_a") * b + col("tj")).as("tile"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .resplit(spark)
     val right = emb
       .select(col("vec_id").as("id_b"), col("embedding").as("vb"),
         col("nrm").as("nb"), col("blk").as("blk_b"),
@@ -266,7 +267,7 @@ object Similarity {
     val banded = emb
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(bandKeys).as("bkey"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .resplit(spark)
     // each surviving pair appears once per shared band — distinct on the
     // pair (sim is deterministic per pair) before the keeper aggregation
     val pairs = banded.as("x")
@@ -432,7 +433,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bkt"))
-    val scored = emb.repartition(spark.sparkContext.defaultParallelism)
+    val scored = emb.resplit(spark)
       .join(broadcast(queries), Seq("bkt"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qv"), col("embedding")), 4))
@@ -580,7 +581,7 @@ object Similarity {
     // broadcast loop, so its partition count IS the parallelism
     val corpus = quantized
       .select(col("vec_id"), col("q"), col("scale"), col("nrm"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .resplit(spark)
     // approx cosine from the exact integer dot: qdot·sa·sb ≈ float dot
     // (max |qdot| = 127²·dim ≪ 2⁵³, so the long→double rescale chain is
     // the same exact value in both engines)
@@ -729,7 +730,7 @@ object Similarity {
     // to (vec_id, cent_id) before the exchange; re-split first so the
     // cosine work parallelizes off the single-file scan
     val assigned = assignNearest(
-      emb.repartition(spark.sparkContext.defaultParallelism), centroids,
+      emb.resplit(spark), centroids,
       keepEmbedding = false).select(col("vec_id"), col("cent_id"))
     val quantized = emb
       .select(col("vec_id"), col("embedding"),
@@ -924,7 +925,7 @@ object Similarity {
   private def pqSeedInputs(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val subs = pqSubvectors(
-      emb.repartition(spark.sparkContext.defaultParallelism), "vec_id")
+      emb.resplit(spark), "vec_id")
     val cents0 = pqSubvectors(
       emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 800), "vec_id")
       .select(col("sub_id"), col("vec_id").as("cent_id"), col("sv").as("cv"))
@@ -1353,7 +1354,7 @@ object Similarity {
     val centroids = emb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     assignNearest(
-        emb.repartition(spark.sparkContext.defaultParallelism), centroids,
+        emb.resplit(spark), centroids,
         keepEmbedding = true)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
    }

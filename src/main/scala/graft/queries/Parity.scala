@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Tables.Resplit
 import graft.cdc.Debezium
 import graft.enrich.Enrichments
 import graft.agg.ActivityAggs
@@ -86,7 +87,7 @@ object Parity {
       }
       val path = root.resolve("envelope.parquet").toString
       wireEnvelope(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .resplit(spark)
         .write.mode("overwrite").parquet(path)
       path
     })
