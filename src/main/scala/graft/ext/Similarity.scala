@@ -992,14 +992,8 @@ object Similarity {
   def pqServingPair(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
     PqDrift.currentPair(spark, pqIndexRoot(spark, sfDir))
 
-  private def pqTop5(spark: SparkSession, sfDir: String, rounds: Int): DataFrame = {
-    val (subs, cents0) = pqSeedInputs(spark, sfDir)
-    pqTop5From(spark, sfDir, subs, cents0, rounds)
-  }
-
   private def pqTop5From(spark: SparkSession, sfDir: String,
-      subs: DataFrame, cents0: DataFrame, rounds: Int): DataFrame = {
-    val cents1 = pqCodebook(spark, subs, cents0, rounds)
+      subs: DataFrame, cents1: DataFrame): DataFrame = {
     val codes = pqNearest(subs, cents1, keepSv = false)
       .select(col("vec_id"), col("sub_id"), col("cent_id").as("code"))
     pqSearch(spark, sfDir, cents1, codes)
@@ -1655,8 +1649,22 @@ object Similarity {
     // can be released before returning — only the final small
     // per-sweep-point aggregates survive as the result plan
     try {
+      // ONE incremental Lloyd chain instead of a from-scratch training
+      // per sweep point (r20): pqCodebook from fixed seeds is
+      // deterministic, so the round-r codebook IS one more refinement
+      // of the round-(r-1) codebook — training each point separately
+      // ran 1+2+…+max ≈ R²/2 Lloyd rounds where the chain runs R.
+      // Each chained step collects the same 4×16×16-float codebook the
+      // separate trainings collected, bit-for-bit.
+      val centsByRound: Map[Int, DataFrame] = {
+        var c = cents0
+        (1 to pqRoundsSweep.max).map { r =>
+          c = pqCodebook(spark, subs, c, rounds = 1)
+          r -> c
+        }.toMap
+      }
       val rows = pqRoundsSweep.map { r =>
-        bf.join(pqTop5From(spark, sfDir, subs, cents0, r)
+        bf.join(pqTop5From(spark, sfDir, subs, centsByRound(r))
               .select(col("query_id"), col("neighbor_id")),
             Seq("query_id", "neighbor_id"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
