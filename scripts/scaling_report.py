@@ -136,7 +136,16 @@ def main():
     if media is not None:
         q = "x_media_dedup_groups"
         w10 = media.get("queries", {}).get(q)
-        w1 = last.get("queries", {}).get(q)
+        # resolve the sf1 point by its recorded "sf" field, not by list
+        # position (r19 advice: a 2-3 file sweep labeled benches[-1] as
+        # sf1 and computed the ratio against the wrong scale factor);
+        # a failed wall (-1.0) is treated as missing, same as absent
+        sf1_bench = next(
+            (b for b in benches if str(b.get("sf", "")).endswith("testdata_sf1")),
+            None)
+        w1 = (sf1_bench or {}).get("queries", {}).get(q)
+        if w1 is not None and w1 <= 0:
+            w1 = None
         print("## sf10-lite media point (derived from measured JSON)")
         print()
         print("Measured by this sweep's optional fifth point")

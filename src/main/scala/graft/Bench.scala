@@ -63,14 +63,35 @@ object Bench {
       val sfOk = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
         .exists(_.group(1) == sfDir)
       val start = txt.indexOf("\"queries\":{")
-      if (start < 0 || !sfOk) Map.empty
-      else {
-        val block = txt.substring(start + "\"queries\":{".length,
-          txt.indexOf('}', start))
-        "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(block)
+      if (start < 0 || !sfOk) {
+        // LOUD skip (r19 advice): a silently-empty baseline disables
+        // the contamination-rerun machinery with no trace in the log
+        System.err.println(s"[bench] rerun baseline DISABLED: " +
+          (if (start < 0) s"no queries block in $baselinePath"
+           else s"$baselinePath is for a different sf than $sfDir"))
+        Map.empty
+      } else {
+        // the flat queries object holds only "name":number pairs, so
+        // its first '}' IS its end — but assert that instead of
+        // assuming it, so a future format change (nested value, object
+        // reorder) fails loudly rather than silently truncating
+        val end = txt.indexOf('}', start)
+        val block = txt.substring(start + "\"queries\":{".length, end)
+        require(!block.contains("{"),
+          s"baseline $baselinePath: queries block is not flat — " +
+            "update Bench's parser for the new artifact format")
+        val m = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(block)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        if (m.isEmpty)
+          System.err.println(
+            s"[bench] rerun baseline DISABLED: empty queries block in $baselinePath")
+        m
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] rerun baseline DISABLED: " +
+        s"could not parse $baselinePath (${e.getMessage})")
+      Map.empty
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Two tiers: "calibration" queries exist to measure approximation
