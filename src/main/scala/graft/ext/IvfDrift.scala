@@ -110,6 +110,42 @@ object IvfDrift {
     * `newPath`'s [[centroidsPathFor]] sibling. Returns the new
     * centroid table.
     */
+  /** Fused trigger + retrain — the body behind
+    * `CALL graft.system.maintain_ivf`. The displacement trigger's
+    * per-cell means ARE the retrain's new centroids (both are
+    * [[cellMeans]] over the index's stored (cent_id, embedding) rows —
+    * the r20 code ran that corpus-scale aggregation TWICE per fired
+    * call, once in [[maxDisplacement]] and again in [[retrain]]).
+    * Compute the means ONCE, read the trigger off them (k rows joined
+    * to the codebook), and on fire reuse the persisted means as the
+    * retrained codebook (guide §1.2/§5). Bit-identical to the unfused
+    * path: same plan for the means, the persist just materializes it.
+    * Returns (triggered, maxDisplacement).
+    */
+  def maintain(spark: SparkSession, indexPath: String, newPath: String,
+      threshold: Double): (Boolean, Double) = {
+    val stored = StreamIvf.readIndex(spark, indexPath)
+    val cents = readCentroids(spark, indexPath)
+    val means = cellMeans(stored.select(col("cent_id"), col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val disp = means.withColumnRenamed("cv", "mv")
+        .join(cents, Seq("cent_id"))
+        .select((lit(1.0) - Similarity.cosine(col("mv"), col("cv"))).as("disp"))
+        .agg(max(col("disp"))).head.getDouble(0)
+      val fired = disp > threshold
+      if (fired) {
+        // codebook first, then the cell rewrite (the [[retrain]] swap
+        // ordering)
+        writeCentroids(means, newPath)
+        StreamIvf.sink(newPath).upsert(StreamIvf.indexRows(
+          stored.select(col("vec_id"), col("embedding")), means, seq = 0L),
+          batchId = 0L)
+      }
+      (fired, disp)
+    } finally means.unpersist()
+  }
+
   def retrain(spark: SparkSession, indexPath: String, newPath: String): DataFrame = {
     val stored = StreamIvf.readIndex(spark, indexPath)
     // one Lloyd round over the index's own contents: the stored

@@ -213,6 +213,59 @@ object PqDrift {
     * after the sink's commit marker appears always finds its codebook
     * in place. Returns the new codebook.
     */
+  /** Fused trigger + retrain — the body behind
+    * `CALL graft.system.maintain_pq` and [[StreamPq.processBatch]].
+    * The displacement trigger's per-(subspace, code) means ARE the
+    * retrain's new codebook (both are [[codeMeans]] over the same
+    * (subvectors ⋈ stored codes) relation — the r20 code ran that
+    * corpus-scale join+aggregation TWICE per fired maintenance call,
+    * once in [[maxResidualDisplacement]] and again in [[retrain]]).
+    * Compute the means ONCE, read the trigger's max displacement off
+    * them (k×4 rows joined to the codebook — metadata scale), and on
+    * fire reuse the persisted means as the retrained codebook (guide
+    * §1.2/§5: don't recompute what you already hold). Values are
+    * bit-identical to the unfused path: same plan for the means, the
+    * persist just materializes it. Returns (triggered, maxDisplacement).
+    */
+  def maintain(spark: SparkSession, indexPath: String, vectorsPath: String,
+      newPath: String, threshold: Double): (Boolean, Double) = {
+    val vectors = spark.read.parquet(vectorsPath)
+    val stored = readCodes(spark, indexPath)
+    val cents = readCodebook(spark, indexPath)
+    val means = codeMeans(
+        Similarity.pqSubvectors(vectors, "vec_id")
+          .join(stored.select(col("vec_id"), col("sub_id"), col("code")),
+            Seq("vec_id", "sub_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val r = means.withColumnRenamed("cv", "mv")
+        .join(cents.withColumnRenamed("cent_id", "code"), Seq("sub_id", "code"))
+        .select((lit(1.0) - Similarity.cosine(col("mv"), col("cv"))).as("disp"))
+        .agg(max(col("disp"))).head
+      // same guards as [[maxResidualDisplacement]] — empty join and
+      // degenerate (NaN) indexes fail with the cause
+      require(!r.isNullAt(0),
+        "maintain_pq: vectors and the index's codes/codebook share no " +
+          "(vec_id, sub_id, code) rows — wrong vectors path, empty index, " +
+          "or a codebook from a different index version")
+      val disp = r.getDouble(0)
+      require(!disp.isNaN,
+        "maintain_pq: residual displacement is NaN — a zero-norm code mean " +
+          "or codebook entry (degenerate index); rebuild the codebook rather " +
+          "than maintaining it")
+      val fired = disp > threshold
+      if (fired) {
+        val newCents = means.withColumnRenamed("code", "cent_id")
+        // codebook first, then the code rewrite (the [[retrain]] swap
+        // ordering): a reader that follows the commit marker always
+        // finds its codebook in place
+        writeCodebook(newCents, newPath)
+        sink(newPath).upsert(codeRows(vectors, newCents, seq = 0L), batchId = 0L)
+      }
+      (fired, disp)
+    } finally means.unpersist()
+  }
+
   def retrain(spark: SparkSession, indexPath: String, vectorsPath: String,
       newPath: String): DataFrame = {
     val vectors = spark.read.parquet(vectorsPath)

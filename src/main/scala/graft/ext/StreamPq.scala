@@ -52,12 +52,11 @@ object StreamPq {
     batch.write.mode("append").parquet(vecPath)
     PqDrift.sink(path).upsert(
       PqDrift.codeRows(batch, cents, seq = batchId + 1), batchId)
-    val vectors = spark.read.parquet(vecPath)
-    val disp = PqDrift.maxResidualDisplacement(
-      vectors, PqDrift.readCodes(spark, path), cents)
-    val fired = disp > threshold
-    if (fired)
-      PqDrift.retrain(spark, path, vecPath, PqDrift.versionPath(root, v + 1))
+    // fused trigger + retrain (r21): one (subvectors ⋈ codes) means
+    // pass serves both the displacement check and, on fire, the
+    // retrained codebook — [[PqDrift.maintain]]
+    val (fired, disp) = PqDrift.maintain(spark, path, vecPath,
+      PqDrift.versionPath(root, v + 1), threshold)
     (if (fired) v + 1 else v, fired, disp)
   }
 

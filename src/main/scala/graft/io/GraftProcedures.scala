@@ -107,13 +107,13 @@ object GraftProcedures {
         s"graft.system.maintain_ivf: new_index $newPath already holds an " +
           "index table — retrain writes a FRESH version; point new_index " +
           "at an empty path and swap readers after the call")
-      val index = graft.ext.StreamIvf.readIndex(spark, path)
-      val cents = graft.ext.IvfDrift.readCentroids(spark, path)
-      val disp = graft.ext.IvfDrift.maxDisplacement(index, cents)
-      if (disp > threshold) {
-        graft.ext.IvfDrift.retrain(spark, path, newPath)
+      // fused trigger + retrain (r21): the trigger's per-cell means are
+      // reused as the retrained codebook instead of re-aggregating the
+      // whole index a second time
+      val (fired, disp) = graft.ext.IvfDrift.maintain(spark, path, newPath, threshold)
+      if (fired)
         Seq(new GenericInternalRow(Array[Any](true, disp, str(newPath))))
-      } else
+      else
         // below trigger: no retrain, no new table — report and leave
         // the live index untouched
         Seq(new GenericInternalRow(Array[Any](false, disp, null)))
@@ -146,14 +146,14 @@ object GraftProcedures {
         s"graft.system.maintain_pq: new_index $newPath already holds a " +
           "code table — retrain writes a FRESH version; point new_index " +
           "at an empty path and swap readers after the call")
-      val codes = graft.ext.PqDrift.readCodes(spark, path)
-      val cents = graft.ext.PqDrift.readCodebook(spark, path)
-      val vectors = spark.read.parquet(vecPath)
-      val disp = graft.ext.PqDrift.maxResidualDisplacement(vectors, codes, cents)
-      if (disp > threshold) {
-        graft.ext.PqDrift.retrain(spark, path, vecPath, newPath)
+      // fused trigger + retrain (r21): the trigger's per-(sub, code)
+      // means are reused as the retrained codebook instead of re-running
+      // the corpus-scale (subvectors ⋈ codes) aggregation a second time
+      val (fired, disp) =
+        graft.ext.PqDrift.maintain(spark, path, vecPath, newPath, threshold)
+      if (fired)
         Seq(new GenericInternalRow(Array[Any](true, disp, str(newPath))))
-      } else
+      else
         Seq(new GenericInternalRow(Array[Any](false, disp, null)))
     }
     case "optimize_zorder" => proc("optimize_zorder",
