@@ -87,10 +87,16 @@ object Bench {
             s"[bench] rerun baseline DISABLED: empty queries block in $baselinePath")
         m
       }
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] rerun baseline DISABLED: " +
-        s"could not parse $baselinePath (${e.getMessage})")
-      Map.empty
+    } catch {
+      // the flat-block format assertion must ABORT (r20 advice #5): a
+      // parser/format mismatch means every rerun decision this run
+      // would be made against silently-wrong numbers — fail the run
+      // instead of degrading to the disabled-baseline path
+      case e: IllegalArgumentException => throw e
+      case e: Throwable =>
+        System.err.println(s"[bench] rerun baseline DISABLED: " +
+          s"could not parse $baselinePath (${e.getMessage})")
+        Map.empty
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -319,7 +325,19 @@ object Bench {
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop() failed (ignored): ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","staging_sec":${ms(stagingSec)},"headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"write_pipeline_sec":${ms(writePipelineSec)},"failures":$failures,"n_queries":${finalResults.size},"n_reruns":${reruns.size},"detail":"${js(outPath)}","sf":"${js(sfDir)}"}""")
+    // The final stdout line must fit the driver's fixed 2000-char
+    // merged-stream tail window (measured: every BENCH_r17..r20 "tail"
+    // is exactly 2000 chars; r7 and the early rounds proved a line
+    // longer than the window parses as null). The 191-query map alone
+    // is ≥4.6 KB (sum of name lengths 2.9 KB), so the full JSON can
+    // NEVER ride the stdout contract line — it goes to the detail file
+    // above, and stdout carries the short totals line. A harness with
+    // a bigger window can opt into the full line via
+    // SPARK_GRAFT_BENCH_STDOUT_FULL=1.
+    val stdoutLine =
+      if (sys.env.get("SPARK_GRAFT_BENCH_STDOUT_FULL").contains("1")) fullJson
+      else s"""{"metric":"total","value":${ms(total)},"unit":"sec","staging_sec":${ms(stagingSec)},"headline_sec":${ms(headline)},"calibration_sec":${ms(calibSec)},"write_pipeline_sec":${ms(writePipelineSec)},"failures":$failures,"n_queries":${finalResults.size},"n_reruns":${reruns.size},"detail":"${js(outPath)}","sf":"${js(sfDir)}"}"""
+    println(stdoutLine)
     System.out.flush()
   }
 }
