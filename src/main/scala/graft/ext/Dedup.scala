@@ -252,7 +252,8 @@ object Dedup {
     // Shingles are hashed to 64 bits BEFORE any exchange: the df agg
     // and the self-join then shuffle 8-byte longs, not shingle text
     // (same ~1e-15-per-pair collision acceptance as ngramJaccard).
-    val sh = Tables.table(spark, sfDir, "documents")
+    val docs = Tables.table(spark, sfDir, "documents")
+    val sh = docs
       .select(col("doc_id"), explode(shingles(Text.tokens(col("text")))).as("raw"))
       .select(col("doc_id"), xxhash64(col("raw")).as("s"))
     // materialized once (localCheckpoint, as in [[decontaminate]] —
@@ -269,12 +270,39 @@ object Dedup {
     // UNORDERED pairs only (doc_a < doc_b): containment is asymmetric,
     // but both directions derive from the one shared-shingle count and
     // the two sizes — half the rows through the heaviest shuffle (the
-    // pair aggregation) vs materializing both orientations
-    val shared = rare.select(col("s"), col("doc_id").as("doc_a"))
-      .join(rare.select(col("s"), col("doc_id").as("doc_b")), Seq("s"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+    // pair aggregation) vs materializing both orientations.
+    //
+    // Pair-key packing (r21, guide §2.3 "narrower types"): that pair
+    // aggregation is the operator's network-bound exchange — 12.7M pair
+    // rows at sf1 → 129.6M at sf10-lite (SCALING.md cost-model row),
+    // each row a two-long key plus the partial count (~24 B). When the
+    // doc-id domain fits in 32 bits, pack the unordered pair into ONE
+    // long (doc_a<<32 | doc_b, unpacked after the aggregation), so the
+    // exchange ships 16 B/row — a third fewer shuffle bytes and a
+    // single-word group key for both hash-agg passes. The branch is
+    // data-derived like Resplit (one column-pruned min/max over the doc
+    // scan — metadata-scale next to the shingle explode): a corpus
+    // whose ids exceed 32 bits keeps the two-column key. Both branches
+    // compute identical (doc_a, doc_b, shared) rows.
+    val docIdRange = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val packable = !docIdRange.isNullAt(0) &&
+      docIdRange.getLong(0) >= 0L && docIdRange.getLong(1) < (1L << 32)
+    val a = rare.select(col("s"), col("doc_id").as("doc_a"))
+    val b = rare.select(col("s"), col("doc_id").as("doc_b"))
+    val pairRows = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+    val shared =
+      if (packable)
+        pairRows
+          .select(shiftleft(col("doc_a"), 32).bitwiseOR(col("doc_b")).as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("shared"))
+          .select(shiftrightunsigned(col("pair"), 32).as("doc_a"),
+            col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+            col("shared"))
+      else
+        pairRows
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("shared"))
     val withSizes = shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("na").as("na_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("na").as("na_b")), Seq("doc_b"))
